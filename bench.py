@@ -1,0 +1,70 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Representative heavy queries across the operator surface; falls back to
+# whatever subset exists so the bench never breaks mid-build.
+HEADLINE = [
+    "a1_hash_agg",
+    "j1_star_join_revenue",
+    "w2_running_balance",
+    "w1_gl_initial_and_period",
+    "a3_aged_bucket_pivot",
+    "j3_lateral_agg_join",
+    "j7_asof_join",
+    "a9_ledger_netting",
+    "o2_pagination",
+    "e3_account_codes",
+    "dedup_ngram_jaccard",
+    "sim_cosine_topk",
+    "text_quality_score",
+    "c4_asof_reconstruction",
+]
+
+
+def main() -> None:
+    from etl_staging_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("bench")
+    qs = entrymod.queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    # Warm the JVM + parquet footers once so per-query times measure the
+    # query, not session startup.
+    qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

