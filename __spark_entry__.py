@@ -18,6 +18,7 @@ sys.path.insert(0, "/root/repo")
 # Import catalog modules for their registration side effects.
 from etl_staging_spark.queries import registry  # noqa: E402
 from etl_staging_spark.queries import catalog_core  # noqa: E402,F401
+from etl_staging_spark.queries import catalog_joins  # noqa: E402,F401
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -38,7 +38,15 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     down into the parquet scan by Catalyst (S1)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) read as raw int64 (see session.py); truncate to
+        # micros exactly like DuckDB does when it surfaces TIMESTAMP.
+        from pyspark.sql import functions as F
+
+        # integer DIV: ts exceeds double precision, float division drifts
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -1,0 +1,90 @@
+"""Unit tests for the distinctive operators (as-of, netting, buckets),
+golden-value style like the reference's engine tests
+(account_reports/tests/test_report_engines.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_staging_spark.operators.asof import asof_join, last_before, most_recent_value
+from etl_staging_spark.operators.buckets import bucket_expr, bucket_pivot
+from etl_staging_spark.operators.netting import net_ledger
+
+
+def test_last_before_strict(spark):
+    # SVL semantics: out-layer cost = latest PRIOR in-layer cost
+    # (etl_stock/models/svl.py:205-240): strictly-before window.
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, None), (1, 3, 20.0), (1, 4, None), (2, 1, 5.0)],
+        "product long, seq long, unit_cost double",
+    )
+    out = last_before(df, ["product"], ["seq"], "unit_cost", "prev_cost")
+    got = {(r.product, r.seq): r.prev_cost for r in out.collect()}
+    assert got[(1, 1)] is None
+    assert got[(1, 2)] == 10.0
+    assert got[(1, 4)] == 20.0
+    assert got[(2, 1)] is None
+
+
+def test_asof_join_basic_and_ties(spark):
+    left = spark.createDataFrame(
+        [(1, 10, 100.0), (2, 10, 200.0), (3, 10, 300.0), (4, 20, 400.0)],
+        "event_id long, user long, amt double",
+    ).withColumn("t", F.col("event_id") * 10)
+    # right at t=10,30,30(dup) for user 10; none for user 20
+    right = spark.createDataFrame(
+        [(10, 10, 1.0, 101), (10, 30, 2.0, 102), (10, 30, 3.0, 103)],
+        "user long, t long, quote double, qid long",
+    )
+    out = asof_join(
+        left, right, on=["user"], left_ts="t", right_ts="t",
+        value_cols=["quote"], tiebreak="qid",
+    )
+    got = {r.event_id: r.quote for r in out.collect()}
+    assert got[1] == 1.0          # exact-ts match included (<=)
+    assert got[2] == 1.0          # between quotes → earlier one
+    assert got[3] == 3.0          # tie at t=30 → larger qid wins
+    assert got[4] is None         # no quotes for user 20
+
+
+def test_most_recent_value(spark):
+    df = spark.createDataFrame(
+        [(1, 5, "a"), (1, 9, "b"), (2, 3, "c")], "k long, t long, v string"
+    )
+    out = most_recent_value(df, ["k"], [F.col("t").desc()])
+    got = {r.k: r.v for r in out.collect()}
+    assert got == {1: "b", 2: "c"}
+
+
+def test_net_ledger(spark):
+    df = spark.createDataFrame(
+        [("p1", "in", 5.0, 1), ("p1", "in", 3.0, 2), ("p1", "out", 4.0, 3),
+         ("p1", "other", 9.0, 4), ("p2", "out", 2.0, 5), ("p1", "in", 7.0, 99)],
+        "product string, dir string, qty double, day long",
+    )
+    out = net_ledger(
+        df, ["product"], "qty",
+        is_in=F.col("dir") == "in", is_out=F.col("dir") == "out",
+        as_of=F.lit(10), date_col="day",
+    )
+    got = {r.product: (r.qty_in, r.qty_out, r.qty_net) for r in out.collect()}
+    assert got["p1"] == (8.0, 4.0, 4.0)   # day-99 row excluded by as-of
+    assert got["p2"] == (0.0, 2.0, -2.0)
+
+
+def test_bucket_expr_and_pivot(spark):
+    df = spark.createDataFrame(
+        [("a", -5, 10.0), ("a", 0, 1.0), ("a", 30, 2.0), ("a", 31, 4.0),
+         ("a", 120, 8.0), ("a", 121, 16.0), ("b", 65, 32.0)],
+        "k string, days int, amt double",
+    )
+    labeled = df.select("days", bucket_expr(F.col("days")).alias("b"))
+    got = {r.days: r.b for r in labeled.collect()}
+    assert got == {-5: "current", 0: "0-30", 30: "0-30", 31: "31-60",
+                   120: "91-120", 121: "older", 65: "61-90"}
+    piv = bucket_pivot(df, ["k"], F.col("days"), F.col("amt"))
+    row = {r.k: r for r in piv.collect()}
+    a = row["a"]
+    assert (a.period_current, a.period_0_30, a.period_31_60, a.period_91_120,
+            a.period_older, a.total) == (10.0, 3.0, 4.0, 8.0, 16.0, 41.0)
+    assert row["b"].period_61_90 == 32.0
