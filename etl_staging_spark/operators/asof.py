@@ -90,10 +90,17 @@ def asof_join(
     # right rows sort before left rows at equal ts => "<=" semantics
     order = ["__ts", "__side"] + ([tiebreak] if tiebreak else [])
     w = W.partitionBy(*on).orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
+    # Wrap each right value in a struct: the struct is non-null whenever a
+    # right ROW exists, even if the value itself is NULL — so the latest
+    # right row's NULL is returned (ORDER BY ts DESC LIMIT 1 semantics),
+    # not an older non-null value.
     picked = merged.select(
         *merged.columns,
         *[
-            F.last(F.when(F.col("__side") == 0, F.col(v)), ignorenulls=True)
+            F.last(
+                F.when(F.col("__side") == 0, F.struct(F.col(v).alias("v"))),
+                ignorenulls=True,
+            )
             .over(w)
             .alias(f"__asof_{v}")
             for v in value_cols
@@ -101,7 +108,7 @@ def asof_join(
     )
     out = picked.where(F.col("__side") == 1)
     for v in value_cols:
-        out = out.withColumn(v, F.col(f"__asof_{v}"))
+        out = out.withColumn(v, F.col(f"__asof_{v}.v"))
     drop = ["__ts", "__side"] + [f"__asof_{v}" for v in value_cols]
     if tiebreak and tiebreak not in value_cols:
         drop.append(tiebreak)

@@ -250,8 +250,8 @@ def j4_interval_bucket_join(spark, sf_dir):
     )
     SELECT l.l_orderkey, l.l_linenumber,
            COUNT(*) AS n_edges,
-           SUM(CASE WHEN l.l_linenumber = e.d_ln THEN e.c_ln ELSE e.d_ln END)
-               AS sum_counterpart_ln
+           CAST(SUM(CASE WHEN l.l_linenumber = e.d_ln THEN e.c_ln ELSE e.d_ln END)
+               AS BIGINT) AS sum_counterpart_ln
     FROM lineitem l
     JOIN edges e ON l.l_orderkey = e.eo
                 AND (l.l_linenumber = e.d_ln OR l.l_linenumber = e.c_ln)

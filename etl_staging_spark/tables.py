@@ -38,6 +38,12 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     down into the parquet scan by Catalyst (S1)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS) which Spark has no native
+        # type for. The conf is runtime-settable, and the driver supplies its
+        # own SparkSession (without our session.py builder confs), so it must
+        # be set here — at the single scan choke point — not in the factory.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as raw int64 (see session.py); truncate to
