@@ -14,8 +14,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Representative heavy queries across the operator surface; falls back to
-# whatever subset exists so the bench never breaks mid-build.
+# Representative heavy queries across the operator surface. Every name
+# MUST exist in queries() — a missing name is a hard error so the bench
+# can never silently measure less than it advertises.
 HEADLINE = [
     "a1_hash_agg",
     "j1_star_join_revenue",
@@ -26,11 +27,10 @@ HEADLINE = [
     "j7_asof_join",
     "a9_ledger_netting",
     "o2_pagination",
-    "e3_account_codes",
     "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
     "sim_cosine_topk",
     "text_quality_score",
-    "c4_asof_reconstruction",
 ]
 
 
@@ -44,7 +44,10 @@ def main() -> None:
 
     spark = get_spark("bench")
     qs = entrymod.queries()
-    names = [n for n in HEADLINE if n in qs]
+    missing = [n for n in HEADLINE if n not in qs]
+    if missing:
+        raise SystemExit(f"bench HEADLINE queries not implemented: {missing}")
+    names = list(HEADLINE)
 
     # Warm the JVM + parquet footers once so per-query times measure the
     # query, not session startup.

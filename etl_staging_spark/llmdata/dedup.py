@@ -1,0 +1,172 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the point of this module):
+
+- ``exact_dup_groups`` — one hash-groupBy; map-side partial aggregation,
+  one shuffle on the 256-bit content hash. The 100 TB workhorse.
+- ``jaccard_pairs`` — exact near-dup via the shingle inverted index:
+  docs pair only where they share a shingle, so cost is
+  sum_shingle(df^2), never all-pairs. Correct but hot shingles make it
+  quadratic in the worst case — it is the *verification* primitive and
+  the small-N exact variant.
+- ``minhash_lsh_pairs`` — the scale path: fixed-width signatures
+  (16 mins, computed as 16 aggregate columns in ONE shuffle — no 16x
+  row blowup), banded into 4 buckets; candidate pairs only within equal
+  band signatures; candidates then verified with exact Jaccard over the
+  (much smaller) candidate set. Cost O(N) + O(candidates).
+- ``simhash_table`` — 56-bit SimHash per doc; near-dup = small Hamming
+  distance; bucketing by bit-bands makes it joinable at scale.
+
+All hash values derive from :mod:`.hashing` so the DuckDB oracle
+reproduces every probabilistic decision bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import BAND_ROWS, MINHASH_SEEDS, N_BANDS, minhash_col, portable_hash56
+from .shingles import shingle_index
+
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: group by sha256(text); canonical row = min id.
+    (Reference analog: the dedup/purge maintenance jobs M3,
+    `etl_stock/models/company.py:1186-1195` — keyed there on natural
+    keys, here on content hash.)"""
+    return (
+        df.groupBy(F.sha2(F.col(text_col), 256).alias("text_sha256"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min(id_col).alias("canonical_doc_id"),
+        )
+    )
+
+
+def hashed_shingles(df: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, h) distinct 56-bit shingle hashes."""
+    return shingle_index(df, n=n).select(
+        "doc_id", portable_hash56("shingle").alias("h")
+    )
+
+
+def _pair_jaccard(sh: DataFrame, pairs: DataFrame | None, threshold: float) -> DataFrame:
+    """Exact Jaccard for doc pairs sharing >=1 shingle hash, optionally
+    restricted to a candidate ``pairs`` (d1, d2) DataFrame.
+
+    Two physical shapes, picked by whether candidates exist:
+
+    - full discovery: ONE shuffle of the shingle index on ``h``, then
+      pair generation inside each posting list (array higher-order
+      functions) — the shingle explosion is computed once, not once per
+      self-join side. Posting lists are bounded by shingle document
+      frequency, so the per-bucket pair fan-out is df^2, never N^2.
+    - verify-only: the candidate set is small by construction, so it is
+      broadcast against the index twice — zero shuffles of the index.
+    """
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    if pairs is None:
+        buckets = (
+            sh.groupBy("h")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+            .where(F.size("ds") > 1)
+        )
+        pair_arr = F.expr(
+            "flatten(transform(sequence(0, size(ds)-2), "
+            "i -> transform(sequence(i+1, size(ds)-1), "
+            "j -> struct(ds[i] AS d1, ds[j] AS d2))))"
+        )
+        inter = (
+            buckets.select(F.explode(pair_arr).alias("p"))
+            .select("p.d1", "p.d2")
+            .groupBy("d1", "d2")
+            .agg(F.count("*").alias("n_common"))
+        )
+    else:
+        pa = sh.select(F.col("doc_id").alias("d1"), F.col("h").alias("ha"))
+        pb = sh.select(F.col("doc_id").alias("d2"), F.col("h").alias("hb"))
+        xa = F.broadcast(pairs).join(pa, "d1").select("d1", "d2", "ha")
+        inter = (
+            F.broadcast(xa)
+            .join(pb, (xa.d2 == pb.d2) & (F.col("ha") == F.col("hb")))
+            .groupBy("d1", xa.d2)
+            .agg(F.count("*").alias("n_common"))
+        )
+    sa = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    sb = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    jac = F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common"))
+    return (
+        inter.join(F.broadcast(sa), "d1").join(F.broadcast(sb), "d2")
+        .where(jac >= threshold)
+        .select("d1", "d2", "n_common", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def jaccard_pairs(df: DataFrame, threshold: float = 0.8, n: int = 3) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via the inverted index."""
+    return _pair_jaccard(hashed_shingles(df, n=n), None, threshold)
+
+
+def minhash_signatures(df: DataFrame, n: int = 3) -> DataFrame:
+    """One row per doc with mh0..mh15 — 16 MinHash permutations computed
+    as 16 MIN aggregates over the hashed shingle index (single shuffle)."""
+    sh = hashed_shingles(df, n=n)
+    aggs = [
+        F.min(minhash_col(F.col("h"), a, b)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_SEEDS)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """Band the signatures and emit distinct candidate pairs (d1 < d2)
+    sharing at least one band signature."""
+    band_cols = []
+    for band in range(N_BANDS):
+        cols = [f"mh{band * BAND_ROWS + r}" for r in range(BAND_ROWS)]
+        band_cols.append(F.concat_ws(",", *[F.col(c).cast("string") for c in cols]))
+    stack_args = ", ".join(f"{b}, sig{b}" for b in range(N_BANDS))
+    banded = sigs.select(
+        "doc_id", *[c.alias(f"sig{i}") for i, c in enumerate(band_cols)]
+    ).select(
+        "doc_id",
+        F.expr(f"stack({N_BANDS}, {stack_args}) AS (band, sig)"),
+    )
+    x = banded.alias("x")
+    y = banded.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.sig") == F.col("y.sig"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.8, n: int = 3) -> DataFrame:
+    """The scale-path near-dup: LSH candidates, then exact-Jaccard verify
+    restricted to candidates."""
+    cands = lsh_candidate_pairs(minhash_signatures(df, n=n))
+    return _pair_jaccard(hashed_shingles(df, n=n), cands, threshold)
+
+
+def simhash_table(df: DataFrame, n: int = 3, bits: int = 56) -> DataFrame:
+    """56-bit SimHash per doc: bit b of the fingerprint is 1 iff the
+    count of shingles with bit b set exceeds half the shingle count.
+    Pure integer arithmetic — exactly reproducible in the oracle."""
+    sh = hashed_shingles(df, n=n)
+    per_bit = [
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"c{b}")
+        for b in range(bits)
+    ]
+    counted = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"), *per_bit)
+    fp = None
+    for b in range(bits):
+        bit = F.when(F.col(f"c{b}") * 2 > F.col("n_sh"), F.lit(1)).otherwise(F.lit(0))
+        term = bit.cast("bigint") * F.lit(1 << b).cast("bigint")
+        fp = term if fp is None else fp + term
+    return counted.select("doc_id", F.col("n_sh").alias("n_shingles"), fp.alias("simhash"))

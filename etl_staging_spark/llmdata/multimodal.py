@@ -1,0 +1,82 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Real image/audio decode libraries are not in this container, so the
+decode step is a STUB — but a *deterministic* one (md5-derived fake
+dimensions), so the full Arrow round-trip is testable end-to-end and
+even oracle-checkable. What is real and load-bearing here:
+
+- the schema convention: ``payload binary`` + typed metadata columns;
+- the ``mapInPandas`` plumbing: Arrow-batched, schema-declared,
+  partition-preserving — exactly the shape a real decoder (PIL,
+  torchaudio, pyav frame sampling) drops into;
+- the batch discipline: decode cost is per-row Python, so batches
+  arrive as pandas DataFrames and the UDF vectorizes over them.
+
+Swap ``_fake_decode`` for a real decoder and nothing else changes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import py_hash64
+
+DECODED_SCHEMA = (
+    "doc_id bigint, n_bytes int, fmt string, width int, height int, n_frames int"
+)
+
+
+def with_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Fake multimodal table: utf-8 bytes of the text as the opaque
+    payload + modality tag. In production the payload column comes from
+    the lakehouse (e.g. image bytes inlined or object-store pointers)."""
+    n_bytes = F.octet_length(F.col(text_col))
+    fmt = (
+        F.when(n_bytes % 3 == 0, F.lit("img"))
+        .when(n_bytes % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+    )
+    return df.select(
+        "doc_id",
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        fmt.alias("fmt"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for a real decoder. A real implementation
+    would do e.g. ``PIL.Image.open(io.BytesIO(payload)).size``; raise
+    NotImplementedError paths are deliberately avoided so the plumbing
+    stays executable in CI."""
+    h = py_hash64(payload.decode("utf-8", errors="surrogateescape"))
+    width = 64 + h % 1920
+    height = 64 + (h // 1920) % 1080
+    n_frames = 1 + h % 24
+    return width, height, n_frames
+
+
+def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: one pandas DataFrame per Arrow batch in, one
+    out. Vectorized over the batch; never row-at-a-time across batches."""
+    for pdf in batches:
+        decoded = [_fake_decode(bytes(p)) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                "fmt": pdf["fmt"],
+                "width": [d[0] for d in decoded],
+                "height": [d[1] for d in decoded],
+                "n_frames": [d[2] for d in decoded],
+            }
+        )
+
+
+def decode_table(df: DataFrame) -> DataFrame:
+    """payload table -> decoded metadata table via Arrow-batched
+    mapInPandas. Partitioning is preserved; no shuffle."""
+    return with_payload(df).mapInPandas(decode_batches, schema=DECODED_SCHEMA)

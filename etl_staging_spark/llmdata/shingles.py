@@ -1,0 +1,59 @@
+"""Tokenization and shingling, fully JVM-side (no Python UDFs).
+
+Canonical tokenization for the whole llmdata family: lowercase, split
+on single spaces (the documents fixture is single-spaced prose). Word
+n-gram shingles are built with array higher-order functions inside one
+projection — the (doc, shingle) exploded form only materializes where
+an operator genuinely needs the inverted index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKS = "__toks"
+
+
+def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn(TOKS, F.split(F.lower(F.col(text_col)), " "))
+
+
+def ngram_array(n: int = 3) -> Column:
+    """Array of distinct word n-gram shingles from the ``__toks`` column."""
+    joined = " ".join(f"{TOKS}[i+{k}]" for k in range(n)).replace(" ", ", ")
+    concat = ", ' ', ".join(f"{TOKS}[i+{k}]" for k in range(n))
+    return F.expr(
+        f"CASE WHEN size({TOKS}) >= {n} THEN "
+        f"array_distinct(transform(sequence(0, size({TOKS})-{n}), "
+        f"i -> concat({concat}))) ELSE array() END"
+    )
+
+
+def shingle_index(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Inverted-index form: one row per (id, distinct shingle)."""
+    return (
+        with_tokens(df, text_col)
+        .select(id_col, F.explode(ngram_array(n)).alias("shingle"))
+    )
+
+
+# DuckDB oracle twin: distinct word n-gram shingles per doc via window
+# lead()s over the exploded token list (same set as ngram_array).
+O_TOKS = """
+toks AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(lower(text), ' '), 1) AS ord,
+         unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents
+)"""
+
+O_TRI = """
+tri AS (
+  SELECT DISTINCT doc_id, tok || ' ' || l1 || ' ' || l2 AS shingle FROM (
+    SELECT doc_id, tok, lead(tok, 1) OVER w AS l1, lead(tok, 2) OVER w AS l2
+    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+  ) WHERE l2 IS NOT NULL
+)"""

@@ -1,0 +1,122 @@
+"""Text analysis: quality scoring, language ID, token counts,
+document fingerprints. All native ``F.*`` — zero Python in the path.
+
+Every ratio is rounded to 6 decimals *before* entering a composite
+score, so scores are reproducible bit-for-bit in the DuckDB oracle
+(identical operation order, integer inputs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import portable_hash56
+from .shingles import TOKS, with_tokens
+
+# Tiny per-language character-bigram profiles for the n-gram language-ID
+# heuristic. With real corpora these would be learned; the operator's
+# mechanism (profile intersection scoring, deterministic argmax) is the
+# deliverable.
+LANG_PROFILES: dict[str, list[str]] = {
+    "de": ["ch", "ei", "de", "en", "er", "un", "sc", "ge"],
+    "en": ["th", "he", "in", "er", "an", "re", "on", "at"],
+    "es": ["de", "la", "os", "el", "en", "ar", "es", "ue"],
+    "fr": ["le", "es", "en", "ou", "qu", "re", "on", "ai"],
+    "zh": ["zh", "sh", "ng", "ia", "ua", "ji", "xi", "wa"],
+}
+
+STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "for", "on", "with"]
+
+# BPE-ish token pattern: runs of alphanumerics, or single non-space symbols.
+TOKEN_RE = "[a-z0-9]+|[^a-z0-9 ]"
+
+
+def quality_scores(df: DataFrame) -> DataFrame:
+    """Length / diversity / stopword-density quality score per doc."""
+    d = with_tokens(df)
+    n_tokens = F.size(F.col(TOKS))
+    n_distinct = F.size(F.array_distinct(F.col(TOKS)))
+    tot_len = F.aggregate(
+        F.transform(F.col(TOKS), lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    stop_cnt = F.size(F.filter(F.col(TOKS), lambda t: t.isin(*STOPWORDS)))
+    d = d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct"),
+        F.round(tot_len / n_tokens, 6).alias("avg_tok_len"),
+        F.round(n_distinct / n_tokens, 6).alias("distinct_ratio"),
+        F.round(stop_cnt / n_tokens, 6).alias("stop_ratio"),
+    )
+    len_score = F.least(F.lit(1.0), F.col("n_tokens") / F.lit(50.0))
+    shape_score = F.least(F.lit(1.0), F.col("avg_tok_len") / F.lit(6.0))
+    quality = (
+        F.lit(0.3) * len_score
+        + F.lit(0.4) * F.col("distinct_ratio")
+        + F.lit(0.15) * (F.lit(1.0) - F.col("stop_ratio"))
+        + F.lit(0.15) * shape_score
+    )
+    return d.withColumn("quality", F.round(quality, 6))
+
+
+def lang_id(df: DataFrame) -> DataFrame:
+    """Char-bigram profile language ID; deterministic alphabetical
+    tie-break on equal scores."""
+    d = df.select("doc_id", F.lower(F.col("text")).alias("lt"))
+    d = d.withColumn(
+        "bigrams",
+        F.expr("array_distinct(transform(sequence(1, length(lt)-1), i -> substr(lt, i, 2)))"),
+    )
+    score_cols = {
+        lang: F.size(F.array_intersect(F.col("bigrams"), F.array(*[F.lit(b) for b in prof])))
+        for lang, prof in LANG_PROFILES.items()
+    }
+    d = d.select(
+        "doc_id", *[c.alias(f"s_{lang}") for lang, c in score_cols.items()]
+    )
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in LANG_PROFILES])
+    pred = F.lit(None).cast("string")
+    for lang in sorted(LANG_PROFILES, reverse=True):
+        pred = F.when(F.col(f"s_{lang}") == best, F.lit(lang)).otherwise(pred)
+    return d.select("doc_id", pred.alias("pred_lang"), best.alias("best_score"))
+
+
+def token_counts(df: DataFrame) -> DataFrame:
+    """Whitespace tokens vs BPE-ish regex tokens + chars/token."""
+    lt = F.lower(F.col("text"))
+    n_ws = F.size(F.split(lt, " "))
+    n_bpe = F.size(F.regexp_extract_all(lt, F.lit(TOKEN_RE), 0))
+    return df.select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.round(F.length(lt) / n_bpe, 6).alias("chars_per_token"),
+    )
+
+
+def fingerprints(df: DataFrame, k: int = 4) -> DataFrame:
+    """Document fingerprint: the k smallest distinct shingle hashes
+    (a bottom-k sketch — the winnowing idea with a global window),
+    rendered as a comma-joined string key."""
+    from .dedup import hashed_shingles
+
+    sh = hashed_shingles(df)
+    return (
+        sh.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("h")).alias("hs"))
+        .select(
+            "doc_id",
+            F.size("hs").alias("n_shingles"),
+            F.concat_ws(",", F.transform(F.slice("hs", 1, k), lambda x: x.cast("string"))).alias(
+                "fingerprint"
+            ),
+        )
+    )
+
+
+__all__ = [
+    "LANG_PROFILES", "STOPWORDS", "TOKEN_RE",
+    "quality_scores", "lang_id", "token_counts", "fingerprints",
+    "portable_hash56",
+]

@@ -1,0 +1,410 @@
+"""LLM-data-pipeline query entries: dedup, similarity search, text
+analysis, multimodal plumbing — over the driver's documents/embeddings
+tables, each with a DuckDB oracle (including the probabilistic ones:
+MinHash bands, LSH buckets and SimHash are md5-derived via
+``llmdata.hashing``, so the oracle reproduces them bit-for-bit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..llmdata import dedup, multimodal, simsearch, textstats
+from ..llmdata.hashing import (
+    BAND_ROWS,
+    MERSENNE31,
+    MINHASH_SEEDS,
+    N_BANDS,
+    TWO_56,
+    hyperplanes,
+    o_hash56,
+)
+from ..llmdata.shingles import O_TOKS, O_TRI
+from ..tables import load
+from .registry import query
+
+# Shared oracle CTE: hashed distinct word-trigram shingles per doc.
+O_TRIH = f"""{O_TOKS}, {O_TRI},
+trih AS (SELECT doc_id, {o_hash56('shingle')} AS h FROM tri)"""
+
+O_JACCARD_TAIL = """
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM trih GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+  FROM trih a JOIN trih b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT sha256(text) AS text_sha256, COUNT(*) AS n_copies,
+           MIN(doc_id) AS canonical_doc_id
+    FROM documents GROUP BY sha256(text)
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact content dedup: one shuffle on the 256-bit hash (M3 analog)."""
+    return dedup.exact_dup_groups(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {O_TRIH}, {O_JACCARD_TAIL}
+    SELECT d1, d2, n_common,
+           ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard >= 0.8 pairs via the shingle inverted index.
+    Pairs arise only from shared shingles — no all-pairs comparison. The
+    verification primitive; for raw 100 TB discovery use
+    ``dedup_minhash_lsh`` (candidates are band-bucketed first)."""
+    return dedup.jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.8)
+
+
+def _o_minhash_sigs() -> str:
+    mins = ",\n           ".join(
+        f"MIN(({a} * (h % {MERSENNE31}) + {b}) % {MERSENNE31}) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_SEEDS)
+    )
+    bands = "\n    UNION ALL ".join(
+        "SELECT doc_id, {band} AS band, {sig} AS sig FROM sigs".format(
+            band=band,
+            sig=" || ',' || ".join(
+                f"CAST(mh{band * BAND_ROWS + r} AS VARCHAR)" for r in range(BAND_ROWS)
+            ),
+        )
+        for band in range(N_BANDS)
+    )
+    return f"""
+sigs AS (
+    SELECT doc_id,
+           {mins}
+    FROM trih GROUP BY doc_id
+),
+bands AS (
+    {bands}
+),
+cand AS (
+    SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+    FROM bands x JOIN bands y
+      ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+)"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {O_TRIH}, {_o_minhash_sigs()}, {O_JACCARD_TAIL}
+    SELECT d1, d2, n_common,
+           ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN cand USING (d1, d2)
+    JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """The scale-path near-dup: 16-permutation MinHash signatures
+    (ONE aggregation, 16 MIN columns — no row blowup), 4-band LSH
+    bucketing, exact-Jaccard verification restricted to candidates.
+    O(N) + O(candidate pairs); never all-pairs."""
+    return dedup.minhash_lsh_pairs(load(spark, sf_dir, "documents"), threshold=0.8)
+
+
+def _o_simhash() -> str:
+    bit_counts = ",\n           ".join(
+        f"SUM((h // {1 << b}) % 2) AS c{b}" for b in range(56)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN c{b} * 2 > n_sh THEN {1 << b} ELSE 0 END)" for b in range(56)
+    )
+    return f"""
+counted AS (
+    SELECT doc_id, COUNT(*) AS n_sh,
+           {bit_counts}
+    FROM trih GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_sh AS BIGINT) AS n_shingles, CAST({fp} AS BIGINT) AS simhash
+FROM counted"""
+
+
+@query("dedup_simhash", oracle=f"WITH {O_TRIH}, {_o_simhash()}")
+def dedup_simhash(spark, sf_dir):
+    """56-bit SimHash fingerprint per doc (majority vote per bit over
+    shingle hashes). Near-dup pairs = small Hamming distance; at scale,
+    bucket on bit-bands of the fingerprint and compare within buckets."""
+    return dedup.simhash_table(load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+O_ELEMS = """
+elems AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS e
+  FROM embeddings
+),
+norms AS (
+  SELECT vec_id, sqrt(CAST(SUM(CAST(e * e AS DECIMAL(30,15))) AS DOUBLE)) AS nrm
+  FROM elems GROUP BY vec_id
+)"""
+
+
+@query(
+    "sim_cosine_topk",
+    oracle=f"""
+    WITH {O_ELEMS},
+    dots AS (
+      SELECT a.vec_id AS qid, b.vec_id AS cid,
+             CAST(SUM(CAST(a.e * b.e AS DECIMAL(30,15))) AS DOUBLE) AS dot
+      FROM elems a JOIN elems b ON a.i = b.i AND b.vec_id <> a.vec_id
+      WHERE a.vec_id < 10
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT qid, cid, dot / (qn.nrm * cn.nrm) AS c
+      FROM dots JOIN norms qn ON qn.vec_id = qid JOIN norms cn ON cn.vec_id = cid
+    ),
+    ranked AS (
+      SELECT qid, cid, c,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, cid) AS rnk
+      FROM scored
+    )
+    SELECT qid, cid, ROUND(c, 6) AS cosine, CAST(rnk AS INT) AS rank
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def sim_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for query vectors (vec_id < 10):
+    broadcast the query set, JVM-side zip_with dot products, window
+    top-k per query. Exact baseline for the ANN variant."""
+    emb = load(spark, sf_dir, "embeddings")
+    return simsearch.cosine_topk(emb, F.col("vec_id") < 10, k=5).withColumn(
+        "rank", F.col("rank").cast("int")
+    )
+
+
+def _o_planes_values(dim: int) -> str:
+    planes = hyperplanes(simsearch.N_PLANES, dim)
+    rows = ", ".join(
+        f"({p}, {i + 1}, {w})"
+        for p, row in enumerate(planes)
+        for i, w in enumerate(row)
+    )
+    return f"planes(p, i, w) AS (VALUES {rows})"
+
+
+@query(
+    "sim_ann_lsh",
+    oracle=f"""
+    WITH {_o_planes_values(64)}, {O_ELEMS},
+    signs AS (
+      SELECT e.vec_id, pl.p,
+             CASE WHEN CAST(SUM(CAST(pl.w * e.e AS DECIMAL(30,15))) AS DOUBLE) >= 0
+                  THEN '1' ELSE '0' END AS ch
+      FROM elems e JOIN planes pl ON pl.i = e.i
+      GROUP BY e.vec_id, pl.p
+    ),
+    buckets AS (
+      SELECT vec_id, string_agg(ch, '' ORDER BY p) AS bkt FROM signs GROUP BY vec_id
+    ),
+    cand AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid
+      FROM buckets q JOIN buckets c ON q.bkt = c.bkt AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < 10
+    ),
+    dots AS (
+      SELECT qid, cid,
+             CAST(SUM(CAST(a.e * b.e AS DECIMAL(30,15))) AS DOUBLE) AS dot
+      FROM cand JOIN elems a ON a.vec_id = qid
+                JOIN elems b ON b.vec_id = cid AND b.i = a.i
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT qid, cid, dot / (qn.nrm * cn.nrm) AS c
+      FROM dots JOIN norms qn ON qn.vec_id = qid JOIN norms cn ON cn.vec_id = cid
+    ),
+    ranked AS (
+      SELECT qid, cid, c,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, cid) AS rnk
+      FROM scored
+    )
+    SELECT qid, cid, ROUND(c, 6) AS cosine, CAST(rnk AS INT) AS rank
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def sim_ann_lsh(spark, sf_dir):
+    """ANN variant: sign-LSH over 8 deterministic hyperplanes buckets
+    the vectors; each query scores ONLY its own bucket (equi-join on
+    the bucket key — expected N/256 candidates per query at scale, vs N
+    for brute force)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return simsearch.lsh_bucketed_topk(
+        emb, F.col("vec_id") < 10, dim=64, k=5
+    ).withColumn("rank", F.col("rank").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in textstats.STOPWORDS)
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             len(list_distinct(toks)) AS n_distinct,
+             CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS tot_len,
+             len(list_filter(toks, x -> list_contains([{_STOP_SQL}], x))) AS stop_cnt
+      FROM t
+    ), r AS (
+      SELECT doc_id, n_tokens, n_distinct,
+             ROUND(CAST(tot_len AS DOUBLE) / n_tokens, 6) AS avg_tok_len,
+             ROUND(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS distinct_ratio,
+             ROUND(CAST(stop_cnt AS DOUBLE) / n_tokens, 6) AS stop_ratio
+      FROM m
+    )
+    SELECT doc_id, n_tokens, n_distinct, avg_tok_len, distinct_ratio, stop_ratio,
+           ROUND(0.3 * LEAST(1.0, CAST(n_tokens AS DOUBLE) / 50.0)
+                 + 0.4 * distinct_ratio
+                 + 0.15 * (1.0 - stop_ratio)
+                 + 0.15 * LEAST(1.0, avg_tok_len / 6.0), 6) AS quality
+    FROM r
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    """Per-doc quality: length, lexical diversity, stopword density,
+    token shape — all native F.* array ops, one projection, no shuffle."""
+    return textstats.quality_scores(load(spark, sf_dir, "documents"))
+
+
+def _o_lang_scores() -> tuple[str, str, str]:
+    scores = ",\n             ".join(
+        "len(list_intersect(bg, [{}])) AS s_{}".format(
+            ", ".join(f"'{b}'" for b in prof), lang
+        )
+        for lang, prof in textstats.LANG_PROFILES.items()
+    )
+    best = "GREATEST({})".format(
+        ", ".join(f"s_{lang}" for lang in textstats.LANG_PROFILES)
+    )
+    pred = "CASE {} END".format(
+        " ".join(
+            f"WHEN s_{lang} = best THEN '{lang}'"
+            for lang in sorted(textstats.LANG_PROFILES)
+        )
+    )
+    return scores, best, pred
+
+
+_LSC, _LBEST, _LPRED = _o_lang_scores()
+
+
+@query(
+    "lang_id_ngram",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, length(lower(text)) - 1),
+                           i -> substr(lower(text), CAST(i AS INT), 2))) AS bg
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             {_LSC}
+      FROM b
+    ), sb AS (
+      SELECT doc_id, *, {_LBEST} AS best FROM s
+    )
+    SELECT doc_id, {_LPRED} AS pred_lang, CAST(best AS INT) AS best_score FROM sb
+    """,
+)
+def lang_id_ngram(spark, sf_dir):
+    """Char-bigram-profile language ID (n-gram heuristic), deterministic
+    alphabetical tie-break."""
+    return textstats.lang_id(load(spark, sf_dir, "documents")).withColumn(
+        "best_score", F.col("best_score").cast("int")
+    )
+
+
+@query(
+    "token_count_regex",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(lower(text), ' ')) AS INT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '{textstats.TOKEN_RE}')) AS INT)
+               AS n_bpe_tokens,
+           ROUND(CAST(length(lower(text)) AS DOUBLE)
+                 / len(regexp_extract_all(lower(text), '{textstats.TOKEN_RE}')), 6)
+               AS chars_per_token
+    FROM documents
+    """,
+)
+def token_count_regex(spark, sf_dir):
+    """Whitespace vs BPE-ish regex token counting."""
+    return textstats.token_counts(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_fingerprint",
+    oracle=f"""
+    WITH {O_TRIH},
+    agg AS (
+      SELECT doc_id, list_sort(list(DISTINCT h)) AS hs FROM trih GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(len(hs) AS INT) AS n_shingles,
+           array_to_string(hs[1:4], ',') AS fingerprint
+    FROM agg
+    """,
+)
+def doc_fingerprint(spark, sf_dir):
+    """Bottom-4 sketch of the shingle hash set as a compact doc key."""
+    return textstats.fingerprints(load(spark, sf_dir, "documents")).withColumn(
+        "n_shingles", F.col("n_shingles").cast("int")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mm_decode_meta",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'img'
+                WHEN octet_length(encode(text)) % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS fmt,
+           CAST(64 + md5_number_lower(text) % 1920 AS INT) AS width,
+           CAST(64 + (md5_number_lower(text) // 1920) % 1080 AS INT) AS height,
+           CAST(1 + md5_number_lower(text) % 24 AS INT) AS n_frames
+    FROM documents
+    """,
+)
+def mm_decode_meta(spark, sf_dir):
+    """Arrow-batched mapInPandas decode of opaque binary payloads into
+    typed metadata. The decoder is a deterministic md5 stub (real codecs
+    aren't in this container) — the plumbing (binary column, schema,
+    batching, no shuffle) is the real deliverable and is fully checked
+    against the oracle."""
+    return multimodal.decode_table(load(spark, sf_dir, "documents"))

@@ -1,0 +1,143 @@
+"""Unit tests for the LLM-data-pipeline operators, on fixtures with
+PLANTED duplicates/neighbours (the driver tables have no exact dups, so
+the oracle checks alone can't prove the dup-detection path fires)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_staging_spark.llmdata import dedup, multimodal, simsearch, textstats
+from etl_staging_spark.llmdata.hashing import py_hash56, portable_hash56
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog near the old river bank "
+    "while a cold wind blows through the tall dark trees of the silent forest"
+)
+NEAR = BASE.replace("cold wind", "warm wind")  # 1-token edit => high jaccard
+OTHER = (
+    "completely different words about spark catalyst tungsten shuffle "
+    "partitions broadcast joins adaptive execution and columnar parquet scans"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE), (1, BASE),          # exact dup pair
+        (2, NEAR),                     # near dup of 0/1
+        (3, OTHER), (4, OTHER + " x"),  # near dup pair
+        (5, "tiny doc"),               # < 3 tokens => zero shingles
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_portable_hash_matches_python(spark):
+    df = spark.createDataFrame([("abc",), ("hello world",)], "s string")
+    got = {r.s: r.h for r in df.select("s", portable_hash56("s").alias("h")).collect()}
+    for s, h in got.items():
+        assert h == py_hash56(s)
+
+
+def test_exact_dup_groups(docs):
+    groups = {r.canonical_doc_id: r.n_copies for r in dedup.exact_dup_groups(docs).collect()}
+    assert groups[0] == 2          # docs 0 and 1 collapse
+    assert groups[2] == 1
+
+
+def test_jaccard_pairs_finds_planted(docs):
+    pairs = {(r.d1, r.d2): r.jaccard for r in dedup.jaccard_pairs(docs, 0.5).collect()}
+    assert pairs[(0, 1)] == 1.0    # exact dup => jaccard 1
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.7
+    assert (3, 4) in pairs
+    assert all(d not in (5,) for p in pairs for d in p)
+
+
+def test_minhash_lsh_recall_on_planted(docs):
+    exact = {(r.d1, r.d2) for r in dedup.jaccard_pairs(docs, 0.8).collect()}
+    lsh = {(r.d1, r.d2) for r in dedup.minhash_lsh_pairs(docs, 0.8).collect()}
+    # verification guarantees precision; planted ~1.0-jaccard pairs band
+    # together with overwhelming probability
+    assert lsh <= exact
+    assert (0, 1) in lsh
+
+
+def test_simhash_near_dups_close(docs):
+    fp = {r.doc_id: r.simhash for r in dedup.simhash_table(docs).collect()}
+    assert fp[0] == fp[1]
+    ham = bin(fp[0] ^ fp[2]).count("1")
+    ham_far = bin(fp[0] ^ fp[3]).count("1")
+    assert ham < ham_far
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    # vec 0 ~ vec 1 (same direction), vec 2 orthogonal, vec 3 opposite
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_ordering(vecs):
+    out = simsearch.cosine_topk(vecs, F.col("vec_id") == 0, k=3).collect()
+    by_rank = {r.rank: (r.cid, r.cosine) for r in out}
+    assert by_rank[1][0] == 1 and by_rank[1][1] > 0.99
+    assert by_rank[2][0] == 2 and abs(by_rank[2][1]) < 1e-9
+    assert by_rank[3][0] == 3 and by_rank[3][1] == -1.0
+
+
+def test_ann_lsh_subset_of_bruteforce(spark):
+    """LSH results are a subset of brute-force candidates; same-bucket
+    identical vectors are always found."""
+    rows = [(i, [float(i == j) for j in range(8)]) for i in range(8)]
+    rows.append((100, [1.0] + [0.0] * 7))  # identical direction to vec 0
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = simsearch.lsh_bucketed_topk(emb, F.col("vec_id") == 0, dim=8, k=3).collect()
+    assert any(r.cid == 100 and r.cosine == 1.0 for r in out)
+
+
+def test_quality_scores_shape(docs):
+    rows = {r.doc_id: r for r in textstats.quality_scores(docs).collect()}
+    assert rows[5].n_tokens == 2
+    assert 0.0 < rows[0].quality <= 1.0
+    # the OTHER doc ("and" only) is far less stopword-dense than BASE
+    assert rows[3].stop_ratio < rows[0].stop_ratio
+
+
+def test_lang_id_deterministic(docs):
+    out1 = sorted(textstats.lang_id(docs).collect())
+    out2 = sorted(textstats.lang_id(docs).collect())
+    assert out1 == out2
+    assert all(r.pred_lang in textstats.LANG_PROFILES for r in out1)
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(0, "ab cd-ef 12!")], "doc_id long, text string")
+    r = textstats.token_counts(df).first()
+    assert r.n_ws_tokens == 3
+    # ab, cd, -, ef, 12, ! => 6 BPE-ish tokens
+    assert r.n_bpe_tokens == 6
+
+
+def test_fingerprint_stable_and_discriminative(docs):
+    fp = {r.doc_id: r.fingerprint for r in textstats.fingerprints(docs).collect()}
+    assert fp[0] == fp[1]
+    assert fp[0] != fp[3]
+
+
+def test_multimodal_decode_roundtrip(docs):
+    out = multimodal.decode_table(docs)
+    assert out.schema.simpleString() == (
+        "struct<doc_id:bigint,n_bytes:int,fmt:string,width:int,height:int,n_frames:int>"
+    )
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[0].n_bytes == len(BASE.encode())
+    assert rows[0].fmt in ("img", "audio", "video")
+    assert 64 <= rows[0].width < 64 + 1920
+    # deterministic: same text => same fake decode
+    assert rows[0].width == rows[1].width
