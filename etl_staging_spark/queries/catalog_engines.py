@@ -1,0 +1,282 @@
+r"""Expression-engine query entries (E1-E6, SURVEY §2.9) over the
+ledger mapping in ``engines.ledger``. One CORRECTNESS entry per engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..engines import account_codes as ac
+from ..engines import aggregation, custom, formula
+from ..engines.ledger import O_LEDGER, move_lines
+from ..engines.options import make_options, o_date_scope_sql
+from ..tables import load
+from .registry import query
+
+OPTS = make_options("1997-01-01", "1997-12-31")
+_SCOPE = o_date_scope_sql(OPTS, "strict_range")
+
+
+# ---------------------------------------------------------------------------
+# E1: domain engine — sum / sum_if_pos / sum_if_neg / count_rows, with
+# the total-sign gate applied across groups (account_report.py:2604-2708).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "e1_domain_engine",
+    oracle=f"""
+    WITH {O_LEDGER},
+    f0 AS (
+      SELECT 'receivables' AS formula, account_code AS grouping_key,
+             SUM(conv) AS dsum, COUNT(DISTINCT id) AS count_rows
+      FROM led WHERE {_SCOPE} AND account_code LIKE '1%'
+      GROUP BY account_code
+    ),
+    f1 AS (
+      SELECT 'returned_expenses' AS formula, account_code AS grouping_key,
+             SUM(conv) AS dsum, COUNT(DISTINCT id) AS count_rows
+      FROM led WHERE {_SCOPE} AND account_code LIKE '7%' AND tax_tag_invert
+      GROUP BY account_code
+    ),
+    u AS (SELECT * FROM f0 UNION ALL SELECT * FROM f1)
+    SELECT formula, grouping_key,
+           CAST(dsum AS DOUBLE) AS res_sum,
+           CAST(CASE WHEN SUM(dsum) OVER (PARTITION BY formula) >= 0
+                     THEN dsum ELSE 0 END AS DOUBLE) AS res_sum_if_pos,
+           CAST(CASE WHEN SUM(dsum) OVER (PARTITION BY formula) < 0
+                     THEN dsum ELSE 0 END AS DOUBLE) AS res_sum_if_neg,
+           count_rows
+    FROM u
+    """,
+)
+def e1_domain_engine(spark, sf_dir):
+    led = move_lines(spark, sf_dir)
+    return formula.domain_engine(
+        led,
+        OPTS,
+        {
+            "receivables": [("account_code", "=like", "1%")],
+            "returned_expenses": [
+                ("account_code", "=like", "7%"),
+                ("tax_tag_invert", "=", True),
+            ],
+        },
+        groupby="account_code",
+    )
+
+
+# ---------------------------------------------------------------------------
+# E2: tax_tags engine — signed tag sums with invert flags
+# (account_report.py:2535-2602).
+# ---------------------------------------------------------------------------
+
+_TAGS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_TAGS_SQL = ", ".join(f"'{t}'" for t in _TAGS)
+
+
+@query(
+    "e2_tax_tags_engine",
+    oracle=f"""
+    WITH {O_LEDGER}
+    SELECT tag_name AS formula, CAST(NULL AS VARCHAR) AS grouping_key,
+           CAST(SUM(conv
+                    * (CASE WHEN tag_sign = '-' THEN -1 ELSE 1 END)
+                    * (CASE WHEN tax_tag_invert THEN -1 ELSE 1 END))
+                AS DOUBLE) AS balance,
+           COUNT(id) AS aml_count
+    FROM led WHERE {_SCOPE} AND tag_name IN ({_TAGS_SQL})
+    GROUP BY tag_name
+    """,
+)
+def e2_tax_tags_engine(spark, sf_dir):
+    led = move_lines(spark, sf_dir)
+    return formula.tax_tags_engine(led, OPTS, _TAGS)
+
+
+# ---------------------------------------------------------------------------
+# E3: account_codes DSL — prefix sums with exclusions and per-account
+# D/C balance gating (account_report.py:31-38, 2710-2864).
+# ---------------------------------------------------------------------------
+
+# NB: a D/C immediately before '\(' is part of the PREFIX (greedy match,
+# reference regex account_report.py:33-38); to combine an exclusion with
+# a balance gate the gate goes after the parens: '2\(29)C'.
+_E3_FORMULAS = ["1", "10\\(104,106)", "1D + 3 - 4C", "2\\(29)C"]
+
+
+@query(
+    "e3_account_codes",
+    oracle=f"""
+    WITH {O_LEDGER},
+    per_acct AS (
+      SELECT account_code, SUM(conv) AS s
+      FROM led WHERE {_SCOPE} GROUP BY account_code
+    )
+    SELECT '1' AS formula,
+           CAST(COALESCE((SELECT SUM(s) FROM per_acct WHERE account_code LIKE '1%'), 0)
+                AS DOUBLE) AS result
+    UNION ALL
+    SELECT '10\(104,106)',
+           CAST(COALESCE((SELECT SUM(s) FROM per_acct
+                          WHERE account_code LIKE '10%'
+                            AND NOT account_code LIKE '104%'
+                            AND NOT account_code LIKE '106%'), 0) AS DOUBLE)
+    UNION ALL
+    SELECT '1D + 3 - 4C',
+           CAST(COALESCE((SELECT SUM(s) FROM per_acct
+                          WHERE account_code LIKE '1%' AND s >= 0), 0)
+                + COALESCE((SELECT SUM(s) FROM per_acct
+                            WHERE account_code LIKE '3%'), 0)
+                - COALESCE((SELECT SUM(s) FROM per_acct
+                            WHERE account_code LIKE '4%' AND s < 0), 0) AS DOUBLE)
+    UNION ALL
+    SELECT '2\(29)C',
+           CAST(COALESCE((SELECT SUM(s) FROM per_acct
+                          WHERE account_code LIKE '2%'
+                            AND NOT account_code LIKE '29%'
+                            AND s < 0), 0) AS DOUBLE)
+    """,
+)
+def e3_account_codes(spark, sf_dir):
+    led = move_lines(spark, sf_dir)
+    return ac.evaluate_formulas(led, OPTS, _E3_FORMULAS)
+
+
+# ---------------------------------------------------------------------------
+# E4: external engine — manual values, sum / most_recent
+# (account_report.py:2866-2943) over the events table.
+# ---------------------------------------------------------------------------
+
+_EXT_OPTS = make_options("2024-01-05", "2024-01-10")
+
+
+@query(
+    "e4_external_engine",
+    oracle="""
+    WITH ext AS (
+      SELECT event_type AS expression, CAST(ts AS DATE) AS date,
+             CAST(value AS DECIMAL(18,2)) AS v
+      FROM events
+    ),
+    scoped AS (
+      SELECT * FROM ext
+      WHERE date <= DATE '2024-01-10' AND date >= DATE '2024-01-05'
+    ),
+    sums AS (
+      SELECT expression, 'sum' AS formula, CAST(SUM(v) AS DOUBLE) AS result
+      FROM scoped WHERE expression IN ('click', 'view') GROUP BY expression
+    ),
+    per_date AS (
+      SELECT expression, date, SUM(v) AS dsum
+      FROM scoped WHERE expression IN ('purchase', 'error')
+      GROUP BY expression, date
+    ),
+    recents AS (
+      SELECT expression, 'most_recent' AS formula, CAST(dsum AS DOUBLE) AS result
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY expression
+                                         ORDER BY date DESC) AS rn
+            FROM per_date)
+      WHERE rn = 1
+    )
+    SELECT expression, formula, result FROM sums
+    UNION ALL SELECT expression, formula, result FROM recents
+    """,
+)
+def e4_external_engine(spark, sf_dir):
+    ext = formula.external_values_from_events(load(spark, sf_dir, "events"))
+    return formula.external_engine(
+        ext,
+        _EXT_OPTS,
+        {"click": "sum", "view": "sum", "purchase": "most_recent", "error": "most_recent"},
+    )
+
+
+# ---------------------------------------------------------------------------
+# E5: custom engine — named handler dispatch (account_report.py:2945-2953).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "e5_custom_engine",
+    oracle=f"""
+    WITH {O_LEDGER}
+    SELECT partner_id, CAST(SUM(conv) AS DOUBLE) AS balance
+    FROM led WHERE {_SCOPE}
+    GROUP BY partner_id
+    ORDER BY SUM(conv) DESC, partner_id
+    LIMIT 5
+    """,
+)
+def e5_custom_engine(spark, sf_dir):
+    led = move_lines(spark, sf_dir)
+    return custom.dispatch("top_partners", led, OPTS)
+
+
+# ---------------------------------------------------------------------------
+# E6: aggregation engine — cross-line fixpoint with bounds, zero-division
+# and if_other_expr gating (account_report.py:2279-2498). The base sums
+# run in Spark; the fixpoint is driver-side over the collected scalars
+# (O(report lines)), exactly like the reference.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "e6_aggregation_engine",
+    oracle=f"""
+    WITH {O_LEDGER},
+    base AS (
+      SELECT CAST(SUM(CASE WHEN account_code LIKE '6%' THEN conv END) AS DOUBLE) AS rev,
+             CAST(SUM(CASE WHEN account_code LIKE '7%' THEN conv END) AS DOUBLE) AS cost
+      FROM led WHERE {_SCOPE}
+    ),
+    c AS (SELECT rev, cost, rev - cost AS gm FROM base)
+    SELECT 'REV' AS line, rev AS result FROM c
+    UNION ALL SELECT 'COST', cost FROM c
+    UNION ALL SELECT 'GM', gm FROM c
+    UNION ALL SELECT 'GMPCT', ROUND(gm / rev * 100, 2) FROM c
+    UNION ALL SELECT 'BIG', CASE WHEN gm <= 1000000 THEN 0 ELSE gm END FROM c
+    UNION ALL SELECT 'CLAMP', CASE WHEN gm < 0 OR gm > 500000 THEN 0 ELSE gm END FROM c
+    UNION ALL SELECT 'GATED',
+        CASE WHEN (CASE WHEN rev <= 1000 THEN 0 ELSE rev END) <> 0
+             THEN cost ELSE 0 END FROM c
+    UNION ALL SELECT 'ZDIV', 0 FROM c
+    """,
+)
+def e6_aggregation_engine(spark, sf_dir):
+    led = move_lines(spark, sf_dir)
+    base = (
+        led.where(
+            (F.col("date") >= "1997-01-01") & (F.col("date") <= "1997-12-31 23:59:59")
+        )
+        .agg(
+            F.sum(F.when(F.col("account_code").like("6%"), F.col("conv")))
+            .cast("double")
+            .alias("rev"),
+            F.sum(F.when(F.col("account_code").like("7%"), F.col("conv")))
+            .cast("double")
+            .alias("cost"),
+        )
+        .first()
+    )
+    results = aggregation.evaluate(
+        base_values={"REV.balance": base.rev, "COST.balance": base.cost},
+        formulas={
+            "GM.balance": "REV.balance - COST.balance",
+            "GMPCT.balance": "GM.balance / REV.balance * 100",
+            "BIG.balance": "GM.balance",
+            "CLAMP.balance": "GM.balance",
+            "GATED.balance": "COST.balance",
+            "ZDIV.balance": "GM.balance / (REV.balance - REV.balance)",
+        },
+        subformulas={
+            "GMPCT.balance": "round(2)",
+            "BIG.balance": "if_above(USD(1000000))",
+            "CLAMP.balance": "if_between(USD(0),USD(500000))",
+            "GATED.balance": "if_other_expr_above(REV.balance, USD(1000))",
+        },
+    )
+    rows = [("REV", base.rev), ("COST", base.cost)] + [
+        (k.split(".")[0], v) for k, v in results.items()
+    ]
+    return spark.createDataFrame(rows, "line string, result double")

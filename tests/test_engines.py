@@ -1,0 +1,262 @@
+"""Unit tests for the expression-engine layer — the Spark port of the
+reference's `tests/test_report_engines.py` strategy: tiny synthetic
+ledgers with hand-computed expected totals, plus pure-Python tests for
+the account_codes parser and the aggregation fixpoint quirks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_staging_spark.engines import account_codes as ac
+from etl_staging_spark.engines import aggregation, formula
+from etl_staging_spark.engines.options import (
+    date_bounds,
+    date_scope_filter,
+    make_options,
+)
+
+OPTS = make_options("2020-01-01", "2020-12-31")
+
+
+# ---------------------------------------------------------------------------
+# account_codes parser
+# ---------------------------------------------------------------------------
+
+
+def test_parse_simple_prefix():
+    (t,) = ac.parse_formula("123")
+    assert (t.sign, t.prefix, t.excluded, t.balance_char) == (1, "123", (), "")
+
+
+def test_parse_exclusions_and_gates():
+    terms = ac.parse_formula("123D\\(1235) + 56 - 416C")
+    # greedy: D before \( belongs to the prefix (reference regex)
+    assert terms[0].prefix == "123D" and terms[0].excluded == ("1235",)
+    assert terms[0].balance_char == ""
+    assert terms[1] == ac.Term(1, "56", (), "")
+    assert terms[2] == ac.Term(-1, "416", (), "C")
+
+
+def test_parse_gate_after_exclusion():
+    (t,) = ac.parse_formula("2\\(29,28)C")
+    assert (t.prefix, t.excluded, t.balance_char) == ("2", ("29", "28"), "C")
+
+
+def test_parse_trailing_backslash_keeps_dc_in_prefix():
+    (t,) = ac.parse_formula("123D\\")
+    assert (t.prefix, t.balance_char) == ("123D", "")
+
+
+def test_parse_invalid_raises():
+    with pytest.raises(ValueError):
+        ac.parse_formula("1*2")
+
+
+# ---------------------------------------------------------------------------
+# aggregation engine: fixpoint + bounds quirks
+# ---------------------------------------------------------------------------
+
+
+def test_fixpoint_chain_substitution():
+    res = aggregation.evaluate(
+        base_values={"A.balance": 10.0, "B.balance": 4.0},
+        formulas={
+            "C.balance": "A.balance - B.balance",
+            "D.balance": "C.balance * 2",
+        },
+    )
+    assert res["C.balance"] == 6.0
+    assert res["D.balance"] == 12.0
+
+
+def test_zero_division_is_zero():
+    res = aggregation.evaluate(
+        base_values={"A.balance": 5.0},
+        formulas={"R.balance": "A.balance / (A.balance - A.balance)"},
+    )
+    assert res["R.balance"] == 0.0
+
+
+def test_bounds_if_above_below_between():
+    assert aggregation.apply_bounds("if_above(USD(100))", 150.0) == 150.0
+    assert aggregation.apply_bounds("if_above(USD(100))", 100.0) == 0.0
+    assert aggregation.apply_bounds("if_below(USD(100))", 50.0) == 50.0
+    assert aggregation.apply_bounds("if_below(USD(100))", 100.0) == 0.0
+    # the reference CODE zeroes outside the bounds (docstring claims
+    # clamping; the code wins)
+    assert aggregation.apply_bounds("if_between(USD(0),USD(10))", 5.0) == 5.0
+    assert aggregation.apply_bounds("if_between(USD(0),USD(10))", 11.0) == 0.0
+    assert aggregation.apply_bounds("if_between(USD(0),USD(10))", -1.0) == 0.0
+
+
+def test_bounds_round_ties_away_from_zero():
+    # quantizing on repr() gives the intuitive decimal result, unlike
+    # raw-float rounding where 1.005 is stored slightly below 1.005
+    assert aggregation.apply_bounds("round(2)", 1.005) == 1.01
+    assert aggregation.apply_bounds("round(0)", 2.5) == 3.0
+    assert aggregation.apply_bounds("round(0)", -2.5) == -3.0
+
+
+def test_if_other_expr_gating():
+    res = aggregation.evaluate(
+        base_values={"REV.balance": 2000.0, "COST.balance": 300.0},
+        formulas={"G.balance": "COST.balance"},
+        subformulas={"G.balance": "if_other_expr_above(REV.balance, USD(1000))"},
+    )
+    assert res["G.balance"] == 300.0
+    res2 = aggregation.evaluate(
+        base_values={"REV.balance": 500.0, "COST.balance": 300.0},
+        formulas={"G.balance": "COST.balance"},
+        subformulas={"G.balance": "if_other_expr_above(REV.balance, USD(1000))"},
+    )
+    assert res2["G.balance"] == 0.0
+
+
+def test_bounded_term_not_substituted_textually():
+    """A bounded expression referenced by another formula must contribute
+    its BOUNDED value, not its raw formula text."""
+    res = aggregation.evaluate(
+        base_values={"A.balance": 50.0},
+        formulas={
+            "B.balance": "A.balance",
+            "C.balance": "B.balance * 2",
+        },
+        subformulas={"B.balance": "if_above(USD(100))"},  # 50 <= 100 -> 0
+    )
+    assert res["B.balance"] == 0.0
+    assert res["C.balance"] == 0.0
+
+
+def test_safe_eval_rejects_non_arithmetic():
+    with pytest.raises(ValueError):
+        aggregation.safe_eval("__import__('os')")
+
+
+# ---------------------------------------------------------------------------
+# date scopes
+# ---------------------------------------------------------------------------
+
+
+def test_date_bounds_scopes():
+    assert date_bounds(OPTS, "strict_range") == ("2020-01-01", "2020-12-31", False)
+    assert date_bounds(OPTS, "normal") == ("2020-01-01", "2020-12-31", True)
+    assert date_bounds(OPTS, "from_beginning") == (None, "2020-12-31", False)
+    assert date_bounds(OPTS, "to_beginning_of_period") == (None, "2019-12-31", False)
+    opts2 = make_options("2020-04-01", "2020-06-30")
+    assert date_bounds(opts2, "from_fiscalyear") == ("2020-01-01", "2020-06-30", False)
+    assert date_bounds(opts2, "to_beginning_of_fiscalyear") == (None, "2019-12-31", False)
+
+
+def test_normal_scope_keeps_bs_accounts_before_from(spark):
+    rows = [
+        # (id, date, account_code, conv-ish marker)
+        (1, "2019-06-01", "100"),  # BS account before period -> kept
+        (2, "2019-06-01", "600"),  # P&L before period -> dropped
+        (3, "2020-06-01", "600"),  # in period -> kept
+    ]
+    df = spark.createDataFrame(rows, "id long, d string, account_code string").select(
+        "id", F.col("d").cast("timestamp").alias("date"), "account_code"
+    )
+    kept = {r.id for r in df.where(date_scope_filter(OPTS, "normal")).collect()}
+    assert kept == {1, 3}
+    strict = {r.id for r in df.where(date_scope_filter(OPTS, "strict_range")).collect()}
+    assert strict == {3}
+
+
+# ---------------------------------------------------------------------------
+# engines on a tiny synthetic ledger
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tiny_ledger(spark):
+    rows = [
+        # id, date, account_code, partner, conv, tag_name, tag_sign, invert
+        (1, "2020-02-01", "101", 1, "100.00", "T1", "+", False),
+        (2, "2020-03-01", "101", 1, "-30.00", "T1", "-", False),
+        (3, "2020-04-01", "104", 2, "50.00", "T1", "+", True),
+        (4, "2020-05-01", "600", 2, "-200.00", "T2", "-", False),
+        (5, "2019-01-01", "101", 1, "999.00", "T2", "+", False),  # out of period
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "id long, d string, account_code string, partner_id long, conv_s string,"
+        " tag_name string, tag_sign string, tax_tag_invert boolean",
+    )
+    return df.select(
+        "id",
+        F.col("d").cast("timestamp").alias("date"),
+        "account_code",
+        "partner_id",
+        F.col("conv_s").cast("decimal(18,2)").alias("conv"),
+        "tag_name",
+        "tag_sign",
+        "tax_tag_invert",
+    )
+
+
+def test_domain_engine_sign_gate_on_total(tiny_ledger):
+    out = formula.domain_engine(
+        tiny_ledger,
+        OPTS,
+        {
+            "acc1": [("account_code", "=like", "1%")],  # total 120 >= 0
+            "acc6": [("account_code", "=like", "6%")],  # total -200 < 0
+        },
+        groupby="account_code",
+    ).collect()
+    by_key = {(r.formula, r.grouping_key): r for r in out}
+    r101 = by_key[("acc1", "101")]
+    assert r101.res_sum == 70.0 and r101.res_sum_if_pos == 70.0
+    assert r101.res_sum_if_neg == 0.0 and r101.count_rows == 2
+    r600 = by_key[("acc6", "600")]
+    assert r600.res_sum == -200.0 and r600.res_sum_if_pos == 0.0
+    assert r600.res_sum_if_neg == -200.0
+
+
+def test_tax_tags_engine_signs(tiny_ledger):
+    out = {r.formula: r for r in formula.tax_tags_engine(tiny_ledger, OPTS, ["T1", "T2"]).collect()}
+    # T1: +100 (+,noinv) + 30 (-, noinv => -1 * -30) + -50 (+, inv) = 80
+    assert out["T1"].balance == pytest.approx(100 + 30 - 50)
+    # T2: -200 with '-' sign => +200
+    assert out["T2"].balance == pytest.approx(200.0)
+
+
+def test_account_codes_engine_gating(tiny_ledger):
+    out = {
+        r.formula: r.result
+        for r in ac.evaluate_formulas(
+            tiny_ledger, OPTS, ["1", "1\\(104)", "1D", "1C", "10\\(101)D"]
+        ).collect()
+    }
+    assert out["1"] == pytest.approx(120.0)          # 70 + 50
+    assert out["1\\(104)"] == pytest.approx(70.0)
+    assert out["1D"] == pytest.approx(120.0)         # both accounts >= 0
+    assert out["1C"] == 0.0
+    assert out["10\\(101)D"] == pytest.approx(50.0)  # only 104
+
+
+def test_external_engine_sum_and_most_recent(spark):
+    rows = [
+        ("m", "2020-01-05", "10.00"),
+        ("m", "2020-01-05", "5.00"),
+        ("m", "2020-01-02", "99.00"),
+        ("m", "2021-01-01", "777.00"),  # outside period
+        ("s", "2020-01-02", "1.00"),
+        ("s", "2020-01-03", "2.00"),
+    ]
+    ext = spark.createDataFrame(rows, "target_expression string, d string, v string").select(
+        "target_expression",
+        F.col("d").cast("date").alias("date"),
+        F.col("v").cast("decimal(18,2)").alias("value_dec"),
+    )
+    out = {
+        (r.expression, r.formula): r.result
+        for r in formula.external_engine(
+            ext, OPTS, {"s": "sum", "m": "most_recent"}
+        ).collect()
+    }
+    assert out[("s", "sum")] == 3.0
+    # most_recent: latest date in period is 01-05, summed per that date
+    assert out[("m", "most_recent")] == 15.0
