@@ -1,0 +1,141 @@
+"""Assembled-report entries: general ledger (sums + unaffected
+earnings + running detail, across two column groups) and aged
+receivable — each composing 4+ SURVEY §2 operators.
+"""
+
+from __future__ import annotations
+
+from ..engines.ledger import O_LEDGER, move_lines
+from ..engines.options import make_options
+from ..reports.aged_partner import aged_receivable
+from ..reports.general_ledger import gl_detail, gl_sums
+from ..tables import load
+from .registry import query
+
+GL_OPTS = {
+    **make_options("1997-01-01", "1997-12-31"),
+    "comparison": {
+        "periods": [{"mode": "range", "date_from": "1996-01-01", "date_to": "1996-12-31"}]
+    },
+}
+
+_O_DEBIT = "CAST(SUM(CASE WHEN conv >= 0 THEN conv ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)"
+_O_CREDIT = "CAST(SUM(CASE WHEN conv < 0 THEN -conv ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)"
+
+
+def _o_gl_group(cg_key: str, date_from: str, date_to: str) -> str:
+    fy_eve = f"{date_from[:4]}-01-01"
+    return f"""
+    SELECT '{cg_key}' AS column_group_key, 'sum' AS key, account_code AS groupby,
+           {_O_DEBIT} AS debit, {_O_CREDIT} AS credit,
+           CAST(SUM(conv) AS DOUBLE) AS balance,
+           strftime(MAX(date), '%Y-%m-%d') AS max_date
+    FROM led
+    WHERE date <= TIMESTAMP '{date_to} 23:59:59'
+      AND (date >= TIMESTAMP '{date_from}'
+           OR CAST(substr(account_code, 1, 1) AS INT) <= 5)
+    GROUP BY account_code
+    UNION ALL
+    SELECT '{cg_key}', 'unaffected_earnings', CAST(company_id AS VARCHAR),
+           {_O_DEBIT}, {_O_CREDIT}, CAST(SUM(conv) AS DOUBLE),
+           CAST(NULL AS VARCHAR)
+    FROM led
+    WHERE date < TIMESTAMP '{fy_eve}'
+      AND CAST(substr(account_code, 1, 1) AS INT) > 5
+    GROUP BY company_id
+    """
+
+
+@query(
+    "gl_report",
+    oracle=f"""
+    WITH {O_LEDGER}
+    {_o_gl_group('cg0', '1997-01-01', '1997-12-31')}
+    UNION ALL
+    {_o_gl_group('cg1', '1996-01-01', '1996-12-31')}
+    """,
+)
+def gl_report(spark, sf_dir):
+    """General ledger sums: column groups (A8/U1) x ('normal'-scope
+    account sums with initial balances (W1/F3) + unaffected-earnings
+    fold (W4)), currency-rounded per row (J2)."""
+    return gl_sums(move_lines(spark, sf_dir), GL_OPTS)
+
+
+@query(
+    "gl_report_detail",
+    oracle=f"""
+    WITH {O_LEDGER},
+    opening AS (
+      SELECT account_code, SUM(conv) AS opening
+      FROM led
+      WHERE date < TIMESTAMP '1997-01-01'
+        AND CAST(substr(account_code, 1, 1) AS INT) <= 5
+      GROUP BY account_code
+    )
+    SELECT l.account_code, l.id, strftime(l.date, '%Y-%m-%d') AS line_date,
+           CAST(l.conv AS DOUBLE) AS amount,
+           CAST(COALESCE(o.opening, 0)
+                + SUM(l.conv) OVER (PARTITION BY l.account_code
+                                    ORDER BY l.date, l.id, l.conv
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_balance
+    FROM led l LEFT JOIN opening o USING (account_code)
+    WHERE l.date >= TIMESTAMP '1997-01-01'
+      AND l.date <= TIMESTAMP '1997-12-31 23:59:59'
+    """,
+)
+def gl_report_detail(spark, sf_dir):
+    """GL detail lines: opening balance seed + per-account running
+    balance window (W1 + W2)."""
+    return gl_detail(move_lines(spark, sf_dir), GL_OPTS)
+
+
+AGED_AS_OF = "1998-06-01"
+
+
+@query(
+    "aged_report",
+    oracle=f"""
+    WITH paid AS (
+      SELECT l_orderkey AS pay_key,
+             SUM(ROUND(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)), 2))
+                 AS paid
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '{AGED_AS_OF} 23:59:59'
+      GROUP BY l_orderkey
+    ),
+    res AS (
+      SELECT i.o_custkey AS partner_id,
+             CAST(i.o_totalprice AS DECIMAL(18,2))
+               - COALESCE(p.paid, CAST(0 AS DECIMAL(18,2))) AS residual,
+             date_diff('day', CAST(i.o_orderdate AS DATE) + 30,
+                       DATE '{AGED_AS_OF}') AS dd
+      FROM orders i LEFT JOIN paid p ON i.o_orderkey = p.pay_key
+      WHERE i.o_orderdate <= TIMESTAMP '{AGED_AS_OF} 23:59:59'
+    ),
+    bucketed AS (
+      SELECT partner_id, residual,
+             CASE WHEN dd <= 0 THEN 0 WHEN dd <= 30 THEN 1 WHEN dd <= 60 THEN 2
+                  WHEN dd <= 90 THEN 3 WHEN dd <= 120 THEN 4 ELSE 5 END AS bucket
+      FROM res
+    )
+    SELECT partner_id, COUNT(*) AS aml_count,
+           CAST(SUM(CASE WHEN bucket = 0 THEN residual ELSE 0 END) AS DOUBLE) AS period0,
+           CAST(SUM(CASE WHEN bucket = 1 THEN residual ELSE 0 END) AS DOUBLE) AS period1,
+           CAST(SUM(CASE WHEN bucket = 2 THEN residual ELSE 0 END) AS DOUBLE) AS period2,
+           CAST(SUM(CASE WHEN bucket = 3 THEN residual ELSE 0 END) AS DOUBLE) AS period3,
+           CAST(SUM(CASE WHEN bucket = 4 THEN residual ELSE 0 END) AS DOUBLE) AS period4,
+           CAST(SUM(CASE WHEN bucket = 5 THEN residual ELSE 0 END) AS DOUBLE) AS period5,
+           CAST(SUM(residual) AS DOUBLE) AS total
+    FROM bucketed
+    GROUP BY partner_id
+    HAVING SUM(residual) <> 0
+    """,
+)
+def aged_report(spark, sf_dir):
+    """Aged receivable: reconciled-as-of pre-agg + left join (J3),
+    day-diff bucketization (J4/W5), residual pivot (A3), HAVING (A5)."""
+    return aged_receivable(
+        load(spark, sf_dir, "orders"), load(spark, sf_dir, "lineitem"), AGED_AS_OF
+    )
