@@ -27,6 +27,10 @@ HEADLINE = [
     "j7_asof_join",
     "a9_ledger_netting",
     "o2_pagination",
+    "e3_account_codes",
+    "c4_asof_reconstruction",
+    "gl_report",
+    "aged_report",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "sim_cosine_topk",
