@@ -343,22 +343,25 @@ def w2_running_balance(spark, sf_dir):
 @query(
     "o2_pagination",
     oracle="""
-    SELECT * FROM (
-        SELECT o_orderkey, o_custkey, o_totalprice,
-               ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
-        FROM orders
-    ) WHERE rn > 100 AND rn <= 180
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 80 OFFSET 100
     """,
 )
 def o2_pagination(spark, sf_dir):
-    from pyspark.sql import Window as W
-
-    o = load(spark, sf_dir, "orders")
-    w = W.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-    return (
-        o.select("o_orderkey", "o_custkey", "o_totalprice", F.row_number().over(w).alias("rn"))
-        .where((F.col("rn") > 100) & (F.col("rn") <= 180))
-    )
+    """Page (offset=100, limit=80) WITHOUT a global row_number: two
+    TakeOrderedAndProject top-k passes (k bounded by offset+limit, never
+    by data size — each partition contributes its local top-k, the
+    driver merges) and a broadcast anti-join to drop the first page.
+    The order is strict (unique o_orderkey tie-break), so both passes
+    agree deterministically. Replaces the single-partition global
+    window flagged in round 1."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    order = [F.col("o_totalprice").desc(), F.col("o_orderkey")]
+    page_and_before = o.orderBy(*order).limit(180)
+    before = o.orderBy(*order).limit(100).select("o_orderkey")
+    return page_and_before.join(F.broadcast(before), "o_orderkey", "left_anti")
 
 
 # ---------------------------------------------------------------------------

@@ -583,6 +583,13 @@ def u3_in_notin(spark, sf_dir):
     """,
 )
 def o1_multikey_sort(spark, sf_dir):
+    """Global rank WITHOUT a single-partition window: range-partition on
+    the sort key (Spark's total-sort machinery — ascending NULLS FIRST,
+    matching the CASE key), rank locally per partition, then add
+    per-partition offsets computed from the partition counts (O(number
+    of partitions) driver work, zipWithIndex-style). Rank values are
+    identical whatever boundaries the range sampler picks, because the
+    key order is strict (unique o_orderkey tie-break)."""
     o = load(spark, sf_dir, "orders")
     type_order = (
         F.when(F.col("o_orderstatus") == "O", 0)
@@ -592,12 +599,46 @@ def o1_multikey_sort(spark, sf_dir):
     sort_amount = F.when(F.col("o_orderstatus") == "P", F.lit(None)).otherwise(
         F.col("o_totalprice")
     )
-    w = W.orderBy(type_order, sort_amount.asc_nulls_first(), F.col("o_orderkey"))
-    return o.select(
+    base = o.select(
         "o_orderkey",
         "o_orderstatus",
         sort_amount.alias("sort_amount"),
-        F.row_number().over(w).alias("rank"),
+        type_order.alias("__type_order"),
+    )
+    # localCheckpoint pins the range partitioning: the offsets job and
+    # the final job must see the SAME partition boundaries (the same
+    # reason RDD.zipWithIndex materializes its counts pass)
+    ranged = (
+        base.repartitionByRange(
+            32, F.col("__type_order"), F.col("sort_amount"), F.col("o_orderkey")
+        )
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    local_w = W.partitionBy("__pid").orderBy(
+        "__type_order", F.col("sort_amount").asc_nulls_first(), "o_orderkey"
+    )
+    ranked = ranged.withColumn("__local_rn", F.row_number().over(local_w))
+    # partition offsets: O(num partitions) rows on the driver, not O(data)
+    counts = sorted(
+        (r["__pid"], r["cnt"])
+        for r in ranged.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, cnt in counts:
+        offsets[pid] = acc
+        acc += cnt
+    offset_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "__pid int, __offset long"
+    )
+    return (
+        ranked.join(F.broadcast(offset_df), "__pid")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "sort_amount",
+            (F.col("__offset") + F.col("__local_rn")).cast("int").alias("rank"),
+        )
     )
 
 
