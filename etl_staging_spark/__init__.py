@@ -12,7 +12,11 @@ idiomatic Spark DataFrame / Spark SQL engine:
 - the audit/CDC layer (change capture, retention vacuum, as-of time
   travel) — ``etl_staging_spark.audit``;
 - large-scale training-data operators (dedup, similarity search, text
-  analysis, multimodal plumbing) — ``etl_staging_spark.operators``.
+  analysis, multimodal plumbing) — ``etl_staging_spark.llmdata``;
+- reusable physical operators (as-of joins, bucketization, ledger
+  netting) — ``etl_staging_spark.operators``;
+- the query/oracle catalog behind ``__spark_entry__`` —
+  ``etl_staging_spark.queries``.
 
 Everything is pure DataFrame/Spark-SQL (no row-at-a-time Python UDFs in
 hot paths) so plans stay inside Catalyst/Tungsten codegen and scale to

@@ -1,0 +1,64 @@
+"""S4/S5/S6 sinks: the presentation edge of the engine.
+
+Formatting is driver-side by design — sinks consume ALREADY-AGGREGATED
+results (O(report lines)), never raw facts. The xlsx path degrades to
+CSV when no Excel writer is importable (this container ships none);
+the pipeline shape is identical either way.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    """Distributed CSV sink (one part per partition; coalesce upstream
+    if a single file is wanted)."""
+    df.write.mode("overwrite").option("header", True).csv(path)
+
+
+def write_report_file(df: DataFrame, path: str) -> str:
+    """S4/S5: register sink. Tries an Excel writer via pandas; falls
+    back to a single CSV — the register wizards' output contract (a
+    downloadable tabular file) either way. Returns the path written."""
+    pdf = df.toPandas()
+    if path.endswith(".xlsx"):
+        try:
+            pdf.to_excel(path, index=False)
+            return path
+        except (ImportError, ModuleNotFoundError):
+            path = path[: -len(".xlsx")] + ".csv"
+    pdf.to_csv(path, index=False)
+    return path
+
+
+def dashboard_json(df: DataFrame, key_col: str, path: str | None = None) -> dict:
+    """S6: the journal-dashboard JSON sink
+    (`etl_account/models/account_move.py:139-263`) — a dict of formatted
+    aggregates per entity, from a collected small aggregate."""
+    rows = df.collect()
+    out = {
+        str(r[key_col]): {k: v for k, v in r.asDict().items() if k != key_col}
+        for r in rows
+    }
+    if path:
+        with open(path, "w") as fh:
+            json.dump(out, fh, indent=2, default=str, sort_keys=True)
+    return out
+
+
+def read_back_csv(spark, path: str, schema) -> DataFrame:
+    from .csv_io import read_csv
+
+    return read_csv(spark, path, schema)
+
+
+def single_file(path: str) -> str:
+    """Path of the single part file inside a Spark CSV output dir."""
+    parts = [p for p in os.listdir(path) if p.startswith("part-")]
+    if len(parts) != 1:
+        raise ValueError(f"expected one part file in {path}, found {parts}")
+    return os.path.join(path, parts[0])
