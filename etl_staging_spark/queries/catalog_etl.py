@@ -265,3 +265,145 @@ def sr_sales_register(spark, sf_dir):
         "1997-01-01",
         "1997-12-31",
     )
+
+
+# ---------------------------------------------------------------------------
+# M2: SVL as-of costing — out-layer unit costs from prior in-layers
+# (etl_stock/models/svl.py:181-242): single prior's cost, else weighted
+# average over priors, else 0; strictly-before-by-date RANGE frames.
+# ---------------------------------------------------------------------------
+
+_O_LAYERS = """
+layers AS (
+  SELECT l_partkey AS part_key,
+         CAST(l_shipdate AS DATE) AS layer_date,
+         (l_returnflag <> 'R') AS is_in,
+         CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+         CAST(FLOOR(l_extendedprice / l_quantity * 100 + 0.5) / 100
+              AS DECIMAL(18,2)) AS unit_cost,
+         ROUND(CAST(FLOOR(l_extendedprice / l_quantity * 100 + 0.5) / 100
+                    AS DECIMAL(18,2))
+               * CAST(l_quantity AS DECIMAL(18,2)), 2) AS value
+  FROM lineitem
+),
+enriched AS (
+  SELECT *,
+         COUNT(CASE WHEN is_in THEN unit_cost END) OVER w AS n_priors,
+         MIN(CASE WHEN is_in THEN unit_cost END) OVER w AS single_cost,
+         SUM(CASE WHEN is_in AND unit_cost > 0 THEN value END) OVER w AS val_sum,
+         SUM(CASE WHEN is_in AND unit_cost > 0 THEN qty END) OVER w AS qty_sum
+  FROM (SELECT *, date_diff('day', DATE '1970-01-01', layer_date) AS day_i
+        FROM layers)
+  WINDOW w AS (PARTITION BY part_key ORDER BY day_i
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+costed AS (
+  SELECT part_key, layer_date, qty,
+         CASE WHEN n_priors = 1 THEN CAST(single_cost AS DOUBLE)
+              WHEN n_priors > 1 AND qty_sum > 0
+                THEN FLOOR(CAST(val_sum AS DOUBLE) / CAST(qty_sum AS DOUBLE)
+                           * 1000 + 0.5) / 1000
+              ELSE 0.0 END AS out_unit_cost
+  FROM enriched WHERE NOT is_in
+)
+SELECT part_key, strftime(layer_date, '%Y-%m-%d') AS out_date,
+       CAST(qty AS DOUBLE) AS out_qty, out_unit_cost,
+       CAST(ROUND(CAST(out_unit_cost AS DECIMAL(18,6))
+                  * CAST(qty AS DECIMAL(18,2)), 2) AS DOUBLE) AS out_value
+FROM costed"""
+
+
+@query("m2_svl_costing", oracle=f"WITH {_O_LAYERS}")
+def m2_svl_costing(spark, sf_dir):
+    from pyspark.sql import functions as F2
+
+    from ..etl.costing import svl_costing
+
+    li = load(spark, sf_dir, "lineitem")
+    # floor-based 2-dp rounding: engine-independent on doubles (see
+    # etl/costing.py on round() divergence between Spark and DuckDB)
+    unit_cost = (
+        F2.floor(F2.col("l_extendedprice") / F2.col("l_quantity") * 100 + 0.5) / 100
+    ).cast("decimal(18,2)")
+    layers = li.select(
+        F2.col("l_partkey").alias("part_key"),
+        F2.col("l_shipdate").cast("date").alias("layer_date"),
+        (F2.col("l_returnflag") != "R").alias("is_in"),
+        F2.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+        unit_cost.alias("unit_cost"),
+        F2.round(unit_cost * F2.col("l_quantity").cast("decimal(18,2)"), 2).alias(
+            "value"
+        ),
+    )
+    return svl_costing(layers)
+
+
+# ---------------------------------------------------------------------------
+# M5: bank-date stamping — stamp each order with the latest shipment
+# date of its lines (the UPDATE-by-join of etl_account/wizard/bank_rec.py).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "m5_bank_date_stamp",
+    oracle="""
+    SELECT o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           strftime(s.bank_date, '%Y-%m-%d') AS bank_date
+    FROM orders o
+    LEFT JOIN (SELECT l_orderkey, MAX(l_shipdate) AS bank_date
+               FROM lineitem GROUP BY l_orderkey) s
+      ON s.l_orderkey = o.o_orderkey
+    """,
+)
+def m5_bank_date_stamp(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    stamped = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("bank_date"))
+    )
+    return o.join(stamped, o.o_orderkey == stamped.l_orderkey, "left").select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.date_format("bank_date", "yyyy-MM-dd").alias("bank_date"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M6: opening-balance upload — balanced journal generation: one line on
+# the partner's side, one on the offset account, per entity
+# (etl_stock/models/company.py upload_ob_* jobs).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "m6_ob_upload",
+    oracle="""
+    SELECT c_custkey AS partner_id, 1 AS line_no,
+           CASE WHEN c_acctbal >= 0 THEN '100' ELSE '200' END AS account_code,
+           CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS amount
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, 2, '999',
+           CAST(-CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE)
+    FROM customer
+    """,
+)
+def m6_ob_upload(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    side = (
+        c.select(
+            F.col("c_custkey").alias("partner_id"),
+            F.lit(1).alias("line_no"),
+            F.when(F.col("c_acctbal") >= 0, "100").otherwise("200").alias("account_code"),
+            bal.cast("double").alias("amount"),
+        )
+    )
+    offset = c.select(
+        F.col("c_custkey").alias("partner_id"),
+        F.lit(2).alias("line_no"),
+        F.lit("999").alias("account_code"),
+        (-bal).cast("double").alias("amount"),
+    )
+    return side.unionByName(offset)
