@@ -1,0 +1,107 @@
+"""Driver-side line-tree assembly: hierarchical sort (O3) and recursive
+prefix regrouping (O4).
+
+These operate on ASSEMBLED report lines — O(report lines), not O(data)
+— so they are plain Python by design, like the reference
+(`account_report.py:3436-3542` sort, `:3934-4077` prefix groups). The
+data-sized work happened upstream in the engines.
+
+Line dicts: ``{"id": "markup~model~value", "parent_id": str|None,
+"columns": [{"no_format": value}, ...]}``.
+"""
+
+from __future__ import annotations
+
+import datetime
+from collections import defaultdict
+from functools import cmp_to_key
+
+_TYPE_SEQ = {
+    type(None): 0,
+    bool: 1,
+    float: 2,
+    int: 2,
+    str: 3,
+    datetime.date: 4,
+    datetime.datetime: 5,
+}
+
+
+def get_markup(line_id: str | None) -> str:
+    return (line_id or "").split("~")[0]
+
+
+def sort_lines(lines: list[dict], order_column: int) -> list[dict]:
+    """Stable hierarchical sort by the 1-indexed ``order_column``
+    (negative = descending). Total/load_more lines stay pinned to the
+    bottom of their parent; mixed-typed values order by type class
+    (None < bool < number < str < date < datetime)."""
+    if not order_column:
+        return lines
+    descending = order_column < 0
+    column_index = abs(order_column) - 1
+
+    def at_bottom(line: dict) -> bool:
+        return get_markup(line.get("id")) in ("total", "load_more")
+
+    def compare(a: dict, b: dict) -> int:
+        a_total, b_total = at_bottom(a), at_bottom(b)
+        if a_total:
+            if b_total:
+                return 0
+            return -1 if descending else 1
+        if b_total:
+            return 1 if descending else -1
+        a_val = a["columns"][column_index].get("no_format")
+        b_val = b["columns"][column_index].get("no_format")
+        ta, tb = _TYPE_SEQ[type(a_val)], _TYPE_SEQ[type(b_val)]
+        if ta == tb:
+            return 0 if a_val == b_val else (1 if a_val > b_val else -1)
+        return ta - tb
+
+    comp_key = cmp_to_key(compare)
+    tree: dict[str | None, list[dict]] = defaultdict(list)
+    non_total_parents: set[str | None] = set()
+    for line in lines:
+        parent = line.get("parent_id") or None
+        tree[parent].append(line)
+        if get_markup(line["id"]) != "total":
+            non_total_parents.add(parent)
+
+    if None not in tree and len(non_total_parents) == 1:
+        # sorting the children of a single unfolded line
+        root = next(iter(non_total_parents))
+    else:
+        root = None
+
+    out: list[dict] = []
+
+    def merge(line: dict) -> None:
+        out.append(line)
+        for child in sorted(tree[line["id"]], key=comp_key, reverse=descending):
+            merge(child)
+
+    for line in sorted(tree[root], key=comp_key, reverse=descending):
+        merge(line)
+    return out
+
+
+def prefix_groups(
+    names: list[str], threshold: int, prefix_len: int = 1
+) -> dict[str, list[str] | dict]:
+    """O4: recursively bucket a too-long sibling list by name prefix —
+    groups still over the threshold regroup one character deeper
+    (`account_report.py:3934-4077`). Returns nested
+    {prefix: sub-dict-or-leaf-list}."""
+    if len(names) <= threshold:
+        return {"": sorted(names)} if prefix_len == 1 else {}
+    buckets: dict[str, list[str]] = defaultdict(list)
+    for name in names:
+        buckets[name[:prefix_len].upper()].append(name)
+    out: dict[str, list[str] | dict] = {}
+    for prefix, members in sorted(buckets.items()):
+        if len(members) > threshold and any(len(n) > prefix_len for n in members):
+            out[prefix] = prefix_groups(members, threshold, prefix_len + 1)
+        else:
+            out[prefix] = sorted(members)
+    return out
