@@ -64,11 +64,22 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    # the round-1 headline subset, for like-for-like cross-round
+    # comparison now that the headline set has grown
+    core = [
+        "a1_hash_agg", "j1_star_join_revenue", "w2_running_balance",
+        "w1_gl_initial_and_period", "a3_aged_bucket_pivot",
+        "j3_lateral_agg_join", "j7_asof_join", "a9_ledger_netting",
+        "o2_pagination",
+    ]
+    core_total = round(sum(timings[n] for n in core if n in timings), 3)
     print(json.dumps({
         "metric": "headline_queries_total_time",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "core_r1_subset_time": core_total,
+        "n_queries": len(timings),
         "sf": sf,
     }))
 

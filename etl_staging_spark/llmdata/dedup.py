@@ -51,7 +51,18 @@ def hashed_shingles(df: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-def _pair_jaccard(sh: DataFrame, pairs: DataFrame | None, threshold: float) -> DataFrame:
+def shingle_set_sizes(df: DataFrame, n: int = 3) -> DataFrame:
+    """|distinct shingles| per doc WITHOUT exploding: the size of the
+    distinct n-gram array, computed in the same projection that builds
+    it — no shuffle, no second pass over the inverted index."""
+    from .shingles import ngram_array, with_tokens
+
+    return with_tokens(df).select(
+        "doc_id", F.size(ngram_array(n)).alias("n")
+    )
+
+
+def _pair_jaccard(sh: DataFrame, pairs: DataFrame | None, threshold: float, sizes: DataFrame | None = None) -> DataFrame:
     """Exact Jaccard for doc pairs sharing >=1 shingle hash, optionally
     restricted to a candidate ``pairs`` (d1, d2) DataFrame.
 
@@ -65,7 +76,12 @@ def _pair_jaccard(sh: DataFrame, pairs: DataFrame | None, threshold: float) -> D
     - verify-only: the candidate set is small by construction, so it is
       broadcast against the index twice — zero shuffles of the index.
     """
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    if sizes is None:
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # sizes feeds BOTH sides of the final join; persist so the ngram
+    # pass behind it runs once (Spark recomputes per branch otherwise;
+    # ContextCleaner unpersists when the frame is GC'd)
+    sizes = sizes.persist()
     if pairs is None:
         buckets = (
             sh.groupBy("h")
@@ -104,14 +120,21 @@ def _pair_jaccard(sh: DataFrame, pairs: DataFrame | None, threshold: float) -> D
 
 
 def jaccard_pairs(df: DataFrame, threshold: float = 0.8, n: int = 3) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via the inverted index."""
-    return _pair_jaccard(hashed_shingles(df, n=n), None, threshold)
+    """Exact n-gram Jaccard near-dup pairs via the inverted index. The
+    index feeds the posting-list buckets and the per-doc sizes; persist
+    so the shingle/md5 pass runs once."""
+    sh = hashed_shingles(df, n=n).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    return _pair_jaccard(sh, None, threshold, sizes=sizes)
 
 
 def minhash_signatures(df: DataFrame, n: int = 3) -> DataFrame:
     """One row per doc with mh0..mh15 — 16 MinHash permutations computed
     as 16 MIN aggregates over the hashed shingle index (single shuffle)."""
-    sh = hashed_shingles(df, n=n)
+    return _signatures_from(hashed_shingles(df, n=n))
+
+
+def _signatures_from(sh: DataFrame) -> DataFrame:
     aggs = [
         F.min(minhash_col(F.col("h"), a, b)).alias(f"mh{i}")
         for i, (a, b) in enumerate(MINHASH_SEEDS)
@@ -149,9 +172,13 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
 
 def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.8, n: int = 3) -> DataFrame:
     """The scale-path near-dup: LSH candidates, then exact-Jaccard verify
-    restricted to candidates."""
-    cands = lsh_candidate_pairs(minhash_signatures(df, n=n))
-    return _pair_jaccard(hashed_shingles(df, n=n), cands, threshold)
+    restricted to candidates. The hashed index feeds the signatures AND
+    both verify sides — persist it so the tokenize/shingle/md5 pass runs
+    once (it is the dominant cost; the index itself is a few bytes per
+    shingle)."""
+    sh = hashed_shingles(df, n=n).persist()
+    cands = lsh_candidate_pairs(_signatures_from(sh))
+    return _pair_jaccard(sh, cands, threshold, sizes=shingle_set_sizes(df, n))
 
 
 def simhash_table(df: DataFrame, n: int = 3, bits: int = 56) -> DataFrame:

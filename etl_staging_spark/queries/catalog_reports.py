@@ -139,3 +139,173 @@ def aged_report(spark, sf_dir):
     return aged_receivable(
         load(spark, sf_dir, "orders"), load(spark, sf_dir, "lineitem"), AGED_AS_OF
     )
+
+
+# ---------------------------------------------------------------------------
+# Trial balance: initial | period debit/credit | end balance per account
+# (account_trial_balance_report.py:83-150 — the GL engine under
+# strict_range with a to-beginning-of-period initial column).
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+@query(
+    "tb_report",
+    oracle=f"""
+    WITH {O_LEDGER},
+    initial AS (
+      SELECT account_code, SUM(conv) AS init_dec
+      FROM led
+      WHERE date < TIMESTAMP '1997-01-01'
+        AND CAST(substr(account_code, 1, 1) AS INT) <= 5
+      GROUP BY account_code
+    ),
+    period AS (
+      SELECT account_code,
+             SUM(CASE WHEN conv >= 0 THEN conv
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS debit_dec,
+             SUM(CASE WHEN conv < 0 THEN -conv
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS credit_dec,
+             SUM(conv) AS bal_dec
+      FROM led
+      WHERE date >= TIMESTAMP '1997-01-01'
+        AND date <= TIMESTAMP '1997-12-31 23:59:59'
+      GROUP BY account_code
+    )
+    SELECT COALESCE(p.account_code, i.account_code) AS account_code,
+           CAST(COALESCE(i.init_dec, 0) AS DOUBLE) AS initial_balance,
+           CAST(COALESCE(p.debit_dec, 0) AS DOUBLE) AS debit,
+           CAST(COALESCE(p.credit_dec, 0) AS DOUBLE) AS credit,
+           CAST(COALESCE(i.init_dec, 0) + COALESCE(p.bal_dec, 0) AS DOUBLE)
+               AS end_balance
+    FROM period p FULL OUTER JOIN initial i USING (account_code)
+    """,
+)
+def tb_report(spark, sf_dir):
+    """Trial balance: the GL sums machinery under strict_range plus an
+    initial-balance column (balance-sheet accounts only), end balance =
+    initial + period movement."""
+    led = move_lines(spark, sf_dir)
+    from ..engines.ledger import is_balance_sheet
+
+    zero = F.lit(0).cast("decimal(18,2)")
+    initial = (
+        led.where((F.col("date") < "1997-01-01") & is_balance_sheet())
+        .groupBy("account_code")
+        .agg(F.sum("conv").alias("init_dec"))
+    )
+    period = (
+        led.where(
+            (F.col("date") >= "1997-01-01") & (F.col("date") <= "1997-12-31 23:59:59")
+        )
+        .groupBy("account_code")
+        .agg(
+            F.sum(F.when(F.col("conv") >= 0, F.col("conv")).otherwise(zero)).alias(
+                "debit_dec"
+            ),
+            F.sum(F.when(F.col("conv") < 0, -F.col("conv")).otherwise(zero)).alias(
+                "credit_dec"
+            ),
+            F.sum("conv").alias("bal_dec"),
+        )
+    )
+    joined = period.join(initial, "account_code", "full_outer")
+    zinit = F.coalesce(F.col("init_dec"), zero)
+    zbal = F.coalesce(F.col("bal_dec"), zero)
+    return joined.select(
+        "account_code",
+        zinit.cast("double").alias("initial_balance"),
+        F.coalesce(F.col("debit_dec"), zero).cast("double").alias("debit"),
+        F.coalesce(F.col("credit_dec"), zero).cast("double").alias("credit"),
+        (zinit + zbal).cast("double").alias("end_balance"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Partner ledger with the NULL-partner bucket + reattribution
+# (account_partner_ledger.py:266-346): partner-less lines get their own
+# bucket, and their amounts are ALSO attributed back to the partner
+# they reconcile with (here: the partnered identity of the same move).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pl_report",
+    oracle=f"""
+    WITH {O_LEDGER},
+    pled AS (
+      SELECT *, CASE WHEN id % 13 = 0 THEN NULL ELSE partner_id END AS pl_partner
+      FROM led
+      WHERE date >= TIMESTAMP '1997-01-01'
+        AND date <= TIMESTAMP '1997-12-31 23:59:59'
+    ),
+    detail AS (
+      SELECT 'detail' AS block, pl_partner AS partner_id,
+             CAST(SUM(CASE WHEN conv >= 0 THEN conv
+                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS debit,
+             CAST(SUM(CASE WHEN conv < 0 THEN -conv
+                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS credit,
+             CAST(SUM(conv) AS DOUBLE) AS balance
+      FROM pled GROUP BY pl_partner
+    ),
+    move_partner AS (
+      SELECT DISTINCT move_id, partner_id FROM pled WHERE pl_partner IS NOT NULL
+    ),
+    reattributed AS (
+      SELECT 'reattributed' AS block, m.partner_id,
+             CAST(SUM(CASE WHEN n.conv >= 0 THEN n.conv
+                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS debit,
+             CAST(SUM(CASE WHEN n.conv < 0 THEN -n.conv
+                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS credit,
+             CAST(SUM(n.conv) AS DOUBLE) AS balance
+      FROM pled n JOIN move_partner m ON n.move_id = m.move_id
+      WHERE n.pl_partner IS NULL
+      GROUP BY m.partner_id
+    )
+    SELECT * FROM detail UNION ALL SELECT * FROM reattributed
+    """,
+)
+def pl_report(spark, sf_dir):
+    """Partner ledger: per-partner period sums including the explicit
+    NULL-partner bucket, plus the reattribution block folding
+    partner-less lines back onto the partner of their move."""
+    led = move_lines(spark, sf_dir)
+    zero = F.lit(0).cast("decimal(18,2)")
+    pled = led.where(
+        (F.col("date") >= "1997-01-01") & (F.col("date") <= "1997-12-31 23:59:59")
+    ).withColumn(
+        "pl_partner",
+        F.when(F.col("id") % 13 == 0, F.lit(None).cast("long")).otherwise(
+            F.col("partner_id")
+        ),
+    )
+
+    def sums(df, keys):
+        return df.groupBy(*keys).agg(
+            F.sum(F.when(F.col("conv") >= 0, F.col("conv")).otherwise(zero))
+            .cast("double")
+            .alias("debit"),
+            F.sum(F.when(F.col("conv") < 0, -F.col("conv")).otherwise(zero))
+            .cast("double")
+            .alias("credit"),
+            F.sum("conv").cast("double").alias("balance"),
+        )
+
+    detail = sums(pled, [F.col("pl_partner").alias("partner_id")]).select(
+        F.lit("detail").alias("block"), "partner_id", "debit", "credit", "balance"
+    )
+    move_partner = (
+        pled.where(F.col("pl_partner").isNotNull())
+        .select("move_id", "partner_id")
+        .distinct()
+        .withColumnRenamed("partner_id", "mp_partner")
+    )
+    nulls = pled.where(F.col("pl_partner").isNull()).select("move_id", "conv")
+    reattributed = sums(
+        nulls.join(move_partner, "move_id"),
+        [F.col("mp_partner").alias("partner_id")],
+    ).select(
+        F.lit("reattributed").alias("block"), "partner_id", "debit", "credit", "balance"
+    )
+    return detail.unionByName(reattributed)
