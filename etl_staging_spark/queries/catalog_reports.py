@@ -309,3 +309,145 @@ def pl_report(spark, sf_dir):
         F.lit("reattributed").alias("block"), "partner_id", "debit", "credit", "balance"
     )
     return detail.unionByName(reattributed)
+
+
+# ---------------------------------------------------------------------------
+# Journal report: month sections (A16) with cumulative month-end running
+# balance per journal (W2) — account_journal_report.py:547-596, 728-755.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "jr_report",
+    oracle=f"""
+    WITH {O_LEDGER},
+    monthly AS (
+      SELECT company_id, strftime(date, '%Y-%m') AS month_key,
+             COUNT(*) AS n_lines,
+             SUM(CASE WHEN conv >= 0 THEN conv
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS debit_dec,
+             SUM(CASE WHEN conv < 0 THEN -conv
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS credit_dec,
+             SUM(conv) AS bal_dec
+      FROM led GROUP BY company_id, strftime(date, '%Y-%m')
+    )
+    SELECT company_id, month_key, n_lines,
+           CAST(debit_dec AS DOUBLE) AS debit,
+           CAST(credit_dec AS DOUBLE) AS credit,
+           CAST(SUM(bal_dec) OVER (PARTITION BY company_id ORDER BY month_key
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running_balance
+    FROM monthly
+    """,
+)
+def jr_report(spark, sf_dir):
+    """Journal report: distinct-month sections with per-journal
+    (company) debit/credit and a cumulative month-end running balance —
+    the month key is the window order, so the partitioned window
+    streams sorted month runs per journal."""
+    from pyspark.sql import Window as W
+
+    led = move_lines(spark, sf_dir)
+    zero = F.lit(0).cast("decimal(18,2)")
+    monthly = led.groupBy(
+        "company_id", F.date_format("date", "yyyy-MM").alias("month_key")
+    ).agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.when(F.col("conv") >= 0, F.col("conv")).otherwise(zero)).alias("debit_dec"),
+        F.sum(F.when(F.col("conv") < 0, -F.col("conv")).otherwise(zero)).alias("credit_dec"),
+        F.sum("conv").alias("bal_dec"),
+    )
+    w = (
+        W.partitionBy("company_id")
+        .orderBy("month_key")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return monthly.select(
+        "company_id",
+        "month_key",
+        "n_lines",
+        F.col("debit_dec").cast("double").alias("debit"),
+        F.col("credit_dec").cast("double").alias("credit"),
+        F.sum("bal_dec").over(w).cast("double").alias("running_balance"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multicurrency revaluation: FX-exposed balances for to-adjust accounts
+# (anti-join against the exclusion dim, J6) unioned with the excluded
+# block (heterogeneous union, U2) —
+# account_multicurrency_revaluation_report.py:205-243.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mc_report",
+    oracle=f"""
+    WITH {O_LEDGER},
+    excl AS (
+      SELECT DISTINCT account_code FROM led WHERE account_code LIKE '29%'
+    ),
+    fx AS (
+      SELECT account_code,
+             CAST(SUM(CAST(balance AS DECIMAL(18,6))) AS DOUBLE) AS fx_balance,
+             CAST(SUM(conv) AS DOUBLE) AS converted_balance,
+             COUNT(*) AS n_lines
+      FROM led
+      WHERE company_id <> 0
+        AND CAST(substr(account_code, 1, 1) AS INT) <= 5
+        AND account_code NOT IN (SELECT account_code FROM excl)
+      GROUP BY account_code
+    ),
+    excluded AS (
+      SELECT account_code,
+             CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), COUNT(*)
+      FROM led
+      WHERE company_id <> 0
+        AND CAST(substr(account_code, 1, 1) AS INT) <= 5
+        AND account_code IN (SELECT account_code FROM excl)
+      GROUP BY account_code
+    )
+    SELECT 'to_adjust' AS block, * FROM fx
+    UNION ALL
+    SELECT 'excluded', * FROM excluded
+    """,
+)
+def mc_report(spark, sf_dir):
+    """Multicurrency revaluation: FX-exposed (non-base-rate company)
+    balance-sheet lines, split into to-adjust accounts (anti-joined
+    against the exclusion dim — left_anti, never NOT IN over a subquery)
+    and the excluded block with its heterogeneous columns NULLed
+    (unionByName shape)."""
+    led = move_lines(spark, sf_dir)
+    from ..engines.ledger import is_balance_sheet
+
+    fx_lines = led.where((F.col("company_id") != 0) & is_balance_sheet())
+    excl = (
+        led.where(F.col("account_code").like("29%"))
+        .select("account_code")
+        .distinct()
+    )
+
+    def agg(df):
+        return df.groupBy("account_code").agg(
+            F.sum(F.col("balance").cast("decimal(18,6)")).cast("double").alias("fx_balance"),
+            F.sum("conv").cast("double").alias("converted_balance"),
+            F.count("*").alias("n_lines"),
+        )
+
+    to_adjust = agg(fx_lines.join(F.broadcast(excl), "account_code", "left_anti")).select(
+        F.lit("to_adjust").alias("block"), "account_code",
+        "fx_balance", "converted_balance", "n_lines",
+    )
+    excluded = (
+        fx_lines.join(F.broadcast(excl), "account_code", "left_semi")
+        .groupBy("account_code")
+        .agg(F.count("*").alias("n_lines"))
+        .select(
+            F.lit("excluded").alias("block"), "account_code",
+            F.lit(None).cast("double").alias("fx_balance"),
+            F.lit(None).cast("double").alias("converted_balance"),
+            "n_lines",
+        )
+    )
+    return to_adjust.unionByName(excluded)
