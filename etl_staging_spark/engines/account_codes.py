@@ -99,7 +99,11 @@ def _term_value(per_acct: DataFrame, term: Term):
         cond = cond & (F.col("acct_sum") >= 0)
     elif term.balance_char == "C":
         cond = cond & (F.col("acct_sum") < 0)
-    return F.sum(F.when(cond, F.col("acct_sum"))) * term.sign
+    # An empty term (no account matches the prefix/exclusions, or the D/C
+    # gate filters everything) must contribute 0, not NULL — the reference
+    # accumulates from 0 (`account_report.py:2710-2864`), and a NULL here
+    # would propagate through `expr + v` and null the whole formula.
+    return F.coalesce(F.sum(F.when(cond, F.col("acct_sum"))), F.lit(0)) * term.sign
 
 
 def evaluate_formulas(

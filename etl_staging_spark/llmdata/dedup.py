@@ -4,11 +4,14 @@ Scale design (the point of this module):
 
 - ``exact_dup_groups`` — one hash-groupBy; map-side partial aggregation,
   one shuffle on the 256-bit content hash. The 100 TB workhorse.
-- ``jaccard_pairs`` — exact near-dup via the shingle inverted index:
-  docs pair only where they share a shingle, so cost is
-  sum_shingle(df^2), never all-pairs. Correct but hot shingles make it
-  quadratic in the worst case — it is the *verification* primitive and
-  the small-N exact variant.
+- ``jaccard_pairs`` — exact near-dup via the shingle inverted index
+  with stop-shingle removal: shingles whose document frequency exceeds
+  ``max_df`` are dropped from the index globally (the IR stopword
+  analog — they pair everything with everything, the df^2 blowup, and
+  carry no signal), then docs pair only where they share a surviving
+  shingle, so per-bucket pair fan-out is bounded by max_df^2 at ANY
+  corpus size. Jaccard is exact over the filtered shingle space —
+  the same determinism contract, cutoff mirrored in the oracle.
 - ``minhash_lsh_pairs`` — the scale path: fixed-width signatures
   (16 mins, computed as 16 aggregate columns in ONE shuffle — no 16x
   row blowup), banded into 4 buckets; candidate pairs only within equal
@@ -54,7 +57,9 @@ def hashed_shingles(df: DataFrame, n: int = 3) -> DataFrame:
 def shingle_set_sizes(df: DataFrame, n: int = 3) -> DataFrame:
     """|distinct shingles| per doc WITHOUT exploding: the size of the
     distinct n-gram array, computed in the same projection that builds
-    it — no shuffle, no second pass over the inverted index."""
+    it. NOTE: pre-hash sizes — do not feed these into Jaccard
+    denominators (``_pair_jaccard`` computes post-hash sizes so every
+    path shares one denominator definition with the oracle)."""
     from .shingles import ngram_array, with_tokens
 
     return with_tokens(df).select(
@@ -62,53 +67,19 @@ def shingle_set_sizes(df: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-def _pair_jaccard(sh: DataFrame, pairs: DataFrame | None, threshold: float, sizes: DataFrame | None = None) -> DataFrame:
-    """Exact Jaccard for doc pairs sharing >=1 shingle hash, optionally
-    restricted to a candidate ``pairs`` (d1, d2) DataFrame.
+# Stop-shingle document-frequency cutoff: shingles seen in more docs
+# than this are dropped from the jaccard index globally. Bounds the
+# per-bucket pair fan-out at max_df^2 regardless of corpus size (a
+# single stop-shingle would otherwise make one bucket quadratic/OOM at
+# 100 TB). Mirrored verbatim in the DuckDB oracle so the hash check
+# covers the cutoff itself.
+MAX_SHINGLE_DF = 64
 
-    Two physical shapes, picked by whether candidates exist:
 
-    - full discovery: ONE shuffle of the shingle index on ``h``, then
-      pair generation inside each posting list (array higher-order
-      functions) — the shingle explosion is computed once, not once per
-      self-join side. Posting lists are bounded by shingle document
-      frequency, so the per-bucket pair fan-out is df^2, never N^2.
-    - verify-only: the candidate set is small by construction, so it is
-      broadcast against the index twice — zero shuffles of the index.
-    """
-    if sizes is None:
-        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    # sizes feeds BOTH sides of the final join; persist so the ngram
-    # pass behind it runs once (Spark recomputes per branch otherwise;
-    # ContextCleaner unpersists when the frame is GC'd)
-    sizes = sizes.persist()
-    if pairs is None:
-        buckets = (
-            sh.groupBy("h")
-            .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-            .where(F.size("ds") > 1)
-        )
-        pair_arr = F.expr(
-            "flatten(transform(sequence(0, size(ds)-2), "
-            "i -> transform(sequence(i+1, size(ds)-1), "
-            "j -> struct(ds[i] AS d1, ds[j] AS d2))))"
-        )
-        inter = (
-            buckets.select(F.explode(pair_arr).alias("p"))
-            .select("p.d1", "p.d2")
-            .groupBy("d1", "d2")
-            .agg(F.count("*").alias("n_common"))
-        )
-    else:
-        pa = sh.select(F.col("doc_id").alias("d1"), F.col("h").alias("ha"))
-        pb = sh.select(F.col("doc_id").alias("d2"), F.col("h").alias("hb"))
-        xa = F.broadcast(pairs).join(pa, "d1").select("d1", "d2", "ha")
-        inter = (
-            F.broadcast(xa)
-            .join(pb, (xa.d2 == pb.d2) & (F.col("ha") == F.col("hb")))
-            .groupBy("d1", xa.d2)
-            .agg(F.count("*").alias("n_common"))
-        )
+def _finish_jaccard(inter: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
+    """(d1, d2, n_common) + per-doc sizes -> thresholded Jaccard rows.
+    sizes is bounded (one row per doc... of the aggregated size table,
+    broadcast after aggregation, never the raw index)."""
     sa = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
     sb = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
     jac = F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common"))
@@ -119,13 +90,76 @@ def _pair_jaccard(sh: DataFrame, pairs: DataFrame | None, threshold: float, size
     )
 
 
-def jaccard_pairs(df: DataFrame, threshold: float = 0.8, n: int = 3) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via the inverted index. The
-    index feeds the posting-list buckets and the per-doc sizes; persist
-    so the shingle/md5 pass runs once."""
-    sh = hashed_shingles(df, n=n).persist()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    return _pair_jaccard(sh, None, threshold, sizes=sizes)
+def _pair_jaccard(sh: DataFrame, pairs: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard over the FULL index for the candidate ``pairs``
+    (d1, d2), with no pair-x-shingle fan-out: the index is folded to
+    one sorted hash array per doc (payload bounded by doc length), the
+    candidate pairs join to the two doc arrays, and ``n_common`` is
+    ``size(array_intersect(...))`` — JVM-side, inside the join row.
+    Only the bare pairs frame is broadcast — it is the one frame
+    bounded by construction (LSH buckets); the per-doc arrays shuffle
+    (they are O(corpus), never broadcastable at 100 TB), and the
+    exploded pair-x-shingle rows that a join-then-count shape would
+    shuffle are never materialized at all.
+
+    Sizes are post-hash distinct counts (``size(hs)``): the SAME
+    denominator definition as the discovery path and the oracle
+    (pre-hash set sizes would diverge under an in-doc collision)."""
+    arr = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("h")).alias("hs")
+    ).persist()
+    a1 = arr.select(F.col("doc_id").alias("d1"), F.col("hs").alias("hs1"))
+    a2 = arr.select(F.col("doc_id").alias("d2"), F.col("hs").alias("hs2"))
+    joined = F.broadcast(pairs).join(a1, "d1").join(a2, "d2")
+    n1, n2 = F.size("hs1"), F.size("hs2")
+    n_common = F.size(F.array_intersect("hs1", "hs2"))
+    jac = n_common / (n1 + n2 - n_common)
+    return (
+        joined.where(jac >= threshold)
+        .select(
+            "d1",
+            "d2",
+            n_common.cast("bigint").alias("n_common"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame, threshold: float = 0.8, n: int = 3, max_df: int = MAX_SHINGLE_DF
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs over the stop-shingle-
+    filtered index, in ONE shuffle of the index: group by shingle hash,
+    drop posting lists longer than max_df (stop-shingle removal), then
+    both the per-doc sizes AND the pair intersections derive from the
+    surviving posting lists — the shingle explosion is computed once,
+    n_common falls out of the pair expansion (no verify re-join), and
+    every bucket's fan-out is <= max_df^2."""
+    buckets = (
+        hashed_shingles(df, n=n)
+        .groupBy("h")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .where(F.size("ds") <= max_df)
+        .persist()
+    )
+    sizes = (
+        buckets.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
+    pair_arr = F.expr(
+        "flatten(transform(sequence(0, size(ds)-2), "
+        "i -> transform(sequence(i+1, size(ds)-1), "
+        "j -> struct(ds[i] AS d1, ds[j] AS d2))))"
+    )
+    inter = (
+        buckets.where(F.size("ds") > 1)
+        .select(F.explode(pair_arr).alias("p"))
+        .select("p.d1", "p.d2")
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return _finish_jaccard(inter, sizes.persist(), threshold)
 
 
 def minhash_signatures(df: DataFrame, n: int = 3) -> DataFrame:
@@ -178,7 +212,7 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.8, n: int = 3) -> Data
     shingle)."""
     sh = hashed_shingles(df, n=n).persist()
     cands = lsh_candidate_pairs(_signatures_from(sh))
-    return _pair_jaccard(sh, cands, threshold, sizes=shingle_set_sizes(df, n))
+    return _pair_jaccard(sh, cands, threshold)
 
 
 def simhash_table(df: DataFrame, n: int = 3, bits: int = 56) -> DataFrame:

@@ -102,7 +102,7 @@ def e2_tax_tags_engine(spark, sf_dir):
 # NB: a D/C immediately before '\(' is part of the PREFIX (greedy match,
 # reference regex account_report.py:33-38); to combine an exclusion with
 # a balance gate the gate goes after the parens: '2\(29)C'.
-_E3_FORMULAS = ["1", "10\\(104,106)", "1D + 3 - 4C", "2\\(29)C"]
+_E3_FORMULAS = ["1", "10\\(104,106)", "1D + 3 - 4C", "2\\(29)C", "1 + 9"]
 
 
 @query(
@@ -136,6 +136,13 @@ _E3_FORMULAS = ["1", "10\\(104,106)", "1D + 3 - 4C", "2\\(29)C"]
                           WHERE account_code LIKE '2%'
                             AND NOT account_code LIKE '29%'
                             AND s < 0), 0) AS DOUBLE)
+    UNION ALL
+    -- '9' matches no account (codes are 1xx-8xx): the empty term must
+    -- contribute 0, not null the formula (regression for the coalesce fix)
+    SELECT '1 + 9',
+           CAST(COALESCE((SELECT SUM(s) FROM per_acct WHERE account_code LIKE '1%'), 0)
+                + COALESCE((SELECT SUM(s) FROM per_acct WHERE account_code LIKE '9%'), 0)
+                AS DOUBLE)
     """,
 )
 def e3_account_codes(spark, sf_dir):

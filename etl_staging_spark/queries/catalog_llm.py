@@ -57,7 +57,21 @@ def dedup_exact(spark, sf_dir):
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
-    WITH {O_TRIH}, {O_JACCARD_TAIL}
+    WITH {O_TRIH},
+    -- stop-shingle removal, mirrored from dedup.MAX_SHINGLE_DF: shingles
+    -- in more docs than the cutoff leave the index globally (they would
+    -- be df^2 per bucket and carry no near-dup signal)
+    ftri AS (
+      SELECT doc_id, h FROM trih
+      WHERE h IN (SELECT h FROM trih GROUP BY h
+                  HAVING COUNT(*) <= {dedup.MAX_SHINGLE_DF})
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ftri GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+      FROM ftri a JOIN ftri b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
     SELECT d1, d2, n_common,
            ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
     FROM inter JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
@@ -65,10 +79,10 @@ def dedup_exact(spark, sf_dir):
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    """Exact 3-gram Jaccard >= 0.8 pairs via the shingle inverted index.
-    Pairs arise only from shared shingles — no all-pairs comparison. The
-    verification primitive; for raw 100 TB discovery use
-    ``dedup_minhash_lsh`` (candidates are band-bucketed first)."""
+    """Exact 3-gram Jaccard >= 0.8 pairs over the stop-shingle-filtered
+    inverted index (document frequency <= MAX_SHINGLE_DF — the IR
+    stopword analog): pairs arise only from shared surviving shingles,
+    per-bucket fan-out bounded by the cutoff at any corpus size."""
     return dedup.jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.8)
 
 

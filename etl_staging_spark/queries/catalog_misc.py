@@ -58,12 +58,15 @@ def f2_composite_filter(spark, sf_dir):
     oracle=f"""
     SELECT p_brand, COUNT(*) AS n, {o_dsum('p_retailprice')} AS total_price
     FROM part
-    WHERE lower(p_name) LIKE '%green%'
+    WHERE lower(p_name) LIKE '%red%'
     GROUP BY p_brand
     """,
 )
 def f5_searchbar(spark, sf_dir):
-    dom = [("p_name", "ilike", "green")]
+    # 'red' occurs in the synthetic part names ('red widget', ...), so the
+    # ilike path is actually exercised (the previous 'green' matched 0 rows,
+    # making the hash check vacuous).
+    dom = [("p_name", "ilike", "red")]
     p = load(spark, sf_dir, "part").where(and_join(dom))
     return p.groupBy("p_brand").agg(
         F.count("*").alias("n"), dsum("p_retailprice").alias("total_price")

@@ -113,13 +113,18 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
-def run_available_now(stream_df: DataFrame, query_name: str) -> None:
+def run_available_now(
+    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+) -> None:
     """Drain everything currently in the source into a memory sink —
-    the batch-parity harness used by the tests."""
+    the batch-parity harness used by the tests. The output mode is an
+    explicit parameter (stateful applyInPandasWithState queries need
+    'update'); inferring it from the query name would silently change
+    the sink contents for an unluckily-named query."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("update" if "user" in query_name else "complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

@@ -237,6 +237,21 @@ def test_account_codes_engine_gating(tiny_ledger):
     assert out["10\\(101)D"] == pytest.approx(50.0)  # only 104
 
 
+def test_account_codes_empty_term_contributes_zero(tiny_ledger):
+    """Regression: a term matching no account (or fully gated out) must
+    contribute 0, not NULL — `1 + 9` was returning 0.0 instead of 120."""
+    out = {
+        r.formula: r.result
+        for r in ac.evaluate_formulas(
+            tiny_ledger, OPTS, ["1 + 9", "9", "1 + 6D", "1 - 9C"]
+        ).collect()
+    }
+    assert out["1 + 9"] == pytest.approx(120.0)   # no account starts with 9
+    assert out["9"] == 0.0
+    assert out["1 + 6D"] == pytest.approx(120.0)  # 600's total is < 0: D-gated out
+    assert out["1 - 9C"] == pytest.approx(120.0)
+
+
 def test_external_engine_sum_and_most_recent(spark):
     rows = [
         ("m", "2020-01-05", "10.00"),

@@ -44,7 +44,7 @@ def test_windowed_counts_match_batch(spark, events_stream):
 
 
 def test_stateful_user_totals_match_batch(spark, events_stream):
-    run_available_now(stateful_user_totals(events_stream), "user_totals")
+    run_available_now(stateful_user_totals(events_stream), "user_totals", "update")
     # update-mode memory sink: keep the LAST emitted row per user
     got = {
         r.user_id: (r.n_events, r.total_value)

@@ -97,7 +97,12 @@ def main() -> int:
         sh, sn = table_hash(scols, srows)
         oh, on = table_hash(ocols, orows)
         ok = sh == oh and sorted(scols) == sorted(ocols) and sn == on
-        if ok:
+        if ok and sn == 0:
+            # 0 rows == 0 rows proves nothing about the operator under test
+            # (the f5 'green' lesson): flag it so vacuous passes can't hide.
+            print(f"weak  {name}: rows=0 (vacuous hash match) [{time.time()-t0:.1f}s]")
+            n_weak += 1
+        elif ok:
             print(f"pass  {name}: rows={sn} [{time.time()-t0:.1f}s]")
             n_pass += 1
         else:
