@@ -7,7 +7,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..engines import account_codes as ac
-from ..engines import aggregation, custom, formula
+from ..engines import aggregation, carryover, custom, formula
+from ..engines import cross_report as xr
 from ..engines.ledger import O_LEDGER, move_lines
 from ..engines.options import make_options, o_date_scope_sql
 from ..tables import load
@@ -200,6 +201,83 @@ def e4_external_engine(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# E4b: carryover generation — the period-close chain
+# (account_report.py:2971-3056; behavior pinned by the reference's
+# test_tax_report_carryover.py). Base = 6%-prefix minus 7%-prefix sums
+# per company x quarter of 1997; carryover bound if_below(0); the unit
+# fold vs per-company folds produce the main-company adjustment rows.
+# ---------------------------------------------------------------------------
+
+_Q_DATES = {1: "1997-03-31", 2: "1997-06-30", 3: "1997-09-30", 4: "1997-12-31"}
+_Q_DATES_SQL = ", ".join(f"({q}, '{d}')" for q, d in _Q_DATES.items())
+
+
+@query(
+    "e4_carryover",
+    oracle=f"""
+    WITH RECURSIVE {O_LEDGER},
+    bases AS (
+      SELECT company_id, QUARTER(date) AS q,
+             SUM(CASE WHEN account_code LIKE '6%' THEN conv ELSE 0 END)
+             - SUM(CASE WHEN account_code LIKE '7%' THEN conv ELSE 0 END) AS base
+      FROM led WHERE {_SCOPE}
+      GROUP BY 1, 2
+    ),
+    -- company_id -1 = the whole tax unit (bounds are non-linear, so the
+    -- unit fold differs from the sum of company folds)
+    allb AS (
+      SELECT company_id, q, base FROM bases
+      UNION ALL
+      SELECT -1, q, SUM(base) FROM bases GROUP BY q
+    ),
+    fold AS (
+      SELECT company_id, q, base,
+             CAST(0 AS DECIMAL(38,2)) AS applied,
+             CAST(CASE WHEN base < 0 THEN base ELSE 0 END AS DECIMAL(38,2)) AS carry
+      FROM allb WHERE q = 1
+      UNION ALL
+      SELECT b.company_id, b.q, b.base,
+             f.carry AS applied,
+             CAST(CASE WHEN b.base + f.carry < 0 THEN b.base + f.carry ELSE 0 END
+                  AS DECIMAL(38,2))
+      FROM allb b JOIN fold f ON b.company_id = f.company_id AND b.q = f.q + 1
+    ),
+    dates(q, d) AS (VALUES {_Q_DATES_SQL}),
+    comp AS (SELECT q, company_id, carry FROM fold WHERE company_id >= 0),
+    unitf AS (SELECT q, carry AS ucarry FROM fold WHERE company_id = -1),
+    adjf AS (
+      SELECT u.q, u.ucarry - COALESCE(SUM(c.carry), 0) AS adj
+      FROM unitf u LEFT JOIN comp c ON c.q = u.q
+      GROUP BY u.q, u.ucarry
+    )
+    SELECT d AS date, company_id,
+           '_carryover_balance' AS origin_label,
+           '_applied_carryover_balance' AS target_label,
+           CAST(carry AS DOUBLE) AS value, 'carryover' AS kind
+    FROM comp JOIN dates USING (q) WHERE carry <> 0
+    UNION ALL
+    SELECT d, 0, '_carryover_balance', '_applied_carryover_balance',
+           CAST(adj AS DOUBLE), 'adjustment'
+    FROM adjf JOIN dates USING (q) WHERE adj <> 0
+    """,
+)
+def e4_carryover(spark, sf_dir):
+    led = move_lines(spark, sf_dir)
+    scoped = led.where(
+        (F.col("date") >= "1997-01-01") & (F.col("date") <= "1997-12-31 23:59:59")
+    )
+    bases = scoped.groupBy(
+        "company_id", F.quarter("date").alias("period")
+    ).agg(
+        (
+            F.sum(F.when(F.col("account_code").like("6%"), F.col("conv")).otherwise(F.lit(0)))
+            - F.sum(F.when(F.col("account_code").like("7%"), F.col("conv")).otherwise(F.lit(0)))
+        ).alias("base")
+    )
+    return carryover.generate_carryover_values(spark, bases, _Q_DATES, main_company=0)
+
+
+# ---------------------------------------------------------------------------
 # E5: custom engine — named handler dispatch (account_report.py:2945-2953).
 # ---------------------------------------------------------------------------
 
@@ -226,6 +304,64 @@ def e5_custom_engine(spark, sf_dir):
 # run in Spark; the fixpoint is driver-side over the collected scalars
 # (O(report lines)), exactly like the reference.
 # ---------------------------------------------------------------------------
+
+
+# ---------------------------------------------------------------------------
+# E6b: cross_report — an aggregation term pulls a value from ANOTHER
+# report's expressions, computed under the referencing expression's
+# date scope (account_report.py:2121-2125, :2268, :2321-2343). Here the
+# summary report's RATIO line (scoped 1997) divides by NET_ASSETS from
+# a separate balance-sheet definition, forced to the as-of
+# 'from_beginning' scope.
+# ---------------------------------------------------------------------------
+
+_FB_SCOPE = o_date_scope_sql(OPTS, "from_beginning")
+
+_XR_REGISTRY = {
+    ln.key: ln
+    for ln in [
+        xr.Line("CUR_ASSETS", "domain", [("account_code", "=like", "1%")]),
+        xr.Line("CUR_LIAB", "domain", [("account_code", "=like", "2%")]),
+        xr.Line("NET_ASSETS", "aggregation", "CUR_ASSETS.balance - CUR_LIAB.balance"),
+    ]
+}
+
+
+@query(
+    "e6_cross_report",
+    oracle=f"""
+    WITH {O_LEDGER},
+    base AS (
+      SELECT CAST(COALESCE(SUM(CASE WHEN account_code LIKE '6%' AND {_SCOPE}
+                                    THEN conv END), 0) AS DOUBLE) AS rev,
+             CAST(COALESCE(SUM(CASE WHEN account_code LIKE '1%' THEN conv END), 0)
+                  AS DOUBLE) AS ca,
+             CAST(COALESCE(SUM(CASE WHEN account_code LIKE '2%' THEN conv END), 0)
+                  AS DOUBLE) AS cl
+      FROM led WHERE {_FB_SCOPE}
+    )
+    SELECT 'CUR_ASSETS' AS line, ca AS result FROM base
+    UNION ALL SELECT 'CUR_LIAB', cl FROM base
+    UNION ALL SELECT 'NET_ASSETS', ca - cl FROM base
+    UNION ALL SELECT 'RATIO', rev / (ca - cl) * 100 FROM base
+    UNION ALL SELECT 'REV', rev FROM base
+    """,
+)
+def e6_cross_report(spark, sf_dir):
+    led = move_lines(spark, sf_dir)
+    report = [
+        xr.Line("REV", "domain", [("account_code", "=like", "6%")]),
+        xr.Line(
+            "RATIO",
+            "aggregation",
+            "REV.balance / NET_ASSETS.balance * 100",
+            subformula=xr.CROSS_REPORT,
+            date_scope="from_beginning",
+        ),
+    ]
+    vals = xr.evaluate_report(led, OPTS, report, _XR_REGISTRY)
+    rows = [(k.split(".")[0], v) for k, v in sorted(vals.items())]
+    return spark.createDataFrame(rows, "line string, result double")
 
 
 @query(

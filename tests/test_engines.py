@@ -252,6 +252,102 @@ def test_account_codes_empty_term_contributes_zero(tiny_ledger):
     assert out["1 - 9C"] == pytest.approx(120.0)
 
 
+# ---------------------------------------------------------------------------
+# E6 cross_report: foreign terms under a forced date scope
+# ---------------------------------------------------------------------------
+
+
+def test_cross_report_forced_scope(tiny_ledger):
+    from etl_staging_spark.engines import cross_report as xr
+
+    registry = {
+        ln.key: ln
+        for ln in [
+            xr.Line("ASSETS", "domain", [("account_code", "=like", "1%")]),
+            xr.Line("DOUBLE_ASSETS", "aggregation", "ASSETS.balance * 2"),
+        ]
+    }
+    report = [
+        xr.Line("EXP", "domain", [("account_code", "=like", "6%")]),
+        # forced 'from_beginning' pulls the out-of-period row 5 (+999)
+        # into ASSETS: 70 + 50 + 999 = 1119, not the in-period 120
+        xr.Line(
+            "TOT",
+            "aggregation",
+            "EXP.balance + DOUBLE_ASSETS.balance",
+            subformula=xr.CROSS_REPORT,
+            date_scope="from_beginning",
+        ),
+    ]
+    vals = xr.evaluate_report(tiny_ledger, OPTS, report, registry)
+    assert vals["EXP.balance"] == pytest.approx(-200.0)  # strict 2020
+    assert vals["ASSETS.balance"] == pytest.approx(1119.0)  # forced as-of
+    assert vals["TOT.balance"] == pytest.approx(-200.0 + 2 * 1119.0)
+
+
+def test_cross_report_conflicting_scopes_rejected(tiny_ledger):
+    from etl_staging_spark.engines import cross_report as xr
+
+    registry = {"A.balance": xr.Line("A", "domain", [("account_code", "=like", "1%")])}
+    report = [
+        xr.Line("X", "aggregation", "A.balance", subformula=xr.CROSS_REPORT,
+                date_scope="strict_range"),
+        xr.Line("Y", "aggregation", "A.balance * 2", subformula=xr.CROSS_REPORT,
+                date_scope="from_beginning"),
+    ]
+    with pytest.raises(ValueError, match="two forced scopes"):
+        xr.evaluate_report(tiny_ledger, OPTS, report, registry)
+
+
+# ---------------------------------------------------------------------------
+# E4 carryover chain (reference test_tax_report_carryover.py analog)
+# ---------------------------------------------------------------------------
+
+
+def test_carryover_two_period_chain():
+    """Reference scenario: -1000 in period 1 carries; period 2's +1500
+    absorbs it (balance 500, nothing carries on)."""
+    from decimal import Decimal
+
+    from etl_staging_spark.engines.carryover import fold_chain
+
+    chain = fold_chain([(1, Decimal("-1000")), (2, Decimal("1500"))])
+    assert chain[0]["carry"] == Decimal("-1000") and chain[0]["balance"] == 0
+    assert chain[1]["applied"] == Decimal("-1000")
+    assert chain[1]["unbound"] == Decimal("500")
+    assert chain[1]["carry"] == 0 and chain[1]["balance"] == Decimal("500")
+    # a chain that never recovers keeps accumulating
+    chain2 = fold_chain([(1, Decimal("-1000")), (2, Decimal("-200")), (3, Decimal("300"))])
+    assert chain2[1]["carry"] == Decimal("-1200")
+    assert chain2[2]["carry"] == Decimal("-900") and chain2[2]["balance"] == 0
+
+
+def test_carryover_unit_adjustment(spark):
+    """Multi-company: bounds are non-linear, so the unit fold differs
+    from the sum of company folds; the difference lands on the main
+    company as an 'adjustment' row (account_report.py:3001-3018)."""
+    from etl_staging_spark.engines.carryover import generate_carryover_values
+
+    bases = spark.createDataFrame(
+        # p1: c0 -1000, c1 +400 -> unit -600; companies carry -1000, unit -600
+        # p2: c0 +1000, c1 -100 -> c0 unbound 0, c1 -100; unit: -600+900=+300
+        [(1, 0, "-1000.00"), (1, 1, "400.00"), (2, 0, "1000.00"), (2, 1, "-100.00")],
+        "period int, company_id int, base_s string",
+    ).selectExpr("period", "company_id", "CAST(base_s AS DECIMAL(18,2)) AS base")
+    out = generate_carryover_values(
+        spark, bases, {1: "2021-06-30", 2: "2021-12-31"}, main_company=0
+    )
+    rows = {(r.date, r.company_id, r.kind): r.value for r in out.collect()}
+    assert rows[("2021-06-30", 0, "carryover")] == -1000.0
+    # adjustment brings stored total (-1000) up to the unit carry (-600)
+    assert rows[("2021-06-30", 0, "adjustment")] == 400.0
+    # p2: company 1 carries -100; company 0 carries 0 (absorbed); unit
+    # carries 0 (unbound +300) -> adjustment +100 on main company
+    assert rows[("2021-12-31", 1, "carryover")] == -100.0
+    assert rows[("2021-12-31", 0, "adjustment")] == 100.0
+    assert ("2021-12-31", 0, "carryover") not in rows  # zero rows skipped
+
+
 def test_external_engine_sum_and_most_recent(spark):
     rows = [
         ("m", "2020-01-05", "10.00"),
