@@ -1,7 +1,8 @@
 """O3: hierarchical sort materialized as ranks — nation parents ranked
 by total (driver-side over the BOUNDED parent list — no global window),
 customer children ranked within each parent (partitioned window), and
-per-parent total rows pinned after the children.
+per-parent total rows pinned after the children. Plus the account.group
+hierarchy rollup (`account_report.py:845-993`).
 """
 
 from __future__ import annotations
@@ -9,6 +10,9 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..engines.ledger import O_LEDGER, move_lines
+from ..engines.options import make_options, o_date_scope_sql
+from ..reports.hierarchy import hierarchy_rollup
 from ..tables import load
 from .registry import query
 
@@ -87,3 +91,51 @@ def o3_hierarchy_sort(spark, sf_dir):
         F.col("total").alias("balance"),
     )
     return details.unionByName(totals)
+
+
+# ---------------------------------------------------------------------------
+# Hierarchy rollup: account.group parent-chain totals above account
+# lines (account_report.py:845-993 _create_hierarchy). The group tree
+# is prefix-defined (class digit, two-digit group); the rollup is one
+# per-account aggregate plus one tiny aggregate per level, and the
+# lexicographic path order is the depth-first tree order.
+# ---------------------------------------------------------------------------
+
+_HR_OPTS = make_options("1997-01-01", "1997-12-31")
+_HR_SCOPE = o_date_scope_sql(_HR_OPTS, "strict_range")
+
+
+@query(
+    "hier_rollup",
+    oracle=f"""
+    WITH {O_LEDGER},
+    per_acct AS (
+      SELECT account_code, SUM(conv) AS total, COUNT(*) AS n_lines
+      FROM led WHERE {_HR_SCOPE} GROUP BY account_code
+    )
+    SELECT account_code AS path, CAST(2 AS INT) AS depth,
+           'account' AS line_type, CAST(total AS DOUBLE) AS total,
+           CAST(1 AS BIGINT) AS n_accounts
+    FROM per_acct
+    UNION ALL
+    SELECT substr(account_code, 1, 1), CAST(0 AS INT), 'group1',
+           CAST(SUM(total) AS DOUBLE), COUNT(*)
+    FROM per_acct GROUP BY 1
+    UNION ALL
+    SELECT substr(account_code, 1, 2), CAST(1 AS INT), 'group2',
+           CAST(SUM(total) AS DOUBLE), COUNT(*)
+    FROM per_acct GROUP BY 1
+    """,
+)
+def hier_rollup(spark, sf_dir):
+    from ..engines.options import date_scope_filter
+
+    led = move_lines(spark, sf_dir)
+    per_acct = (
+        led.where(date_scope_filter(_HR_OPTS, "strict_range"))
+        .groupBy("account_code")
+        .agg(F.sum("conv").alias("total"), F.count("*").alias("n_lines"))
+        .persist()
+    )
+    rolled = hierarchy_rollup(per_acct, levels=(1, 2))
+    return rolled.withColumn("total", F.col("total").cast("double"))

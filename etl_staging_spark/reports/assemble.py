@@ -86,6 +86,114 @@ def sort_lines(lines: list[dict], order_column: int) -> list[dict]:
     return out
 
 
+def create_hierarchy(
+    account_lines: list[dict],
+    groups: list[dict],
+    no_group_name: str = "(No Group)",
+) -> list[dict]:
+    """Insert account.group rollup lines above account lines — the
+    driver-side port of `_create_hierarchy` (`account_report.py:845-993`),
+    O(report lines).
+
+    ``account_lines``: [{'code', 'name', 'columns': [{'no_format': v}]}]
+    in any order. ``groups``: [{'prefix', 'name', 'parent': prefix|None}]
+    — the account.group table; an account belongs to the group with the
+    LONGEST prefix of its code, and group totals roll up the parent
+    chain. Accounts matching no group go under a '(No Group)' node,
+    rendered last at the root, like the reference.
+
+    Returns the full line list in tree order: each group line
+    (id ``group~<prefix>``, level, parent_id, rolled-up columns)
+    followed by its child groups and member accounts, interleaved in
+    code order."""
+    by_prefix = {g["prefix"]: dict(g) for g in groups}
+    n_cols = len(account_lines[0]["columns"]) if account_lines else 0
+    for g in by_prefix.values():
+        g.setdefault("parent", None)
+        g["totals"] = [0.0] * n_cols
+        g["accounts"] = []
+
+    children: dict[str | None, list[str]] = defaultdict(list)
+    roots: list[str] = []
+    for prefix, g in sorted(by_prefix.items()):
+        if g["parent"] is not None:
+            children[g["parent"]].append(prefix)
+        else:
+            roots.append(prefix)
+
+    no_group: list[dict] = []
+    no_group_totals = [0.0] * n_cols
+    for line in sorted(account_lines, key=lambda l: l["code"]):
+        best = None
+        for prefix in by_prefix:
+            if line["code"].startswith(prefix) and (
+                best is None or len(prefix) > len(best)
+            ):
+                best = prefix
+        if best is None:
+            no_group.append(line)
+            no_group_totals = [
+                t + c.get("no_format", 0.0)
+                for t, c in zip(no_group_totals, line["columns"])
+            ]
+            continue
+        by_prefix[best]["accounts"].append(line)
+        # roll the account's columns up the parent chain
+        walk = best
+        while walk is not None:
+            g = by_prefix[walk]
+            g["totals"] = [
+                t + c.get("no_format", 0.0)
+                for t, c in zip(g["totals"], line["columns"])
+            ]
+            walk = g["parent"]
+
+    out: list[dict] = []
+
+    def render(prefix: str, level: int, parent_id: str | None) -> None:
+        g = by_prefix[prefix]
+        gid = f"group~{prefix}"
+        out.append(
+            {
+                "id": gid,
+                "name": g["name"],
+                "level": level,
+                "parent_id": parent_id,
+                "columns": [{"no_format": t} for t in g["totals"]],
+            }
+        )
+        # interleave child groups and member accounts in code order: a
+        # child group renders before accounts sorting after its prefix
+        kids = [(p, "g") for p in children.get(prefix, [])] + [
+            (a["code"], a) for a in g["accounts"]
+        ]
+        for key, item in sorted(kids, key=lambda kv: kv[0]):
+            if item == "g":
+                render(key, level + 1, gid)
+            else:
+                out.append(
+                    {**item, "id": f"account~{item['code']}", "level": level + 1, "parent_id": gid}
+                )
+
+    for prefix in roots:
+        render(prefix, 0, None)
+    if no_group:
+        out.append(
+            {
+                "id": "group~",
+                "name": no_group_name,
+                "level": 0,
+                "parent_id": None,
+                "columns": [{"no_format": t} for t in no_group_totals],
+            }
+        )
+        for line in no_group:
+            out.append(
+                {**line, "id": f"account~{line['code']}", "level": 1, "parent_id": "group~"}
+            )
+    return out
+
+
 def prefix_groups(
     names: list[str], threshold: int, prefix_len: int = 1
 ) -> dict[str, list[str] | dict]:

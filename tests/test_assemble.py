@@ -69,3 +69,50 @@ def test_prefix_groups_recursive():
 
 def test_prefix_groups_under_threshold_flat():
     assert prefix_groups(["a", "b"], threshold=5) == {"": ["a", "b"]}
+
+
+def test_create_hierarchy_rollup_and_order():
+    from etl_staging_spark.reports.assemble import create_hierarchy
+
+    groups = [
+        {"prefix": "1", "name": "Class 1", "parent": None},
+        {"prefix": "10", "name": "Group 10", "parent": "1"},
+        {"prefix": "2", "name": "Class 2", "parent": None},
+    ]
+    accounts = [
+        {"code": "101", "name": "Cash", "columns": [{"no_format": 10.0}, {"no_format": 1.0}]},
+        {"code": "104", "name": "Bank", "columns": [{"no_format": 5.0}, {"no_format": 2.0}]},
+        {"code": "120", "name": "Recv", "columns": [{"no_format": 7.0}, {"no_format": 0.0}]},
+        {"code": "201", "name": "Pay", "columns": [{"no_format": -3.0}, {"no_format": 4.0}]},
+        {"code": "900", "name": "Odd", "columns": [{"no_format": 2.0}, {"no_format": 9.0}]},
+    ]
+    out = create_hierarchy(accounts, groups)
+    ids = [l["id"] for l in out]
+    # depth-first: class 1 -> group 10 (101, 104) -> 120 (directly under
+    # class 1) -> class 2 -> 201; no-group node last
+    assert ids == [
+        "group~1", "group~10", "account~101", "account~104", "account~120",
+        "group~2", "account~201", "group~", "account~900",
+    ]
+    by_id = {l["id"]: l for l in out}
+    # parent-chain rollup, per column
+    assert [c["no_format"] for c in by_id["group~10"]["columns"]] == [15.0, 3.0]
+    assert [c["no_format"] for c in by_id["group~1"]["columns"]] == [22.0, 3.0]
+    assert [c["no_format"] for c in by_id["group~2"]["columns"]] == [-3.0, 4.0]
+    assert [c["no_format"] for c in by_id["group~"]["columns"]] == [2.0, 9.0]
+    # levels follow the tree
+    assert by_id["group~1"]["level"] == 0
+    assert by_id["group~10"]["level"] == 1
+    assert by_id["account~101"]["level"] == 2
+    assert by_id["account~120"]["level"] == 1
+    assert by_id["account~120"]["parent_id"] == "group~1"
+    assert by_id["account~900"]["parent_id"] == "group~"
+
+
+def test_create_hierarchy_no_groups_at_all():
+    from etl_staging_spark.reports.assemble import create_hierarchy
+
+    accounts = [{"code": "101", "name": "Cash", "columns": [{"no_format": 1.0}]}]
+    out = create_hierarchy(accounts, [])
+    assert [l["id"] for l in out] == ["group~", "account~101"]
+    assert out[0]["columns"][0]["no_format"] == 1.0
