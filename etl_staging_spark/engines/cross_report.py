@@ -63,12 +63,16 @@ def evaluate_report(
     options: dict,
     report: list[Line],
     registry: dict[str, Line] | None = None,
+    extra_base_values: dict[str, float] | None = None,
 ) -> dict[str, float]:
     """Evaluate a report's lines, expanding ``cross_report`` terms from
     ``registry`` (the other reports' lines keyed 'CODE.label') under the
-    referencing expression's date scope. Returns every computed value —
-    local lines under their own scopes plus the foreign expansions."""
+    referencing expression's date scope. ``extra_base_values`` injects
+    already-known scalars (the custom-engine hook, e.g. the executive
+    summary's NDays term). Returns every computed value — local lines
+    under their own scopes plus the foreign expansions."""
     registry = registry or {}
+    extra = dict(extra_base_values or {})
     local = {ln.key: ln for ln in report}
 
     # scope -> {result key -> filter Column}; local domain lines run
@@ -82,7 +86,7 @@ def evaluate_report(
         scope_batches.setdefault(scope, {})[key] = compile_domain(ln.formula)
 
     def expand_foreign(term_key: str, forced_scope: str) -> None:
-        if term_key in local:
+        if term_key in local or term_key in extra:
             return
         prev = forced_scope_of.get(term_key)
         if prev is not None:
@@ -123,7 +127,7 @@ def evaluate_report(
         else:
             raise ValueError(f"unsupported engine {ln.engine!r}")
 
-    base_values: dict[str, float] = {}
+    base_values: dict[str, float] = dict(extra)
     for scope, cols in scope_batches.items():
         aliases = {f"c{i}": key for i, key in enumerate(sorted(cols))}
         row = (

@@ -74,44 +74,87 @@ def f5_searchbar(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# M4: serial-ledger rebuild — reconstruct each serial's current state
-# from its movement history (etl_sale/models/serial.py:708-1026
-# action_correct_outs*): the LAST movement decides the state.
+# M4: serial-ledger correction chain — the full per-location rebuild
+# (etl_sale/models/serial.py:708-1026, action_correct_outs*/
+# action_correct_slno_*): net each serial's movements per location,
+# backfill a synthetic 'Opening Stock' IN (dated at the first movement)
+# where the net goes negative (the reference's missing-IN creation),
+# drop duplicate movements (its unlink of degenerate rows), and keep
+# the last-movement state. The per-serial Python replay collapses to
+# ONE grouped aggregate — deterministic under equal-timestamp ties via
+# the fixed-width (date|flag) tag.
 # ---------------------------------------------------------------------------
 
 
 @query(
     "m4_serial_rebuild",
     oracle="""
-    WITH tagged AS (
-      SELECT l_partkey, l_suppkey,
+    WITH moves AS (
+      SELECT l_partkey, l_suppkey, l_linenumber % 3 AS location_id,
+             l_shipdate, l_returnflag, l_quantity,
              strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') || '|' || l_returnflag
                  AS move_tag
       FROM lineitem
+    ),
+    agg AS (
+      SELECT l_partkey, l_suppkey, location_id,
+             COUNT(*) AS n_moves,
+             COUNT(DISTINCT move_tag) AS n_distinct,
+             SUM(CASE WHEN l_returnflag <> 'R' THEN l_quantity ELSE 0 END) AS qty_in,
+             SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END) AS qty_out,
+             strftime(MIN(l_shipdate), '%Y-%m-%d') AS first_move_date,
+             substr(MAX(move_tag), 1, 10) AS last_move_date,
+             CASE WHEN substr(MAX(move_tag), 21, 1) = 'R'
+                  THEN 'returned' ELSE 'in_stock' END AS state
+      FROM moves GROUP BY 1, 2, 3
     )
-    SELECT l_partkey, l_suppkey, COUNT(*) AS n_moves,
-           substr(MAX(move_tag), 1, 10) AS last_move_date,
-           CASE WHEN substr(MAX(move_tag), 21, 1) = 'R'
-                THEN 'returned' ELSE 'in_stock' END AS state
-    FROM tagged GROUP BY l_partkey, l_suppkey
+    SELECT l_partkey, l_suppkey, location_id, n_moves,
+           CAST(n_moves - n_distinct AS BIGINT) AS dup_moves_removed,
+           CAST(qty_in AS DOUBLE) AS qty_in,
+           CAST(qty_out AS DOUBLE) AS qty_out,
+           CAST(qty_in - qty_out AS DOUBLE) AS net_before,
+           CAST(CASE WHEN qty_in - qty_out < 0 THEN qty_out - qty_in
+                     ELSE 0 END AS DOUBLE) AS opening_correction,
+           CASE WHEN qty_in - qty_out < 0 THEN first_move_date END
+               AS correction_date,
+           CAST(CASE WHEN qty_in - qty_out < 0 THEN 0
+                     ELSE qty_in - qty_out END AS DOUBLE) AS net_after,
+           last_move_date, state
+    FROM agg
     """,
 )
 def m4_serial_rebuild(spark, sf_dir):
-    """Last-movement state per serial (part x supplier): the movement
-    history collapses to MAX of a fixed-width (date|flag) tag — a single
-    aggregate, deterministic under equal-timestamp ties (lexicographic
-    on the flag), instead of the reference's per-serial Python replay."""
     li = load(spark, sf_dir, "lineitem")
     tag = F.concat(
         F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss"), F.lit("|"), F.col("l_returnflag")
     )
-    agg = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.count("*").alias("n_moves"), F.max(tag).alias("mt")
+    is_out = F.col("l_returnflag") == "R"
+    agg = (
+        li.withColumn("location_id", F.col("l_linenumber") % 3)
+        .withColumn("move_tag", tag)
+        .groupBy("l_partkey", "l_suppkey", "location_id")
+        .agg(
+            F.count("*").alias("n_moves"),
+            F.countDistinct("move_tag").alias("n_distinct"),
+            F.sum(F.when(~is_out, F.col("l_quantity")).otherwise(0)).alias("qty_in"),
+            F.sum(F.when(is_out, F.col("l_quantity")).otherwise(0)).alias("qty_out"),
+            F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("first_move_date"),
+            F.max("move_tag").alias("mt"),
+        )
     )
+    net = F.col("qty_in") - F.col("qty_out")
     return agg.select(
         "l_partkey",
         "l_suppkey",
+        "location_id",
         "n_moves",
+        (F.col("n_moves") - F.col("n_distinct")).cast("bigint").alias("dup_moves_removed"),
+        F.col("qty_in").cast("double").alias("qty_in"),
+        F.col("qty_out").cast("double").alias("qty_out"),
+        net.cast("double").alias("net_before"),
+        F.when(net < 0, -net).otherwise(F.lit(0)).cast("double").alias("opening_correction"),
+        F.when(net < 0, F.col("first_move_date")).alias("correction_date"),
+        F.when(net < 0, F.lit(0)).otherwise(net).cast("double").alias("net_after"),
         F.substring("mt", 1, 10).alias("last_move_date"),
         F.when(F.substring("mt", 21, 1) == "R", "returned")
         .otherwise("in_stock")

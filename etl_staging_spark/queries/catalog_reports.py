@@ -451,3 +451,166 @@ def mc_report(spark, sf_dir):
         )
     )
     return to_adjust.unionByName(excluded)
+
+
+# ---------------------------------------------------------------------------
+# Executive summary (data/executive_summary.xml +
+# executive_summary_report.py:10-15): domain cash lines, cross_report
+# profitability from the P&L definition, balance-sheet positions,
+# ratios, and NDays-based average debtor/creditor days — every engine
+# in one report. One Spark aggregate per date scope; driver fixpoint.
+# ---------------------------------------------------------------------------
+
+_ES_IN = "date >= TIMESTAMP '1997-01-01'"
+
+
+@query(
+    "es_report",
+    oracle=f"""
+    WITH {O_LEDGER},
+    base AS (
+      SELECT
+        CAST(COALESCE(SUM(CASE WHEN account_code LIKE '10%' AND conv > 0 AND {_ES_IN}
+                               THEN conv END), 0) AS DOUBLE) AS cr,
+        CAST(COALESCE(SUM(CASE WHEN account_code LIKE '10%' AND conv < 0 AND {_ES_IN}
+                               THEN conv END), 0) AS DOUBLE) AS cs,
+        CAST(COALESCE(SUM(CASE WHEN account_code LIKE '10%' THEN conv END), 0)
+             AS DOUBLE) AS closing,
+        CAST(COALESCE(SUM(CASE WHEN account_code LIKE '12%' THEN conv END), 0)
+             AS DOUBLE) AS deb,
+        CAST(COALESCE(SUM(CASE WHEN account_code LIKE '21%' THEN conv END), 0)
+             AS DOUBLE) AS cre,
+        CAST(COALESCE(SUM(CASE WHEN account_code LIKE '6%' AND {_ES_IN}
+                               THEN conv END), 0) AS DOUBLE) AS inc,
+        CAST(COALESCE(SUM(CASE WHEN account_code LIKE '70%' AND {_ES_IN}
+                               THEN conv END), 0) AS DOUBLE) AS cos,
+        CAST(COALESCE(SUM(CASE WHEN account_code LIKE '8%' AND {_ES_IN}
+                               THEN conv END), 0) AS DOUBLE) AS lex,
+        CAST(COALESCE(SUM(CASE WHEN account_code LIKE '1%' THEN conv END), 0)
+             AS DOUBLE) AS ca,
+        CAST(COALESCE(SUM(CASE WHEN account_code LIKE '3%' THEN conv END), 0)
+             AS DOUBLE) AS fa,
+        CAST(COALESCE(SUM(CASE WHEN account_code LIKE '2%' THEN conv END), 0)
+             AS DOUBLE) AS cl
+      FROM led WHERE date <= TIMESTAMP '1997-12-31 23:59:59'
+    )
+    SELECT 'CR' AS line, cr AS result FROM base
+    UNION ALL SELECT 'CS', cs FROM base
+    UNION ALL SELECT 'CASH_SURPLUS', cr + cs FROM base
+    UNION ALL SELECT 'CLOSING_BANK', closing FROM base
+    UNION ALL SELECT 'ES_INC', inc FROM base
+    UNION ALL SELECT 'ES_COS', cos FROM base
+    UNION ALL SELECT 'ES_GRP', inc - cos FROM base
+    UNION ALL SELECT 'ES_LEX', lex FROM base
+    UNION ALL SELECT 'ES_NEP', (inc - cos) - lex FROM base
+    UNION ALL SELECT 'DEB', deb FROM base
+    UNION ALL SELECT 'CRE', cre FROM base
+    UNION ALL SELECT 'NET_ASSETS', (ca + fa) - cl FROM base
+    UNION ALL SELECT 'GP_MARGIN', (inc - cos) / inc * 100 FROM base
+    UNION ALL SELECT 'NP_MARGIN', ((inc - cos) - lex) / inc * 100 FROM base
+    UNION ALL SELECT 'ROI', ((inc - cos) - lex) / (ca + fa) * 100 FROM base
+    UNION ALL SELECT 'AVG_DEBT_DAYS', deb / inc * 364.0 FROM base
+    UNION ALL SELECT 'AVG_CRED_DAYS', -cre / inc * 364.0 FROM base
+    UNION ALL SELECT 'ST_CASH_FORECAST', deb + cre FROM base
+    UNION ALL SELECT 'CA_TO_L', ca / cl FROM base
+    """,
+)
+def es_report(spark, sf_dir):
+    from ..reports.executive_summary import executive_summary
+
+    led = move_lines(spark, sf_dir)
+    return executive_summary(spark, led, make_options("1997-01-01", "1997-12-31"))
+
+
+# ---------------------------------------------------------------------------
+# Bank reconciliation statement report
+# (account_bank_reconciliation_report.py:406-439): per unreconciled
+# statement line, split the move's balance into suspense-account vs
+# other, then section the lines into receipts(+) / payments(-) with
+# totals — the statement-level layer above the A15 split.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "br_report",
+    oracle=f"""
+    WITH {O_LEDGER},
+    st AS (
+      SELECT l.move_id,
+             SUM(CASE WHEN l.account_code LIKE '10%' THEN l.conv
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS susp,
+             SUM(CASE WHEN l.account_code LIKE '10%' THEN CAST(0 AS DECIMAL(18,2))
+                      ELSE l.conv END) AS oth,
+             strftime(MAX(l.date), '%Y-%m-%d') AS st_date,
+             COUNT(*) AS n
+      FROM led l JOIN orders o ON o.o_orderkey = l.move_id
+      WHERE o.o_orderstatus = 'O'
+        AND l.date >= TIMESTAMP '1997-01-01'
+        AND l.date <= TIMESTAMP '1997-12-31 23:59:59'
+      GROUP BY l.move_id
+    ),
+    details AS (
+      SELECT CASE WHEN susp > 0 THEN 'receipts' ELSE 'payments' END AS section,
+             'st_line' AS line_type, move_id, st_date,
+             CAST(susp AS DOUBLE) AS suspense_balance,
+             CAST(oth AS DOUBLE) AS other_balance, n
+      FROM st WHERE susp <> 0
+    )
+    SELECT * FROM details
+    UNION ALL
+    SELECT section, 'total', NULL, NULL,
+           CAST(SUM(CAST(suspense_balance AS DECIMAL(18,2))) AS DOUBLE),
+           CAST(SUM(CAST(other_balance AS DECIMAL(18,2))) AS DOUBLE),
+           SUM(n)
+    FROM details GROUP BY section
+    """,
+)
+def br_report(spark, sf_dir):
+    """Unreconciled statements (open orders) x suspense/other split
+    (A15) -> sectioned detail + totals (U1). One shuffle on move_id;
+    the section totals aggregate the bounded detail frame."""
+    from pyspark.sql import functions as F
+
+    led = move_lines(spark, sf_dir)
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    zero = F.lit(0).cast("decimal(18,2)")
+    st = (
+        led.where(
+            (F.col("date") >= "1997-01-01") & (F.col("date") <= "1997-12-31 23:59:59")
+        )
+        .join(o, led.move_id == o.o_orderkey)
+        .where(F.col("o_orderstatus") == "O")
+        .groupBy("move_id")
+        .agg(
+            F.sum(
+                F.when(F.col("account_code").like("10%"), F.col("conv")).otherwise(zero)
+            ).alias("susp"),
+            F.sum(
+                F.when(F.col("account_code").like("10%"), zero).otherwise(F.col("conv"))
+            ).alias("oth"),
+            F.date_format(F.max("date"), "yyyy-MM-dd").alias("st_date"),
+            F.count("*").alias("n"),
+        )
+    )
+    details = (
+        st.where(F.col("susp") != 0)
+        .select(
+            F.when(F.col("susp") > 0, "receipts").otherwise("payments").alias("section"),
+            F.lit("st_line").alias("line_type"),
+            "move_id",
+            "st_date",
+            F.col("susp").cast("double").alias("suspense_balance"),
+            F.col("oth").cast("double").alias("other_balance"),
+            "n",
+        )
+        .persist()
+    )
+    totals = details.groupBy("section").agg(
+        F.lit("total").alias("line_type"),
+        F.lit(None).cast("long").alias("move_id"),
+        F.lit(None).cast("string").alias("st_date"),
+        F.sum(F.col("suspense_balance").cast("decimal(18,2)")).cast("double").alias("suspense_balance"),
+        F.sum(F.col("other_balance").cast("decimal(18,2)")).cast("double").alias("other_balance"),
+        F.sum("n").alias("n"),
+    )
+    return details.unionByName(totals.select(*details.columns))

@@ -86,6 +86,127 @@ def sort_lines(lines: list[dict], order_column: int) -> list[dict]:
     return out
 
 
+def growth_comparison_data(
+    value1, value2, green_on_positive: bool = True
+) -> dict:
+    """`_compute_growth_comparison_column` (`account_report.py:4445-4471`):
+    the extra %-growth cell between the current and the compared period.
+    'n/a' when the compared value rounds to zero at 0.1 precision; the
+    color flips on negative compared figures (sales going -1000 -> 1000
+    is growth, even though the raw % is negative)."""
+    if round(value2, 1) == 0:
+        return {"name": "n/a", "class": "number"}
+    res = round((value1 - value2) / value2 * 100, 1)
+    if round(res, 1) == 0:
+        return {"name": "0.0%", "class": "number"}
+    if (res > 0) != (green_on_positive and value2 > 0):
+        return {"name": f"{res}%", "class": "number color-red"}
+    return {"name": f"{res}%", "class": "number color-green"}
+
+
+def add_growth_comparison(lines: list[dict], green_on_positive: bool = True) -> None:
+    """Attach ``growth_comparison_data`` to each line from its first two
+    columns (current vs compared column group) — `account_report.py:
+    1802-1822`. Layout lines with no values get an empty cell."""
+    for line in lines:
+        v1 = line["columns"][0].get("no_format") if line["columns"] else None
+        v2 = line["columns"][1].get("no_format") if len(line["columns"]) > 1 else None
+        if not v1 and not v2:
+            line["growth_comparison_data"] = {"name": "", "class": ""}
+        else:
+            line["growth_comparison_data"] = growth_comparison_data(
+                v1 or 0.0, v2 or 0.0, green_on_positive
+            )
+
+
+def _children_index(lines: list[dict]) -> dict[str | None, list[str]]:
+    children: dict[str | None, list[str]] = defaultdict(list)
+    for line in lines:
+        children[line.get("parent_id")].append(line["id"])
+    return children
+
+
+def hide_if_zero(lines: list[dict], flagged_ids: set[str]) -> list[dict]:
+    """`account_report.py:1824-1852`: a flagged line hides when its own
+    columns AND every descendant's columns are all zero/empty; hiding a
+    line hides its children too."""
+    by_id = {line["id"]: line for line in lines}
+    children = _children_index(lines)
+
+    def subtree(root: str) -> list[str]:
+        out, stack = [], [root]
+        while stack:
+            cur = stack.pop()
+            out.append(cur)
+            stack.extend(children.get(cur, []))
+        return out
+
+    hidden: set[str] = set()
+    for lid in flagged_ids:
+        if lid not in by_id:
+            continue
+        tree = subtree(lid)
+        if all(
+            not c.get("no_format")
+            for node in tree
+            for c in by_id[node]["columns"]
+        ):
+            hidden.update(tree)
+    return [
+        line
+        for line in lines
+        if line["id"] not in hidden and line.get("parent_id") not in hidden
+    ]
+
+
+def add_totals_below_sections(lines: list[dict]) -> list[dict]:
+    """`_add_totals_below_sections` (`account_report.py:3824-3863`):
+    every section (a line that parents other lines, or an unfoldable
+    line with values) gets a 'Total <name>' copy of itself appended
+    after its last descendant, stack-ordered so nested sections close
+    inner-first."""
+    by_id = {line["id"]: line for line in lines}
+    parents = {line.get("parent_id") for line in lines if line.get("parent_id")}
+    needing = {
+        line["id"]
+        for line in lines
+        if (line["id"] in parents or line.get("unfoldable"))
+        and get_markup(line["id"]) != "total"
+    }
+
+    def ancestors(line: dict) -> set[str]:
+        seen: set[str] = set()
+        parent = line.get("parent_id")
+        while parent is not None and parent in by_id and parent not in seen:
+            seen.add(parent)
+            parent = by_id[parent].get("parent_id")
+        return seen
+
+    out: list[dict] = []
+    stack: list[dict] = []
+    for line in lines:
+        anc = ancestors(line)
+        while stack and stack[-1]["parent_id"] not in anc:
+            out.append(stack.pop())
+        out.append(line)
+        if line["id"] in needing and any(
+            c.get("no_format") is not None for c in line["columns"]
+        ):
+            stack.append(
+                {
+                    **line,
+                    "id": f"total~{line['id']}",
+                    "name": f"Total {line['name']}",
+                    "parent_id": line["id"],
+                    "level": line.get("level", 0) + 1,
+                    "unfoldable": False,
+                }
+            )
+    while stack:
+        out.append(stack.pop())
+    return out
+
+
 def create_hierarchy(
     account_lines: list[dict],
     groups: list[dict],

@@ -116,3 +116,66 @@ def test_create_hierarchy_no_groups_at_all():
     out = create_hierarchy(accounts, [])
     assert [l["id"] for l in out] == ["group~", "account~101"]
     assert out[0]["columns"][0]["no_format"] == 1.0
+
+
+def test_growth_comparison_colors():
+    from etl_staging_spark.reports.assemble import growth_comparison_data as g
+
+    assert g(110.0, 100.0) == {"name": "10.0%", "class": "number color-green"}
+    assert g(90.0, 100.0) == {"name": "-10.0%", "class": "number color-red"}
+    # compared value ~0 -> n/a
+    assert g(50.0, 0.04) == {"name": "n/a", "class": "number"}
+    # negative compared figure flips the color: -1000 -> 1000 is growth
+    assert g(1000.0, -1000.0) == {"name": "-200.0%", "class": "number color-green"}
+    assert g(-1500.0, -1000.0) == {"name": "50.0%", "class": "number color-red"}
+    # green_on_positive=False inverts
+    assert g(110.0, 100.0, green_on_positive=False) == {
+        "name": "10.0%", "class": "number color-red"
+    }
+    assert g(100.0, 100.0) == {"name": "0.0%", "class": "number"}
+
+
+def test_add_growth_comparison_layout_lines():
+    from etl_staging_spark.reports.assemble import add_growth_comparison
+
+    lines = [
+        {"id": "a", "columns": [{"no_format": 110.0}, {"no_format": 100.0}]},
+        {"id": "b", "columns": [{"no_format": None}, {"no_format": None}]},
+    ]
+    add_growth_comparison(lines)
+    assert lines[0]["growth_comparison_data"]["name"] == "10.0%"
+    assert lines[1]["growth_comparison_data"] == {"name": "", "class": ""}
+
+
+def test_hide_if_zero_subtree():
+    from etl_staging_spark.reports.assemble import hide_if_zero
+
+    lines = [
+        {"id": "s1", "parent_id": None, "columns": [{"no_format": 0.0}]},
+        {"id": "s1c", "parent_id": "s1", "columns": [{"no_format": 0.0}]},
+        {"id": "s2", "parent_id": None, "columns": [{"no_format": 0.0}]},
+        {"id": "s2c", "parent_id": "s2", "columns": [{"no_format": 5.0}]},
+    ]
+    out = hide_if_zero(lines, {"s1", "s2"})
+    # s1 subtree is all-zero -> hidden (incl. child); s2 survives via child
+    assert [l["id"] for l in out] == ["s2", "s2c"]
+
+
+def test_totals_below_sections_nested():
+    from etl_staging_spark.reports.assemble import add_totals_below_sections
+
+    lines = [
+        {"id": "a", "parent_id": None, "name": "A", "columns": [{"no_format": 3.0}]},
+        {"id": "a1", "parent_id": "a", "name": "A1", "columns": [{"no_format": 1.0}]},
+        {"id": "a1x", "parent_id": "a1", "name": "A1X", "columns": [{"no_format": 1.0}]},
+        {"id": "a2", "parent_id": "a", "name": "A2", "columns": [{"no_format": 2.0}]},
+        {"id": "b", "parent_id": None, "name": "B", "columns": [{"no_format": 9.0}]},
+    ]
+    out = add_totals_below_sections(lines)
+    ids = [l["id"] for l in out]
+    # A1's total closes before A2; A's total closes before B
+    assert ids == ["a", "a1", "a1x", "total~a1", "a2", "total~a", "b"]
+    by_id = {l["id"]: l for l in out}
+    assert by_id["total~a"]["name"] == "Total A"
+    assert by_id["total~a"]["parent_id"] == "a"
+    assert by_id["total~a1"]["level"] == by_id["a1"].get("level", 0) + 1
