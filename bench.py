@@ -35,6 +35,13 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "sim_cosine_topk",
     "text_quality_score",
+    # round 3 additions
+    "es_report",
+    "br_report",
+    "hier_rollup",
+    "analytic_report",
+    "e4_carryover",
+    "m4_serial_rebuild",
 ]
 
 

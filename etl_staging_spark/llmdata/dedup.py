@@ -76,6 +76,16 @@ def shingle_set_sizes(df: DataFrame, n: int = 3) -> DataFrame:
 MAX_SHINGLE_DF = 64
 
 
+def _pin(out: DataFrame, *persisted: DataFrame) -> DataFrame:
+    """Keep strong Python references to persisted upstream frames on the
+    returned DataFrame: the ContextCleaner unpersists a cached RDD once
+    its Python wrapper is garbage-collected, and losing the cache while
+    the consumer still holds (and re-executes) the downstream plan
+    silently recomputes the shared lineage per branch."""
+    out._pinned_persisted = tuple(getattr(out, "_pinned_persisted", ())) + persisted
+    return out
+
+
 def _finish_jaccard(inter: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
     """(d1, d2, n_common) + per-doc sizes -> thresholded Jaccard rows.
     sizes is bounded (one row per doc... of the aggregated size table,
@@ -114,7 +124,7 @@ def _pair_jaccard(sh: DataFrame, pairs: DataFrame, threshold: float) -> DataFram
     n1, n2 = F.size("hs1"), F.size("hs2")
     n_common = F.size(F.array_intersect("hs1", "hs2"))
     jac = n_common / (n1 + n2 - n_common)
-    return (
+    out = (
         joined.where(jac >= threshold)
         .select(
             "d1",
@@ -123,6 +133,7 @@ def _pair_jaccard(sh: DataFrame, pairs: DataFrame, threshold: float) -> DataFram
             F.round(jac, 6).alias("jaccard"),
         )
     )
+    return _pin(out, arr)
 
 
 def jaccard_pairs(
@@ -159,7 +170,8 @@ def jaccard_pairs(
         .groupBy("d1", "d2")
         .agg(F.count("*").alias("n_common"))
     )
-    return _finish_jaccard(inter, sizes.persist(), threshold)
+    sizes = sizes.persist()
+    return _pin(_finish_jaccard(inter, sizes, threshold), buckets, sizes)
 
 
 def minhash_signatures(df: DataFrame, n: int = 3) -> DataFrame:
@@ -212,7 +224,7 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.8, n: int = 3) -> Data
     shingle)."""
     sh = hashed_shingles(df, n=n).persist()
     cands = lsh_candidate_pairs(_signatures_from(sh))
-    return _pair_jaccard(sh, cands, threshold)
+    return _pin(_pair_jaccard(sh, cands, threshold), sh)
 
 
 def simhash_table(df: DataFrame, n: int = 3, bits: int = 56) -> DataFrame:

@@ -614,3 +614,68 @@ def br_report(spark, sf_dir):
         F.sum("n").alias("n"),
     )
     return details.unionByName(totals.select(*details.columns))
+
+
+# ---------------------------------------------------------------------------
+# Analytic report (account_analytic_report.py:1-263): the report's
+# columns are duplicated once per analytic plan / analytic account,
+# each evaluating the SAME formulas over the shadow fact (analytic
+# lines mapped into move-line schema with balance = -amount,
+# _prepare_lines_for_analytic_groupby) filtered to that plan's
+# accounts. Spark shape: ONE conditional aggregate — a column per
+# analytic header, never a scan per plan.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "analytic_report",
+    oracle=f"""
+    WITH {O_LEDGER},
+    shadow AS (
+      SELECT substr(account_code, 1, 1) AS account_class,
+             id % 5 AS analytic_account,
+             CAST(-conv AS DECIMAL(18,2)) AS balance
+      FROM led
+      WHERE date >= TIMESTAMP '1997-01-01'
+        AND date <= TIMESTAMP '1997-12-31 23:59:59'
+    )
+    SELECT account_class,
+           CAST(SUM(balance) AS DOUBLE) AS balance_total,
+           CAST(SUM(CASE WHEN analytic_account IN (0, 1, 2) THEN balance
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+               AS balance_plan_a,
+           CAST(SUM(CASE WHEN analytic_account IN (3, 4) THEN balance
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+               AS balance_plan_b,
+           CAST(SUM(CASE WHEN analytic_account = 0 THEN balance
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+               AS balance_acct0,
+           COUNT(*) AS n_lines
+    FROM shadow GROUP BY account_class
+    """,
+)
+def analytic_report(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    led = move_lines(spark, sf_dir)
+    zero = F.lit(0).cast("decimal(18,2)")
+    shadow = led.where(
+        (F.col("date") >= "1997-01-01") & (F.col("date") <= "1997-12-31 23:59:59")
+    ).select(
+        F.substring("account_code", 1, 1).alias("account_class"),
+        (F.col("id") % 5).alias("analytic_account"),
+        (-F.col("conv")).cast("decimal(18,2)").alias("balance"),
+    )
+    return shadow.groupBy("account_class").agg(
+        F.sum("balance").cast("double").alias("balance_total"),
+        F.sum(
+            F.when(F.col("analytic_account").isin(0, 1, 2), F.col("balance")).otherwise(zero)
+        ).cast("double").alias("balance_plan_a"),
+        F.sum(
+            F.when(F.col("analytic_account").isin(3, 4), F.col("balance")).otherwise(zero)
+        ).cast("double").alias("balance_plan_b"),
+        F.sum(
+            F.when(F.col("analytic_account") == 0, F.col("balance")).otherwise(zero)
+        ).cast("double").alias("balance_acct0"),
+        F.count("*").alias("n_lines"),
+    )
