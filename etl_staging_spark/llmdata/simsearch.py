@@ -10,6 +10,15 @@
   hyperplanes give a 8-bit sign bucket per vector; queries only score
   candidates in THEIR bucket (expected N/256 of the data per query).
   An inner equi-join on the bucket key — shuffles once, no cross join.
+- ``ivf_topk`` — the other classic scale path: K deterministic coarse
+  centroids (the first K vectors — reproducible, oracle-expressible)
+  partition the corpus into inverted lists by nearest-centroid
+  assignment; a query probes only its ``n_probe`` closest lists.
+  Assignment is one pass (K broadcast dot products per vector).
+- ``cosine_dup_pairs`` — embedding-cosine near-dup for the dedup
+  family: banded sign-LSH candidate discovery (pairs sharing ANY band
+  bucket — recall grows with bands exactly like MinHash banding), then
+  exact-decimal cosine verification. Never all-pairs.
 
 Numeric determinism: every dot product/norm is an exact DECIMAL(30,15)
 sum of per-element double products, cast back to double — identical in
@@ -112,3 +121,142 @@ def lsh_bucketed_topk(
         .where(F.col("rnk") <= k)
         .select("qid", "cid", F.round("cos_raw", 6).alias("cosine"), F.col("rnk").alias("rank"))
     )
+
+
+def cosine_dup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    dim: int,
+    bands: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (d1 < d2, cosine >= threshold).
+
+    Discovery: the 8 sign-LSH planes split into ``bands`` bands; two
+    vectors are candidates iff they share at least one band's bucket —
+    per-bucket self-join, never all-pairs. Verification: exact decimal
+    cosine over the candidate ids joined back to the vectors. The
+    threshold is a parameter: production near-dup uses ~0.95; fixtures
+    use where the synthetic data actually has signal."""
+    normed = with_norm(emb, vec_col).persist()
+    planes = hyperplanes(N_PLANES, dim)
+    per_band = N_PLANES // bands
+    band_cols = []
+    for b in range(bands):
+        bits = []
+        for w_p in planes[b * per_band : (b + 1) * per_band]:
+            lits = F.array(*[F.lit(w) for w in w_p])
+            bits.append(
+                F.when(_dot(lits, F.col(vec_col)) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            )
+        band_cols.append(F.concat(F.lit(f"{b}|"), *bits))
+    banded = normed.select(
+        F.col(id_col).alias("vid"), F.explode(F.array(*band_cols)).alias("bkt")
+    )
+    x, y = banded.alias("x"), banded.alias("y")
+    cands = (
+        x.join(y, (F.col("x.bkt") == F.col("y.bkt")) & (F.col("x.vid") < F.col("y.vid")))
+        .select(F.col("x.vid").alias("d1"), F.col("y.vid").alias("d2"))
+        .distinct()
+    )
+    va = normed.select(
+        F.col(id_col).alias("d1"), F.col(vec_col).alias("va"), F.col("nrm").alias("na")
+    )
+    vb = normed.select(
+        F.col(id_col).alias("d2"), F.col(vec_col).alias("vb"), F.col("nrm").alias("nb")
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    out = (
+        cands.join(va, "d1")
+        .join(vb, "d2")
+        .withColumn("cos_raw", cos)
+        .where(F.col("cos_raw") >= threshold)
+        .select("d1", "d2", F.round("cos_raw", 6).alias("cosine"))
+    )
+    out._pinned_persisted = (normed,)  # hold the cache for branch reuse
+    return out
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_pred: Column,
+    dim: int,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: coarse-quantize the corpus into ``n_centroids`` inverted
+    lists (nearest centroid by cosine, ties to the lower centroid id),
+    then each query scores ONLY the vectors in its ``n_probe`` closest
+    lists. Expected per-query work: n_probe/n_centroids of the corpus.
+
+    Centroids are the first ``n_centroids`` vectors by id — a
+    deterministic seed choice (production would k-means these; the
+    assignment/probe machinery is identical), collected once (bounded)
+    and broadcast as literals so assignment is one scan, no join."""
+    cents = (
+        emb.where(F.col(id_col) < n_centroids)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    cent_arrs = {int(r[0]): [float(v) for v in r[1]] for r in cents}
+
+    # array_sort on struct(negc, cid) sorts ascending by negc then cid:
+    # descending similarity, ties broken toward the lower centroid id
+    def probe_cells(vcol: Column, probe: int) -> Column:
+        scored = F.array(
+            *[
+                F.struct(
+                    (
+                        -_dot(F.array(*[F.lit(w) for w in cvec]), vcol)
+                        / (
+                            F.sqrt(_dot(F.array(*[F.lit(w) for w in cvec]),
+                                        F.array(*[F.lit(w) for w in cvec])))
+                            * F.sqrt(_dot(vcol, vcol))
+                        )
+                    ).alias("negc"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, cvec in sorted(cent_arrs.items())
+            ]
+        )
+        return F.transform(
+            F.slice(F.array_sort(scored), 1, probe), lambda s: s["cid"]
+        )
+
+    normed = with_norm(emb, vec_col).withColumn(
+        "cell", probe_cells(F.col(vec_col), 1)[0]
+    ).persist()
+    q = normed.where(query_pred).select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.explode(probe_cells(F.col(vec_col), n_probe)).alias("cell"),
+    )
+    c = normed.select(
+        F.col(id_col).alias("cid_"),
+        F.col(vec_col).alias("cv"),
+        F.col("nrm").alias("cn"),
+        "cell",
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .where(F.col("cid_") != F.col("qid"))
+        .withColumn("cos_raw", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cos_raw"), F.asc("cid_"))
+    out = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            "qid",
+            F.col("cid_").alias("cid"),
+            F.round("cos_raw", 6).alias("cosine"),
+            F.col("rnk").alias("rank"),
+        )
+    )
+    out._pinned_persisted = (normed,)
+    return out

@@ -271,6 +271,109 @@ def sim_ann_lsh(spark, sf_dir):
     ).withColumn("rank", F.col("rank").cast("int"))
 
 
+@query(
+    "sim_ann_ivf",
+    oracle=f"""
+    WITH {O_ELEMS},
+    cdots AS (
+      SELECT v.vec_id, c.vec_id AS ccid,
+             CAST(SUM(CAST(v.e * c.e AS DECIMAL(30,15))) AS DOUBLE) AS dot
+      FROM elems v JOIN elems c ON c.i = v.i AND c.vec_id < 8
+      GROUP BY 1, 2
+    ),
+    ccos AS (
+      SELECT cdots.vec_id, ccid, dot / (nv.nrm * nc.nrm) AS c
+      FROM cdots JOIN norms nv ON nv.vec_id = cdots.vec_id
+                 JOIN norms nc ON nc.vec_id = ccid
+    ),
+    ranked_cells AS (
+      SELECT vec_id, ccid, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                              ORDER BY c DESC, ccid) AS rn
+      FROM ccos
+    ),
+    assign AS (SELECT vec_id, ccid AS cell FROM ranked_cells WHERE rn = 1),
+    probes AS (SELECT vec_id, ccid AS cell FROM ranked_cells
+               WHERE rn <= 2 AND vec_id < 10),
+    cand AS (
+      SELECT p.vec_id AS qid, a.vec_id AS cid
+      FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.vec_id
+    ),
+    dots AS (
+      SELECT qid, cid, CAST(SUM(CAST(a.e * b.e AS DECIMAL(30,15))) AS DOUBLE) AS dot
+      FROM cand JOIN elems a ON a.vec_id = qid
+                JOIN elems b ON b.vec_id = cid AND b.i = a.i
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT qid, cid, dot / (qn.nrm * cn.nrm) AS c
+      FROM dots JOIN norms qn ON qn.vec_id = qid JOIN norms cn ON cn.vec_id = cid
+    ),
+    ranked AS (
+      SELECT qid, cid, c,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, cid) AS rnk
+      FROM scored
+    )
+    SELECT qid, cid, ROUND(c, 6) AS cosine, CAST(rnk AS INT) AS rank
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def sim_ann_ivf(spark, sf_dir):
+    """IVF ANN: deterministic coarse centroids (first 8 vectors)
+    partition the corpus into inverted lists; each query scores only
+    its 2 closest lists (~1/4 of the data). Assignment is one scan with
+    broadcast centroid literals — no join, no all-pairs."""
+    emb = load(spark, sf_dir, "embeddings")
+    return simsearch.ivf_topk(emb, F.col("vec_id") < 10, dim=64, k=5).withColumn(
+        "rank", F.col("rank").cast("int")
+    )
+
+
+@query(
+    "dedup_embed_cosine",
+    oracle=f"""
+    WITH {_o_planes_values(64)}, {O_ELEMS},
+    signs AS (
+      SELECT e.vec_id, pl.p,
+             CASE WHEN CAST(SUM(CAST(pl.w * e.e AS DECIMAL(30,15))) AS DOUBLE) >= 0
+                  THEN '1' ELSE '0' END AS ch
+      FROM elems e JOIN planes pl ON pl.i = e.i
+      GROUP BY e.vec_id, pl.p
+    ),
+    bands AS (
+      SELECT vec_id, '0|' || string_agg(ch, '' ORDER BY p) AS bkt
+      FROM signs WHERE p < 4 GROUP BY vec_id
+      UNION ALL
+      SELECT vec_id, '1|' || string_agg(ch, '' ORDER BY p) AS bkt
+      FROM signs WHERE p >= 4 GROUP BY vec_id
+    ),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS d1, y.vec_id AS d2
+      FROM bands x JOIN bands y ON x.bkt = y.bkt AND x.vec_id < y.vec_id
+    ),
+    dots AS (
+      SELECT d1, d2, CAST(SUM(CAST(a.e * b.e AS DECIMAL(30,15))) AS DOUBLE) AS dot
+      FROM cand JOIN elems a ON a.vec_id = d1
+                JOIN elems b ON b.vec_id = d2 AND b.i = a.i
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT d1, d2, dot / (na.nrm * nb.nrm) AS c
+      FROM dots JOIN norms na ON na.vec_id = d1 JOIN norms nb ON nb.vec_id = d2
+    )
+    SELECT d1, d2, ROUND(c, 6) AS cosine FROM scored WHERE c >= 0.45
+    """,
+)
+def dedup_embed_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: banded sign-LSH discovery (2
+    bands of 4 planes — a pair is a candidate iff it shares either
+    half-bucket, recall scaling like MinHash banding) + exact-decimal
+    cosine verify. Threshold 0.45 sits where the synthetic embeddings
+    actually have neighbours (max pairwise cosine ~0.51); the operator
+    is threshold-parametric."""
+    emb = load(spark, sf_dir, "embeddings")
+    return simsearch.cosine_dup_pairs(emb, threshold=0.45, dim=64, bands=2)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

@@ -101,6 +101,35 @@ def test_ann_lsh_subset_of_bruteforce(spark):
     assert any(r.cid == 100 and r.cosine == 1.0 for r in out)
 
 
+def test_embed_cosine_dup_pairs_planted(spark):
+    """Identical-direction vectors share every LSH band bucket, so the
+    planted dup pair must be discovered and verified at cosine ~1."""
+    rows = [(i, [float(i == j) for j in range(8)]) for i in range(8)]
+    rows.append((100, [2.0] + [0.0] * 7))  # same direction as vec 0
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {(r.d1, r.d2): r.cosine for r in
+           simsearch.cosine_dup_pairs(emb, threshold=0.9, dim=8).collect()}
+    assert out[(0, 100)] == 1.0
+    # orthogonal basis vectors never reach the threshold
+    assert all(d == (0, 100) for d in out)
+
+
+def test_ivf_topk_finds_same_cell_neighbour(spark):
+    """A vector colinear with centroid 0 lands in cell 0; querying it
+    must surface the other cell-0 member first."""
+    rows = [(i, [float(i == j) for j in range(8)]) for i in range(8)]
+    rows.append((100, [3.0, 0.1, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]))
+    rows.append((101, [2.0, 0.2, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = simsearch.ivf_topk(
+        emb, F.col("vec_id") == 100, dim=8, k=2, n_centroids=8, n_probe=2
+    ).collect()
+    by_rank = {r.rank: r.cid for r in out}
+    # cos(q, e0) ~ 0.9994 beats cos(q, 101) ~ 0.9978; both are cell-0
+    assert by_rank[1] == 0
+    assert by_rank[2] == 101
+
+
 def test_quality_scores_shape(docs):
     rows = {r.doc_id: r for r in textstats.quality_scores(docs).collect()}
     assert rows[5].n_tokens == 2
