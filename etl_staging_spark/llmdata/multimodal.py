@@ -80,3 +80,53 @@ def decode_table(df: DataFrame) -> DataFrame:
     """payload table -> decoded metadata table via Arrow-batched
     mapInPandas. Partitioning is preserved; no shuffle."""
     return with_payload(df).mapInPandas(decode_batches, schema=DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = DECODED_SCHEMA + ", out_width int, out_height int"
+
+
+def resize_batches(target: int):
+    """mapInPandas factory: aspect-preserving resize metadata (the real
+    implementation would call PIL thumbnail/cv2.resize on the payload;
+    the geometry math — the testable part — is real)."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            scale = (target / pdf[["width", "height"]].max(axis=1)).clip(upper=1.0)
+            out = pdf.copy()
+            # floor+0.5 == round-half-up, identical in numpy and SQL
+            out["out_width"] = (pdf["width"] * scale + 0.5).astype("int64")
+            out["out_height"] = (pdf["height"] * scale + 0.5).astype("int64")
+            yield out
+
+    return _resize
+
+
+def resize_table(df: DataFrame, target: int = 512) -> DataFrame:
+    """Decoded table -> resize plan: longest side capped at ``target``,
+    aspect preserved, never upscaled. Arrow-batched, no shuffle."""
+    return decode_table(df).mapInPandas(resize_batches(target), schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = "doc_id bigint, frame_idx int, frame_ts_ms bigint, frame_key bigint"
+
+
+def sample_frames(df: DataFrame, fps_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plumbing for video payloads: one output row per
+    sampled frame (frame_idx < n_frames), with a per-frame timestamp and
+    a deterministic frame key (doc hash + index — the slot a real
+    decoder's frame bytes would fill). JVM-side explode of a sequence —
+    the fan-out never touches Python; a real frame extractor would then
+    mapInPandas over THESE rows, one decode per row, Arrow-batched."""
+    decoded = decode_table(df).where(F.col("fmt") == "video")
+    frames = decoded.select(
+        "doc_id",
+        "n_frames",
+        F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)).alias("frame_idx"),
+    )
+    return frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        (F.col("frame_idx").cast("bigint") * fps_ms).alias("frame_ts_ms"),
+        (F.col("doc_id") * 1024 + F.col("frame_idx")).cast("bigint").alias("frame_key"),
+    )

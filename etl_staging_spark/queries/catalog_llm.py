@@ -504,9 +504,7 @@ def doc_fingerprint(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "mm_decode_meta",
-    oracle=f"""
+O_MM_DECODE = """
     SELECT doc_id,
            CAST(octet_length(encode(text)) AS INT) AS n_bytes,
            CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'img'
@@ -516,8 +514,10 @@ def doc_fingerprint(spark, sf_dir):
            CAST(64 + (md5_number_lower(text) // 1920) % 1080 AS INT) AS height,
            CAST(1 + md5_number_lower(text) % 24 AS INT) AS n_frames
     FROM documents
-    """,
-)
+"""
+
+
+@query("mm_decode_meta", oracle=O_MM_DECODE)
 def mm_decode_meta(spark, sf_dir):
     """Arrow-batched mapInPandas decode of opaque binary payloads into
     typed metadata. The decoder is a deterministic md5 stub (real codecs
@@ -525,3 +525,43 @@ def mm_decode_meta(spark, sf_dir):
     batching, no shuffle) is the real deliverable and is fully checked
     against the oracle."""
     return multimodal.decode_table(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "mm_resize_plan",
+    oracle=f"""
+    WITH dec AS ({O_MM_DECODE})
+    SELECT dec.*,
+           CAST(FLOOR(width * LEAST(512.0 / GREATEST(width, height), 1.0) + 0.5)
+                AS INT) AS out_width,
+           CAST(FLOOR(height * LEAST(512.0 / GREATEST(width, height), 1.0) + 0.5)
+                AS INT) AS out_height
+    FROM dec
+    """,
+)
+def mm_resize_plan(spark, sf_dir):
+    """Aspect-preserving resize metadata over the decoded table: longest
+    side capped at 512, never upscaled — a second Arrow-batched
+    mapInPandas stage chained after decode, still shuffle-free."""
+    return multimodal.resize_table(load(spark, sf_dir, "documents"), target=512)
+
+
+@query(
+    "mm_frame_sample",
+    oracle=f"""
+    WITH dec AS ({O_MM_DECODE}),
+    vids AS (SELECT doc_id, n_frames FROM dec WHERE fmt = 'video'),
+    idx AS (
+      SELECT doc_id, unnest(generate_series(0, n_frames - 1)) AS f FROM vids
+    )
+    SELECT doc_id, CAST(f AS INT) AS frame_idx,
+           CAST(f * 1000 AS BIGINT) AS frame_ts_ms,
+           CAST(doc_id * 1024 + f AS BIGINT) AS frame_key
+    FROM idx
+    """,
+)
+def mm_frame_sample(spark, sf_dir):
+    """Frame-sampling fan-out for video payloads: one row per sampled
+    frame via a JVM-side sequence explode (the fan-out never crosses
+    into Python; a real extractor would mapInPandas over these rows)."""
+    return multimodal.sample_frames(load(spark, sf_dir, "documents"), fps_ms=1000)

@@ -170,3 +170,32 @@ def test_multimodal_decode_roundtrip(docs):
     assert 64 <= rows[0].width < 64 + 1920
     # deterministic: same text => same fake decode
     assert rows[0].width == rows[1].width
+
+
+def test_multimodal_resize_geometry(docs):
+    rows = {r.doc_id: r for r in multimodal.resize_table(docs, target=512).collect()}
+    for r in rows.values():
+        # longest side capped, aspect preserved within rounding, no upscale
+        assert max(r.out_width, r.out_height) <= 512
+        if max(r.width, r.height) <= 512:
+            assert (r.out_width, r.out_height) == (r.width, r.height)
+        else:
+            scale = 512 / max(r.width, r.height)
+            assert r.out_width == int(r.width * scale + 0.5)
+            assert r.out_height == int(r.height * scale + 0.5)
+
+
+def test_multimodal_frame_sample_fanout(docs):
+    decoded = {r.doc_id: r for r in multimodal.decode_table(docs).collect()}
+    frames = multimodal.sample_frames(docs, fps_ms=40).collect()
+    by_doc = {}
+    for fr in frames:
+        by_doc.setdefault(fr.doc_id, []).append(fr)
+    for doc_id, frs in by_doc.items():
+        assert decoded[doc_id].fmt == "video"
+        assert len(frs) == decoded[doc_id].n_frames
+        idxs = sorted(f.frame_idx for f in frs)
+        assert idxs == list(range(decoded[doc_id].n_frames))
+        for f in frs:
+            assert f.frame_ts_ms == f.frame_idx * 40
+            assert f.frame_key == doc_id * 1024 + f.frame_idx
