@@ -128,21 +128,32 @@ def evaluate_report(
             raise ValueError(f"unsupported engine {ln.engine!r}")
 
     base_values: dict[str, float] = dict(extra)
-    for scope, cols in scope_batches.items():
-        aliases = {f"c{i}": key for i, key in enumerate(sorted(cols))}
-        row = (
-            led.where(date_scope_filter(options, scope))
-            .agg(
-                *[
-                    F.coalesce(F.sum(F.when(cols[key], F.col("conv"))), F.lit(0))
-                    .cast("double")
-                    .alias(alias)
-                    for alias, key in aliases.items()
-                ]
-            )
-            .first()
-        )
-        for alias, key in aliases.items():
+    if scope_batches:
+        # ONE scan for every domain line across every date scope: each
+        # line's column gates on (its scope's date predicate AND its
+        # domain), and the scan-level filter is the OR of all scope
+        # predicates — the reference's multi-period UNION ALL fused into
+        # a single conditional aggregate (SURVEY §4), so N scopes cost
+        # one pass over the fact at any scale.
+        aliases: dict[str, tuple[str, object]] = {}
+        scope_preds = {
+            scope: date_scope_filter(options, scope) for scope in scope_batches
+        }
+        for scope, cols in sorted(scope_batches.items()):
+            for key in sorted(cols):
+                aliases[f"c{len(aliases)}"] = (key, scope_preds[scope] & cols[key])
+        scan_pred = None
+        for pred in scope_preds.values():
+            scan_pred = pred if scan_pred is None else (scan_pred | pred)
+        row = led.where(scan_pred).agg(
+            *[
+                F.coalesce(F.sum(F.when(cond, F.col("conv"))), F.lit(0))
+                .cast("double")
+                .alias(alias)
+                for alias, (_key, cond) in aliases.items()
+            ]
+        ).first()
+        for alias, (key, _cond) in aliases.items():
             base_values[key] = row[alias]
 
     results = aggregation.evaluate(base_values, formulas, subformulas)
