@@ -136,7 +136,8 @@ def dedup_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_pairs(load(spark, sf_dir, "documents"), threshold=0.8)
 
 
-def _o_simhash() -> str:
+def _o_simhash_ctes() -> str:
+    """CTEs `counted` and `sim` (doc_id, n_shingles, simhash)."""
     bit_counts = ",\n           ".join(
         f"SUM((h // {1 << b}) % 2) AS c{b}" for b in range(56)
     )
@@ -148,17 +149,53 @@ counted AS (
     SELECT doc_id, COUNT(*) AS n_sh,
            {bit_counts}
     FROM trih GROUP BY doc_id
+),
+sim AS (
+    SELECT doc_id, CAST(n_sh AS BIGINT) AS n_shingles, CAST({fp} AS BIGINT) AS simhash
+    FROM counted
+)"""
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"WITH {O_TRIH}, {_o_simhash_ctes()} SELECT * FROM sim",
 )
-SELECT doc_id, CAST(n_sh AS BIGINT) AS n_shingles, CAST({fp} AS BIGINT) AS simhash
-FROM counted"""
-
-
-@query("dedup_simhash", oracle=f"WITH {O_TRIH}, {_o_simhash()}")
 def dedup_simhash(spark, sf_dir):
     """56-bit SimHash fingerprint per doc (majority vote per bit over
-    shingle hashes). Near-dup pairs = small Hamming distance; at scale,
-    bucket on bit-bands of the fingerprint and compare within buckets."""
+    shingle hashes). Near-dup pairs = small Hamming distance; see
+    ``dedup_simhash_pairs`` for the banded at-scale pairing."""
     return dedup.simhash_table(load(spark, sf_dir, "documents"))
+
+
+def _o_simhash_bands(bands: int = 4, per_band: int = 14) -> str:
+    rows = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, (simhash // {1 << (b * per_band)}) "
+        f"% {1 << per_band} AS key FROM sim"
+        for b in range(bands)
+    )
+    return f"keyed AS (\n      {rows}\n    )"
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH {O_TRIH}, {_o_simhash_ctes()}, {_o_simhash_bands()},
+    cand AS (
+      SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+      FROM keyed x JOIN keyed y
+        ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+    )
+    SELECT d1, d2, CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM cand JOIN sim a ON a.doc_id = d1 JOIN sim b ON b.doc_id = d2
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (Hamming <= 3) via 4-band bucketing: a
+    pair within 3 differing bits shares >= 1 intact 14-bit band
+    (pigeonhole), so the equi-join discovery is EXACT — no recall loss —
+    and never all-pairs."""
+    return dedup.simhash_pairs(load(spark, sf_dir, "documents"), max_hamming=3)
 
 
 # ---------------------------------------------------------------------------

@@ -101,6 +101,17 @@ def test_ann_lsh_subset_of_bruteforce(spark):
     assert any(r.cid == 100 and r.cosine == 1.0 for r in out)
 
 
+def test_simhash_pairs_planted(docs):
+    """The exact-dup pair (0,1) has identical fingerprints (hamming 0)
+    and must be discovered through every band; the tiny doc (no
+    shingles) never pairs."""
+    out = {(r.d1, r.d2): r.hamming for r in dedup.simhash_pairs(docs, max_hamming=3).collect()}
+    assert out[(0, 1)] == 0
+    assert all(5 not in pair for pair in out)
+    with pytest.raises(ValueError):
+        dedup.simhash_pairs(docs, max_hamming=4, bands=4)  # pigeonhole broken
+
+
 def test_embed_cosine_dup_pairs_planted(spark):
     """Identical-direction vectors share every LSH band bucket, so the
     planted dup pair must be discovered and verified at cosine ~1."""
