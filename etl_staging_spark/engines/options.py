@@ -120,3 +120,122 @@ def build_column_groups(options: dict) -> dict[str, dict]:
 def group_options(options: dict, group: dict) -> dict:
     """Overlay one column group's forced options on the base options."""
     return {**options, **group.get("forced_options", {})}
+
+
+# ---------------------------------------------------------------------------
+# Period math + comparison generation (account_report.py:348-457,
+# _get_dates_period / _get_dates_previous_period / _get_dates_previous_year;
+# behavior pinned by the reference's test_account_reports_filters.py).
+# Fiscal year = calendar year (this repo's fixture convention), so the
+# 'fiscalyear' period type collapses into 'year'.
+# ---------------------------------------------------------------------------
+
+
+def _month_bounds(d: dt.date) -> tuple[dt.date, dt.date]:
+    first = d.replace(day=1)
+    last = (first + dt.timedelta(days=32)).replace(day=1) - dt.timedelta(days=1)
+    return first, last
+
+
+def _quarter_bounds(d: dt.date) -> tuple[dt.date, dt.date]:
+    qm = 3 * ((d.month - 1) // 3) + 1
+    first = d.replace(month=qm, day=1)
+    last_month = first.replace(month=qm + 2)
+    return first, (last_month + dt.timedelta(days=32)).replace(day=1) - dt.timedelta(days=1)
+
+
+def _year_bounds(d: dt.date) -> tuple[dt.date, dt.date]:
+    return d.replace(month=1, day=1), d.replace(month=12, day=31)
+
+
+_Q_NAMES = {1: "Q1", 2: "Q2", 3: "Q3", 4: "Q4"}
+
+
+def period_info(date_from: str | None, date_to: str, mode: str = "range",
+                period_type: str | None = None) -> dict:
+    """`_get_dates_period`: detect the period type of [date_from, date_to]
+    and build its display label. Types: month / quarter / year / custom;
+    'single' mode labels as an as-of date."""
+    d_to = _parse(date_to)
+    d_from = _parse(date_from) if date_from else None
+    if not period_type or period_type == "custom":
+        if d_from and (d_from, d_to) == _year_bounds(d_to):
+            period_type = "year"
+        elif d_from and (d_from, d_to) == _month_bounds(d_to):
+            period_type = "month"
+        elif d_from and (d_from, d_to) == _quarter_bounds(d_to):
+            period_type = "quarter"
+        else:
+            period_type = "custom"
+    if mode == "single":
+        string = f"As of {date_to}"
+    elif period_type == "year":
+        string = str(d_to.year)
+    elif period_type == "month":
+        string = d_to.strftime("%b %Y")
+    elif period_type == "quarter":
+        string = f"{_Q_NAMES[(d_to.month - 1) // 3 + 1]} {d_to.year}"
+    else:
+        string = f"From {date_from} to {date_to}"
+    return {
+        "mode": mode,
+        "period_type": period_type,
+        "date_from": d_from.isoformat() if d_from else None,
+        "date_to": d_to.isoformat(),
+        "string": string,
+    }
+
+
+def previous_period(period: dict) -> dict:
+    """`_get_dates_previous_period`: shift one period back. The previous
+    of a 'custom' range is the month before its start (the reference's
+    documented quirk), not a same-length range."""
+    ptype, mode = period["period_type"], period["mode"]
+    d_from = _parse(period["date_from"] or period["date_to"])
+    d_to = d_from - dt.timedelta(days=1)
+    if ptype in ("month", "custom"):
+        lo, hi = _month_bounds(d_to)
+        return period_info(lo.isoformat(), hi.isoformat(), mode, "month")
+    if ptype == "quarter":
+        lo, hi = _quarter_bounds(d_to)
+        return period_info(lo.isoformat(), hi.isoformat(), mode, "quarter")
+    if ptype == "year":
+        lo, hi = _year_bounds(d_to)
+        return period_info(lo.isoformat(), hi.isoformat(), mode, "year")
+    raise ValueError(f"cannot shift period_type {ptype!r}")
+
+
+def previous_year(period: dict) -> dict:
+    """`_get_dates_previous_year`: same period, one year earlier (month
+    periods re-snap to month bounds — Feb 29 handling)."""
+    ptype, mode = period["period_type"], period["mode"]
+    d_to = _parse(period["date_to"])
+    d_from = _parse(period["date_from"]) if period["date_from"] else d_to
+
+    def back(d: dt.date) -> dt.date:
+        try:
+            return d.replace(year=d.year - 1)
+        except ValueError:  # Feb 29
+            return d.replace(year=d.year - 1, day=28)
+
+    d_from, d_to = back(d_from), back(d_to)
+    if ptype == "month":
+        d_from, d_to = _month_bounds(d_to)
+    return period_info(d_from.isoformat(), d_to.isoformat(), mode, ptype)
+
+
+def build_comparison(options: dict, cmp_filter: str = "previous_period",
+                     number_period: int = 1) -> dict:
+    """`_init_options_comparison`: fill options['comparison']['periods']
+    with ``number_period`` generated periods, chained backward."""
+    base = period_info(
+        options["date"].get("date_from"),
+        options["date"]["date_to"],
+        options["date"].get("mode", "range"),
+    )
+    shift = previous_period if cmp_filter == "previous_period" else previous_year
+    periods, cur = [], base
+    for _ in range(number_period):
+        cur = shift(cur)
+        periods.append(cur)
+    return {**options, "date": base, "comparison": {"filter": cmp_filter, "periods": periods}}

@@ -6,18 +6,18 @@ receivable — each composing 4+ SURVEY §2 operators.
 from __future__ import annotations
 
 from ..engines.ledger import O_LEDGER, move_lines
-from ..engines.options import make_options
+from ..engines.options import build_comparison, make_options
 from ..reports.aged_partner import aged_receivable
 from ..reports.general_ledger import gl_detail, gl_sums
 from ..tables import load
 from .registry import query
 
-GL_OPTS = {
-    **make_options("1997-01-01", "1997-12-31"),
-    "comparison": {
-        "periods": [{"mode": "range", "date_from": "1996-01-01", "date_to": "1996-12-31"}]
-    },
-}
+# current year + 1 generated previous_period comparison (1996) — the
+# comparison generator (options.build_comparison) produces the same
+# bounds the reference's date filter would.
+GL_OPTS = build_comparison(
+    make_options("1997-01-01", "1997-12-31"), "previous_period", 1
+)
 
 _O_DEBIT = "CAST(SUM(CASE WHEN conv >= 0 THEN conv ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)"
 _O_CREDIT = "CAST(SUM(CASE WHEN conv < 0 THEN -conv ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)"

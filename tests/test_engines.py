@@ -253,6 +253,74 @@ def test_account_codes_empty_term_contributes_zero(tiny_ledger):
 
 
 # ---------------------------------------------------------------------------
+# Comparison-period generation (account_report.py:348-457; reference
+# test_account_reports_filters.py expectations)
+# ---------------------------------------------------------------------------
+
+
+def test_period_type_detection_and_labels():
+    from etl_staging_spark.engines.options import period_info
+
+    assert period_info("2020-02-01", "2020-02-29")["period_type"] == "month"
+    assert period_info("2020-02-01", "2020-02-29")["string"] == "Feb 2020"
+    assert period_info("2020-04-01", "2020-06-30")["period_type"] == "quarter"
+    assert period_info("2020-04-01", "2020-06-30")["string"] == "Q2 2020"
+    assert period_info("2020-01-01", "2020-12-31")["string"] == "2020"
+    custom = period_info("2020-01-15", "2020-03-10")
+    assert custom["period_type"] == "custom"
+    assert period_info(None, "2020-03-10", mode="single")["string"] == "As of 2020-03-10"
+
+
+def test_previous_period_chains():
+    from etl_staging_spark.engines.options import period_info, previous_period
+
+    jan = previous_period(period_info("2020-02-01", "2020-02-29"))
+    assert (jan["date_from"], jan["date_to"]) == ("2020-01-01", "2020-01-31")
+    dec = previous_period(jan)
+    assert (dec["date_from"], dec["date_to"]) == ("2019-12-01", "2019-12-31")
+    q1 = previous_period(period_info("2020-04-01", "2020-06-30"))
+    assert (q1["date_from"], q1["date_to"]) == ("2020-01-01", "2020-03-31")
+    y19 = previous_period(period_info("2020-01-01", "2020-12-31"))
+    assert (y19["date_from"], y19["date_to"]) == ("2019-01-01", "2019-12-31")
+    # reference quirk: previous of a CUSTOM range is the MONTH containing
+    # the day before its start (not a same-length range) —
+    # account_report.py:441-442
+    prev = previous_period(period_info("2020-03-15", "2020-04-10"))
+    assert (prev["date_from"], prev["date_to"]) == ("2020-03-01", "2020-03-31")
+    assert prev["period_type"] == "month"
+
+
+def test_previous_year_resnaps_months():
+    from etl_staging_spark.engines.options import period_info, previous_year
+
+    feb19 = previous_year(period_info("2020-02-01", "2020-02-29"))  # leap -> non-leap
+    assert (feb19["date_from"], feb19["date_to"]) == ("2019-02-01", "2019-02-28")
+    y = previous_year(period_info("2020-01-01", "2020-12-31"))
+    assert (y["date_from"], y["date_to"]) == ("2019-01-01", "2019-12-31")
+
+
+def test_build_comparison_periods():
+    from etl_staging_spark.engines.options import build_comparison, make_options
+
+    opts = build_comparison(
+        make_options("2020-03-01", "2020-03-31"), "previous_period", 2
+    )
+    ps = opts["comparison"]["periods"]
+    assert [(p["date_from"], p["date_to"]) for p in ps] == [
+        ("2020-02-01", "2020-02-29"),
+        ("2020-01-01", "2020-01-31"),
+    ]
+    opts2 = build_comparison(
+        make_options("2020-01-01", "2020-12-31"), "same_last_year", 2
+    )
+    ps2 = opts2["comparison"]["periods"]
+    assert [(p["date_from"], p["date_to"]) for p in ps2] == [
+        ("2019-01-01", "2019-12-31"),
+        ("2018-01-01", "2018-12-31"),
+    ]
+
+
+# ---------------------------------------------------------------------------
 # E6 cross_report: foreign terms under a forced date scope
 # ---------------------------------------------------------------------------
 
