@@ -160,3 +160,33 @@ def m4_serial_rebuild(spark, sf_dir):
         .otherwise("in_stock")
         .alias("state"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Partner-less bucket: NULL groupby keys get their own row, like the
+# partner ledger's `_get_sums_without_partner`
+# (account_partner_ledger.py:313-346, :418-425). Spark groupBy keeps
+# NULL keys as a group (unlike SQL `IN` semantics) — this entry pins
+# that behavior against the oracle, including the NULL-key hash canon.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pl_null_partner_bucket",
+    oracle=f"""
+    SELECT NULLIF(o_custkey % 50, 0) AS partner_bucket,
+           COUNT(*) AS n, {o_dsum('o_totalprice')} AS amount
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <= TIMESTAMP '1997-12-31 23:59:59'
+    GROUP BY 1
+    """,
+)
+def pl_null_partner_bucket(spark, sf_dir):
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") <= "1997-12-31 23:59:59")
+    )
+    return o.groupBy(
+        F.nullif(F.col("o_custkey") % 50, F.lit(0)).alias("partner_bucket")
+    ).agg(F.count("*").alias("n"), dsum("o_totalprice").alias("amount"))
