@@ -75,6 +75,20 @@ def windowed_counts(
     )
 
 
+def dedup_events(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exactly-once ingestion: drop duplicate event_ids within
+    the watermark horizon (`dropDuplicatesWithinWatermark`) — the
+    streaming twin of the batch exact-dedup operator, and the shape an
+    at-least-once feed (Kafka redeliveries, retried uploads) needs
+    before any downstream aggregate. State is keyed by event_id and
+    EVICTED once the watermark passes — bounded by the horizon's event
+    volume, not the stream's lifetime (plain dropDuplicates on a stream
+    would grow state forever)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 STATE_SCHEMA = "n long, total double"
 OUT_SCHEMA = (
     "user_id long, n_events long, total_value double"

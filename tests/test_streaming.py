@@ -63,3 +63,22 @@ def test_stateful_user_totals_match_batch(spark, events_stream):
         n, tv = got[r.user_id]
         assert n == r.n
         assert tv == pytest.approx(r.tv, abs=0.05)
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Redelivered event_ids (at-least-once feed) collapse to one row;
+    state is watermark-bounded."""
+    from etl_staging_spark.streaming.events import EVENT_SCHEMA, dedup_events
+
+    base_ns = 1_700_000_000_000_000_000
+    rows = [
+        (i % 150, base_ns + i * 1_000_000_000, i % 7, "click", 1.0, None)
+        for i in range(200)  # ids 0..149, the first 50 redelivered
+    ]
+    feed_dir = str(tmp_path / "feed")
+    spark.createDataFrame(rows, EVENT_SCHEMA).write.parquet(feed_dir)
+    stream = stream_source(spark, feed_dir)
+    run_available_now(dedup_events(stream), "dedup_sink", "append")
+    got = spark.sql("SELECT event_id FROM dedup_sink").collect()
+    assert len(got) == 150
+    assert len({r.event_id for r in got}) == 150
