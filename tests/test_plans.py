@@ -1,0 +1,86 @@
+"""Physical-plan audits: the scale properties the README claims, locked
+in CI. Each assertion inspects `.explain` output of a catalog query at
+sf0.001 — cheap to plan (nothing executes) and independent of data
+volume, so a regression that would only hurt at 100 TB (lost pushdown, a
+single-partition exchange, a Python row UDF sneaking into a hot path)
+fails here first."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return entrymod.queries()
+
+
+def plan_of(spark, queries, name: str, mode: str = "formatted") -> str:
+    df = queries[name](spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_scan_pushdown_reaches_parquet(spark, queries):
+    p = plan_of(spark, queries, "s1_scan_domain_filter")
+    assert "PushedFilters: [" in p
+    # at least one real pushed predicate, not an empty list
+    assert "PushedFilters: []" not in p
+
+
+def test_star_join_broadcasts_dims(spark, queries):
+    p = plan_of(spark, queries, "j1_star_join_revenue")
+    assert "BroadcastHashJoin" in p
+
+
+def test_no_single_partition_exchanges(spark, queries):
+    """The round-1 scale-killers stay dead: running balances, global
+    ranks and pagination never collapse to one partition."""
+    for name in ("w2_running_balance", "o1_multikey_sort", "o2_pagination"):
+        p = plan_of(spark, queries, name)
+        assert "Exchange SinglePartition" not in p, name
+
+
+def test_no_cartesian_products_anywhere_heavy(spark, queries):
+    for name in (
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "sim_ann_lsh",
+        "sim_ann_ivf",
+        "dedup_embed_cosine",
+        "dedup_simhash_pairs",
+    ):
+        p = plan_of(spark, queries, name)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_no_python_row_udfs_in_hot_paths(spark, queries):
+    """BatchEvalPython = row-at-a-time Python. The only sanctioned
+    Python in a plan is Arrow-batched (MapInPandas / ArrowEvalPython)."""
+    for name in (
+        "text_quality_score",
+        "lang_id_ngram",
+        "dedup_minhash_lsh",
+        "gl_report",
+        "aged_report",
+        "es_report",
+        "hier_rollup",
+    ):
+        p = plan_of(spark, queries, name)
+        assert "BatchEvalPython" not in p, name
+
+
+def test_multimodal_is_arrow_batched(spark, queries):
+    p = plan_of(spark, queries, "mm_decode_meta", mode="simple")
+    assert "MapInPandas" in p
+    assert "BatchEvalPython" not in p
