@@ -254,3 +254,78 @@ def a15_suspense_split(spark, sf_dir):
         F.col("susp_dec").cast("double").alias("suspense_amount"),
         "other_amount",
     )
+
+
+# ---------------------------------------------------------------------------
+# VAT closing entry (account_generic_tax_report.py:586-770,
+# _generate_tax_closing_entries / _compute_vat_closing_entry): per
+# (tax group, tax account) period sums become inverse move lines that
+# zero each account (debit=|amt| when negative, credit=amt when
+# positive), and each group's total settles into a receivable/payable
+# line. One grouped aggregate + one tiny per-group aggregate.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tax_closing",
+    oracle=f"""
+    WITH {O_LEDGER},
+    per_acct AS (
+      SELECT tag_name AS tax_group, account_code,
+             SUM(conv) AS amt
+      FROM led
+      WHERE account_code LIKE '4%'
+        AND date >= TIMESTAMP '1997-01-01'
+        AND date <= TIMESTAMP '1997-12-31 23:59:59'
+      GROUP BY 1, 2
+    ),
+    balance_lines AS (
+      SELECT tax_group, 'balance' AS line_type, account_code,
+             CAST(CASE WHEN amt < 0 THEN -amt ELSE 0 END AS DOUBLE) AS debit,
+             CAST(CASE WHEN amt > 0 THEN amt ELSE 0 END AS DOUBLE) AS credit
+      FROM per_acct
+    ),
+    settle AS (
+      SELECT tax_group,
+             CASE WHEN SUM(amt) >= 0 THEN 'payable' ELSE 'receivable' END
+                 AS line_type,
+             'SETTLE' AS account_code,
+             CAST(CASE WHEN SUM(amt) >= 0 THEN SUM(amt) ELSE 0 END AS DOUBLE)
+                 AS debit,
+             CAST(CASE WHEN SUM(amt) < 0 THEN -SUM(amt) ELSE 0 END AS DOUBLE)
+                 AS credit
+      FROM per_acct GROUP BY tax_group
+    )
+    SELECT * FROM balance_lines UNION ALL SELECT * FROM settle
+    """,
+)
+def tax_closing(spark, sf_dir):
+    led = move_lines(spark, sf_dir)
+    zero = F.lit(0).cast("decimal(38,2)")
+    per_acct = (
+        led.where(
+            F.col("account_code").like("4%")
+            & (F.col("date") >= "1997-01-01")
+            & (F.col("date") <= "1997-12-31 23:59:59")
+        )
+        .groupBy(F.col("tag_name").alias("tax_group"), "account_code")
+        .agg(F.sum("conv").alias("amt"))
+        .persist()
+    )
+    balance_lines = per_acct.select(
+        "tax_group",
+        F.lit("balance").alias("line_type"),
+        "account_code",
+        F.when(F.col("amt") < 0, -F.col("amt")).otherwise(zero).cast("double").alias("debit"),
+        F.when(F.col("amt") > 0, F.col("amt")).otherwise(zero).cast("double").alias("credit"),
+    )
+    settle = per_acct.groupBy("tax_group").agg(F.sum("amt").alias("total")).select(
+        "tax_group",
+        F.when(F.col("total") >= 0, "payable").otherwise("receivable").alias("line_type"),
+        F.lit("SETTLE").alias("account_code"),
+        F.when(F.col("total") >= 0, F.col("total")).otherwise(zero).cast("double").alias("debit"),
+        F.when(F.col("total") < 0, -F.col("total")).otherwise(zero).cast("double").alias("credit"),
+    )
+    out = balance_lines.unionByName(settle)
+    out._pinned_persisted = (per_acct,)
+    return out
