@@ -407,3 +407,117 @@ def m6_ob_upload(spark, sf_dir):
         (-bal).cast("double").alias("amount"),
     )
     return side.unionByName(offset)
+
+
+# ---------------------------------------------------------------------------
+# S4/3.3: purchase register (purchase_report.py:44-198) and HSN summary
+# (hsn_report.py) — the remaining register wizards as pivot pipelines.
+# ---------------------------------------------------------------------------
+
+_O_NET = "ROUND(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)), 2)"
+_O_RATE = "CAST(l_tax AS DECIMAL(4,2))"
+
+
+@query(
+    "pr_purchase_register",
+    oracle=f"""
+    WITH inv AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <= TIMESTAMP '1996-12-31 23:59:59'
+    ),
+    li AS (
+      SELECT l_orderkey, l_suppkey AS vendor_id, l_quantity,
+             CAST(ROUND({_O_RATE} * 100) AS INT) AS rate_pct,
+             {_O_NET} AS net,
+             ROUND({_O_NET} * {_O_RATE}, 2) AS tax_amt
+      FROM lineitem
+    ),
+    pb AS (
+      SELECT o_orderkey, vendor_id,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_dec,
+             SUM(net) AS net_dec, SUM(tax_amt) AS tax_dec,
+             SUM(CASE WHEN rate_pct BETWEEN 0 AND 2 THEN tax_amt
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS tax_low,
+             SUM(CASE WHEN rate_pct BETWEEN 3 AND 5 THEN tax_amt
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS tax_mid,
+             SUM(CASE WHEN rate_pct BETWEEN 6 AND 8 THEN tax_amt
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS tax_high
+      FROM inv JOIN li ON o_orderkey = l_orderkey
+      GROUP BY 1, 2
+    )
+    SELECT CAST(o_orderkey AS VARCHAR) AS bill,
+           CAST(vendor_id AS VARCHAR) AS vendor,
+           CAST(qty_dec AS DOUBLE) AS total_qty,
+           CAST(net_dec AS DOUBLE) AS net_total,
+           CAST(tax_dec AS DOUBLE) AS tax_total,
+           CAST(tax_low AS DOUBLE) AS tax_low,
+           CAST(tax_mid AS DOUBLE) AS tax_mid,
+           CAST(tax_high AS DOUBLE) AS tax_high
+    FROM pb
+    UNION ALL
+    SELECT '__TOTAL__', NULL,
+           CAST(SUM(qty_dec) AS DOUBLE), CAST(SUM(net_dec) AS DOUBLE),
+           CAST(SUM(tax_dec) AS DOUBLE), CAST(SUM(tax_low) AS DOUBLE),
+           CAST(SUM(tax_mid) AS DOUBLE), CAST(SUM(tax_high) AS DOUBLE)
+    FROM pb
+    """,
+)
+def pr_purchase_register(spark, sf_dir):
+    from ..etl.registers import purchase_register
+
+    return purchase_register(
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "lineitem"),
+        "1996-01-01",
+        "1996-12-31",
+    )
+
+
+@query(
+    "hsn_summary",
+    oracle=f"""
+    WITH inv AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate <= TIMESTAMP '1997-12-31 23:59:59'
+    ),
+    li AS (
+      SELECT l_orderkey, l_partkey, l_quantity,
+             {_O_NET} AS net,
+             ROUND({_O_NET} * {_O_RATE}, 2) AS tax_amt
+      FROM lineitem
+    ),
+    pc AS (
+      SELECT p.p_type AS hsn_class, COUNT(*) AS n_lines,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_dec,
+             SUM(net) AS taxable_dec, SUM(tax_amt) AS tax_dec
+      FROM inv
+      JOIN li ON o_orderkey = l_orderkey
+      JOIN part p ON p.p_partkey = li.l_partkey
+      GROUP BY 1
+    )
+    SELECT hsn_class, n_lines,
+           CAST(qty_dec AS DOUBLE) AS total_qty,
+           CAST(taxable_dec AS DOUBLE) AS taxable_value,
+           CAST(tax_dec AS DOUBLE) AS tax_amount,
+           CAST(taxable_dec + tax_dec AS DOUBLE) AS gross
+    FROM pc
+    UNION ALL
+    SELECT '__TOTAL__', SUM(n_lines),
+           CAST(SUM(qty_dec) AS DOUBLE), CAST(SUM(taxable_dec) AS DOUBLE),
+           CAST(SUM(tax_dec) AS DOUBLE),
+           CAST(SUM(taxable_dec) + SUM(tax_dec) AS DOUBLE)
+    FROM pc
+    """,
+)
+def hsn_summary(spark, sf_dir):
+    from ..etl.registers import hsn_summary as hsn
+
+    return hsn(
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "lineitem"),
+        load(spark, sf_dir, "part"),
+        "1997-01-01",
+        "1997-12-31",
+    )
