@@ -82,6 +82,10 @@ def _leaf_to_column(leaf: Sequence) -> Column:
         return col.like(value)
     if op == "=ilike":
         return F.lower(col).like(value.lower())
+    if op == "not =like":
+        return ~col.like(value) | col.isNull()
+    if op == "not =ilike":
+        return ~F.lower(col).like(value.lower()) | col.isNull()
     raise ValueError(f"unsupported domain operator {op!r} in {leaf!r}")
 
 
@@ -105,18 +109,58 @@ def normalize(domain: Sequence) -> list:
     return result
 
 
+# Leaf-operator negations, as in osv.expression.TERM_OPERATORS_NEGATION:
+# '!' distributes into leaves instead of wrapping the compiled Column in
+# a SQL NOT. The distinction matters on NULLs — Odoo's NOT(a = 0) is
+# (a != 0), which KEEPS NULL rows, while SQL NOT(a = 0) drops them.
+_NEGATED_OP = {
+    "=": "!=", "!=": "=", "<>": "=",
+    "<": ">=", ">=": "<", ">": "<=", "<=": ">",
+    "in": "not in", "not in": "in",
+    "like": "not like", "not like": "like",
+    "ilike": "not ilike", "not ilike": "ilike",
+    "=like": "not =like", "=ilike": "not =ilike",
+}
+
+
+def distribute_not(tokens: list) -> list:
+    """Push every '!' down to the leaves (De Morgan on '&'/'|', operator
+    negation on leaves) — the port of osv.expression.distribute_not."""
+    out: list = []
+
+    def walk(pos: int, negate: bool) -> int:
+        token = tokens[pos]
+        if isinstance(token, str) and token in _CONNECTIVES:
+            if token == NOT:
+                return walk(pos + 1, not negate)
+            out.append((OR if token == AND else AND) if negate else token)
+            mid = walk(pos + 1, negate)
+            return walk(mid, negate)
+        if negate:
+            field, op, value = token
+            neg = _NEGATED_OP.get(op)
+            if neg is None:
+                raise ValueError(f"cannot negate operator {op!r} in {token!r}")
+            out.append((field, neg, value))
+        else:
+            out.append(token)
+        return pos + 1
+
+    nxt = walk(0, False)
+    if nxt != len(tokens):
+        raise ValueError(f"trailing tokens after NOT distribution: {tokens!r}")
+    return out
+
+
 def compile_domain(domain: Sequence | None) -> Column:
     """Compile a domain to one Spark Column predicate."""
     if not domain:
         return F.lit(True)
-    tokens = normalize(domain)
+    tokens = distribute_not(normalize(domain))
 
     def parse(pos: int) -> tuple[Column, int]:
         token = tokens[pos]
         if isinstance(token, str) and token in _CONNECTIVES:
-            if token == NOT:
-                operand, nxt = parse(pos + 1)
-                return ~operand, nxt
             left, mid = parse(pos + 1)
             right, nxt = parse(mid)
             return (left & right, nxt) if token == AND else (left | right, nxt)

@@ -1,0 +1,164 @@
+"""Property-based check of the Odoo-domain compiler: random AND/OR/NOT
+trees of leaves flatten to prefix-notation domains, and the Spark filter
+must keep exactly the rows a direct Python evaluation of the tree keeps
+(under the compiler's documented Odoo NULL semantics: `!=`/`not in`/
+`not like` keep NULL rows). Exercises normalization, the prefix-stack
+compilation and every leaf operator under arbitrary nesting — the class
+of bug a fixed fixture can't reach."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from etl_staging_spark.domain import compile_domain
+
+ROWS = [
+    # (id, a int|None, s string|None)
+    (0, None, None),
+    (1, 0, ""),
+    (2, 1, "alpha"),
+    (3, 2, "beta"),
+    (4, 3, "alphabet"),
+    (5, 5, "Gamma"),
+    (6, 10, "delta"),
+    (7, -4, "ALPHA"),
+]
+
+A_VALUES = [None, 0, 1, 2, 3, 5, 10, -4, 7]
+S_VALUES = [None, "", "alpha", "beta", "Gamma", "zzz"]
+S_PATTERNS = ["alpha", "a", "Ga", "zz", ""]
+
+
+def _like(hay: str | None, needle: str) -> bool:
+    return hay is not None and needle in hay
+
+
+def _eval_leaf(row: dict, leaf: tuple) -> bool:
+    field, op, value = leaf
+    v = row[field]
+    if op == "=":
+        return v is None if value is None else (v is not None and v == value)
+    if op == "!=":
+        return v is not None if value is None else (v is None or v != value)
+    if op in (">", ">=", "<", "<="):
+        if v is None:
+            return False
+        return {
+            ">": v > value, ">=": v >= value, "<": v < value, "<=": v <= value
+        }[op]
+    if op == "in":
+        vals = list(value)
+        if v is None:
+            return None in vals
+        return v in vals
+    if op == "not in":
+        vals = [x for x in value if x is not None]
+        if None in value:
+            return v is not None and v not in vals
+        return v is None or v not in vals
+    if op == "like":
+        return _like(v, value)
+    if op == "not like":
+        return v is None or not _like(v, value)
+    if op == "ilike":
+        return v is not None and value.lower() in v.lower()
+    if op == "not ilike":
+        return v is None or value.lower() not in v.lower()
+    raise AssertionError(op)
+
+
+# AST: ("leaf", triple) | ("&"|"|", left, right) | ("!", child)
+# inequality comparisons never get None (SQL NULL comparison = no match
+# on both engines; Odoo never emits such a leaf)
+int_leaf = st.one_of(
+    st.tuples(
+        st.just("a"),
+        st.sampled_from(["=", "!=", "in", "not in"]),
+        st.sampled_from(A_VALUES),
+    ),
+    st.tuples(
+        st.just("a"),
+        st.sampled_from([">", ">=", "<", "<="]),
+        st.sampled_from([v for v in A_VALUES if v is not None]),
+    ),
+).map(
+    lambda t: (t[0], t[1], [t[2], 1, None] if t[1] in ("in", "not in") else t[2])
+)
+str_leaf = st.one_of(
+    st.tuples(st.just("s"), st.sampled_from(["=", "!="]), st.sampled_from(S_VALUES)),
+    st.tuples(
+        st.just("s"),
+        st.sampled_from(["like", "not like", "ilike", "not ilike"]),
+        st.sampled_from(S_PATTERNS),
+    ),
+)
+leaf = st.one_of(int_leaf, str_leaf).map(lambda t: ("leaf", tuple(t)))
+
+ast = st.recursive(
+    leaf,
+    lambda kids: st.one_of(
+        st.tuples(st.sampled_from(["&", "|"]), kids, kids),
+        st.tuples(st.just("!"), kids),
+    ),
+    max_leaves=6,
+)
+
+
+def flatten(node) -> list:
+    """AST -> Odoo prefix-notation domain list."""
+    if node[0] == "leaf":
+        return [node[1]]
+    if node[0] == "!":
+        return ["!"] + flatten(node[1])
+    return [node[0]] + flatten(node[1]) + flatten(node[2])
+
+
+_NEG = {
+    "=": "!=", "!=": "=", "<": ">=", ">=": "<", ">": "<=", "<=": ">",
+    "in": "not in", "not in": "in", "like": "not like", "not like": "like",
+    "ilike": "not ilike", "not ilike": "ilike",
+}
+
+
+def eval_ast(row: dict, node, negate: bool = False) -> bool:
+    """Odoo semantics: '!' DISTRIBUTES into the leaves (operator
+    negation + De Morgan), so NOT(a > 0) is (a <= 0) — which, unlike
+    boolean NOT, still excludes NULL. The leaf table in _eval_leaf is
+    the per-operator NULL spec."""
+    if node[0] == "leaf":
+        field, op, value = node[1]
+        if negate:
+            op = _NEG[op]
+        return _eval_leaf(row, (field, op, value))
+    if node[0] == "!":
+        return eval_ast(row, node[1], not negate)
+    conj = node[0] == "&"
+    if negate:
+        conj = not conj
+    left = eval_ast(row, node[1], negate)
+    right = eval_ast(row, node[2], negate)
+    return (left and right) if conj else (left or right)
+
+
+@pytest.fixture(scope="module")
+def dom_df(spark):
+    return spark.createDataFrame(ROWS, "id int, a int, s string").cache()
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(tree=ast)
+def test_compiled_domain_matches_python_eval(dom_df, tree):
+    domain = flatten(tree)
+    got = {r.id for r in dom_df.where(compile_domain(domain)).collect()}
+    want = {
+        row[0]
+        for row in ROWS
+        if eval_ast({"id": row[0], "a": row[1], "s": row[2]}, tree)
+    }
+    assert got == want, f"domain={domain}"
