@@ -162,3 +162,61 @@ def test_compiled_domain_matches_python_eval(dom_df, tree):
         if eval_ast({"id": row[0], "a": row[1], "s": row[2]}, tree)
     }
     assert got == want, f"domain={domain}"
+
+
+# ---------------------------------------------------------------------------
+# Aggregation-fixpoint property: random formula DAGs over base scalars
+# must evaluate to the same values as direct topological evaluation.
+# ---------------------------------------------------------------------------
+
+from etl_staging_spark.engines import aggregation  # noqa: E402
+
+BASES = {"B0.balance": 10.0, "B1.balance": -4.0, "B2.balance": 2.5}
+
+
+@st.composite
+def formula_dag(draw):
+    """n formula keys F0..Fn-1 where Fi references only bases and Fj
+    (j < i) — an acyclic dependency chain the fixpoint must resolve in
+    whatever order its queue happens to visit."""
+    n = draw(st.integers(min_value=1, max_value=5))
+    formulas = {}
+    for i in range(n):
+        terms = draw(
+            st.lists(
+                st.sampled_from(
+                    list(BASES) + [f"F{j}.balance" for j in range(i)]
+                ),
+                min_size=1,
+                max_size=3,
+            )
+        )
+        ops = draw(
+            st.lists(st.sampled_from([" + ", " - ", " * "]),
+                     min_size=len(terms) - 1, max_size=len(terms) - 1)
+        )
+        formula = terms[0]
+        for op, term in zip(ops, terms[1:]):
+            formula += op + term
+        formulas[f"F{i}.balance"] = formula
+    return formulas
+
+
+def eval_direct(formulas: dict) -> dict:
+    """Topological evaluation with plain arithmetic."""
+    values = dict(BASES)
+    for key in sorted(formulas, key=lambda k: int(k[1 : k.index(".")])):
+        expr = formulas[key]
+        for term in sorted(values, key=len, reverse=True):
+            expr = expr.replace(term, repr(values[term]))
+        values[key] = eval(expr)  # noqa: S307 — arithmetic only, test-local
+    return values
+
+
+@settings(max_examples=200, deadline=None)
+@given(formulas=formula_dag())
+def test_fixpoint_matches_topological_eval(formulas):
+    got = aggregation.evaluate(BASES, formulas)
+    want = eval_direct(formulas)
+    for key in formulas:
+        assert got[key] == pytest.approx(want[key], rel=1e-12), (key, formulas)
