@@ -220,3 +220,43 @@ def test_fixpoint_matches_topological_eval(formulas):
     want = eval_direct(formulas)
     for key in formulas:
         assert got[key] == pytest.approx(want[key], rel=1e-12), (key, formulas)
+
+
+# ---------------------------------------------------------------------------
+# account_codes parser property: parse(render(terms)) round-trips.
+# ---------------------------------------------------------------------------
+
+from etl_staging_spark.engines import account_codes as ac  # noqa: E402
+
+prefix_st = st.text(alphabet="0123456789", min_size=1, max_size=4)
+term_st = st.builds(
+    ac.Term,
+    sign=st.sampled_from([1, -1]),
+    prefix=prefix_st,
+    excluded=st.lists(prefix_st, max_size=2).map(tuple),
+    balance_char=st.sampled_from(["", "D", "C"]),
+)
+
+
+def render(terms: list[ac.Term]) -> str:
+    parts = []
+    for i, t in enumerate(terms):
+        s = t.prefix
+        if t.excluded:
+            s += "\\(" + ",".join(t.excluded) + ")"
+        s += t.balance_char
+        if i == 0:
+            parts.append(("-" if t.sign < 0 else "") + s)
+        else:
+            parts.append(("- " if t.sign < 0 else "+ ") + s)
+    return " ".join(parts)
+
+
+@settings(max_examples=300, deadline=None)
+@given(terms=st.lists(term_st, min_size=1, max_size=4))
+def test_account_codes_parser_roundtrip(terms):
+    # a digit-only prefix with a D/C gate and NO exclusion is ambiguous
+    # in the grammar only when the prefix itself ends in D/C — digits
+    # never do, so every rendered formula must round-trip exactly
+    parsed = ac.parse_formula(render(terms))
+    assert parsed == terms, render(terms)
