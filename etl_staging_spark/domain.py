@@ -137,6 +137,15 @@ def distribute_not(tokens: list) -> list:
             mid = walk(pos + 1, negate)
             return walk(mid, negate)
         if negate:
+            # osv.expression.distribute_not special-cases the constant
+            # leaves: NOT TRUE_LEAF is FALSE_LEAF (and vice versa), never
+            # an operator flip — (1, '!=', 1) would hit F.col(1).
+            if tuple(token) == TRUE_LEAF:
+                out.append(FALSE_LEAF)
+                return pos + 1
+            if tuple(token) == FALSE_LEAF:
+                out.append(TRUE_LEAF)
+                return pos + 1
             field, op, value = token
             neg = _NEGATED_OP.get(op)
             if neg is None:

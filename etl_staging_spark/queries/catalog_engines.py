@@ -216,12 +216,22 @@ _Q_DATES_SQL = ", ".join(f"({q}, '{d}')" for q, d in _Q_DATES.items())
     "e4_carryover",
     oracle=f"""
     WITH RECURSIVE {O_LEDGER},
-    bases AS (
+    bases0 AS (
       SELECT company_id, QUARTER(date) AS q,
              SUM(CASE WHEN account_code LIKE '6%' THEN conv ELSE 0 END)
              - SUM(CASE WHEN account_code LIKE '7%' THEN conv ELSE 0 END) AS base
       FROM led WHERE {_SCOPE}
       GROUP BY 1, 2
+    ),
+    -- zero-fill the full company x quarter grid so the recursive fold
+    -- never drops a company that has no rows in some quarter (the Spark
+    -- fold zero-fills missing periods the same way)
+    bases AS (
+      SELECT g.company_id, g.q, COALESCE(b.base, 0) AS base
+      FROM (SELECT c.company_id, d.q
+            FROM (SELECT DISTINCT company_id FROM bases0) c
+            CROSS JOIN (VALUES (1), (2), (3), (4)) AS d(q)) g
+      LEFT JOIN bases0 b ON b.company_id = g.company_id AND b.q = g.q
     ),
     -- company_id -1 = the whole tax unit (bounds are non-linear, so the
     -- unit fold differs from the sum of company folds)

@@ -86,3 +86,11 @@ def test_ilike(df):
 def test_malformed_raises():
     with pytest.raises(ValueError):
         normalize(["|", ("a", "=", 1)])
+
+
+def test_negated_constant_leaves(df):
+    # osv.expression flips TRUE_LEAF<->FALSE_LEAF under '!' instead of
+    # producing (1, '!=', 1), which would try F.col(1).
+    assert ids(df, ["!", (1, "=", 1)]) == []
+    assert ids(df, ["!", (0, "=", 1)]) == [1, 2, 3, 4, 5]
+    assert ids(df, ["!", "&", (1, "=", 1), ("state", "=", "posted")]) == [3, 5]

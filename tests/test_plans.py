@@ -1,9 +1,12 @@
 """Physical-plan audits: the scale properties the README claims, locked
 in CI. Each assertion inspects `.explain` output of a catalog query at
-sf0.001 — cheap to plan (nothing executes) and independent of data
-volume, so a regression that would only hurt at 100 TB (lost pushdown, a
-single-partition exchange, a Python row UDF sneaking into a hot path)
-fails here first."""
+sf0.001 — cheap for lazily-built plans (most entries plan without
+executing; a few driver-side fixpoint entries such as es_report /
+e6_cross_report / e4_carryover do run their bounded aggregates while
+building the DataFrame) and independent of data volume, so a regression
+that would only hurt at 100 TB (lost pushdown, a single-partition
+exchange, a Python row UDF sneaking into a hot path) fails here
+first."""
 
 from __future__ import annotations
 
