@@ -8,6 +8,9 @@ DuckDB oracle.
 
 from __future__ import annotations
 
+import glob
+import json
+import os
 import sys
 from collections.abc import Callable
 
@@ -35,9 +38,34 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry.QUERIES["j1_star_join_revenue"](spark, "/root/testdata/sf0.001")
 
 
+def _certification_order(names: list[str]) -> list[str]:
+    """Order queries so the driver's bounded correctness snapshot (first
+    ~50 entries) always lands on the least-certified tail: entries never
+    present in any past CORRECTNESS_r*.json come first, then those
+    certified fewest times / longest ago. Ties keep registration order,
+    so the ordering is deterministic."""
+    counts: dict[str, int] = {}
+    last_round: dict[str, int] = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            rnd = int("".join(ch for ch in os.path.basename(path) if ch.isdigit()))
+            data = json.load(open(path))
+        except (ValueError, OSError, json.JSONDecodeError):
+            continue
+        for name, res in data.items():
+            if isinstance(res, dict) and res.get("rows_match"):
+                counts[name] = counts.get(name, 0) + 1
+                last_round[name] = max(last_round.get(name, 0), rnd)
+    idx = {n: i for i, n in enumerate(names)}
+    return sorted(names, key=lambda n: (counts.get(n, 0), last_round.get(n, 0), idx[n]))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(registry.QUERIES)
+    order = _certification_order(list(registry.QUERIES))
+    return {n: registry.QUERIES[n] for n in order}
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(registry.ORACLES)
+    order = _certification_order(list(registry.QUERIES))
+    return {n: registry.ORACLES[n] for n in order if n in registry.ORACLES}
