@@ -88,13 +88,14 @@ def _pin(out: DataFrame, *persisted: DataFrame) -> DataFrame:
 
 def _finish_jaccard(inter: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
     """(d1, d2, n_common) + per-doc sizes -> thresholded Jaccard rows.
-    sizes is bounded (one row per doc... of the aggregated size table,
-    broadcast after aggregation, never the raw index)."""
+    sizes is one row per doc — aggregated, but still O(corpus), so no
+    broadcast hint: AQE broadcasts it when its runtime size allows and
+    shuffles otherwise."""
     sa = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
     sb = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
     jac = F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common"))
     return (
-        inter.join(F.broadcast(sa), "d1").join(F.broadcast(sb), "d2")
+        inter.join(sa, "d1").join(sb, "d2")
         .where(jac >= threshold)
         .select("d1", "d2", "n_common", F.round(jac, 6).alias("jaccard"))
     )
@@ -106,10 +107,12 @@ def _pair_jaccard(sh: DataFrame, pairs: DataFrame, threshold: float) -> DataFram
     one sorted hash array per doc (payload bounded by doc length), the
     candidate pairs join to the two doc arrays, and ``n_common`` is
     ``size(array_intersect(...))`` — JVM-side, inside the join row.
-    Only the bare pairs frame is broadcast — it is the one frame
-    bounded by construction (LSH buckets); the per-doc arrays shuffle
-    (they are O(corpus), never broadcastable at 100 TB), and the
-    exploded pair-x-shingle rows that a join-then-count shape would
+    No broadcast hint anywhere: the pairs frame is bucket-bounded but
+    still O(corpus) in the worst case, so forcing it driver-side would
+    OOM at 100 TB. AQE decides at runtime — it broadcasts the pairs
+    when their actual size is under the threshold and shuffles
+    otherwise, which is exactly the scale-adaptive behavior we want.
+    The exploded pair-x-shingle rows that a join-then-count shape would
     shuffle are never materialized at all.
 
     Sizes are post-hash distinct counts (``size(hs)``): the SAME
@@ -120,7 +123,7 @@ def _pair_jaccard(sh: DataFrame, pairs: DataFrame, threshold: float) -> DataFram
     ).persist()
     a1 = arr.select(F.col("doc_id").alias("d1"), F.col("hs").alias("hs1"))
     a2 = arr.select(F.col("doc_id").alias("d2"), F.col("hs").alias("hs2"))
-    joined = F.broadcast(pairs).join(a1, "d1").join(a2, "d2")
+    joined = pairs.join(a1, "d1").join(a2, "d2")
     n1, n2 = F.size("hs1"), F.size("hs2")
     n_common = F.size(F.array_intersect("hs1", "hs2"))
     jac = n_common / (n1 + n2 - n_common)
@@ -291,7 +294,7 @@ def simhash_pairs(
     f2 = tbl.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("s2"))
     hamming = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
     out = (
-        F.broadcast(cands)
+        cands
         .join(f1, "d1")
         .join(f2, "d2")
         .where(hamming <= max_hamming)

@@ -583,13 +583,18 @@ def u3_in_notin(spark, sf_dir):
     """,
 )
 def o1_multikey_sort(spark, sf_dir):
-    """Global rank WITHOUT a single-partition window: range-partition on
-    the sort key (Spark's total-sort machinery — ascending NULLS FIRST,
-    matching the CASE key), rank locally per partition, then add
-    per-partition offsets computed from the partition counts (O(number
-    of partitions) driver work, zipWithIndex-style). Rank values are
-    identical whatever boundaries the range sampler picks, because the
-    key order is strict (unique o_orderkey tie-break)."""
+    """Global rank WITHOUT a single-partition window and WITHOUT
+    materializing the table: bucket the sort key on DETERMINISTIC split
+    points (Greenwald-Khanna ``approxQuantile`` of the amount — no RNG,
+    collected once driver-side), rank locally per bucket, and add
+    per-bucket offsets from a cheap partial-agg counts job. Because the
+    bucket expression is a literal CASE over collected split points,
+    the counts job and the final job agree by construction — unlike
+    ``repartitionByRange``, whose sampler re-draws boundaries per job
+    and so would need a checkpoint to pin. Rank values are exact
+    whatever the split points, because buckets are monotone in the key
+    order and the in-bucket order is strict (unique o_orderkey
+    tie-break); quantile error only skews bucket sizes, not results."""
     o = load(spark, sf_dir, "orders")
     type_order = (
         F.when(F.col("o_orderstatus") == "O", 0)
@@ -605,34 +610,42 @@ def o1_multikey_sort(spark, sf_dir):
         sort_amount.alias("sort_amount"),
         type_order.alias("__type_order"),
     )
-    # localCheckpoint pins the range partitioning: the offsets job and
-    # the final job must see the SAME partition boundaries (the same
-    # reason RDD.zipWithIndex materializes its counts pass)
-    ranged = (
-        base.repartitionByRange(
-            32, F.col("__type_order"), F.col("sort_amount"), F.col("o_orderkey")
+    # ~32 amount bins per type block; at cluster scale raise with the
+    # target parallelism (bins bound the window's shuffle width).
+    n_bins = 32
+    probs = [i / n_bins for i in range(1, n_bins)]
+    splits = sorted(
+        set(
+            base.where(F.col("sort_amount").isNotNull()).approxQuantile(
+                "sort_amount", probs, 0.001
+            )
         )
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint()
     )
-    local_w = W.partitionBy("__pid").orderBy(
-        "__type_order", F.col("sort_amount").asc_nulls_first(), "o_orderkey"
-    )
-    ranked = ranged.withColumn("__local_rn", F.row_number().over(local_w))
-    # partition offsets: O(num partitions) rows on the driver, not O(data)
+    # amount bin 0 = NULL (ASC NULLS FIRST), 1..n = (split[i-1], split[i]]
+    amt_bucket = F.when(F.col("sort_amount").isNull(), F.lit(0))
+    for i, s in enumerate(splits):
+        amt_bucket = amt_bucket.when(F.col("sort_amount") <= s, F.lit(i + 1))
+    amt_bucket = amt_bucket.otherwise(F.lit(len(splits) + 1))
+    bucket = (F.col("__type_order") * (len(splits) + 2) + amt_bucket).alias("__bkt")
+    bucketed = base.select("*", bucket)
+    # per-bucket offsets: O(n_buckets) rows on the driver, not O(data)
     counts = sorted(
-        (r["__pid"], r["cnt"])
-        for r in ranged.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+        (r["__bkt"], r["cnt"])
+        for r in bucketed.groupBy("__bkt").agg(F.count("*").alias("cnt")).collect()
     )
     offsets, acc = {}, 0
-    for pid, cnt in counts:
-        offsets[pid] = acc
+    for bkt, cnt in counts:
+        offsets[bkt] = acc
         acc += cnt
     offset_df = spark.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], "__pid int, __offset long"
+        [(bkt, off) for bkt, off in offsets.items()], "__bkt int, __offset long"
+    )
+    local_w = W.partitionBy("__bkt").orderBy(
+        F.col("sort_amount").asc_nulls_first(), "o_orderkey"
     )
     return (
-        ranked.join(F.broadcast(offset_df), "__pid")
+        bucketed.withColumn("__local_rn", F.row_number().over(local_w))
+        .join(F.broadcast(offset_df), "__bkt")
         .select(
             "o_orderkey",
             "o_orderstatus",

@@ -83,6 +83,20 @@ def test_no_python_row_udfs_in_hot_paths(spark, queries):
         assert "BatchEvalPython" not in p, name
 
 
+def test_no_forced_broadcast_of_candidate_pairs(spark, queries):
+    """The dedup verify joins must not HINT-broadcast the candidate-pair
+    frames: pairs are bucket-bounded but still O(corpus) worst-case, so a
+    forced broadcast OOMs the driver at 100 TB. The *logical* plan is the
+    right place to assert this — at tiny SF the static planner may
+    legitimately auto-broadcast from file stats, but a user hint shows up
+    as `strategy=broadcast` in the optimized logical plan regardless of
+    stats."""
+    for name in ("dedup_minhash_lsh", "dedup_ngram_jaccard",
+                 "dedup_simhash_pairs", "dedup_embed_cosine"):
+        p = plan_of(spark, queries, name, mode="extended")
+        assert "strategy=broadcast" not in p, name
+
+
 def test_multimodal_is_arrow_batched(spark, queries):
     p = plan_of(spark, queries, "mm_decode_meta", mode="simple")
     assert "MapInPandas" in p
