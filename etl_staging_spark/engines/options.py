@@ -12,10 +12,13 @@ An options dict looks like::
                  "date_to": "1997-12-31"},
         "comparison": {"periods": [ ...same shape as date... ]},
         "column_groups": {key: {"forced_options": {...}}},
+        "fiscal_year_end": (6, 30),   # optional, default (12, 31)
     }
 
-Fiscal years are calendar years (the reference delegates to the
-company's fiscal-year settings; the fixtures use Dec 31 year-end).
+Fiscal years follow the company's year-end setting — the reference
+delegates to ``compute_fiscalyear_dates`` (fiscalyear_last_month /
+fiscalyear_last_day on the company); the default (12, 31) keeps the
+calendar-year behavior of the fixtures.
 """
 
 from __future__ import annotations
@@ -35,18 +38,50 @@ DATE_SCOPES = (
 )
 
 
-def make_options(date_from: str, date_to: str, mode: str = "range") -> dict:
-    return {"date": {"mode": mode, "date_from": date_from, "date_to": date_to}}
+def make_options(date_from: str, date_to: str, mode: str = "range",
+                 fiscal_year_end: tuple[int, int] = (12, 31)) -> dict:
+    opts = {"date": {"mode": mode, "date_from": date_from, "date_to": date_to}}
+    if tuple(fiscal_year_end) != (12, 31):
+        opts["fiscal_year_end"] = tuple(fiscal_year_end)
+    return opts
 
 
 def _parse(d: str) -> dt.date:
     return dt.date.fromisoformat(d)
 
 
+def _clamped(year: int, month: int, day: int) -> dt.date:
+    """date(year, month, day) with the day clamped into the month (a
+    Feb-29 / short-month year-end setting)."""
+    while True:
+        try:
+            return dt.date(year, month, day)
+        except ValueError:
+            day -= 1
+
+
+def fiscal_year_bounds(d: dt.date, fy_end: tuple[int, int] = (12, 31)
+                       ) -> tuple[dt.date, dt.date]:
+    """(start, end) of the fiscal year containing ``d`` — the port of
+    ``res.company.compute_fiscalyear_dates`` for the (last_month,
+    last_day) setting: the FY ends on the first (month, day) anniversary
+    on or after ``d`` and spans one year."""
+    month, day = fy_end
+    end = _clamped(d.year, month, day)
+    if end < d:
+        end = _clamped(d.year + 1, month, day)
+    start = _clamped(end.year - 1, month, day) + dt.timedelta(days=1)
+    return start, end
+
+
+def fy_of(options: dict) -> tuple[int, int]:
+    return tuple(options.get("fiscal_year_end", (12, 31)))
+
+
 def date_bounds(options: dict, date_scope: str) -> tuple[str | None, str, bool]:
     """(date_from, date_to, allow_include_initial_balance) — the port of
-    `_get_date_bounds_info` (`account_report.py:622-659`), fiscal year =
-    calendar year."""
+    `_get_date_bounds_info` (`account_report.py:622-659`); the fiscal
+    scopes honor options['fiscal_year_end'] (default calendar year)."""
     date_to = options["date"]["date_to"]
     date_from = (
         options["date"]["date_from"] if options["date"]["mode"] == "range" else None
@@ -64,10 +99,11 @@ def date_bounds(options: dict, date_scope: str) -> tuple[str | None, str, bool]:
         date_to = eve.isoformat()
         date_from = None
     elif date_scope == "from_fiscalyear":
-        date_from = _parse(date_to).replace(month=1, day=1).isoformat()
+        fy_start, _ = fiscal_year_bounds(_parse(date_to), fy_of(options))
+        date_from = fy_start.isoformat()
     elif date_scope == "to_beginning_of_fiscalyear":
-        eve = _parse(date_to).replace(month=1, day=1) - dt.timedelta(days=1)
-        date_to = eve.isoformat()
+        fy_start, _ = fiscal_year_bounds(_parse(date_to), fy_of(options))
+        date_to = (fy_start - dt.timedelta(days=1)).isoformat()
         date_from = None
     else:
         raise ValueError(f"unknown date_scope {date_scope!r}")
@@ -152,15 +188,22 @@ _Q_NAMES = {1: "Q1", 2: "Q2", 3: "Q3", 4: "Q4"}
 
 
 def period_info(date_from: str | None, date_to: str, mode: str = "range",
-                period_type: str | None = None) -> dict:
+                period_type: str | None = None,
+                fy_end: tuple[int, int] = (12, 31)) -> dict:
     """`_get_dates_period`: detect the period type of [date_from, date_to]
-    and build its display label. Types: month / quarter / year / custom;
-    'single' mode labels as an as-of date."""
+    and build its display label. Types: month / quarter / year /
+    fiscalyear / custom; 'single' mode labels as an as-of date. A
+    non-calendar ``fy_end`` makes ranges matching the company FY detect
+    as 'fiscalyear' (calendar FY keeps detecting as 'year', matching the
+    reference's label for Dec-31 companies)."""
     d_to = _parse(date_to)
     d_from = _parse(date_from) if date_from else None
     if not period_type or period_type == "custom":
         if d_from and (d_from, d_to) == _year_bounds(d_to):
             period_type = "year"
+        elif (d_from and tuple(fy_end) != (12, 31)
+                and (d_from, d_to) == fiscal_year_bounds(d_to, fy_end)):
+            period_type = "fiscalyear"
         elif d_from and (d_from, d_to) == _month_bounds(d_to):
             period_type = "month"
         elif d_from and (d_from, d_to) == _quarter_bounds(d_to):
@@ -171,19 +214,24 @@ def period_info(date_from: str | None, date_to: str, mode: str = "range",
         string = f"As of {date_to}"
     elif period_type == "year":
         string = str(d_to.year)
+    elif period_type == "fiscalyear":
+        string = f"FY {d_to.year}"
     elif period_type == "month":
         string = d_to.strftime("%b %Y")
     elif period_type == "quarter":
         string = f"{_Q_NAMES[(d_to.month - 1) // 3 + 1]} {d_to.year}"
     else:
         string = f"From {date_from} to {date_to}"
-    return {
+    out = {
         "mode": mode,
         "period_type": period_type,
         "date_from": d_from.isoformat() if d_from else None,
         "date_to": d_to.isoformat(),
         "string": string,
     }
+    if tuple(fy_end) != (12, 31):
+        out["fiscal_year_end"] = tuple(fy_end)
+    return out
 
 
 def previous_period(period: dict) -> dict:
@@ -202,6 +250,11 @@ def previous_period(period: dict) -> dict:
     if ptype == "year":
         lo, hi = _year_bounds(d_to)
         return period_info(lo.isoformat(), hi.isoformat(), mode, "year")
+    if ptype == "fiscalyear":
+        fy_end = tuple(period.get("fiscal_year_end", (12, 31)))
+        lo, hi = fiscal_year_bounds(d_to, fy_end)
+        return period_info(lo.isoformat(), hi.isoformat(), mode, "fiscalyear",
+                           fy_end)
     raise ValueError(f"cannot shift period_type {ptype!r}")
 
 

@@ -483,8 +483,14 @@ def w3_most_recent(spark, sf_dir):
     """,
 )
 def w4_unaffected_earnings(spark, sf_dir):
+    from ..engines.options import date_bounds, make_options
+
+    # cutoff = start of the fiscal year containing the report period
+    # (calendar FY here; fy_period_shift covers a June-30 company)
+    opts = make_options("1998-01-01", "1998-12-31")
+    fy_from, _, _ = date_bounds(opts, "from_fiscalyear")
     o = load(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") < "1998-01-01") & (F.col("o_orderstatus") != "O")
+        (F.col("o_orderdate") < fy_from) & (F.col("o_orderstatus") != "O")
     )
     c = load(spark, sf_dir, "customer")
     return (

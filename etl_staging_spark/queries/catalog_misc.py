@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..domain import and_join
+from ..engines.ledger import O_LEDGER
 from ..tables import load
 from .registry import dsum, o_dsum, query
 
@@ -190,3 +191,75 @@ def pl_null_partner_bucket(spark, sf_dir):
     return o.groupBy(
         F.nullif(F.col("o_custkey") % 50, F.lit(0)).alias("partner_bucket")
     ).agg(F.count("*").alias("n"), dsum("o_totalprice").alias("amount"))
+
+
+# ---------------------------------------------------------------------------
+# Configurable fiscal year: a June-30 company (fiscalyear_last_month=6,
+# compute_fiscalyear_dates in res.company; consumed by the date scopes of
+# account_report.py:622-659). Two scope blocks anchored at 1997-09-30:
+# 'from_fiscalyear' resolves to [1997-07-01, 1997-09-30] and
+# 'to_beginning_of_fiscalyear' to (-inf, 1997-06-30]; the period labels
+# pin period_info's fiscalyear detection + previous_period's FY shift.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "fy_period_shift",
+    oracle=f"""
+    WITH {O_LEDGER}
+    SELECT 'fy_to_date' AS block, 'FY 1998' AS period_label,
+           substr(account_code, 1, 1) AS account_class,
+           CAST(SUM(conv) AS DOUBLE) AS balance, COUNT(*) AS n_rows
+    FROM led
+    WHERE date >= TIMESTAMP '1997-07-01'
+      AND date <= TIMESTAMP '1997-09-30 23:59:59'
+    GROUP BY substr(account_code, 1, 1)
+    UNION ALL
+    SELECT 'fy_opening', 'FY 1997', substr(account_code, 1, 1),
+           CAST(SUM(conv) AS DOUBLE), COUNT(*)
+    FROM led
+    WHERE date <= TIMESTAMP '1997-06-30 23:59:59'
+    GROUP BY substr(account_code, 1, 1)
+    """,
+)
+def fy_period_shift(spark, sf_dir):
+    from ..engines.ledger import move_lines
+    from ..engines.options import (
+        date_scope_filter,
+        fiscal_year_bounds,
+        make_options,
+        period_info,
+        previous_period,
+    )
+    import datetime as dt
+
+    fy_end = (6, 30)
+    opts = make_options("1997-07-01", "1997-09-30", fiscal_year_end=fy_end)
+    # the FY containing the anchor date, as a labeled period; its
+    # previous period labels the opening block
+    lo, hi = fiscal_year_bounds(dt.date.fromisoformat("1997-09-30"), fy_end)
+    cur = period_info(lo.isoformat(), hi.isoformat(), fy_end=fy_end)
+    assert cur["period_type"] == "fiscalyear"
+    prev = previous_period(cur)
+
+    led = move_lines(spark, sf_dir)
+    klass = F.substring("account_code", 1, 1).alias("account_class")
+
+    def block(name, label, scope):
+        return (
+            led.where(date_scope_filter(opts, scope))
+            .groupBy(klass)
+            .agg(
+                F.sum("conv").cast("double").alias("balance"),
+                F.count("*").alias("n_rows"),
+            )
+            .select(
+                F.lit(name).alias("block"),
+                F.lit(label).alias("period_label"),
+                "account_class", "balance", "n_rows",
+            )
+        )
+
+    return block("fy_to_date", cur["string"], "from_fiscalyear").unionByName(
+        block("fy_opening", prev["string"], "to_beginning_of_fiscalyear")
+    )

@@ -22,8 +22,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+import datetime as dt
+
 from ..engines.ledger import is_balance_sheet
-from ..engines.options import build_column_groups, date_scope_filter, group_options
+from ..engines.options import (
+    build_column_groups,
+    date_scope_filter,
+    fiscal_year_bounds,
+    fy_of,
+    group_options,
+)
 
 def _debit():
     return F.when(F.col("conv") >= 0, F.col("conv")).otherwise(
@@ -37,8 +45,12 @@ def _credit():
     )
 
 
-def _fy_start(date_from: str) -> str:
-    return f"{date_from[:4]}-01-01"
+def _fy_start(date_from: str, fy_end: tuple[int, int] = (12, 31)) -> str:
+    """Start of the fiscal year containing ``date_from``, per the
+    company's year-end setting (`account_general_ledger.py:292-316`
+    delegates to compute_fiscalyear_dates)."""
+    start, _ = fiscal_year_bounds(dt.date.fromisoformat(date_from), fy_end)
+    return start.isoformat()
 
 
 def gl_sums(led: DataFrame, options: dict) -> DataFrame:
@@ -67,7 +79,7 @@ def gl_sums(led: DataFrame, options: dict) -> DataFrame:
 
         # unaffected earnings: P&L rows strictly before the fiscal year
         # of the period start, one row per company
-        fy_eve = _fy_start(opts["date"]["date_from"])
+        fy_eve = _fy_start(opts["date"]["date_from"], fy_of(opts))
         unaff = (
             led.where((F.col("date") < fy_eve) & ~is_balance_sheet())
             .groupBy(F.col("company_id").cast("string").alias("groupby"))

@@ -439,3 +439,45 @@ def test_external_engine_sum_and_most_recent(spark):
     assert out[("s", "sum")] == 3.0
     # most_recent: latest date in period is 01-05, summed per that date
     assert out[("m", "most_recent")] == 15.0
+
+
+def test_fiscal_year_bounds():
+    import datetime as dt
+    from etl_staging_spark.engines.options import fiscal_year_bounds
+
+    # calendar default
+    assert fiscal_year_bounds(dt.date(1997, 3, 15)) == (
+        dt.date(1997, 1, 1), dt.date(1997, 12, 31))
+    # June-30 company: FY named by its end year
+    assert fiscal_year_bounds(dt.date(1997, 9, 30), (6, 30)) == (
+        dt.date(1997, 7, 1), dt.date(1998, 6, 30))
+    assert fiscal_year_bounds(dt.date(1997, 6, 30), (6, 30)) == (
+        dt.date(1996, 7, 1), dt.date(1997, 6, 30))
+    # short-month year-end clamps (Feb 29 setting in a non-leap year)
+    assert fiscal_year_bounds(dt.date(2021, 5, 1), (2, 29)) == (
+        dt.date(2021, 3, 1), dt.date(2022, 2, 28))
+
+
+def test_fiscal_scope_bounds():
+    from etl_staging_spark.engines.options import date_bounds, make_options
+
+    opts = make_options("1997-07-01", "1997-09-30", fiscal_year_end=(6, 30))
+    assert date_bounds(opts, "from_fiscalyear") == ("1997-07-01", "1997-09-30", False)
+    assert date_bounds(opts, "to_beginning_of_fiscalyear") == (None, "1997-06-30", False)
+    # default stays calendar-year
+    cal = make_options("1997-07-01", "1997-09-30")
+    assert date_bounds(cal, "from_fiscalyear") == ("1997-01-01", "1997-09-30", False)
+
+
+def test_fiscalyear_period_detection_and_shift():
+    from etl_staging_spark.engines.options import period_info, previous_period
+
+    fy = period_info("1997-07-01", "1998-06-30", fy_end=(6, 30))
+    assert fy["period_type"] == "fiscalyear"
+    assert fy["string"] == "FY 1998"
+    prev = previous_period(fy)
+    assert prev["period_type"] == "fiscalyear"
+    assert (prev["date_from"], prev["date_to"]) == ("1996-07-01", "1997-06-30")
+    assert prev["string"] == "FY 1997"
+    # a calendar FY still detects as plain 'year' (reference label)
+    assert period_info("1997-01-01", "1997-12-31")["period_type"] == "year"
