@@ -143,14 +143,43 @@ def o_date_scope_sql(options: dict, date_scope: str, date_col: str = "date") -> 
 
 def build_column_groups(options: dict) -> dict[str, dict]:
     """Column groups = the cross product of (current period + comparison
-    periods) — `account_report.py:1193-1282`. Each group carries its own
-    forced date options; engines run once per group and the results are
-    unioned keyed by column_group_key (the A8/U1 pattern)."""
+    periods) x horizontal-group values — `account_report.py:1193-1282`.
+    Each group carries its own forced options; engines run once per
+    group and the results are unioned keyed by column_group_key (the
+    A8/U1 pattern).
+
+    Horizontal groups (the reference's report horizontal_group_id, whose
+    groupby-field values multiply the column headers) are declared as::
+
+        options["horizontal_groups"] = {"field": "company_id",
+                                        "values": [0, 1, 2]}
+
+    and contribute a ``forced_domain`` leaf per value, ANDed into every
+    engine predicate for that group — so the group filter rides the same
+    pushed-down scan predicate as the date scope."""
     periods = [options["date"]] + options.get("comparison", {}).get("periods", [])
+    hg = options.get("horizontal_groups")
     groups: dict[str, dict] = {}
     for i, period in enumerate(periods):
-        groups[f"cg{i}"] = {"forced_options": {"date": period}}
+        if not hg:
+            groups[f"cg{i}"] = {"forced_options": {"date": period}}
+            continue
+        for j, value in enumerate(hg["values"]):
+            groups[f"cg{i}_hg{j}"] = {
+                "forced_options": {
+                    "date": period,
+                    "forced_domain": [(hg["field"], "=", value)],
+                }
+            }
     return groups
+
+
+def forced_domain_filter(options: dict) -> Column:
+    """The Column predicate of a group's forced domain (TRUE when the
+    group carries none)."""
+    from ..domain import compile_domain
+
+    return compile_domain(options.get("forced_domain"))
 
 
 def group_options(options: dict, group: dict) -> dict:

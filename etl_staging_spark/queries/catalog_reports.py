@@ -62,6 +62,64 @@ def gl_report(spark, sf_dir):
     return gl_sums(move_lines(spark, sf_dir), GL_OPTS)
 
 
+def _o_gl_hg_group(cg_key: str, date_from: str, date_to: str, cid: int) -> str:
+    """One horizontal-group cell of the oracle: the period block ANDed
+    with the group value filter."""
+    fy_eve = f"{date_from[:4]}-01-01"
+    return f"""
+    SELECT '{cg_key}' AS column_group_key, 'sum' AS key, account_code AS groupby,
+           {_O_DEBIT} AS debit, {_O_CREDIT} AS credit,
+           CAST(SUM(conv) AS DOUBLE) AS balance,
+           strftime(MAX(date), '%Y-%m-%d') AS max_date
+    FROM led
+    WHERE company_id = {cid}
+      AND date <= TIMESTAMP '{date_to} 23:59:59'
+      AND (date >= TIMESTAMP '{date_from}'
+           OR CAST(substr(account_code, 1, 1) AS INT) <= 5)
+    GROUP BY account_code
+    UNION ALL
+    SELECT '{cg_key}', 'unaffected_earnings', CAST(company_id AS VARCHAR),
+           {_O_DEBIT}, {_O_CREDIT}, CAST(SUM(conv) AS DOUBLE),
+           CAST(NULL AS VARCHAR)
+    FROM led
+    WHERE company_id = {cid}
+      AND date < TIMESTAMP '{fy_eve}'
+      AND CAST(substr(account_code, 1, 1) AS INT) > 5
+    GROUP BY company_id
+    """
+
+
+_HG_PERIODS = {0: ("1997-01-01", "1997-12-31"), 1: ("1996-01-01", "1996-12-31")}
+
+HG_OPTS = build_comparison(
+    make_options("1997-01-01", "1997-12-31"), "previous_period", 1
+)
+HG_OPTS["horizontal_groups"] = {"field": "company_id", "values": [0, 1, 2]}
+
+
+@query(
+    "hg_column_groups",
+    oracle=f"""
+    WITH {O_LEDGER}
+    {" UNION ALL ".join(
+        _o_gl_hg_group(f"cg{{i}}_hg{{j}}".format(i=i, j=j), lo, hi, cid)
+        for i, (lo, hi) in _HG_PERIODS.items()
+        for j, cid in enumerate([0, 1, 2])
+    )}
+    """,
+)
+def hg_column_groups(spark, sf_dir):
+    """Horizontal-group column groups (`account_report.py:1193-1282`):
+    the column-group matrix is (current + comparison periods) x the
+    horizontal groupby field's values — here 2 periods x 3 companies =
+    6 groups, each adding a ``forced_domain`` leaf that rides the same
+    pushed-down scan predicate as its date scope. Drives the SAME
+    gl_sums pipeline as gl_report, so the variant required by the
+    reference's comparison x groups filter matrix shares one code
+    path."""
+    return gl_sums(move_lines(spark, sf_dir), HG_OPTS)
+
+
 @query(
     "gl_report_detail",
     oracle=f"""

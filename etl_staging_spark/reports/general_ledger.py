@@ -29,6 +29,7 @@ from ..engines.options import (
     build_column_groups,
     date_scope_filter,
     fiscal_year_bounds,
+    forced_domain_filter,
     fy_of,
     group_options,
 )
@@ -61,7 +62,7 @@ def gl_sums(led: DataFrame, options: dict) -> DataFrame:
     for cg_key, cg in build_column_groups(options).items():
         opts = group_options(options, cg)
         sums = (
-            led.where(date_scope_filter(opts, "normal"))
+            led.where(date_scope_filter(opts, "normal") & forced_domain_filter(opts))
             .groupBy(F.col("account_code").alias("groupby"))
             .agg(
                 F.sum(_debit()).cast("double").alias("debit"),
@@ -81,7 +82,11 @@ def gl_sums(led: DataFrame, options: dict) -> DataFrame:
         # of the period start, one row per company
         fy_eve = _fy_start(opts["date"]["date_from"], fy_of(opts))
         unaff = (
-            led.where((F.col("date") < fy_eve) & ~is_balance_sheet())
+            led.where(
+                (F.col("date") < fy_eve)
+                & ~is_balance_sheet()
+                & forced_domain_filter(opts)
+            )
             .groupBy(F.col("company_id").cast("string").alias("groupby"))
             .agg(
                 F.sum(_debit()).cast("double").alias("debit"),

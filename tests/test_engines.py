@@ -481,3 +481,21 @@ def test_fiscalyear_period_detection_and_shift():
     assert prev["string"] == "FY 1997"
     # a calendar FY still detects as plain 'year' (reference label)
     assert period_info("1997-01-01", "1997-12-31")["period_type"] == "year"
+
+
+def test_horizontal_group_column_groups():
+    from etl_staging_spark.engines.options import (
+        build_column_groups, build_comparison, group_options, make_options)
+
+    opts = build_comparison(make_options("1997-01-01", "1997-12-31"),
+                            "previous_period", 1)
+    opts["horizontal_groups"] = {"field": "company_id", "values": [0, 1]}
+    groups = build_column_groups(opts)
+    assert list(groups) == ["cg0_hg0", "cg0_hg1", "cg1_hg0", "cg1_hg1"]
+    g = group_options(opts, groups["cg1_hg1"])
+    assert g["date"]["date_from"] == "1996-01-01"
+    assert g["forced_domain"] == [("company_id", "=", 1)]
+    # without horizontal groups the keys stay cg{i} (hash stability of
+    # every existing column-group entry)
+    del opts["horizontal_groups"]
+    assert list(build_column_groups(opts)) == ["cg0", "cg1"]
