@@ -178,6 +178,57 @@ def cosine_dup_pairs(
     return out
 
 
+def train_ivf_centroids(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    sample_mod: int = 1,
+    max_sample: int = 4096,
+    n_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Sampled spherical k-means for IVF coarse centroids — fully
+    deterministic, no RNG anywhere:
+
+    - sample  = ids with ``id % sample_mod == 0``, first ``max_sample``
+      by id (mod-sampling is reproducible across partitionings, unlike
+      ``DataFrame.sample`` whose seed is per-partition);
+    - init    = ``n_centroids`` evenly spaced sample vectors in id
+      order (spreads seeds across the corpus without randomness);
+    - Lloyd   = a fixed ``n_iter`` rounds of assign-to-max-dot /
+      renormalized-mean updates, driver-side numpy over the bounded
+      sample (cost independent of corpus size — the 100 TB path trains
+      on the same few thousand sampled rows).
+
+    Returns plain ``list[list[float]]`` ready for ``ivf_topk``'s
+    ``centroids=`` parameter."""
+    import numpy as np
+
+    rows = (
+        emb.where(F.pmod(F.col(id_col), F.lit(sample_mod)) == 0)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(max_sample)
+        .collect()
+    )
+    X = np.array([[float(v) for v in r[1]] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    X = X / norms
+    k = min(n_centroids, len(X))
+    C = X[np.linspace(0, len(X) - 1, k).astype(int)].copy()
+    for _ in range(n_iter):
+        assign = (X @ C.T).argmax(axis=1)  # ties -> lowest centroid id
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+        cn = np.linalg.norm(C, axis=1, keepdims=True)
+        cn[cn == 0] = 1.0
+        C = C / cn
+    return [c.tolist() for c in C]
+
+
 def ivf_topk(
     emb: DataFrame,
     query_pred: Column,
@@ -187,22 +238,26 @@ def ivf_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF ANN: coarse-quantize the corpus into ``n_centroids`` inverted
     lists (nearest centroid by cosine, ties to the lower centroid id),
     then each query scores ONLY the vectors in its ``n_probe`` closest
     lists. Expected per-query work: n_probe/n_centroids of the corpus.
 
-    Centroids are the first ``n_centroids`` vectors by id — a
-    deterministic seed choice (production would k-means these; the
-    assignment/probe machinery is identical), collected once (bounded)
-    and broadcast as literals so assignment is one scan, no join."""
-    cents = (
-        emb.where(F.col(id_col) < n_centroids)
-        .select(id_col, vec_col)
-        .collect()
-    )
-    cent_arrs = {int(r[0]): [float(v) for v in r[1]] for r in cents}
+    ``centroids`` (e.g. from :func:`train_ivf_centroids`) are broadcast
+    as literals so assignment is one scan, no join. Without them, the
+    first ``n_centroids`` vectors by id serve as a deterministic,
+    oracle-expressible seed choice — same machinery, weaker lists."""
+    if centroids is not None:
+        cent_arrs = {i: [float(v) for v in c] for i, c in enumerate(centroids)}
+    else:
+        cents = (
+            emb.where(F.col(id_col) < n_centroids)
+            .select(id_col, vec_col)
+            .collect()
+        )
+        cent_arrs = {int(r[0]): [float(v) for v in r[1]] for r in cents}
 
     # array_sort on struct(negc, cid) sorts ascending by negc then cid:
     # descending similarity, ties broken toward the lower centroid id
