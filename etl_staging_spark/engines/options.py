@@ -182,6 +182,53 @@ def forced_domain_filter(options: dict) -> Column:
     return compile_domain(options.get("forced_domain"))
 
 
+# ---------------------------------------------------------------------------
+# Multi-company scope + variant selection (`account_report.py:1408-1456`
+# _init_options: allowed_company_ids -> company scope; the root report's
+# variants are filtered by availability_condition and the active
+# company's fiscal country picks the one to run).
+# ---------------------------------------------------------------------------
+
+
+def company_scope_filter(options: dict, col: str = "company_id") -> Column:
+    """Predicate restricting rows to options['companies'] — a plain IN
+    list, so it rides the pushed-down scan predicate. TRUE when no
+    company scope is set (single-company behavior)."""
+    ids = options.get("companies")
+    if not ids:
+        return F.lit(True)
+    return F.col(col).isin(list(ids))
+
+
+def select_variant(report_defs: list[dict], country_code: str | None) -> dict:
+    """Pick the report variant to run: the def whose
+    availability_condition='country' matches the active company's
+    fiscal country wins; otherwise fall back to the generic root
+    (availability_condition='always' / no country)."""
+    generic = None
+    for rd in report_defs:
+        cond = rd.get("availability_condition", "country")
+        if cond == "country" and rd.get("country") == country_code:
+            return rd
+        if cond == "always" or not rd.get("country"):
+            generic = generic or rd
+    if generic is None:
+        raise ValueError(f"no variant available for country {country_code!r}")
+    return generic
+
+
+def init_report_options(report_defs: list[dict], companies: list[dict],
+                        date_from: str, date_to: str, **kw) -> dict:
+    """Minimal `_init_options` pipeline: date options + company scope +
+    variant selection keyed on the ACTIVE (first selected) company's
+    country. ``companies`` rows look like {'id': 0, 'country': 'DE'}."""
+    active = companies[0]
+    opts = make_options(date_from, date_to, **kw)
+    opts["companies"] = [c["id"] for c in companies]
+    opts["report"] = select_variant(report_defs, active.get("country"))
+    return opts
+
+
 def group_options(options: dict, group: dict) -> dict:
     """Overlay one column group's forced options on the base options."""
     return {**options, **group.get("forced_options", {})}

@@ -263,3 +263,64 @@ def fy_period_shift(spark, sf_dir):
     return block("fy_to_date", cur["string"], "from_fiscalyear").unionByName(
         block("fy_opening", prev["string"], "to_beginning_of_fiscalyear")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-company scope + variant selection (`account_report.py:1408-1456`):
+# the company selector scopes every predicate to the allowed companies,
+# and the active company's fiscal country picks which report variant
+# runs (country variant over the generic root). The chosen variant's
+# name is part of the hashed result, pinning the selection logic.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mc_company_scope",
+    oracle=f"""
+    WITH {O_LEDGER}
+    SELECT 'tax_report_de' AS report_name, company_id,
+           substr(account_code, 1, 1) AS account_class,
+           CAST(SUM(conv) AS DOUBLE) AS balance, COUNT(*) AS n_rows
+    FROM led
+    WHERE company_id IN (0, 1)
+      AND date >= TIMESTAMP '1997-01-01'
+      AND date <= TIMESTAMP '1997-12-31 23:59:59'
+    GROUP BY company_id, substr(account_code, 1, 1)
+    """,
+)
+def mc_company_scope(spark, sf_dir):
+    from ..engines.ledger import move_lines
+    from ..engines.options import (
+        company_scope_filter,
+        date_scope_filter,
+        init_report_options,
+    )
+
+    report_defs = [
+        {"name": "tax_report_generic", "country": None,
+         "availability_condition": "always"},
+        {"name": "tax_report_de", "country": "DE",
+         "availability_condition": "country"},
+        {"name": "tax_report_fr", "country": "FR",
+         "availability_condition": "country"},
+    ]
+    companies = [{"id": 0, "country": "DE"}, {"id": 1, "country": "FR"}]
+    opts = init_report_options(report_defs, companies,
+                               "1997-01-01", "1997-12-31")
+    led = move_lines(spark, sf_dir)
+    return (
+        led.where(date_scope_filter(opts, "strict_range")
+                  & company_scope_filter(opts))
+        .groupBy(
+            "company_id",
+            F.substring("account_code", 1, 1).alias("account_class"),
+        )
+        .agg(
+            F.sum("conv").cast("double").alias("balance"),
+            F.count("*").alias("n_rows"),
+        )
+        .select(
+            F.lit(opts["report"]["name"]).alias("report_name"),
+            "company_id", "account_class", "balance", "n_rows",
+        )
+    )

@@ -499,3 +499,21 @@ def test_horizontal_group_column_groups():
     # every existing column-group entry)
     del opts["horizontal_groups"]
     assert list(build_column_groups(opts)) == ["cg0", "cg1"]
+
+
+def test_variant_selection_and_company_scope():
+    from etl_staging_spark.engines.options import (
+        init_report_options, select_variant)
+
+    defs = [
+        {"name": "generic", "country": None, "availability_condition": "always"},
+        {"name": "de", "country": "DE", "availability_condition": "country"},
+    ]
+    assert select_variant(defs, "DE")["name"] == "de"
+    # no country match -> generic fallback
+    assert select_variant(defs, "US")["name"] == "generic"
+    opts = init_report_options(
+        defs, [{"id": 2, "country": "US"}, {"id": 0, "country": "DE"}],
+        "1997-01-01", "1997-12-31")
+    assert opts["companies"] == [2, 0]
+    assert opts["report"]["name"] == "generic"  # active company = first
