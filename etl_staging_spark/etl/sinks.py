@@ -20,18 +20,18 @@ def write_csv(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").option("header", True).csv(path)
 
 
-def write_report_file(df: DataFrame, path: str) -> str:
-    """S4/S5: register sink. Tries an Excel writer via pandas; falls
-    back to a single CSV — the register wizards' output contract (a
-    downloadable tabular file) either way. Returns the path written."""
-    pdf = df.toPandas()
+def write_report_file(df: DataFrame, path: str, title: str | None = None,
+                      subtitle: str = "") -> str:
+    """S4/S5: register sink. ``.xlsx`` paths go through the built-in
+    styled writer (`etl.xlsx` — title/header/totals-row contract of the
+    register wizards, no Excel library needed); anything else is a CSV.
+    Returns the path written."""
     if path.endswith(".xlsx"):
-        try:
-            pdf.to_excel(path, index=False)
-            return path
-        except (ImportError, ModuleNotFoundError):
-            path = path[: -len(".xlsx")] + ".csv"
-    pdf.to_csv(path, index=False)
+        from .xlsx import write_register_xlsx
+
+        write_register_xlsx(df, path, title or "Report", subtitle)
+        return path
+    df.toPandas().to_csv(path, index=False)
     return path
 
 

@@ -334,3 +334,64 @@ def prefix_groups(
         else:
             out[prefix] = sorted(members)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Footnotes + display formatting (`account_report.py:41-61` footnote
+# manager, `:3770-3783` print-mode numbering, `:4102-4138` format_value).
+# Driver-side over assembled lines, like the reference.
+# ---------------------------------------------------------------------------
+
+
+def attach_footnotes(lines: list[dict], footnotes: dict[str, str]) -> list[dict]:
+    """Print-mode footnote numbering: walk the VISIBLE lines in render
+    order, number each line that has a footnote (1-based, in order of
+    appearance), set ``line['footnote']`` to that number, and return the
+    render list ``[{'number': n, 'line': id, 'text': ...}]``. Footnotes
+    keyed on lines not present (filtered/hidden) are skipped — numbering
+    follows visibility, exactly like the reference's print mode."""
+    to_render: list[dict] = []
+    number = 0
+    for line in lines:
+        text = footnotes.get(str(line.get("id")))
+        if text is not None:
+            number += 1
+            line["footnote"] = str(number)
+            to_render.append({"number": number, "line": str(line["id"]), "text": text})
+    return to_render
+
+
+ROUNDING_UNITS = {"units": 1, "thousands": 1_000, "millions": 1_000_000}
+
+
+def format_value(value, figure_type: str | None = None, digits: int = 1,
+                 blank_if_zero: bool = True,
+                 rounding_unit: str = "units") -> str:
+    """`format_value` port: display formatting for assembled cells.
+
+    - figure_type 'none' passes through; None value renders '';
+    - 'monetary' uses 2 digits and divides by the rounding unit
+      (units / thousands / millions display toggle);
+    - 'integer' uses 0 digits; 'percentage' appends '%';
+    - zeros render '' when ``blank_if_zero`` else without a sign
+      (never '-0.0');
+    - thousands separators, fixed decimals otherwise."""
+    if figure_type == "none":
+        return value
+    if value is None:
+        return ""
+    if figure_type == "monetary":
+        digits = 2
+        value = value / ROUNDING_UNITS[rounding_unit]
+    elif figure_type == "integer":
+        digits = 0
+    elif figure_type in ("date", "datetime"):
+        return str(value)
+    if round(abs(float(value)), digits) == 0:
+        if blank_if_zero:
+            return ""
+        value = abs(value)  # never render -0.0
+    formatted = f"{float(value):,.{digits}f}"
+    if figure_type == "percentage":
+        return f"{formatted}%"
+    return formatted

@@ -179,3 +179,34 @@ def test_totals_below_sections_nested():
     assert by_id["total~a"]["name"] == "Total A"
     assert by_id["total~a"]["parent_id"] == "a"
     assert by_id["total~a1"]["level"] == by_id["a1"].get("level", 0) + 1
+
+
+def test_footnote_numbering_follows_visibility():
+    from etl_staging_spark.reports.assemble import attach_footnotes
+
+    lines = [{"id": "~a~1"}, {"id": "~a~2"}, {"id": "~a~3"}]
+    notes = {"~a~3": "first by key, second by render order",
+             "~a~1": "renders first",
+             "~hidden~9": "not visible -> skipped"}
+    rendered = attach_footnotes(lines, notes)
+    assert [r["number"] for r in rendered] == [1, 2]
+    assert lines[0]["footnote"] == "1"
+    assert "footnote" not in lines[1]
+    assert lines[2]["footnote"] == "2"
+    assert rendered[1]["text"].startswith("first by key")
+
+
+def test_format_value_contract():
+    from etl_staging_spark.reports.assemble import format_value
+
+    assert format_value(1234567.891, "monetary") == "1,234,567.89"
+    assert format_value(1234567.891, "monetary", rounding_unit="thousands") == "1,234.57"
+    assert format_value(1234567.891, "monetary", rounding_unit="millions") == "1.23"
+    assert format_value(None, "monetary") == ""
+    assert format_value(0.0, "monetary") == ""
+    # -0.004 is zero at 2 digits: blanked by default, abs()'d when shown
+    assert format_value(-0.004, "monetary") == ""
+    assert format_value(-0.004, "monetary", blank_if_zero=False) == "0.00"
+    assert format_value(12.345, "percentage", digits=1) == "12.3%"
+    assert format_value(42.9, "integer") == "43"
+    assert format_value("raw", "none") == "raw"

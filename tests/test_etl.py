@@ -79,11 +79,47 @@ def test_dedup_purge_survivor(spark):
     assert out["k2"] == (1, 7.0)
 
 
-def test_report_file_sink_falls_back_to_csv(spark, tmp_path):
+def test_report_file_sink_writes_native_xlsx(spark, tmp_path):
     df = spark.createDataFrame([("x", 1.0)], "a string, b double")
     path = sinks.write_report_file(df, str(tmp_path / "report.xlsx"))
-    assert os.path.exists(path)
-    assert path.endswith((".xlsx", ".csv"))
+    assert os.path.exists(path) and path.endswith(".xlsx")
+
+
+def test_styled_xlsx_totals_and_styles(spark, tmp_path):
+    """The register workbook contract (sales_report.py:188-225): merged
+    title, gray header row, 2-dp numbers, and a bold gray totals row
+    whose cells equal the column sums — asserted cell-by-cell on the
+    OOXML parts."""
+    import re
+    import zipfile
+
+    from etl_staging_spark.etl.xlsx import S_HEADER, S_TOTAL_NUM, write_register_xlsx
+
+    df = spark.createDataFrame(
+        [("1997-01-03", "alpha", 10.5, 2.0),
+         ("1997-02-11", "beta", 4.25, 1.0),
+         ("1997-03-20", "gamma", -3.75, 5.0)],
+        "invoice_date string, partner string, amount double, qty double",
+    )
+    path = str(tmp_path / "sales_register.xlsx")
+    out = write_register_xlsx(df, path, "Sales Register", "From 1997-01-01 to 1997-03-31")
+    assert out["totals"] == {2: 10.5 + 4.25 - 3.75, 3: 8.0}
+
+    with zipfile.ZipFile(path) as z:
+        sheet = z.read("xl/worksheets/sheet1.xml").decode()
+        styles = z.read("xl/styles.xml").decode()
+    # title merged across all 4 columns
+    assert '<mergeCell ref="A1:D1"/>' in sheet
+    # header row (row 3) styled with the header xf
+    assert f'<c r="A3" s="{S_HEADER}" t="inlineStr"><is><t xml:space="preserve">invoice_date</t></is></c>' in sheet
+    # totals row = row 7 (title, subtitle, header, 3 data rows): label +
+    # per-column sums in the bold gray style
+    assert re.search(r'<c r="A7" s="\d+" t="inlineStr"><is><t[^>]*>Total</t></is></c>', sheet)
+    assert f'<c r="C7" s="{S_TOTAL_NUM}"><v>11.0</v></c>' in sheet
+    assert f'<c r="D7" s="{S_TOTAL_NUM}"><v>8.0</v></c>' in sheet
+    # the totals style really is bold + solid gray + 2-dp numFmt
+    assert 'formatCode="#,##0.00;-#,##0.00"' in styles
+    assert '<fgColor rgb="FFC0C0C0"/>' in styles
 
 
 def test_dashboard_json_sink(spark, tmp_path):
