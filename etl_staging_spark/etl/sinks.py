@@ -31,6 +31,20 @@ def write_report_file(df: DataFrame, path: str, title: str | None = None,
 
         write_register_xlsx(df, path, title or "Report", subtitle)
         return path
+    if path.endswith(".html"):
+        from ..reports.html import write_report_html
+
+        cols = df.columns
+        lines = [
+            {
+                "id": f"row~{i}",
+                "name": row[cols[0]],
+                "level": 0,
+                "columns": [{"no_format": row[c]} for c in cols[1:]],
+            }
+            for i, row in enumerate(df.collect())
+        ]
+        return write_report_html(path, title or "Report", cols[1:], lines)
     df.toPandas().to_csv(path, index=False)
     return path
 

@@ -210,3 +210,80 @@ def test_format_value_contract():
     assert format_value(12.345, "percentage", digits=1) == "12.3%"
     assert format_value(42.9, "integer") == "43"
     assert format_value("raw", "none") == "raw"
+
+
+def test_html_colspan_pass_per_level_key():
+    """`_format_lines_for_display` contract: the name-cell colspan is
+    the per-(level, root/child) minimum first-valued column index, and
+    value-free lines span the whole row."""
+    from etl_staging_spark.reports.html import apply_colspans
+
+    lines = apply_colspans([
+        # root level 0: first valued column is index 2 on one line,
+        # index 1 on the other -> key minimum is 1 -> no merge
+        {"id": "a", "level": 0, "columns": [{}, {"name": "5.0"}]},
+        {"id": "b", "level": 0, "columns": [{"name": "1.0"}, {"name": "2.0"}]},
+        # children of a: both lines start at column 2 -> colspan 2
+        {"id": "c", "level": 1, "parent_id": "a",
+         "columns": [{}, {"name": "7.0"}]},
+        {"id": "d", "level": 1, "parent_id": "a",
+         "columns": [{}, {"name": "8.0"}]},
+        # layout line without values spans everything
+        {"id": "e", "level": 0, "parent_id": "a", "columns": [{}, {}]},
+    ])
+    assert lines[0]["colspan"] == 1 and len(lines[0]["columns"]) == 2
+    assert lines[2]["colspan"] == 2 and len(lines[2]["columns"]) == 1
+    assert lines[3]["colspan"] == 2
+    assert lines[4]["colspan"] == 3 and lines[4]["columns"] == []
+
+
+def test_html_render_negative_red_and_footnotes():
+    from etl_staging_spark.reports.html import render_report_html
+
+    lines = [
+        {"id": "line~a", "name": "Revenue", "level": 0,
+         "columns": [{"no_format": 100.0}]},
+        {"id": "line~b", "name": "Costs", "level": 1, "parent_id": "line~a",
+         "columns": [{"no_format": -40.5}]},
+    ]
+    html = render_report_html(
+        "P&L", ["Balance"], lines,
+        footnotes={"line~b": "includes accrual"}, print_mode=True)
+    assert "P&amp;L" in html
+    assert '<td class="number">100.00</td>' in html
+    assert '<td class="number color-red">-40.50</td>' in html
+    # print-mode footnote: superscript on the line + rendered list
+    assert '<sup class="footnote">1</sup>' in html
+    assert '<li value="1">includes accrual</li>' in html
+    # screen mode: no footnote artifacts
+    html2 = render_report_html("P&L", ["Balance"], lines,
+                               footnotes={"line~b": "x"}, print_mode=False)
+    assert "<sup" not in html2 and "<ol" not in html2
+
+
+def test_html_column_group_header_and_indent():
+    from etl_staging_spark.reports.html import render_report_html
+
+    html = render_report_html(
+        "GL", ["Debit", "Credit", "Debit", "Credit"],
+        [{"id": "line~x", "name": "400000 Sales", "level": 2,
+          "columns": [{"no_format": 1.0}, {"no_format": 2.0},
+                      {"no_format": 3.0}, {"no_format": 4.0}]}],
+        column_groups=[("1997", 2), ("1996", 2)],
+    )
+    assert '<th colspan="2">1997</th><th colspan="2">1996</th>' in html
+    assert 'padding-left:32px' in html
+
+
+def test_pdf_export_gates_on_missing_backend(tmp_path):
+    import pytest
+
+    from etl_staging_spark.reports.html import export_pdf
+
+    target = str(tmp_path / "report.pdf")
+    with pytest.raises(RuntimeError, match="print-mode HTML written"):
+        export_pdf(target, "R", ["V"],
+                   [{"id": "l", "name": "n", "columns": [{"no_format": 1.0}]}])
+    side = target + ".html"
+    import os
+    assert os.path.exists(side)

@@ -142,3 +142,14 @@ def test_rls_predicate_reaches_scan(spark):
     nations = {r.c_nationkey for r in
                spark.sql("SELECT DISTINCT c_nationkey FROM customer").collect()}
     assert len(nations) > 3  # unfiltered again after re-register
+
+
+def test_report_file_sink_writes_html(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("alpha", 10.0), ("beta", -2.5)], "partner string, amount double")
+    path = sinks.write_report_file(
+        df, str(tmp_path / "register.html"), title="Sales Register")
+    with open(path) as fh:
+        html = fh.read()
+    assert "Sales Register" in html and "alpha" in html
+    assert '<td class="number color-red">-2.50</td>' in html
