@@ -108,7 +108,7 @@ _E3_FORMULAS = ["1", "10\\(104,106)", "1D + 3 - 4C", "2\\(29)C", "1 + 9"]
 
 @query(
     "e3_account_codes",
-    oracle=f"""
+    oracle=rf"""
     WITH {O_LEDGER},
     per_acct AS (
       SELECT account_code, SUM(conv) AS s

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..llmdata import dedup, multimodal, simsearch, textstats
+from ..llmdata import cluster, dedup, multimodal, simsearch, textstats
 from ..llmdata.hashing import (
     BAND_ROWS,
     MERSENNE31,
@@ -196,6 +196,58 @@ def dedup_simhash_pairs(spark, sf_dir):
     (pigeonhole), so the equi-join discovery is EXACT — no recall loss —
     and never all-pairs."""
     return dedup.simhash_pairs(load(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@query(
+    "dedup_cluster_cc",
+    oracle=f"""
+    WITH RECURSIVE {O_TRIH},
+    ftri AS (
+      SELECT doc_id, h FROM trih
+      WHERE h IN (SELECT h FROM trih GROUP BY h
+                  HAVING COUNT(*) <= {dedup.MAX_SHINGLE_DF})
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ftri GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+      FROM ftri a JOIN ftri b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT d1, d2 FROM inter
+      JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
+      WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
+    ),
+    nodes AS (SELECT d1 AS doc_id FROM pairs UNION SELECT d2 FROM pairs),
+    edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+              UNION SELECT d2, d1 FROM pairs),
+    -- transitive closure by label propagation; MIN over reachable ids
+    -- is the component minimum (the recursive UNION deduplicates, so
+    -- the fold terminates)
+    reach(doc_id, r) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc_id
+    ),
+    lbl AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+    sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lbl
+           GROUP BY cluster_id)
+    SELECT l.doc_id, l.cluster_id, s.cluster_size,
+           l.doc_id = l.cluster_id AS is_canonical
+    FROM lbl l JOIN sz s USING (cluster_id)
+    """,
+)
+def dedup_cluster_cc(spark, sf_dir):
+    """Near-dup CLUSTER assignment: connected components over the exact
+    3-gram Jaccard >= 0.8 pairs, labels = component-minimum doc_id,
+    plus cluster size and the keep/drop canonical flag. Distributed
+    alternating large-star/small-star (O(log n) bounded-shuffle rounds,
+    no neighborhood arrays — `llmdata/cluster.py`); the oracle folds
+    the same components with a recursive label-propagation CTE."""
+    pairs = dedup.jaccard_pairs(
+        load(spark, sf_dir, "documents"), threshold=0.8
+    ).select("d1", "d2")
+    return cluster.near_dup_clusters(pairs)
 
 
 # ---------------------------------------------------------------------------

@@ -252,3 +252,39 @@ def test_trained_ivf_recall_on_planted_clusters(spark):
     assert recall >= 0.9, f"recall@5 = {recall}"
     # determinism: retraining reproduces the exact same centroids
     assert cents == simsearch.train_ivf_centroids(emb, n_centroids=8, max_sample=192)
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A 4-node chain (long diameter — forces >1 star round), a 2-node
+    island, and an untouched singleton: labels must be the component
+    minimum, sizes the component size, canonical = minimum only."""
+    from etl_staging_spark.llmdata.cluster import near_dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 13),   # chain 10-11-12-13
+         (3, 7),                          # island
+         (20, 21), (21, 20)],             # duplicate edge both ways
+        "d1 long, d2 long",
+    )
+    out = {r.doc_id: (r.cluster_id, r.cluster_size, r.is_canonical)
+           for r in near_dup_clusters(pairs).collect()}
+    assert out[10] == (10, 4, True)
+    assert out[11] == (10, 4, False)
+    assert out[13] == (10, 4, False)
+    assert out[3] == (3, 2, True) and out[7] == (3, 2, False)
+    assert out[20] == (20, 2, True) and out[21] == (20, 2, False)
+    assert 99 not in out  # singletons never enter
+
+
+def test_connected_components_converges_on_star_heavy_graph(spark):
+    """Everything joined through one hub plus a transitive tail — the
+    worst skew shape for neighborhood-array implementations; the
+    join-based stars must still produce one component."""
+    from etl_staging_spark.llmdata.cluster import connected_components
+
+    edges = [(0, i) for i in range(1, 30)] + [(29, 40), (40, 41)]
+    pairs = spark.createDataFrame(edges, "d1 long, d2 long")
+    labels = connected_components(pairs)
+    assert labels.select("cluster_id").distinct().count() == 1
+    assert labels.count() == 32
+    assert labels.where("cluster_id != 0").count() == 0
