@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..llmdata import cluster, dedup, multimodal, simsearch, textstats
+from ..llmdata import cluster, decontam, dedup, multimodal, pii, simsearch, textstats
 from ..llmdata.hashing import (
     BAND_ROWS,
     MERSENNE31,
@@ -248,6 +248,113 @@ def dedup_cluster_cc(spark, sf_dir):
         load(spark, sf_dir, "documents"), threshold=0.8
     ).select("d1", "d2")
     return cluster.near_dup_clusters(pairs)
+
+
+# 5-gram variant of the shingle CTEs for decontamination (short fixture
+# docs; the published decontamination rule uses 13-grams on web text).
+O_FIVE = """
+five AS (
+  SELECT DISTINCT doc_id,
+         tok || ' ' || l1 || ' ' || l2 || ' ' || l3 || ' ' || l4 AS shingle
+  FROM (
+    SELECT doc_id, tok,
+           lead(tok, 1) OVER w AS l1, lead(tok, 2) OVER w AS l2,
+           lead(tok, 3) OVER w AS l3, lead(tok, 4) OVER w AS l4
+    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+  ) WHERE l4 IS NOT NULL
+)"""
+
+
+@query(
+    "decontaminate_ngram",
+    oracle=f"""
+    WITH {O_TOKS}, {O_FIVE},
+    fivh AS (SELECT doc_id, {o_hash56('shingle')} AS h FROM five),
+    bench AS (SELECT DISTINCT h FROM fivh WHERE doc_id % 20 = 0),
+    hits AS (
+      SELECT doc_id, COUNT(*) AS n_overlap
+      FROM fivh JOIN bench USING (h)
+      WHERE doc_id % 20 != 0 GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(n_overlap, 0) AS BIGINT) AS n_overlap,
+           COALESCE(n_overlap, 0) >= 1 AS contaminated
+    FROM documents d LEFT JOIN hits ON hits.doc_id = d.doc_id
+    WHERE d.doc_id % 20 != 0
+    """,
+)
+def decontaminate_ngram(spark, sf_dir):
+    """Benchmark decontamination: every 20th doc plays the eval set;
+    corpus docs are flagged when any distinct 5-gram collides with it.
+    The benchmark folds to its distinct hashed shingle set (tiny ->
+    AQE-broadcast join against the one-shuffle corpus shingle index);
+    zero-overlap docs are kept with n_overlap = 0 so the result is the
+    complete keep/drop decision."""
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    corpus = docs.where(F.col("doc_id") % 20 != 0)
+    return decontam.ngram_overlap(corpus, bench, n=5, min_hits=1)
+
+
+_PII_ORACLE_MASK = (
+    "regexp_replace(regexp_replace(regexp_replace(text, "
+    f"'{pii.EMAIL_RE}', '<EMAIL>', 'g'), "
+    f"'{pii.PHONE_RE}', '<PHONE>', 'g'), "
+    f"'{pii.LONG_ID_RE}', '<ID>', 'g')"
+)
+
+
+@query(
+    "pii_mask_regex",
+    oracle=f"""
+    WITH enriched AS (
+      SELECT doc_id, text
+        || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+        || CASE WHEN doc_id % 4 = 0 THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        || CASE WHEN doc_id % 5 = 0 THEN ' ref ' || CAST(doc_id + 900000000 AS VARCHAR) ELSE '' END
+        AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{pii.EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{pii.PHONE_RE}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(text, '{pii.LONG_ID_RE}')) AS BIGINT) AS n_ids,
+           {_PII_ORACLE_MASK} AS masked
+    FROM enriched
+    """,
+)
+def pii_mask_regex(spark, sf_dir):
+    """PII scrub: the fixture text carries no PII, so deterministic
+    synthetic PII derives from doc_id (email on id%3, phone on id%4,
+    long id on id%5 — both engines build the identical enrichment),
+    then the shared regex masks + per-category counts apply JVM-side.
+    The hash check therefore verifies the masking transform itself,
+    byte-for-byte, across varied present/absent combinations."""
+    d = F.col("doc_id")
+    enriched = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 3 == 0,
+                F.concat(F.lit(" contact user"), d.cast("string"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 4 == 0,
+                F.concat(
+                    F.lit(" call 415-555-"),
+                    F.lpad((d % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 5 == 0,
+                F.concat(F.lit(" ref "), (d + 900000000).cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii.with_pii_masked(enriched).select(
+        "doc_id", "n_emails", "n_phones", "n_ids", "masked"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -288,3 +288,44 @@ def test_connected_components_converges_on_star_heavy_graph(spark):
     assert labels.select("cluster_id").distinct().count() == 1
     assert labels.count() == 32
     assert labels.where("cluster_id != 0").count() == 0
+
+
+def test_decontamination_planted_overlap(spark):
+    from etl_staging_spark.llmdata.decontam import ngram_overlap
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, "prefix alpha beta gamma delta epsilon suffix"),  # shares 'alpha..epsilon'
+         (2, "totally unrelated words that never collide with anything else"),
+         (3, "short")],                                        # < 5 tokens
+        "doc_id long, text string")
+    out = {r.doc_id: (r.n_overlap, r.contaminated)
+           for r in ngram_overlap(corpus, bench, n=5).collect()}
+    assert out[1] == (1, True)
+    assert out[2] == (0, False)
+    assert out[3] == (0, False)
+    assert len(out) == 3  # zero-overlap docs are kept, not dropped
+
+
+def test_pii_masking_planted(spark):
+    from etl_staging_spark.llmdata.pii import with_pii_masked
+
+    rows = [
+        (1, "mail me at jane.doe+x@sub.example.co.uk today"),
+        (2, "call 415-555-0134 or 415.555.0199 now"),
+        (3, "account 123456789012 is overdue"),
+        (4, "clean text with short 1234 numbers"),
+        (5, "user99@example.com then ref 900000042 done"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in with_pii_masked(df).collect()}
+    assert out[1].masked == "mail me at <EMAIL> today"
+    assert out[1].n_emails == 1 and out[1].n_phones == 0
+    assert out[2].masked == "call <PHONE> or <PHONE> now"
+    assert out[2].n_phones == 2
+    assert out[3].masked == "account <ID> is overdue" and out[3].n_ids == 1
+    assert out[4].masked == rows[3][1]  # untouched
+    assert out[5].masked == "<EMAIL> then ref <ID> done"
+    assert (out[5].n_emails, out[5].n_ids) == (1, 1)

@@ -101,3 +101,28 @@ def test_multimodal_is_arrow_batched(spark, queries):
     p = plan_of(spark, queries, "mm_decode_meta", mode="simple")
     assert "MapInPandas" in p
     assert "BatchEvalPython" not in p
+
+
+def test_decontam_and_pii_plans(spark, queries):
+    """decontaminate_ngram: no cartesian anywhere and no Python; the
+    benchmark side reduces before the join. pii_mask_regex: the whole
+    scrub stays in whole-stage codegen (no Python evaluator at all)."""
+    p = plan_of(spark, queries, "decontaminate_ngram")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    p = plan_of(spark, queries, "pii_mask_regex", mode="simple")
+    assert "BatchEvalPython" not in p
+    assert "*(1) Project" in p  # the scrub projection is codegen'd
+
+
+def test_cluster_cc_no_cartesian_and_bounded_plan(spark, queries):
+    """dedup_cluster_cc executes its star rounds while building (the
+    iterative fixpoint), returning a plan rooted at the checkpointed
+    edge list: no cartesian, no Python, and the plan must stay shallow
+    (lineage truncation worked) rather than embedding the shingle
+    pipeline of every round."""
+    p = plan_of(spark, queries, "dedup_cluster_cc")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert "Scan ExistingRDD" in p  # rooted at checkpoint, not re-derived
+    assert "parquet" not in p.lower()
