@@ -115,8 +115,77 @@ def fingerprints(df: DataFrame, k: int = 4) -> DataFrame:
     )
 
 
+def _ngram_all(n: int):
+    """NON-distinct word n-grams (repetition analysis needs the
+    multiset, unlike the dedup shingles)."""
+    concat = ", ' ', ".join(f"{TOKS}[i+{k}]" for k in range(n))
+    return F.expr(
+        f"CASE WHEN size({TOKS}) >= {n} THEN "
+        f"transform(sequence(0, size({TOKS})-{n}), i -> concat({concat})) "
+        f"ELSE array() END"
+    )
+
+
+# Repetition gates in the spirit of the Gopher/MassiveText quality
+# rules (Rae et al. 2021, table A1): heavily repeated n-grams mark
+# boilerplate/spam. Thresholds are the published ones for the two
+# ratios implemented here.
+TOP_BIGRAM_MAX = 0.18
+DUP_TRIGRAM_MAX = 0.30
+
+
+def repetition_stats(df: DataFrame) -> DataFrame:
+    """Per-doc repetition ratios + keep/drop flag:
+
+    - ``top_bigram_frac``: occurrences of the modal word bigram over
+      total bigrams;
+    - ``dup_trigram_frac``: fraction of trigram occurrences beyond the
+      first of each distinct trigram (1 - distinct/total);
+    - ``repetitive``: either ratio over its threshold.
+
+    Shape: explode the n-gram multiset, two keyed aggregations — both
+    map-side combinable on doc_id, no joins besides the final doc-keyed
+    merge, so the whole thing is two shuffles at any corpus size."""
+    d = with_tokens(df)
+    big = (
+        d.select("doc_id", F.explode(_ngram_all(2)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_bigrams"))
+    )
+    tri = d.select(
+        "doc_id",
+        F.size(_ngram_all(3)).alias("n_trigrams"),
+        F.size(F.array_distinct(_ngram_all(3))).alias("n_distinct_tri"),
+    )
+    top_frac = F.round(F.col("top_c") / F.col("n_bigrams"), 6)
+    # guarded: ANSI mode makes 0/0 an error, and <3-token docs have
+    # zero trigrams
+    dup_frac = F.when(
+        F.col("n_trigrams") > 0,
+        F.round(
+            (F.col("n_trigrams") - F.col("n_distinct_tri")) / F.col("n_trigrams"), 6
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        tri.join(big, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0).cast("bigint")).alias("n_bigrams"),
+            F.coalesce(top_frac, F.lit(0.0)).alias("top_bigram_frac"),
+            F.coalesce(dup_frac, F.lit(0.0)).alias("dup_trigram_frac"),
+            (
+                (F.coalesce(top_frac, F.lit(0.0)) > TOP_BIGRAM_MAX)
+                | (F.coalesce(dup_frac, F.lit(0.0)) > DUP_TRIGRAM_MAX)
+            ).alias("repetitive"),
+        )
+    )
+
+
 __all__ = [
     "LANG_PROFILES", "STOPWORDS", "TOKEN_RE",
+    "TOP_BIGRAM_MAX", "DUP_TRIGRAM_MAX",
     "quality_scores", "lang_id", "token_counts", "fingerprints",
-    "portable_hash56",
+    "repetition_stats", "portable_hash56",
 ]

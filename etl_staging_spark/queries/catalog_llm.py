@@ -296,6 +296,46 @@ def decontaminate_ngram(spark, sf_dir):
     return decontam.ngram_overlap(corpus, bench, n=5, min_hits=1)
 
 
+@query(
+    "text_repetition_gopher",
+    oracle=f"""
+    WITH {O_TOKS},
+    bigr AS (
+      SELECT doc_id, tok || ' ' || l1 AS g FROM (
+        SELECT doc_id, tok, lead(tok, 1) OVER w AS l1
+        FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+      ) WHERE l1 IS NOT NULL
+    ),
+    bigc AS (SELECT doc_id, g, COUNT(*) AS c FROM bigr GROUP BY 1, 2),
+    biga AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_bigrams
+             FROM bigc GROUP BY 1),
+    trig AS (
+      SELECT doc_id, tok || ' ' || l1 || ' ' || l2 AS g FROM (
+        SELECT doc_id, tok, lead(tok, 1) OVER w AS l1, lead(tok, 2) OVER w AS l2
+        FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+      ) WHERE l2 IS NOT NULL
+    ),
+    tria AS (SELECT doc_id, COUNT(*) AS n_tri, COUNT(DISTINCT g) AS n_dtri
+             FROM trig GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           COALESCE(ROUND(top_c / n_bigrams, 6), 0.0) AS top_bigram_frac,
+           COALESCE(ROUND((n_tri - n_dtri) / n_tri, 6), 0.0) AS dup_trigram_frac,
+           COALESCE(ROUND(top_c / n_bigrams, 6), 0.0) > {textstats.TOP_BIGRAM_MAX}
+             OR COALESCE(ROUND((n_tri - n_dtri) / n_tri, 6), 0.0) > {textstats.DUP_TRIGRAM_MAX}
+             AS repetitive
+    FROM documents d
+    LEFT JOIN biga USING (doc_id) LEFT JOIN tria USING (doc_id)
+    """,
+)
+def text_repetition_gopher(spark, sf_dir):
+    """Gopher/MassiveText-style repetition gates: modal-bigram fraction
+    and duplicate-trigram fraction per doc with the published keep/drop
+    thresholds. Two doc-keyed map-combinable aggregations over the
+    n-gram multiset — no joins besides the final doc-keyed merge."""
+    return textstats.repetition_stats(load(spark, sf_dir, "documents"))
+
+
 _PII_ORACLE_MASK = (
     "regexp_replace(regexp_replace(regexp_replace(text, "
     f"'{pii.EMAIL_RE}', '<EMAIL>', 'g'), "

@@ -329,3 +329,22 @@ def test_pii_masking_planted(spark):
     assert out[4].masked == rows[3][1]  # untouched
     assert out[5].masked == "<EMAIL> then ref <ID> done"
     assert (out[5].n_emails, out[5].n_ids) == (1, 1)
+
+
+def test_repetition_stats_planted(spark):
+    from etl_staging_spark.llmdata.textstats import repetition_stats
+
+    rows = [
+        (1, "spam spam spam spam spam spam"),            # one bigram repeated
+        (2, "all these words appear exactly once here"),
+        (3, "go go"),                                    # bigrams but no trigrams
+        (4, "x"),                                        # no bigrams at all
+    ]
+    out = {r.doc_id: r for r in repetition_stats(
+        spark.createDataFrame(rows, "doc_id long, text string")).collect()}
+    assert out[1].top_bigram_frac == 1.0 and out[1].dup_trigram_frac == 0.75
+    assert out[1].repetitive
+    assert out[2].top_bigram_frac < 0.2 and not out[2].repetitive
+    assert out[3].n_bigrams == 1 and out[3].dup_trigram_frac == 0.0
+    assert out[3].repetitive  # single modal bigram = 100% of bigrams
+    assert out[4].n_bigrams == 0 and not out[4].repetitive
