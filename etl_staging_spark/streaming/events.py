@@ -22,21 +22,30 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
-# ts declared as raw int64: the feed carries TIMESTAMP(NANOS), which
-# Spark reads as long under spark.sql.legacy.parquet.nanosAsLong (the
-# same convention as tables.load) — converted to a timestamp below.
-EVENT_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+
+def _event_schema(ts_type) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
+
+# Canonical schema: ts is a wall-clock timestamp. TIMESTAMP(MICROS)
+# parquet files read into this natively.
+EVENT_SCHEMA = _event_schema(TimestampNTZType())
+# Raw-nanos variant: TIMESTAMP(NANOS) parquet has no native Spark type
+# and surfaces as int64 under spark.sql.legacy.parquet.nanosAsLong —
+# the same convention as tables.load (tables.py:41-54).
+EVENT_SCHEMA_NANOS = _event_schema(LongType())
 
 
 def stream_source(
@@ -45,13 +54,33 @@ def stream_source(
     """File-based stream over an events directory (schema declared —
     streaming sources never infer). ``glob`` narrows the directory to
     the event files when the feed shares a directory with other tables
-    (the driver's sf dirs hold one parquet per table)."""
+    (the driver's sf dirs hold one parquet per table).
+
+    The feed's physical ts encoding is probed with a batch schema read
+    (footer-only, no data scan): TIMESTAMP(MICROS) files stream through
+    the canonical timestamp schema untouched; TIMESTAMP(NANOS) files
+    surface as int64 (nanosAsLong) and get the nanos→micros truncation —
+    exactly the branch tables.load takes for the batch side, so batch
+    and stream can never disagree on the unit."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENT_SCHEMA)
+    probe = spark.read
+    if glob:
+        probe = probe.option("pathGlobFilter", glob)
+    ts_is_long = dict(probe.parquet(events_dir).dtypes).get("ts") == "bigint"
+    schema = EVENT_SCHEMA_NANOS if ts_is_long else EVENT_SCHEMA
+    reader = spark.readStream.schema(schema)
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     raw = reader.parquet(events_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if ts_is_long:
+        # integer DIV: nanos exceed double precision, float division drifts
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    else:
+        # Watermarks require TIMESTAMP (LTZ), not TIMESTAMP_NTZ; the cast
+        # interprets the wall clock in the session timezone (UTC in this
+        # engine's sessions), matching timestamp_micros on the nanos branch.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def windowed_counts(

@@ -68,7 +68,7 @@ def test_stateful_user_totals_match_batch(spark, events_stream):
 def test_streaming_dedup_within_watermark(spark, tmp_path):
     """Redelivered event_ids (at-least-once feed) collapse to one row;
     state is watermark-bounded."""
-    from etl_staging_spark.streaming.events import EVENT_SCHEMA, dedup_events
+    from etl_staging_spark.streaming.events import EVENT_SCHEMA_NANOS, dedup_events
 
     base_ns = 1_700_000_000_000_000_000
     rows = [
@@ -76,9 +76,47 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         for i in range(200)  # ids 0..149, the first 50 redelivered
     ]
     feed_dir = str(tmp_path / "feed")
-    spark.createDataFrame(rows, EVENT_SCHEMA).write.parquet(feed_dir)
+    spark.createDataFrame(rows, EVENT_SCHEMA_NANOS).write.parquet(feed_dir)
     stream = stream_source(spark, feed_dir)
     run_available_now(dedup_events(stream), "dedup_sink", "append")
     got = spark.sql("SELECT event_id FROM dedup_sink").collect()
     assert len(got) == 150
     assert len({r.event_id for r in got}) == 150
+
+
+def test_stream_source_micros_nanos_parity(spark, tmp_path):
+    """The same events encoded as TIMESTAMP(MICROS) and as raw-nanos
+    int64 must stream to identical wall-clock rows — the unit-detection
+    regression guard (a testdata re-encode must not shift windows)."""
+    import datetime
+
+    from etl_staging_spark.streaming.events import EVENT_SCHEMA, EVENT_SCHEMA_NANOS
+
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    micros_rows = [
+        (i, base + datetime.timedelta(minutes=17 * i), i % 5, "view", float(i), None)
+        for i in range(40)
+    ]
+    base_ns = int(base.replace(tzinfo=datetime.timezone.utc).timestamp()) * 10**9
+    nanos_rows = [
+        (i, base_ns + 17 * i * 60 * 10**9, i % 5, "view", float(i), None)
+        for i in range(40)
+    ]
+    micros_dir = str(tmp_path / "micros")
+    nanos_dir = str(tmp_path / "nanos")
+    spark.createDataFrame(micros_rows, EVENT_SCHEMA).write.parquet(micros_dir)
+    spark.createDataFrame(nanos_rows, EVENT_SCHEMA_NANOS).write.parquet(nanos_dir)
+
+    run_available_now(windowed_counts(stream_source(spark, micros_dir)), "par_micros")
+    run_available_now(windowed_counts(stream_source(spark, nanos_dir)), "par_nanos")
+    micros = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM par_micros").collect()
+    }
+    nanos = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM par_nanos").collect()
+    }
+    assert micros and micros == nanos
+    # and the windows are where the wall clock says, not 1970
+    assert min(k[0] for k in micros).year == 2024
