@@ -167,13 +167,18 @@ def hsn_summary(
         F.sum("net").alias("taxable_dec"),
         F.sum("tax_amt").alias("tax_dec"),
     )
+    # Output edge is fixed-scale DECIMAL(18,2), not double: every value is
+    # exact at scale 2, so any downstream canonicalization (str, float64
+    # round-trip, Arrow) renders it identically — no harness's float repr
+    # can disagree.
+    dec = "decimal(18,2)"
     detail = per_class.select(
         "hsn_class",
         "n_lines",
-        F.col("qty_dec").cast("double").alias("total_qty"),
-        F.col("taxable_dec").cast("double").alias("taxable_value"),
-        F.col("tax_dec").cast("double").alias("tax_amount"),
-        (F.col("taxable_dec") + F.col("tax_dec")).cast("double").alias("gross"),
+        F.col("qty_dec").cast(dec).alias("total_qty"),
+        F.col("taxable_dec").cast(dec).alias("taxable_value"),
+        F.col("tax_dec").cast(dec).alias("tax_amount"),
+        (F.col("taxable_dec") + F.col("tax_dec")).cast(dec).alias("gross"),
     )
     totals = per_class.agg(
         F.sum("n_lines").alias("n_lines"),
@@ -183,9 +188,9 @@ def hsn_summary(
     ).select(
         F.lit("__TOTAL__").alias("hsn_class"),
         "n_lines",
-        F.col("qty_dec").cast("double").alias("total_qty"),
-        F.col("taxable_dec").cast("double").alias("taxable_value"),
-        F.col("tax_dec").cast("double").alias("tax_amount"),
-        (F.col("taxable_dec") + F.col("tax_dec")).cast("double").alias("gross"),
+        F.col("qty_dec").cast(dec).alias("total_qty"),
+        F.col("taxable_dec").cast(dec).alias("taxable_value"),
+        F.col("tax_dec").cast(dec).alias("tax_amount"),
+        (F.col("taxable_dec") + F.col("tax_dec")).cast(dec).alias("gross"),
     )
     return detail.unionByName(totals)

@@ -610,15 +610,15 @@ def es_report(spark, sf_dir):
     details AS (
       SELECT CASE WHEN susp > 0 THEN 'receipts' ELSE 'payments' END AS section,
              'st_line' AS line_type, move_id, st_date,
-             CAST(susp AS DOUBLE) AS suspense_balance,
-             CAST(oth AS DOUBLE) AS other_balance, n
+             CAST(susp AS DECIMAL(18,2)) AS suspense_balance,
+             CAST(oth AS DECIMAL(18,2)) AS other_balance, n
       FROM st WHERE susp <> 0
     )
     SELECT * FROM details
     UNION ALL
     SELECT section, 'total', NULL, NULL,
-           CAST(SUM(CAST(suspense_balance AS DECIMAL(18,2))) AS DOUBLE),
-           CAST(SUM(CAST(other_balance AS DECIMAL(18,2))) AS DOUBLE),
+           CAST(SUM(suspense_balance) AS DECIMAL(18,2)),
+           CAST(SUM(other_balance) AS DECIMAL(18,2)),
            SUM(n)
     FROM details GROUP BY section
     """,
@@ -650,6 +650,8 @@ def br_report(spark, sf_dir):
             F.count("*").alias("n"),
         )
     )
+    # Balances leave as fixed-scale DECIMAL(18,2) (not double): exact at
+    # scale 2 on both harness sides, hash-proof under any canonicalization.
     details = (
         st.where(F.col("susp") != 0)
         .select(
@@ -657,8 +659,8 @@ def br_report(spark, sf_dir):
             F.lit("st_line").alias("line_type"),
             "move_id",
             "st_date",
-            F.col("susp").cast("double").alias("suspense_balance"),
-            F.col("oth").cast("double").alias("other_balance"),
+            F.col("susp").cast("decimal(18,2)").alias("suspense_balance"),
+            F.col("oth").cast("decimal(18,2)").alias("other_balance"),
             "n",
         )
         .persist()
@@ -667,8 +669,8 @@ def br_report(spark, sf_dir):
         F.lit("total").alias("line_type"),
         F.lit(None).cast("long").alias("move_id"),
         F.lit(None).cast("string").alias("st_date"),
-        F.sum(F.col("suspense_balance").cast("decimal(18,2)")).cast("double").alias("suspense_balance"),
-        F.sum(F.col("other_balance").cast("decimal(18,2)")).cast("double").alias("other_balance"),
+        F.sum("suspense_balance").cast("decimal(18,2)").alias("suspense_balance"),
+        F.sum("other_balance").cast("decimal(18,2)").alias("other_balance"),
         F.sum("n").alias("n"),
     )
     return details.unionByName(totals.select(*details.columns))
