@@ -54,57 +54,101 @@ def _fy_start(date_from: str, fy_end: tuple[int, int] = (12, 31)) -> str:
     return start.isoformat()
 
 
+def _fused_block(
+    led: DataFrame, preds: dict, groupby, key_name: str, with_max_date: bool
+) -> DataFrame:
+    """ONE scan + ONE shuffle for all column groups of a sums block:
+    rows pass the OR of the group predicates (still a pushable
+    date/equality conjunct per branch), each group's sums are
+    per-group conditional aggregates (`F.sum(F.when(pred_g, x))` —
+    map-side combinable), and the wide per-key row is unpivoted with an
+    inline explode AFTER aggregation, when the frame is already bounded
+    by the key cardinality. Groups with no matching rows for a key are
+    dropped by the per-group row counter, reproducing the per-group
+    GROUP BY's result shape exactly. This replaces the faithful-but-
+    multi-scan UNION ALL (2 filtered scans per group — a scale-killer
+    at high group counts: one GL-by-branch report would pay
+    N_groups x 2 passes over a 100 TB fact table)."""
+    from functools import reduce
+    from operator import or_
+
+    aggs = []
+    for k, p in preds.items():
+        aggs += [
+            F.sum(F.when(p, _debit())).alias(f"__debit_{k}"),
+            F.sum(F.when(p, _credit())).alias(f"__credit_{k}"),
+            F.sum(F.when(p, F.col("conv"))).alias(f"__balance_{k}"),
+            F.max(F.when(p, F.col("date"))).alias(f"__maxd_{k}"),
+            F.sum(F.when(p, 1).otherwise(0)).alias(f"__n_{k}"),
+        ]
+    wide = led.where(reduce(or_, preds.values())).groupBy(
+        groupby.alias("groupby")
+    ).agg(*aggs)
+    max_date = (
+        lambda k: F.date_format(F.col(f"__maxd_{k}"), "yyyy-MM-dd")
+        if with_max_date
+        else F.lit(None).cast("string")
+    )
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("column_group_key"),
+                F.col(f"__debit_{k}").cast("double").alias("debit"),
+                F.col(f"__credit_{k}").cast("double").alias("credit"),
+                F.col(f"__balance_{k}").cast("double").alias("balance"),
+                max_date(k).alias("max_date"),
+                F.col(f"__n_{k}").alias("n"),
+            )
+            for k in preds
+        ]
+    )
+    return (
+        wide.select("groupby", F.explode(cells).alias("c"))
+        .where(F.col("c.n") > 0)
+        .select(
+            F.col("c.column_group_key").alias("column_group_key"),
+            F.lit(key_name).alias("key"),
+            "groupby",
+            F.col("c.debit").alias("debit"),
+            F.col("c.credit").alias("credit"),
+            F.col("c.balance").alias("balance"),
+            F.col("c.max_date").alias("max_date"),
+        )
+    )
+
+
 def gl_sums(led: DataFrame, options: dict) -> DataFrame:
-    """Blocks 1+2 for every column group, unioned with
-    (column_group_key, key, groupby) keys — the exact result shape of
-    the reference's UNION ALL sums query."""
-    parts = []
+    """Blocks 1+2 for every column group, keyed by
+    (column_group_key, key, groupby) — the exact result shape of the
+    reference's UNION ALL sums query (`account_general_ledger.py:
+    203-290`), evaluated as TWO fused scans (one per block) regardless
+    of the number of column groups."""
+    sum_preds: dict = {}
+    unaff_preds: dict = {}
     for cg_key, cg in build_column_groups(options).items():
         opts = group_options(options, cg)
-        sums = (
-            led.where(date_scope_filter(opts, "normal") & forced_domain_filter(opts))
-            .groupBy(F.col("account_code").alias("groupby"))
-            .agg(
-                F.sum(_debit()).cast("double").alias("debit"),
-                F.sum(_credit()).cast("double").alias("credit"),
-                F.sum("conv").cast("double").alias("balance"),
-                F.date_format(F.max("date"), "yyyy-MM-dd").alias("max_date"),
-            )
-            .select(
-                F.lit(cg_key).alias("column_group_key"),
-                F.lit("sum").alias("key"),
-                "groupby", "debit", "credit", "balance", "max_date",
-            )
+        sum_preds[cg_key] = date_scope_filter(opts, "normal") & forced_domain_filter(
+            opts
         )
-        parts.append(sums)
-
         # unaffected earnings: P&L rows strictly before the fiscal year
         # of the period start, one row per company
         fy_eve = _fy_start(opts["date"]["date_from"], fy_of(opts))
-        unaff = (
-            led.where(
-                (F.col("date") < fy_eve)
-                & ~is_balance_sheet()
-                & forced_domain_filter(opts)
-            )
-            .groupBy(F.col("company_id").cast("string").alias("groupby"))
-            .agg(
-                F.sum(_debit()).cast("double").alias("debit"),
-                F.sum(_credit()).cast("double").alias("credit"),
-                F.sum("conv").cast("double").alias("balance"),
-            )
-            .select(
-                F.lit(cg_key).alias("column_group_key"),
-                F.lit("unaffected_earnings").alias("key"),
-                "groupby", "debit", "credit", "balance",
-                F.lit(None).cast("string").alias("max_date"),
-            )
+        unaff_preds[cg_key] = (
+            (F.col("date") < fy_eve)
+            & ~is_balance_sheet()
+            & forced_domain_filter(opts)
         )
-        parts.append(unaff)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    sums = _fused_block(
+        led, sum_preds, F.col("account_code"), "sum", with_max_date=True
+    )
+    unaff = _fused_block(
+        led,
+        unaff_preds,
+        F.col("company_id").cast("string"),
+        "unaffected_earnings",
+        with_max_date=False,
+    )
+    return sums.unionByName(unaff)
 
 
 def gl_detail(led: DataFrame, options: dict) -> DataFrame:

@@ -126,3 +126,19 @@ def test_cluster_cc_no_cartesian_and_bounded_plan(spark, queries):
     assert "BatchEvalPython" not in p
     assert "Scan ExistingRDD" in p  # rooted at checkpoint, not re-derived
     assert "parquet" not in p.lower()
+
+
+def test_column_groups_fused_to_two_scans(spark, queries):
+    """gl_sums evaluates ALL column groups as per-group conditional
+    aggregates over TWO scans (one per sums block) — NOT a filtered
+    scan per (group x block). hg_column_groups has 6 groups; before
+    fusion its plan held 12 lineitem scans, a scale-killer at high
+    group counts."""
+    for name in ("hg_column_groups", "gl_report"):
+        p = plan_of(spark, queries, name)
+        fact_scans = sum(
+            "lineitem.parquet" in line
+            for line in p.splitlines()
+            if "Location" in line
+        )
+        assert fact_scans <= 2, f"{name}: {fact_scans} lineitem scans"
