@@ -161,11 +161,52 @@ def distribute_not(tokens: list) -> list:
     return out
 
 
-def compile_domain(domain: Sequence | None) -> Column:
-    """Compile a domain to one Spark Column predicate."""
+def expand_hierarchy_leaves(tokens: list, hierarchies: dict | None) -> list:
+    """Rewrite ``child_of`` / ``parent_of`` leaves to plain ``in``
+    membership over the (bounded) subtree — the ORM's id-expansion
+    strategy for `child_of` (osv.expression; reference usage
+    `account_analytic_report.py:60`). Runs BEFORE NOT distribution so a
+    negated hierarchy leaf falls out as ``not in`` naturally.
+
+    ``hierarchies`` maps field name → :class:`~.operators.hierarchy
+    .Hierarchy`. The expansion keeps the predicate a literal IN list, so
+    it pushes into the fact scan; the hierarchy dim itself is never
+    joined for the filter."""
+    out = []
+    for token in tokens:
+        if isinstance(token, str):
+            out.append(token)
+            continue
+        field, op, value = token
+        if op in ("child_of", "parent_of"):
+            h = (hierarchies or {}).get(field)
+            if h is None:
+                raise ValueError(
+                    f"domain leaf {token!r} needs a Hierarchy for field "
+                    f"{field!r} (pass hierarchies={{...}})"
+                )
+            roots = value if isinstance(value, (list, tuple, set)) else [value]
+            ids: list = []
+            expand = h.descendants if op == "child_of" else h.ancestors
+            for r in roots:
+                ids.extend(expand(r))
+            out.append((field, "in", sorted(set(ids), key=repr)))
+        else:
+            out.append(token)
+    return out
+
+
+def compile_domain(domain: Sequence | None, hierarchies: dict | None = None) -> Column:
+    """Compile a domain to one Spark Column predicate.
+
+    ``hierarchies``: optional {field: Hierarchy} enabling the
+    ``child_of`` / ``parent_of`` operators (expanded to pushable IN
+    lists; see :func:`expand_hierarchy_leaves`)."""
     if not domain:
         return F.lit(True)
-    tokens = distribute_not(normalize(domain))
+    tokens = distribute_not(
+        expand_hierarchy_leaves(normalize(domain), hierarchies)
+    )
 
     def parse(pos: int) -> tuple[Column, int]:
         token = tokens[pos]

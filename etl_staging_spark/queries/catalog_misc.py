@@ -324,3 +324,61 @@ def mc_company_scope(spark, sf_dir):
             "company_id", "account_class", "balance", "n_rows",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# child_of domain operator (osv.expression semantics; reference usage
+# `account_analytic_report.py:60` — ('plan_id', 'child_of', plan.id)).
+# The hierarchy dim (regions as roots, nations as children) is bounded,
+# so the subtree expands driver-side to a literal IN list that pushes
+# into the fact-side scan; the dim is never joined for the filter.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f7_child_of",
+    oracle=f"""
+    SELECT n.n_name AS nation, COUNT(*) AS n_orders,
+           {o_dsum('o.o_totalprice')} AS total
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE n.n_regionkey = 2
+    GROUP BY n.n_name
+    """,
+)
+def f7_child_of(spark, sf_dir):
+    """Orders of customers whose geography is child_of region 2 in a
+    two-level region→nation hierarchy. The child_of leaf compiles to a
+    pushable IN over the expanded subtree (F1 + hierarchy expansion)."""
+    from ..domain import compile_domain
+    from ..operators.hierarchy import Hierarchy
+
+    # region ids offset by 100 so the two levels share one id space
+    regions = load(spark, sf_dir, "region").select("r_regionkey").collect()
+    nations = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    ).collect()
+    h = Hierarchy.from_pairs(
+        [(100 + r.r_regionkey, None) for r in regions]
+        + [(n.n_nationkey, 100 + n.n_regionkey) for n in nations]
+    )
+    pred = compile_domain(
+        [("geo_id", "child_of", 102)], hierarchies={"geo_id": h}
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    fact = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .withColumn("geo_id", F.col("c_nationkey"))
+        .where(pred)
+    )
+    return (
+        fact.join(F.broadcast(n), fact.geo_id == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("total"),
+        )
+    )

@@ -260,3 +260,72 @@ def test_account_codes_parser_roundtrip(terms):
     # never do, so every rendered formula must round-trip exactly
     parsed = ac.parse_formula(render(terms))
     assert parsed == terms, render(terms)
+
+
+# ---------------------------------------------------------------------------
+# Hierarchy / child_of expansion
+# ---------------------------------------------------------------------------
+
+from etl_staging_spark.domain import expand_hierarchy_leaves, normalize  # noqa: E402
+from etl_staging_spark.operators.hierarchy import Hierarchy  # noqa: E402
+
+
+@st.composite
+def forest_st(draw):
+    """Random forest as {id: parent or None}: parents always have a
+    smaller id, so the structure is acyclic by construction."""
+    n = draw(st.integers(min_value=1, max_value=30))
+    parents = {}
+    for i in range(n):
+        parents[i] = None if i == 0 else draw(
+            st.one_of(st.none(), st.integers(min_value=0, max_value=i - 1))
+        )
+    return parents
+
+
+@settings(max_examples=200, deadline=None)
+@given(forest=forest_st(), data=st.data())
+def test_hierarchy_descendants_properties(forest, data):
+    h = Hierarchy.from_pairs(forest.items())
+    root = data.draw(st.sampled_from(sorted(forest)))
+    desc = h.descendants(root)
+    # child_of includes the node itself
+    assert root in desc
+    # every descendant's ancestor chain passes through root
+    for d in desc:
+        assert root in h.ancestors(d)
+    # nothing outside the subtree sneaks in
+    for other in forest:
+        if other not in desc:
+            assert root not in h.ancestors(other)
+
+
+@settings(max_examples=100, deadline=None)
+@given(forest=forest_st(), data=st.data())
+def test_hierarchy_parent_path_prefix_equals_descendants(forest, data):
+    """parent_path prefix matching (the ORM's LIKE strategy) selects
+    exactly the id-expansion subtree — the two child_of strategies
+    agree."""
+    h = Hierarchy.from_pairs(forest.items())
+    root = data.draw(st.sampled_from(sorted(forest)))
+    root_path = h.parent_path(root)
+    by_path = {n for n in forest if h.parent_path(n).startswith(root_path)}
+    assert by_path == set(h.descendants(root))
+
+
+def test_hierarchy_cycle_terminates():
+    h = Hierarchy.from_pairs([(1, 2), (2, 1), (3, 1)])
+    assert set(h.descendants(1)) == {1, 2, 3}
+    assert set(h.ancestors(3)) >= {3, 1}
+
+
+def test_child_of_expands_to_in():
+    h = Hierarchy.from_pairs([(1, None), (2, 1), (3, 2), (4, None)])
+    tokens = expand_hierarchy_leaves(
+        normalize([("plan_id", "child_of", 1)]), {"plan_id": h}
+    )
+    assert tokens == [("plan_id", "in", [1, 2, 3])]
+    with pytest.raises(ValueError):
+        expand_hierarchy_leaves(
+            normalize([("plan_id", "child_of", 1)]), None
+        )
