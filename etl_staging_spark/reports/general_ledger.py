@@ -29,9 +29,9 @@ from ..engines.options import (
     build_column_groups,
     date_scope_filter,
     fiscal_year_bounds,
-    forced_domain_filter,
     fy_of,
     group_options,
+    o_date_scope_sql,
 )
 
 def _debit():
@@ -54,8 +54,13 @@ def _fy_start(date_from: str, fy_end: tuple[int, int] = (12, 31)) -> str:
     return start.isoformat()
 
 
+_DEBIT_SQL = "CASE WHEN conv >= 0 THEN conv ELSE CAST(0 AS DECIMAL(18,2)) END"
+_CREDIT_SQL = "CASE WHEN conv < 0 THEN -conv ELSE CAST(0 AS DECIMAL(18,2)) END"
+_IS_BS_SQL = "CAST(substr(account_code, 1, 1) AS INT) <= 5"
+
+
 def _fused_block(
-    led: DataFrame, preds: dict, groupby, key_name: str, with_max_date: bool
+    led: DataFrame, preds: dict, groupby: str, key_name: str, with_max_date: bool
 ) -> DataFrame:
     """ONE scan + ONE shuffle for all column groups of a sums block:
     rows pass the OR of the group predicates (still a pushable
@@ -69,51 +74,60 @@ def _fused_block(
     multi-scan UNION ALL (2 filtered scans per group — a scale-killer
     at high group counts: one GL-by-branch report would pay
     N_groups x 2 passes over a 100 TB fact table)."""
-    from functools import reduce
-    from operator import or_
-
-    aggs = []
-    for k, p in preds.items():
-        aggs += [
-            F.sum(F.when(p, _debit())).alias(f"__debit_{k}"),
-            F.sum(F.when(p, _credit())).alias(f"__credit_{k}"),
-            F.sum(F.when(p, F.col("conv"))).alias(f"__balance_{k}"),
-            F.max(F.when(p, F.col("date"))).alias(f"__maxd_{k}"),
-            F.sum(F.when(p, 1).otherwise(0)).alias(f"__n_{k}"),
-        ]
-    wide = led.where(reduce(or_, preds.values())).groupBy(
-        groupby.alias("groupby")
-    ).agg(*aggs)
-    max_date = (
-        lambda k: F.date_format(F.col(f"__maxd_{k}"), "yyyy-MM-dd")
-        if with_max_date
-        else F.lit(None).cast("string")
+    # Evaluate each group predicate and the shared debit/credit legs
+    # ONCE per row (projected columns), not once per aggregate — the
+    # dominant per-row cost of the fused plan. `balance` is not
+    # aggregated at all: balance == debit - credit identically (exact
+    # decimal), so it's derived after aggregation. Everything is built
+    # from SQL strings (``preds`` values are Spark-SQL boolean
+    # expressions): ONE driver→JVM roundtrip per selectExpr instead of
+    # one per Column node — the bench re-builds the frame every call,
+    # so driver-side construction latency is part of the measured query.
+    projected = led.where(
+        F.expr("(" + ") OR (".join(preds.values()) + ")")
+    ).selectExpr(
+        f"{groupby} AS groupby",
+        "date",
+        f"{_DEBIT_SQL} AS __d",
+        f"{_CREDIT_SQL} AS __c",
+        *[f"({p}) AS __p_{k}" for k, p in preds.items()],
     )
-    cells = F.array(
-        *[
-            F.struct(
-                F.lit(k).alias("column_group_key"),
-                F.col(f"__debit_{k}").cast("double").alias("debit"),
-                F.col(f"__credit_{k}").cast("double").alias("credit"),
-                F.col(f"__balance_{k}").cast("double").alias("balance"),
-                max_date(k).alias("max_date"),
-                F.col(f"__n_{k}").alias("n"),
-            )
-            for k in preds
-        ]
-    )
-    return (
-        wide.select("groupby", F.explode(cells).alias("c"))
-        .where(F.col("c.n") > 0)
-        .select(
-            F.col("c.column_group_key").alias("column_group_key"),
-            F.lit(key_name).alias("key"),
-            "groupby",
-            F.col("c.debit").alias("debit"),
-            F.col("c.credit").alias("credit"),
-            F.col("c.balance").alias("balance"),
-            F.col("c.max_date").alias("max_date"),
+    aggs = [
+        F.expr(e)
+        for k in preds
+        for e in (
+            f"sum(CASE WHEN __p_{k} THEN __d END) AS __debit_{k}",
+            f"sum(CASE WHEN __p_{k} THEN __c END) AS __credit_{k}",
+            f"max(CASE WHEN __p_{k} THEN date END) AS __maxd_{k}",
+            f"count(CASE WHEN __p_{k} THEN 1 END) AS __n_{k}",
         )
+    ]
+    wide = projected.groupBy("groupby").agg(*aggs)
+    max_date = (
+        (lambda k: f"date_format(__maxd_{k}, 'yyyy-MM-dd')")
+        if with_max_date
+        else (lambda k: "CAST(NULL AS STRING)")
+    )
+    cell = ", ".join(
+        f"named_struct("
+        f"'column_group_key', '{k}', "
+        f"'debit', CAST(__debit_{k} AS DOUBLE), "
+        f"'credit', CAST(__credit_{k} AS DOUBLE), "
+        f"'balance', CAST(__debit_{k} - __credit_{k} AS DOUBLE), "
+        f"'max_date', {max_date(k)}, "
+        f"'n', __n_{k})"
+        for k in preds
+    )
+    return wide.select(
+        "groupby", F.expr(f"explode(array({cell})) AS c")
+    ).where(F.col("c.n") > 0).selectExpr(
+        "c.column_group_key AS column_group_key",
+        f"'{key_name}' AS key",
+        "groupby",
+        "c.debit AS debit",
+        "c.credit AS credit",
+        "c.balance AS balance",
+        "c.max_date AS max_date",
     )
 
 
@@ -123,28 +137,27 @@ def gl_sums(led: DataFrame, options: dict) -> DataFrame:
     reference's UNION ALL sums query (`account_general_ledger.py:
     203-290`), evaluated as TWO fused scans (one per block) regardless
     of the number of column groups."""
+    from ..domain import domain_to_sql
+
     sum_preds: dict = {}
     unaff_preds: dict = {}
     for cg_key, cg in build_column_groups(options).items():
         opts = group_options(options, cg)
-        sum_preds[cg_key] = date_scope_filter(opts, "normal") & forced_domain_filter(
-            opts
+        forced = domain_to_sql(opts.get("forced_domain"))
+        sum_preds[cg_key] = (
+            f"({o_date_scope_sql(opts, 'normal')}) AND {forced}"
         )
         # unaffected earnings: P&L rows strictly before the fiscal year
         # of the period start, one row per company
         fy_eve = _fy_start(opts["date"]["date_from"], fy_of(opts))
         unaff_preds[cg_key] = (
-            (F.col("date") < fy_eve)
-            & ~is_balance_sheet()
-            & forced_domain_filter(opts)
+            f"date < TIMESTAMP '{fy_eve}' AND NOT ({_IS_BS_SQL}) AND {forced}"
         )
-    sums = _fused_block(
-        led, sum_preds, F.col("account_code"), "sum", with_max_date=True
-    )
+    sums = _fused_block(led, sum_preds, "account_code", "sum", with_max_date=True)
     unaff = _fused_block(
         led,
         unaff_preds,
-        F.col("company_id").cast("string"),
+        "CAST(company_id AS STRING)",
         "unaffected_earnings",
         with_max_date=False,
     )
