@@ -368,3 +368,99 @@ def build_comparison(options: dict, cmp_filter: str = "previous_period",
         cur = shift(cur)
         periods.append(cur)
     return {**options, "date": base, "comparison": {"filter": cmp_filter, "periods": periods}}
+
+
+# ---------------------------------------------------------------------------
+# Fiscal-position filter (multi-VAT): `_init_options_fiscal_position` +
+# `_get_options_fiscal_position_domain`
+# (`account_report.py:999-1083`). Domestic vs foreign VAT scoping for
+# reports carrying a country: the selected position becomes a predicate
+# on the move's fiscal_position_id that rides the pushed-down scan
+# filter, exactly like the company scope.
+# ---------------------------------------------------------------------------
+
+
+def init_options_fiscal_position(
+    options: dict,
+    fiscal_positions: list[dict],
+    report_country: str | None,
+    company_country: str | None,
+    previous: dict | None = None,
+) -> dict:
+    """Port of `_init_options_fiscal_position` (`account_report.py:
+    999-1040`). ``fiscal_positions`` rows look like
+    ``{'id': 2, 'company_id': 0, 'country': 'FR', 'foreign_vat': True}``.
+
+    Active only when the report has a country and a single company is
+    scoped; otherwise the filter is disabled ('all', domestic allowed).
+    Selection: a legit previous value wins; a single foreign position
+    with no domestic option auto-selects; else default to 'domestic'
+    when the active company's fiscal country matches the report, else
+    'all'."""
+    companies = options.get("companies") or []
+    if report_country and len(companies) <= 1:
+        scope_company = companies[0] if companies else None
+        vat_fpos = [
+            fp
+            for fp in fiscal_positions
+            if fp.get("foreign_vat")
+            and fp.get("country") == report_country
+            and (scope_company is None or fp.get("company_id") == scope_company)
+        ]
+        options["allow_domestic"] = company_country == report_country
+        accepted = {fp["id"] for fp in vat_fpos}
+        if options["allow_domestic"]:
+            accepted.add("domestic")
+        if len(vat_fpos) > (0 if options["allow_domestic"] else 1) or not accepted:
+            accepted.add("all")
+        prev = (previous or {}).get("fiscal_position")
+        if prev in accepted:
+            options["fiscal_position"] = prev
+        elif len(vat_fpos) == 1 and not options["allow_domestic"]:
+            options["fiscal_position"] = vat_fpos[0]["id"]
+        else:
+            options["fiscal_position"] = (
+                "domestic" if options["allow_domestic"] else "all"
+            )
+    else:
+        vat_fpos = []
+        options["allow_domestic"] = True
+        prev = (previous or {}).get("fiscal_position")
+        options["fiscal_position"] = prev if prev in ("all", "domestic") else "all"
+    options["available_vat_fiscal_positions"] = [
+        {"id": fp["id"], "name": fp.get("name"), "company_id": fp.get("company_id")}
+        for fp in vat_fpos
+    ]
+    return options
+
+
+def fiscal_position_domain(
+    options: dict, fiscal_positions: list[dict], field: str = "fiscal_position_id"
+) -> list:
+    """Port of `_get_options_fiscal_position_domain`
+    (`account_report.py:1042-1083`), as a domain list for
+    :func:`~..domain.compile_domain`:
+
+    - 'domestic' → moves with no fiscal position, or one without
+      foreign VAT;
+    - a position id → moves under exactly that position;
+    - 'all' → no constraint.
+
+    (The reference ORs in a tax-tag escape hatch — rows wearing a tag of
+    the report country regardless of position, minus other regions'
+    positions — which needs per-tag country metadata the ledger fact
+    does not model; the position legs here are the complete predicate
+    for tag-less facts.)"""
+    opt = options.get("fiscal_position")
+    if opt == "domestic":
+        domestic_ids = [
+            fp["id"] for fp in fiscal_positions if not fp.get("foreign_vat")
+        ]
+        return (
+            ["|", (field, "=", None), (field, "in", domestic_ids)]
+            if domestic_ids
+            else [(field, "=", None)]
+        )
+    if isinstance(opt, int):
+        return [(field, "=", opt)]
+    return []

@@ -382,3 +382,100 @@ def f7_child_of(spark, sf_dir):
             dsum("o_totalprice").alias("total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Fiscal-position filter (multi-VAT) — `_init_options_fiscal_position`
+# + `_get_options_fiscal_position_domain` (`account_report.py:999-1083`).
+# The fact's fiscal position derives from the move id (moves % 4 == 0
+# carry none); the selected scope compiles to a domain predicate that
+# rides the pushed-down scan filter like the company scope.
+# ---------------------------------------------------------------------------
+
+_FPOS = [
+    {"id": 1, "name": "DE domestic", "company_id": 0, "country": "DE",
+     "foreign_vat": False},
+    {"id": 2, "name": "DE region B", "company_id": 0, "country": "DE",
+     "foreign_vat": True},
+    {"id": 3, "name": "FR OSS", "company_id": 0, "country": "FR",
+     "foreign_vat": True},
+]
+
+_FPOS_DERIVE_SQL = (
+    "CASE WHEN move_id % 4 = 0 THEN NULL ELSE CAST(move_id % 4 AS INT) END"
+)
+
+
+def _fp_scoped(spark, sf_dir, previous=None):
+    from ..engines.ledger import move_lines
+    from ..engines.options import (
+        fiscal_position_domain,
+        init_options_fiscal_position,
+        make_options,
+    )
+    from ..domain import compile_domain
+
+    opts = make_options("1997-01-01", "1997-12-31")
+    opts["companies"] = [0]
+    init_options_fiscal_position(
+        opts, _FPOS, report_country="DE", company_country="DE", previous=previous
+    )
+    dom = fiscal_position_domain(opts, _FPOS)
+    led = move_lines(spark, sf_dir).withColumn(
+        "fiscal_position_id", F.expr(_FPOS_DERIVE_SQL)
+    )
+    return (
+        led.where(
+            (F.col("date") >= "1997-01-01")
+            & (F.col("date") <= "1997-12-31 23:59:59")
+            & compile_domain(dom)
+        )
+        .groupBy(F.substring("account_code", 1, 1).alias("account_class"))
+        .agg(
+            F.sum("conv").cast("decimal(18,2)").alias("balance"),
+            F.count("*").alias("n_rows"),
+        )
+        .withColumn("fiscal_position", F.lit(str(opts["fiscal_position"])))
+    )
+
+
+_FP_ORACLE_BODY = f"""
+    SELECT substr(account_code, 1, 1) AS account_class,
+           CAST(SUM(conv) AS DECIMAL(18,2)) AS balance,
+           COUNT(*) AS n_rows,
+           '{{sel}}' AS fiscal_position
+    FROM (SELECT led.*, {_FPOS_DERIVE_SQL} AS fiscal_position_id FROM led)
+    WHERE date >= TIMESTAMP '1997-01-01'
+      AND date <= TIMESTAMP '1997-12-31 23:59:59'
+      AND ({{pred}})
+    GROUP BY 1
+"""
+
+
+@query(
+    "fp_scope",
+    oracle=f"""
+    WITH {O_LEDGER}
+    {_FP_ORACLE_BODY.format(
+        sel="domestic",
+        pred="fiscal_position_id IS NULL OR fiscal_position_id IN (1)")}
+    """,
+)
+def fp_scope(spark, sf_dir):
+    """Default selection for a DE report on a DE company: 'domestic' —
+    moves without a position or under a non-foreign-VAT one."""
+    return _fp_scoped(spark, sf_dir)
+
+
+@query(
+    "fp_scope_foreign",
+    oracle=f"""
+    WITH {O_LEDGER}
+    {_FP_ORACLE_BODY.format(sel="2", pred="fiscal_position_id = 2")}
+    """,
+)
+def fp_scope_foreign(spark, sf_dir):
+    """A persisted previous selection of the foreign-VAT position is
+    legit (it is in the accepted set) and scopes to exactly that
+    position's moves."""
+    return _fp_scoped(spark, sf_dir, previous={"fiscal_position": 2})
