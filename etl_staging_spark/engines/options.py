@@ -464,3 +464,65 @@ def fiscal_position_domain(
     if isinstance(opt, int):
         return [(field, "=", opt)]
     return []
+
+
+# ---------------------------------------------------------------------------
+# Tax-unit multi-company mode: `_multi_company_tax_units_init_options`
+# (`account_report.py:1090-1148`). A tax unit is a named set of
+# companies filing VAT together (one country, one main company); when a
+# report's filter_multi_company == 'tax_units', selecting a unit swaps
+# the company scope to the unit's companies.
+# ---------------------------------------------------------------------------
+
+
+def init_options_tax_units(
+    options: dict,
+    tax_units: list[dict],
+    active_company: int,
+    user_companies: set | None = None,
+    report_country: str | None = None,
+    previous: dict | None = None,
+) -> dict:
+    """Port of `_multi_company_tax_units_init_options`. ``tax_units``
+    rows look like ``{'id': 1, 'name': 'DE VAT group', 'country': 'DE',
+    'company_ids': [0, 2], 'main_company_id': 0}``.
+
+    Availability: units containing the active company, matching the
+    report's country when it has one, whose companies are ALL
+    accessible to the user. A unit is *authorized* only when the
+    currently selected companies equal its company set (the reference's
+    company-selector handshake); 'company_only' is always authorized.
+    Selection: a legit previous value wins; if exactly one unit is
+    available and authorized it auto-selects; else 'company_only'.
+    A selected unit REPLACES options['companies'] with the unit's
+    companies and records its main company (the adjustment target of
+    the carryover engine, `engines/carryover.py`)."""
+    selected = set(options.get("companies") or [active_company])
+    available = [
+        u
+        for u in tax_units
+        if active_company in u["company_ids"]
+        and (report_country is None or u.get("country") == report_country)
+        and (user_companies is None or set(u["company_ids"]) <= set(user_companies))
+    ]
+    options["available_tax_units"] = [
+        {"id": u["id"], "name": u.get("name"), "company_ids": list(u["company_ids"])}
+        for u in available
+    ]
+    authorized = {
+        u["id"] for u in available if set(u["company_ids"]) == selected
+    } | {"company_only"}
+    prev = (previous or {}).get("tax_unit")
+    if prev in authorized:
+        options["tax_unit"] = prev
+    elif authorized == {"company_only"}:
+        options["tax_unit"] = "company_only"
+    elif len(available) == 1 and available[0]["id"] in authorized:
+        options["tax_unit"] = available[0]["id"]
+    else:
+        options["tax_unit"] = "company_only"
+    if options["tax_unit"] != "company_only":
+        unit = next(u for u in available if u["id"] == options["tax_unit"])
+        options["companies"] = list(unit["company_ids"])
+        options["main_company"] = unit.get("main_company_id", unit["company_ids"][0])
+    return options

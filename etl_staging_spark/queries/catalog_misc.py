@@ -479,3 +479,76 @@ def fp_scope_foreign(spark, sf_dir):
     legit (it is in the accepted set) and scopes to exactly that
     position's moves."""
     return _fp_scoped(spark, sf_dir, previous={"fiscal_position": 2})
+
+
+# ---------------------------------------------------------------------------
+# Tax-unit multi-company mode (`account_report.py:1090-1148`): the
+# report's company scope comes from the selected tax unit, not the
+# company selector. The unit's main company is the adjustment target
+# the carryover engine uses (engines/carryover.py).
+# ---------------------------------------------------------------------------
+
+_TAX_UNITS = [
+    {"id": 1, "name": "DE VAT group", "country": "DE",
+     "company_ids": [0, 2], "main_company_id": 0},
+    {"id": 2, "name": "FR VAT group", "country": "FR",
+     "company_ids": [1], "main_company_id": 1},
+]
+
+
+@query(
+    "mc_tax_unit",
+    oracle=f"""
+    WITH {O_LEDGER}
+    SELECT 'DE VAT group' AS tax_unit, company_id,
+           company_id = 0 AS is_main_company,
+           substr(account_code, 1, 1) AS account_class,
+           CAST(SUM(conv) AS DECIMAL(18,2)) AS balance, COUNT(*) AS n_rows
+    FROM led
+    WHERE company_id IN (0, 2)
+      AND date >= TIMESTAMP '1997-01-01'
+      AND date <= TIMESTAMP '1997-12-31 23:59:59'
+    GROUP BY company_id, substr(account_code, 1, 1)
+    """,
+)
+def mc_tax_unit(spark, sf_dir):
+    """Selected companies {0, 2} match the DE unit's set, so the unit
+    auto-selects, replaces the company scope with its companies and
+    designates company 0 as the main (adjustment) company."""
+    from ..engines.ledger import move_lines
+    from ..engines.options import (
+        company_scope_filter,
+        date_scope_filter,
+        init_options_tax_units,
+        make_options,
+    )
+
+    opts = make_options("1997-01-01", "1997-12-31")
+    opts["companies"] = [0, 2]
+    init_options_tax_units(
+        opts, _TAX_UNITS, active_company=0, report_country="DE"
+    )
+    assert opts["tax_unit"] == 1 and opts["main_company"] == 0
+    unit = next(u for u in _TAX_UNITS if u["id"] == opts["tax_unit"])
+    led = move_lines(spark, sf_dir)
+    return (
+        led.where(
+            date_scope_filter(opts, "strict_range") & company_scope_filter(opts)
+        )
+        .groupBy(
+            "company_id",
+            F.substring("account_code", 1, 1).alias("account_class"),
+        )
+        .agg(
+            F.sum("conv").cast("decimal(18,2)").alias("balance"),
+            F.count("*").alias("n_rows"),
+        )
+        .select(
+            F.lit(unit["name"]).alias("tax_unit"),
+            "company_id",
+            (F.col("company_id") == opts["main_company"]).alias("is_main_company"),
+            "account_class",
+            "balance",
+            "n_rows",
+        )
+    )

@@ -517,3 +517,100 @@ def test_variant_selection_and_company_scope():
         "1997-01-01", "1997-12-31")
     assert opts["companies"] == [2, 0]
     assert opts["report"]["name"] == "generic"  # active company = first
+
+
+# ---------------------------------------------------------------------------
+# Fiscal-position + tax-unit option pipelines (account_report.py:
+# 999-1040, 1090-1148)
+# ---------------------------------------------------------------------------
+
+from etl_staging_spark.engines.options import (  # noqa: E402
+    fiscal_position_domain,
+    init_options_fiscal_position,
+    init_options_tax_units,
+    make_options,
+)
+
+_FPOS = [
+    {"id": 1, "company_id": 0, "country": "DE", "foreign_vat": False},
+    {"id": 2, "company_id": 0, "country": "DE", "foreign_vat": True},
+    {"id": 3, "company_id": 0, "country": "FR", "foreign_vat": True},
+]
+
+
+def _opts(companies):
+    o = make_options("1997-01-01", "1997-12-31")
+    o["companies"] = companies
+    return o
+
+
+def test_fpos_default_domestic_when_country_matches():
+    o = init_options_fiscal_position(_opts([0]), _FPOS, "DE", "DE")
+    assert o["fiscal_position"] == "domestic" and o["allow_domestic"]
+    assert [f["id"] for f in o["available_vat_fiscal_positions"]] == [2]
+    dom = fiscal_position_domain(o, _FPOS)
+    assert dom == ["|", ("fiscal_position_id", "=", None),
+                   ("fiscal_position_id", "in", [1])]
+
+
+def test_fpos_foreign_country_autoselects_single_position():
+    # FR report on a DE company: no domestic option, one FR position
+    o = init_options_fiscal_position(_opts([0]), _FPOS, "FR", "DE")
+    assert not o["allow_domestic"]
+    assert o["fiscal_position"] == 3
+    assert fiscal_position_domain(o, _FPOS) == [("fiscal_position_id", "=", 3)]
+
+
+def test_fpos_legit_previous_wins_and_multi_company_disables():
+    o = init_options_fiscal_position(
+        _opts([0]), _FPOS, "DE", "DE", previous={"fiscal_position": 2}
+    )
+    assert o["fiscal_position"] == 2
+    # multi-company scope disables the filter entirely
+    o2 = init_options_fiscal_position(
+        _opts([0, 1]), _FPOS, "DE", "DE", previous={"fiscal_position": 2}
+    )
+    assert o2["fiscal_position"] == "all"
+    assert fiscal_position_domain(o2, _FPOS) == []
+
+
+_UNITS = [
+    {"id": 1, "name": "DE unit", "country": "DE",
+     "company_ids": [0, 2], "main_company_id": 0},
+]
+
+
+def test_tax_unit_autoselects_when_companies_match():
+    o = init_options_tax_units(_opts([0, 2]), _UNITS, 0, report_country="DE")
+    assert o["tax_unit"] == 1
+    assert o["companies"] == [0, 2] and o["main_company"] == 0
+
+
+def test_tax_unit_company_only_when_selection_differs():
+    o = init_options_tax_units(_opts([0, 1]), _UNITS, 0, report_country="DE")
+    assert o["tax_unit"] == "company_only"
+    assert o["companies"] == [0, 1] and "main_company" not in o
+
+
+def test_tax_unit_country_and_membership_filters():
+    assert init_options_tax_units(
+        _opts([0, 2]), _UNITS, 0, report_country="FR"
+    )["tax_unit"] == "company_only"
+    assert init_options_tax_units(
+        _opts([0, 2]), _UNITS, 1, report_country="DE"
+    )["available_tax_units"] == []
+
+
+def test_tax_unit_main_company_feeds_carryover():
+    """The selected unit's main company is the carryover adjustment
+    target (engines/carryover.py) — the wiring the reference does via
+    account.tax.unit.main_company_id."""
+    from decimal import Decimal
+
+    from etl_staging_spark.engines.carryover import fold_chain
+
+    o = init_options_tax_units(_opts([0, 2]), _UNITS, 0, report_country="DE")
+    # unit-level fold differs from the per-company sum when bounds kick in
+    chain = fold_chain([(1, Decimal("-5")), (2, Decimal("3"))])
+    assert chain[1]["applied"] == Decimal("-5")
+    assert o["main_company"] == 0
