@@ -40,10 +40,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _certification_order(names: list[str]) -> list[str]:
     """Order queries so the driver's bounded correctness snapshot (first
-    ~50 entries) always lands on the least-certified tail: entries never
-    present in any past CORRECTNESS_r*.json come first, then those
-    certified fewest times / longest ago. Ties keep registration order,
-    so the ordering is deterministic."""
+    ~50 entries) always lands on the least-RECENTLY-certified tail:
+    entries never present in any past CORRECTNESS_r*.json come first,
+    then by oldest last-certified round (so with a 50-entry window over
+    ~100 entries, every entry re-certifies at least every other round),
+    then by certification count. Ties keep registration order, so the
+    ordering is deterministic."""
     counts: dict[str, int] = {}
     last_round: dict[str, int] = {}
     here = os.path.dirname(os.path.abspath(__file__))
@@ -54,11 +56,21 @@ def _certification_order(names: list[str]) -> list[str]:
         except (ValueError, OSError, json.JSONDecodeError):
             continue
         for name, res in data.items():
-            if isinstance(res, dict) and res.get("rows_match"):
+            if not isinstance(res, dict):
+                continue
+            fully_green = res.get("rows_match") and res.get(
+                "hash_match", True
+            ) and res.get("schema_match", True)
+            if fully_green:
                 counts[name] = counts.get(name, 0) + 1
                 last_round[name] = max(last_round.get(name, 0), rnd)
+            elif last_round.get(name, 0) <= rnd:
+                # latest appearance was NOT fully green: this entry is
+                # uncertified regardless of history — front of the queue
+                last_round[name] = 0
+                counts[name] = 0
     idx = {n: i for i, n in enumerate(names)}
-    return sorted(names, key=lambda n: (counts.get(n, 0), last_round.get(n, 0), idx[n]))
+    return sorted(names, key=lambda n: (last_round.get(n, 0), counts.get(n, 0), idx[n]))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
