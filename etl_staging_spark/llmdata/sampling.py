@@ -1,0 +1,136 @@
+"""Training-data sampling: deterministic splits and mixture weighting.
+
+Two operators every large-scale training pipeline needs in front of the
+tokenizer:
+
+- **hash split** — assign each document to train/val/test by a salted
+  content-independent hash of its key. Deterministic (same doc → same
+  split on every run, any cluster size), order-free (no global sort or
+  shuffle — the split is a projection), and stable under corpus growth
+  (new docs don't move old ones between splits, unlike modulo-on-row-
+  number schemes).
+- **mixture sampling** — downsample each domain/source to hit target
+  mixture proportions (the "data mixing" step of corpus assembly).
+  Per-domain keep-rates derive from per-domain counts (ONE map-side-
+  combinable aggregate, output bounded by the number of domains) and
+  are applied as a hash-threshold filter — again a pure projection over
+  the fact scan, no shuffle, no sort, no RNG state.
+
+Both use the repo's portable md5-based 56-bit hash, so DuckDB oracles
+reproduce the exact row selection (Spark's builtin ``rand(seed)`` is
+partition-dependent and has no cross-engine twin — unusable for
+verified sampling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import o_hash56, portable_hash56
+
+# hash buckets per unit interval: rates quantize to 1/10000
+BUCKETS = 10_000
+
+
+def bucket_col(key_col: str, salt: str) -> Column:
+    return portable_hash56(
+        F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))
+    ) % BUCKETS
+
+
+def o_bucket(key_expr: str, salt: str) -> str:
+    """DuckDB twin of the salted hash bucket."""
+    salted = f"'{salt}:' || CAST({key_expr} AS VARCHAR)"
+    return f"({o_hash56(salted)} % {BUCKETS})"
+
+
+def hash_split(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    key_col: str = "doc_id",
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Add a ``split`` column assigning each row to a named fraction.
+
+    ``fractions`` maps split name → fraction; they must sum to ≤ 1 (any
+    remainder falls into the LAST split). Assignment is by cumulative
+    bucket thresholds over the salted key hash — changing the salt
+    re-draws the whole assignment (the standard "split version" knob).
+    """
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    b = bucket_col(key_col, salt)
+    expr = None
+    acc = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        acc += fractions[name]
+        thr = int(round(acc * BUCKETS))
+        expr = (
+            F.when(b < thr, name) if expr is None else expr.when(b < thr, name)
+        )
+    last = F.lit(names[-1])
+    split = last if expr is None else expr.otherwise(names[-1])
+    return docs.withColumn("split", split)
+
+
+def o_hash_split(fractions: dict[str, float], key_expr: str = "doc_id",
+                 salt: str = "split-v1") -> str:
+    """DuckDB CASE expression twin of :func:`hash_split`."""
+    b = o_bucket(key_expr, salt)
+    acc = 0.0
+    names = list(fractions)
+    whens = []
+    for name in names[:-1]:
+        acc += fractions[name]
+        whens.append(f"WHEN {b} < {int(round(acc * BUCKETS))} THEN '{name}'")
+    return "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"
+
+
+def mixture_rates(
+    counts: dict[str, int], weights: dict[str, float], target_total: int
+) -> dict[str, int]:
+    """Per-domain keep thresholds (out of BUCKETS) hitting the target
+    mixture: domain d gets ``target_total * w_d / Σw`` docs, capped at
+    its population (no upsampling — a domain short of its quota yields
+    what it has, like real mixture builders that then re-normalize).
+    Driver-side over the BOUNDED per-domain count dict."""
+    wsum = sum(weights.values())
+    thresholds = {}
+    for d, n in counts.items():
+        w = weights.get(d, 0.0)
+        quota = target_total * w / wsum if wsum else 0.0
+        rate = min(1.0, quota / n) if n else 0.0
+        thresholds[d] = int(rate * BUCKETS)
+    return thresholds
+
+
+def mixture_sample(
+    docs: DataFrame,
+    weights: dict[str, float],
+    target_total: int,
+    domain_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Filter ``docs`` down to ≈``target_total`` rows with domain
+    proportions following ``weights``. Phase 1 is one bounded aggregate
+    (per-domain counts, collected — O(#domains) driver state); phase 2
+    is a hash-threshold filter built as a literal CASE over the domain
+    column, so the scan stays a single pushdown-friendly pass with no
+    join."""
+    counts = {
+        r[0]: r[1]
+        for r in docs.groupBy(domain_col).count().collect()  # bounded: #domains
+    }
+    thr = mixture_rates(counts, weights, target_total)
+    b = bucket_col(key_col, salt)
+    expr = None
+    for d, t in sorted(thr.items()):
+        cond = F.col(domain_col) == d
+        expr = F.when(cond, t) if expr is None else expr.when(cond, t)
+    return docs.where(b < expr.otherwise(F.lit(0)))

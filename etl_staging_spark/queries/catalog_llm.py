@@ -801,3 +801,79 @@ def mm_frame_sample(spark, sf_dir):
     frame via a JVM-side sequence explode (the fan-out never crosses
     into Python; a real extractor would mapInPandas over these rows)."""
     return multimodal.sample_frames(load(spark, sf_dir, "documents"), fps_ms=1000)
+
+
+# ---------------------------------------------------------------------------
+# Training-data assembly: deterministic split, mixture sampling,
+# sequence packing. All pure projections/window ops over one scan —
+# no RNG state, no global sort, no driver-side row loops.
+# ---------------------------------------------------------------------------
+
+from ..llmdata import packing, sampling  # noqa: E402
+
+_SPLITS = {"train": 0.9, "val": 0.05, "test": 0.05}
+_MIX_WEIGHTS = {f"src{i}": (3.0 if i < 5 else 1.0) for i in range(20)}
+_MIX_TARGET = 300
+
+
+@query(
+    "split_hash_deterministic",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT lang, {sampling.o_hash_split(_SPLITS)} AS split FROM documents
+    )
+    SELECT split, lang, COUNT(*) AS n_docs
+    FROM assigned GROUP BY split, lang
+    """,
+)
+def split_hash_deterministic(spark, sf_dir):
+    """Salted-hash train/val/test assignment, summarized per (split,
+    lang). The assignment itself is a projection — deterministic under
+    any partitioning, stable under corpus growth."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        sampling.hash_split(docs, _SPLITS)
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@query(
+    "mixture_weighted_sample",
+    oracle=f"""
+    WITH w(domain, wgt) AS (VALUES {", ".join(
+        f"('src{i}', {3.0 if i < 5 else 1.0})" for i in range(20))}),
+    counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    thr AS (
+      SELECT source,
+             CAST(LEAST(1.0, ({_MIX_TARGET} * wgt / (SELECT SUM(wgt) FROM w))
+                             / n) * {sampling.BUCKETS} AS BIGINT) AS t
+      FROM counts JOIN w ON w.domain = counts.source
+    ),
+    kept AS (
+      SELECT d.source FROM documents d
+      JOIN thr ON thr.source = d.source
+      WHERE {sampling.o_bucket('d.doc_id', 'mix-v1')} < thr.t
+    )
+    SELECT source, COUNT(*) AS n_kept FROM kept GROUP BY source
+    """,
+)
+def mixture_weighted_sample(spark, sf_dir):
+    """Domain-weighted downsampling to a ~300-doc corpus: heads (src0-4)
+    weighted 3x over the tail. Phase 1 = one bounded count aggregate;
+    phase 2 = a hash-threshold filter as a literal CASE (single scan,
+    no join)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        sampling.mixture_sample(docs, _MIX_WEIGHTS, _MIX_TARGET)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"))
+    )
+
+
+@query("seq_pack_chunks", oracle=packing.o_pack_sequences(512))
+def seq_pack_chunks(spark, sf_dir):
+    """Concat-then-chunk packing assignment at seq_len=512: per-doc
+    (shard, seq_index, token_offset, n_chunks) via ONE per-shard window
+    cumsum — shards are the parallelism unit, no global sort."""
+    return packing.pack_sequences(load(spark, sf_dir, "documents"), seq_len=512)

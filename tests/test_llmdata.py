@@ -348,3 +348,78 @@ def test_repetition_stats_planted(spark):
     assert out[3].n_bigrams == 1 and out[3].dup_trigram_frac == 0.0
     assert out[3].repetitive  # single modal bigram = 100% of bigrams
     assert out[4].n_bigrams == 0 and not out[4].repetitive
+
+
+# ---------------------------------------------------------------------------
+# Training-data assembly: hash split, mixture sampling, sequence packing
+# ---------------------------------------------------------------------------
+
+from etl_staging_spark.tables import load  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_hash_split_deterministic_and_stable(spark):
+    from etl_staging_spark.llmdata.sampling import hash_split
+
+    docs = load(spark, SF_DIR, "documents")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r.doc_id: r.split for r in hash_split(docs, fr).select("doc_id", "split").collect()}
+    b = {r.doc_id: r.split for r in hash_split(docs, fr).select("doc_id", "split").collect()}
+    assert a == b
+    # stability under corpus growth: assignment of existing keys doesn't
+    # change when the split runs over a subset
+    sub = hash_split(docs.limit(50), fr).select("doc_id", "split").collect()
+    for r in sub:
+        assert a[r.doc_id] == r.split
+    # roughly proportional
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert c["train"] > c["val"] and c["train"] > c["test"]
+
+
+def test_hash_split_validates_fractions(spark):
+    import pytest as _pytest
+
+    from etl_staging_spark.llmdata.sampling import hash_split
+
+    docs = load(spark, SF_DIR, "documents")
+    with _pytest.raises(ValueError):
+        hash_split(docs, {})
+    with _pytest.raises(ValueError):
+        hash_split(docs, {"a": 0.9, "b": 0.3})
+
+
+def test_mixture_rates_quota_and_cap():
+    from etl_staging_spark.llmdata.sampling import BUCKETS, mixture_rates
+
+    counts = {"a": 100, "b": 100, "c": 10}
+    thr = mixture_rates(counts, {"a": 1.0, "b": 1.0, "c": 1.0}, 90)
+    # a,b: quota 30/100 -> 30% of buckets; c: quota 30 > 10 docs -> capped at all
+    assert thr["a"] == thr["b"] == int(0.3 * BUCKETS)
+    assert thr["c"] == BUCKETS
+    # zero-weight domain drops entirely
+    thr2 = mixture_rates(counts, {"a": 1.0}, 50)
+    assert thr2["b"] == 0 and thr2["c"] == 0
+
+
+def test_pack_sequences_invariants(spark):
+    from etl_staging_spark.llmdata.packing import pack_sequences
+
+    rows = pack_sequences(
+        load(spark, SF_DIR, "documents"), seq_len=128
+    ).collect()
+    assert rows
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rs:
+            assert r.seq_index == cum // 128
+            assert r.token_offset == cum % 128
+            span = (cum + max(r.n_tokens, 1) - 1) // 128 - cum // 128 + 1
+            assert r.n_chunks == span
+            cum += r.n_tokens
