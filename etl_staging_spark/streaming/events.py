@@ -172,3 +172,70 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-user session aggregation: a session extends while events
+    arrive within ``gap`` of the previous one (dynamic-length windows —
+    `F.session_window`). State per open session closes once the
+    watermark passes the session end, so state size is bounded by the
+    number of concurrently-active users, not the stream's lifetime."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def purchase_attribution(
+    events: DataFrame, events2: DataFrame, horizon: str = "1 hour"
+) -> DataFrame:
+    """Watermarked stream-stream inner join: attribute each purchase to
+    the same user's clicks in the preceding ``horizon``. Both sides are
+    watermarked and the join condition carries the time-range bound, so
+    each side's buffered state evicts once the watermark clears the
+    window — the canonical bounded-state stream-stream join shape
+    (without the range condition Spark must buffer both streams
+    forever). ``events2`` must be a SECOND readStream over the same
+    source: stream-stream self-joins on one DataFrame re-use one source
+    and miss pairs."""
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", horizon)
+    )
+    purchases = (
+        events2.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("amount"),
+        )
+        .withWatermark("purchase_ts", horizon)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")),
+    ).select(
+        "purchase_id", F.col("p_user").alias("user_id"), "purchase_ts",
+        "click_id", "click_ts", "amount",
+    )

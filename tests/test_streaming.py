@@ -120,3 +120,65 @@ def test_stream_source_micros_nanos_parity(spark, tmp_path):
     assert micros and micros == nanos
     # and the windows are where the wall clock says, not 1970
     assert min(k[0] for k in micros).year == 2024
+
+
+def test_session_windows_match_batch(spark, events_stream):
+    from etl_staging_spark.streaming.events import session_windows
+
+    run_available_now(session_windows(events_stream), "sess_counts")
+    got = {
+        (r.session_start, r.session_end, r.user_id): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM sess_counts").collect()
+    }
+    from etl_staging_spark.tables import load
+
+    batch = (
+        load(spark, SF_DIR, "events")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sess"), "user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("tv"),
+        )
+        .collect()
+    )
+    assert got and len(got) == len(batch)
+    for r in batch:
+        assert got[(r.sess.start, r.sess.end, r.user_id)] == (r.n, r.tv)
+
+
+def test_purchase_attribution_matches_batch(spark):
+    from etl_staging_spark.streaming.events import purchase_attribution
+
+    s1 = stream_source(spark, SF_DIR, glob="events.parquet")
+    s2 = stream_source(spark, SF_DIR, glob="events.parquet")
+    run_available_now(
+        purchase_attribution(s1, s2), "attrib", "append"
+    )
+    got = {
+        (r.purchase_id, r.click_id)
+        for r in spark.sql("SELECT * FROM attrib").collect()
+    }
+    from etl_staging_spark.tables import load
+
+    ev = load(spark, SF_DIR, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    want = {
+        (r.purchase_id, r.click_id)
+        for r in purchases.join(
+            clicks,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 hour")),
+        ).collect()
+    }
+    assert want, "fixture has no click->purchase pairs within the horizon"
+    assert got == want
