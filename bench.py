@@ -48,6 +48,10 @@ HEADLINE = [
     "decontaminate_ngram",
     "text_repetition_gopher",
     "pii_mask_regex",
+    # round 5 additions
+    "f7_child_of",
+    "seq_pack_chunks",
+    "mixture_weighted_sample",
 ]
 
 

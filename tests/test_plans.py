@@ -142,3 +142,24 @@ def test_column_groups_fused_to_two_scans(spark, queries):
             if "Location" in line
         )
         assert fact_scans <= 2, f"{name}: {fact_scans} lineitem scans"
+
+
+def test_child_of_in_list_pushes_down(spark, queries):
+    """The expanded child_of subtree is a literal IN that reaches the
+    parquet scans — the hierarchy dim is never joined for the filter."""
+    p = plan_of(spark, queries, "f7_child_of")
+    assert "In(c_nationkey" in p
+    assert "CartesianProduct" not in p
+
+
+def test_training_assembly_plans(spark, queries):
+    """split/mixture are single-scan projections (no join, no Python);
+    sequence packing windows per shard — never a single-partition
+    exchange."""
+    for name in ("split_hash_deterministic", "mixture_weighted_sample"):
+        p = plan_of(spark, queries, name)
+        assert "Join" not in p, name
+        assert "BatchEvalPython" not in p, name
+    p = plan_of(spark, queries, "seq_pack_chunks")
+    assert "Exchange SinglePartition" not in p
+    assert "BatchEvalPython" not in p
