@@ -329,3 +329,63 @@ def test_child_of_expands_to_in():
         expand_hierarchy_leaves(
             normalize([("plan_id", "child_of", 1)]), None
         )
+
+
+# ---------------------------------------------------------------------------
+# SQL-string backend equivalence: domain_to_sql must select exactly the
+# rows compile_domain selects, NULL semantics included.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from etl_staging_spark.domain import domain_to_sql  # noqa: E402
+
+_SQL_OPS = ["=", "!=", ">", ">=", "<", "<=", "in", "not in"]
+
+
+@st.composite
+def sql_domain_st(draw):
+    n = draw(st.integers(min_value=1, max_value=3))
+    leaves = []
+    for _ in range(n):
+        field = draw(st.sampled_from(["a", "b"]))
+        op = draw(st.sampled_from(_SQL_OPS))
+        if op in ("in", "not in"):
+            value = draw(
+                st.lists(
+                    st.one_of(st.integers(-3, 3), st.none()),
+                    min_size=0, max_size=4,
+                )
+            )
+        else:
+            value = draw(st.one_of(st.integers(-3, 3), st.none()))
+        if value is None and op not in ("=", "!=") :
+            op = "="
+        leaves.append((field, op, value))
+    conn = draw(st.sampled_from([None, "|", "&", "!"]))
+    if conn == "!" or (conn and len(leaves) < 2):
+        return ["!", leaves[0]]
+    if conn and len(leaves) >= 2:
+        return [conn, leaves[0], leaves[1], *leaves[2:]]
+    return leaves
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(domain=sql_domain_st())
+def test_domain_sql_backend_matches_column_backend(spark, domain, sql_rows_frame):
+    df, = sql_rows_frame
+    want = {r.rid for r in df.where(compile_domain(domain)).collect()}
+    got = {r.rid for r in df.where(F.expr(domain_to_sql(domain))).collect()}
+    assert got == want, domain
+
+
+@pytest.fixture(scope="module")
+def sql_rows_frame(spark):
+    rows = [
+        (i, a, b)
+        for i, (a, b) in enumerate(
+            (a, b) for a in [None, -2, 0, 1, 3] for b in [None, -1, 2]
+        )
+    ]
+    return (spark.createDataFrame(rows, "rid int, a int, b int"),)
