@@ -50,9 +50,18 @@ def rate_table(spark: SparkSession) -> DataFrame:
     )
 
 
+_LEDGER_CACHE: dict = {}
+
+
 def move_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ledger fact. Filters applied by engines push down through
-    this projection into both parquet scans (verified via .explain)."""
+    this projection into both parquet scans (verified via .explain).
+    Memoized per (session, dir) like tables.load — the frame is lazy and
+    immutable, and every engine entry starts from it."""
+    key = (spark, sf_dir)
+    cached = _LEDGER_CACHE.get(key)
+    if cached is not None:
+        return cached
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate", "o_custkey", "o_orderpriority"
@@ -77,7 +86,9 @@ def move_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     conv = F.round(F.col("balance").cast("decimal(18,6)") * F.col("rate"), 2)
-    return led.join(F.broadcast(rate_table(spark)), "company_id").withColumn("conv", conv)
+    out = led.join(F.broadcast(rate_table(spark)), "company_id").withColumn("conv", conv)
+    _LEDGER_CACHE[key] = out
+    return out
 
 
 def is_balance_sheet(code_col=None) -> F.Column:

@@ -33,11 +33,24 @@ TABLES = (
 BROADCAST_DIMS = {"region", "nation", "supplier"}
 
 
+# Lazy base frames are immutable — callers only ever derive from them —
+# so rebuilding one per catalog call is pure driver/py4j waste (a report
+# suite touches the same table hundreds of times). Keyed by session so a
+# fresh session (new driver run) never sees another's frames.
+_FRAME_CACHE: dict = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Filters/projections applied by callers are pushed
-    down into the parquet scan by Catalyst (S1)."""
+    down into the parquet scan by Catalyst (S1). The returned DataFrame
+    is a shared immutable lazy frame — memoized per (session, dir,
+    table)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    key = (spark, sf_dir, name)
+    cached = _FRAME_CACHE.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         # events.parquet carries TIMESTAMP(NANOS) which Spark has no native
         # type for. The conf is runtime-settable, and the driver supplies its
@@ -52,6 +65,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         # integer DIV: ts exceeds double precision, float division drifts
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    _FRAME_CACHE[key] = df
     return df
 
 
