@@ -76,3 +76,32 @@ def single_file(path: str) -> str:
     if len(parts) != 1:
         raise ValueError(f"expected one part file in {path}, found {parts}")
     return os.path.join(path, parts[0])
+
+
+def write_partitioned_snapshot(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "dynamic",
+) -> None:
+    """Maintenance-job write path: the reference's raw ``UPDATE``/
+    ``DELETE`` jobs (SURVEY §2.11 — backdating, bank-date stamping,
+    purge) become *partition-overwrite* semantics on an immutable
+    parquet snapshot. With ``mode='dynamic'`` only the partitions
+    present in ``df`` are replaced (the Spark analog of an UPDATE
+    scoped by the partition key); ``'static'`` rewrites the whole
+    table. Partition columns should be the job's natural scope keys
+    (date, company) so a correction touches only its slice — at 100 TB
+    a full-table rewrite per correction is the failure mode this sink
+    exists to avoid."""
+    writer = df.write.format("parquet").partitionBy(*partition_cols)
+    if mode == "dynamic":
+        spark = df.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            writer.mode("overwrite").save(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    else:
+        writer.mode("overwrite").save(path)

@@ -153,3 +153,28 @@ def test_report_file_sink_writes_html(spark, tmp_path):
         html = fh.read()
     assert "Sales Register" in html and "alpha" in html
     assert '<td class="number color-red">-2.50</td>' in html
+
+
+def test_partitioned_snapshot_dynamic_overwrite(spark, tmp_path):
+    """A correction batch replaces ONLY its partitions — other
+    partitions' files stay untouched (the UPDATE-scoped-by-key
+    semantics of the reference's maintenance jobs)."""
+    from etl_staging_spark.etl.sinks import write_partitioned_snapshot
+
+    path = str(tmp_path / "snap")
+    base = spark.createDataFrame(
+        [(0, "a", 1.0), (0, "b", 2.0), (1, "a", 3.0), (1, "b", 4.0)],
+        "company_id int, k string, v double",
+    )
+    write_partitioned_snapshot(base, path, ["company_id"])
+    # correction touches company 1 only
+    fix = spark.createDataFrame([(1, "a", 30.0)], "company_id int, k string, v double")
+    write_partitioned_snapshot(fix, path, ["company_id"])
+    got = {
+        (r.company_id, r.k): r.v for r in spark.read.parquet(path).collect()
+    }
+    assert got == {(0, "a"): 1.0, (0, "b"): 2.0, (1, "a"): 30.0}
+    # static mode rewrites everything
+    write_partitioned_snapshot(fix, path, ["company_id"], mode="static")
+    got2 = {(r.company_id, r.k): r.v for r in spark.read.parquet(path).collect()}
+    assert got2 == {(1, "a"): 30.0}
