@@ -88,3 +88,40 @@ def test_bucket_expr_and_pivot(spark):
     assert (a.period_current, a.period_0_30, a.period_31_60, a.period_91_120,
             a.period_older, a.total) == (10.0, 3.0, 4.0, 8.0, 16.0, 41.0)
     assert row["b"].period_61_90 == 32.0
+
+
+# ---------------------------------------------------------------------------
+# Hot-key salting (operators/skew.py)
+# ---------------------------------------------------------------------------
+
+
+def test_salted_join_equals_plain_join(spark):
+    from etl_staging_spark.operators.skew import find_hot_keys, salted_join
+
+    # key 7 is pathologically hot (80% of fact rows)
+    fact = spark.createDataFrame(
+        [(i, 7 if i % 5 != 0 else i % 11, float(i)) for i in range(2000)],
+        "rid int, k int, v double",
+    )
+    dim = spark.createDataFrame(
+        [(k, f"dim{k}") for k in range(11)], "k int, label string"
+    )
+    hot = find_hot_keys(fact, "k", threshold=500)
+    assert hot == [7]
+    for how in ("inner", "left"):
+        got = {
+            (r.rid, r.label)
+            for r in salted_join(fact, dim, "k", hot, n_salts=4, how=how).collect()
+        }
+        want = {(r.rid, r.label) for r in fact.join(dim, "k", how).collect()}
+        assert got == want, how
+
+
+def test_salted_join_replicates_dim_only_for_hot_keys(spark):
+    from etl_staging_spark.operators.skew import SALT, salted_join
+
+    fact = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k int, v double")
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], "k int, label string")
+    out = salted_join(fact, dim, "k", hot_keys=[1], n_salts=3)
+    assert SALT not in out.columns
+    assert out.count() == 2
