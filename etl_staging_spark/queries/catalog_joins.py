@@ -681,3 +681,53 @@ def o4_prefix_group(spark, sf_dir):
     return p.groupBy(F.substring("p_name", 1, 4).alias("prefix")).agg(
         F.count("*").alias("n_children"), dsum("p_retailprice").alias("group_balance")
     )
+
+
+# ---------------------------------------------------------------------------
+# J10: salted hot-key join — the explicit skew remedy for a single
+# dominant join key (operators/skew.py). The salted plan's OUTPUT is
+# row-identical to the plain join, which is exactly what this entry's
+# oracle (a plain SQL join) certifies.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j10_salted_hot_join",
+    oracle=f"""
+    WITH fact AS (
+      SELECT o_orderkey,
+             CASE WHEN o_custkey % 4 != 0 THEN 1 ELSE o_custkey % 50 END AS k,
+             o_totalprice
+      FROM orders
+    ),
+    dim AS (SELECT DISTINCT o_custkey % 50 AS k, 'seg' || CAST(o_custkey % 50 AS VARCHAR) AS segment
+            FROM orders),
+    j AS (SELECT f.k, segment, o_totalprice FROM fact f JOIN dim ON f.k = dim.k)
+    SELECT segment, COUNT(*) AS n, {o_dsum('o_totalprice')} AS amount
+    FROM j GROUP BY segment
+    """,
+)
+def j10_salted_hot_join(spark, sf_dir):
+    """~75% of fact rows share key 1; the salted join spreads them over
+    8 sub-keys so no single (key, partition) pair dominates the
+    shuffle, and the aggregate proves the output equals the plain
+    join's."""
+    from ..operators.skew import salted_join
+
+    o = load(spark, sf_dir, "orders")
+    fact = o.select(
+        "o_orderkey",
+        F.when(F.col("o_custkey") % 4 != 0, 1)
+        .otherwise(F.col("o_custkey") % 50)
+        .alias("k"),
+        "o_totalprice",
+    )
+    dim = (
+        o.select((F.col("o_custkey") % 50).alias("k"))
+        .distinct()
+        .withColumn("segment", F.concat(F.lit("seg"), F.col("k").cast("string")))
+    )
+    joined = salted_join(fact, dim, "k", hot_keys=[1], n_salts=8)
+    return joined.groupBy("segment").agg(
+        F.count("*").alias("n"), dsum("o_totalprice").alias("amount")
+    )
