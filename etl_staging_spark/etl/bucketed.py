@@ -1,0 +1,48 @@
+"""Bucketed managed tables: shuffle-free co-located joins.
+
+The big-join story at 100 TB: when two fact tables are repeatedly
+joined on the same key (move lines ⋈ moves, lineitem ⋈ orders), pay the
+shuffle ONCE at write time — `bucketBy(N, key)` hash-partitions every
+file into N buckets — and every subsequent equi-join on that key reads
+matching buckets side by side with NO Exchange in the plan. `sortBy`
+inside buckets additionally removes the Sort under a sort-merge join.
+
+Both sides must agree on the bucket count (or be multiples, with
+`spark.sql.bucketing.coalesceBucketsInJoin.enabled`). Bucket pruning
+also serves point lookups: an equality filter on the bucket key scans
+1/N of the files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist ``df`` as a managed parquet table bucketed (and
+    optionally sorted) by the join key. Overwrites the table."""
+    writer = (
+        df.write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def co_located_join(
+    spark: SparkSession, left_table: str, right_table: str, on: list[str] | str,
+    how: str = "inner",
+) -> DataFrame:
+    """Join two bucketed tables on their bucket key. When both were
+    written by :func:`write_bucketed` with the same key and bucket
+    count, the plan contains no Exchange — the buckets ARE the shuffle
+    output, amortized across every query that joins on this key."""
+    return spark.table(left_table).join(spark.table(right_table), on, how)

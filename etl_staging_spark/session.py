@@ -40,6 +40,12 @@ def get_spark(app_name: str = "etl_staging_spark", cpus: int | None = None) -> S
         # events.parquet carries TIMESTAMP(NANOS) which Spark has no native
         # type for; read the raw int64 and convert at the catalog layer.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # managed tables (bucketed fact tables, etl.bucketed) live outside
+        # the repo; on a cluster this is the metastore-backed warehouse
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -178,3 +178,43 @@ def test_partitioned_snapshot_dynamic_overwrite(spark, tmp_path):
     write_partitioned_snapshot(fix, path, ["company_id"], mode="static")
     got2 = {(r.company_id, r.k): r.v for r in spark.read.parquet(path).collect()}
     assert got2 == {(1, "a"): 30.0}
+
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Two tables bucketed on the join key with equal bucket counts
+    join with NO shuffle — the write-once-shuffle contract of bucketed
+    fact tables."""
+    import contextlib
+    import io
+
+    from etl_staging_spark.etl.bucketed import co_located_join, write_bucketed
+    from etl_staging_spark.tables import load
+
+    li = load(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    o = load(spark, SF_DIR, "orders").select("o_orderkey", "o_orderdate")
+    write_bucketed(li, "b_lineitem", ["l_orderkey"], 8, sort_cols=["l_orderkey"])
+    write_bucketed(
+        o.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "b_orders", ["l_orderkey"], 8, sort_cols=["l_orderkey"],
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = co_located_join(spark, "b_lineitem", "b_orders", "l_orderkey")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        # and the join is actually correct
+        n = joined.count()
+        want = li.join(o, li.l_orderkey == o.o_orderkey).count()
+        assert n == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
