@@ -423,3 +423,29 @@ def test_pack_sequences_invariants(spark):
             span = (cum + max(r.n_tokens, 1) - 1) // 128 - cum // 128 + 1
             assert r.n_chunks == span
             cum += r.n_tokens
+
+
+def test_corpus_cardinality_within_rsd(spark):
+    from etl_staging_spark.llmdata.stats import corpus_cardinality
+    from etl_staging_spark.llmdata.shingles import shingle_index
+
+    d = load(spark, SF_DIR, "documents")
+    got = corpus_cardinality(d, rsd=0.02)
+    exact_docs = d.count()
+    exact_shingles = (
+        shingle_index(d).select("shingle").distinct().count()
+    )
+    assert abs(got.n_docs_approx - exact_docs) <= max(3, 0.1 * exact_docs)
+    assert abs(got.n_shingles_approx - exact_shingles) <= 0.1 * exact_shingles
+
+
+def test_token_length_quantiles_monotone_and_bounded(spark):
+    from etl_staging_spark.llmdata.stats import token_length_quantiles
+
+    d = load(spark, SF_DIR, "documents")
+    q50, q90, q99 = token_length_quantiles(d)
+    assert 0 < q50 <= q90 <= q99
+    mx = d.selectExpr(
+        "max(size(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 ]', 0))) AS m"
+    ).head().m
+    assert q99 <= mx
