@@ -191,20 +191,28 @@ def _signatures_from(sh: DataFrame) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
-    """Band the signatures and emit distinct candidate pairs (d1 < d2)
-    sharing at least one band signature."""
+def banded_signatures(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, sig): one row per band with the band's rows
+    concatenated — the LSH bucket key. This IS the persistable
+    signature index of a production dedup service (bucket it by
+    (band, sig) and incremental batches join against it shuffle-free)."""
     band_cols = []
     for band in range(N_BANDS):
         cols = [f"mh{band * BAND_ROWS + r}" for r in range(BAND_ROWS)]
         band_cols.append(F.concat_ws(",", *[F.col(c).cast("string") for c in cols]))
     stack_args = ", ".join(f"{b}, sig{b}" for b in range(N_BANDS))
-    banded = sigs.select(
+    return sigs.select(
         "doc_id", *[c.alias(f"sig{i}") for i, c in enumerate(band_cols)]
     ).select(
         "doc_id",
         F.expr(f"stack({N_BANDS}, {stack_args}) AS (band, sig)"),
     )
+
+
+def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """Band the signatures and emit distinct candidate pairs (d1 < d2)
+    sharing at least one band signature."""
+    banded = banded_signatures(sigs)
     x = banded.alias("x")
     y = banded.alias("y")
     return (
@@ -217,6 +225,33 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
         .select(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
         .distinct()
     )
+
+
+def incremental_lsh_matches(
+    corpus: DataFrame, batch: DataFrame, threshold: float = 0.8, n: int = 3
+) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus: batch band
+    signatures join the corpus's banded signature index — NO
+    corpus×corpus work, no rescan of corpus text beyond its (cached /
+    persisted) shingle index. This is the day-2 shape of a production
+    dedup service: the corpus index is written once (ideally bucketed
+    by (band, sig), `etl.bucketed`) and each incoming batch pays
+    O(batch) + O(candidates). Output: (d1=batch doc, d2=corpus doc,
+    n_common, jaccard) for verified matches ≥ threshold."""
+    sh_c = hashed_shingles(corpus, n=n).persist()
+    sh_b = hashed_shingles(batch, n=n).persist()
+    bc = banded_signatures(_signatures_from(sh_c)).alias("c")
+    bb = banded_signatures(_signatures_from(sh_b)).alias("b")
+    cands = (
+        bb.join(
+            bc,
+            (F.col("b.band") == F.col("c.band")) & (F.col("b.sig") == F.col("c.sig")),
+        )
+        .select(F.col("b.doc_id").alias("d1"), F.col("c.doc_id").alias("d2"))
+        .distinct()
+    )
+    out = _pair_jaccard(sh_b.unionByName(sh_c), cands, threshold)
+    return _pin(out, sh_c, sh_b)
 
 
 def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.8, n: int = 3) -> DataFrame:

@@ -877,3 +877,39 @@ def seq_pack_chunks(spark, sf_dir):
     (shard, seq_index, token_offset, n_chunks) via ONE per-shard window
     cumsum — shards are the parallelism unit, no global sort."""
     return packing.pack_sequences(load(spark, sf_dir, "documents"), seq_len=512)
+
+
+@query(
+    "dedup_incremental_lsh",
+    oracle=f"""
+    WITH {O_TRIH}, {_o_minhash_sigs().replace("cand AS (", "cand0 AS (")},
+    cand AS (
+      SELECT DISTINCT CASE WHEN d1 % 5 = 0 THEN d1 ELSE d2 END AS d1,
+                      CASE WHEN d1 % 5 = 0 THEN d2 ELSE d1 END AS d2
+      FROM cand0
+      WHERE (d1 % 5 = 0) != (d2 % 5 = 0)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM trih GROUP BY doc_id),
+    inter AS (
+      SELECT c.d1, c.d2, COUNT(*) AS n_common
+      FROM cand c
+      JOIN trih a ON a.doc_id = c.d1
+      JOIN trih b ON b.doc_id = c.d2 AND b.h = a.h
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2, n_common,
+           ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
+    """,
+)
+def dedup_incremental_lsh(spark, sf_dir):
+    """Day-2 dedup: an incoming batch (doc_id % 5 == 0) matches against
+    the existing corpus's banded signature index — O(batch) +
+    O(candidates), never corpus x corpus, no corpus rescan beyond its
+    persisted shingle index."""
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    return dedup.incremental_lsh_matches(corpus, batch, threshold=0.8)

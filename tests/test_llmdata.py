@@ -449,3 +449,20 @@ def test_token_length_quantiles_monotone_and_bounded(spark):
         "max(size(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 ]', 0))) AS m"
     ).head().m
     assert q99 <= mx
+
+
+def test_incremental_lsh_only_matches_batch_to_corpus(spark, docs):
+    """Batch docs match corpus docs; batch-internal dup pairs are NOT
+    reported (they are the NEXT batch's corpus problem), and corpus x
+    corpus work never happens."""
+    corpus = docs.where("doc_id in (0, 3)")          # BASE, OTHER
+    batch = docs.where("doc_id in (1, 2, 4, 5)")     # dup of BASE, near-BASE, near-OTHER, tiny
+    got = {
+        (r.d1, r.d2)
+        for r in dedup.incremental_lsh_matches(corpus, batch, threshold=0.7).collect()
+    }
+    # every batch doc with a corpus near-dup is found
+    assert (1, 0) in got and (2, 0) in got and (4, 3) in got
+    # no batch-batch pairs (1,2 are near-dups of each other)
+    assert all(d2 in (0, 3) for _, d2 in got)
+    assert all(d1 in (1, 2, 4, 5) for d1, _ in got)
