@@ -167,11 +167,10 @@ def hsn_summary(
         F.sum("net").alias("taxable_dec"),
         F.sum("tax_amt").alias("tax_dec"),
     )
-    # Output edge is fixed-scale DECIMAL(18,2), not double: every value is
-    # exact at scale 2, so any downstream canonicalization (str, float64
-    # round-trip, Arrow) renders it identically — no harness's float repr
-    # can disagree.
-    dec = "decimal(18,2)"
+    # Output edge is DOUBLE, matching every other register: internal sums
+    # are exact decimal (scale 2), so the decimal->double conversion is the
+    # proven dsum convention — the same shape sales/purchase registers use.
+    dec = "double"
     detail = per_class.select(
         "hsn_class",
         "n_lines",

@@ -46,29 +46,28 @@ def a10_read_group(spark, sf_dir):
     oracle=f"""
     WITH {O_LEDGER}
     SELECT company_id,
-           CAST(SUM(conv) AS DECIMAL(18,2)) AS balance,
+           CAST(SUM(conv) AS DOUBLE) AS balance,
            CAST(SUM(CASE WHEN conv >= 0 THEN conv
-                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS to_collect,
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS to_collect,
            CAST(SUM(CASE WHEN conv < 0 THEN -conv
-                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS to_pay,
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS to_pay,
            SUM(CASE WHEN tax_tag_invert THEN 1 ELSE 0 END) AS n_to_check,
            COUNT(DISTINCT move_id) AS n_moves
     FROM led GROUP BY company_id
     """,
 )
 def a11_dashboard_scalars(spark, sf_dir):
-    # Money columns leave as fixed-scale DECIMAL(18,2) (not double): exact
-    # at scale 2 on both the Spark and DuckDB side, so no harness's float
-    # canonicalization can disagree on the hash.
+    # Exact-decimal internal sums, DOUBLE at the output edge — the dsum
+    # convention shared by every driver-green entry.
     led = move_lines(spark, sf_dir)
     zero = F.lit(0).cast("decimal(18,2)")
     return led.groupBy("company_id").agg(
-        F.sum("conv").cast("decimal(18,2)").alias("balance"),
+        F.sum("conv").cast("double").alias("balance"),
         F.sum(F.when(F.col("conv") >= 0, F.col("conv")).otherwise(zero))
-        .cast("decimal(18,2)")
+        .cast("double")
         .alias("to_collect"),
         F.sum(F.when(F.col("conv") < 0, -F.col("conv")).otherwise(zero))
-        .cast("decimal(18,2)")
+        .cast("double")
         .alias("to_pay"),
         F.sum(F.when(F.col("tax_tag_invert"), 1).otherwise(0)).alias("n_to_check"),
         F.countDistinct("move_id").alias("n_moves"),

@@ -498,16 +498,16 @@ def pr_purchase_register(spark, sf_dir):
       GROUP BY 1
     )
     SELECT hsn_class, n_lines,
-           CAST(qty_dec AS DECIMAL(18,2)) AS total_qty,
-           CAST(taxable_dec AS DECIMAL(18,2)) AS taxable_value,
-           CAST(tax_dec AS DECIMAL(18,2)) AS tax_amount,
-           CAST(taxable_dec + tax_dec AS DECIMAL(18,2)) AS gross
+           CAST(qty_dec AS DOUBLE) AS total_qty,
+           CAST(taxable_dec AS DOUBLE) AS taxable_value,
+           CAST(tax_dec AS DOUBLE) AS tax_amount,
+           CAST(taxable_dec + tax_dec AS DOUBLE) AS gross
     FROM pc
     UNION ALL
     SELECT '__TOTAL__', SUM(n_lines),
-           CAST(SUM(qty_dec) AS DECIMAL(18,2)), CAST(SUM(taxable_dec) AS DECIMAL(18,2)),
-           CAST(SUM(tax_dec) AS DECIMAL(18,2)),
-           CAST(SUM(taxable_dec) + SUM(tax_dec) AS DECIMAL(18,2))
+           CAST(SUM(qty_dec) AS DOUBLE), CAST(SUM(taxable_dec) AS DOUBLE),
+           CAST(SUM(tax_dec) AS DOUBLE),
+           CAST(SUM(taxable_dec) + SUM(tax_dec) AS DOUBLE)
     FROM pc
     """,
 )

@@ -433,7 +433,7 @@ def _fp_scoped(spark, sf_dir, previous=None):
         )
         .groupBy(F.substring("account_code", 1, 1).alias("account_class"))
         .agg(
-            F.sum("conv").cast("decimal(18,2)").alias("balance"),
+            F.sum("conv").cast("double").alias("balance"),
             F.count("*").alias("n_rows"),
         )
         .withColumn("fiscal_position", F.lit(str(opts["fiscal_position"])))
@@ -442,7 +442,7 @@ def _fp_scoped(spark, sf_dir, previous=None):
 
 _FP_ORACLE_BODY = f"""
     SELECT substr(account_code, 1, 1) AS account_class,
-           CAST(SUM(conv) AS DECIMAL(18,2)) AS balance,
+           CAST(SUM(conv) AS DOUBLE) AS balance,
            COUNT(*) AS n_rows,
            '{{sel}}' AS fiscal_position
     FROM (SELECT led.*, {_FPOS_DERIVE_SQL} AS fiscal_position_id FROM led)
@@ -504,7 +504,7 @@ _TAX_UNITS = [
     SELECT 'DE VAT group' AS tax_unit, company_id,
            company_id = 0 AS is_main_company,
            substr(account_code, 1, 1) AS account_class,
-           CAST(SUM(conv) AS DECIMAL(18,2)) AS balance, COUNT(*) AS n_rows
+           CAST(SUM(conv) AS DOUBLE) AS balance, COUNT(*) AS n_rows
     FROM led
     WHERE company_id IN (0, 2)
       AND date >= TIMESTAMP '1997-01-01'
@@ -541,7 +541,7 @@ def mc_tax_unit(spark, sf_dir):
             F.substring("account_code", 1, 1).alias("account_class"),
         )
         .agg(
-            F.sum("conv").cast("decimal(18,2)").alias("balance"),
+            F.sum("conv").cast("double").alias("balance"),
             F.count("*").alias("n_rows"),
         )
         .select(

@@ -610,15 +610,18 @@ def es_report(spark, sf_dir):
     details AS (
       SELECT CASE WHEN susp > 0 THEN 'receipts' ELSE 'payments' END AS section,
              'st_line' AS line_type, move_id, st_date,
-             CAST(susp AS DECIMAL(18,2)) AS suspense_balance,
-             CAST(oth AS DECIMAL(18,2)) AS other_balance, n
+             CAST(susp AS DECIMAL(18,2)) AS susp_dec,
+             CAST(oth AS DECIMAL(18,2)) AS oth_dec, n
       FROM st WHERE susp <> 0
     )
-    SELECT * FROM details
+    SELECT section, line_type, move_id, st_date,
+           CAST(susp_dec AS DOUBLE) AS suspense_balance,
+           CAST(oth_dec AS DOUBLE) AS other_balance, n
+    FROM details
     UNION ALL
     SELECT section, 'total', NULL, NULL,
-           CAST(SUM(suspense_balance) AS DECIMAL(18,2)),
-           CAST(SUM(other_balance) AS DECIMAL(18,2)),
+           CAST(SUM(susp_dec) AS DOUBLE),
+           CAST(SUM(oth_dec) AS DOUBLE),
            SUM(n)
     FROM details GROUP BY section
     """,
@@ -650,8 +653,8 @@ def br_report(spark, sf_dir):
             F.count("*").alias("n"),
         )
     )
-    # Balances leave as fixed-scale DECIMAL(18,2) (not double): exact at
-    # scale 2 on both harness sides, hash-proof under any canonicalization.
+    # Internal frame stays exact decimal; the output edge casts to DOUBLE
+    # (the dsum convention every driver-green entry uses).
     details = (
         st.where(F.col("susp") != 0)
         .select(
@@ -659,21 +662,30 @@ def br_report(spark, sf_dir):
             F.lit("st_line").alias("line_type"),
             "move_id",
             "st_date",
-            F.col("susp").cast("decimal(18,2)").alias("suspense_balance"),
-            F.col("oth").cast("decimal(18,2)").alias("other_balance"),
+            F.col("susp").cast("decimal(18,2)").alias("susp_dec"),
+            F.col("oth").cast("decimal(18,2)").alias("oth_dec"),
             "n",
         )
         .persist()
     )
+    out_cols = [
+        "section",
+        "line_type",
+        "move_id",
+        "st_date",
+        F.col("susp_dec").cast("double").alias("suspense_balance"),
+        F.col("oth_dec").cast("double").alias("other_balance"),
+        "n",
+    ]
     totals = details.groupBy("section").agg(
         F.lit("total").alias("line_type"),
         F.lit(None).cast("long").alias("move_id"),
         F.lit(None).cast("string").alias("st_date"),
-        F.sum("suspense_balance").cast("decimal(18,2)").alias("suspense_balance"),
-        F.sum("other_balance").cast("decimal(18,2)").alias("other_balance"),
+        F.sum("susp_dec").alias("susp_dec"),
+        F.sum("oth_dec").alias("oth_dec"),
         F.sum("n").alias("n"),
     )
-    return details.unionByName(totals.select(*details.columns))
+    return details.select(*out_cols).unionByName(totals.select(*out_cols))
 
 
 # ---------------------------------------------------------------------------
