@@ -237,7 +237,14 @@ def incremental_lsh_matches(
     dedup service: the corpus index is written once (ideally bucketed
     by (band, sig), `etl.bucketed`) and each incoming batch pays
     O(batch) + O(candidates). Output: (d1=batch doc, d2=corpus doc,
-    n_common, jaccard) for verified matches ≥ threshold."""
+    n_common, jaccard) for verified matches ≥ threshold.
+
+    Precondition: batch and corpus doc_id spaces must be disjoint — the
+    verify step unions both shingle indexes by doc_id, so an id present
+    on both sides would pool its shingle sets (wrong sizes/jaccard).
+    Ids shared by both sides are dropped from candidates as a guard;
+    callers re-ingesting a doc under the same id should namespace the
+    batch ids instead."""
     sh_c = hashed_shingles(corpus, n=n).persist()
     sh_b = hashed_shingles(batch, n=n).persist()
     bc = banded_signatures(_signatures_from(sh_c)).alias("c")
@@ -247,6 +254,7 @@ def incremental_lsh_matches(
             bc,
             (F.col("b.band") == F.col("c.band")) & (F.col("b.sig") == F.col("c.sig")),
         )
+        .where(F.col("b.doc_id") != F.col("c.doc_id"))
         .select(F.col("b.doc_id").alias("d1"), F.col("c.doc_id").alias("d2"))
         .distinct()
     )

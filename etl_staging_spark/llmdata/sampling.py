@@ -88,6 +88,8 @@ def o_hash_split(fractions: dict[str, float], key_expr: str = "doc_id",
     for name in names[:-1]:
         acc += fractions[name]
         whens.append(f"WHEN {b} < {int(round(acc * BUCKETS))} THEN '{name}'")
+    if not whens:  # single split: CASE with no WHEN is invalid SQL
+        return f"'{names[-1]}'"
     return "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"
 
 
@@ -98,7 +100,11 @@ def mixture_rates(
     mixture: domain d gets ``target_total * w_d / Σw`` docs, capped at
     its population (no upsampling — a domain short of its quota yields
     what it has, like real mixture builders that then re-normalize).
-    Driver-side over the BOUNDED per-domain count dict."""
+    Driver-side over the BOUNDED per-domain count dict.
+
+    Thresholds truncate toward zero (``int()``); any oracle computing
+    them in SQL must use FLOOR, not a rounding CAST, or boundary
+    buckets diverge between engines."""
     wsum = sum(weights.values())
     thresholds = {}
     for d, n in counts.items():

@@ -86,7 +86,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return dedup.jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.8)
 
 
-def _o_minhash_sigs() -> str:
+def _o_minhash_sigs(cand_name: str = "cand") -> str:
     mins = ",\n           ".join(
         f"MIN(({a} * (h % {MERSENNE31}) + {b}) % {MERSENNE31}) AS mh{i}"
         for i, (a, b) in enumerate(MINHASH_SEEDS)
@@ -109,7 +109,7 @@ sigs AS (
 bands AS (
     {bands}
 ),
-cand AS (
+{cand_name} AS (
     SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
     FROM bands x JOIN bands y
       ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
@@ -846,8 +846,8 @@ def split_hash_deterministic(spark, sf_dir):
     counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
     thr AS (
       SELECT source,
-             CAST(LEAST(1.0, ({_MIX_TARGET} * wgt / (SELECT SUM(wgt) FROM w))
-                             / n) * {sampling.BUCKETS} AS BIGINT) AS t
+             CAST(FLOOR(LEAST(1.0, ({_MIX_TARGET} * wgt / (SELECT SUM(wgt) FROM w))
+                             / n) * {sampling.BUCKETS}) AS BIGINT) AS t
       FROM counts JOIN w ON w.domain = counts.source
     ),
     kept AS (
@@ -882,7 +882,7 @@ def seq_pack_chunks(spark, sf_dir):
 @query(
     "dedup_incremental_lsh",
     oracle=f"""
-    WITH {O_TRIH}, {_o_minhash_sigs().replace("cand AS (", "cand0 AS (")},
+    WITH {O_TRIH}, {_o_minhash_sigs("cand0")},
     cand AS (
       SELECT DISTINCT CASE WHEN d1 % 5 = 0 THEN d1 ELSE d2 END AS d1,
                       CASE WHEN d1 % 5 = 0 THEN d2 ELSE d1 END AS d2

@@ -9,7 +9,15 @@ Numeric-determinism conventions (so value hashes match bit-for-bit):
 
 - Monetary sums go through ``dsum``: cast each addend to DECIMAL before
   SUM (exact arithmetic in both engines), cast the result back to
-  DOUBLE. Float summation order then cannot perturb the hash.
+  DOUBLE. Float summation order then cannot perturb the hash. The
+  decimal->double edge is bit-identical across engines only while the
+  scaled integer fits in 2^53 (|sum| <= ~9.0e13 at scale 2 — DuckDB
+  converts via double division of the scaled int); every test-sf sum is
+  orders of magnitude inside that envelope (property-tested in
+  `tests/test_decimal_edge.py`). DECIMAL-typed OUTPUT columns are
+  forbidden: driver canonicalizations disagree on Decimal cell
+  rendering (every decimal-edged entry ever driver-attempted hash-red;
+  all double-edged entries green).
 - Ratios/averages are computed in double and rounded to a fixed scale
   (noise ~1e-12 relative << 0.5 ulp of the rounding scale).
 - Dates/timestamps are emitted as 'yyyy-MM-dd[ HH:mm:ss]' strings.

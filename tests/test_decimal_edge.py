@@ -1,0 +1,150 @@
+"""Property test for the numeric output-edge convention.
+
+Every registry entry emits money as: exact-decimal internal sums,
+``CAST(... AS DOUBLE)`` at the output edge, identically in Spark and in
+the DuckDB oracle (``registry.dsum`` / ``registry.o_dsum``). The
+driver's hash gate compares canonicalized cell values, so the
+convention is only safe if the decimal→double conversion yields the
+SAME IEEE double (hence the same repr) in both engines for every
+scale-2 value — including ties and magnitudes where scale-2 decimals
+are not exactly representable in binary.
+
+This test sweeps a grid of adversarial scale-2 values (tie-ish cents,
+large magnitudes near the 2^53 exactness cliff, negatives) through
+both engines' decimal→double edge and requires bit-for-bit equality,
+plus equality of the sum-then-cast path against DuckDB computing the
+same sum. A failure here means the edge convention itself is unsound
+and no per-entry fix would help.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from decimal import Decimal
+
+import pytest
+
+# Safe envelope: for |v| <= 2^53 / 100 the scaled integer is exact in a
+# double, so BOTH engines' decimal->double conversions are correctly
+# rounded and bit-identical. Beyond it DuckDB computes scaled_int/10^s
+# in double arithmetic (the scaled int itself rounds first) and can land
+# 1 ulp away from Spark's correctly-rounded conversion — verified live:
+# DECIMAL '123456789012345.67' -> 123456789012345.67 (Spark) vs
+# 123456789012345.69 (DuckDB). Registry entries must keep money sums
+# inside the envelope (they do, by orders of magnitude, at any test sf).
+ENVELOPE = Decimal(2**53).scaleb(-2)
+
+GRID = (
+    [Decimal(i).scaleb(-2) for i in range(-250, 251, 7)]  # small cents
+    + [Decimal(i).scaleb(-2) for i in (1, 5, 10, 25, 33, 99, 105, 1005, 100005)]
+    + [Decimal("0.05"), Decimal("0.15"), Decimal("2.675"), Decimal("-2.675")]
+    + [  # the last fully-exact scale-2 values below the envelope
+        Decimal("90071992547409.91"),
+        Decimal("-90071992547409.91"),
+        Decimal("12345678901234.56"),
+    ]
+)
+GRID = [v.quantize(Decimal("0.01")) for v in GRID]
+assert all(abs(v) <= ENVELOPE for v in GRID)
+
+
+def _bits(x: float) -> int:
+    return struct.unpack("<Q", struct.pack("<d", x))[0]
+
+
+def test_decimal_to_double_edge_bit_identical(spark, duck):
+    """CAST(DECIMAL(18,2) AS DOUBLE) is bit-identical Spark vs DuckDB."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DecimalType, StructField, StructType
+
+    schema = StructType([StructField("v", DecimalType(18, 2))])
+    sdf = spark.createDataFrame([(v,) for v in GRID], schema)
+    srows = (
+        sdf.select(F.col("v").cast("string").alias("s"),
+                   F.col("v").cast("double").alias("d"))
+        .collect()
+    )
+    spark_map = {r["s"]: r["d"] for r in srows}
+
+    values_sql = ", ".join(f"('{v}')" for v in GRID)
+    orows = duck.execute(
+        "SELECT CAST(v AS VARCHAR), CAST(v AS DOUBLE) "
+        f"FROM (VALUES {values_sql}) t(x), "
+        "LATERAL (SELECT CAST(x AS DECIMAL(18,2)) AS v)"
+    ).fetchall()
+    duck_map = {s: d for s, d in orows}
+
+    assert spark_map.keys() == duck_map.keys()
+    for s, sd in spark_map.items():
+        dd = duck_map[s]
+        assert _bits(sd) == _bits(dd), (
+            f"decimal {s}: spark double {sd!r} != duckdb double {dd!r}"
+        )
+        assert repr(sd) == repr(dd)
+
+
+def test_decimal_sum_then_double_edge_matches(spark, duck):
+    """SUM over exact decimals then CAST AS DOUBLE (the dsum shape) gives
+    the identical double in both engines regardless of row order."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DecimalType, StructField, StructType
+
+    schema = StructType([StructField("v", DecimalType(18, 2))])
+    small = [v for v in GRID if abs(v) < Decimal("1e14")]
+    sdf = spark.createDataFrame([(v,) for v in small], schema).repartition(8)
+    sval = sdf.agg(
+        F.sum("v").cast("double").alias("t")
+    ).collect()[0]["t"]
+
+    values_sql = ", ".join(f"('{v}')" for v in small)
+    (dval,) = duck.execute(
+        "SELECT CAST(SUM(CAST(x AS DECIMAL(30,2))) AS DOUBLE) "
+        f"FROM (VALUES {values_sql}) t(x)"
+    ).fetchone()
+    assert math.isfinite(sval)
+    assert _bits(sval) == _bits(dval)
+
+
+def test_envelope_boundary_is_where_engines_can_diverge(spark, duck):
+    """Outside the envelope the two conversions are ALLOWED to differ
+    (DuckDB's scaled-int/10^s double path vs Spark's correctly-rounded
+    cast); this pins the reason the envelope exists. If a future DuckDB
+    fixes its conversion this assertion degrades gracefully (equality is
+    also fine) — what matters is that inside-envelope parity (tested
+    above) never regresses."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DecimalType, StructField, StructType
+
+    big = Decimal("123456789012345.67")  # > 2^53/100
+    schema = StructType([StructField("v", DecimalType(18, 2))])
+    sval = (
+        spark.createDataFrame([(big,)], schema)
+        .select(F.col("v").cast("double").alias("d"))
+        .collect()[0]["d"]
+    )
+    (dval,) = duck.execute(
+        f"SELECT CAST(CAST('{big}' AS DECIMAL(18,2)) AS DOUBLE)"
+    ).fetchone()
+    # both are within 1 ulp of the true value; equality is not required
+    assert abs(sval - float(big)) <= abs(sval) * 2**-52
+    assert abs(dval - float(big)) <= abs(dval) * 2**-51
+
+
+@pytest.mark.parametrize("raw", ["2.005", "7.115", "-2.005", "0.125", "1.005"])
+def test_round_half_ties_in_decimal_space(spark, duck, raw):
+    """ROUND to scale 2 happens in decimal space (half-up in both
+    engines), never on a double — the tie x.005 cases that float
+    rounding gets wrong."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DecimalType, StructField, StructType
+
+    schema = StructType([StructField("v", DecimalType(18, 3))])
+    sdf = spark.createDataFrame([(Decimal(raw),)], schema)
+    sval = sdf.select(
+        F.round(F.col("v"), 2).cast("double").alias("r")
+    ).collect()[0]["r"]
+    (dval,) = duck.execute(
+        f"SELECT CAST(ROUND(CAST('{raw}' AS DECIMAL(18,3)), 2) AS DOUBLE)"
+    ).fetchone()
+    assert _bits(sval) == _bits(dval), f"{raw}: spark {sval!r} duckdb {dval!r}"
