@@ -91,15 +91,16 @@ def main() -> None:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
     spark.catalog.clearCache()
 
-    # Best-of-2 per query: the sf0.001 warmup compiles each shape's
+    # Best-of-3 per query: the sf0.001 warmup compiles each shape's
     # generated code, but the C2 JIT tier still lands asynchronously —
     # WHICH timed query pays the one-off compile shifts run to run
-    # (±10-20 s swings on a fixed plan). The minimum of two timed
-    # executions is the steady-state number and is stable across runs.
+    # (±10-20 s swings on a fixed plan). The minimum of three timed
+    # executions is the steady-state number and is stable across runs
+    # (best-of-2 still published a 1.45x-noise straggler in round 5).
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)

@@ -73,6 +73,38 @@ def _fingerprint(edges: DataFrame) -> tuple:
     return (row["n"], row["h"])
 
 
+# Below this edge count the component fold runs driver-side: 1M edges is
+# ~16 MB of longs — the same bounded-collect budget as the skew-join
+# hot-key probe — and replaces ~1 s/round of distributed star scheduling
+# with a microsecond union-find. Above it, the O(log n) star rounds run.
+LOCAL_CC_MAX_EDGES = 1_000_000
+
+
+def _driver_union_find(edge_rows) -> list[tuple]:
+    """Union-find with path compression over a bounded edge list;
+    returns (doc_id, component_min) for every node seen."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in edge_rows:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    comp_min: dict = {}
+    roots = {x: find(x) for x in parent}
+    for x, r in roots.items():
+        if r not in comp_min or x < comp_min[r]:
+            comp_min[r] = x
+    return [(x, comp_min[r]) for x, r in roots.items()]
+
+
 def connected_components(
     pairs: DataFrame, max_iter: int = 15
 ) -> DataFrame:
@@ -86,14 +118,36 @@ def connected_components(
     several times, so the unrolled lineage branches exponentially and
     even the PLAN (analysis + codegen per job) grows without bound.
     Checkpointing pins the round to its materialized blocks and keeps
-    every plan one round deep. The checkpointed frame is the edge
-    list — O(near-dup pairs), orders of magnitude below the corpus —
-    which is the same per-iteration truncation GraphFrames' connected
-    components applies."""
+    every plan one round deep. (Checkpointing every SECOND round was
+    tried and is ~2x slower: the unmaterialized middle round is
+    recomputed once per reference by the next round's star ops.) The
+    checkpointed frame is the edge list — O(near-dup pairs), orders of
+    magnitude below the corpus — which is the same per-iteration
+    truncation GraphFrames' connected components applies.
+
+    Two-tier execution: the initial fingerprint puts the edge COUNT on
+    the driver for free, and when it is under ``LOCAL_CC_MAX_EDGES``
+    the fold collects the (bounded) edge list and runs union-find
+    driver-side — near-dup edge lists are typically orders of magnitude
+    below the corpus, and the distributed star rounds cost ~1 s each in
+    pure scheduling at any size. Past the threshold the O(log n) star
+    rounds run unchanged, so the 100 TB path is identical."""
     edges = pairs.select(
         F.col("d1").alias("u"), F.col("d2").alias("v")
     ).distinct().localCheckpoint()
     prev = _fingerprint(edges)
+    if prev[0] <= LOCAL_CC_MAX_EDGES:
+        spark = pairs.sparkSession
+        labels = _driver_union_find(
+            [(r["u"], r["v"]) for r in edges.collect()]
+        )
+        utype = dict(edges.dtypes)["u"]
+        out = spark.createDataFrame(
+            labels or [(None, None)], "doc_id long, cluster_id long"
+        ).where(F.col("doc_id").isNotNull())
+        return out.select(
+            F.col("doc_id").cast(utype), F.col("cluster_id").cast(utype)
+        )
     for _ in range(max_iter):
         edges = _small_star(_large_star(edges)).localCheckpoint()
         cur = _fingerprint(edges)

@@ -126,23 +126,30 @@ def f5_searchbar(spark, sf_dir):
 )
 def m4_serial_rebuild(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
-    # the move identity is (ship ts, flag); comparing/deduping the pair
-    # as a struct is a binary comparison per row — building a formatted
-    # string tag per row cost ~30% of the whole job, so the display
-    # string is derived AFTER aggregation from the max struct (the
-    # fixed-width ISO format makes both orderings identical)
+    # the move identity is (ship ts, flag). Mixing COUNT(DISTINCT pair)
+    # with plain aggregates makes Catalyst plan an Expand (every row
+    # duplicated once per aggregate family) — measured ~20% of the job.
+    # Aggregating in two levels instead keeps each row single: level 1
+    # groups by (stock key, move identity) so level 2's n_distinct is a
+    # plain COUNT(*), and the last-state struct/display string derive
+    # from the level-1 keys (fixed-width ISO format keeps orderings
+    # identical).
     is_out = F.col("l_returnflag") == "R"
-    agg = (
+    per_move = (
         li.withColumn("location_id", F.col("l_linenumber") % 3)
-        .groupBy("l_partkey", "l_suppkey", "location_id")
+        .groupBy("l_partkey", "l_suppkey", "location_id", "l_shipdate", "l_returnflag")
         .agg(
-            F.count("*").alias("n_moves"),
-            F.countDistinct("l_shipdate", "l_returnflag").alias("n_distinct"),
-            F.sum(F.when(~is_out, F.col("l_quantity")).otherwise(0)).alias("qty_in"),
-            F.sum(F.when(is_out, F.col("l_quantity")).otherwise(0)).alias("qty_out"),
-            F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("first_move_date"),
-            F.max(F.struct("l_shipdate", "l_returnflag")).alias("mt"),
+            F.count("*").alias("c"),
+            F.sum("l_quantity").alias("qty"),
         )
+    )
+    agg = per_move.groupBy("l_partkey", "l_suppkey", "location_id").agg(
+        F.sum("c").alias("n_moves"),
+        F.count("*").alias("n_distinct"),
+        F.sum(F.when(~is_out, F.col("qty")).otherwise(0)).alias("qty_in"),
+        F.sum(F.when(is_out, F.col("qty")).otherwise(0)).alias("qty_out"),
+        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("first_move_date"),
+        F.max(F.struct("l_shipdate", "l_returnflag")).alias("mt"),
     )
     net = F.col("qty_in") - F.col("qty_out")
     return agg.select(
