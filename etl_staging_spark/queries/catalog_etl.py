@@ -521,3 +521,130 @@ def hsn_summary(spark, sf_dir):
         "1997-01-01",
         "1997-12-31",
     )
+
+
+@query(
+    "pp_production_planning",
+    oracle="""
+    SELECT o.o_orderkey AS order_ref, l.l_linenumber AS line_no,
+           p.p_name AS product, p.p_brand AS grade,
+           p.p_type AS compound,
+           CAST(NULL AS DOUBLE) AS n_bags, CAST(NULL AS DOUBLE) AS n_belts,
+           c.c_name AS customer
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE o.o_orderdate >= TIMESTAMP '1998-06-01'
+      AND o.o_orderdate <= TIMESTAMP '1998-06-30 23:59:59'
+    """,
+)
+def pp_production_planning(spark, sf_dir):
+    from ..etl.registers import production_planning
+
+    return production_planning(
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "lineitem"),
+        load(spark, sf_dir, "part"),
+        load(spark, sf_dir, "customer"),
+        "1998-06-01",
+        "1998-06-30",
+    )
+
+
+# ---------------------------------------------------------------------------
+# S4/3.3: assembled stock-ageing register (stock_ageing.py:46-316) —
+# the end-to-end composition of A9 netting, M2 avg cost and W5 buckets.
+# ---------------------------------------------------------------------------
+
+_SA_ASOF = "1997-06-30"
+_SA_BUCKETS = ((0, 30), (31, 60), (61, 90), (91, 120))
+_SA_Q3 = "CAST(l_quantity AS DECIMAL(30,3))"
+_SA_Z3 = "CAST(0 AS DECIMAL(30,3))"
+_SA_BQ = ",\n             ".join(
+    f"SUM(CASE WHEN age BETWEEN {lo} AND {hi} THEN sl_qty ELSE {_SA_Z3} END)"
+    f" AS q_{lo}_{hi}"
+    for lo, hi in _SA_BUCKETS
+)
+_SA_BNAMES = [f"q_{lo}_{hi}" for lo, hi in _SA_BUCKETS] + ["q_older"]
+_SA_BV = ",\n             ".join(
+    f"ROUND(CAST(COALESCE(cost.unit_cost, 0.0) AS DECIMAL(18,6)) * {b}, 3)"
+    f" AS v_{b}"
+    for b in _SA_BNAMES
+)
+_SA_OUT = ",\n           ".join(
+    f"CAST({b} AS DOUBLE) AS qty_{b[2:]}, CAST(v_{b} AS DOUBLE) AS val_{b[2:]}"
+    for b in _SA_BNAMES
+)
+_SA_NULLS = ", ".join(
+    "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)" for _ in _SA_BNAMES
+)
+
+
+@query(
+    "sa_stock_ageing",
+    oracle=f"""
+    WITH mv AS (
+      SELECT l_partkey, l_suppkey, l_linenumber % 3 AS location_id,
+             l_quantity, l_shipdate, l_returnflag = 'R' AS is_out,
+             {_O_NET} AS net
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '{_SA_ASOF} 23:59:59'
+    ),
+    ser AS (
+      SELECT l_partkey, l_suppkey, location_id,
+             SUM(CASE WHEN NOT is_out THEN {_SA_Q3} ELSE {_SA_Z3} END) AS q_in,
+             SUM(CASE WHEN is_out THEN {_SA_Q3} ELSE {_SA_Z3} END) AS q_out
+      FROM mv GROUP BY 1, 2, 3
+    ),
+    pos AS (
+      SELECT *, q_in - q_out AS sl_qty FROM ser WHERE q_in - q_out > 0
+    ),
+    birth AS (
+      SELECT l_partkey, l_suppkey, MIN(l_shipdate) AS bdate
+      FROM mv GROUP BY 1, 2
+    ),
+    cost AS (
+      SELECT l_partkey,
+             CASE WHEN SUM({_SA_Q3}) > 0
+                  THEN FLOOR(CAST(SUM(net) AS DOUBLE)
+                             / CAST(SUM({_SA_Q3}) AS DOUBLE) * 1000 + 0.5) / 1000
+                  ELSE 0.0 END AS unit_cost
+      FROM mv WHERE NOT is_out GROUP BY 1
+    ),
+    aged AS (
+      SELECT p.location_id, p.l_partkey, p.sl_qty,
+             datediff('day', CAST(b.bdate AS DATE), DATE '{_SA_ASOF}') AS age
+      FROM pos p JOIN birth b USING (l_partkey, l_suppkey)
+    ),
+    prod AS (
+      SELECT location_id, l_partkey, SUM(sl_qty) AS stock_dec,
+             {_SA_BQ},
+             SUM(CASE WHEN age > {_SA_BUCKETS[-1][1]} THEN sl_qty
+                      ELSE {_SA_Z3} END) AS q_older
+      FROM aged GROUP BY 1, 2
+    ),
+    enr AS (
+      SELECT prod.*, COALESCE(cost.unit_cost, 0.0) AS uc,
+             {_SA_BV}
+      FROM prod LEFT JOIN cost USING (l_partkey)
+    )
+    SELECT 'line' AS row_type, location_id, l_partkey AS product,
+           CAST(stock_dec AS DOUBLE) AS stock_in_hand, uc AS unit_cost,
+           {_SA_OUT}
+    FROM enr
+    UNION ALL
+    SELECT 'total_quantity', NULL, NULL, CAST(SUM(stock_dec) AS DOUBLE),
+           CAST(NULL AS DOUBLE), {_SA_NULLS}
+    FROM enr
+    UNION ALL
+    SELECT 'total_value', NULL, NULL,
+           CAST(SUM({" + ".join("v_" + b for b in _SA_BNAMES)}) AS DOUBLE),
+           CAST(NULL AS DOUBLE), {_SA_NULLS}
+    FROM enr
+    """,
+)
+def sa_stock_ageing(spark, sf_dir):
+    from ..etl.registers import stock_ageing
+
+    return stock_ageing(load(spark, sf_dir, "lineitem"), _SA_ASOF)

@@ -218,3 +218,103 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+# ---------------------------------------------------------------------------
+# Assembled registers: stock ageing and production planning on planted
+# hand-computable ledgers.
+# ---------------------------------------------------------------------------
+
+_MOVE_COLS = (
+    "l_partkey l_suppkey l_linenumber l_quantity l_shipdate "
+    "l_returnflag l_extendedprice l_discount"
+).split()
+
+
+def _moves(spark, rows):
+    from datetime import datetime
+
+    data = [
+        (p, s, ln, float(q), datetime.fromisoformat(d), fl, float(ep), float(dc))
+        for p, s, ln, q, d, fl, ep, dc in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        "l_partkey long, l_suppkey long, l_linenumber int, l_quantity double, "
+        "l_shipdate timestamp, l_returnflag string, l_extendedprice double, "
+        "l_discount double",
+    )
+
+
+def test_stock_ageing_planted_ledger(spark):
+    from etl_staging_spark.etl.registers import stock_ageing
+
+    li = _moves(
+        spark,
+        [
+            # loc 1: part 1 in 10 @ Apr 20 (age 10), out 4 -> stock 6 @ cost 10
+            (1, 1, 1, 10, "2020-04-20", "N", 100.0, 0.0),
+            (1, 1, 1, 4, "2020-04-25", "R", 999.0, 0.0),
+            # loc 2: part 2 in 8 @ Dec 1 (age 151 -> older), net 80 -> cost 10
+            (2, 1, 2, 8, "2019-12-01", "N", 160.0, 0.5),
+            # loc 0: part 3 nets to zero -> no line row
+            (3, 1, 3, 5, "2020-04-01", "N", 50.0, 0.0),
+            (3, 1, 3, 5, "2020-04-10", "R", 50.0, 0.0),
+            # after the as-of date: invisible
+            (1, 1, 1, 99, "2020-05-02", "N", 990.0, 0.0),
+        ],
+    )
+    out = {
+        (r["row_type"], r["location_id"], r["product"]): r
+        for r in stock_ageing(li, "2020-04-30").collect()
+    }
+    assert set(out) == {
+        ("line", 1, 1),
+        ("line", 2, 2),
+        ("total_quantity", None, None),
+        ("total_value", None, None),
+    }
+    l1 = out[("line", 1, 1)]
+    assert l1["stock_in_hand"] == 6.0 and l1["unit_cost"] == 10.0
+    assert l1["qty_0_30"] == 6.0 and l1["val_0_30"] == 60.0
+    assert l1["qty_older"] == 0.0 and l1["val_older"] == 0.0
+    l2 = out[("line", 2, 2)]
+    assert l2["stock_in_hand"] == 8.0 and l2["unit_cost"] == 10.0
+    assert l2["qty_older"] == 8.0 and l2["val_older"] == 80.0
+    assert out[("total_quantity", None, None)]["stock_in_hand"] == 14.0
+    assert out[("total_value", None, None)]["stock_in_hand"] == 140.0
+
+
+def test_production_planning_rows_and_quirk_columns(spark):
+    from datetime import datetime
+
+    from etl_staging_spark.etl.registers import production_planning
+
+    orders = spark.createDataFrame(
+        [
+            (1, 10, datetime(2020, 6, 5)),
+            (2, 11, datetime(2020, 7, 5)),  # outside window
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp",
+    )
+    li = spark.createDataFrame(
+        [(1, 1, 100), (1, 2, 101), (2, 1, 100)],
+        "l_orderkey long, l_linenumber int, l_partkey long",
+    )
+    part = spark.createDataFrame(
+        [(100, "belt A", "Brand#1", "BOX"), (101, "belt B", "Brand#2", "BAG")],
+        "p_partkey long, p_name string, p_brand string, p_type string",
+    )
+    cust = spark.createDataFrame(
+        [(10, "ACME"), (11, "other")], "c_custkey long, c_name string"
+    )
+    rows = production_planning(
+        orders, li, part, cust, "2020-06-01", "2020-06-30"
+    ).collect()
+    assert {(r["order_ref"], r["line_no"]) for r in rows} == {(1, 1), (1, 2)}
+    for r in rows:
+        assert r["customer"] == "ACME"
+        # reference writes the bags/belts headers but never the cells
+        assert r["n_bags"] is None and r["n_belts"] is None
+    by_line = {r["line_no"]: r for r in rows}
+    assert by_line[1]["grade"] == "Brand#1" and by_line[2]["compound"] == "BAG"
