@@ -26,7 +26,18 @@ def write_bucketed(
     sort_cols: list[str] | None = None,
 ) -> None:
     """Persist ``df`` as a managed parquet table bucketed (and
-    optionally sorted) by the join key. Overwrites the table."""
+    optionally sorted) by the join key. Overwrites the table, including
+    a leftover warehouse directory from a previous session whose
+    (in-memory) catalog no longer lists the table."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    if warehouse.startswith("file:"):
+        warehouse = warehouse[len("file:"):]
+    if warehouse:
+        import shutil
+
+        shutil.rmtree(f"{warehouse.rstrip('/')}/{table.lower()}", ignore_errors=True)
     writer = (
         df.write.format("parquet")
         .mode("overwrite")

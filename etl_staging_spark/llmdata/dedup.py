@@ -121,13 +121,23 @@ def _pair_jaccard(sh: DataFrame, pairs: DataFrame, threshold: float) -> DataFram
     arr = sh.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("h")).alias("hs")
     ).persist()
-    a1 = arr.select(F.col("doc_id").alias("d1"), F.col("hs").alias("hs1"))
-    a2 = arr.select(F.col("doc_id").alias("d2"), F.col("hs").alias("hs2"))
+    out = _pair_jaccard_arrays(arr, arr, pairs, threshold)
+    return _pin(out, arr)
+
+
+def _pair_jaccard_arrays(
+    arr1: DataFrame, arr2: DataFrame, pairs: DataFrame, threshold: float
+) -> DataFrame:
+    """Verify step over prebuilt (doc_id, hs sorted-array) frames — arr1
+    serves d1, arr2 serves d2, so the two sides may come from different
+    stores (e.g. an in-flight batch vs a persisted corpus index)."""
+    a1 = arr1.select(F.col("doc_id").alias("d1"), F.col("hs").alias("hs1"))
+    a2 = arr2.select(F.col("doc_id").alias("d2"), F.col("hs").alias("hs2"))
     joined = pairs.join(a1, "d1").join(a2, "d2")
     n1, n2 = F.size("hs1"), F.size("hs2")
     n_common = F.size(F.array_intersect("hs1", "hs2"))
     jac = n_common / (n1 + n2 - n_common)
-    out = (
+    return (
         joined.where(jac >= threshold)
         .select(
             "d1",
@@ -136,7 +146,6 @@ def _pair_jaccard(sh: DataFrame, pairs: DataFrame, threshold: float) -> DataFram
             F.round(jac, 6).alias("jaccard"),
         )
     )
-    return _pin(out, arr)
 
 
 def jaccard_pairs(
@@ -260,6 +269,72 @@ def incremental_lsh_matches(
     )
     out = _pair_jaccard(sh_b.unionByName(sh_c), cands, threshold)
     return _pin(out, sh_c, sh_b)
+
+
+def write_signature_index(
+    corpus: DataFrame, table: str, n_buckets: int = 16, n: int = 3
+) -> None:
+    """Persist the corpus's dedup index as bucketed managed tables — the
+    write-once-shuffle half of the day-2 dedup service:
+
+    - ``{table}_bands``: banded minhash signatures, bucketed by
+      (band, sig) — a new batch's band join reads matching buckets with
+      NO Exchange on the corpus side;
+    - ``{table}_arrays``: per-doc sorted shingle-hash arrays, bucketed
+      by doc_id — the verify join's corpus side, likewise
+      exchange-free.
+
+    Rewrites both tables; production would append partitions instead,
+    which bucketBy supports unchanged."""
+    from ..etl.bucketed import write_bucketed
+
+    sh = hashed_shingles(corpus, n=n).persist()
+    bands = banded_signatures(_signatures_from(sh))
+    write_bucketed(bands, f"{table}_bands", ["band", "sig"], n_buckets)
+    arrs = sh.groupBy("doc_id").agg(F.sort_array(F.collect_list("h")).alias("hs"))
+    write_bucketed(arrs, f"{table}_arrays", ["doc_id"], n_buckets)
+    sh.unpersist()
+
+
+def _indexed_candidates_from(spark, sh_b: DataFrame, table: str) -> DataFrame:
+    bb = banded_signatures(_signatures_from(sh_b)).alias("b")
+    bc = spark.table(f"{table}_bands").alias("c")
+    return (
+        bb.join(
+            bc,
+            (F.col("b.band") == F.col("c.band")) & (F.col("b.sig") == F.col("c.sig")),
+        )
+        .where(F.col("b.doc_id") != F.col("c.doc_id"))
+        .select(F.col("b.doc_id").alias("d1"), F.col("c.doc_id").alias("d2"))
+        .distinct()
+    )
+
+
+def indexed_candidates(spark, batch: DataFrame, table: str, n: int = 3) -> DataFrame:
+    """Batch band signatures joined against the persisted corpus band
+    index: the corpus side is bucketed by the join key, so only the
+    (small) batch side shuffles — plan-audited in tests."""
+    sh_b = hashed_shingles(batch, n=n).persist()
+    return _pin(_indexed_candidates_from(spark, sh_b, table), sh_b)
+
+
+def incremental_lsh_matches_indexed(
+    spark, batch: DataFrame, table: str, threshold: float = 0.8, n: int = 3
+) -> DataFrame:
+    """:func:`incremental_lsh_matches` against a PERSISTED corpus index
+    (:func:`write_signature_index`) instead of an in-session corpus
+    frame: candidate discovery and verification both join bucketed
+    corpus tables, so the amortized cost per batch is O(batch) +
+    O(candidates) with zero corpus-side shuffle. Same disjointness
+    precondition on doc_id spaces."""
+    sh_b = hashed_shingles(batch, n=n).persist()
+    cands = _indexed_candidates_from(spark, sh_b, table)
+    arr_b = sh_b.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("h")).alias("hs")
+    )
+    arr_c = spark.table(f"{table}_arrays")
+    out = _pair_jaccard_arrays(arr_b, arr_c, cands, threshold)
+    return _pin(out, sh_b)
 
 
 def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.8, n: int = 3) -> DataFrame:

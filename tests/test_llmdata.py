@@ -466,3 +466,58 @@ def test_incremental_lsh_only_matches_batch_to_corpus(spark, docs):
     # no batch-batch pairs (1,2 are near-dups of each other)
     assert all(d2 in (0, 3) for _, d2 in got)
     assert all(d1 in (1, 2, 4, 5) for d1, _ in got)
+
+
+def test_incremental_lsh_indexed_equals_in_session_path(spark, docs):
+    """The persisted bucketed signature index returns the SAME verified
+    matches as the in-session corpus frame, and the candidate join's
+    corpus side reads the bucketed table with no Exchange above it —
+    only the batch side shuffles."""
+    import contextlib
+    import io
+
+    corpus = docs.where("doc_id in (0, 3)")
+    batch = docs.where("doc_id in (1, 2, 4, 5)")
+    dedup.write_signature_index(corpus, "sig_ix_test", n_buckets=4)
+
+    live = {
+        (r.d1, r.d2, r.n_common)
+        for r in dedup.incremental_lsh_matches(corpus, batch, threshold=0.7).collect()
+    }
+    indexed = {
+        (r.d1, r.d2, r.n_common)
+        for r in dedup.incremental_lsh_matches_indexed(
+            spark, batch, "sig_ix_test", threshold=0.7
+        ).collect()
+    }
+    assert indexed == live and indexed
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cands = dedup.indexed_candidates(spark, batch, "sig_ix_test")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            cands.explain("formatted")
+        plan = buf.getvalue()
+        # the corpus scan is the bucketed table ...
+        assert "sig_ix_test_bands" in plan
+        # ... and no Exchange sits on ITS branch of the join: walk the
+        # tree from the corpus scan line back up to the join node —
+        # lines belonging to the other (batch) branch carry the ':'
+        # continuation marker and are skipped. Batch-side shuffles and
+        # the final distinct's Exchange are expected and allowed.
+        tree = plan.split("\n\n")[0].splitlines()
+        scan_i = next(
+            i for i, ln in enumerate(tree)
+            if "Scan parquet" in ln and "sig_ix_test_bands" in ln
+        )
+        join_i = max(
+            i for i, ln in enumerate(tree[:scan_i]) if "Join" in ln
+        )
+        corpus_branch = [
+            ln for ln in tree[join_i + 1 : scan_i] if ":" not in ln
+        ]
+        assert all("Exchange" not in ln for ln in corpus_branch), plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
