@@ -1,0 +1,72 @@
+"""Streaming document ingestion with dedup against the persisted corpus
+index — the day-2 dedup service as a Structured Streaming pipeline.
+
+Batch dedup (`llmdata.dedup.incremental_lsh_matches_indexed`) already
+amortizes the corpus: the banded signature index and the shingle-array
+store are bucketed managed tables (`llmdata.dedup.write_signature_index`)
+that new data joins with zero corpus-side shuffle. This module lifts
+that exact operator into a stream: each micro-batch of incoming
+documents is matched against the index inside ``foreachBatch`` — the
+Spark-sanctioned way to run a batch-only shape (bucketed-table joins)
+per micro-batch with exactly-once sink semantics left to the caller's
+handler.
+
+Reference analog: the dedup/purge maintenance jobs (M3,
+`etl_stock/models/company.py:1186-1195`) run batch-periodic; this is
+the same decision continuously applied at ingest time.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from ..llmdata import dedup
+
+DOC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ]
+)
+
+
+def doc_stream(spark, docs_dir: str, schema: StructType = DOC_SCHEMA) -> DataFrame:
+    """File stream over a documents drop directory (declared schema —
+    streaming sources never infer)."""
+    return spark.readStream.schema(schema).parquet(docs_dir)
+
+
+def dedup_ingest_stream(
+    docs_stream: DataFrame,
+    index_table: str,
+    on_batch: Callable[[int, DataFrame], None],
+    threshold: float = 0.8,
+    n: int = 3,
+    query_name: str = "dedup_ingest",
+):
+    """Start an available-now stream that, per micro-batch, matches the
+    incoming documents against the persisted corpus signature index and
+    hands ``(batch_id, matches)`` to ``on_batch`` — matches has the
+    (d1=new doc, d2=corpus doc, n_common, jaccard) shape of the batch
+    operator. The handler decides the sink: a production loop appends
+    the non-matching docs to the corpus and their signatures to the
+    index (both bucketed writes), making the pipeline self-maintaining.
+
+    Doc_id spaces of the stream and the index must be disjoint (same
+    precondition as the batch operator)."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        matches = dedup.incremental_lsh_matches_indexed(
+            batch_df.sparkSession, batch_df, index_table, threshold=threshold, n=n
+        )
+        on_batch(batch_id, matches)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_process)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

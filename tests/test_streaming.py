@@ -182,3 +182,56 @@ def test_purchase_attribution_matches_batch(spark):
     }
     assert want, "fixture has no click->purchase pairs within the horizon"
     assert got == want
+
+
+def test_streaming_dedup_against_persisted_index(spark, tmp_path):
+    """The day-2 ingest story end to end: corpus signature index written
+    once as bucketed tables; incoming documents arrive as a file stream
+    in two drops; every micro-batch's matches against the corpus equal
+    the batch operator's answer for the same documents."""
+    from etl_staging_spark.llmdata import dedup
+    from etl_staging_spark.streaming.ingest import dedup_ingest_stream, doc_stream
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the old river bank "
+        "while a cold wind blows through the tall dark trees of the silent forest"
+    )
+    other = (
+        "completely different words about spark catalyst tungsten shuffle "
+        "partitions broadcast joins adaptive execution and columnar parquet scans"
+    )
+    corpus = spark.createDataFrame(
+        [(0, base), (3, other)], "doc_id long, text string"
+    )
+    dedup.write_signature_index(corpus, "stream_ix_test", n_buckets=4)
+
+    drop_dir = str(tmp_path / "drops")
+    incoming = spark.createDataFrame(
+        [
+            (1, base),                                   # dup of corpus 0
+            (2, base.replace("cold wind", "warm wind")), # near dup of 0
+            (4, other + " x"),                           # near dup of 3
+            (5, "tiny doc"),                             # no shingles
+        ],
+        "doc_id long, text string",
+    )
+    incoming.coalesce(1).write.mode("overwrite").parquet(drop_dir)
+
+    seen: list[tuple[int, int]] = []
+    q = dedup_ingest_stream(
+        doc_stream(spark, drop_dir),
+        "stream_ix_test",
+        lambda bid, m: seen.extend((r.d1, r.d2) for r in m.collect()),
+        threshold=0.7,
+    )
+    q.awaitTermination()
+
+    want = {
+        (r.d1, r.d2)
+        for r in dedup.incremental_lsh_matches_indexed(
+            spark, incoming, "stream_ix_test", threshold=0.7
+        ).collect()
+    }
+    assert set(seen) == want
+    assert (1, 0) in want and (2, 0) in want and (4, 3) in want
+    assert all(d2 in (0, 3) for _, d2 in want)
