@@ -163,3 +163,23 @@ def test_training_assembly_plans(spark, queries):
     p = plan_of(spark, queries, "seq_pack_chunks")
     assert "Exchange SinglePartition" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_stock_ageing_single_fact_scan(spark, queries):
+    """The assembled stock-ageing register derives netting, birth dates
+    and product costs from ONE serial-grain aggregate of lineitem — the
+    naive composition rescans the fact three times."""
+    p = plan_of(spark, queries, "sa_stock_ageing")
+    fact_scans = sum(
+        "lineitem.parquet" in line
+        for line in p.splitlines()
+        if "Location" in line
+    )
+    assert fact_scans <= 1, f"{fact_scans} lineitem scans"
+    assert "CartesianProduct" not in p
+
+
+def test_production_planning_broadcasts_dims(spark, queries):
+    p = plan_of(spark, queries, "pp_production_planning")
+    assert "BroadcastHashJoin" in p
+    assert "Exchange SinglePartition" not in p
