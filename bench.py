@@ -52,6 +52,9 @@ HEADLINE = [
     "f7_child_of",
     "seq_pack_chunks",
     "mixture_weighted_sample",
+    # round 6 additions
+    "sa_stock_ageing",
+    "dedup_incremental_lsh",
 ]
 
 

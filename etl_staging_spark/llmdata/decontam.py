@@ -3,13 +3,19 @@ n-grams with an evaluation/benchmark set — the standard pre-training
 hygiene step (the GPT-3/PaLM papers' 13-gram collision rule, here
 parameterized; the driver fixture's short docs use n=5).
 
-Scale design: the benchmark side reduces to its DISTINCT hashed
-shingle set — eval suites are tiny next to a 100 TB corpus, so the
-join is a classic large-fact x small-dim shape that AQE broadcasts;
-the corpus side is the one-shuffle hashed shingle explosion shared
-with the dedup family (:mod:`.dedup`), and the overlap count is a
-map-side-combinable groupBy. Nothing is ever all-pairs and the corpus
-is scanned once.
+Scale design: the benchmark side reduces to its DISTINCT shingle set —
+eval suites are tiny next to a 100 TB corpus, so the join is a classic
+large-fact x small-dim shape that AQE broadcasts; the corpus side is
+the one-shuffle shingle explosion shared with the dedup family
+(:mod:`.shingles`), and the overlap count is a map-side-combinable
+groupBy. Nothing is ever all-pairs and the corpus is scanned once.
+
+The join runs on RAW shingle strings, not the portable 56-bit hash:
+collision detection only needs equality, so hashing would add a
+md5+hex-slice+conv expression chain per corpus shingle for nothing
+(string equality is also exact where a hash join is
+collision-approximate). The dedup family keeps the hash because
+MinHash/SimHash need numeric hash values.
 """
 
 from __future__ import annotations
@@ -17,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import hashed_shingles
+from .shingles import shingle_index
 
 
 def ngram_overlap(
@@ -30,10 +36,10 @@ def ngram_overlap(
     of its distinct word n-grams appear anywhere in the benchmark, and
     whether that count reaches ``min_hits``. Zero-overlap docs are kept
     (n_overlap = 0) so the output is the full keep/drop decision."""
-    bench_set = hashed_shingles(benchmark, n=n).select("h").distinct()
+    bench_set = shingle_index(benchmark, n=n).select("shingle").distinct()
     hits = (
-        hashed_shingles(corpus, n=n)
-        .join(bench_set, "h")
+        shingle_index(corpus, n=n)
+        .join(bench_set, "shingle")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_overlap"))
     )

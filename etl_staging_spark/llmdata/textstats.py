@@ -115,15 +115,38 @@ def fingerprints(df: DataFrame, k: int = 4) -> DataFrame:
     )
 
 
-def _ngram_all(n: int):
-    """NON-distinct word n-grams (repetition analysis needs the
-    multiset, unlike the dedup shingles)."""
+def _ngram_all_sql(n: int) -> str:
     concat = ", ' ', ".join(f"{TOKS}[i+{k}]" for k in range(n))
-    return F.expr(
+    return (
         f"CASE WHEN size({TOKS}) >= {n} THEN "
         f"transform(sequence(0, size({TOKS})-{n}), i -> concat({concat})) "
         f"ELSE array() END"
     )
+
+
+def _ngram_all(n: int):
+    """NON-distinct word n-grams (repetition analysis needs the
+    multiset, unlike the dedup shingles)."""
+    return F.expr(_ngram_all_sql(n))
+
+
+# Modal-count of an array without exploding it: longest equal-run of the
+# SORTED array, folded with the aggregate() higher-order function — one
+# JVM-side pass per row, so the per-doc mode costs no shuffle at all.
+_MODAL_RUN_SQL = """
+aggregate(
+  sort_array({arr}),
+  struct(CAST(NULL AS STRING) AS prev, CAST(0 AS BIGINT) AS run,
+         CAST(0 AS BIGINT) AS best),
+  (acc, x) -> struct(
+      x AS prev,
+      IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1,
+         CAST(1 AS BIGINT)) AS run,
+      GREATEST(acc.best,
+               IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1,
+                  CAST(1 AS BIGINT))) AS best),
+  acc -> acc.best)
+"""
 
 
 # Repetition gates in the spirit of the Gopher/MassiveText quality
@@ -143,43 +166,39 @@ def repetition_stats(df: DataFrame) -> DataFrame:
       first of each distinct trigram (1 - distinct/total);
     - ``repetitive``: either ratio over its threshold.
 
-    Shape: explode the n-gram multiset, two keyed aggregations — both
-    map-side combinable on doc_id, no joins besides the final doc-keyed
-    merge, so the whole thing is two shuffles at any corpus size."""
-    d = with_tokens(df)
-    big = (
-        d.select("doc_id", F.explode(_ngram_all(2)).alias("g"))
-        .groupBy("doc_id", "g")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_bigrams"))
-    )
-    tri = d.select(
+    Shape: ONE projection over the scan — the modal bigram count is the
+    longest run of the sorted bigram array (aggregate() HOF, per-row
+    JVM pass), so no explode, no shuffle, no join; at any corpus size
+    this is scan-bound. (The previous shape exploded the multiset
+    through two keyed aggregations — two shuffles of corpus x n-grams
+    rows.)"""
+    stats = with_tokens(df).select(
         "doc_id",
+        F.expr(_MODAL_RUN_SQL.format(arr=_ngram_all_sql(2))).alias("top_c"),
+        F.size(_ngram_all(2)).alias("n_bigrams"),
         F.size(_ngram_all(3)).alias("n_trigrams"),
         F.size(F.array_distinct(_ngram_all(3))).alias("n_distinct_tri"),
     )
-    top_frac = F.round(F.col("top_c") / F.col("n_bigrams"), 6)
-    # guarded: ANSI mode makes 0/0 an error, and <3-token docs have
-    # zero trigrams
+    # guarded: ANSI mode makes 0/0 an error; <2/<3-token docs have
+    # zero bigrams/trigrams (size() of the empty CASE arm is 0)
+    top_frac = F.when(
+        F.col("n_bigrams") > 0,
+        F.round(F.col("top_c") / F.col("n_bigrams"), 6),
+    ).otherwise(F.lit(0.0))
     dup_frac = F.when(
         F.col("n_trigrams") > 0,
         F.round(
             (F.col("n_trigrams") - F.col("n_distinct_tri")) / F.col("n_trigrams"), 6
         ),
     ).otherwise(F.lit(0.0))
-    return (
-        tri.join(big, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_bigrams", F.lit(0).cast("bigint")).alias("n_bigrams"),
-            F.coalesce(top_frac, F.lit(0.0)).alias("top_bigram_frac"),
-            F.coalesce(dup_frac, F.lit(0.0)).alias("dup_trigram_frac"),
-            (
-                (F.coalesce(top_frac, F.lit(0.0)) > TOP_BIGRAM_MAX)
-                | (F.coalesce(dup_frac, F.lit(0.0)) > DUP_TRIGRAM_MAX)
-            ).alias("repetitive"),
-        )
+    return stats.select(
+        "doc_id",
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        top_frac.alias("top_bigram_frac"),
+        dup_frac.alias("dup_trigram_frac"),
+        (
+            (top_frac > TOP_BIGRAM_MAX) | (dup_frac > DUP_TRIGRAM_MAX)
+        ).alias("repetitive"),
     )
 
 

@@ -269,11 +269,10 @@ five AS (
     "decontaminate_ngram",
     oracle=f"""
     WITH {O_TOKS}, {O_FIVE},
-    fivh AS (SELECT doc_id, {o_hash56('shingle')} AS h FROM five),
-    bench AS (SELECT DISTINCT h FROM fivh WHERE doc_id % 20 = 0),
+    bench AS (SELECT DISTINCT shingle FROM five WHERE doc_id % 20 = 0),
     hits AS (
       SELECT doc_id, COUNT(*) AS n_overlap
-      FROM fivh JOIN bench USING (h)
+      FROM five JOIN bench USING (shingle)
       WHERE doc_id % 20 != 0 GROUP BY doc_id
     )
     SELECT d.doc_id,
