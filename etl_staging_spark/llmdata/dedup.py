@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..numeric import pround
 
 from .hashing import BAND_ROWS, MINHASH_SEEDS, N_BANDS, minhash_col, portable_hash56
 from .shingles import shingle_index
@@ -97,7 +98,7 @@ def _finish_jaccard(inter: DataFrame, sizes: DataFrame, threshold: float) -> Dat
     return (
         inter.join(sa, "d1").join(sb, "d2")
         .where(jac >= threshold)
-        .select("d1", "d2", "n_common", F.round(jac, 6).alias("jaccard"))
+        .select("d1", "d2", "n_common", pround(jac, 6).alias("jaccard"))
     )
 
 
@@ -143,7 +144,7 @@ def _pair_jaccard_arrays(
             "d1",
             "d2",
             n_common.cast("bigint").alias("n_common"),
-            F.round(jac, 6).alias("jaccard"),
+            pround(jac, 6).alias("jaccard"),
         )
     )
 

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
+from ..numeric import pround
 
 from .hashing import hyperplanes
 
@@ -75,7 +76,7 @@ def cosine_topk(
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
-        .select("qid", "cid", F.round("cos_raw", 6).alias("cosine"), F.col("rnk").alias("rank"))
+        .select("qid", "cid", pround(F.col("cos_raw"), 6).alias("cosine"), F.col("rnk").alias("rank"))
     )
 
 
@@ -119,7 +120,7 @@ def lsh_bucketed_topk(
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
-        .select("qid", "cid", F.round("cos_raw", 6).alias("cosine"), F.col("rnk").alias("rank"))
+        .select("qid", "cid", pround(F.col("cos_raw"), 6).alias("cosine"), F.col("rnk").alias("rank"))
     )
 
 
@@ -172,7 +173,7 @@ def cosine_dup_pairs(
         .join(vb, "d2")
         .withColumn("cos_raw", cos)
         .where(F.col("cos_raw") >= threshold)
-        .select("d1", "d2", F.round("cos_raw", 6).alias("cosine"))
+        .select("d1", "d2", pround(F.col("cos_raw"), 6).alias("cosine"))
     )
     out._pinned_persisted = (normed,)  # hold the cache for branch reuse
     return out
@@ -309,7 +310,7 @@ def ivf_topk(
         .select(
             "qid",
             F.col("cid_").alias("cid"),
-            F.round("cos_raw", 6).alias("cosine"),
+            pround(F.col("cos_raw"), 6).alias("cosine"),
             F.col("rnk").alias("rank"),
         )
     )

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..numeric import pround
 
 from .hashing import portable_hash56
 from .shingles import TOKS, with_tokens
@@ -45,9 +46,9 @@ def quality_scores(df: DataFrame) -> DataFrame:
         "doc_id",
         n_tokens.alias("n_tokens"),
         n_distinct.alias("n_distinct"),
-        F.round(tot_len / n_tokens, 6).alias("avg_tok_len"),
-        F.round(n_distinct / n_tokens, 6).alias("distinct_ratio"),
-        F.round(stop_cnt / n_tokens, 6).alias("stop_ratio"),
+        pround(tot_len / n_tokens, 6).alias("avg_tok_len"),
+        pround(n_distinct / n_tokens, 6).alias("distinct_ratio"),
+        pround(stop_cnt / n_tokens, 6).alias("stop_ratio"),
     )
     len_score = F.least(F.lit(1.0), F.col("n_tokens") / F.lit(50.0))
     shape_score = F.least(F.lit(1.0), F.col("avg_tok_len") / F.lit(6.0))
@@ -57,7 +58,7 @@ def quality_scores(df: DataFrame) -> DataFrame:
         + F.lit(0.15) * (F.lit(1.0) - F.col("stop_ratio"))
         + F.lit(0.15) * shape_score
     )
-    return d.withColumn("quality", F.round(quality, 6))
+    return d.withColumn("quality", pround(quality, 6))
 
 
 def lang_id(df: DataFrame) -> DataFrame:
@@ -91,7 +92,7 @@ def token_counts(df: DataFrame) -> DataFrame:
         "doc_id",
         n_ws.alias("n_ws_tokens"),
         n_bpe.alias("n_bpe_tokens"),
-        F.round(F.length(lt) / n_bpe, 6).alias("chars_per_token"),
+        pround(F.length(lt) / n_bpe, 6).alias("chars_per_token"),
     )
 
 
@@ -183,11 +184,11 @@ def repetition_stats(df: DataFrame) -> DataFrame:
     # zero bigrams/trigrams (size() of the empty CASE arm is 0)
     top_frac = F.when(
         F.col("n_bigrams") > 0,
-        F.round(F.col("top_c") / F.col("n_bigrams"), 6),
+        pround(F.col("top_c") / F.col("n_bigrams"), 6),
     ).otherwise(F.lit(0.0))
     dup_frac = F.when(
         F.col("n_trigrams") > 0,
-        F.round(
+        pround(
             (F.col("n_trigrams") - F.col("n_distinct_tri")) / F.col("n_trigrams"), 6
         ),
     ).otherwise(F.lit(0.0))

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from ..domain import compile_domain
 from ..tables import load
-from .registry import dsum, fmt_date, o_dsum, o_fmt_date, query
+from .registry import dsum, fmt_date, o_dsum, o_fmt_date, o_pround, pround, query
 
 # ---------------------------------------------------------------------------
 # S1 + F1/F2/F3: scan with domain-compiled composite filter + projection.
@@ -216,7 +216,8 @@ def a6_collect_distinct(spark, sf_dir):
     SELECT l_partkey,
            {o_dsum('l_extendedprice')} AS total_value,
            {o_dsum('l_quantity')} AS total_qty,
-           ROUND({o_dsum('l_extendedprice')} / {o_dsum('l_quantity')}, 4) AS unit_cost
+           {o_pround(f"{o_dsum('l_extendedprice')} / {o_dsum('l_quantity')}", 4)}
+               AS unit_cost
     FROM lineitem
     GROUP BY l_partkey
     HAVING SUM(CAST(l_quantity AS DECIMAL(30,2))) <> 0
@@ -232,7 +233,7 @@ def a7_weighted_avg(spark, sf_dir):
         "l_partkey",
         "total_value",
         "total_qty",
-        F.round(F.col("total_value") / F.col("total_qty"), 4).alias("unit_cost"),
+        pround(F.col("total_value") / F.col("total_qty"), 4).alias("unit_cost"),
     )
 
 

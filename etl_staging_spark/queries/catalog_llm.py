@@ -73,7 +73,7 @@ def dedup_exact(spark, sf_dir):
       GROUP BY 1, 2
     )
     SELECT d1, d2, n_common,
-           ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+           FLOOR((CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)) * 1000000 + 0.5) / 1000000 AS jaccard
     FROM inter JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
     WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
     """,
@@ -121,7 +121,7 @@ bands AS (
     oracle=f"""
     WITH {O_TRIH}, {_o_minhash_sigs()}, {O_JACCARD_TAIL}
     SELECT d1, d2, n_common,
-           ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+           FLOOR((CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)) * 1000000 + 0.5) / 1000000 AS jaccard
     FROM inter
     JOIN cand USING (d1, d2)
     JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
@@ -318,10 +318,10 @@ def decontaminate_ngram(spark, sf_dir):
              FROM trig GROUP BY 1)
     SELECT d.doc_id,
            CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
-           COALESCE(ROUND(top_c / n_bigrams, 6), 0.0) AS top_bigram_frac,
-           COALESCE(ROUND((n_tri - n_dtri) / n_tri, 6), 0.0) AS dup_trigram_frac,
-           COALESCE(ROUND(top_c / n_bigrams, 6), 0.0) > {textstats.TOP_BIGRAM_MAX}
-             OR COALESCE(ROUND((n_tri - n_dtri) / n_tri, 6), 0.0) > {textstats.DUP_TRIGRAM_MAX}
+           COALESCE(FLOOR((top_c / n_bigrams) * 1000000 + 0.5) / 1000000, 0.0) AS top_bigram_frac,
+           COALESCE(FLOOR(((n_tri - n_dtri) / n_tri) * 1000000 + 0.5) / 1000000, 0.0) AS dup_trigram_frac,
+           COALESCE(FLOOR((top_c / n_bigrams) * 1000000 + 0.5) / 1000000, 0.0) > {textstats.TOP_BIGRAM_MAX}
+             OR COALESCE(FLOOR(((n_tri - n_dtri) / n_tri) * 1000000 + 0.5) / 1000000, 0.0) > {textstats.DUP_TRIGRAM_MAX}
              AS repetitive
     FROM documents d
     LEFT JOIN biga USING (doc_id) LEFT JOIN tria USING (doc_id)
@@ -432,7 +432,7 @@ norms AS (
              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, cid) AS rnk
       FROM scored
     )
-    SELECT qid, cid, ROUND(c, 6) AS cosine, CAST(rnk AS INT) AS rank
+    SELECT qid, cid, FLOOR((c) * 1000000 + 0.5) / 1000000 AS cosine, CAST(rnk AS INT) AS rank
     FROM ranked WHERE rnk <= 5
     """,
 )
@@ -491,7 +491,7 @@ def _o_planes_values(dim: int) -> str:
              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, cid) AS rnk
       FROM scored
     )
-    SELECT qid, cid, ROUND(c, 6) AS cosine, CAST(rnk AS INT) AS rank
+    SELECT qid, cid, FLOOR((c) * 1000000 + 0.5) / 1000000 AS cosine, CAST(rnk AS INT) AS rank
     FROM ranked WHERE rnk <= 5
     """,
 )
@@ -548,7 +548,7 @@ def sim_ann_lsh(spark, sf_dir):
              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, cid) AS rnk
       FROM scored
     )
-    SELECT qid, cid, ROUND(c, 6) AS cosine, CAST(rnk AS INT) AS rank
+    SELECT qid, cid, FLOOR((c) * 1000000 + 0.5) / 1000000 AS cosine, CAST(rnk AS INT) AS rank
     FROM ranked WHERE rnk <= 5
     """,
 )
@@ -595,7 +595,7 @@ def sim_ann_ivf(spark, sf_dir):
       SELECT d1, d2, dot / (na.nrm * nb.nrm) AS c
       FROM dots JOIN norms na ON na.vec_id = d1 JOIN norms nb ON nb.vec_id = d2
     )
-    SELECT d1, d2, ROUND(c, 6) AS cosine FROM scored WHERE c >= 0.45
+    SELECT d1, d2, FLOOR((c) * 1000000 + 0.5) / 1000000 AS cosine FROM scored WHERE c >= 0.45
     """,
 )
 def dedup_embed_cosine(spark, sf_dir):
@@ -630,16 +630,16 @@ _STOP_SQL = ", ".join(f"'{s}'" for s in textstats.STOPWORDS)
       FROM t
     ), r AS (
       SELECT doc_id, n_tokens, n_distinct,
-             ROUND(CAST(tot_len AS DOUBLE) / n_tokens, 6) AS avg_tok_len,
-             ROUND(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS distinct_ratio,
-             ROUND(CAST(stop_cnt AS DOUBLE) / n_tokens, 6) AS stop_ratio
+             FLOOR((CAST(tot_len AS DOUBLE) / n_tokens) * 1000000 + 0.5) / 1000000 AS avg_tok_len,
+             FLOOR((CAST(n_distinct AS DOUBLE) / n_tokens) * 1000000 + 0.5) / 1000000 AS distinct_ratio,
+             FLOOR((CAST(stop_cnt AS DOUBLE) / n_tokens) * 1000000 + 0.5) / 1000000 AS stop_ratio
       FROM m
     )
     SELECT doc_id, n_tokens, n_distinct, avg_tok_len, distinct_ratio, stop_ratio,
-           ROUND(0.3 * LEAST(1.0, CAST(n_tokens AS DOUBLE) / 50.0)
+           FLOOR((0.3 * LEAST(1.0, CAST(n_tokens AS DOUBLE) / 50.0)
                  + 0.4 * distinct_ratio
                  + 0.15 * (1.0 - stop_ratio)
-                 + 0.15 * LEAST(1.0, avg_tok_len / 6.0), 6) AS quality
+                 + 0.15 * LEAST(1.0, avg_tok_len / 6.0)) * 1000000 + 0.5) / 1000000 AS quality
     FROM r
     """,
 )
@@ -704,8 +704,9 @@ def lang_id_ngram(spark, sf_dir):
            CAST(len(string_split(lower(text), ' ')) AS INT) AS n_ws_tokens,
            CAST(len(regexp_extract_all(lower(text), '{textstats.TOKEN_RE}')) AS INT)
                AS n_bpe_tokens,
-           ROUND(CAST(length(lower(text)) AS DOUBLE)
-                 / len(regexp_extract_all(lower(text), '{textstats.TOKEN_RE}')), 6)
+           FLOOR((CAST(length(lower(text)) AS DOUBLE)
+                 / len(regexp_extract_all(lower(text), '{textstats.TOKEN_RE}')))
+                 * 1000000 + 0.5) / 1000000
                AS chars_per_token
     FROM documents
     """,
@@ -897,7 +898,7 @@ def seq_pack_chunks(spark, sf_dir):
       GROUP BY 1, 2
     )
     SELECT d1, d2, n_common,
-           ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+           FLOOR((CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)) * 1000000 + 0.5) / 1000000 AS jaccard
     FROM inter
     JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
     WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8

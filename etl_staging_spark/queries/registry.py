@@ -62,6 +62,11 @@ def o_dsum(expr: str, scale: int = 2, precision: int = 30) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL({precision},{scale}))) AS DOUBLE)"
 
 
+# Portable double rounding — ROUND(double, s) is not cross-engine
+# deterministic; see etl_staging_spark/numeric.py for the full story.
+from ..numeric import o_pround, pround  # noqa: E402,F401
+
+
 def fmt_date(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.date_format(c, "yyyy-MM-dd")

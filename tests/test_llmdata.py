@@ -7,7 +7,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from etl_staging_spark.llmdata import dedup, multimodal, simsearch, textstats
+from etl_staging_spark.llmdata import dedup, multimodal, sampling, simsearch, textstats
 from etl_staging_spark.llmdata.hashing import py_hash56, portable_hash56
 
 
@@ -521,3 +521,32 @@ def test_incremental_lsh_indexed_equals_in_session_path(spark, docs):
         assert all("Exchange" not in ln for ln in corpus_branch), plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_hash_split_single_split_oracle_parity(spark, duck):
+    """The degenerate single-split fractions dict: Spark assigns every
+    row to the one split and the oracle SQL is a bare literal (a CASE
+    with zero WHEN branches is invalid SQL — regression guard)."""
+    expr = sampling.o_hash_split({"all": 1.0}, key_expr="doc_id")
+    assert expr == "'all'"
+    (n_all,) = duck.execute(
+        f"SELECT COUNT(*) FROM documents WHERE {expr} = 'all'"
+    ).fetchone()
+    docs = load(spark, SF_DIR, "documents")
+    got = sampling.hash_split(docs, {"all": 1.0}).where("split = 'all'").count()
+    assert got == n_all == docs.count()
+
+
+def test_mixture_threshold_truncation_parity(spark, duck):
+    """Keep thresholds truncate identically in Python and the oracle's
+    FLOOR for fractional rate*BUCKETS (the round-vs-floor divergence
+    class): a 1/3 rate must produce floor(3333.33) = 3333 on both
+    sides, not 3334."""
+    counts = {"a": 3}
+    weights = {"a": 1.0}
+    thr = sampling.mixture_rates(counts, weights, target_total=1)
+    assert thr["a"] == 3333
+    (t,) = duck.execute(
+        "SELECT CAST(FLOOR(LEAST(1.0, (1 * 1.0 / 1.0) / 3) * 10000) AS BIGINT)"
+    ).fetchone()
+    assert t == 3333
