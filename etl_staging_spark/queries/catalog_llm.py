@@ -295,10 +295,7 @@ def decontaminate_ngram(spark, sf_dir):
     return decontam.ngram_overlap(corpus, bench, n=5, min_hits=1)
 
 
-@query(
-    "text_repetition_gopher",
-    oracle=f"""
-    WITH {O_TOKS},
+_O_REP_CTES = f"""
     bigr AS (
       SELECT doc_id, tok || ' ' || l1 AS g FROM (
         SELECT doc_id, tok, lead(tok, 1) OVER w AS l1
@@ -315,16 +312,26 @@ def decontaminate_ngram(spark, sf_dir):
       ) WHERE l2 IS NOT NULL
     ),
     tria AS (SELECT doc_id, COUNT(*) AS n_tri, COUNT(DISTINCT g) AS n_dtri
-             FROM trig GROUP BY 1)
-    SELECT d.doc_id,
-           CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
-           COALESCE(FLOOR((top_c / n_bigrams) * 1000000 + 0.5) / 1000000, 0.0) AS top_bigram_frac,
-           COALESCE(FLOOR(((n_tri - n_dtri) / n_tri) * 1000000 + 0.5) / 1000000, 0.0) AS dup_trigram_frac,
-           COALESCE(FLOOR((top_c / n_bigrams) * 1000000 + 0.5) / 1000000, 0.0) > {textstats.TOP_BIGRAM_MAX}
-             OR COALESCE(FLOOR(((n_tri - n_dtri) / n_tri) * 1000000 + 0.5) / 1000000, 0.0) > {textstats.DUP_TRIGRAM_MAX}
-             AS repetitive
-    FROM documents d
-    LEFT JOIN biga USING (doc_id) LEFT JOIN tria USING (doc_id)
+             FROM trig GROUP BY 1),
+    rep AS (
+      SELECT d.doc_id,
+             CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             COALESCE(FLOOR((top_c / n_bigrams) * 1000000 + 0.5) / 1000000, 0.0) AS top_bigram_frac,
+             COALESCE(FLOOR(((n_tri - n_dtri) / n_tri) * 1000000 + 0.5) / 1000000, 0.0) AS dup_trigram_frac,
+             COALESCE(FLOOR((top_c / n_bigrams) * 1000000 + 0.5) / 1000000, 0.0) > {textstats.TOP_BIGRAM_MAX}
+               OR COALESCE(FLOOR(((n_tri - n_dtri) / n_tri) * 1000000 + 0.5) / 1000000, 0.0) > {textstats.DUP_TRIGRAM_MAX}
+               AS repetitive
+      FROM documents d
+      LEFT JOIN biga USING (doc_id) LEFT JOIN tria USING (doc_id)
+    )"""
+
+
+@query(
+    "text_repetition_gopher",
+    oracle=f"""
+    WITH {O_TOKS}, {_O_REP_CTES}
+    SELECT doc_id, n_bigrams, top_bigram_frac, dup_trigram_frac, repetitive
+    FROM rep
     """,
 )
 def text_repetition_gopher(spark, sf_dir):
@@ -616,31 +623,38 @@ def dedup_embed_cosine(spark, sf_dir):
 _STOP_SQL = ", ".join(f"'{s}'" for s in textstats.STOPWORDS)
 
 
-@query(
-    "text_quality_score",
-    oracle=f"""
-    WITH t AS (
+_O_QUAL_CTES = f"""
+    qt AS (
       SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
-    ), m AS (
+    ), qm AS (
       SELECT doc_id,
              len(toks) AS n_tokens,
              len(list_distinct(toks)) AS n_distinct,
              CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS tot_len,
              len(list_filter(toks, x -> list_contains([{_STOP_SQL}], x))) AS stop_cnt
-      FROM t
-    ), r AS (
+      FROM qt
+    ), qr AS (
       SELECT doc_id, n_tokens, n_distinct,
              FLOOR((CAST(tot_len AS DOUBLE) / n_tokens) * 1000000 + 0.5) / 1000000 AS avg_tok_len,
              FLOOR((CAST(n_distinct AS DOUBLE) / n_tokens) * 1000000 + 0.5) / 1000000 AS distinct_ratio,
              FLOOR((CAST(stop_cnt AS DOUBLE) / n_tokens) * 1000000 + 0.5) / 1000000 AS stop_ratio
-      FROM m
-    )
-    SELECT doc_id, n_tokens, n_distinct, avg_tok_len, distinct_ratio, stop_ratio,
-           FLOOR((0.3 * LEAST(1.0, CAST(n_tokens AS DOUBLE) / 50.0)
-                 + 0.4 * distinct_ratio
-                 + 0.15 * (1.0 - stop_ratio)
-                 + 0.15 * LEAST(1.0, avg_tok_len / 6.0)) * 1000000 + 0.5) / 1000000 AS quality
-    FROM r
+      FROM qm
+    ),
+    qual AS (
+      SELECT doc_id, n_tokens, n_distinct, avg_tok_len, distinct_ratio, stop_ratio,
+             FLOOR((0.3 * LEAST(1.0, CAST(n_tokens AS DOUBLE) / 50.0)
+                   + 0.4 * distinct_ratio
+                   + 0.15 * (1.0 - stop_ratio)
+                   + 0.15 * LEAST(1.0, avg_tok_len / 6.0)) * 1000000 + 0.5) / 1000000 AS quality
+      FROM qr
+    )"""
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH {_O_QUAL_CTES}
+    SELECT * FROM qual
     """,
 )
 def text_quality_score(spark, sf_dir):
@@ -913,3 +927,81 @@ def dedup_incremental_lsh(spark, sf_dir):
     corpus = docs.where(F.col("doc_id") % 5 != 0)
     batch = docs.where(F.col("doc_id") % 5 == 0)
     return dedup.incremental_lsh_matches(corpus, batch, threshold=0.8)
+
+
+# ---------------------------------------------------------------------------
+# Flagship composition: end-to-end training-corpus assembly. Every stage
+# is an individually-certified operator; this entry verifies the whole
+# pipeline AS a pipeline — canonical exact-dedup, benchmark
+# decontamination, quality + repetition gates, deterministic hash split
+# — against one composed oracle.
+# ---------------------------------------------------------------------------
+
+QUALITY_MIN = 0.68  # keeps ~60% of the synthetic corpus at any sf
+
+
+@query(
+    "corpus_assembly",
+    oracle=f"""
+    WITH {O_TOKS}, {O_FIVE}, {_O_QUAL_CTES}, {_O_REP_CTES},
+    corpus AS (SELECT * FROM documents WHERE doc_id % 20 != 0),
+    canon AS (
+      SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY sha256(text)
+    ),
+    bench5 AS (SELECT DISTINCT shingle FROM five WHERE doc_id % 20 = 0),
+    contaminated AS (
+      SELECT DISTINCT f.doc_id FROM five f JOIN bench5 USING (shingle)
+      WHERE f.doc_id % 20 != 0
+    ),
+    kept AS (
+      SELECT c.doc_id, c.source FROM corpus c
+      JOIN canon USING (doc_id)
+      JOIN qual q ON q.doc_id = c.doc_id
+      JOIN rep r ON r.doc_id = c.doc_id
+      WHERE c.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        AND q.quality >= {QUALITY_MIN}
+        AND NOT r.repetitive
+    )
+    SELECT {sampling.o_hash_split(_SPLITS)} AS split, source,
+           COUNT(*) AS n_docs
+    FROM kept GROUP BY 1, 2
+    """,
+)
+def corpus_assembly(spark, sf_dir):
+    """The whole llmdata front-end as one verified pipeline: keep each
+    exact-dup group's canonical doc, drop docs sharing any 5-gram with
+    the benchmark split, gate on quality >= QUALITY_MIN and the Gopher
+    repetition flags, then assign deterministic train/val/test splits —
+    reporting (split, source) counts.
+
+    Plan shape: the gates are doc-keyed joins of aggregated/projected
+    frames over ONE corpus grain — no all-pairs anywhere, the benchmark
+    shingle dim broadcasts, and the split assignment is a pure
+    projection, so the composition inherits every stage's scale
+    properties."""
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    corpus = docs.where(F.col("doc_id") % 20 != 0)
+    canon = dedup.exact_dup_groups(corpus).select(
+        F.col("canonical_doc_id").alias("doc_id")
+    )
+    contam = decontam.ngram_overlap(corpus, bench, n=5, min_hits=1).where(
+        ~F.col("contaminated")
+    ).select("doc_id")
+    qual = textstats.quality_scores(corpus).where(
+        F.col("quality") >= QUALITY_MIN
+    ).select("doc_id")
+    rep = textstats.repetition_stats(corpus).where(~F.col("repetitive")).select(
+        "doc_id"
+    )
+    kept = (
+        corpus.join(canon, "doc_id", "left_semi")
+        .join(contam, "doc_id", "left_semi")
+        .join(qual, "doc_id", "left_semi")
+        .join(rep, "doc_id", "left_semi")
+    )
+    return (
+        sampling.hash_split(kept, _SPLITS)
+        .groupBy("split", "source")
+        .agg(F.count("*").alias("n_docs"))
+    )

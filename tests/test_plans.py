@@ -183,3 +183,12 @@ def test_production_planning_broadcasts_dims(spark, queries):
     p = plan_of(spark, queries, "pp_production_planning")
     assert "BroadcastHashJoin" in p
     assert "Exchange SinglePartition" not in p
+
+
+def test_corpus_assembly_composition_plan(spark, queries):
+    """The composed assembly pipeline stays doc-keyed end to end: no
+    cartesian products, no Python, no single-partition exchange."""
+    p = plan_of(spark, queries, "corpus_assembly")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert "Exchange SinglePartition" not in p
