@@ -172,7 +172,15 @@ def repetition_stats(df: DataFrame) -> DataFrame:
     JVM pass), so no explode, no shuffle, no join; at any corpus size
     this is scan-bound. (The previous shape exploded the multiset
     through two keyed aggregations — two shuffles of corpus x n-grams
-    rows.)"""
+    rows.)
+
+    CALLER NOTE: do not `.where()` on the returned flag columns
+    directly — Catalyst collapses the filter into this projection and
+    higher-order functions are CodegenFallback, so the inlined
+    predicate re-evaluates the n-gram fold interpreted per row
+    (measured ~100x the projection). Materialize first
+    (``.persist()``/write) and filter the materialized frame — the
+    production shape anyway."""
     stats = with_tokens(df).select(
         "doc_id",
         F.expr(_MODAL_RUN_SQL.format(arr=_ngram_all_sql(2))).alias("top_c"),

@@ -981,7 +981,16 @@ def corpus_assembly(spark, sf_dir):
     properties."""
     docs = load(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") % 20 == 0)
-    corpus = docs.where(F.col("doc_id") % 20 != 0)
+    # the corpus fans out into five per-row-heavy branches (tokenize,
+    # n-gram, shingle); a single-file table would otherwise run them all
+    # on ONE scan partition — spread by doc_id first (at real scale the
+    # scan is already many splits and this shuffle is dwarfed by the
+    # branch work it parallelizes)
+    corpus = (
+        docs.where(F.col("doc_id") % 20 != 0)
+        .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+        .persist()  # five branches read it; one scan+shuffle, not five
+    )
     canon = dedup.exact_dup_groups(corpus).select(
         F.col("canonical_doc_id").alias("doc_id")
     )
@@ -991,9 +1000,14 @@ def corpus_assembly(spark, sf_dir):
     qual = textstats.quality_scores(corpus).where(
         F.col("quality") >= QUALITY_MIN
     ).select("doc_id")
-    rep = textstats.repetition_stats(corpus).where(~F.col("repetitive")).select(
-        "doc_id"
-    )
+    # materialize the repetition flags BEFORE filtering: a collapsed
+    # filter would inline the higher-order-function metrics into the
+    # pushed-down predicate, and HOFs are CodegenFallback — interpreted
+    # re-evaluation per row measured ~100x the projection itself. The
+    # persisted frame is the production shape anyway (flags written
+    # once, gates read them).
+    rep_flags = textstats.repetition_stats(corpus).persist()
+    rep = rep_flags.where(~F.col("repetitive")).select("doc_id")
     kept = (
         corpus.join(canon, "doc_id", "left_semi")
         .join(contam, "doc_id", "left_semi")
