@@ -55,6 +55,7 @@ HEADLINE = [
     # round 6 additions
     "sa_stock_ageing",
     "dedup_incremental_lsh",
+    "corpus_assembly",
 ]
 
 
