@@ -56,7 +56,15 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Top-k cosine neighbours for every vector matching ``query_pred``."""
+    """Top-k cosine neighbours for every vector matching ``query_pred``.
+
+    This is the exact BASELINE: the query side broadcasts (bounded by
+    the predicate) and the corpus side scores linearly, but the final
+    per-query top-k is a window partitioned by qid — with few queries
+    that shuffle lands N x Q scored rows on Q partitions, a skew that
+    grows with the corpus. At scale use the bucketed paths
+    (:func:`lsh_bucketed_topk` / :func:`ivf_topk`), which bound each
+    query's candidate set before any per-query ranking."""
     normed = with_norm(emb, vec_col)
     q = normed.where(query_pred).select(
         F.col(id_col).alias("qid"),
