@@ -52,3 +52,72 @@ def ngram_overlap(
             (F.coalesce("n_overlap", F.lit(0)) >= min_hits).alias("contaminated"),
         )
     )
+
+
+# Intra-corpus boilerplate: a shingle that recurs across a large
+# fraction of a source's documents is template text (headers, nav
+# chrome, license banners), not content — the CCNet/RefinedWeb-style
+# "too common to be signal" rule, applied per source so one domain's
+# template can't poison another's statistics.
+BOILER_SOURCE_FRAC = 0.05  # shingle is boilerplate within its source
+BOILER_DOC_FRAC = 0.5      # doc is boilerplate when most shingles are
+
+
+def boilerplate_flags(
+    corpus: DataFrame,
+    n: int = 5,
+    source_col: str = "source",
+    shingle_src_frac: float = BOILER_SOURCE_FRAC,
+    doc_frac: float = BOILER_DOC_FRAC,
+) -> DataFrame:
+    """Per-doc boilerplate stats: of the doc's distinct word ``n``-grams,
+    how many occur in more than ``shingle_src_frac`` of its source's
+    documents, and the keep/drop flag when that fraction exceeds
+    ``doc_frac``. Output: (doc_id, source, n_shingles, bp_shingles,
+    bp_frac, boilerplate).
+
+    Scale shape: the corpus explodes ONCE into the (source, shingle,
+    doc) index shared with the dedup family; the per-(source, shingle)
+    document frequency is a map-side-combinable aggregate of that
+    index; per-source doc counts are a bounded dim (#sources rows) that
+    AQE broadcasts. The df threshold compares an exact int count to a
+    double product of exact ints — deterministic in both engines. No
+    all-pairs, no window, corpus scanned once."""
+    from .shingles import shingle_index, with_tokens  # noqa: F401
+
+    idx = shingle_index(corpus, n=n).join(
+        corpus.select("doc_id", source_col), "doc_id"
+    )
+    src_counts = corpus.groupBy(source_col).agg(
+        F.count("*").alias("src_docs")
+    )
+    gram_df = idx.groupBy(source_col, "shingle").agg(
+        F.count("*").alias("df")
+    )
+    boiler = (
+        gram_df.join(src_counts, source_col)
+        .where(F.col("df") > F.lit(shingle_src_frac) * F.col("src_docs"))
+        .select(source_col, "shingle")
+    )
+    per_doc = (
+        idx.join(boiler, [source_col, "shingle"], "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("bp_shingles"))
+    )
+    totals = idx.groupBy("doc_id", source_col).agg(
+        F.count("*").alias("n_shingles")
+    )
+    from ..numeric import pround
+
+    bp = F.coalesce("bp_shingles", F.lit(0).cast("bigint"))
+    frac = F.when(
+        F.col("n_shingles") > 0, pround(bp / F.col("n_shingles"), 6)
+    ).otherwise(F.lit(0.0))
+    return totals.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        source_col,
+        "n_shingles",
+        bp.alias("bp_shingles"),
+        frac.alias("bp_frac"),
+        (frac > doc_frac).alias("boilerplate"),
+    )

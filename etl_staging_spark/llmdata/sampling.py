@@ -140,3 +140,107 @@ def mixture_sample(
         cond = F.col(domain_col) == d
         expr = F.when(cond, t) if expr is None else expr.when(cond, t)
     return docs.where(b < expr.otherwise(F.lit(0)))
+
+
+def domain_quality_cap(
+    docs: DataFrame,
+    cap: int,
+    domain_col: str = "source",
+) -> DataFrame:
+    """Domain balancing by quality: keep at most ``cap`` documents per
+    domain, the highest-quality ones first (ties on quality break by
+    doc_id, so the selection is a total order and deterministic on any
+    cluster). Output: (doc_id, domain, quality, rk).
+
+    The classic "cap the over-represented domain" step of corpus
+    assembly — mixture sampling (above) hits *proportions* with a
+    hash filter; this hits an absolute *budget* with a quality
+    ordering, the shape used when one crawl dominates the corpus.
+
+    Scale shape: quality is a projection over the scan
+    (:func:`..llmdata.textstats.quality_scores` passes the domain
+    through, no re-join); the rank is a window partitioned BY DOMAIN —
+    never a global sort — so parallelism is #domains-wide and each
+    partition streams. A pathologically hot domain (half the corpus in
+    one partition) would instead precompute its quality cutoff from a
+    per-domain approx quantile (one aggregate) and filter before
+    ranking only the boundary ties; at the fixture's cardinalities the
+    plain window IS the right plan.
+    """
+    from pyspark.sql import Window
+
+    from .textstats import quality_scores
+
+    q = quality_scores(docs, keep=(domain_col,)).select(
+        "doc_id", F.col(domain_col).alias("domain"), "quality"
+    )
+    w = (
+        Window.partitionBy("domain")
+        .orderBy(F.desc("quality"), F.asc("doc_id"))
+    )
+    return (
+        q.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= cap)
+        .select("doc_id", "domain", "quality", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def epoch_upsample(
+    docs: DataFrame,
+    epochs: dict[str, int],
+    domain_col: str = "source",
+    default_epochs: int = 1,
+) -> DataFrame:
+    """Mixture UPSAMPLING by repetition: emit each document
+    ``epochs[domain]`` times (default ``default_epochs``), tagged with
+    a 1-based epoch index — the "N epochs of the high-quality domain"
+    weighting of real pre-training mixes (downsampling caps a domain;
+    repetition is how a small trusted corpus gets overweighted).
+
+    A pure projection + generator over the scan: the per-domain repeat
+    factor is a literal CASE (bounded dict, no join), the repetition an
+    ``explode(sequence(...))`` — JVM-side row generation, no shuffle,
+    no Python. Downstream shuffles see the repeated rows, which is the
+    point: the tokenizer/packer consumes epochs as ordinary rows."""
+    reps = F.lit(default_epochs)
+    for dom, n in sorted(epochs.items()):
+        if n < 0:
+            raise ValueError(f"negative epoch count for {dom!r}")
+        reps = F.when(F.col(domain_col) == dom, F.lit(n)).otherwise(reps)
+    return (
+        docs.withColumn("__reps", reps)
+        # guard: Spark's sequence(1, 0) steps DOWN to [1, 0]; a 0-epoch
+        # domain must vanish (DuckDB's range(1, 1) = [] agrees)
+        .withColumn(
+            "__epoch",
+            F.explode(
+                F.when(
+                    F.col("__reps") >= 1, F.sequence(F.lit(1), F.col("__reps"))
+                ).otherwise(F.array().cast("array<int>"))
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col(domain_col).alias("domain"),
+            F.col("__epoch").cast("bigint").alias("epoch"),
+        )
+    )
+
+
+def o_epoch_upsample(
+    epochs: dict[str, int],
+    domain_col: str = "source",
+    default_epochs: int = 1,
+) -> str:
+    """DuckDB oracle twin of :func:`epoch_upsample`."""
+    whens = " ".join(
+        f"WHEN '{dom}' THEN {n}" for dom, n in sorted(epochs.items())
+    )
+    return f"""
+    SELECT doc_id, {domain_col} AS domain,
+           CAST(unnest(range(1, reps + 1)) AS BIGINT) AS epoch
+    FROM (
+      SELECT doc_id, {domain_col},
+             CASE {domain_col} {whens} ELSE {default_epochs} END AS reps
+      FROM documents
+    )"""

@@ -238,6 +238,34 @@ def train_ivf_centroids(
     return [c.tolist() for c in C]
 
 
+def _probe_cells_expr(
+    cent_arrs: dict[int, list[float]], vcol: Column, probe: int
+) -> Column:
+    """The ``probe`` nearest centroid ids for a vector, as one array
+    expression over broadcast centroid literals — no join, one scan.
+    array_sort on struct(negc, cid) sorts ascending by negc then cid:
+    descending similarity, ties broken toward the lower centroid id."""
+    scored = F.array(
+        *[
+            F.struct(
+                (
+                    -_dot(F.array(*[F.lit(w) for w in cvec]), vcol)
+                    / (
+                        F.sqrt(_dot(F.array(*[F.lit(w) for w in cvec]),
+                                    F.array(*[F.lit(w) for w in cvec])))
+                        * F.sqrt(_dot(vcol, vcol))
+                    )
+                ).alias("negc"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, cvec in sorted(cent_arrs.items())
+        ]
+    )
+    return F.transform(
+        F.slice(F.array_sort(scored), 1, probe), lambda s: s["cid"]
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     query_pred: Column,
@@ -268,28 +296,8 @@ def ivf_topk(
         )
         cent_arrs = {int(r[0]): [float(v) for v in r[1]] for r in cents}
 
-    # array_sort on struct(negc, cid) sorts ascending by negc then cid:
-    # descending similarity, ties broken toward the lower centroid id
     def probe_cells(vcol: Column, probe: int) -> Column:
-        scored = F.array(
-            *[
-                F.struct(
-                    (
-                        -_dot(F.array(*[F.lit(w) for w in cvec]), vcol)
-                        / (
-                            F.sqrt(_dot(F.array(*[F.lit(w) for w in cvec]),
-                                        F.array(*[F.lit(w) for w in cvec])))
-                            * F.sqrt(_dot(vcol, vcol))
-                        )
-                    ).alias("negc"),
-                    F.lit(cid).alias("cid"),
-                )
-                for cid, cvec in sorted(cent_arrs.items())
-            ]
-        )
-        return F.transform(
-            F.slice(F.array_sort(scored), 1, probe), lambda s: s["cid"]
-        )
+        return _probe_cells_expr(cent_arrs, vcol, probe)
 
     normed = with_norm(emb, vec_col).withColumn(
         "cell", probe_cells(F.col(vec_col), 1)[0]
@@ -320,6 +328,70 @@ def ivf_topk(
             F.col("cid_").alias("cid"),
             pround(F.col("cos_raw"), 6).alias("cosine"),
             F.col("rnk").alias("rank"),
+        )
+    )
+    out._pinned_persisted = (normed,)
+    return out
+
+
+def semantic_dup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    dim: int,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: coarse-quantize every
+    vector to its nearest centroid (the IVF assignment, ties to the
+    lower centroid id), then verify exact-decimal cosine >= threshold
+    ONLY within each cell. Output (d1 < d2, cosine).
+
+    This is the cluster-then-dedup shape of Abbas et al. 2023
+    ("SemDeDup"): candidate generation cost is Σ |cell|² instead of
+    N² — with balanced cells, N²/k — and each cell's self-join is an
+    ordinary keyed equi-join, so the plan is shuffle-on-cell, never
+    all-pairs. The tradeoff vs sign-LSH banding (`cosine_dup_pairs`)
+    is recall at cell boundaries: a pair split across two cells is
+    missed — acceptable for semantic dedup where near-dups
+    overwhelmingly co-assign, and tunable by training better centroids
+    (:func:`train_ivf_centroids`) or multi-probe assignment.
+
+    Like `ivf_topk`, ``centroids=None`` falls back to the first
+    ``n_centroids`` vectors by id — deterministic and fully
+    oracle-expressible."""
+    if centroids is not None:
+        cent_arrs = {i: [float(v) for v in c] for i, c in enumerate(centroids)}
+    else:
+        cents = (
+            emb.where(F.col(id_col) < n_centroids)
+            .select(id_col, vec_col)
+            .collect()
+        )
+        cent_arrs = {int(r[0]): [float(v) for v in r[1]] for r in cents}
+
+    normed = with_norm(emb, vec_col).withColumn(
+        "cell", _probe_cells_expr(cent_arrs, F.col(vec_col), 1)[0]
+    ).persist()
+    a = normed.select(
+        "cell", F.col(id_col).alias("d1"),
+        F.col(vec_col).alias("va"), F.col("nrm").alias("na"),
+    )
+    b = normed.select(
+        "cell", F.col(id_col).alias("d2"),
+        F.col(vec_col).alias("vb"), F.col("nrm").alias("nb"),
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    out = (
+        a.join(b, "cell")
+        .where(F.col("d1") < F.col("d2"))
+        .withColumn("cos_raw", cos)
+        .where(F.col("cos_raw") >= threshold)
+        .select(
+            "d1", "d2",
+            F.col("cell").cast("bigint").alias("cell"),
+            pround(F.col("cos_raw"), 6).alias("cosine"),
         )
     )
     out._pinned_persisted = (normed,)

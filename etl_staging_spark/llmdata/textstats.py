@@ -33,8 +33,10 @@ STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "for", "on", "with"]
 TOKEN_RE = "[a-z0-9]+|[^a-z0-9 ]"
 
 
-def quality_scores(df: DataFrame) -> DataFrame:
-    """Length / diversity / stopword-density quality score per doc."""
+def quality_scores(df: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
+    """Length / diversity / stopword-density quality score per doc.
+    ``keep`` columns pass through untouched (e.g. the source/domain for
+    stratified downstream selection) so callers never re-join the scan."""
     d = with_tokens(df)
     n_tokens = F.size(F.col(TOKS))
     n_distinct = F.size(F.array_distinct(F.col(TOKS)))
@@ -44,6 +46,7 @@ def quality_scores(df: DataFrame) -> DataFrame:
     stop_cnt = F.size(F.filter(F.col(TOKS), lambda t: t.isin(*STOPWORDS)))
     d = d.select(
         "doc_id",
+        *keep,
         n_tokens.alias("n_tokens"),
         n_distinct.alias("n_distinct"),
         pround(tot_len / n_tokens, 6).alias("avg_tok_len"),

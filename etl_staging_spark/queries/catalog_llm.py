@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..llmdata import cluster, decontam, dedup, multimodal, pii, simsearch, textstats
+from ..llmdata import cluster, decontam, dedup, lexsearch, multimodal, pii, simsearch, textstats
 from ..llmdata.hashing import (
     BAND_ROWS,
     MERSENNE31,
@@ -20,6 +20,7 @@ from ..llmdata.hashing import (
     o_hash56,
 )
 from ..llmdata.shingles import O_TOKS, O_TRI
+from ..numeric import o_pround
 from ..tables import load
 from .registry import query
 
@@ -1019,3 +1020,186 @@ def corpus_assembly(spark, sf_dir):
         .groupBy("split", "source")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Lexical retrieval + domain balancing + boilerplate (round 6 additions)
+# ---------------------------------------------------------------------------
+
+# Query terms drawn from the fixture vocabulary so scores are non-vacuous.
+_BM25_TERMS = ["spark", "hash", "window"]
+_BM25_K = 50
+
+
+@query(
+    "search_bm25_topk",
+    oracle=f"WITH {lexsearch.o_bm25_topk(_BM25_TERMS, k=_BM25_K)}",
+)
+def search_bm25_topk(spark, sf_dir):
+    """BM25 lexical top-k — the sparse twin of the `sim_*` dense
+    retrieval family. Term frequencies come from array HOFs in one
+    projection (no inverted-index materialization for a bounded query);
+    corpus stats (N, avgdl, per-term df) fold to ONE row that
+    broadcast-joins back; ranking is TakeOrderedAndProject (per-
+    partition heaps, never a single-partition sort). Rational-idf BM25
+    variant for cross-engine bit-determinism — see
+    `llmdata/lexsearch.py`."""
+    return lexsearch.bm25_topk(
+        load(spark, sf_dir, "documents"), _BM25_TERMS, k=_BM25_K
+    )
+
+
+_DOMAIN_CAP = 120
+
+
+@query(
+    "domain_quality_cap",
+    oracle=f"""
+    WITH {_O_QUAL_CTES},
+    ranked AS (
+      SELECT q.doc_id, d.source AS domain, q.quality,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.source
+               ORDER BY q.quality DESC, q.doc_id) AS rk
+      FROM qual q JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, domain, quality, CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk <= {_DOMAIN_CAP}
+    """,
+)
+def domain_quality_cap(spark, sf_dir):
+    """Domain balancing by absolute budget: keep the 120 highest-
+    quality docs per source (quality ties break on doc_id — total
+    order, cluster-size independent). Mixture sampling hits target
+    PROPORTIONS with a hash filter; this hits a per-domain BUDGET with
+    a quality ordering — the "cap the dominant crawl" step. Quality is
+    one projection (source passes through the scorer, no re-join); the
+    rank is a window partitioned by domain, never a global sort."""
+    return sampling.domain_quality_cap(
+        load(spark, sf_dir, "documents"), cap=_DOMAIN_CAP
+    )
+
+
+_BP_SRC_FRAC = 0.15  # shingle boilerplate when in >15% of its source's docs
+_BP_DOC_FRAC = 0.2   # doc flagged when >20% of its bigrams are boilerplate
+
+
+@query(
+    "boilerplate_flag",
+    oracle=f"""
+    WITH {O_TOKS},
+    bigr AS (
+      SELECT DISTINCT doc_id, tok || ' ' || l1 AS shingle FROM (
+        SELECT doc_id, tok, lead(tok, 1) OVER w AS l1
+        FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+      ) WHERE l1 IS NOT NULL
+    ),
+    idx AS (
+      SELECT b.doc_id, d.source, b.shingle
+      FROM bigr b JOIN documents d USING (doc_id)
+    ),
+    srcc AS (SELECT source, COUNT(*) AS src_docs FROM documents GROUP BY source),
+    gdf AS (SELECT source, shingle, COUNT(*) AS df FROM idx GROUP BY 1, 2),
+    boiler AS (
+      SELECT g.source, g.shingle FROM gdf g JOIN srcc USING (source)
+      WHERE df > {_BP_SRC_FRAC} * src_docs
+    ),
+    perdoc AS (
+      SELECT i.doc_id, COUNT(*) AS bp FROM idx i
+      JOIN boiler b ON b.source = i.source AND b.shingle = i.shingle
+      GROUP BY 1
+    ),
+    totals AS (SELECT doc_id, source, COUNT(*) AS n_shingles FROM idx GROUP BY 1, 2)
+    SELECT t.doc_id, t.source, t.n_shingles,
+           COALESCE(bp, 0) AS bp_shingles,
+           {o_pround('CAST(COALESCE(bp, 0) AS DOUBLE) / t.n_shingles', 6)} AS bp_frac,
+           {o_pround('CAST(COALESCE(bp, 0) AS DOUBLE) / t.n_shingles', 6)} > {_BP_DOC_FRAC} AS boilerplate
+    FROM totals t LEFT JOIN perdoc p ON p.doc_id = t.doc_id
+    """,
+)
+def boilerplate_flag(spark, sf_dir):
+    """Intra-corpus boilerplate removal (the "too common to be content"
+    rule, per source): a word bigram occurring in >15% of its
+    source's docs is template text; docs mostly made of such bigrams
+    are flagged. One corpus explosion shared with the dedup family, one
+    map-side-combinable df aggregate, per-source doc counts a bounded
+    broadcast dim — no all-pairs, no window. Complements
+    `decontaminate_ngram` (cross-corpus) with the within-corpus
+    template signal."""
+    return decontam.boilerplate_flags(
+        load(spark, sf_dir, "documents"),
+        n=2,
+        shingle_src_frac=_BP_SRC_FRAC,
+        doc_frac=_BP_DOC_FRAC,
+    )
+
+
+_SEM_THRESHOLD = 0.45
+
+
+@query(
+    "dedup_semantic_ivf",
+    oracle=f"""
+    WITH {O_ELEMS},
+    cdots AS (
+      SELECT v.vec_id, c.vec_id AS ccid,
+             CAST(SUM(CAST(v.e * c.e AS DECIMAL(30,15))) AS DOUBLE) AS dot
+      FROM elems v JOIN elems c ON c.i = v.i AND c.vec_id < 8
+      GROUP BY 1, 2
+    ),
+    ccos AS (
+      SELECT cdots.vec_id, ccid, dot / (nv.nrm * nc.nrm) AS c
+      FROM cdots JOIN norms nv ON nv.vec_id = cdots.vec_id
+                 JOIN norms nc ON nc.vec_id = ccid
+    ),
+    ranked_cells AS (
+      SELECT vec_id, ccid, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                              ORDER BY c DESC, ccid) AS rn
+      FROM ccos
+    ),
+    assign AS (SELECT vec_id, ccid AS cell FROM ranked_cells WHERE rn = 1),
+    cand AS (
+      SELECT a.vec_id AS d1, b.vec_id AS d2, a.cell
+      FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    ),
+    dots AS (
+      SELECT d1, d2, ANY_VALUE(cell) AS cell,
+             CAST(SUM(CAST(x.e * y.e AS DECIMAL(30,15))) AS DOUBLE) AS dot
+      FROM cand JOIN elems x ON x.vec_id = d1
+                JOIN elems y ON y.vec_id = d2 AND y.i = x.i
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT d1, d2, cell, dot / (na.nrm * nb.nrm) AS c
+      FROM dots JOIN norms na ON na.vec_id = d1 JOIN norms nb ON nb.vec_id = d2
+    )
+    SELECT d1, d2, CAST(cell AS BIGINT) AS cell,
+           FLOOR((c) * 1000000 + 0.5) / 1000000 AS cosine
+    FROM scored WHERE c >= {_SEM_THRESHOLD}
+    """,
+)
+def dedup_semantic_ivf(spark, sf_dir):
+    """SemDeDup-style semantic dedup: IVF coarse-quantize (deterministic
+    first-8 centroids, ties to lower id), exact-decimal cosine verify
+    WITHIN each cell only — Σ|cell|² candidate work instead of N², an
+    ordinary equi-join on the cell key. Complements the sign-LSH banded
+    discovery (`dedup_embed_cosine`) with the cluster-then-dedup shape;
+    threshold 0.45 where the synthetic embeddings have neighbours."""
+    emb = load(spark, sf_dir, "embeddings")
+    return simsearch.semantic_dup_pairs(emb, threshold=_SEM_THRESHOLD, dim=64)
+
+
+_EPOCHS = {"src0": 3, "src7": 2}
+
+
+@query(
+    "mixture_epoch_upsample",
+    oracle=sampling.o_epoch_upsample(_EPOCHS),
+)
+def mixture_epoch_upsample(spark, sf_dir):
+    """Mixture upsampling by repetition: 3 epochs of src0, 2 of src7,
+    1 of everything else, each copy tagged with its epoch index — the
+    "repeat the trusted domain" weighting. Pure projection + JVM row
+    generator (explode(sequence)); the repeat factor is a literal CASE
+    over the bounded domain dict — no join, no shuffle, no Python."""
+    return sampling.epoch_upsample(load(spark, sf_dir, "documents"), _EPOCHS)

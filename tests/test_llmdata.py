@@ -550,3 +550,151 @@ def test_mixture_threshold_truncation_parity(spark, duck):
         "SELECT CAST(FLOOR(LEAST(1.0, (1 * 1.0 / 1.0) / 3) * 10000) AS BIGINT)"
     ).fetchone()
     assert t == 3333
+
+
+# ---------------------------------------------------------------------------
+# Lexical retrieval / domain cap / boilerplate (round 6)
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_ranking_invariants(spark):
+    from etl_staging_spark.llmdata import lexsearch
+
+    rows = [
+        (0, "spark spark spark pad pad"),   # tf=3
+        (1, "spark pad pad pad pad"),       # tf=1, dl=5
+        (2, "pad pad pad pad pad"),         # tf=0 -> excluded
+        (3, "spark pad"),                   # tf=1, dl=2 (shorter wins)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = lexsearch.bm25_topk(docs, ["spark"], k=10).collect()
+    got = [r.doc_id for r in out]
+    assert 2 not in got                     # no query term, never ranks
+    assert got[0] == 0                      # highest tf first
+    assert got.index(3) < got.index(1)      # same tf, shorter doc wins
+    scores = [r.score for r in out]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_k_cut_and_tiebreak(spark):
+    from etl_staging_spark.llmdata import lexsearch
+
+    # ten identical docs: equal scores, the k-cut must be by doc_id
+    docs = spark.createDataFrame(
+        [(i, "spark pad pad") for i in range(10)], "doc_id long, text string"
+    )
+    out = lexsearch.bm25_topk(docs, ["spark"], k=4).collect()
+    assert [r.doc_id for r in out] == [0, 1, 2, 3]
+
+
+def test_domain_quality_cap_budget_and_order(spark):
+    hi = "alpha beta gamma delta epsilon zeta eta theta " * 4  # diverse
+    lo = "spam spam spam spam spam spam spam spam " * 4        # repetitive
+    rows = (
+        [(i, hi + f"tail{i}", "big") for i in range(6)]
+        + [(i + 10, lo, "big") for i in range(3)]
+        + [(20, hi, "small")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = sampling.domain_quality_cap(docs, cap=5)
+    rows_out = out.collect()
+    per_dom = {}
+    for r in rows_out:
+        per_dom.setdefault(r.domain, []).append(r)
+    assert len(per_dom["big"]) == 5          # budget enforced
+    assert len(per_dom["small"]) == 1        # under-cap domain untouched
+    # the kept 'big' docs are the high-quality (diverse) ones
+    kept_big = {r.doc_id for r in per_dom["big"]}
+    assert kept_big.issubset(set(range(6)))
+    # ranks are 1..5 and ordered by quality desc then doc_id
+    big = sorted(per_dom["big"], key=lambda r: r.rk)
+    assert [r.rk for r in big] == [1, 2, 3, 4, 5]
+    quals = [r.quality for r in big]
+    assert quals == sorted(quals, reverse=True)
+
+
+def test_domain_quality_cap_tiebreak_by_doc_id(spark):
+    docs = spark.createDataFrame(
+        [(i, "same text here every time", "d") for i in range(4)],
+        "doc_id long, text string, source string",
+    )
+    out = sorted(sampling.domain_quality_cap(docs, cap=2).collect(),
+                 key=lambda r: r.rk)
+    assert [r.doc_id for r in out] == [0, 1]
+
+
+def test_boilerplate_flags_planted_template(spark):
+    from etl_staging_spark.llmdata import decontam
+
+    template = "all rights reserved"
+    uniq = ["alpha bravo", "charlie delta", "echo foxtrot", "golf hotel",
+            "india juliet", "kilo lima", "mike november", "oscar papa",
+            "quebec romeo", "sierra tango"]
+    rows = (
+        # templated source: every doc leads with the same 3 words
+        [(i, f"{template} {uniq[i]}", "tmpl") for i in range(10)]
+        # clean source: fully distinct bigrams
+        + [(i + 100, f"{uniq[i]} unique{i} word{i}", "clean") for i in range(10)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.doc_id: r for r in decontam.boilerplate_flags(
+        docs, n=2, shingle_src_frac=0.5, doc_frac=0.3
+    ).collect()}
+    for i in range(10):
+        r = out[i]
+        # 'all rights' + 'rights reserved' recur in 10/10 docs of tmpl
+        assert r.bp_shingles == 2 and r.boilerplate, r
+    for i in range(10):
+        r = out[i + 100]
+        assert r.bp_shingles == 0 and not r.boilerplate, r
+
+
+def test_semantic_dup_pairs_planted_clusters(spark):
+    """SemDeDup within-cell verify: near-dup pairs inside a planted
+    cluster are found; cross-cluster (different-cell) pairs are not
+    candidates even above threshold (the documented boundary
+    tradeoff)."""
+    import math
+
+    dim = 8
+    rows = []
+    # two tight clusters along axes 0 and 2, 4 points each
+    for c, axis in enumerate([0, 2]):
+        for i in range(4):
+            vec = [0.0] * dim
+            vec[axis] = 1.0
+            vec[axis + 1] = 0.05 * math.sin(3.0 * i + c)
+            rows.append((c * 4 + i, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # trained centroids: one per planted cluster
+    cents = simsearch.train_ivf_centroids(emb, n_centroids=2, max_sample=8)
+    out = simsearch.semantic_dup_pairs(
+        emb, threshold=0.95, dim=dim, centroids=cents
+    ).collect()
+    pairs = {(r.d1, r.d2) for r in out}
+    # all within-cluster pairs found, nothing across clusters
+    within_a = {(i, j) for i in range(4) for j in range(i + 1, 4)}
+    within_b = {(i, j) for i in range(4, 8) for j in range(i + 1, 8)}
+    assert pairs == within_a | within_b
+    # both members of each pair share the cell label
+    cells = {r.d1: r.cell for r in out} | {r.d2: r.cell for r in out}
+    assert len({cells[i] for i in range(4)}) == 1
+    assert len({cells[i] for i in range(4, 8)}) == 1
+    assert cells[0] != cells[4]
+
+
+def test_epoch_upsample_counts_and_tags(spark):
+    docs = spark.createDataFrame(
+        [(0, "a", "wiki"), (1, "b", "wiki"), (2, "c", "web"), (3, "d", "code")],
+        "doc_id long, text string, source string",
+    )
+    out = sampling.epoch_upsample(docs, {"wiki": 3, "code": 0}).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r.epoch)
+    assert sorted(by_doc[0]) == [1, 2, 3]      # 3 epochs of wiki
+    assert sorted(by_doc[1]) == [1, 2, 3]
+    assert by_doc[2] == [1]                    # default 1 epoch
+    assert 3 not in by_doc                     # 0 epochs drops the domain
+    with pytest.raises(ValueError):
+        sampling.epoch_upsample(docs, {"wiki": -1})

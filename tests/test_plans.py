@@ -192,3 +192,54 @@ def test_corpus_assembly_composition_plan(spark, queries):
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
     assert "Exchange SinglePartition" not in p
+
+
+def test_bm25_topk_heap_not_global_sort(spark, queries):
+    """BM25's global top-k is TakeOrderedAndProject (per-partition
+    heaps merged on the driver), never a full sort; the corpus-stats
+    side is a 1-row broadcast (the only sanctioned nested-loop join);
+    no exploded inverted index for a bounded query (no Generate)."""
+    p = plan_of(spark, queries, "search_bm25_topk")
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+    assert "Generate" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_domain_cap_windows_by_domain(spark, queries):
+    """The per-domain rank never collapses to one partition: the window
+    exchange hash-partitions on the domain key."""
+    p = plan_of(spark, queries, "domain_quality_cap")
+    assert "Exchange SinglePartition" not in p
+    assert "Window" in p
+    assert "CartesianProduct" not in p
+
+
+def test_boilerplate_flag_no_allpairs(spark, queries):
+    """Boilerplate df-thresholding is aggregate-shaped: one corpus
+    explosion, keyed joins only."""
+    p = plan_of(spark, queries, "boilerplate_flag")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Exchange SinglePartition" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_semantic_dedup_cell_equijoin(spark, queries):
+    """SemDeDup's candidate generation is an equi-join on the cell key
+    (never all-pairs), and the centroid assignment is broadcast
+    literals — no join, no Python."""
+    p = plan_of(spark, queries, "dedup_semantic_ivf")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_epoch_upsample_pure_generator(spark, queries):
+    """Upsampling is a projection + JVM generator over the scan: no
+    join, no shuffle, no Python."""
+    p = plan_of(spark, queries, "mixture_epoch_upsample")
+    assert "Generate" in p            # explode(sequence(...))
+    assert "Exchange" not in p        # no shuffle at all
+    assert "Join" not in p
+    assert "BatchEvalPython" not in p
