@@ -49,6 +49,17 @@ def with_norm(df: DataFrame, vec_col: str = "embedding", out: str = "nrm") -> Da
     return df.withColumn(out, F.sqrt(_dot(F.col(vec_col), F.col(vec_col))))
 
 
+def _sign_nonneg(a: Column, b: Column) -> Column:
+    """``_dot(a, b) >= 0`` decided cheaply: the plain-double dot answers
+    outright unless it sits within 1e-9 of zero (double-vs-decimal
+    accumulation differs by ~1e-12 at most here), where the canonical
+    decimal fold breaks the call — per-row lazy CASE, so the expensive
+    branch evaluates only on the knife-edge rows. Output identical to
+    the decimal-only sign."""
+    dd = _ddot(a, b)
+    return F.when(F.abs(dd) > 1e-9, dd >= 0).otherwise(_dot(a, b) >= 0)
+
+
 def cosine_topk(
     emb: DataFrame,
     query_pred: Column,
@@ -97,7 +108,7 @@ def _bucket(vec_col: Column, dim: int) -> Column:
     bits = []
     for w_p in planes:
         lits = F.array(*[F.lit(w) for w in w_p])
-        bits.append(F.when(_dot(lits, vec_col) >= 0, F.lit("1")).otherwise(F.lit("0")))
+        bits.append(F.when(_sign_nonneg(lits, vec_col), F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
 
 
@@ -157,17 +168,22 @@ def cosine_dup_pairs(
         for w_p in planes[b * per_band : (b + 1) * per_band]:
             lits = F.array(*[F.lit(w) for w in w_p])
             bits.append(
-                F.when(_dot(lits, F.col(vec_col)) >= 0, F.lit("1")).otherwise(F.lit("0"))
+                F.when(_sign_nonneg(lits, F.col(vec_col)), F.lit("1")).otherwise(F.lit("0"))
             )
         band_cols.append(F.concat(F.lit(f"{b}|"), *bits))
     banded = normed.select(
         F.col(id_col).alias("vid"), F.explode(F.array(*band_cols)).alias("bkt")
     )
     x, y = banded.alias("x"), banded.alias("y")
+    # the bucket self-join lands on #buckets keys; respread the skinny
+    # id pairs before the per-pair dot products so the verify stage
+    # runs at full parallelism (see semantic_dup_pairs for the same
+    # pattern and rationale)
     cands = (
         x.join(y, (F.col("x.bkt") == F.col("y.bkt")) & (F.col("x.vid") < F.col("y.vid")))
         .select(F.col("x.vid").alias("d1"), F.col("y.vid").alias("d2"))
         .distinct()
+        .repartition(emb.sparkSession.sparkContext.defaultParallelism, "d1", "d2")
     )
     va = normed.select(
         F.col(id_col).alias("d1"), F.col(vec_col).alias("va"), F.col("nrm").alias("na")
@@ -175,10 +191,15 @@ def cosine_dup_pairs(
     vb = normed.select(
         F.col(id_col).alias("d2"), F.col(vec_col).alias("vb"), F.col("nrm").alias("nb")
     )
+    # double-cosine prefilter with slack, exact-decimal edge on the
+    # survivors: output identical to a decimal-only pass at ~1/6 the
+    # per-pair cost (the slack dwarfs the ~1e-12 double-vs-decimal gap)
+    cos_fast = _ddot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     out = (
         cands.join(va, "d1")
         .join(vb, "d2")
+        .where(cos_fast >= threshold - 1e-6)
         .withColumn("cos_raw", cos)
         .where(F.col("cos_raw") >= threshold)
         .select("d1", "d2", pround(F.col("cos_raw"), 6).alias("cosine"))
@@ -238,22 +259,70 @@ def train_ivf_centroids(
     return [c.tolist() for c in C]
 
 
+def _ddot(a: Column, b: Column) -> Column:
+    """Plain-double dot product — ~6x cheaper than the decimal fold
+    (HOFs are interpreted; BigDecimal ops dominate `_dot`'s cost). NOT
+    cross-engine canonical: use only as an internal PREFILTER with
+    slack, never on an output edge."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _py_decimal_norm(vec: list[float]) -> float:
+    """Driver-side replica of ``sqrt(_dot(v, v))``: per-element double
+    product cast to DECIMAL(30,15) (shortest-repr parse + HALF_UP to
+    scale 15, Java ``BigDecimal.valueOf`` semantics), exact decimal
+    sum, correctly-rounded double conversion and sqrt. Used for
+    TRAINED centroid literals, where no oracle needs data-side parity."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-15)
+    acc = Decimal(0)
+    for x in vec:
+        acc += Decimal(repr(float(x) * float(x))).quantize(
+            q, rounding=ROUND_HALF_UP
+        )
+    return math.sqrt(float(acc))
+
+
 def _probe_cells_expr(
-    cent_arrs: dict[int, list[float]], vcol: Column, probe: int
+    cent_arrs: dict[int, list[float]],
+    vcol: Column,
+    probe: int,
+    cent_norms: dict[int, float] | None = None,
+    nrm_col: Column | None = None,
 ) -> Column:
     """The ``probe`` nearest centroid ids for a vector, as one array
     expression over broadcast centroid literals — no join, one scan.
     array_sort on struct(negc, cid) sorts ascending by negc then cid:
-    descending similarity, ties broken toward the lower centroid id."""
+    descending similarity, ties broken toward the lower centroid id.
+
+    ``cent_norms`` (precomputed per-centroid norms, collected or via
+    :func:`_py_decimal_norm`) and ``nrm_col`` (the frame's with_norm
+    column) replace the inline decimal norm folds — without them each
+    ROW re-derives every centroid's self-dot plus its own norm K+1
+    times, which measured ~2x the whole assignment cost."""
     scored = F.array(
         *[
             F.struct(
                 (
                     -_dot(F.array(*[F.lit(w) for w in cvec]), vcol)
                     / (
-                        F.sqrt(_dot(F.array(*[F.lit(w) for w in cvec]),
-                                    F.array(*[F.lit(w) for w in cvec])))
-                        * F.sqrt(_dot(vcol, vcol))
+                        (
+                            F.lit(cent_norms[cid])
+                            if cent_norms is not None
+                            else F.sqrt(_dot(F.array(*[F.lit(w) for w in cvec]),
+                                             F.array(*[F.lit(w) for w in cvec])))
+                        )
+                        * (
+                            nrm_col
+                            if nrm_col is not None
+                            else F.sqrt(_dot(vcol, vcol))
+                        )
                     )
                 ).alias("negc"),
                 F.lit(cid).alias("cid"),
@@ -264,6 +333,31 @@ def _probe_cells_expr(
     return F.transform(
         F.slice(F.array_sort(scored), 1, probe), lambda s: s["cid"]
     )
+
+
+def _resolve_centroids(
+    emb: DataFrame,
+    centroids: list[list[float]] | None,
+    n_centroids: int,
+    id_col: str,
+    vec_col: str,
+) -> tuple[dict[int, list[float]], dict[int, float]]:
+    """(cent_arrs, cent_norms) for both centroid modes. Data-derived
+    centroids collect their norms from the SAME with_norm expression
+    the oracle mirrors (bit-exact parity by construction); trained
+    centroid literals get the driver-side decimal-norm replica."""
+    if centroids is not None:
+        cent_arrs = {i: [float(v) for v in c] for i, c in enumerate(centroids)}
+        cent_norms = {i: _py_decimal_norm(c) for i, c in cent_arrs.items()}
+    else:
+        cents = (
+            with_norm(emb.where(F.col(id_col) < n_centroids), vec_col)
+            .select(id_col, vec_col, "nrm")
+            .collect()
+        )
+        cent_arrs = {int(r[0]): [float(v) for v in r[1]] for r in cents}
+        cent_norms = {int(r[0]): float(r[2]) for r in cents}
+    return cent_arrs, cent_norms
 
 
 def ivf_topk(
@@ -286,18 +380,14 @@ def ivf_topk(
     as literals so assignment is one scan, no join. Without them, the
     first ``n_centroids`` vectors by id serve as a deterministic,
     oracle-expressible seed choice — same machinery, weaker lists."""
-    if centroids is not None:
-        cent_arrs = {i: [float(v) for v in c] for i, c in enumerate(centroids)}
-    else:
-        cents = (
-            emb.where(F.col(id_col) < n_centroids)
-            .select(id_col, vec_col)
-            .collect()
-        )
-        cent_arrs = {int(r[0]): [float(v) for v in r[1]] for r in cents}
+    cent_arrs, cent_norms = _resolve_centroids(
+        emb, centroids, n_centroids, id_col, vec_col
+    )
 
     def probe_cells(vcol: Column, probe: int) -> Column:
-        return _probe_cells_expr(cent_arrs, vcol, probe)
+        return _probe_cells_expr(
+            cent_arrs, vcol, probe, cent_norms=cent_norms, nrm_col=F.col("nrm")
+        )
 
     normed = with_norm(emb, vec_col).withColumn(
         "cell", probe_cells(F.col(vec_col), 1)[0]
@@ -361,32 +451,50 @@ def semantic_dup_pairs(
     Like `ivf_topk`, ``centroids=None`` falls back to the first
     ``n_centroids`` vectors by id — deterministic and fully
     oracle-expressible."""
-    if centroids is not None:
-        cent_arrs = {i: [float(v) for v in c] for i, c in enumerate(centroids)}
-    else:
-        cents = (
-            emb.where(F.col(id_col) < n_centroids)
-            .select(id_col, vec_col)
-            .collect()
-        )
-        cent_arrs = {int(r[0]): [float(v) for v in r[1]] for r in cents}
-
+    cent_arrs, cent_norms = _resolve_centroids(
+        emb, centroids, n_centroids, id_col, vec_col
+    )
     normed = with_norm(emb, vec_col).withColumn(
-        "cell", _probe_cells_expr(cent_arrs, F.col(vec_col), 1)[0]
+        "cell",
+        _probe_cells_expr(
+            cent_arrs, F.col(vec_col), 1,
+            cent_norms=cent_norms, nrm_col=F.col("nrm"),
+        )[0],
     ).persist()
-    a = normed.select(
-        "cell", F.col(id_col).alias("d1"),
-        F.col(vec_col).alias("va"), F.col("nrm").alias("na"),
-    )
-    b = normed.select(
-        "cell", F.col(id_col).alias("d2"),
-        F.col(vec_col).alias("vb"), F.col("nrm").alias("nb"),
-    )
-    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    out = (
+    # candidate pairs stay SKINNY (ids + cell) through the cell
+    # self-join — a join on K cell keys lands on at most K partitions,
+    # so the expensive per-pair work must not live in that stage;
+    # re-spreading the id pairs before attaching vectors restores full
+    # parallelism for the dot products (at real scale the vector-attach
+    # joins shuffle anyway and the repartition folds into them)
+    a = normed.select("cell", F.col(id_col).alias("d1"))
+    b = normed.select("cell", F.col(id_col).alias("d2"))
+    spark = emb.sparkSession
+    cand = (
         a.join(b, "cell")
         .where(F.col("d1") < F.col("d2"))
-        .withColumn("cos_raw", cos)
+        .repartition(spark.sparkContext.defaultParallelism, "d1", "d2")
+    )
+    va = normed.select(
+        F.col(id_col).alias("d1"), F.col(vec_col).alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    vb = normed.select(
+        F.col(id_col).alias("d2"), F.col(vec_col).alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    # two-stage verify: a plain-double cosine prefilter with slack
+    # (1e-6 >> the ~1e-12 double-vs-decimal discrepancy) discards the
+    # overwhelming non-dup mass at ~1/6 the decimal fold's cost; the
+    # canonical exact-decimal cosine then decides the edge on the few
+    # survivors, so the OUTPUT is identical to a decimal-only pass.
+    cos_fast = _ddot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    cos_exact = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    out = (
+        cand.join(va, "d1")
+        .join(vb, "d2")
+        .where(cos_fast >= threshold - 1e-6)
+        .withColumn("cos_raw", cos_exact)
         .where(F.col("cos_raw") >= threshold)
         .select(
             "d1", "d2",
