@@ -56,6 +56,10 @@ HEADLINE = [
     "sa_stock_ageing",
     "dedup_incremental_lsh",
     "corpus_assembly",
+    "search_bm25_topk",
+    "boilerplate_flag",
+    "dedup_semantic_ivf",
+    "domain_quality_cap",
 ]
 
 

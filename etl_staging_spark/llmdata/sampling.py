@@ -244,3 +244,53 @@ def o_epoch_upsample(
              CASE {domain_col} {whens} ELSE {default_epochs} END AS reps
       FROM documents
     )"""
+
+
+def shard_training_order(
+    docs: DataFrame,
+    n_shards: int,
+    salt: str = "shard-v1",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic training-data sharding + within-shard order: shard
+    = salted content-independent hash of the key mod ``n_shards``;
+    position = rank of that hash within the shard (ties by key). The
+    dataloader story at the end of corpus assembly: every run of the
+    pipeline, at any cluster size, materializes byte-identical shards
+    in byte-identical order — a reproducible "global shuffle" without
+    any RNG state or global sort.
+
+    Scale shape: the shard id is a pure projection; the position is a
+    window partitioned BY SHARD — production shard counts (thousands,
+    sized so a shard fits a dataloader worker) give the window full
+    parallelism and hash-balanced partitions by construction. Nothing
+    is ordered globally; writing then partitions by shard and sorts
+    within partitions (`sortWithinPartitions`), the exact layout
+    `partitionBy(shard)` parquet writers want."""
+    from pyspark.sql import Window
+
+    h = portable_hash56(
+        F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))
+    )
+    d = docs.select(
+        key_col, h.alias("__h"), F.pmod(h, F.lit(n_shards)).alias("shard")
+    )
+    w = Window.partitionBy("shard").orderBy("__h", key_col)
+    return d.select(
+        key_col,
+        F.col("shard").cast("int").alias("shard"),
+        F.row_number().over(w).alias("position"),
+    )
+
+
+def o_shard_training_order(
+    n_shards: int, salt: str = "shard-v1", key_expr: str = "doc_id"
+) -> str:
+    """DuckDB oracle twin of :func:`shard_training_order`."""
+    h = o_hash56(f"'{salt}:' || CAST({key_expr} AS VARCHAR)")
+    return f"""
+    SELECT doc_id, CAST(shard AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                                   ORDER BY __h, doc_id) AS INT) AS position
+    FROM (SELECT {key_expr} AS doc_id, {h} AS __h, ({h}) % {n_shards} AS shard
+          FROM documents)"""

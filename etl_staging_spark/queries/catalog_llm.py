@@ -1203,3 +1203,22 @@ def mixture_epoch_upsample(spark, sf_dir):
     generator (explode(sequence)); the repeat factor is a literal CASE
     over the bounded domain dict — no join, no shuffle, no Python."""
     return sampling.epoch_upsample(load(spark, sf_dir, "documents"), _EPOCHS)
+
+
+_N_SHARDS = 64
+
+
+@query(
+    "shard_training_order",
+    oracle=sampling.o_shard_training_order(_N_SHARDS),
+)
+def shard_training_order(spark, sf_dir):
+    """The dataloader endgame of corpus assembly: deterministic shard
+    assignment (salted hash mod 64) + within-shard training order (rank
+    of the hash, ties by id) — a reproducible global shuffle with no
+    RNG state and no global sort. Shard id is a projection; position is
+    a window partitioned by shard (hash-balanced by construction), the
+    exact layout a partitioned parquet writer wants."""
+    return sampling.shard_training_order(
+        load(spark, sf_dir, "documents"), n_shards=_N_SHARDS
+    )

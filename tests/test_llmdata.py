@@ -698,3 +698,30 @@ def test_epoch_upsample_counts_and_tags(spark):
     assert 3 not in by_doc                     # 0 epochs drops the domain
     with pytest.raises(ValueError):
         sampling.epoch_upsample(docs, {"wiki": -1})
+
+
+def test_shard_training_order_deterministic_and_balanced(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(400)], "doc_id long, text string"
+    )
+    out = sampling.shard_training_order(docs, n_shards=8).collect()
+    assert len(out) == 400
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    # every shard populated, hash-balanced within a loose band
+    assert set(by_shard) == set(range(8))
+    assert all(20 <= len(v) <= 80 for v in by_shard.values())
+    # positions are 1..n contiguous per shard
+    for v in by_shard.values():
+        assert sorted(r.position for r in v) == list(range(1, len(v) + 1))
+    # determinism: same input -> identical assignment; different salt
+    # -> a different permutation of the same rows
+    again = sampling.shard_training_order(docs, n_shards=8).collect()
+    assert {(r.doc_id, r.shard, r.position) for r in again} == {
+        (r.doc_id, r.shard, r.position) for r in out
+    }
+    other = sampling.shard_training_order(docs, n_shards=8, salt="v2").collect()
+    assert {(r.doc_id, r.shard, r.position) for r in other} != {
+        (r.doc_id, r.shard, r.position) for r in out
+    }

@@ -243,3 +243,12 @@ def test_epoch_upsample_pure_generator(spark, queries):
     assert "Exchange" not in p        # no shuffle at all
     assert "Join" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_shard_order_windows_by_shard(spark, queries):
+    """Shard position never collapses to one partition: the window
+    exchange hash-partitions on the shard id."""
+    p = plan_of(spark, queries, "shard_training_order")
+    assert "Exchange SinglePartition" not in p
+    assert "Window" in p
+    assert "Join" not in p
