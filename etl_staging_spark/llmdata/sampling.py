@@ -284,13 +284,17 @@ def shard_training_order(
 
 
 def o_shard_training_order(
-    n_shards: int, salt: str = "shard-v1", key_expr: str = "doc_id"
+    n_shards: int,
+    salt: str = "shard-v1",
+    key_expr: str = "doc_id",
+    source_sql: str = "documents",
 ) -> str:
-    """DuckDB oracle twin of :func:`shard_training_order`."""
+    """DuckDB oracle twin of :func:`shard_training_order` over any
+    relation (table name or CTE)."""
     h = o_hash56(f"'{salt}:' || CAST({key_expr} AS VARCHAR)")
     return f"""
     SELECT doc_id, CAST(shard AS INT) AS shard,
            CAST(ROW_NUMBER() OVER (PARTITION BY shard
                                    ORDER BY __h, doc_id) AS INT) AS position
     FROM (SELECT {key_expr} AS doc_id, {h} AS __h, ({h}) % {n_shards} AS shard
-          FROM documents)"""
+          FROM {source_sql})"""

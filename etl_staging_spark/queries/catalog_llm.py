@@ -1222,3 +1222,134 @@ def shard_training_order(spark, sf_dir):
     return sampling.shard_training_order(
         load(spark, sf_dir, "documents"), n_shards=_N_SHARDS
     )
+
+
+_FULL_CAP = 8
+_FULL_SHARDS = 16
+
+
+@query(
+    "corpus_assembly_full",
+    oracle=f"""
+    WITH {O_TOKS}, {O_FIVE}, {_O_QUAL_CTES}, {_O_REP_CTES},
+    corpus AS (SELECT * FROM documents WHERE doc_id % 20 != 0),
+    canon AS (
+      SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY sha256(text)
+    ),
+    bench5 AS (SELECT DISTINCT shingle FROM five WHERE doc_id % 20 = 0),
+    contaminated AS (
+      SELECT DISTINCT f.doc_id FROM five f JOIN bench5 USING (shingle)
+      WHERE f.doc_id % 20 != 0
+    ),
+    bpidx AS (
+      SELECT DISTINCT b.doc_id, c.source, b.g AS shingle
+      FROM bigr b JOIN corpus c USING (doc_id)
+    ),
+    bpsrc AS (SELECT source, COUNT(*) AS src_docs FROM corpus GROUP BY source),
+    bpdf AS (SELECT source, shingle, COUNT(*) AS df FROM bpidx GROUP BY 1, 2),
+    bpboiler AS (
+      SELECT g.source, g.shingle FROM bpdf g JOIN bpsrc USING (source)
+      WHERE df > {_BP_SRC_FRAC} * src_docs
+    ),
+    bpper AS (
+      SELECT i.doc_id, COUNT(*) AS bp FROM bpidx i
+      JOIN bpboiler b ON b.source = i.source AND b.shingle = i.shingle
+      GROUP BY 1
+    ),
+    bptot AS (SELECT doc_id, COUNT(*) AS ns FROM bpidx GROUP BY 1),
+    bpflag AS (
+      SELECT t.doc_id,
+             {o_pround('CAST(COALESCE(bp, 0) AS DOUBLE) / t.ns', 6)} > {_BP_DOC_FRAC}
+               AS boilerplate
+      FROM bptot t LEFT JOIN bpper p ON p.doc_id = t.doc_id
+    ),
+    kept0 AS (
+      SELECT c.doc_id, c.source, q.quality FROM corpus c
+      JOIN canon USING (doc_id)
+      JOIN qual q ON q.doc_id = c.doc_id
+      JOIN rep r ON r.doc_id = c.doc_id
+      JOIN bpflag bf ON bf.doc_id = c.doc_id
+      WHERE c.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        AND q.quality >= {QUALITY_MIN}
+        AND NOT r.repetitive
+        AND NOT bf.boilerplate
+    ),
+    capped AS (
+      SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY quality DESC, doc_id) AS rk
+        FROM kept0
+      ) WHERE rk <= {_FULL_CAP}
+    ),
+    sharded AS ({sampling.o_shard_training_order(_FULL_SHARDS, source_sql="capped")})
+    SELECT {sampling.o_hash_split(_SPLITS, key_expr="s.doc_id")} AS split,
+           s.shard, COUNT(*) AS n_docs,
+           CAST(SUM(s.position) AS BIGINT) AS pos_sum
+    FROM sharded s GROUP BY 1, 2
+    """,
+)
+def corpus_assembly_full(spark, sf_dir):
+    """The COMPLETE llmdata front-end, every round-6 stage included, as
+    one verified pipeline: canonical exact-dedup -> benchmark 5-gram
+    decontamination -> quality gate -> Gopher repetition gate ->
+    per-source boilerplate gate -> per-domain quality budget (top-8 per
+    source) -> deterministic train/val/test split -> shard + training-
+    order assignment, reporting (split, shard) doc counts and position
+    checksums.
+
+    Composition shape: every gate is a doc-keyed join of an aggregated
+    frame over ONE persisted corpus grain (the five-way fan-out reads
+    one cached scan); the only windows are partitioned by source (cap)
+    and by shard (order) — bounded-key, never global; the split and
+    shard assignments are pure hash projections. Each stage's 100 TB
+    properties are audited individually (`tests/test_plans.py`); the
+    composition inherits them."""
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    corpus = (
+        docs.where(F.col("doc_id") % 20 != 0)
+        .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+        .persist()
+    )
+    canon = dedup.exact_dup_groups(corpus).select(
+        F.col("canonical_doc_id").alias("doc_id")
+    )
+    contam = decontam.ngram_overlap(corpus, bench, n=5, min_hits=1).where(
+        ~F.col("contaminated")
+    ).select("doc_id")
+    qual = textstats.quality_scores(corpus).select("doc_id", "quality")
+    rep_flags = textstats.repetition_stats(corpus).persist()
+    rep = rep_flags.where(~F.col("repetitive")).select("doc_id")
+    bp = decontam.boilerplate_flags(
+        corpus, n=2, shingle_src_frac=_BP_SRC_FRAC, doc_frac=_BP_DOC_FRAC
+    ).where(~F.col("boilerplate")).select("doc_id")
+    kept0 = (
+        corpus.select("doc_id", "source")
+        .join(canon, "doc_id", "left_semi")
+        .join(contam, "doc_id", "left_semi")
+        .join(rep, "doc_id", "left_semi")
+        .join(bp, "doc_id", "left_semi")
+        .join(qual, "doc_id")
+        .where(F.col("quality") >= QUALITY_MIN)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(F.desc("quality"), F.asc("doc_id"))
+    capped = (
+        kept0.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _FULL_CAP)
+        .select("doc_id")
+    )
+    sharded = sampling.shard_training_order(capped, n_shards=_FULL_SHARDS)
+    # the split is a pure hash projection — stamp it straight onto the
+    # sharded frame (a join back to `capped` would fork the lineage and
+    # recompute the whole gate pipeline a second time)
+    return (
+        sampling.hash_split(sharded, _SPLITS)
+        .groupBy("split", "shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("position").cast("bigint").alias("pos_sum"),
+        )
+    )

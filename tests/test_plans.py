@@ -252,3 +252,13 @@ def test_shard_order_windows_by_shard(spark, queries):
     assert "Exchange SinglePartition" not in p
     assert "Window" in p
     assert "Join" not in p
+
+
+def test_corpus_assembly_full_composition_plan(spark, queries):
+    """The complete assembly pipeline (gates + cap + split + shard)
+    stays doc-keyed: no cartesian, no Python, no single-partition
+    exchange (both windows partition on bounded keys)."""
+    p = plan_of(spark, queries, "corpus_assembly_full")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert "Exchange SinglePartition" not in p
