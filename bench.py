@@ -60,6 +60,9 @@ HEADLINE = [
     "boilerplate_flag",
     "dedup_semantic_ivf",
     "domain_quality_cap",
+    "mixture_epoch_upsample",
+    "shard_training_order",
+    "corpus_assembly_full",
 ]
 
 

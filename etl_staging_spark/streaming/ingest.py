@@ -70,3 +70,51 @@ def dedup_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def gated_ingest_stream(
+    docs_stream: DataFrame,
+    on_batch: Callable[[int, DataFrame], None],
+    quality_min: float = 0.68,
+    splits: dict[str, float] | None = None,
+    query_name: str = "gated_ingest",
+):
+    """The stateless front half of corpus assembly run continuously at
+    ingest: per micro-batch, quality gate + Gopher repetition gate +
+    deterministic hash split, handing the gated, split-stamped frame to
+    ``on_batch``. Every stage is a projection or doc-keyed join WITHIN
+    the micro-batch (the hash split is content-independent, so arrival
+    order and batch boundaries cannot change any doc's split); dedup
+    against the persisted corpus index composes via
+    :func:`dedup_ingest_stream` in the same foreachBatch loop."""
+    from pyspark.sql import functions as F
+
+    from ..llmdata import sampling, textstats
+
+    splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        qual = (
+            textstats.quality_scores(batch_df)
+            .where(F.col("quality") >= quality_min)
+            .select("doc_id")
+        )
+        # materialize before filtering the HOF-derived flags (caller
+        # note on repetition_stats)
+        rep_flags = textstats.repetition_stats(batch_df).persist()
+        try:
+            rep = rep_flags.where(~F.col("repetitive")).select("doc_id")
+            kept = (
+                batch_df.join(qual, "doc_id", "left_semi")
+                .join(rep, "doc_id", "left_semi")
+            )
+            on_batch(batch_id, sampling.hash_split(kept, splits))
+        finally:
+            rep_flags.unpersist()
+
+    return (
+        docs_stream.writeStream.foreachBatch(_process)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -235,3 +235,53 @@ def test_streaming_dedup_against_persisted_index(spark, tmp_path):
     assert set(seen) == want
     assert (1, 0) in want and (2, 0) in want and (4, 3) in want
     assert all(d2 in (0, 3) for _, d2 in want)
+
+
+def test_gated_ingest_matches_batch(spark, tmp_path):
+    """The streaming assembly gate (quality + repetition + split) per
+    micro-batch equals the batch operators on the same documents, and
+    split assignment is batch-boundary independent (content hash)."""
+    from pyspark.sql import functions as F
+
+    from etl_staging_spark.llmdata import sampling, textstats
+    from etl_staging_spark.streaming.ingest import doc_stream, gated_ingest_stream
+
+    good = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+        "uniform victor whiskey xray yankee zulu one two three four five "
+        "six seven eight nine ten eleven twelve thirteen fourteen fifteen "
+        "sixteen seventeen eighteen nineteen twenty twentyone twentytwo"
+    )
+    spam = "spam ham spam ham spam ham spam ham spam ham spam ham spam ham"
+    rows = [(i, good + f" tail{i}") for i in range(20)] + [
+        (100 + i, spam) for i in range(5)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    drop_dir = str(tmp_path / "drops")
+    docs.coalesce(2).write.mode("overwrite").parquet(drop_dir)
+
+    got: dict[int, tuple] = {}
+
+    def sink(bid, frame):
+        for r in frame.collect():
+            got[r.doc_id] = (r.split,)
+
+    q = gated_ingest_stream(doc_stream(spark, drop_dir), sink, quality_min=0.5)
+    q.awaitTermination()
+
+    # batch reference: same gates, same split
+    qual = textstats.quality_scores(docs).where(F.col("quality") >= 0.5).select("doc_id")
+    rep_flags = textstats.repetition_stats(docs).persist()
+    rep = rep_flags.where(~F.col("repetitive")).select("doc_id")
+    kept = docs.join(qual, "doc_id", "left_semi").join(rep, "doc_id", "left_semi")
+    want = {
+        r.doc_id: (r.split,)
+        for r in sampling.hash_split(
+            kept, {"train": 0.9, "val": 0.05, "test": 0.05}
+        ).collect()
+    }
+    rep_flags.unpersist()
+    assert got == want
+    assert got, "gate must keep something"
+    assert all(100 + i not in got for i in range(5)), "spam must be dropped"
