@@ -100,14 +100,18 @@ def bm25_topk(
             tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
         )
         term_scores.append(pround(idf * tf_part, 9))
-    total = term_scores[0]
+    # blend in EXACT decimal (scale 9 holds the pround-ed values
+    # losslessly... up to double representation, which both engines and
+    # the indexed path share), so the sum is order-free and the scan
+    # path, the oracle and the index-side SUM aggregate all agree
+    total = term_scores[0].cast("decimal(20,9)")
     for ts in term_scores[1:]:
-        total = total + ts
+        total = total + ts.cast("decimal(20,9)")
     out = scored.select(
         "doc_id",
         "dl",
         *[F.col(f"tf_{i}").alias(f"tf_{i}") for i in range(len(terms))],
-        pround(total, 6).alias("score"),
+        pround(total.cast("double"), 6).alias("score"),
     )
     return (
         out.where(F.col("score") > 0)
@@ -129,13 +133,13 @@ def o_bm25_topk(
         for i in range(len(terms))
     )
     term_sum = " + ".join(
-        o_pround(
+        "CAST(" + o_pround(
             f"((n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
             f" * ((CAST(tf_{i} AS DOUBLE) * {k1 + 1.0!r})"
             f" / (CAST(tf_{i} AS DOUBLE) + {k1!r} * ({1.0 - b!r} + {b!r}"
             f" * CAST(dl AS DOUBLE) / avgdl)))",
             9,
-        )
+        ) + " AS DECIMAL(20,9))"
         for i in range(len(terms))
     )
     tf_out = ", ".join(f"tf_{i}" for i in range(len(terms)))
@@ -156,7 +160,7 @@ def o_bm25_topk(
     ),
     bmscored AS (
       SELECT doc_id, dl, {tf_out},
-             {o_pround(term_sum, 6)} AS score
+             {o_pround(f'CAST(({term_sum}) AS DOUBLE)', 6)} AS score
       FROM bmdoc CROSS JOIN bmstats
     )
     SELECT doc_id, dl, {tf_out}, score
@@ -164,4 +168,95 @@ def o_bm25_topk(
     ORDER BY score DESC, doc_id LIMIT {k}"""
 
 
-__all__ = ["K1", "B", "bm25_topk", "o_bm25_topk"]
+def write_term_index(
+    docs: DataFrame,
+    table: str,
+    n_buckets: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Persist the corpus as a BM25-ready inverted index — the
+    write-once-shuffle half of a lexical search service, the retrieval
+    twin of `dedup.write_signature_index`:
+
+    - ``{table}_postings``: (term, doc_id, tf, dl) bucketed by term —
+      a query's term list joins matching buckets with NO Exchange on
+      the corpus side, and bucket pruning means only the query terms'
+      buckets are read at all;
+    Corpus stats (n_docs, avgdl) and per-term document frequencies
+    derive from the postings at query time — bounded aggregates a
+    production service would snapshot at index-write time.
+
+    Production appends new partitions per ingest batch; the bucket
+    layout is unchanged by appends."""
+    from ..etl.bucketed import write_bucketed
+
+    d = with_tokens(docs, text_col)
+    postings = (
+        d.select(
+            id_col,
+            F.size(F.col(TOKS)).alias("dl"),
+            F.explode(F.col(TOKS)).alias("term"),
+        )
+        .groupBy("term", id_col)
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+    )
+    write_bucketed(postings, f"{table}_postings", ["term"], n_buckets)
+
+
+def bm25_topk_indexed(
+    spark,
+    table: str,
+    terms: list[str],
+    k: int = 50,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """BM25 top-k against the persisted inverted index: the query terms
+    filter the bucketed postings (bucket pruning — only the terms'
+    buckets are scanned, no corpus-wide pass), per-term postings come
+    back already (term, doc)-keyed, and scoring proceeds exactly as
+    :func:`bm25_topk`. Corpus stats (N, avgdl) fold from the distinct
+    (doc, dl) pairs of... the FULL postings table — the one aggregate
+    that still sees every doc; a production service snapshots it at
+    index-write time instead. Scores equal the scan-time operator's
+    whenever every document contains at least one indexed term."""
+    postings = spark.table(f"{table}_postings")
+    q = postings.where(F.col("term").isin(*terms))
+    stats = (
+        postings.select("doc_id", "dl").distinct().agg(
+            F.count("*").alias("n_docs"),
+            (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        )
+    )
+    dfs = (
+        q.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    )
+    per_doc = (
+        q.join(F.broadcast(dfs), "term")
+        .join(F.broadcast(stats))
+    )
+    tf = F.col("tf").cast("double")
+    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    tf_part = (tf * (k1 + 1.0)) / (
+        tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    scored = per_doc.withColumn(
+        "tscore", pround(idf * tf_part, 9).cast("decimal(20,9)")
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            pround(F.sum("tscore").cast("double"), 6).alias("score"),
+            F.first("dl").alias("dl"),
+        )
+        .where(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+__all__ = [
+    "K1", "B", "bm25_topk", "o_bm25_topk",
+    "write_term_index", "bm25_topk_indexed",
+]

@@ -725,3 +725,25 @@ def test_shard_training_order_deterministic_and_balanced(spark):
     assert {(r.doc_id, r.shard, r.position) for r in other} != {
         (r.doc_id, r.shard, r.position) for r in out
     }
+
+
+def test_bm25_indexed_equals_scan_path(spark):
+    """The persisted-inverted-index BM25 equals the scan-time operator
+    on the same corpus, and the postings scan is bucket-PRUNED to the
+    query terms' buckets (the service-side story: query cost scales
+    with postings of the query terms, not corpus size)."""
+    from etl_staging_spark.llmdata import lexsearch
+    from etl_staging_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    docs = load(spark, SF_DIR, "documents")
+    terms = ["spark", "hash", "window"]
+    lexsearch.write_term_index(docs, "bm25_ix_test", n_buckets=16)
+    want = {
+        (r.doc_id, r.score) for r in lexsearch.bm25_topk(docs, terms, k=20).collect()
+    }
+    got_df = lexsearch.bm25_topk_indexed(spark, "bm25_ix_test", terms, k=20)
+    got = {(r.doc_id, r.score) for r in got_df.collect()}
+    assert got == want
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "SelectedBucketsCount" in plan, "term filter must prune buckets"
