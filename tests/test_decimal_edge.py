@@ -148,3 +148,34 @@ def test_round_half_ties_in_decimal_space(spark, duck, raw):
         f"SELECT CAST(ROUND(CAST('{raw}' AS DECIMAL(18,3)), 2) AS DOUBLE)"
     ).fetchone()
     assert _bits(sval) == _bits(dval), f"{raw}: spark {sval!r} duckdb {dval!r}"
+
+
+def test_pround_parity_spark_duckdb_python(spark, duck):
+    """`numeric.pround` / `o_pround` (floor(x*10^s + 0.5)/10^s) must be
+    bit-identical across Spark, DuckDB and a pure-Python replica for
+    adversarial doubles: representability edges (0.1-ish), half-way
+    points at each scale, negatives, magnitudes, and the documented
+    toward-+inf half convention for negative ties."""
+    from pyspark.sql import functions as F
+
+    from etl_staging_spark.numeric import o_pround, pround
+
+    vals = (
+        [i / 100 for i in range(-300, 301, 13)]
+        + [0.005, 0.015, 0.025, 0.105, 2.675, -2.675, 0.5, -0.5, 1.0005]
+        + [1e-9, -1e-9, 123456.789012, -123456.789012, 0.3333333333]
+        + [x * (1 + 2 ** -50) for x in (0.005, 2.675)]  # just off the tie
+    )
+    for scale in (2, 6, 9):
+        sdf = spark.createDataFrame([(v,) for v in vals], "x double").select(
+            pround(F.col("x"), scale).alias("r")
+        )
+        got_spark = [r.r for r in sdf.collect()]
+        got_duck = [
+            duck.execute(f"SELECT {o_pround('CAST(? AS DOUBLE)', scale)}", [v]).fetchone()[0]
+            for v in vals
+        ]
+        m = 10 ** scale
+        got_py = [math.floor(v * m + 0.5) / m for v in vals]
+        for v, a, b, c in zip(vals, got_spark, got_duck, got_py):
+            assert _bits(a) == _bits(b) == _bits(c), (v, scale, a, b, c)
