@@ -4,12 +4,22 @@ Four operator families the reference lacks but a 100 TB training-data
 pipeline needs (builder brief, BASELINE north star):
 
 - deduplication: exact (sha2 groupBy), n-gram Jaccard (shingle
-  inverted index), MinHash+LSH banding (the scale path), SimHash —
-  :mod:`.dedup`
-- similarity search: brute-force cosine top-k baseline + random-
-  hyperplane LSH bucketed variant — :mod:`.simsearch`
+  inverted index), MinHash+LSH banding (the scale path) with a
+  persisted bucketed signature index for incremental batch/stream
+  ingest, SimHash + Hamming pairing, embedding-cosine (sign-LSH) and
+  SemDeDup-style IVF-cell semantic dedup, connected-component cluster
+  assignment — :mod:`.dedup`, :mod:`.cluster`
+- retrieval: brute-force cosine top-k baseline, sign-LSH and IVF ANN
+  (:mod:`.simsearch`); BM25 lexical top-k with a term-bucketed
+  persisted inverted index (:mod:`.lexsearch`)
 - text analysis: quality scoring, language-ID n-gram heuristic,
-  tokenizer-ish counting, document fingerprinting — :mod:`.textstats`
+  tokenizer-ish counting, document fingerprinting, Gopher repetition
+  gates (:mod:`.textstats`); benchmark decontamination and per-source
+  boilerplate flagging (:mod:`.decontam`); PII masking (:mod:`.pii`)
+- corpus assembly: deterministic hash splits, mixture down-sampling
+  and epoch up-sampling, per-domain quality budgets, shard +
+  training-order assignment (:mod:`.sampling`); sequence packing
+  (:mod:`.packing`); HLL/GK approximate corpus stats (:mod:`.stats`)
 - multimodal plumbing: opaque binary payloads + Arrow-batched
   Pandas-UDF decode (decode itself stubbed deterministically; the
   image/audio libs are not in this container) — :mod:`.multimodal`
