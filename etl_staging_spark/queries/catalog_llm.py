@@ -1353,3 +1353,54 @@ def corpus_assembly_full(spark, sf_dir):
             F.sum("position").cast("bigint").alias("pos_sum"),
         )
     )
+
+
+@query(
+    "split_leakage_audit",
+    oracle=f"""
+    WITH {O_TRIH},
+    ftri AS (
+      SELECT doc_id, h FROM trih
+      WHERE h IN (SELECT h FROM trih GROUP BY h
+                  HAVING COUNT(*) <= {dedup.MAX_SHINGLE_DF})
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ftri GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+      FROM ftri a JOIN ftri b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT d1, d2 FROM inter
+      JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
+      WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
+    )
+    SELECT d1, d2,
+           {sampling.o_hash_split(_SPLITS, key_expr="d1")} AS split_1,
+           {sampling.o_hash_split(_SPLITS, key_expr="d2")} AS split_2,
+           {sampling.o_hash_split(_SPLITS, key_expr="d1")}
+             <> {sampling.o_hash_split(_SPLITS, key_expr="d2")} AS leaky
+    FROM pairs
+    """,
+)
+def split_leakage_audit(spark, sf_dir):
+    """Eval-hygiene audit closing the loop between dedup and splits:
+    every near-dup pair (exact 3-gram Jaccard >= 0.8) stamped with both
+    members' deterministic split assignments and a ``leaky`` flag when
+    they differ — a leaky pair means a test document has a near-copy in
+    train, the contamination mode that inflates benchmark scores even
+    after document-level splitting. The pair discovery is the audited
+    one-shuffle banded shape; the split stamp is a pure hash projection
+    on the pair ids (no join back to the corpus at all)."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, threshold=0.8).select("d1", "d2")
+    s1 = sampling.hash_split(
+        pairs.withColumn("doc_id", F.col("d1")), _SPLITS
+    ).withColumnRenamed("split", "split_1").drop("doc_id")
+    out = sampling.hash_split(
+        s1.withColumn("doc_id", F.col("d2")), _SPLITS
+    ).withColumnRenamed("split", "split_2").drop("doc_id")
+    return out.select(
+        "d1", "d2", "split_1", "split_2",
+        (F.col("split_1") != F.col("split_2")).alias("leaky"),
+    )

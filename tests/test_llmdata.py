@@ -747,3 +747,47 @@ def test_bm25_indexed_equals_scan_path(spark):
     assert got == want
     plan = got_df._jdf.queryExecution().executedPlan().toString()
     assert "SelectedBucketsCount" in plan, "term filter must prune buckets"
+
+
+def test_split_leakage_audit_flags_cross_split_pairs(spark):
+    """Near-dup pairs straddling splits carry leaky=True; same-split
+    pairs don't. Uses planted near-dups and the real hash split, with
+    doc_ids chosen so one pair lands same-split and another crosses."""
+    base = (
+        "the quick brown fox jumps over the lazy dog near the old river "
+        "bank while a cold wind blows through the tall dark trees"
+    )
+    # find ids whose hash split differs / matches, deterministically
+    probe = spark.createDataFrame(
+        [(i, "x") for i in range(200)], "doc_id long, text string"
+    )
+    splits = {
+        r.doc_id: r.split
+        for r in sampling.hash_split(
+            probe, {"train": 0.5, "test": 0.5}
+        ).collect()
+    }
+    same = [i for i in range(200) if splits[i] == splits[0]][:2]
+    cross = next(i for i in range(200) if splits[i] != splits[0])
+    docs = spark.createDataFrame(
+        [
+            (same[0], base), (same[1], base),   # same-split exact dup
+            (cross, base),                      # crosses vs same[0]
+        ],
+        "doc_id long, text string",
+    )
+    from etl_staging_spark.llmdata import dedup as dd
+
+    pairs = dd.jaccard_pairs(docs, threshold=0.8).select("d1", "d2")
+    stamped = sampling.hash_split(
+        pairs.withColumn("doc_id", F.col("d1")), {"train": 0.5, "test": 0.5}
+    ).withColumnRenamed("split", "s1").drop("doc_id")
+    stamped = sampling.hash_split(
+        stamped.withColumn("doc_id", F.col("d2")), {"train": 0.5, "test": 0.5}
+    ).withColumnRenamed("split", "s2").drop("doc_id")
+    got = {
+        (r.d1, r.d2): r.s1 != r.s2 for r in stamped.collect()
+    }
+    a, b = sorted(same)
+    assert got[(a, b)] is False
+    assert got[tuple(sorted((same[0], cross)))] is True
