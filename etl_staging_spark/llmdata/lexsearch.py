@@ -229,9 +229,9 @@ def bm25_topk_indexed(
             (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
         )
     )
-    dfs = (
-        q.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    )
+    # postings are (term, doc_id)-unique by construction of the index
+    # write, so df is a plain COUNT — no distinct machinery (Expand)
+    dfs = q.groupBy("term").agg(F.count("*").alias("df"))
     per_doc = (
         q.join(F.broadcast(dfs), "term")
         .join(F.broadcast(stats))

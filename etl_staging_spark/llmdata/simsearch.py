@@ -429,6 +429,7 @@ def semantic_dup_pairs(
     threshold: float,
     dim: int,
     n_centroids: int = 8,
+    n_probe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
@@ -450,34 +451,44 @@ def semantic_dup_pairs(
 
     Like `ivf_topk`, ``centroids=None`` falls back to the first
     ``n_centroids`` vectors by id — deterministic and fully
-    oracle-expressible."""
+    oracle-expressible. ``n_probe > 1`` widens candidate DISCOVERY to
+    each vector's top-``n_probe`` cells (the standard multi-probe
+    mitigation for boundary pairs — a pair is a candidate iff any
+    probed cell is shared); verification and the reported ``cell``
+    label (d1's primary cell) are unchanged, so raising n_probe only
+    ever ADDS recovered pairs."""
     cent_arrs, cent_norms = _resolve_centroids(
         emb, centroids, n_centroids, id_col, vec_col
     )
     normed = with_norm(emb, vec_col).withColumn(
-        "cell",
+        "cells",
         _probe_cells_expr(
-            cent_arrs, F.col(vec_col), 1,
+            cent_arrs, F.col(vec_col), n_probe,
             cent_norms=cent_norms, nrm_col=F.col("nrm"),
-        )[0],
-    ).persist()
-    # candidate pairs stay SKINNY (ids + cell) through the cell
+        ),
+    ).withColumn("cell", F.col("cells")[0]).persist()
+    # candidate pairs stay SKINNY (ids + probed cell) through the cell
     # self-join — a join on K cell keys lands on at most K partitions,
     # so the expensive per-pair work must not live in that stage;
     # re-spreading the id pairs before attaching vectors restores full
     # parallelism for the dot products (at real scale the vector-attach
     # joins shuffle anyway and the repartition folds into them)
-    a = normed.select("cell", F.col(id_col).alias("d1"))
-    b = normed.select("cell", F.col(id_col).alias("d2"))
+    probed = normed.select(
+        F.col(id_col).alias("vid"), F.explode("cells").alias("pc")
+    )
+    a = probed.select(F.col("pc"), F.col("vid").alias("d1"))
+    b = probed.select(F.col("pc"), F.col("vid").alias("d2"))
     spark = emb.sparkSession
     cand = (
-        a.join(b, "cell")
+        a.join(b, "pc")
         .where(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
         .repartition(spark.sparkContext.defaultParallelism, "d1", "d2")
     )
     va = normed.select(
         F.col(id_col).alias("d1"), F.col(vec_col).alias("va"),
-        F.col("nrm").alias("na"),
+        F.col("nrm").alias("na"), "cell",
     )
     vb = normed.select(
         F.col(id_col).alias("d2"), F.col(vec_col).alias("vb"),

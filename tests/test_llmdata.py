@@ -791,3 +791,26 @@ def test_split_leakage_audit_flags_cross_split_pairs(spark):
     a, b = sorted(same)
     assert got[(a, b)] is False
     assert got[tuple(sorted((same[0], cross)))] is True
+
+
+def test_semantic_dup_pairs_multiprobe_recovers_boundary(spark):
+    """The documented cell-boundary miss and its mitigation: a near-dup
+    pair whose members' PRIMARY cells differ is invisible at n_probe=1
+    and recovered at n_probe=2 (discovery widens; verification and
+    labels unchanged)."""
+    dim = 4
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]]
+    u = [0.0, 0.0, 1.0, 0.0]            # firmly cell 1
+    v = [0.708, 0.0, 0.706, 0.0]        # leans cell 0, near-dup of u
+    emb = spark.createDataFrame(
+        [(0, u), (1, v)], "vec_id long, embedding array<float>"
+    )
+    got1 = simsearch.semantic_dup_pairs(
+        emb, threshold=0.7, dim=dim, centroids=cents, n_probe=1
+    ).collect()
+    assert got1 == []                   # primary cells differ: missed
+    got2 = simsearch.semantic_dup_pairs(
+        emb, threshold=0.7, dim=dim, centroids=cents, n_probe=2
+    ).collect()
+    assert [(r.d1, r.d2) for r in got2] == [(0, 1)]
+    assert got2[0].cosine >= 0.7
