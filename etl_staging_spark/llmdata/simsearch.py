@@ -3,9 +3,9 @@
 - ``cosine_topk`` — brute-force baseline: broadcast the (small) query
   set against all candidates; dot products via ``zip_with`` +
   ``aggregate`` entirely in the JVM. Exact; cost O(|Q| * N). The
-  per-query top-k is a window over qid — each query's candidates hash
-  to one partition, so the shuffle is on |Q| keys (fine for dashboard-
-  sized Q; for huge Q, range-partition by qid).
+  per-query top-k is TWO-PHASE (salted local heaps, then the global
+  cut over S*k survivors), so no partition ever holds one query's
+  full candidate list — output identical to the naive window.
 - ``lsh_bucketed_topk`` — the scale path: 8 deterministic random
   hyperplanes give a 8-bit sign bucket per vector; queries only score
   candidates in THEIR bucket (expected N/256 of the data per query).
@@ -70,12 +70,17 @@ def cosine_topk(
     """Top-k cosine neighbours for every vector matching ``query_pred``.
 
     This is the exact BASELINE: the query side broadcasts (bounded by
-    the predicate) and the corpus side scores linearly, but the final
-    per-query top-k is a window partitioned by qid — with few queries
-    that shuffle lands N x Q scored rows on Q partitions, a skew that
-    grows with the corpus. At scale use the bucketed paths
-    (:func:`lsh_bucketed_topk` / :func:`ivf_topk`), which bound each
-    query's candidate set before any per-query ranking."""
+    the predicate), the corpus side scores linearly, and the per-query
+    top-k runs in TWO phases — a salted local top-k (window over
+    (qid, cid % parallelism): each partition holds ~N/S candidates of
+    one query) followed by the global top-k over the surviving S*k
+    rows per query. The top-k of a union of partial top-ks IS the
+    global top-k, so the output is identical to the naive single
+    window while no partition ever holds a full query's N candidates —
+    the skew that made few-query brute force collapse at corpus scale.
+    Still O(|Q| * N) compute; the bucketed paths
+    (:func:`lsh_bucketed_topk` / :func:`ivf_topk`) bound the candidate
+    set itself."""
     normed = with_norm(emb, vec_col)
     q = normed.where(query_pred).select(
         F.col(id_col).alias("qid"),
@@ -87,13 +92,20 @@ def cosine_topk(
         F.col(vec_col).alias("cv"),
         F.col("nrm").alias("cn"),
     )
+    n_salt = emb.sparkSession.sparkContext.defaultParallelism
     scored = (
         c.join(F.broadcast(q), F.col("cid") != F.col("qid"))
         .withColumn("cos_raw", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+        .withColumn("__salt", F.pmod(F.col("cid"), F.lit(n_salt)))
+    )
+    w1 = W.partitionBy("qid", "__salt").orderBy(F.desc("cos_raw"), F.asc("cid"))
+    local = (
+        scored.withColumn("__r1", F.row_number().over(w1))
+        .where(F.col("__r1") <= k)
     )
     w = W.partitionBy("qid").orderBy(F.desc("cos_raw"), F.asc("cid"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        local.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
         .select("qid", "cid", pround(F.col("cos_raw"), 6).alias("cosine"), F.col("rnk").alias("rank"))
     )

@@ -446,8 +446,9 @@ norms AS (
 )
 def sim_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-5 for query vectors (vec_id < 10):
-    broadcast the query set, JVM-side zip_with dot products, window
-    top-k per query. Exact baseline for the ANN variant."""
+    broadcast the query set, JVM-side zip_with dot products, two-phase
+    salted per-query top-k (no partition holds a full query's N
+    candidates). Exact baseline for the ANN variants."""
     emb = load(spark, sf_dir, "embeddings")
     return simsearch.cosine_topk(emb, F.col("vec_id") < 10, k=5).withColumn(
         "rank", F.col("rank").cast("int")
