@@ -298,3 +298,41 @@ def o_shard_training_order(
                                    ORDER BY __h, doc_id) AS INT) AS position
     FROM (SELECT {key_expr} AS doc_id, {h} AS __h, ({h}) % {n_shards} AS shard
           FROM {source_sql})"""
+
+
+def write_training_shards(
+    docs: DataFrame,
+    path: str,
+    n_shards: int,
+    salt: str = "shard-v1",
+    key_col: str = "doc_id",
+) -> None:
+    """Materialize the training corpus as ``path/shard=K/`` parquet in
+    within-shard training order — the layout a dataloader consumes
+    (one worker per shard directory, rows already in read order).
+
+    The physical plan is exactly the :func:`shard_training_order`
+    story: shard id is a salted-hash projection, one shuffle lands
+    each shard on one task (`repartition(n_shards, shard)`), rows sort
+    WITHIN partitions only (no global sort), and `partitionBy(shard)`
+    writes each directory from its one task — so files are written in
+    position order and re-runs are byte-stable."""
+    h = portable_hash56(
+        F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))
+    )
+    assigned = (
+        docs.withColumn("__h", h)
+        .withColumn("shard", F.pmod(F.col("__h"), F.lit(n_shards)).cast("int"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy("__h", key_col)
+    (
+        assigned.withColumn("position", F.row_number().over(w))
+        .drop("__h")
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("position")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

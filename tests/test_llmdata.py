@@ -814,3 +814,37 @@ def test_semantic_dup_pairs_multiprobe_recovers_boundary(spark):
     ).collect()
     assert [(r.d1, r.d2) for r in got2] == [(0, 1)]
     assert got2[0].cosine >= 0.7
+
+
+def test_write_training_shards_layout_and_order(spark, tmp_path):
+    """Shard directories exist for every shard, every doc lands in
+    exactly one, and the physical row order inside each shard's file
+    is the training order (position ascending) — verified by reading
+    the parquet bytes directly, not through Spark's reader."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(300)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "shards")
+    sampling.write_training_shards(docs, out, n_shards=4)
+    seen = []
+    for k in range(4):
+        files = glob.glob(f"{out}/shard={k}/*.parquet")
+        assert files, f"shard {k} missing"
+        tables = [pq.read_table(f) for f in files]
+        assert len(files) == 1, "one task -> one file per shard"
+        positions = tables[0].column("position").to_pylist()
+        assert positions == sorted(positions) == list(range(1, len(positions) + 1))
+        seen.extend(tables[0].column("doc_id").to_pylist())
+    assert sorted(seen) == list(range(300))
+    # byte-stable re-run: same assignment, same order
+    again = {}
+    sampling.write_training_shards(docs, str(tmp_path / "shards2"), n_shards=4)
+    for k in range(4):
+        f = glob.glob(f"{tmp_path}/shards2/shard={k}/*.parquet")[0]
+        again[k] = pq.read_table(f).column("doc_id").to_pylist()
+        f1 = glob.glob(f"{out}/shard={k}/*.parquet")[0]
+        assert pq.read_table(f1).column("doc_id").to_pylist() == again[k]
