@@ -1,0 +1,97 @@
+"""Empirical scaling probe: how do the heavy llmdata operators behave
+as the corpus GROWS, not just at one fixture size?
+
+Replicates the sf0.1 documents table R times (R in 1, 4, 16 by
+default). Each replica's tokens are salted with a replica tag so the
+replicas are textually DISJOINT — exact copies would make every doc a
+near-dup of its R-1 clones and the pair count quadratic in R by
+construction, corrupting the measurement. With disjoint replicas a
+scale-correct banded operator should grow ~linearly in R; quadratic
+growth would expose an all-pairs shape the plan audits missed.
+
+Usage: python tools/scaling_probe.py [sf_dir]
+Prints one JSON line per (operator, R) plus a growth summary:
+t(16x)/t(4x) near 4 = linear, near 16 = quadratic.
+
+This is a measurement tool, not a test — timing thresholds flake in
+CI; the committed evidence lives in COVERAGE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def replicated(spark, sf_dir: str, r: int):
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = base.agg(F.max("doc_id")).collect()[0][0] + 1
+    parts = []
+    for k in range(r):
+        salted = base.select(
+            (F.col("doc_id") + F.lit(k * n)).alias("doc_id"),
+            F.expr(
+                f"array_join(transform(split(text, ' '), t -> concat('r{k}', t)), ' ')"
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        parts.append(salted)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+
+def main() -> None:
+    from etl_staging_spark.llmdata import dedup, lexsearch, textstats
+    from etl_staging_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("scaling-probe")
+
+    ops = {
+        "dedup_minhash_lsh": lambda d: dedup.minhash_lsh_pairs(d, threshold=0.8),
+        "dedup_exact": lambda d: dedup.exact_dup_groups(d),
+        "bm25_topk": lambda d: lexsearch.bm25_topk(
+            d, ["r0spark", "r0hash", "r0window"], k=50
+        ),
+        "quality_scores": lambda d: textstats.quality_scores(d),
+        "repetition_stats": lambda d: textstats.repetition_stats(d),
+    }
+    results: dict[str, dict[int, float]] = {o: {} for o in ops}
+    for r in (1, 4, 16):
+        docs = replicated(spark, sf_dir, r).persist()
+        n_docs = docs.count()  # also materializes the cache
+        for name, fn in ops.items():
+            # warm the shape once, then best-of-2
+            fn(docs).write.format("noop").mode("overwrite").save()
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                fn(docs).write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            results[name][r] = round(best, 3)
+            print(json.dumps({"op": name, "replicas": r, "n_docs": n_docs,
+                              "sec": results[name][r]}), flush=True)
+        docs.unpersist()
+        spark.catalog.clearCache()
+    summary = {
+        name: {
+            "t1": ts[1], "t4": ts[4], "t16": ts[16],
+            "growth_4x_to_16x": round(ts[16] / ts[4], 2) if ts[4] else None,
+        }
+        for name, ts in results.items()
+    }
+    print(json.dumps({"summary": summary,
+                      "note": "growth ~4 = linear in corpus size, ~16 = quadratic"}))
+
+
+if __name__ == "__main__":
+    main()
