@@ -146,6 +146,7 @@ def domain_quality_cap(
     docs: DataFrame,
     cap: int,
     domain_col: str = "source",
+    hot_factor: int | None = None,
 ) -> DataFrame:
     """Domain balancing by quality: keep at most ``cap`` documents per
     domain, the highest-quality ones first (ties on quality break by
@@ -161,12 +162,19 @@ def domain_quality_cap(
     (:func:`..llmdata.textstats.quality_scores` passes the domain
     through, no re-join); the rank is a window partitioned BY DOMAIN —
     never a global sort — so parallelism is #domains-wide and each
-    partition streams. A pathologically hot domain (half the corpus in
-    one partition) would instead precompute its quality cutoff from a
-    per-domain approx quantile (one aggregate) and filter before
-    ranking only the boundary ties; at the fixture's cardinalities the
-    plain window IS the right plan.
-    """
+    partition streams.
+
+    ``hot_factor`` enables the hot-domain path: a domain holding more
+    than ``hot_factor * cap`` docs gets its quality cutoff estimated
+    from an approx quantile (margin 3x the cap against the sketch's
+    rank error) and is FILTERED to the candidates above the cutoff
+    before any ranking, so the window never materializes a dominant
+    crawl's full membership on one partition. If the sketch
+    under-selects anyway (fewer than cap candidates survive), that
+    domain falls back to the exact path — the output is therefore
+    IDENTICAL to the plain window in every case, only the work shape
+    changes. Per-hot-domain driver work is bounded by the number of
+    hot domains (few, by definition)."""
     from pyspark.sql import Window
 
     from .textstats import quality_scores
@@ -174,6 +182,29 @@ def domain_quality_cap(
     q = quality_scores(docs, keep=(domain_col,)).select(
         "doc_id", F.col(domain_col).alias("domain"), "quality"
     )
+    if hot_factor:
+        counts = {r[0]: r[1] for r in q.groupBy("domain").count().collect()}
+        hot = {d: c for d, c in counts.items() if c > hot_factor * cap}
+        if hot:
+            q = q.persist()
+            frames = [q.where(~F.col("domain").isin(*hot))]
+            for d, c in sorted(hot.items()):
+                frac = max(0.0, 1.0 - (3.0 * cap) / c)
+                cut = (
+                    q.where(F.col("domain") == d)
+                    .agg(F.percentile_approx("quality", frac, 10000).alias("cut"))
+                    .collect()[0]["cut"]
+                )
+                sub = q.where(
+                    (F.col("domain") == d) & (F.col("quality") >= cut)
+                )
+                if sub.count() < min(cap, c):  # sketch under-selected
+                    sub = q.where(F.col("domain") == d)
+                frames.append(sub)
+            out = frames[0]
+            for f in frames[1:]:
+                out = out.unionByName(f)
+            q = out
     w = (
         Window.partitionBy("domain")
         .orderBy(F.desc("quality"), F.asc("doc_id"))

@@ -848,3 +848,28 @@ def test_write_training_shards_layout_and_order(spark, tmp_path):
         again[k] = pq.read_table(f).column("doc_id").to_pylist()
         f1 = glob.glob(f"{out}/shard={k}/*.parquet")[0]
         assert pq.read_table(f1).column("doc_id").to_pylist() == again[k]
+
+
+def test_domain_quality_cap_hot_path_identical(spark):
+    """The hot-domain prefilter path (approx-quantile cutoff before the
+    window) returns EXACTLY the plain-window result on a skewed corpus
+    — one dominant domain plus small ones — including rank values."""
+    import math
+
+    rows = []
+    for i in range(800):  # hot domain: varied quality
+        filler = " ".join(f"w{(i * 7 + j) % 97}" for j in range(10 + i % 30))
+        rows.append((i, filler, "hot"))
+    for i in range(12):
+        rows.append((1000 + i, f"alpha beta gamma{i} delta", "small"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    plain = {
+        (r.doc_id, r.domain, r.quality, r.rk)
+        for r in sampling.domain_quality_cap(docs, cap=10).collect()
+    }
+    hot = {
+        (r.doc_id, r.domain, r.quality, r.rk)
+        for r in sampling.domain_quality_cap(docs, cap=10, hot_factor=20).collect()
+    }
+    assert hot == plain
+    assert sum(1 for t in plain if t[1] == "hot") == 10
