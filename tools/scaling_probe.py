@@ -49,6 +49,76 @@ def replicated(spark, sf_dir: str, r: int):
     return out.repartition(spark.sparkContext.defaultParallelism, "doc_id")
 
 
+def replicated_lineitem(spark, sf_dir: str, r: int):
+    """Replicate lineitem with SALTED keys: key cardinality grows
+    linearly with r, per-key group size stays constant — modelling a
+    ledger that gains accounts/products, the realistic growth mode."""
+    base = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    maxes = base.agg(
+        F.max("l_orderkey"), F.max("l_partkey"), F.max("l_suppkey")
+    ).collect()[0]
+    mo, mp, ms = (int(v) + 1 for v in maxes)
+    parts = []
+    for k in range(r):
+        parts.append(
+            base.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(k * mo))
+            .withColumn("l_partkey", F.col("l_partkey") + F.lit(k * mp))
+            .withColumn("l_suppkey", F.col("l_suppkey") + F.lit(k * ms))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.repartition(
+        spark.sparkContext.defaultParallelism, "l_orderkey"
+    )
+
+
+def ledger_ops():
+    from pyspark.sql import Window
+
+    def agg_shape(li):  # a1/TPC-H-Q1 shape: decimal sums per flag pair
+        return li.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum(F.col("l_quantity").cast("decimal(30,2)")).cast("double"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(30,6)"
+                )
+            ).cast("double"),
+            F.count("*"),
+        )
+
+    def running_balance(li):  # w2 shape: per-account cumulative sum
+        w = (
+            Window.partitionBy("l_partkey")
+            .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return li.select(
+            "l_partkey",
+            F.sum(F.col("l_quantity").cast("decimal(30,2)"))
+            .over(w)
+            .cast("double")
+            .alias("run"),
+        )
+
+    def serial_rebuild(li):  # m4 shape: two-level identity aggregation
+        lvl1 = li.groupBy(
+            "l_partkey", "l_suppkey", (F.col("l_linenumber") % 3).alias("loc")
+        ).agg(
+            F.sum(F.col("l_quantity").cast("decimal(30,3)")).alias("q"),
+            F.max("l_shipdate").alias("last"),
+        )
+        return lvl1.groupBy("l_partkey").agg(
+            F.sum("q").cast("double"), F.count("*"), F.max("last")
+        )
+
+    return {
+        "ledger_agg": agg_shape,
+        "running_balance": running_balance,
+        "serial_rebuild": serial_rebuild,
+    }
+
+
 def main() -> None:
     from etl_staging_spark.llmdata import dedup, lexsearch, textstats
     from etl_staging_spark.session import get_spark
@@ -65,7 +135,8 @@ def main() -> None:
         "quality_scores": lambda d: textstats.quality_scores(d),
         "repetition_stats": lambda d: textstats.repetition_stats(d),
     }
-    results: dict[str, dict[int, float]] = {o: {} for o in ops}
+    lops = ledger_ops()
+    results: dict[str, dict[int, float]] = {o: {} for o in (*ops, *lops)}
     for r in (1, 4, 16):
         docs = replicated(spark, sf_dir, r).persist()
         n_docs = docs.count()  # also materializes the cache
@@ -81,6 +152,19 @@ def main() -> None:
             print(json.dumps({"op": name, "replicas": r, "n_docs": n_docs,
                               "sec": results[name][r]}), flush=True)
         docs.unpersist()
+        li = replicated_lineitem(spark, sf_dir, r).persist()
+        n_li = li.count()
+        for name, fn in lops.items():
+            fn(li).write.format("noop").mode("overwrite").save()
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                fn(li).write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            results[name][r] = round(best, 3)
+            print(json.dumps({"op": name, "replicas": r, "n_rows": n_li,
+                              "sec": results[name][r]}), flush=True)
+        li.unpersist()
         spark.catalog.clearCache()
     summary = {
         name: {
