@@ -92,15 +92,25 @@ def cosine_topk(
         F.col(vec_col).alias("cv"),
         F.col("nrm").alias("cn"),
     )
-    n_salt = emb.sparkSession.sparkContext.defaultParallelism
     scored = (
         c.join(F.broadcast(q), F.col("cid") != F.col("qid"))
         .withColumn("cos_raw", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
-        .withColumn("__salt", F.pmod(F.col("cid"), F.lit(n_salt)))
     )
+    return _two_phase_topk(scored, k)
+
+
+def _two_phase_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Per-query top-k of a (qid, cid, cos_raw) frame without landing
+    any query's full candidate list on one partition: salted local
+    top-k (window over (qid, cid % parallelism), ~1/S of the query's
+    candidates each) then the global cut over the surviving S*k rows.
+    Top-k of unioned partial top-ks IS the global top-k — output
+    identical to the naive qid-window, skew removed."""
+    n_salt = scored.sparkSession.sparkContext.defaultParallelism
+    salted = scored.withColumn("__salt", F.pmod(F.col("cid"), F.lit(n_salt)))
     w1 = W.partitionBy("qid", "__salt").orderBy(F.desc("cos_raw"), F.asc("cid"))
     local = (
-        scored.withColumn("__r1", F.row_number().over(w1))
+        salted.withColumn("__r1", F.row_number().over(w1))
         .where(F.col("__r1") <= k)
     )
     w = W.partitionBy("qid").orderBy(F.desc("cos_raw"), F.asc("cid"))
@@ -147,12 +157,7 @@ def lsh_bucketed_topk(
         .where(F.col("cid") != F.col("qid"))
         .withColumn("cos_raw", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
     )
-    w = W.partitionBy("qid").orderBy(F.desc("cos_raw"), F.asc("cid"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= k)
-        .select("qid", "cid", pround(F.col("cos_raw"), 6).alias("cosine"), F.col("rnk").alias("rank"))
-    )
+    return _two_phase_topk(scored, k)
 
 
 def cosine_dup_pairs(
@@ -420,18 +425,9 @@ def ivf_topk(
         c.join(F.broadcast(q), "cell")
         .where(F.col("cid_") != F.col("qid"))
         .withColumn("cos_raw", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+        .withColumnRenamed("cid_", "cid")
     )
-    w = W.partitionBy("qid").orderBy(F.desc("cos_raw"), F.asc("cid_"))
-    out = (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= k)
-        .select(
-            "qid",
-            F.col("cid_").alias("cid"),
-            pround(F.col("cos_raw"), 6).alias("cosine"),
-            F.col("rnk").alias("rank"),
-        )
-    )
+    out = _two_phase_topk(scored, k)
     out._pinned_persisted = (normed,)
     return out
 
