@@ -81,9 +81,16 @@ def exact_corpus_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
     )
     base = docs.select(F.sha2(F.col(text_col), 256).alias("h"), n_tokens.alias("n"))
-    totals = base.agg(
-        F.count("*").alias("n_docs"),
-        F.countDistinct("h").alias("n_distinct_texts"),
+    # two-level: a COUNT(*)+COUNT(DISTINCT) mix would plan an Expand
+    # that duplicates every row; grouping by the text hash first makes
+    # both totals plain aggregates of the grouped frame
+    totals = (
+        base.groupBy("h")
+        .agg(F.count("*").alias("ch"))
+        .agg(
+            F.sum("ch").alias("n_docs"),
+            F.count("*").alias("n_distinct_texts"),
+        )
     )
     hist = base.groupBy("n").agg(F.count("*").alias("c"))
     w = Window.orderBy("n").rowsBetween(Window.unboundedPreceding, 0)
