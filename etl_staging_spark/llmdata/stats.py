@@ -68,13 +68,12 @@ def exact_corpus_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     Scale shape: the quantiles come from a VALUE HISTOGRAM, not a sort —
     per-doc token counts live in a tiny bounded domain, so the histogram
-    is a map-side-combinable groupBy of #distinct-lengths rows and the
-    rank scan is a window over that bounded frame (never the corpus).
-    Distinct texts hash-aggregate in one shuffle. This is the exact
-    path; the HLL/GK sketches stay the one-pass answer when even one
-    shuffle is too expensive."""
-    from pyspark.sql import Window
-
+    is a map-side-combinable groupBy of #distinct-lengths rows, which
+    COLLECTS (the bounded-collect convention of the mixture sampler) and
+    resolves the rank elements driver-side: no window anywhere, let
+    alone a corpus-sized one. Distinct texts hash-aggregate in one
+    shuffle. This is the exact path; the HLL/GK sketches stay the
+    one-pass answer when even one shuffle is too expensive."""
     from .textstats import TOKEN_RE
 
     n_tokens = F.size(
@@ -92,18 +91,29 @@ def exact_corpus_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.count("*").alias("n_distinct_texts"),
         )
     )
-    hist = base.groupBy("n").agg(F.count("*").alias("c"))
-    w = Window.orderBy("n").rowsBetween(Window.unboundedPreceding, 0)
-    cum = hist.withColumn("cum", F.sum("c").over(w))
-    # bounded-frame cross join: totals is 1 row, cum is #distinct-lengths
-    ranked = cum.join(F.broadcast(totals))
-    qs = []
-    for name, p in (("p50_tokens", 0.5), ("p90_tokens", 0.9)):
-        rank = F.floor((F.col("n_docs") - 1) * F.lit(p)) + 1
-        qs.append(
-            F.min(F.when(F.col("cum") >= rank, F.col("n"))).alias(name)
-        )
-    return ranked.groupBy("n_docs", "n_distinct_texts").agg(*qs)
+    hist = sorted(
+        (r[0], r[1])
+        for r in base.groupBy("n").agg(F.count("*").alias("c")).collect()
+    )  # bounded: #distinct token lengths
+    n_docs = sum(c for _, c in hist)
+
+    def rank_element(p: float) -> int:
+        import math
+
+        rank = math.floor((n_docs - 1) * p) + 1
+        cum = 0
+        for v, c in hist:
+            cum += c
+            if cum >= rank:
+                return v
+        return hist[-1][0] if hist else 0
+
+    return totals.select(
+        "n_docs",
+        "n_distinct_texts",
+        F.lit(rank_element(0.5)).cast("bigint").alias("p50_tokens"),
+        F.lit(rank_element(0.9)).cast("bigint").alias("p90_tokens"),
+    )
 
 
 def o_exact_corpus_stats(text_col: str = "text") -> str:
