@@ -1422,3 +1422,19 @@ def corpus_stats_exact(spark, sf_dir):
     shuffle is too expensive; this entry proves the same numbers
     exactly where scale allows."""
     return stats.exact_corpus_stats(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "seq_pack_greedy",
+    oracle=f"WITH RECURSIVE {packing.o_pack_greedy_docs(256)}",
+)
+def seq_pack_greedy(spark, sf_dir):
+    """Boundary-preserving greedy packing (docs never split across
+    chunks — the instruction-tuning / document-attention mode,
+    complementing `seq_pack_chunks`' split-anywhere GPT mode). The
+    overflow-reset fold runs as a per-shard JVM array aggregate (one
+    pass, shards are the parallelism unit); the oracle replays it as a
+    recursive CTE stepping one ordered doc per shard per iteration."""
+    return packing.pack_greedy_docs(
+        load(spark, sf_dir, "documents"), seq_len=256
+    )

@@ -894,3 +894,28 @@ def test_exact_corpus_stats_against_brute_force(spark):
     import math
     assert got.p50_tokens == counts[math.floor((n - 1) * 0.5)]
     assert got.p90_tokens == counts[math.floor((n - 1) * 0.9)]
+
+
+def test_pack_greedy_docs_invariants(spark):
+    from etl_staging_spark.llmdata import packing as pk
+
+    rows = [
+        (0, " ".join(["w"] * 100), "s"),   # 100 tokens
+        (1, " ".join(["w"] * 100), "s"),   # fits with 0 (200 <= 256)
+        (2, " ".join(["w"] * 100), "s"),   # overflows -> chunk 1
+        (3, " ".join(["w"] * 300), "s"),   # over-long -> own chunk 2
+        (4, " ".join(["w"] * 10), "s"),    # next after over-long -> chunk 3
+        (5, " ".join(["w"] * 50), "t"),    # other shard starts at chunk 0
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.doc_id: r for r in pk.pack_greedy_docs(docs, seq_len=256).collect()}
+    assert [got[i].chunk_id for i in range(6)] == [0, 0, 1, 2, 3, 0]
+    # invariant: no chunk's doc-total exceeds seq_len unless it is a
+    # single over-long doc
+    per_chunk = {}
+    for r in got.values():
+        per_chunk.setdefault((r.shard, r.chunk_id), []).append(r.n_tokens)
+    for (sh, ch), lens in per_chunk.items():
+        assert sum(lens) <= 256 or len(lens) == 1, (sh, ch, lens)
+    # docs are whole: every doc appears exactly once
+    assert sorted(got) == list(range(6))
