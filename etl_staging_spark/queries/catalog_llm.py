@@ -1438,3 +1438,52 @@ def seq_pack_greedy(spark, sf_dir):
     return packing.pack_greedy_docs(
         load(spark, sf_dir, "documents"), seq_len=256
     )
+
+
+_PE_AGG = (
+    "SELECT shard, CAST(chunk AS INT) AS chunk_id,"
+    " COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS tokens, "
+    + o_pround("LEAST(CAST(SUM(n) AS DOUBLE) / 256, 1.0)", 6)
+    + " AS utilization"
+)
+def _pe_oracle() -> str:
+    base = packing.o_pack_greedy_docs(256).replace(
+        "SELECT doc_id, shard, n AS n_tokens, CAST(chunk AS INT) AS chunk_id",
+        _PE_AGG,
+    )
+    # only the FINAL "FROM pg_fold" takes the GROUP BY — the recursive
+    # step also reads pg_fold (aliased f) and a plain .replace would
+    # corrupt it
+    head, _, tail = base.rpartition("FROM pg_fold")
+    assert head and tail is not None
+    return "WITH RECURSIVE " + head + "FROM pg_fold GROUP BY shard, chunk" + tail
+
+
+_PE_ORACLE = _pe_oracle()
+
+
+@query(
+    "pack_efficiency",
+    oracle=_PE_ORACLE,
+)
+def pack_efficiency(spark, sf_dir):
+    """Packing-efficiency report over the greedy boundary-preserving
+    assignment: per (shard, chunk) doc count, token total, and
+    utilization (tokens/seq_len capped at 1 — an over-long single-doc
+    chunk is full, not >100%). The number every packing pipeline
+    watches: low utilization means the seq_len is mis-chosen for the
+    corpus length distribution. One aggregate over the assignment."""
+    from ..numeric import pround as _pr
+
+    a = packing.pack_greedy_docs(load(spark, sf_dir, "documents"), seq_len=256)
+    return (
+        a.groupBy("shard", "chunk_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("tokens"),
+        )
+        .withColumn(
+            "utilization",
+            _pr(F.least(F.col("tokens").cast("double") / 256, F.lit(1.0)), 6),
+        )
+    )
