@@ -487,12 +487,12 @@ def semantic_dup_pairs(
     a = probed.select(F.col("pc"), F.col("vid").alias("d1"))
     b = probed.select(F.col("pc"), F.col("vid").alias("d2"))
     spark = emb.sparkSession
-    cand = (
-        a.join(b, "pc")
-        .where(F.col("d1") < F.col("d2"))
-        .select("d1", "d2")
-        .distinct()
-        .repartition(spark.sparkContext.defaultParallelism, "d1", "d2")
+    cand = a.join(b, "pc").where(F.col("d1") < F.col("d2")).select("d1", "d2")
+    if n_probe > 1:
+        # a pair sharing several probed cells would verify repeatedly
+        cand = cand.distinct()
+    cand = cand.repartition(
+        spark.sparkContext.defaultParallelism, "d1", "d2"
     )
     va = normed.select(
         F.col(id_col).alias("d1"), F.col(vec_col).alias("va"),
