@@ -14,9 +14,10 @@ exploded inverted index at all. The corpus statistics the score needs
 combinable aggregate producing one row, which joins back by broadcast
 (one row can never be the big side). Ranking is a global top-k —
 Spark's TakeOrderedAndProject, a per-partition heap + driver merge of
-k-row buffers, never a single-partition sort. Total cost: one scan,
-one 1-row aggregate, one top-k. At 100 TB the scan dominates and
-everything else is noise.
+k-row buffers, never a single-partition sort. Total cost: TWO passes
+over the corpus (the stats aggregate, then scoring) — a production
+service snapshots the stats at index-write time and pays one
+(`bm25_topk_indexed` reads only the query terms' index buckets).
 
 For a *persistent* search service the right structure is the exploded
 (term, doc) inverted index bucketed by term (`etl.bucketed`) so query
@@ -67,6 +68,13 @@ def bm25_topk(
     Output: (doc_id, dl, tf_<term>..., score) — score > 0 only rows
     (a doc with no query term can never rank).
     """
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    if len(set(terms)) != len(terms):
+        # the tf columns are keyed by term; a duplicate would silently
+        # collapse (and BM25 duplicate-term weighting is better served
+        # by the caller weighting its query)
+        raise ValueError("terms must be unique")
     d = with_tokens(docs)
 
     def _eq(term):
@@ -211,6 +219,7 @@ def bm25_topk_indexed(
     k: int = 50,
     k1: float = K1,
     b: float = B,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """BM25 top-k against the persisted inverted index: the query terms
     filter the bucketed postings (bucket pruning — only the terms'
@@ -221,10 +230,13 @@ def bm25_topk_indexed(
     that still sees every doc; a production service snapshots it at
     index-write time instead. Scores equal the scan-time operator's
     whenever every document contains at least one indexed term."""
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    terms = sorted(set(terms))
     postings = spark.table(f"{table}_postings")
     q = postings.where(F.col("term").isin(*terms))
     stats = (
-        postings.select("doc_id", "dl").distinct().agg(
+        postings.select(F.col(id_col).alias("doc_id"), "dl").distinct().agg(
             F.count("*").alias("n_docs"),
             (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
         )
@@ -233,7 +245,8 @@ def bm25_topk_indexed(
     # write, so df is a plain COUNT — no distinct machinery (Expand)
     dfs = q.groupBy("term").agg(F.count("*").alias("df"))
     per_doc = (
-        q.join(F.broadcast(dfs), "term")
+        q.withColumnRenamed(id_col, "doc_id")
+        .join(F.broadcast(dfs), "term")
         .join(F.broadcast(stats))
     )
     tf = F.col("tf").cast("double")

@@ -164,10 +164,13 @@ def o_pack_greedy_docs(seq_len: int = 2048) -> str:
       FROM pg_ordered WHERE pos = 1
       UNION ALL
       SELECT o.shard, o.doc_id, o.n, o.pos,
-             CASE WHEN f.used + o.n <= {seq_len} THEN f.chunk
-                  ELSE f.chunk + 1 END,
-             CASE WHEN f.used + o.n <= {seq_len} THEN f.used + o.n
-                  ELSE o.n END
+             -- used > 0 mirrors the Spark fold: an EMPTY current chunk
+             -- accepts the next doc regardless of size (a zero-token
+             -- doc must not push its successor into a fresh chunk)
+             CASE WHEN f.used > 0 AND f.used + o.n > {seq_len}
+                  THEN f.chunk + 1 ELSE f.chunk END,
+             CASE WHEN f.used > 0 AND f.used + o.n > {seq_len}
+                  THEN o.n ELSE f.used + o.n END
       FROM pg_fold f JOIN pg_ordered o
         ON o.shard = f.shard AND o.pos = f.pos + 1
     )

@@ -187,7 +187,13 @@ def domain_quality_cap(
         hot = {d: c for d, c in counts.items() if c > hot_factor * cap}
         if hot:
             q = q.persist()
-            frames = [q.where(~F.col("domain").isin(*hot))]
+            # NOT-IN drops NULL domains; the plain window ranks NULL as
+            # its own partition, so the hot path must keep it too
+            frames = [
+                q.where(
+                    (~F.col("domain").isin(*hot)) | F.col("domain").isNull()
+                )
+            ]
             for d, c in sorted(hot.items()):
                 frac = max(0.0, 1.0 - (3.0 * cap) / c)
                 cut = (
@@ -209,11 +215,13 @@ def domain_quality_cap(
         Window.partitionBy("domain")
         .orderBy(F.desc("quality"), F.asc("doc_id"))
     )
-    return (
+    out = (
         q.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= cap)
         .select("doc_id", "domain", "quality", F.col("rk").cast("int").alias("rk"))
     )
+    out._pinned_persisted = (q,)  # hold the hot-path cache for reuse
+    return out
 
 
 def epoch_upsample(
@@ -267,12 +275,17 @@ def o_epoch_upsample(
     whens = " ".join(
         f"WHEN '{dom}' THEN {n}" for dom, n in sorted(epochs.items())
     )
+    case = (
+        f"CASE {domain_col} {whens} ELSE {default_epochs} END"
+        if whens
+        else str(default_epochs)  # CASE with no WHEN arm is invalid SQL
+    )
     return f"""
     SELECT doc_id, {domain_col} AS domain,
            CAST(unnest(range(1, reps + 1)) AS BIGINT) AS epoch
     FROM (
       SELECT doc_id, {domain_col},
-             CASE {domain_col} {whens} ELSE {default_epochs} END AS reps
+             {case} AS reps
       FROM documents
     )"""
 
@@ -362,7 +375,13 @@ def write_training_shards(
         assigned.withColumn("position", F.row_number().over(w))
         .drop("__h")
         .repartition(n_shards, "shard")
-        .sortWithinPartitions("position")
+        # the sort must LEAD with the partition column: V1Writes requires
+        # ordering by the partitionBy key and ELIMINATES a user sort that
+        # lacks it, inserting its own shard-only sort — with "position"
+        # alone the training order never actually runs (verified in the
+        # executed plan); ("shard", "position") satisfies the writer's
+        # requirement, so this exact sort is the one executed
+        .sortWithinPartitions("shard", "position")
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(path)

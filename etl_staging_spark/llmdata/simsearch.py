@@ -50,14 +50,27 @@ def with_norm(df: DataFrame, vec_col: str = "embedding", out: str = "nrm") -> Da
 
 
 def _sign_nonneg(a: Column, b: Column) -> Column:
-    """``_dot(a, b) >= 0`` decided cheaply: the plain-double dot answers
-    outright unless it sits within 1e-9 of zero (double-vs-decimal
-    accumulation differs by ~1e-12 at most here), where the canonical
-    decimal fold breaks the call — per-row lazy CASE, so the expensive
-    branch evaluates only on the knife-edge rows. Output identical to
-    the decimal-only sign."""
-    dd = _ddot(a, b)
-    return F.when(F.abs(dd) > 1e-9, dd >= 0).otherwise(_dot(a, b) >= 0)
+    """``_dot(a, b) >= 0`` decided cheaply: ONE double fold accumulates
+    the dot AND the absolute mass Σ|x·y|; the double sign is trusted
+    outside the error envelope |dot| > 1e-12·(mass + 1), which bounds
+    both the double summation error (≤ ~1.4e-14·mass) and the decimal
+    quantization error (≤ ~3.2e-14 absolute) with a 30x margin AT ANY
+    VECTOR MAGNITUDE — a fixed absolute cutoff would under-guard
+    large-magnitude embeddings. Inside the envelope the expression is
+    NULL and COALESCE falls through to the canonical decimal fold
+    (lazily, per knife-edge row only). Output identical to the
+    decimal-only sign."""
+    probe = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.struct(F.lit(0.0).alias("s"), F.lit(0.0).alias("m")),
+        lambda acc, x: F.struct(
+            (acc["s"] + x).alias("s"), (acc["m"] + F.abs(x)).alias("m")
+        ),
+        lambda acc: F.when(
+            F.abs(acc["s"]) > (acc["m"] + F.lit(1.0)) * 1e-12, acc["s"] >= 0
+        ),
+    )
+    return F.coalesce(probe, _dot(a, b) >= 0)
 
 
 def cosine_topk(
@@ -160,6 +173,44 @@ def lsh_bucketed_topk(
     return _two_phase_topk(scored, k)
 
 
+def _verify_pairs(
+    cands: DataFrame,
+    normed: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    carry_left: tuple[str, ...] = (),
+) -> DataFrame:
+    """Shared near-dup verification: candidate (d1, d2) pairs respread
+    across the cluster (discovery joins land on few bucket/cell keys —
+    the per-pair work must not inherit that parallelism), vectors
+    attached by two keyed joins, then the two-stage verify — a
+    plain-double cosine prefilter with 1e-6 slack (orders beyond the
+    ~1e-12 double-vs-decimal gap) discards the non-dup mass at ~1/6 the
+    decimal fold's cost, and the canonical exact-decimal cosine decides
+    the edge on the survivors. Output identical to a decimal-only pass:
+    rows (d1, d2, *carry_left, cos_raw >= threshold)."""
+    spark = normed.sparkSession
+    cand = cands.repartition(spark.sparkContext.defaultParallelism, "d1", "d2")
+    va = normed.select(
+        F.col(id_col).alias("d1"), F.col(vec_col).alias("va"),
+        F.col("nrm").alias("na"), *carry_left,
+    )
+    vb = normed.select(
+        F.col(id_col).alias("d2"), F.col(vec_col).alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos_fast = _ddot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    cos_exact = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(va, "d1")
+        .join(vb, "d2")
+        .where(cos_fast >= threshold - 1e-6)
+        .withColumn("cos_raw", cos_exact)
+        .where(F.col("cos_raw") >= threshold)
+    )
+
+
 def cosine_dup_pairs(
     emb: DataFrame,
     threshold: float,
@@ -200,26 +251,9 @@ def cosine_dup_pairs(
         x.join(y, (F.col("x.bkt") == F.col("y.bkt")) & (F.col("x.vid") < F.col("y.vid")))
         .select(F.col("x.vid").alias("d1"), F.col("y.vid").alias("d2"))
         .distinct()
-        .repartition(emb.sparkSession.sparkContext.defaultParallelism, "d1", "d2")
     )
-    va = normed.select(
-        F.col(id_col).alias("d1"), F.col(vec_col).alias("va"), F.col("nrm").alias("na")
-    )
-    vb = normed.select(
-        F.col(id_col).alias("d2"), F.col(vec_col).alias("vb"), F.col("nrm").alias("nb")
-    )
-    # double-cosine prefilter with slack, exact-decimal edge on the
-    # survivors: output identical to a decimal-only pass at ~1/6 the
-    # per-pair cost (the slack dwarfs the ~1e-12 double-vs-decimal gap)
-    cos_fast = _ddot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    out = (
-        cands.join(va, "d1")
-        .join(vb, "d2")
-        .where(cos_fast >= threshold - 1e-6)
-        .withColumn("cos_raw", cos)
-        .where(F.col("cos_raw") >= threshold)
-        .select("d1", "d2", pround(F.col("cos_raw"), 6).alias("cosine"))
+    out = _verify_pairs(cands, normed, threshold, id_col, vec_col).select(
+        "d1", "d2", pround(F.col("cos_raw"), 6).alias("cosine")
     )
     out._pinned_persisted = (normed,)  # hold the cache for branch reuse
     return out
@@ -486,40 +520,16 @@ def semantic_dup_pairs(
     )
     a = probed.select(F.col("pc"), F.col("vid").alias("d1"))
     b = probed.select(F.col("pc"), F.col("vid").alias("d2"))
-    spark = emb.sparkSession
     cand = a.join(b, "pc").where(F.col("d1") < F.col("d2")).select("d1", "d2")
     if n_probe > 1:
         # a pair sharing several probed cells would verify repeatedly
         cand = cand.distinct()
-    cand = cand.repartition(
-        spark.sparkContext.defaultParallelism, "d1", "d2"
-    )
-    va = normed.select(
-        F.col(id_col).alias("d1"), F.col(vec_col).alias("va"),
-        F.col("nrm").alias("na"), "cell",
-    )
-    vb = normed.select(
-        F.col(id_col).alias("d2"), F.col(vec_col).alias("vb"),
-        F.col("nrm").alias("nb"),
-    )
-    # two-stage verify: a plain-double cosine prefilter with slack
-    # (1e-6 >> the ~1e-12 double-vs-decimal discrepancy) discards the
-    # overwhelming non-dup mass at ~1/6 the decimal fold's cost; the
-    # canonical exact-decimal cosine then decides the edge on the few
-    # survivors, so the OUTPUT is identical to a decimal-only pass.
-    cos_fast = _ddot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    cos_exact = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    out = (
-        cand.join(va, "d1")
-        .join(vb, "d2")
-        .where(cos_fast >= threshold - 1e-6)
-        .withColumn("cos_raw", cos_exact)
-        .where(F.col("cos_raw") >= threshold)
-        .select(
-            "d1", "d2",
-            F.col("cell").cast("bigint").alias("cell"),
-            pround(F.col("cos_raw"), 6).alias("cosine"),
-        )
+    out = _verify_pairs(
+        cand, normed, threshold, id_col, vec_col, carry_left=("cell",)
+    ).select(
+        "d1", "d2",
+        F.col("cell").cast("bigint").alias("cell"),
+        pround(F.col("cos_raw"), 6).alias("cosine"),
     )
     out._pinned_persisted = (normed,)
     return out

@@ -108,7 +108,12 @@ def exact_corpus_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 return v
         return hist[-1][0] if hist else 0
 
-    return totals.select(
+    # NB: the histogram collects at CALL time while the totals evaluate
+    # lazily — callers over mutable sources should snapshot first. The
+    # isNotNull guard makes the empty corpus yield ZERO rows (an
+    # ungrouped Spark agg otherwise emits one NULL row where the
+    # oracle's GROUP BY emits none).
+    return totals.where(F.col("n_docs").isNotNull()).select(
         "n_docs",
         "n_distinct_texts",
         F.lit(rank_element(0.5)).cast("bigint").alias("p50_tokens"),

@@ -919,3 +919,41 @@ def test_pack_greedy_docs_invariants(spark):
         assert sum(lens) <= 256 or len(lens) == 1, (sh, ch, lens)
     # docs are whole: every doc appears exactly once
     assert sorted(got) == list(range(6))
+
+
+def test_sign_guard_magnitude_invariant(spark):
+    """The hybrid sign decision must agree with the canonical decimal
+    fold at ANY vector magnitude — including large-magnitude vectors
+    whose double accumulation error exceeds a fixed absolute cutoff —
+    and across near-orthogonal knife-edge pairs."""
+    from etl_staging_spark.llmdata.simsearch import _dot, _sign_nonneg
+
+    rows = []
+    rid = 0
+    for scale in (1.0, 1e3, 1e6):
+        for j in range(8):
+            a = [scale * ((i * 7 + j) % 5 - 2) for i in range(16)]
+            # near-orthogonal partner: swap-negate pairs + perturbation
+            b = []
+            for i in range(0, 16, 2):
+                b += [-a[i + 1], a[i]]
+            b[0] += scale * 1e-10 * (j - 4)
+            rows.append((rid, a, b)); rid += 1
+    df = spark.createDataFrame(rows, "id long, a array<float>, b array<float>")
+    got = df.select(
+        "id",
+        _sign_nonneg(F.col("a"), F.col("b")).alias("fast"),
+        (_dot(F.col("a"), F.col("b")) >= 0).alias("canon"),
+    ).collect()
+    for r in got:
+        assert r.fast == r.canon, r.id
+
+
+def test_bm25_rejects_degenerate_queries(spark):
+    from etl_staging_spark.llmdata import lexsearch
+
+    docs = spark.createDataFrame([(0, "spark")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="non-empty"):
+        lexsearch.bm25_topk(docs, [])
+    with pytest.raises(ValueError, match="unique"):
+        lexsearch.bm25_topk(docs, ["spark", "spark"])
