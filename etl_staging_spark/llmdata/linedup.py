@@ -1,0 +1,110 @@
+"""Segment-level corpus dedup with text reconstruction.
+
+Document-granularity dedup (``llmdata.dedup``) drops whole documents;
+production web pipelines ALSO dedup at sub-document granularity:
+repeated lines/paragraphs (navigation chrome, license headers, quoted
+templates) are removed from otherwise-unique documents and the cleaned
+text is re-assembled (RefinedWeb's line-wise dedup, CCNet's paragraph
+hashing). The reference engine has no analog — this is part of the
+training-data surface built on top of its corpus model.
+
+The segmentation unit here is a fixed-``k``-token window (the documents
+fixture is single-spaced prose with no newline structure); on real
+corpora the same operator runs with a newline/sentence splitter — only
+``segment_table`` changes.
+
+Scale shape: the corpus explodes ONCE into (doc, pos, segment-hash);
+the per-hash occurrence count is a map-side-combinable aggregate; the
+"too common" segment dim is tiny by construction (only hashes with
+count > cutoff survive) so AQE broadcasts it back against the exploded
+index; re-assembly is one shuffle on doc_id with the order restored
+from the carried ``pos`` (``array_sort`` over collected structs — no
+window). The exploded index is persisted so the corpus parquet is
+scanned once, not twice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import o_hash56, portable_hash56
+from .shingles import TOKS, with_tokens
+
+SEG_TOKENS = 8     # tokens per segment
+SEG_MAX_DF = 2     # a segment occurring in > SEG_MAX_DF places is boilerplate
+
+
+def segment_table(df: DataFrame, k: int = SEG_TOKENS) -> DataFrame:
+    """(doc_id, pos, seg): consecutive non-overlapping ``k``-token
+    segments per document, in document order (last segment may be
+    short). Pure array ops — no Python, no window."""
+    d = with_tokens(df)
+    segs = F.expr(
+        f"CASE WHEN size({TOKS}) = 0 THEN array() ELSE "
+        f"transform(sequence(0, CAST(ceil(size({TOKS})/{k}.0) AS INT) - 1), "
+        f"i -> array_join(slice({TOKS}, i*{k}+1, {k}), ' ')) END"
+    )
+    return d.select("doc_id", F.posexplode(segs).alias("pos", "seg"))
+
+
+def segment_dedup(
+    df: DataFrame, k: int = SEG_TOKENS, max_df: int = SEG_MAX_DF
+) -> DataFrame:
+    """Remove corpus-repeated segments from every document and
+    re-assemble the surviving text in original order.
+
+    Output: (doc_id, n_segs, n_removed, clean_text) — one row per
+    input document; ``clean_text`` is '' when every segment was
+    boilerplate (the caller's length filter then drops the doc).
+    """
+    segs = segment_table(df, k=k).withColumn("h", portable_hash56(F.col("seg")))
+    segs = segs.persist()
+    hot = (
+        segs.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > max_df)
+        .select("h", F.lit(True).alias("__hot"))
+    )
+    marked = segs.join(hot, "h", "left")
+    kept_struct = F.when(F.col("__hot").isNull(), F.struct("pos", "seg"))
+    out = marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_segs"),
+        F.sum(F.when(F.col("__hot"), 1).otherwise(0)).cast("long").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["seg"]
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    from .dedup import _pin
+
+    return _pin(out, segs)
+
+
+def o_segment_dedup(k: int = SEG_TOKENS, max_df: int = SEG_MAX_DF) -> str:
+    """DuckDB oracle twin of :func:`segment_dedup` over ``documents``."""
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+               FROM documents),
+    segs AS (
+      SELECT doc_id, generate_subscripts(sl, 1) - 1 AS pos, unnest(sl) AS seg
+      FROM (SELECT doc_id,
+                   [array_to_string(toks[(i*{k}+1):(i*{k}+{k})], ' ')
+                    FOR i IN range(CAST(ceil(len(toks)/{k}.0) AS BIGINT))] AS sl
+            FROM t)
+    ),
+    hs AS (SELECT doc_id, pos, seg, {o_hash56('seg')} AS h FROM segs),
+    hot AS (SELECT h FROM hs GROUP BY h HAVING COUNT(*) > {max_df}),
+    marked AS (
+      SELECT hs.doc_id, hs.pos, hs.seg, hot.h IS NOT NULL AS is_hot
+      FROM hs LEFT JOIN hot ON hs.h = hot.h
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_segs,
+           CAST(SUM(CASE WHEN is_hot THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           COALESCE(string_agg(CASE WHEN NOT is_hot THEN seg END,
+                               ' ' ORDER BY pos), '') AS clean_text
+    FROM marked GROUP BY doc_id
+    """

@@ -1487,3 +1487,32 @@ def pack_efficiency(spark, sf_dir):
             _pr(F.least(F.col("tokens").cast("double") / 256, F.lit(1.0)), 6),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sub-document dedup + LM quality scoring (r6 additions)
+# ---------------------------------------------------------------------------
+
+from ..llmdata import linedup, lm  # noqa: E402
+
+
+@query("dedup_segments", oracle=linedup.o_segment_dedup())
+def dedup_segments(spark, sf_dir):
+    """Segment-level corpus dedup with reconstruction (RefinedWeb
+    line-dedup analog over the newline-free fixture): fixed-8-token
+    segments, a segment occurring > 2 times corpus-wide is boilerplate
+    and removed from every document; surviving text re-assembled in
+    original order. One exploded index (persisted, corpus scanned
+    once), map-combinable occurrence counts, a tiny hot-segment dim
+    broadcast back, one shuffle on doc_id to re-assemble."""
+    return linedup.segment_dedup(load(spark, sf_dir, "documents"))
+
+
+@query("text_lm_bigram", oracle=lm.o_lm_bigram_score())
+def text_lm_bigram(spark, sf_dir):
+    """Corpus-trained pruned add-one bigram LM quality score (CCNet's
+    KenLM-perplexity stage, in the deterministic mean-probability form
+    — see `llmdata/lm.py` for why not log-space): count tables as
+    map-combinable model artifacts, scoring stream joined against the
+    vocab and pruned-bigram dims, exact DECIMAL mean per doc."""
+    return lm.lm_bigram_score(load(spark, sf_dir, "documents"))

@@ -957,3 +957,92 @@ def test_bm25_rejects_degenerate_queries(spark):
         lexsearch.bm25_topk(docs, [])
     with pytest.raises(ValueError, match="unique"):
         lexsearch.bm25_topk(docs, ["spark", "spark"])
+
+
+# ---------------------------------------------------------------------------
+# Segment-level dedup (linedup) and bigram-LM scoring (lm)
+# ---------------------------------------------------------------------------
+
+
+def test_segment_dedup_removes_planted_boilerplate(spark):
+    from etl_staging_spark.llmdata import linedup
+
+    uniq = [
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet",
+        "kilo lima mike november oscar papa quebec romeo sierra tango",
+        "uniform victor whiskey xray yankee zulu one two three four",
+    ]
+    # same leading 8-token segment planted in every doc (df=3 > max_df=2);
+    # each unique 10-token tail spans segments 2 and 3
+    body = "w1 w2 w3 w4 w5 w6 w7 w8"
+    rows = [(i, f"{body} {u}") for i, u in enumerate(uniq)]
+    out = linedup.segment_dedup(
+        spark.createDataFrame(rows, "doc_id long, text string"), k=8, max_df=2
+    )
+    got = {r.doc_id: r for r in out.collect()}
+    assert len(got) == 3
+    for i, u in enumerate(uniq):
+        r = got[i]
+        assert r.n_removed == 1, r          # the shared body segment
+        assert r.clean_text == u            # unique tail survives, in order
+        assert r.n_segs == 3
+
+
+def test_segment_dedup_all_removed_yields_empty_text(spark):
+    from etl_staging_spark.llmdata import linedup
+
+    t = "a b c d e f g h"
+    df = spark.createDataFrame(
+        [(i, t) for i in range(4)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in linedup.segment_dedup(df, k=8, max_df=2).collect()}
+    assert all(r.clean_text == "" and r.n_removed == 1 for r in out.values())
+
+
+def test_segment_dedup_keeps_order_across_removed_middle(spark):
+    from etl_staging_spark.llmdata import linedup
+
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    docs = [
+        (0, f"a1 a2 a3 a4 a5 a6 a7 a8 {shared} z1 z2 z3"),
+        (1, f"b1 b2 b3 b4 b5 b6 b7 b8 {shared} y1 y2"),
+        (2, f"c1 c2 c3 c4 c5 c6 c7 c8 {shared} x1"),
+    ]
+    out = {
+        r.doc_id: r
+        for r in linedup.segment_dedup(
+            spark.createDataFrame(docs, "doc_id long, text string"), k=8, max_df=2
+        ).collect()
+    }
+    assert out[0].clean_text == "a1 a2 a3 a4 a5 a6 a7 a8 z1 z2 z3"
+    assert out[1].clean_text == "b1 b2 b3 b4 b5 b6 b7 b8 y1 y2"
+    assert out[2].clean_text == "c1 c2 c3 c4 c5 c6 c7 c8 x1"
+
+
+def test_lm_bigram_score_hand_computed(spark):
+    from etl_staging_spark.llmdata import lm
+
+    # corpus: "a b a b" and "a c" -> tokens a,b,a,b,a,c ; V = 3
+    # unigrams: a=3, b=2, c=1
+    # bigram occurrences: d0: (a b),(b a),(a b) ; d1: (a c)
+    # counts: "a b"=2, "b a"=1, "a c"=1 ; min_count=2 keeps only "a b"
+    df = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a c")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in lm.lm_bigram_score(df, min_count=2).collect()}
+    # doc0: p(a b)=(2+1)/(3+3)=0.5 twice; p(b a)=(0+1)/(2+3)=0.2
+    assert out[0].n_bigrams == 3
+    assert out[0].avg_prob == pytest.approx((0.5 + 0.5 + 0.2) / 3, abs=2e-6)
+    # doc1: p(a c)=(0+1)/(3+3) rounded to 0.166667
+    assert out[1].n_bigrams == 1
+    assert out[1].avg_prob == pytest.approx(0.166667, abs=1e-9)
+
+
+def test_lm_bigram_short_docs_excluded(spark):
+    from etl_staging_spark.llmdata import lm
+
+    df = spark.createDataFrame(
+        [(0, "solo"), (1, "two words here")], "doc_id long, text string"
+    )
+    out = lm.lm_bigram_score(df, min_count=1).collect()
+    assert {r.doc_id for r in out} == {1}

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import re
 
 import pytest
 
@@ -262,3 +263,29 @@ def test_corpus_assembly_full_composition_plan(spark, queries):
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
     assert "Exchange SinglePartition" not in p
+
+
+def test_segment_dedup_single_scan_and_broadcast_hot_dim(spark, queries):
+    """dedup_segments: the exploded segment index is persisted so the
+    corpus parquet is scanned once (both consumers read the
+    InMemoryRelation), the hot-segment dim (bounded by the df cutoff)
+    comes back via broadcast, and re-assembly is ONE exchange on doc_id
+    — no window, no Python."""
+    p = plan_of(spark, queries, "dedup_segments")
+    # formatted mode reprints the cached subtree at every InMemoryTableScan;
+    # distinct node ids count real scans
+    assert len(set(re.findall(r"\(\d+\) Scan parquet", p))) <= 1
+    assert "InMemoryRelation" in p
+    assert "BroadcastHashJoin" in p
+    assert "Window" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_lm_bigram_no_window_no_python(spark, queries):
+    """text_lm_bigram: bigram events come from array transforms (no
+    per-doc window), the corpus is scanned once into the persisted
+    token base, and scoring is joins + one aggregate — no Python."""
+    p = plan_of(spark, queries, "text_lm_bigram")
+    assert len(set(re.findall(r"\(\d+\) Scan parquet", p))) <= 1
+    assert "Window" not in p
+    assert "BatchEvalPython" not in p
