@@ -63,6 +63,10 @@ HEADLINE = [
     "mixture_epoch_upsample",
     "shard_training_order",
     "corpus_assembly_full",
+    "dedup_segments",
+    "text_lm_bigram",
+    "search_hybrid_rrf",
+    "shard_manifest",
 ]
 
 

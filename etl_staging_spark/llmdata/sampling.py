@@ -386,3 +386,59 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def shard_manifest(
+    docs: DataFrame,
+    n_shards: int,
+    salt: str = "shard-v1",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Reproducibility manifest per training shard: doc count, token
+    total, and an order-free XOR checksum of the member documents'
+    content hashes. Two runs of the assembly pipeline (at any cluster
+    size, any partitioning) produce the same manifest iff they produced
+    the same shards — the cheap end-to-end integrity check every
+    production dataloader pipeline records next to its shards.
+
+    XOR is the right fold for the checksum: commutative/associative
+    (partition-order-free), overflow-free on the 56-bit hash domain,
+    and any single changed/missing/extra document flips it.
+
+    Scale shape: one projection (shard id, token count, content hash)
+    over one corpus scan, one map-side-combinable aggregate keyed by
+    shard. Output is n_shards rows."""
+    h = portable_hash56(
+        F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))
+    )
+    d = docs.select(
+        F.pmod(h, F.lit(n_shards)).cast("int").alias("shard"),
+        F.size(F.split(F.lower(F.col(text_col)), " ")).alias("__ntok"),
+        portable_hash56(F.col(text_col)).alias("__th"),
+    )
+    return d.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("__ntok").cast("long").alias("n_tokens"),
+        F.expr("bit_xor(__th)").alias("content_xor"),
+    )
+
+
+def o_shard_manifest(
+    n_shards: int,
+    salt: str = "shard-v1",
+    key_expr: str = "doc_id",
+    source_sql: str = "documents",
+) -> str:
+    """DuckDB oracle twin of :func:`shard_manifest`."""
+    h = o_hash56(f"'{salt}:' || CAST({key_expr} AS VARCHAR)")
+    return f"""
+    SELECT CAST(shard AS INT) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(__ntok) AS BIGINT) AS n_tokens,
+           bit_xor(__th) AS content_xor
+    FROM (SELECT ({h}) % {n_shards} AS shard,
+                 len(string_split(lower(text), ' ')) AS __ntok,
+                 {o_hash56('text')} AS __th
+          FROM {source_sql})
+    GROUP BY shard"""

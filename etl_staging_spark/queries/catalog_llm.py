@@ -1516,3 +1516,71 @@ def text_lm_bigram(spark, sf_dir):
     map-combinable model artifacts, scoring stream joined against the
     vocab and pruned-bigram dims, exact DECIMAL mean per doc."""
     return lm.lm_bigram_score(load(spark, sf_dir, "documents"))
+
+
+from ..llmdata import fusion  # noqa: E402
+
+_RRF_SEM_QID = 0
+_RRF_SEM_K = 50
+
+_RRF_LEX_CTE = (
+    "lex AS (WITH " + lexsearch.o_bm25_topk(_BM25_TERMS, k=_BM25_K) + ")"
+)
+_RRF_SEM_CTE = f"""sem AS (
+      WITH {O_ELEMS},
+      dots AS (
+        SELECT a.vec_id AS qid, b.vec_id AS cid,
+               CAST(SUM(CAST(a.e * b.e AS DECIMAL(30,15))) AS DOUBLE) AS dot
+        FROM elems a JOIN elems b ON a.i = b.i AND b.vec_id <> a.vec_id
+        WHERE a.vec_id = {_RRF_SEM_QID}
+        GROUP BY 1, 2
+      ),
+      cscored AS (
+        SELECT qid, cid, dot / (qn.nrm * cn.nrm) AS c
+        FROM dots JOIN norms qn ON qn.vec_id = qid
+                  JOIN norms cn ON cn.vec_id = cid
+      )
+      SELECT cid,
+             ROW_NUMBER() OVER (ORDER BY c DESC, cid) AS rank
+      FROM cscored QUALIFY rank <= {_RRF_SEM_K}
+    )"""
+
+
+@query(
+    "search_hybrid_rrf",
+    oracle=fusion.o_rrf_fuse(_RRF_LEX_CTE, _RRF_SEM_CTE),
+)
+def search_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25 lexical top-50 fused with the dense
+    cosine top-50 of query vector 0 by reciprocal rank fusion
+    (`llmdata/fusion.py`). The corpus-scale work happens inside the two
+    rankers (each with its own bounded-plan story); fusion joins two
+    ≤k-row frames and ranks ≤2k rows — driver-trivial at any corpus
+    size, no score calibration across rankers."""
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    lex = lexsearch.bm25_topk(docs, _BM25_TERMS, k=_BM25_K).select(
+        "doc_id", "score"
+    )
+    sem = simsearch.cosine_topk(
+        emb, F.col("vec_id") == _RRF_SEM_QID, k=_RRF_SEM_K
+    ).select("cid", "rank")
+    return fusion.rrf_fuse(lex, sem)
+
+
+_MANIFEST_SHARDS = 16
+
+
+@query(
+    "shard_manifest",
+    oracle=sampling.o_shard_manifest(_MANIFEST_SHARDS),
+)
+def shard_manifest(spark, sf_dir):
+    """Per-shard reproducibility manifest (doc count, token total,
+    order-free XOR checksum of content hashes) — the integrity record a
+    production pipeline writes next to its training shards so any two
+    assembly runs can be compared in O(n_shards). One scan, one
+    map-combinable aggregate (`llmdata/sampling.py`)."""
+    return sampling.shard_manifest(
+        load(spark, sf_dir, "documents"), n_shards=_MANIFEST_SHARDS
+    )

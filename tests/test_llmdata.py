@@ -1046,3 +1046,60 @@ def test_lm_bigram_short_docs_excluded(spark):
     )
     out = lm.lm_bigram_score(df, min_count=1).collect()
     assert {r.doc_id for r in out} == {1}
+
+
+def test_shard_manifest_detects_any_content_change(spark):
+    from etl_staging_spark.llmdata import sampling
+
+    rows = [(i, f"doc number {i} body words here") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = {r.shard: r for r in sampling.shard_manifest(df, 8).collect()}
+    assert sum(r.n_docs for r in base.values()) == 40
+
+    # flip one character in one document: exactly that doc's shard
+    # changes, and only its checksum (counts stay identical)
+    rows2 = list(rows)
+    rows2[17] = (17, rows[17][1] + "!")
+    df2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    got = {r.shard: r for r in sampling.shard_manifest(df2, 8).collect()}
+    diff = [s for s in base if base[s].content_xor != got[s].content_xor]
+    assert len(diff) == 1
+    s = diff[0]
+    assert base[s].n_docs == got[s].n_docs
+    # token count unchanged ("here!" is still one token)
+    assert base[s].n_tokens == got[s].n_tokens
+    same = [s2 for s2 in base if s2 != s]
+    assert all(base[s2] == got[s2] for s2 in same)
+
+
+def test_shard_manifest_partition_order_free(spark):
+    from etl_staging_spark.llmdata import sampling
+
+    rows = [(i, f"text {i} alpha beta") for i in range(30)]
+    df1 = spark.createDataFrame(rows, "doc_id long, text string").repartition(1)
+    df2 = (
+        spark.createDataFrame(list(reversed(rows)), "doc_id long, text string")
+        .repartition(7)
+    )
+    m1 = sorted(sampling.shard_manifest(df1, 4).collect())
+    m2 = sorted(sampling.shard_manifest(df2, 4).collect())
+    assert m1 == m2
+
+
+def test_rrf_fuse_hand_example(spark):
+    from etl_staging_spark.llmdata import fusion
+
+    # lexical: doc 1 > doc 2 > doc 3 ; semantic ranks: doc 2 #1, doc 9 #2
+    lex = spark.createDataFrame(
+        [(1, 9.0), (2, 5.0), (3, 1.0)], "doc_id long, score double"
+    )
+    sem = spark.createDataFrame([(2, 1), (9, 2)], "cid long, rank int")
+    out = {r.doc_id: r for r in fusion.rrf_fuse(lex, sem).collect()}
+    assert set(out) == {1, 2, 3, 9}
+    # doc 2: both rankers -> 1/62 + 1/61
+    assert out[2].rrf_score == pytest.approx(1 / 62 + 1 / 61, abs=2e-6)
+    assert out[2].final_rank == 1
+    # doc 1: lexical only -> 1/61; beats doc 9 (1/62) and doc 3 (1/63)
+    assert out[1].final_rank == 2
+    assert out[9].final_rank == 3 and out[9].lex_rank is None
+    assert out[3].final_rank == 4 and out[3].sem_rank is None
