@@ -1103,3 +1103,90 @@ def test_rrf_fuse_hand_example(spark):
     assert out[1].final_rank == 2
     assert out[9].final_rank == 3 and out[9].lex_rank is None
     assert out[3].final_rank == 4 and out[3].sem_rank is None
+
+
+def test_segment_dedup_identity_when_cutoff_never_hit(spark):
+    from etl_staging_spark.llmdata import linedup
+
+    rows = [(i, f"u{i}a u{i}b u{i}c u{i}d u{i}e") for i in range(6)]
+    out = {
+        r.doc_id: r
+        for r in linedup.segment_dedup(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            k=8, max_df=10_000,
+        ).collect()
+    }
+    for i, t in rows:
+        assert out[i].clean_text == t and out[i].n_removed == 0
+
+
+def test_segment_dedup_matches_python_reference(spark):
+    import random
+    from collections import Counter
+
+    from etl_staging_spark.llmdata import linedup
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(6)]  # tiny vocab => natural repeats
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 40))))
+        for i in range(30)
+    ]
+    K, MAXDF = 4, 2
+    segs_of = lambda t: [
+        " ".join(t.split(" ")[p : p + K]) for p in range(0, len(t.split(" ")), K)
+    ]
+    df_cnt = Counter(s for _, t in docs for s in segs_of(t))
+    expected = {}
+    for i, t in docs:
+        segs = segs_of(t)
+        keep = [s for s in segs if df_cnt[s] <= MAXDF]
+        expected[i] = (len(segs), len(segs) - len(keep), " ".join(keep))
+    out = {
+        r.doc_id: (r.n_segs, r.n_removed, r.clean_text)
+        for r in linedup.segment_dedup(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            k=K, max_df=MAXDF,
+        ).collect()
+    }
+    assert out == expected
+
+
+def test_lm_bigram_matches_python_reference(spark):
+    import math
+    import random
+    from collections import Counter
+
+    from etl_staging_spark.llmdata import lm
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 30))))
+        for i in range(25)
+    ]
+    uni, big = Counter(), Counter()
+    for _, t in docs:
+        toks = t.split(" ")
+        uni.update(toks)
+        big.update(zip(toks, toks[1:]))
+    V = len(uni)
+    pr6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6
+    expected = {}
+    for i, t in docs:
+        toks = t.split(" ")
+        ps = [
+            pr6(((big[(a, b)] if big[(a, b)] >= 2 else 0) + 1) / (uni[a] + V))
+            for a, b in zip(toks, toks[1:])
+        ]
+        expected[i] = (len(ps), sum(ps) / len(ps))
+    out = {
+        r.doc_id: (r.n_bigrams, r.avg_prob)
+        for r in lm.lm_bigram_score(
+            spark.createDataFrame(docs, "doc_id long, text string"), min_count=2
+        ).collect()
+    }
+    assert set(out) == set(expected)
+    for i in expected:
+        assert out[i][0] == expected[i][0], i
+        assert out[i][1] == pytest.approx(expected[i][1], abs=2e-6), i

@@ -120,7 +120,7 @@ def ledger_ops():
 
 
 def main() -> None:
-    from etl_staging_spark.llmdata import dedup, lexsearch, textstats
+    from etl_staging_spark.llmdata import dedup, lexsearch, linedup, lm, textstats
     from etl_staging_spark.session import get_spark
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
@@ -134,6 +134,8 @@ def main() -> None:
         ),
         "quality_scores": lambda d: textstats.quality_scores(d),
         "repetition_stats": lambda d: textstats.repetition_stats(d),
+        "segment_dedup": lambda d: linedup.segment_dedup(d),
+        "lm_bigram_score": lambda d: lm.lm_bigram_score(d),
     }
     lops = ledger_ops()
     results: dict[str, dict[int, float]] = {o: {} for o in (*ops, *lops)}
