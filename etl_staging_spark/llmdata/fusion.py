@@ -85,8 +85,8 @@ def o_rrf_fuse(lex_cte: str, sem_cte: str) -> str:
     ),
     scored AS (
       SELECT doc_id, lex_rank, sem_rank,
-             FLOOR((COALESCE(1.0 / (60 + lex_rank), 0.0)
-                    + COALESCE(1.0 / (60 + sem_rank), 0.0)) * 1000000 + 0.5)
+             FLOOR((COALESCE(1.0 / ({RRF_K} + lex_rank), 0.0)
+                    + COALESCE(1.0 / ({RRF_K} + sem_rank), 0.0)) * 1000000 + 0.5)
                / 1000000 AS rrf_score
       FROM fused
     )
