@@ -48,6 +48,34 @@ def segment_table(df: DataFrame, k: int = SEG_TOKENS) -> DataFrame:
     return d.select("doc_id", F.posexplode(segs).alias("pos", "seg"))
 
 
+def _reassemble(marked: DataFrame) -> DataFrame:
+    """(doc_id, pos, seg, __hot) -> one row per doc with the hot
+    segments dropped and the survivors re-joined in original order."""
+    kept_struct = F.when(F.col("__hot").isNull(), F.struct("pos", "seg"))
+    return marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_segs"),
+        F.sum(F.when(F.col("__hot"), 1).otherwise(0)).cast("long").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["seg"]
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+
+
+def segment_clean(df: DataFrame, hot: DataFrame, k: int = SEG_TOKENS) -> DataFrame:
+    """Scrub ``df`` against an EXISTING hot-segment set (``hot`` must
+    have a 56-bit ``h`` column, e.g. the persisted corpus index from
+    :func:`write_hot_segment_index`) — the incremental/streaming form:
+    new documents pay O(batch), the corpus is never rescanned."""
+    segs = segment_table(df, k=k).withColumn("h", portable_hash56(F.col("seg")))
+    marked = segs.join(
+        hot.select("h", F.lit(True).alias("__hot")).distinct(), "h", "left"
+    )
+    return _reassemble(marked)
+
+
 def segment_dedup(
     df: DataFrame, k: int = SEG_TOKENS, max_df: int = SEG_MAX_DF
 ) -> DataFrame:
@@ -66,21 +94,36 @@ def segment_dedup(
         .where(F.col("df") > max_df)
         .select("h", F.lit(True).alias("__hot"))
     )
-    marked = segs.join(hot, "h", "left")
-    kept_struct = F.when(F.col("__hot").isNull(), F.struct("pos", "seg"))
-    out = marked.groupBy("doc_id").agg(
-        F.count("*").alias("n_segs"),
-        F.sum(F.when(F.col("__hot"), 1).otherwise(0)).cast("long").alias("n_removed"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(kept_struct)), lambda s: s["seg"]
-            ),
-            " ",
-        ).alias("clean_text"),
-    )
+    out = _reassemble(segs.join(hot, "h", "left"))
     from .dedup import _pin
 
     return _pin(out, segs)
+
+
+def write_hot_segment_index(
+    corpus: DataFrame,
+    table: str,
+    k: int = SEG_TOKENS,
+    max_df: int = SEG_MAX_DF,
+    n_buckets: int = 16,
+) -> None:
+    """Persist the corpus's hot-segment set as a bucketed managed table
+    (bucketed by ``h``) — the write-once-shuffle half of running
+    segment dedup as a service: ingest batches/streams scrub against
+    the table (:func:`segment_clean`) with no corpus rescan, and a
+    periodic maintenance job refreshes it as the corpus grows."""
+    from ..etl.bucketed import write_bucketed
+
+    segs = segment_table(corpus, k=k).select(
+        portable_hash56(F.col("seg")).alias("h")
+    )
+    hot = (
+        segs.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > max_df)
+        .select("h")
+    )
+    write_bucketed(hot, table, ["h"], n_buckets)
 
 
 def o_segment_dedup(k: int = SEG_TOKENS, max_df: int = SEG_MAX_DF) -> str:

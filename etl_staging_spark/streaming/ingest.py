@@ -118,3 +118,33 @@ def gated_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def segment_clean_stream(
+    docs_stream: DataFrame,
+    hot_table: str,
+    on_batch: Callable[[int, DataFrame], None],
+    k: int | None = None,
+    query_name: str = "segment_clean",
+):
+    """Per micro-batch, scrub incoming documents against the persisted
+    hot-segment index (`llmdata.linedup.write_hot_segment_index`) and
+    hand the reconstructed (doc_id, n_segs, n_removed, clean_text)
+    frame to ``on_batch`` — boilerplate removal as an ingest-time
+    service. Each batch pays O(batch); the corpus behind the index is
+    never rescanned (the bucketed table joins exchange-free on its
+    side, same story as the dedup signature index)."""
+    from ..llmdata import linedup
+
+    seg_k = k if k is not None else linedup.SEG_TOKENS
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        hot = batch_df.sparkSession.table(hot_table)
+        on_batch(batch_id, linedup.segment_clean(batch_df, hot, k=seg_k))
+
+    return (
+        docs_stream.writeStream.foreachBatch(_process)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -285,3 +285,50 @@ def test_gated_ingest_matches_batch(spark, tmp_path):
     assert got == want
     assert got, "gate must keep something"
     assert all(100 + i not in got for i in range(5)), "spam must be dropped"
+
+
+def test_segment_clean_stream_against_persisted_hot_index(spark, tmp_path):
+    """Boilerplate removal as an ingest service: the hot-segment index
+    is written once from the corpus; streamed documents arrive with the
+    corpus boilerplate planted and leave with it scrubbed, matching the
+    batch `segment_clean` on the same documents."""
+    from etl_staging_spark.llmdata import linedup
+    from etl_staging_spark.streaming.ingest import doc_stream, segment_clean_stream
+
+    boiler = "all rights reserved click here to subscribe now"  # 8 tokens
+    corpus = spark.createDataFrame(
+        [(i, f"{boiler} corpus{i}a corpus{i}b") for i in range(5)],
+        "doc_id long, text string",
+    )
+    linedup.write_hot_segment_index(corpus, "hot_seg_test", k=8, max_df=2, n_buckets=4)
+
+    drop_dir = str(tmp_path / "segdrops")
+    incoming = spark.createDataFrame(
+        [
+            (100, f"{boiler} fresh alpha beta gamma"),
+            (101, "entirely novel words only here"),
+        ],
+        "doc_id long, text string",
+    )
+    incoming.coalesce(1).write.mode("overwrite").parquet(drop_dir)
+
+    got: dict[int, tuple] = {}
+    q = segment_clean_stream(
+        doc_stream(spark, drop_dir),
+        "hot_seg_test",
+        lambda bid, df: got.update(
+            {r.doc_id: (r.n_removed, r.clean_text) for r in df.collect()}
+        ),
+        k=8,
+    )
+    q.awaitTermination()
+
+    assert got[100] == (1, "fresh alpha beta gamma")
+    assert got[101] == (0, "entirely novel words only here")
+    want = {
+        r.doc_id: (r.n_removed, r.clean_text)
+        for r in linedup.segment_clean(
+            incoming, spark.table("hot_seg_test"), k=8
+        ).collect()
+    }
+    assert got == want
