@@ -442,3 +442,59 @@ def o_shard_manifest(
                  {o_hash56('text')} AS __th
           FROM {source_sql})
     GROUP BY shard"""
+
+
+def stratified_sample_n(
+    docs: DataFrame,
+    n_per_stratum: int,
+    stratum_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "strat-v1",
+) -> DataFrame:
+    """Deterministic fixed-``n``-per-stratum sample: within each
+    stratum, rank documents by their salted content-independent hash
+    (ties by key) and keep the first ``n_per_stratum``. The eval-set /
+    calibration-set builder: unlike mixture sampling (proportions) or
+    the quality cap (budget by score), this draws a fixed-size
+    pseudo-random-but-reproducible panel per stratum — same panel on
+    every run, any cluster size, and stable under corpus growth in the
+    same sense as hash_split (a new doc displaces at most one panel
+    member, where row-number-on-arrival schemes reshuffle everything).
+
+    Scale shape: the hash is a projection; the rank is a window
+    partitioned BY STRATUM (parallelism = #strata, each partition
+    streams); no global sort, no RNG state. Output: (doc_id, stratum,
+    rk)."""
+    from pyspark.sql import Window
+
+    h = portable_hash56(
+        F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))
+    )
+    d = docs.select(
+        key_col, F.col(stratum_col).alias("stratum"), h.alias("__h")
+    )
+    w = Window.partitionBy("stratum").orderBy("__h", key_col)
+    return (
+        d.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= n_per_stratum)
+        .select(key_col, "stratum", "rk")
+    )
+
+
+def o_stratified_sample_n(
+    n_per_stratum: int,
+    stratum_expr: str = "source",
+    key_expr: str = "doc_id",
+    salt: str = "strat-v1",
+    source_sql: str = "documents",
+) -> str:
+    """DuckDB oracle twin of :func:`stratified_sample_n`."""
+    h = o_hash56(f"'{salt}:' || CAST({key_expr} AS VARCHAR)")
+    return f"""
+    SELECT doc_id, stratum, CAST(rk AS INT) AS rk
+    FROM (
+      SELECT {key_expr} AS doc_id, {stratum_expr} AS stratum,
+             ROW_NUMBER() OVER (PARTITION BY {stratum_expr}
+                                ORDER BY {h}, {key_expr}) AS rk
+      FROM {source_sql})
+    WHERE rk <= {n_per_stratum}"""

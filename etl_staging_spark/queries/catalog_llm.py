@@ -1584,3 +1584,21 @@ def shard_manifest(spark, sf_dir):
     return sampling.shard_manifest(
         load(spark, sf_dir, "documents"), n_shards=_MANIFEST_SHARDS
     )
+
+
+_STRAT_N = 25
+
+
+@query(
+    "stratified_sample_n",
+    oracle=sampling.o_stratified_sample_n(_STRAT_N),
+)
+def stratified_sample_n(spark, sf_dir):
+    """Deterministic fixed-n-per-stratum panel (eval/calibration set
+    builder): salted-hash rank within each source, keep the first 25.
+    Hash is a projection, rank is a stratum-partitioned window — no
+    global sort, no RNG state, reproducible at any cluster size
+    (`llmdata/sampling.py`)."""
+    return sampling.stratified_sample_n(
+        load(spark, sf_dir, "documents"), n_per_stratum=_STRAT_N
+    )

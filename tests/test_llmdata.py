@@ -1190,3 +1190,32 @@ def test_lm_bigram_matches_python_reference(spark):
     for i in expected:
         assert out[i][0] == expected[i][0], i
         assert out[i][1] == pytest.approx(expected[i][1], abs=2e-6), i
+
+
+def test_stratified_sample_growth_stability(spark):
+    from etl_staging_spark.llmdata import sampling
+
+    rows = [(i, "s" + str(i % 3), f"text {i}") for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    panel = {
+        (r.doc_id, r.stratum)
+        for r in sampling.stratified_sample_n(df, 5).collect()
+    }
+    assert len(panel) == 15  # 5 per stratum x 3 strata
+    # growing the corpus keeps the panel stable except where a new doc's
+    # hash outranks a member: displacement is at most 1 per new doc
+    rows2 = rows + [(1000, "s0", "newcomer")]
+    df2 = spark.createDataFrame(rows2, "doc_id long, source string, text string")
+    panel2 = {
+        (r.doc_id, r.stratum)
+        for r in sampling.stratified_sample_n(df2, 5).collect()
+    }
+    assert len(panel2) == 15
+    assert len(panel - panel2) <= 1
+    # deterministic across partitionings
+    df3 = spark.createDataFrame(list(reversed(rows)), "doc_id long, source string, text string").repartition(13)
+    panel3 = {
+        (r.doc_id, r.stratum)
+        for r in sampling.stratified_sample_n(df3, 5).collect()
+    }
+    assert panel3 == panel
