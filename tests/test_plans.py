@@ -289,3 +289,32 @@ def test_lm_bigram_no_window_no_python(spark, queries):
     assert len(set(re.findall(r"\(\d+\) Scan parquet", p))) <= 1
     assert "Window" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_shard_manifest_single_scan_no_window(spark, queries):
+    """shard_manifest: one projection (shard, tokens, content hash)
+    over one scan, one map-combinable aggregate — no join, no window."""
+    p = plan_of(spark, queries, "shard_manifest")
+    assert len(set(re.findall(r"\(\d+\) Scan parquet", p))) == 1
+    assert "Window" not in p
+    assert "Join" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_stratified_sample_window_is_stratum_partitioned(spark, queries):
+    """stratified_sample_n: the rank window partitions BY STRATUM —
+    never a single-partition global sort."""
+    p = plan_of(spark, queries, "stratified_sample_n")
+    assert "Window" in p
+    assert "Exchange SinglePartition" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_hybrid_rrf_rankers_keep_their_shapes(spark, queries):
+    """search_hybrid_rrf: the BM25 side still ranks via per-partition
+    heaps (TakeOrderedAndProject), no cartesian sneaks in through the
+    fusion join, and no Python anywhere."""
+    p = plan_of(spark, queries, "search_hybrid_rrf")
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
