@@ -51,7 +51,8 @@ def a10_read_group(spark, sf_dir):
                          ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS to_collect,
            CAST(SUM(CASE WHEN conv < 0 THEN -conv
                          ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS to_pay,
-           SUM(CASE WHEN tax_tag_invert THEN 1 ELSE 0 END) AS n_to_check,
+           CAST(SUM(CASE WHEN tax_tag_invert THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_to_check,
            COUNT(DISTINCT move_id) AS n_moves
     FROM led GROUP BY company_id
     """,

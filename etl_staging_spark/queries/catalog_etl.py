@@ -504,7 +504,7 @@ def pr_purchase_register(spark, sf_dir):
            CAST(taxable_dec + tax_dec AS DOUBLE) AS gross
     FROM pc
     UNION ALL
-    SELECT '__TOTAL__', SUM(n_lines),
+    SELECT '__TOTAL__', CAST(SUM(n_lines) AS BIGINT),
            CAST(SUM(qty_dec) AS DOUBLE), CAST(SUM(taxable_dec) AS DOUBLE),
            CAST(SUM(tax_dec) AS DOUBLE),
            CAST(SUM(taxable_dec) + SUM(tax_dec) AS DOUBLE)

@@ -622,7 +622,10 @@ def es_report(spark, sf_dir):
     SELECT section, 'total', NULL, NULL,
            CAST(SUM(susp_dec) AS DOUBLE),
            CAST(SUM(oth_dec) AS DOUBLE),
-           SUM(n)
+           -- DuckDB SUM(BIGINT) is HUGEINT -> Arrow decimal128, which a
+           -- pandas/Arrow-canonicalizing harness renders as Decimal('k')
+           -- vs Spark's int64 k: cast back to BIGINT (see registry.py)
+           CAST(SUM(n) AS BIGINT)
     FROM details GROUP BY section
     """,
 )

@@ -42,3 +42,25 @@ def test_query_matches_oracle(name, spark, duck):
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() >= 0
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_arrow_types_are_harness_safe(name, duck):
+    """No oracle may emit a column whose DuckDB->Arrow type is
+    decimal128 or any other non-standard numeric: DuckDB silently
+    widens SUM(BIGINT) to HUGEINT (Arrow decimal128(38,0)), and a
+    harness that canonicalizes through Arrow/pandas then renders
+    Decimal('k') against Spark's int64 k — the exact signature of the
+    three entries that stayed driver-red through rounds 4-5 while
+    passing every str()-canonicalizing local check. Cast integer SUMs
+    back to BIGINT at the oracle's output edge."""
+    tbl = duck.execute(ORACLES[name]).arrow()
+    odd = {
+        f.name: str(f.type)
+        for f in tbl.schema
+        if str(f.type).split("(")[0]
+        not in ("int8", "int16", "int32", "int64", "double", "float",
+                "string", "large_string", "bool", "date32", "timestamp",
+                "list", "large_list")
+    }
+    assert not odd, f"{name}: harness-unsafe oracle column types {odd}"
