@@ -30,6 +30,7 @@ from etl_staging_spark.queries import catalog_dashboards  # noqa: E402,F401
 from etl_staging_spark.queries import catalog_etl  # noqa: E402,F401
 from etl_staging_spark.queries import catalog_hierarchy  # noqa: E402,F401
 from etl_staging_spark.queries import catalog_misc  # noqa: E402,F401
+from etl_staging_spark.queries import catalog_events  # noqa: E402,F401
 
 
 def entry(spark: SparkSession) -> DataFrame:

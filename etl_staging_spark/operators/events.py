@@ -1,0 +1,209 @@
+"""Event-stream batch analytics: sessionization, funnels, cohort
+retention — the batch twins of the Structured Streaming session
+windows (`streaming/events.py:177`), with identical gap semantics, so
+the same questions answer consistently whether asked of the live
+stream or the history table.
+
+Every operator here is user-keyed: one shuffle on user_id, windows
+partitioned BY USER (150 users at test scale, millions in production —
+hash-balanced, never a global window), aggregates map-side combinable.
+Money/value sums follow the exact-decimal `dsum` convention so results
+are partition-order-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+O_TS = "strftime({col}, '%Y-%m-%d %H:%M:%S.%f')"
+
+SESSION_GAP_MIN = 30
+
+
+def sessionize(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
+    """Gap-based sessions: a session breaks when a user is idle longer
+    than ``gap_min`` minutes (same rule as the streaming
+    ``session_windows`` operator). Output one row per session:
+    (user_id, session_id 1-based in ts order, n_events, started, ended,
+    total_value).
+
+    Shape: two stacked windows over the SAME user partition (lag to
+    flag session starts, running sum to number them) — one shuffle on
+    user_id total, then the per-session aggregate reuses that
+    partitioning."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet stores TIMESTAMP_NTZ; the UTC session makes the ntz->tz
+    # cast instant-preserving, and flooring micros to seconds matches
+    # the oracle's floor(epoch(ts))
+    secs = F.floor(
+        F.expr("unix_micros(cast(ts as timestamp))") / F.lit(1_000_000)
+    )
+    gap = secs - F.lag(secs).over(w)
+    is_new = F.when(
+        gap.isNull() | (gap > gap_min * 60), F.lit(1)
+    ).otherwise(F.lit(0))
+    numbered = events.withColumn(
+        "session_id",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"),
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.date_format(F.min("ts"), TS_FMT).alias("started"),
+        F.date_format(F.max("ts"), TS_FMT).alias("ended"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+
+
+def o_sessionize(gap_min: int = SESSION_GAP_MIN, source_sql: str = "events") -> str:
+    """DuckDB oracle twin of :func:`sessionize`. The gap compares
+    epoch seconds (Spark's long cast truncates sub-second micros), so
+    the oracle uses epoch() the same way."""
+    return f"""
+    WITH numbered AS (
+      SELECT user_id, event_id, ts, value,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS INT) AS session_id
+      FROM (
+        SELECT *, CASE WHEN prev IS NULL
+                       OR CAST(floor(epoch(ts)) AS BIGINT)
+                          - CAST(floor(epoch(prev)) AS BIGINT)
+                          > {gap_min * 60}
+                  THEN 1 ELSE 0 END AS is_new
+        FROM (SELECT *, lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS prev
+              FROM {source_sql})
+      )
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           {O_TS.format(col='MIN(ts)')} AS started,
+           {O_TS.format(col='MAX(ts)')} AS ended,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM numbered GROUP BY user_id, session_id
+    """
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel(events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS) -> DataFrame:
+    """Ordered funnel per user: the earliest occurrence of step k that
+    happens strictly AFTER the user's matched step k-1 (classic
+    first-touch funnel). Output: (user_id, first_<step>... as
+    timestamp strings, stage = number of steps completed).
+
+    Shape: one conditional aggregate per step, chained — each pass is a
+    user-keyed groupBy of the (already user-partitioned) event frame
+    joined back against the bounded per-user frontier; at production
+    scale the frontier frame is |users| rows, orders of magnitude under
+    the event count, and every join is user-keyed equi."""
+    cur = None  # per-user frontier: user_id, matched ts of last step
+    out_cols = []
+    ev = events.select("user_id", "event_type", "ts")
+    for i, step in enumerate(steps):
+        if cur is None:
+            cur = (
+                ev.where(F.col("event_type") == step)
+                .groupBy("user_id")
+                .agg(F.min("ts").alias(f"__t{i}"))
+            )
+        else:
+            nxt = (
+                ev.where(F.col("event_type") == step)
+                .join(cur.select("user_id", f"__t{i-1}"), "user_id")
+                .where(F.col("ts") > F.col(f"__t{i-1}"))
+                .groupBy("user_id")
+                .agg(F.min("ts").alias(f"__t{i}"))
+            )
+            cur = cur.join(nxt, "user_id", "left")
+        out_cols.append(f"__t{i}")
+    stage = sum(
+        (F.col(c).isNotNull()).cast("int") for c in out_cols
+    )
+    return cur.select(
+        "user_id",
+        *[
+            F.date_format(F.col(f"__t{i}"), TS_FMT).alias(f"first_{s}")
+            for i, s in enumerate(steps)
+        ],
+        stage.alias("stage"),
+    )
+
+
+def o_funnel(steps: tuple[str, ...] = FUNNEL_STEPS, source_sql: str = "events") -> str:
+    """DuckDB oracle twin of :func:`funnel`."""
+    ctes = []
+    for i, step in enumerate(steps):
+        if i == 0:
+            ctes.append(
+                f"f0 AS (SELECT user_id, MIN(ts) AS t0 FROM {source_sql} "
+                f"WHERE event_type = '{step}' GROUP BY user_id)"
+            )
+        else:
+            ctes.append(
+                f"n{i} AS (SELECT e.user_id, MIN(e.ts) AS t{i} "
+                f"FROM {source_sql} e JOIN f{i-1} USING (user_id) "
+                f"WHERE e.event_type = '{step}' AND e.ts > f{i-1}.t{i-1} "
+                f"GROUP BY e.user_id),\n"
+                f"f{i} AS (SELECT f{i-1}.*, n{i}.t{i} "
+                f"FROM f{i-1} LEFT JOIN n{i} USING (user_id))"
+            )
+    last = f"f{len(steps) - 1}"
+    sel = ", ".join(
+        O_TS.format(col=f"t{i}") + f" AS first_{s}" for i, s in enumerate(steps)
+    )
+    stage = " + ".join(
+        f"CASE WHEN t{i} IS NOT NULL THEN 1 ELSE 0 END"
+        for i in range(len(steps))
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT user_id, {sel}, CAST({stage} AS INT) AS stage FROM {last}"
+    )
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Weekly cohort retention: users cohorted by the ISO week of their
+    first event; one row per (cohort_week, week_offset) with the count
+    of cohort members active in that week. The standard retention
+    triangle.
+
+    Shape: first-seen is a user-keyed aggregate; activity weeks are a
+    distinct projection; the triangle is a join on user_id (bounded
+    per-user dim) plus one count aggregate — no windows at all."""
+    first_seen = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_ts")
+    )
+    active = events.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week_ts")
+    ).distinct()
+    joined = active.join(first_seen, "user_id")
+    return (
+        joined.groupBy(
+            F.date_format("cohort_ts", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.col("week_ts"), F.col("cohort_ts")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+def o_cohort_retention(source_sql: str = "events") -> str:
+    """DuckDB oracle twin of :func:`cohort_retention`."""
+    return f"""
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_ts
+      FROM {source_sql} GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS week_ts
+      FROM {source_sql}
+    )
+    SELECT strftime(cohort_ts, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', cohort_ts, week_ts) / 7 AS INT) AS week_offset,
+           COUNT(*) AS n_users
+    FROM active JOIN first_seen USING (user_id)
+    GROUP BY 1, 2
+    """

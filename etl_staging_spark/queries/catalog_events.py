@@ -1,0 +1,36 @@
+"""Event-stream batch analytics entries: sessionization, funnel,
+cohort retention over the events table — batch twins of the streaming
+session operators (`streaming/events.py`), same gap semantics."""
+
+from __future__ import annotations
+
+from ..operators import events as ev
+from ..tables import load
+from .registry import query
+
+
+@query("events_sessionize", oracle=ev.o_sessionize())
+def events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min idle breaks a session), one row
+    per session with bounds and exact-decimal value total. Two stacked
+    windows over ONE user_id partitioning plus a per-session aggregate
+    that reuses it — a single shuffle end to end, parallelism = #users
+    (`operators/events.py`)."""
+    return ev.sessionize(load(spark, sf_dir, "events"))
+
+
+@query("events_funnel", oracle=ev.o_funnel())
+def events_funnel(spark, sf_dir):
+    """First-touch ordered funnel (view -> click after it -> purchase
+    after that): per-step conditional aggregates chained through a
+    bounded per-user frontier frame, every join user-keyed equi; stage
+    counts completed steps."""
+    return ev.funnel(load(spark, sf_dir, "events"))
+
+
+@query("events_cohort_retention", oracle=ev.o_cohort_retention())
+def events_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention triangle: first-seen week per user
+    (user-keyed aggregate) x distinct active weeks, joined on user_id
+    and counted — windowless, two shuffles, both map-combinable."""
+    return ev.cohort_retention(load(spark, sf_dir, "events"))

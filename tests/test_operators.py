@@ -125,3 +125,89 @@ def test_salted_join_replicates_dim_only_for_hot_keys(spark):
     out = salted_join(fact, dim, "k", hot_keys=[1], n_salts=3)
     assert SALT not in out.columns
     assert out.count() == 2
+
+
+# ---------------------------------------------------------------------------
+# Event analytics: sessionization, funnel, cohort retention
+# ---------------------------------------------------------------------------
+
+
+def _ev_rows():
+    # user 1: two sessions (40-min idle gap); user 2: one session
+    return [
+        (1, "2024-01-01 10:00:00", 1, "view", 1.0),
+        (2, "2024-01-01 10:10:00", 1, "click", 2.5),
+        (3, "2024-01-01 10:55:00", 1, "purchase", 10.0),  # 45 min gap -> new
+        (4, "2024-01-01 09:00:00", 2, "view", 0.5),
+        (5, "2024-01-01 09:20:00", 2, "view", 0.5),
+    ]
+
+
+def _ev_df(spark):
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame(
+        _ev_rows(), "event_id long, ts_s string, user_id long, event_type string, value double"
+    ).select(
+        "event_id",
+        F.col("ts_s").cast("timestamp_ntz").alias("ts"),
+        "user_id", "event_type", "value",
+    )
+
+
+def test_sessionize_gap_splits_and_totals(spark):
+    from etl_staging_spark.operators import events as ev
+
+    out = {(r.user_id, r.session_id): r for r in ev.sessionize(_ev_df(spark), gap_min=30).collect()}
+    assert set(out) == {(1, 1), (1, 2), (2, 1)}
+    assert out[(1, 1)].n_events == 2 and out[(1, 1)].total_value == 3.5
+    assert out[(1, 2)].n_events == 1 and out[(1, 2)].total_value == 10.0
+    assert out[(2, 1)].n_events == 2
+    assert out[(1, 1)].started.startswith("2024-01-01 10:00:00")
+    assert out[(1, 1)].ended.startswith("2024-01-01 10:10:00")
+
+
+def test_funnel_order_matters(spark):
+    from etl_staging_spark.operators import events as ev
+
+    out = {r.user_id: r for r in ev.funnel(_ev_df(spark)).collect()}
+    # user 1 completes view -> click -> purchase in order
+    assert out[1].stage == 3
+    # user 2 only views; never reaches click
+    assert out[2].stage == 1 and out[2].first_click is None
+    # a purchase BEFORE the first view must not count
+    rows = [
+        (1, "2024-01-01 08:00:00", 9, "purchase", 1.0),
+        (2, "2024-01-01 09:00:00", 9, "view", 1.0),
+        (3, "2024-01-01 09:30:00", 9, "click", 1.0),
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string, value double"
+    ).select("event_id", F.col("ts_s").cast("timestamp_ntz").alias("ts"),
+             "user_id", "event_type", "value")
+    r9 = ev.funnel(df).collect()[0]
+    assert r9.stage == 2 and r9.first_purchase is None
+
+
+def test_cohort_retention_triangle(spark):
+    from pyspark.sql import functions as F
+
+    from etl_staging_spark.operators import events as ev
+
+    rows = [
+        # user 1 first seen week of Jan 1 (Mon), active again week of Jan 8
+        (1, "2024-01-02 10:00:00", 1, "view", 0.0),
+        (2, "2024-01-09 10:00:00", 1, "view", 0.0),
+        # user 2 only week of Jan 8
+        (3, "2024-01-10 10:00:00", 2, "view", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string, value double"
+    ).select("event_id", F.col("ts_s").cast("timestamp_ntz").alias("ts"),
+             "user_id", "event_type", "value")
+    out = {(r.cohort_week, r.week_offset): r.n_users for r in ev.cohort_retention(df).collect()}
+    assert out[("2024-01-01", 0)] == 1
+    assert out[("2024-01-01", 1)] == 1
+    assert out[("2024-01-08", 0)] == 1

@@ -318,3 +318,18 @@ def test_hybrid_rrf_rankers_keep_their_shapes(spark, queries):
     assert "TakeOrderedAndProject" in p
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_events_analytics_plans(spark, queries):
+    """events_sessionize: both windows and the session aggregate share
+    ONE user_id partitioning (exactly one exchange), no single-partition
+    window. events_cohort_retention: windowless. events_funnel: no
+    cartesian, user-keyed joins only."""
+    p = plan_of(spark, queries, "events_sessionize")
+    assert p.count("Exchange hashpartitioning(user_id") <= 1
+    assert "Exchange SinglePartition" not in p
+    p = plan_of(spark, queries, "events_cohort_retention")
+    assert "Window" not in p
+    p = plan_of(spark, queries, "events_funnel")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
