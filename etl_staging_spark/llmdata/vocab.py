@@ -1,0 +1,148 @@
+"""Tokenizer-training support: vocabulary induction over the corpus.
+
+A tokenizer pipeline needs three corpus-wide statistics before any
+merges happen: the token frequency table (vocab candidates), the
+within-word adjacent symbol-pair counts (the quantity BPE maximizes at
+every merge step — this operator is exactly one iteration of the BPE
+trainer's inner loop, distributed), and the coverage a candidate vocab
+achieves over token occurrences (the acceptance metric for a vocab
+size). All three are single-scan map-side-combinable aggregates;
+rankings use TakeOrderedAndProject heaps with deterministic tie-breaks
+(count desc, symbol asc) — never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..numeric import o_pround, pround
+from .shingles import TOKS, with_tokens
+
+TOP_K = 100
+
+
+def vocab_topk(df: DataFrame, k: int = TOP_K) -> DataFrame:
+    """Top-``k`` tokens by occurrence count (ties by token asc).
+    Output: (token, cnt, rank 1-based)."""
+    counts = (
+        with_tokens(df)
+        .select(F.explode(F.col(TOKS)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    top = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(k)
+    # rank over the bounded k-row result (never the full vocab)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    return top.select(
+        "token", "cnt", F.row_number().over(w).cast("int").alias("rank")
+    )
+
+
+def o_vocab_topk(k: int = TOP_K, source_sql: str = "documents") -> str:
+    return f"""
+    WITH vt AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS token
+      FROM {source_sql}
+    ),
+    vc AS (SELECT token, COUNT(*) AS cnt FROM vt GROUP BY token)
+    SELECT token, cnt,
+           CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS INT) AS rank
+    FROM vc ORDER BY cnt DESC, token LIMIT {k}"""
+
+
+def bpe_pair_counts(df: DataFrame, k: int = TOP_K) -> DataFrame:
+    """One iteration of the BPE trainer's argmax, distributed: counts
+    of ADJACENT CHARACTER PAIRS within words across all token
+    occurrences, top-``k`` with the (count desc, pair asc) tie-break a
+    deterministic trainer needs. Output: (pair, cnt, rank).
+
+    The full trainer loops merge -> recount; each round is this same
+    aggregate over the re-segmented corpus, so the distributed shape is
+    established by one round (real trainers run the loop on a frequency
+    -collapsed word table orders of magnitude smaller than the corpus
+    — the word table here is the groupBy below)."""
+    words = (
+        with_tokens(df)
+        .select(F.explode(F.col(TOKS)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN length(w) >= 2 THEN transform(sequence(1, length(w) - 1), "
+                "i -> substring(w, i, 2)) ELSE array() END"
+            )
+        ).alias("pair"),
+        "n",
+    )
+    counts = pairs.groupBy("pair").agg(F.sum("n").cast("long").alias("cnt"))
+    top = counts.orderBy(F.desc("cnt"), F.asc("pair")).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("cnt"), F.asc("pair"))
+    return top.select(
+        "pair", "cnt", F.row_number().over(w).cast("int").alias("rank")
+    )
+
+
+def o_bpe_pair_counts(k: int = TOP_K, source_sql: str = "documents") -> str:
+    return f"""
+    WITH bw AS (
+      SELECT w, COUNT(*) AS n FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS w
+        FROM {source_sql}) GROUP BY w
+    ),
+    bp AS (
+      SELECT unnest([w[i:i+1] FOR i IN range(1, len(w))]) AS pair, n
+      FROM bw WHERE len(w) >= 2
+    ),
+    bc AS (SELECT pair, CAST(SUM(n) AS BIGINT) AS cnt FROM bp GROUP BY pair)
+    SELECT pair, cnt,
+           CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS INT) AS rank
+    FROM bc ORDER BY cnt DESC, pair LIMIT {k}"""
+
+
+def vocab_coverage(df: DataFrame, k: int = TOP_K) -> DataFrame:
+    """Occurrence coverage of the top-``k`` vocab: what fraction of all
+    token occurrences a ``k``-entry vocabulary explains — the curve a
+    tokenizer team reads to pick vocab size. One row:
+    (k, covered, total, coverage)."""
+    toks = (
+        with_tokens(df)
+        .select(F.explode(F.col(TOKS)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    top = toks.orderBy(F.desc("cnt"), F.asc("token")).limit(k)
+    covered = top.agg(F.sum("cnt").cast("long").alias("covered"))
+    total = toks.agg(F.sum("cnt").cast("long").alias("total"))
+    return (
+        covered.join(F.broadcast(total))
+        .select(
+            F.lit(k).cast("int").alias("k"),
+            "covered",
+            "total",
+            pround(F.col("covered") / F.col("total"), 6).alias("coverage"),
+        )
+    )
+
+
+def o_vocab_coverage(k: int = TOP_K, source_sql: str = "documents") -> str:
+    cov = o_pround("CAST(covered AS DOUBLE) / total", 6)
+    return f"""
+    WITH vt AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS token
+      FROM {source_sql}
+    ),
+    vc AS (SELECT token, COUNT(*) AS cnt FROM vt GROUP BY token),
+    topk AS (SELECT cnt FROM vc ORDER BY cnt DESC, token LIMIT {k})
+    SELECT CAST({k} AS INT) AS k,
+           CAST((SELECT SUM(cnt) FROM topk) AS BIGINT) AS covered,
+           CAST((SELECT SUM(cnt) FROM vc) AS BIGINT) AS total,
+           {cov} AS coverage
+    FROM (SELECT CAST((SELECT SUM(cnt) FROM topk) AS BIGINT) AS covered,
+                 CAST((SELECT SUM(cnt) FROM vc) AS BIGINT) AS total)"""

@@ -1602,3 +1602,31 @@ def stratified_sample_n(spark, sf_dir):
     return sampling.stratified_sample_n(
         load(spark, sf_dir, "documents"), n_per_stratum=_STRAT_N
     )
+
+
+from ..llmdata import vocab  # noqa: E402
+
+
+@query("vocab_topk", oracle=vocab.o_vocab_topk())
+def vocab_topk(spark, sf_dir):
+    """Token frequency table top-100 with deterministic (count desc,
+    token asc) tie-break — vocab candidate induction; ranking via
+    TakeOrdered heaps over the map-combined counts, the window only on
+    the bounded k-row result (`llmdata/vocab.py`)."""
+    return vocab.vocab_topk(load(spark, sf_dir, "documents"))
+
+
+@query("bpe_pair_counts", oracle=vocab.o_bpe_pair_counts())
+def bpe_pair_counts(spark, sf_dir):
+    """One distributed BPE-trainer iteration: adjacent char-pair counts
+    over the frequency-collapsed word table (the real trainers' working
+    set), top-100 with the deterministic argmax tie-break."""
+    return vocab.bpe_pair_counts(load(spark, sf_dir, "documents"))
+
+
+@query("vocab_coverage", oracle=vocab.o_vocab_coverage())
+def vocab_coverage(spark, sf_dir):
+    """Occurrence coverage of the top-100 vocab (the vocab-size
+    acceptance curve, one point): two bounded aggregates of one counts
+    frame, 1-row output."""
+    return vocab.vocab_coverage(load(spark, sf_dir, "documents"))

@@ -1219,3 +1219,19 @@ def test_stratified_sample_growth_stability(spark):
         for r in sampling.stratified_sample_n(df3, 5).collect()
     }
     assert panel3 == panel
+
+
+def test_vocab_and_bpe_hand_counts(spark):
+    from etl_staging_spark.llmdata import vocab
+
+    df = spark.createDataFrame(
+        [(0, "aa ab aa"), (1, "ab bb")], "doc_id long, text string"
+    )
+    vt = {r.token: (r.cnt, r.rank) for r in vocab.vocab_topk(df, k=10).collect()}
+    assert vt == {"aa": (2, 1), "ab": (2, 2), "bb": (1, 3)}
+    # pairs: aa occurs in 'aa'x2 -> 2 ; ab in 'ab'x2 -> 2 ; bb in 'bb' -> 1
+    bp = {r.pair: (r.cnt, r.rank) for r in vocab.bpe_pair_counts(df, k=10).collect()}
+    assert bp == {"aa": (2, 1), "ab": (2, 2), "bb": (1, 3)}
+    cov = vocab.vocab_coverage(df, k=2).collect()[0]
+    assert (cov.covered, cov.total) == (4, 5)
+    assert cov.coverage == 0.8
