@@ -67,6 +67,8 @@ HEADLINE = [
     "text_lm_bigram",
     "search_hybrid_rrf",
     "shard_manifest",
+    "events_sessionize",
+    "bpe_pair_counts",
 ]
 
 

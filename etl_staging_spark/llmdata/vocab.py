@@ -146,3 +146,88 @@ def o_vocab_coverage(k: int = TOP_K, source_sql: str = "documents") -> str:
            {cov} AS coverage
     FROM (SELECT CAST((SELECT SUM(cnt) FROM topk) AS BIGINT) AS covered,
                  CAST((SELECT SUM(cnt) FROM vc) AS BIGINT) AS total)"""
+
+
+def bpe_train(df: DataFrame, n_merges: int = 10) -> DataFrame:
+    """The full BPE trainer loop, distributed: learn ``n_merges`` merge
+    rules from the corpus. Returns the merge table
+    (merge_rank 1-based, left, right, merged, pair_count).
+
+    Shape: ONE corpus-scale aggregate builds the frequency-collapsed
+    word table (word -> count, the working set real BPE trainers loop
+    on); every round then (1) counts adjacent symbol pairs over the
+    word table's symbol arrays — map-combinable, (2) collects the
+    argmax pair (ONE row to the driver, deterministic count-desc /
+    pair-asc tie-break), (3) applies the merge JVM-side with an array
+    fold. The loop's driver state is the merge list (n_merges rows);
+    the word table stays distributed and is re-persisted per round with
+    the previous round unpersisted (bounded lineage, cluster-CC style).
+
+    Not expressible as one SQL query (each round's counts depend on the
+    previous round's argmax), so correctness is pinned by the
+    python-reference trainer in tests rather than a DuckDB oracle."""
+    words = (
+        with_tokens(df)
+        .select(F.explode(F.col(TOKS)).alias("w"))
+        .where(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+            .alias("syms"),
+            "n",
+        )
+        .persist()
+    )
+    merges = []
+    cur = words
+    spark = df.sparkSession
+    for rank in range(1, n_merges + 1):
+        pair_counts = (
+            cur.select(
+                F.explode(
+                    F.expr(
+                        "CASE WHEN size(syms) >= 2 THEN transform("
+                        "sequence(0, size(syms) - 2), "
+                        "i -> struct(syms[i] AS l, syms[i+1] AS r)) "
+                        "ELSE array() END"
+                    )
+                ).alias("p"),
+                "n",
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("n").cast("long").alias("cnt"))
+        )
+        top = pair_counts.orderBy(
+            F.desc("cnt"), F.asc("l"), F.asc("r")
+        ).limit(1).collect()
+        if not top:
+            break
+        l, r, cnt = top[0]["l"], top[0]["r"], top[0]["cnt"]
+        merges.append((rank, l, r, l + r, cnt))
+        # apply the merge: left-to-right fold collapsing (l, r) -> l||r,
+        # matching the sequential semantics of the reference trainer
+        merged_expr = f"""
+        aggregate(
+          syms,
+          CAST(array() AS ARRAY<STRING>),
+          (acc, x) -> CASE
+            WHEN size(acc) > 0
+                 AND element_at(acc, -1) = {_sql_str(l)}
+                 AND x = {_sql_str(r)}
+            THEN concat(slice(acc, 1, size(acc) - 1), array({_sql_str(l + r)}))
+            ELSE concat(acc, array(x)) END)
+        """
+        nxt = cur.select(F.expr(merged_expr).alias("syms"), "n").persist()
+        nxt.count()  # materialize before dropping the parent
+        cur.unpersist()
+        cur = nxt
+    cur.unpersist()
+    return spark.createDataFrame(
+        merges or [],
+        "merge_rank int, left string, right string, merged string, pair_count long",
+    )
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"

@@ -1235,3 +1235,56 @@ def test_vocab_and_bpe_hand_counts(spark):
     cov = vocab.vocab_coverage(df, k=2).collect()[0]
     assert (cov.covered, cov.total) == (4, 5)
     assert cov.coverage == 0.8
+
+
+def test_bpe_train_matches_python_reference(spark):
+    import random
+    from collections import Counter
+
+    from etl_staging_spark.llmdata import vocab
+
+    rng = random.Random(3)
+    words = ["banana", "bandana", "cabana", "anab", "nana", "ba", "a"]
+    docs = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(1, 12))))
+        for i in range(20)
+    ]
+
+    def py_bpe(texts, n_merges):
+        wc = Counter(w for t in texts for w in t.split(" ") if w)
+        tables = {w: [c for c in w] for w in wc}
+        out = []
+        for rank in range(1, n_merges + 1):
+            pc = Counter()
+            for w, syms in tables.items():
+                for a, b in zip(syms, syms[1:]):
+                    pc[(a, b)] += wc[w]
+            if not pc:
+                break
+            # count desc, then (l, r) asc — the trainer's tie-break
+            (l, r), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            out.append((rank, l, r, l + r, cnt))
+            for w, syms in tables.items():
+                merged, i = [], 0
+                while i < len(syms):
+                    if (
+                        merged
+                        and merged[-1] == l
+                        and syms[i] == r
+                    ):
+                        merged[-1] = l + r
+                        i += 1
+                    else:
+                        merged.append(syms[i])
+                        i += 1
+                tables[w] = merged
+        return out
+
+    want = py_bpe([t for _, t in docs], 8)
+    got = [
+        (r.merge_rank, r.left, r.right, r.merged, r.pair_count)
+        for r in vocab.bpe_train(
+            spark.createDataFrame(docs, "doc_id long, text string"), n_merges=8
+        ).orderBy("merge_rank").collect()
+    ]
+    assert got == want
