@@ -207,3 +207,79 @@ def o_cohort_retention(source_sql: str = "events") -> str:
     FROM active JOIN first_seen USING (user_id)
     GROUP BY 1, 2
     """
+
+
+RESAMPLE_BUCKET_S = 6 * 3600
+
+
+def resample_counts(
+    events: DataFrame, bucket_s: int = RESAMPLE_BUCKET_S
+) -> DataFrame:
+    """Gap-filled resampling: fixed buckets from the first to the last
+    event, EVERY (bucket, event_type) cell present with zero-fill — the
+    dense time axis monitoring/charting needs (a missing bucket is a
+    signal, not an absence of rows).
+
+    Shape: bucket id is integer arithmetic on epoch seconds (one
+    projection); the dense grid is generated from a 1-row bounds
+    aggregate via sequence+explode (O(#buckets) rows), cross-joined
+    with the bounded event-type dim (broadcast); the observed counts
+    left-join the grid. Zero driver-side iteration; the grid is data,
+    not a loop."""
+    ev = events.select(
+        (
+            F.floor(
+                F.expr("unix_micros(cast(ts as timestamp))")
+                / F.lit(1_000_000)
+                / F.lit(bucket_s)
+            )
+        ).cast("long").alias("b"),
+        "event_type",
+        "value",
+    )
+    agg = ev.groupBy("b", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+    bounds = ev.agg(F.min("b").alias("b0"), F.max("b").alias("b1"))
+    grid = bounds.select(
+        F.explode(F.sequence(F.col("b0"), F.col("b1"))).alias("b")
+    )
+    types = ev.select("event_type").distinct()
+    full = grid.join(F.broadcast(types))
+    return full.join(agg, ["b", "event_type"], "left").select(
+        F.date_format(
+            F.timestamp_seconds(F.col("b") * bucket_s), "yyyy-MM-dd HH:mm:ss"
+        ).alias("bucket"),
+        "event_type",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+    )
+
+
+def o_resample_counts(
+    bucket_s: int = RESAMPLE_BUCKET_S, source_sql: str = "events"
+) -> str:
+    """DuckDB oracle twin of :func:`resample_counts`."""
+    return f"""
+    WITH rsev AS (
+      SELECT CAST(floor(epoch(ts) / {bucket_s}) AS BIGINT) AS b,
+             event_type, value
+      FROM {source_sql}
+    ),
+    rsagg AS (
+      SELECT b, event_type, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM rsev GROUP BY 1, 2
+    ),
+    rsbounds AS (SELECT MIN(b) AS b0, MAX(b) AS b1 FROM rsev),
+    rsgrid AS (SELECT unnest(range(b0, b1 + 1)) AS b FROM rsbounds),
+    rstypes AS (SELECT DISTINCT event_type FROM rsev)
+    SELECT strftime(make_timestamp(g.b * {bucket_s} * 1000000),
+                    '%Y-%m-%d %H:%M:%S') AS bucket,
+           t.event_type,
+           COALESCE(a.n_events, 0) AS n_events,
+           COALESCE(a.total_value, 0.0) AS total_value
+    FROM rsgrid g CROSS JOIN rstypes t
+    LEFT JOIN rsagg a ON a.b = g.b AND a.event_type = t.event_type
+    """

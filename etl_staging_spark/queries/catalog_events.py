@@ -34,3 +34,12 @@ def events_cohort_retention(spark, sf_dir):
     (user-keyed aggregate) x distinct active weeks, joined on user_id
     and counted — windowless, two shuffles, both map-combinable."""
     return ev.cohort_retention(load(spark, sf_dir, "events"))
+
+
+@query("events_resample", oracle=ev.o_resample_counts())
+def events_resample(spark, sf_dir):
+    """Gap-filled 6-hour resample: dense (bucket x event_type) grid
+    generated from a 1-row bounds aggregate (sequence+explode) crossed
+    with the bounded type dim, observed counts left-joined, zero-filled
+    — a missing bucket is a signal, so it must be a row."""
+    return ev.resample_counts(load(spark, sf_dir, "events"))

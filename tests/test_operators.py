@@ -211,3 +211,30 @@ def test_cohort_retention_triangle(spark):
     assert out[("2024-01-01", 0)] == 1
     assert out[("2024-01-01", 1)] == 1
     assert out[("2024-01-08", 0)] == 1
+
+
+def test_resample_zero_fills_gaps(spark):
+    from pyspark.sql import functions as F
+
+    from etl_staging_spark.operators import events as ev
+
+    # two events 18h apart -> 4 six-hour buckets, middle two empty for
+    # 'view'; the 'click' type appears only once but must get a row in
+    # EVERY bucket
+    rows = [
+        (1, "2024-01-01 01:00:00", 1, "view", 2.0),
+        (2, "2024-01-01 19:00:00", 1, "view", 3.0),
+        (3, "2024-01-01 01:30:00", 2, "click", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string, value double"
+    ).select("event_id", F.col("ts_s").cast("timestamp_ntz").alias("ts"),
+             "user_id", "event_type", "value")
+    out = {(r.bucket, r.event_type): (r.n_events, r.total_value)
+           for r in ev.resample_counts(df).collect()}
+    assert len(out) == 8  # 4 buckets x 2 types, dense
+    assert out[("2024-01-01 00:00:00", "view")] == (1, 2.0)
+    assert out[("2024-01-01 00:00:00", "click")] == (1, 1.0)
+    assert out[("2024-01-01 06:00:00", "view")] == (0, 0.0)   # gap zero-filled
+    assert out[("2024-01-01 12:00:00", "click")] == (0, 0.0)
+    assert out[("2024-01-01 18:00:00", "view")] == (1, 3.0)
