@@ -131,3 +131,87 @@ def o_lm_bigram_score(min_count: int = MIN_BIGRAM_COUNT) -> str:
     SELECT doc_id, COUNT(*) AS n_bigrams, {avg} AS avg_prob
     FROM scored GROUP BY doc_id
     """
+
+
+def write_lm_model(
+    corpus: DataFrame,
+    table: str,
+    min_count: int = MIN_BIGRAM_COUNT,
+    n_buckets: int = 16,
+) -> None:
+    """Persist the corpus-trained LM as bucketed managed tables — the
+    model-artifact half of running LM scoring as a service:
+
+    - ``{table}_uni``: unigram counts, bucketed by token (the scoring
+      join's key);
+    - ``{table}_big``: PRUNED bigram counts, bucketed by bigram;
+    - ``{table}_meta``: one row (v_size) — the smoothing denominator
+      must come from the training corpus, not the scoring batch.
+
+    Ingest batches/streams score against these with zero corpus
+    rescan; a periodic maintenance job re-trains as the corpus grows
+    (same lifecycle as the dedup signature index)."""
+    from ..etl.bucketed import write_bucketed
+
+    base = _token_base(corpus).persist()
+    uni = (
+        base.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c1"))
+    )
+    write_bucketed(uni, f"{table}_uni", ["tok"], n_buckets)
+    occ = base.select(F.explode(F.expr(_BIGRAM_EXPR)).alias("o")).select(
+        "o.bg"
+    )
+    bigc = (
+        occ.groupBy("bg")
+        .agg(F.count("*").alias("c12"))
+        .where(F.col("c12") >= min_count)
+    )
+    write_bucketed(bigc, f"{table}_big", ["bg"], n_buckets)
+    spark = corpus.sparkSession
+    uni_tbl = spark.table(f"{table}_uni")
+    vocab = uni_tbl.agg(F.count("*").alias("v_size"))
+    spark.sql(f"DROP TABLE IF EXISTS {table}_meta")
+    vocab.write.saveAsTable(f"{table}_meta")
+    base.unpersist()
+
+
+def score_with_model(batch: DataFrame, table: str) -> DataFrame:
+    """Score ``batch`` documents under a PERSISTED LM
+    (:func:`write_lm_model`) — the incremental form of
+    :func:`lm_bigram_score`: the batch pays O(batch) joins against the
+    bucketed count tables (exchange-free on the model side), the
+    training corpus is never rescanned, and unseen tokens fall back to
+    c1 = 0 (they were not in the training vocab).
+
+    Output: (doc_id, n_bigrams, avg_prob) — same shape as the batch
+    trainer-scorer, so downstream gates are interchangeable."""
+    spark = batch.sparkSession
+    uni = spark.table(f"{table}_uni")
+    bigc = spark.table(f"{table}_big")
+    vocab = spark.table(f"{table}_meta")
+    occ = _token_base(batch).select(
+        "doc_id", F.explode(F.expr(_BIGRAM_EXPR)).alias("o")
+    ).select("doc_id", "o.w1", "o.bg")
+    scored = (
+        occ.join(uni, occ.w1 == uni.tok, "left")
+        .join(bigc, "bg", "left")
+        .join(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            pround(
+                (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(1))
+                / (
+                    F.coalesce(F.col("c1"), F.lit(0)) + F.col("v_size")
+                ).cast("double"),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("p"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        pround(F.sum("p").cast("double") / F.count("*"), 6).alias("avg_prob"),
+    )

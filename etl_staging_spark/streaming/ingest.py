@@ -148,3 +148,28 @@ def segment_clean_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def lm_score_stream(
+    docs_stream: DataFrame,
+    model_table: str,
+    on_batch: Callable[[int, DataFrame], None],
+    query_name: str = "lm_score",
+):
+    """Per micro-batch, score incoming documents under the PERSISTED
+    corpus-trained LM (`llmdata.lm.write_lm_model`) and hand the
+    (doc_id, n_bigrams, avg_prob) frame to ``on_batch`` — quality
+    scoring as an ingest service. The smoothing vocabulary size comes
+    from the training corpus (the model's meta table), so a batch's
+    scores are identical whether it arrives in one drop or many."""
+    from ..llmdata import lm
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        on_batch(batch_id, lm.score_with_model(batch_df, model_table))
+
+    return (
+        docs_stream.writeStream.foreachBatch(_process)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

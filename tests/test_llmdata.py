@@ -1288,3 +1288,31 @@ def test_bpe_train_matches_python_reference(spark):
         ).orderBy("merge_rank").collect()
     ]
     assert got == want
+
+
+def test_lm_model_artifacts_match_inline_scoring(spark):
+    """Scoring a batch against the persisted LM equals the inline
+    trainer-scorer when the batch IS the training corpus (same counts,
+    same smoothing), and unseen tokens fall back to c1=0."""
+    from etl_staging_spark.llmdata import lm
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a c"), (2, "b a b c")],
+        "doc_id long, text string",
+    )
+    lm.write_lm_model(docs, "lmtest", min_count=2, n_buckets=2)
+    inline = {
+        (r.doc_id, r.n_bigrams, r.avg_prob)
+        for r in lm.lm_bigram_score(docs, min_count=2).collect()
+    }
+    stored = {
+        (r.doc_id, r.n_bigrams, r.avg_prob)
+        for r in lm.score_with_model(docs, "lmtest").collect()
+    }
+    assert stored == inline
+    # unseen vocab: "z z" has no trained unigrams/bigrams ->
+    # p = (0+1)/(0+V); V = 3 (a, b, c)
+    new = spark.createDataFrame([(9, "z z")], "doc_id long, text string")
+    r9 = lm.score_with_model(new, "lmtest").collect()[0]
+    assert r9.n_bigrams == 1
+    assert r9.avg_prob == pytest.approx(1 / 3, abs=2e-6)

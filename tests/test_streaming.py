@@ -332,3 +332,42 @@ def test_segment_clean_stream_against_persisted_hot_index(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_lm_score_stream_batch_boundary_independent(spark, tmp_path):
+    """Streaming LM scoring against the persisted model equals batch
+    scoring of the same docs, and is independent of how the docs are
+    split across micro-batch drops (the smoothing denominator comes
+    from the model's meta table, not the batch)."""
+    from etl_staging_spark.llmdata import lm
+    from etl_staging_spark.streaming.ingest import doc_stream, lm_score_stream
+
+    corpus = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a c"), (2, "b a b c")],
+        "doc_id long, text string",
+    )
+    lm.write_lm_model(corpus, "lmstream", min_count=2, n_buckets=2)
+
+    incoming = spark.createDataFrame(
+        [(10, "a b c"), (11, "b a z"), (12, "c c")],
+        "doc_id long, text string",
+    )
+    drop_dir = str(tmp_path / "lmdrops")
+    # two separate files -> the file stream may batch them separately
+    incoming.where("doc_id <= 11").coalesce(1).write.mode("overwrite").parquet(drop_dir)
+    incoming.where("doc_id = 12").coalesce(1).write.mode("append").parquet(drop_dir)
+
+    got: dict[int, tuple] = {}
+    q = lm_score_stream(
+        doc_stream(spark, drop_dir),
+        "lmstream",
+        lambda bid, df: got.update(
+            {r.doc_id: (r.n_bigrams, r.avg_prob) for r in df.collect()}
+        ),
+    )
+    q.awaitTermination()
+    want = {
+        r.doc_id: (r.n_bigrams, r.avg_prob)
+        for r in lm.score_with_model(incoming, "lmstream").collect()
+    }
+    assert got == want and set(got) == {10, 11, 12}
