@@ -151,3 +151,69 @@ def o_segment_dedup(k: int = SEG_TOKENS, max_df: int = SEG_MAX_DF) -> str:
                                ' ' ORDER BY pos), '') AS clean_text
     FROM marked GROUP BY doc_id
     """
+
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+def chunk_overlap(
+    df: DataFrame, w: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """Overlapping sliding-window chunking — the retrieval-ingestion
+    (RAG) twin of the non-overlapping `segment_table`: windows of ``w``
+    tokens every ``stride`` tokens (overlap = w - stride), last window
+    ragged, a doc shorter than ``w`` yields exactly one chunk. Output:
+    (doc_id, chunk_id 0-based, n_tokens, chunk_text).
+
+    One projection + explode per doc — no shuffle at all; the chunk
+    count formula (1 if n <= w else 1 + ceil((n-w)/stride)) guarantees
+    full coverage with no all-overlap duplicate tail."""
+    if stride <= 0 or w < stride:
+        raise ValueError("need 0 < stride <= w")
+    d = with_tokens(df)
+    n = f"size({TOKS})"
+    n_chunks = (
+        f"CASE WHEN {n} <= {w} THEN 1 "
+        f"ELSE 1 + CAST(ceil(CAST({n} - {w} AS DOUBLE) / {stride}) AS INT) END"
+    )
+    chunks = F.expr(
+        f"transform(sequence(0, ({n_chunks}) - 1), "
+        f"i -> array_join(slice({TOKS}, i * {stride} + 1, {w}), ' '))"
+    )
+    out = d.select("doc_id", F.posexplode(chunks).alias("chunk_id", "chunk_text"))
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        F.size(F.split(F.col("chunk_text"), " ")).alias("n_tokens"),
+        "chunk_text",
+    )
+
+
+def o_chunk_overlap(
+    w: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE, source_sql: str = "documents"
+) -> str:
+    """DuckDB oracle twin of :func:`chunk_overlap`."""
+    return f"""
+    WITH ct AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                FROM {source_sql}),
+    cn AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) <= {w} THEN 1
+                  ELSE 1 + CAST(ceil(CAST(len(toks) - {w} AS DOUBLE)
+                                     / {stride}) AS INT) END AS nc
+      FROM ct
+    ),
+    cl AS (
+      SELECT doc_id,
+             generate_subscripts(sl, 1) - 1 AS chunk_id,
+             unnest(sl) AS chunk_text
+      FROM (SELECT doc_id,
+                   [array_to_string(toks[(i*{stride}+1):(i*{stride}+{w})], ' ')
+                    FOR i IN range(nc)] AS sl
+            FROM cn)
+    )
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           CAST(len(string_split(chunk_text, ' ')) AS INT) AS n_tokens,
+           chunk_text
+    FROM cl"""

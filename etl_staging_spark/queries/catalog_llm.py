@@ -1630,3 +1630,11 @@ def vocab_coverage(spark, sf_dir):
     acceptance curve, one point): two bounded aggregates of one counts
     frame, 1-row output."""
     return vocab.vocab_coverage(load(spark, sf_dir, "documents"))
+
+
+@query("chunk_overlap", oracle=linedup.o_chunk_overlap())
+def chunk_overlap(spark, sf_dir):
+    """RAG-ingestion chunking: 64-token windows every 48 tokens
+    (16-token overlap), ragged tail, short docs yield one chunk — pure
+    projection + explode, zero shuffle (`llmdata/linedup.py`)."""
+    return linedup.chunk_overlap(load(spark, sf_dir, "documents"))

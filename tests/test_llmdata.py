@@ -1316,3 +1316,28 @@ def test_lm_model_artifacts_match_inline_scoring(spark):
     r9 = lm.score_with_model(new, "lmtest").collect()[0]
     assert r9.n_bigrams == 1
     assert r9.avg_prob == pytest.approx(1 / 3, abs=2e-6)
+
+
+def test_chunk_overlap_coverage_and_overlap(spark):
+    from etl_staging_spark.llmdata import linedup
+
+    toks = [f"t{i}" for i in range(10)]
+    df = spark.createDataFrame(
+        [(0, " ".join(toks)), (1, "short doc")], "doc_id long, text string"
+    )
+    out = {
+        (r.doc_id, r.chunk_id): r
+        for r in linedup.chunk_overlap(df, w=4, stride=3).collect()
+    }
+    # doc 0: 10 tokens, w=4 s=3 -> 1 + ceil(6/3) = 3 chunks
+    assert {c for d, c in out if d == 0} == {0, 1, 2}
+    assert out[(0, 0)].chunk_text == "t0 t1 t2 t3"
+    assert out[(0, 1)].chunk_text == "t3 t4 t5 t6"      # 1-token overlap
+    assert out[(0, 2)].chunk_text == "t6 t7 t8 t9"
+    # coverage: every token appears in some chunk
+    seen = {t for (d, c), r in out.items() if d == 0 for t in r.chunk_text.split(" ")}
+    assert seen == set(toks)
+    # short doc -> exactly one whole-doc chunk
+    assert out[(1, 0)].chunk_text == "short doc" and out[(1, 0)].n_tokens == 2
+    with pytest.raises(ValueError):
+        linedup.chunk_overlap(df, w=4, stride=5)
