@@ -18,6 +18,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def drop_managed_table(spark: SparkSession, table: str) -> None:
+    """Drop a managed table AND its leftover warehouse directory: a
+    previous JVM session's write leaves the directory behind while the
+    fresh session's in-memory catalog doesn't list the table, so a bare
+    DROP TABLE IF EXISTS is a no-op and the next saveAsTable fails with
+    'associated location already exists'."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    if warehouse.startswith("file:"):
+        warehouse = warehouse[len("file:"):]
+    if warehouse:
+        import shutil
+
+        shutil.rmtree(f"{warehouse.rstrip('/')}/{table.lower()}", ignore_errors=True)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
@@ -30,14 +46,7 @@ def write_bucketed(
     a leftover warehouse directory from a previous session whose
     (in-memory) catalog no longer lists the table."""
     spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
-    if warehouse.startswith("file:"):
-        warehouse = warehouse[len("file:"):]
-    if warehouse:
-        import shutil
-
-        shutil.rmtree(f"{warehouse.rstrip('/')}/{table.lower()}", ignore_errors=True)
+    drop_managed_table(spark, table)
     writer = (
         df.write.format("parquet")
         .mode("overwrite")

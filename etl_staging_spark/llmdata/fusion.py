@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..numeric import pround
+from ..numeric import o_pround, pround
 
 RRF_K = 60
 
@@ -85,9 +85,9 @@ def o_rrf_fuse(lex_cte: str, sem_cte: str) -> str:
     ),
     scored AS (
       SELECT doc_id, lex_rank, sem_rank,
-             FLOOR((COALESCE(1.0 / ({RRF_K} + lex_rank), 0.0)
-                    + COALESCE(1.0 / ({RRF_K} + sem_rank), 0.0)) * 1000000 + 0.5)
-               / 1000000 AS rrf_score
+             {o_pround(f"COALESCE(1.0 / ({RRF_K} + lex_rank), 0.0)"
+                       f" + COALESCE(1.0 / ({RRF_K} + sem_rank), 0.0)", 6)}
+               AS rrf_score
       FROM fused
     )
     SELECT doc_id, lex_rank, sem_rank, rrf_score,

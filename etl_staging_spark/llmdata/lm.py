@@ -53,6 +53,28 @@ _BIGRAM_EXPR = (
 )
 
 
+def _unigram_counts(base: DataFrame) -> DataFrame:
+    return (
+        base.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c1"))
+    )
+
+
+def _bigram_occurrences(base: DataFrame) -> DataFrame:
+    return base.select(
+        "doc_id", F.explode(F.expr(_BIGRAM_EXPR)).alias("o")
+    ).select("doc_id", "o.w1", "o.bg")
+
+
+def _pruned_bigram_counts(occ: DataFrame, min_count: int) -> DataFrame:
+    return (
+        occ.groupBy("bg")
+        .agg(F.count("*").alias("c12"))
+        .where(F.col("c12") >= min_count)
+    )
+
+
 def lm_bigram_score(df: DataFrame, min_count: int = MIN_BIGRAM_COUNT) -> DataFrame:
     """Mean add-one-smoothed bigram probability per document under the
     corpus-trained pruned bigram model.
@@ -61,20 +83,10 @@ def lm_bigram_score(df: DataFrame, min_count: int = MIN_BIGRAM_COUNT) -> DataFra
     >= 2 tokens (a shorter doc has no bigram events to score).
     """
     base = _token_base(df).persist()
-    uni = (
-        base.select(F.explode("toks").alias("tok"))
-        .groupBy("tok")
-        .agg(F.count("*").alias("c1"))
-    )
+    uni = _unigram_counts(base)
     vocab = uni.agg(F.count("*").alias("v_size"))
-    occ = base.select("doc_id", F.explode(F.expr(_BIGRAM_EXPR)).alias("o")).select(
-        "doc_id", "o.w1", "o.bg"
-    )
-    bigc = (
-        occ.groupBy("bg")
-        .agg(F.count("*").alias("c12"))
-        .where(F.col("c12") >= min_count)
-    )
+    occ = _bigram_occurrences(base)
+    bigc = _pruned_bigram_counts(occ, min_count)
     scored = (
         occ.join(uni, occ.w1 == uni.tok)
         .join(bigc, "bg", "left")
@@ -151,28 +163,17 @@ def write_lm_model(
     Ingest batches/streams score against these with zero corpus
     rescan; a periodic maintenance job re-trains as the corpus grows
     (same lifecycle as the dedup signature index)."""
-    from ..etl.bucketed import write_bucketed
+    from ..etl.bucketed import drop_managed_table, write_bucketed
 
     base = _token_base(corpus).persist()
-    uni = (
-        base.select(F.explode("toks").alias("tok"))
-        .groupBy("tok")
-        .agg(F.count("*").alias("c1"))
-    )
+    uni = _unigram_counts(base)
     write_bucketed(uni, f"{table}_uni", ["tok"], n_buckets)
-    occ = base.select(F.explode(F.expr(_BIGRAM_EXPR)).alias("o")).select(
-        "o.bg"
-    )
-    bigc = (
-        occ.groupBy("bg")
-        .agg(F.count("*").alias("c12"))
-        .where(F.col("c12") >= min_count)
-    )
+    bigc = _pruned_bigram_counts(_bigram_occurrences(base), min_count)
     write_bucketed(bigc, f"{table}_big", ["bg"], n_buckets)
     spark = corpus.sparkSession
     uni_tbl = spark.table(f"{table}_uni")
     vocab = uni_tbl.agg(F.count("*").alias("v_size"))
-    spark.sql(f"DROP TABLE IF EXISTS {table}_meta")
+    drop_managed_table(spark, f"{table}_meta")
     vocab.write.saveAsTable(f"{table}_meta")
     base.unpersist()
 

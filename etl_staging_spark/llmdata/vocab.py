@@ -111,16 +111,19 @@ def vocab_coverage(df: DataFrame, k: int = TOP_K) -> DataFrame:
     token occurrences a ``k``-entry vocabulary explains — the curve a
     tokenizer team reads to pick vocab size. One row:
     (k, covered, total, coverage)."""
+    # persisted: both the top-k cut and the total read this vocab-sized
+    # frame, so the corpus-scale explode+count runs once
     toks = (
         with_tokens(df)
         .select(F.explode(F.col(TOKS)).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("cnt"))
+        .persist()
     )
     top = toks.orderBy(F.desc("cnt"), F.asc("token")).limit(k)
     covered = top.agg(F.sum("cnt").cast("long").alias("covered"))
     total = toks.agg(F.sum("cnt").cast("long").alias("total"))
-    return (
+    out = (
         covered.join(F.broadcast(total))
         .select(
             F.lit(k).cast("int").alias("k"),
@@ -129,6 +132,8 @@ def vocab_coverage(df: DataFrame, k: int = TOP_K) -> DataFrame:
             pround(F.col("covered") / F.col("total"), 6).alias("coverage"),
         )
     )
+    out._pinned_persisted = (toks,)
+    return out
 
 
 def o_vocab_coverage(k: int = TOP_K, source_sql: str = "documents") -> str:

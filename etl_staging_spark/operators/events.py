@@ -100,7 +100,9 @@ def funnel(events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS) -> DataFram
     the event count, and every join is user-keyed equi."""
     cur = None  # per-user frontier: user_id, matched ts of last step
     out_cols = []
-    ev = events.select("user_id", "event_type", "ts")
+    # persisted: each funnel step filters this same projection, so the
+    # events source is scanned once, not once per step
+    ev = events.select("user_id", "event_type", "ts").persist()
     for i, step in enumerate(steps):
         if cur is None:
             cur = (
@@ -121,7 +123,7 @@ def funnel(events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS) -> DataFram
     stage = sum(
         (F.col(c).isNotNull()).cast("int") for c in out_cols
     )
-    return cur.select(
+    out = cur.select(
         "user_id",
         *[
             F.date_format(F.col(f"__t{i}"), TS_FMT).alias(f"first_{s}")
@@ -129,6 +131,8 @@ def funnel(events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS) -> DataFram
         ],
         stage.alias("stage"),
     )
+    out._pinned_persisted = (ev,)  # keep the shared projection cached
+    return out
 
 
 def o_funnel(steps: tuple[str, ...] = FUNNEL_STEPS, source_sql: str = "events") -> str:
@@ -237,17 +241,19 @@ def resample_counts(
         "event_type",
         "value",
     )
+    # ONE corpus-scale aggregate; bounds and the type dim derive from
+    # the (bucket x type)-sized agg frame, so events is scanned once
     agg = ev.groupBy("b", "event_type").agg(
         F.count("*").alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
-    )
-    bounds = ev.agg(F.min("b").alias("b0"), F.max("b").alias("b1"))
+    ).persist()
+    bounds = agg.agg(F.min("b").alias("b0"), F.max("b").alias("b1"))
     grid = bounds.select(
         F.explode(F.sequence(F.col("b0"), F.col("b1"))).alias("b")
     )
-    types = ev.select("event_type").distinct()
+    types = agg.select("event_type").distinct()
     full = grid.join(F.broadcast(types))
-    return full.join(agg, ["b", "event_type"], "left").select(
+    out = full.join(agg, ["b", "event_type"], "left").select(
         F.date_format(
             F.timestamp_seconds(F.col("b") * bucket_s), "yyyy-MM-dd HH:mm:ss"
         ).alias("bucket"),
@@ -255,6 +261,8 @@ def resample_counts(
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
         F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
     )
+    out._pinned_persisted = (agg,)  # keep the shared agg cached
+    return out
 
 
 def o_resample_counts(

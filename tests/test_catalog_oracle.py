@@ -54,11 +54,15 @@ def test_oracle_arrow_types_are_harness_safe(name, duck):
     three entries that stayed driver-red through rounds 4-5 while
     passing every str()-canonicalizing local check. Cast integer SUMs
     back to BIGINT at the oracle's output edge."""
+    import re as _re
+
     tbl = duck.execute(ORACLES[name]).arrow()
+    # Arrow type strings parameterize three ways: decimal128(38, 0),
+    # timestamp[us], list<item: int64> — strip at any of ( [ <
     odd = {
         f.name: str(f.type)
         for f in tbl.schema
-        if str(f.type).split("(")[0]
+        if _re.split(r"[([<]", str(f.type))[0]
         not in ("int8", "int16", "int32", "int64", "double", "float",
                 "string", "large_string", "bool", "date32", "timestamp",
                 "list", "large_list")
