@@ -1638,3 +1638,35 @@ def chunk_overlap(spark, sf_dir):
     (16-token overlap), ragged tail, short docs yield one chunk — pure
     projection + explode, zero shuffle (`llmdata/linedup.py`)."""
     return linedup.chunk_overlap(load(spark, sf_dir, "documents"))
+
+
+from ..llmdata import pairs  # noqa: E402
+
+
+@query(
+    "contrastive_pairs",
+    oracle=f"""
+    WITH {O_TRIH}, {_o_minhash_sigs()}, {O_JACCARD_TAIL},
+    posp AS (
+      SELECT d1, d2, 1 AS label,
+             FLOOR((CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)) * 1000000 + 0.5) / 1000000 AS jaccard
+      FROM inter
+      JOIN cand USING (d1, d2)
+      JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
+      WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
+    ),
+    {pairs.o_negative_pairs()}
+    SELECT d1, d2, label, jaccard FROM posp
+    UNION ALL
+    SELECT n.d1, n.d2, 0 AS label, CAST(NULL AS DOUBLE) AS jaccard
+    FROM negp n
+    WHERE NOT EXISTS (SELECT 1 FROM posp p WHERE p.d1 = n.d1 AND p.d2 = n.d2)
+    """,
+)
+def contrastive_pairs(spark, sf_dir):
+    """Contrastive pair mining for embedder training: near-dup
+    positives (the banded MinHash-LSH machinery — a near-dup IS a
+    paraphrase pair) + deterministic hash-co-bucket negatives with
+    positives anti-joined away (`llmdata/pairs.py`). No RNG state, no
+    global rank; negatives cost one bucket shuffle."""
+    return pairs.contrastive_pairs(load(spark, sf_dir, "documents"))

@@ -1341,3 +1341,22 @@ def test_chunk_overlap_coverage_and_overlap(spark):
     assert out[(1, 0)].chunk_text == "short doc" and out[(1, 0)].n_tokens == 2
     with pytest.raises(ValueError):
         linedup.chunk_overlap(df, w=4, stride=5)
+
+
+def test_contrastive_pairs_labels_and_exclusion(spark, docs):
+    from etl_staging_spark.llmdata import pairs
+
+    out = pairs.contrastive_pairs(docs, threshold=0.8, n_buckets=2).collect()
+    pos = {(r.d1, r.d2) for r in out if r.label == 1}
+    neg = {(r.d1, r.d2) for r in out if r.label == 0}
+    assert (0, 1) in pos                 # the planted exact dup
+    assert pos.isdisjoint(neg)           # a near-dup can never be a negative
+    assert all(r.jaccard is None for r in out if r.label == 0)
+    assert all(d1 < d2 for d1, d2 in pos | neg)
+    # negatives are deterministic: same output on a different partitioning
+    out2 = pairs.contrastive_pairs(
+        docs.repartition(7), threshold=0.8, n_buckets=2
+    ).collect()
+    assert {(r.d1, r.d2, r.label) for r in out2} == {
+        (r.d1, r.d2, r.label) for r in out
+    }
