@@ -498,3 +498,99 @@ def o_stratified_sample_n(
                                 ORDER BY {h}, {key_expr}) AS rk
       FROM {source_sql})
     WHERE rk <= {n_per_stratum}"""
+
+
+def temperature_weights(counts: dict[str, int], alpha: float) -> dict[str, int]:
+    """Temperature-scaled domain weights: w_d ∝ (n_d / Σn)^alpha — the
+    multilingual/multi-domain balancing rule (alpha=1 keeps natural
+    proportions, alpha->0 approaches uniform; 0.3-0.7 are the published
+    sweet spots). Returns INTEGER-quantized weights (scaled by 1e9):
+    the quantization makes the downstream weight SUM exact in any
+    engine/order, so the only cross-engine surface is `pow` itself
+    (evaluated by the same libm for Python and DuckDB on one host, and
+    empirically hash-verified at every sf). Driver-side over the
+    bounded per-domain count dict."""
+    if not 0 < alpha <= 1:
+        raise ValueError("alpha must be in (0, 1]")
+    total = sum(counts.values())
+    if not total:
+        return {d: 0 for d in counts}
+    import math
+
+    return {
+        d: int(math.floor((n / total) ** alpha * 1_000_000_000 + 0.5))
+        for d, n in counts.items()
+    }
+
+
+def temperature_thresholds(
+    counts: dict[str, int], alpha: float, target_total: int
+) -> dict[str, int]:
+    """Bucket thresholds for temperature-scaled mixture sampling —
+    the exact integer/IEEE chain the oracle replays in SQL."""
+    w9 = temperature_weights(counts, alpha)
+    wsum = sum(w9.values())  # exact int sum, order-free
+    thr = {}
+    for d, n in counts.items():
+        quota = target_total * w9[d] / wsum if wsum else 0.0
+        rate = min(1.0, quota / n) if n else 0.0
+        thr[d] = int(rate * BUCKETS)
+    return thr
+
+
+def mixture_sample_temperature(
+    docs: DataFrame,
+    alpha: float,
+    target_total: int,
+    domain_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "mixT-v1",
+) -> DataFrame:
+    """Mixture sampling with temperature-scaled weights: per-domain
+    counts (one bounded aggregate) -> alpha-scaled integer weights ->
+    thresholds -> single-scan hash filter. Same plan shape as
+    :func:`mixture_sample`; only the weight rule differs."""
+    counts = {
+        r[0]: r[1]
+        for r in docs.groupBy(domain_col).count().collect()  # bounded: #domains
+    }
+    thr = temperature_thresholds(counts, alpha, target_total)
+    b = bucket_col(key_col, salt)
+    expr = None
+    for d, t in sorted(thr.items()):
+        cond = F.col(domain_col) == d
+        expr = F.when(cond, t) if expr is None else expr.when(cond, t)
+    return docs.where(b < expr.otherwise(F.lit(0)))
+
+
+def o_mixture_sample_temperature(
+    alpha: float,
+    target_total: int,
+    domain_col: str = "source",
+    key_expr: str = "doc_id",
+    salt: str = "mixT-v1",
+    source_sql: str = "documents",
+) -> str:
+    """DuckDB oracle twin: replays the integer-quantized weight chain
+    in SQL (pow -> floor-quantize to 1e9 -> exact BIGINT sum -> IEEE
+    rate division -> FLOOR threshold), so every arithmetic step after
+    `pow` is bit-identical to the Python driver side."""
+    b = o_bucket(key_expr, salt)
+    return f"""
+    SELECT s.* FROM {source_sql} s
+    JOIN (
+      SELECT {domain_col} AS dom,
+             CAST(FLOOR(LEAST(1.0,
+                    ({target_total} * w9 / wsum) / n) * {BUCKETS}) AS BIGINT) AS t
+      FROM (
+        SELECT {domain_col}, n,
+               CAST(FLOOR(pow(CAST(n AS DOUBLE) / tot, {alpha!r})
+                          * 1000000000 + 0.5) AS BIGINT) AS w9,
+               SUM(CAST(FLOOR(pow(CAST(n AS DOUBLE) / tot, {alpha!r})
+                              * 1000000000 + 0.5) AS BIGINT)) OVER () AS wsum
+        FROM (SELECT {domain_col}, COUNT(*) AS n,
+                     SUM(COUNT(*)) OVER () AS tot
+              FROM {source_sql} GROUP BY {domain_col})
+      )
+    ) thr ON thr.dom = s.{domain_col}
+    WHERE {b} < thr.t"""

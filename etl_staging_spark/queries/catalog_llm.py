@@ -1670,3 +1670,23 @@ def contrastive_pairs(spark, sf_dir):
     positives anti-joined away (`llmdata/pairs.py`). No RNG state, no
     global rank; negatives cost one bucket shuffle."""
     return pairs.contrastive_pairs(load(spark, sf_dir, "documents"))
+
+
+_MIXT_ALPHA = 0.5
+_MIXT_TARGET = 300
+
+
+@query(
+    "mixture_temperature",
+    oracle=sampling.o_mixture_sample_temperature(_MIXT_ALPHA, _MIXT_TARGET),
+)
+def mixture_temperature(spark, sf_dir):
+    """Temperature-scaled mixture sampling (w_d ∝ share^alpha, the
+    multilingual alpha-sampling rule): bounded per-domain counts ->
+    integer-quantized alpha weights (exact order-free sum) -> hash
+    thresholds -> single pushdown-friendly scan filter, no join on the
+    Spark side (`llmdata/sampling.py`)."""
+    return sampling.mixture_sample_temperature(
+        load(spark, sf_dir, "documents"), alpha=_MIXT_ALPHA,
+        target_total=_MIXT_TARGET,
+    )

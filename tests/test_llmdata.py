@@ -1360,3 +1360,22 @@ def test_contrastive_pairs_labels_and_exclusion(spark, docs):
     assert {(r.d1, r.d2, r.label) for r in out2} == {
         (r.d1, r.d2, r.label) for r in out
     }
+
+
+def test_temperature_mixture_flattens_proportions(spark):
+    from etl_staging_spark.llmdata import sampling
+
+    rows = [(i, "big" if i < 400 else "small", f"text {i}") for i in range(450)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    counts = {"big": 400, "small": 50}
+    # alpha=1 keeps natural shares; alpha->0 flattens toward uniform
+    t1 = sampling.temperature_thresholds(counts, 1.0, 200)
+    t3 = sampling.temperature_thresholds(counts, 0.3, 200)
+    share = lambda t: t["small"] / max(t["big"], 1)
+    assert share(t3) > share(t1)
+    out = sampling.mixture_sample_temperature(df, alpha=0.3, target_total=200)
+    got = {r[0]: r[1] for r in out.groupBy("source").count().collect()}
+    # the small domain is overrepresented relative to its 1/9 natural share
+    assert got["small"] / (got["small"] + got["big"]) > 50 / 450
+    with pytest.raises(ValueError):
+        sampling.temperature_weights(counts, 0.0)
