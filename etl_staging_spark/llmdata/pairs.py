@@ -9,14 +9,15 @@ implements both with fully deterministic, oracle-checkable mechanics:
 
 - positives: `dedup.minhash_lsh_pairs` (banded candidates, exact
   Jaccard verify) — label 1, similarity carried;
-- negatives: HASH CO-BUCKETING — every doc lands in one of ``B``
-  salted-hash buckets, and each doc pairs with its bucket's minimum
-  other doc_id. The salt decorrelates the bucketing from content, so
-  co-bucketed docs are a uniform pseudo-random draw; any pair that
-  near-dup discovery also found is anti-joined away (a "negative"
-  that's actually a near-dup is a label error). No RNG state, no
-  global sort or rank — one shuffle on the bucket id, bucket size
-  ~N/B.
+- negatives: HASH CO-BUCKETING with RING PAIRING — every doc lands in
+  one of ``B`` salted-hash buckets; within a bucket, docs rank by a
+  SECOND salted hash and consecutive ranks pair, so each doc joins at
+  most one negative pair (no hub doc with bucket_size partners). The
+  salts decorrelate both the bucketing and the pairing from content,
+  so pairs are a uniform pseudo-random draw; any pair that near-dup
+  discovery also found is anti-joined away (a "negative" that's
+  actually a near-dup is a label error). No RNG state, no global
+  sort — one shuffle on the bucket id, window partitioned by bucket.
 
 Scale shape: positives inherit the LSH story (never all-pairs);
 negatives are one bucketed aggregate + a broadcast-sized anti-join of
@@ -37,39 +38,36 @@ NEG_SALT = "negpair-v1"
 def negative_pairs(
     docs: DataFrame, n_buckets: int = NEG_BUCKETS, salt: str = NEG_SALT
 ) -> DataFrame:
-    """(d1, d2) pseudo-random pairs via hash co-bucketing: each doc
-    pairs with the minimum other doc_id of its salted-hash bucket
-    (docs that ARE the bucket minimum pair with the bucket's second
-    minimum, so every multi-doc bucket contributes every member once).
-    Deterministic, content-independent, d1 != d2, d1 < d2 normalized."""
+    """(d1, d2) pseudo-random pairs via hash co-bucketing with RING
+    pairing: within each salted-hash bucket, docs are ranked by a
+    second salted hash (ties by id) and consecutive ranks pair up —
+    every doc lands in AT MOST ONE pair (no hub: pairing each doc with
+    a fixed bucket anchor would give that anchor bucket_size partners,
+    a skew disaster at corpus scale). Deterministic, content-
+    independent, d1 < d2 normalized; the window partitions BY BUCKET so
+    parallelism is n_buckets-wide and each partition streams."""
+    from pyspark.sql import Window
+
     b = portable_hash56(
         F.concat(F.lit(f"{salt}:"), F.col("doc_id").cast("string"))
     ) % n_buckets
-    ids = docs.select(F.col("doc_id"), b.alias("bkt"))
-    mins = ids.groupBy("bkt").agg(
-        F.min("doc_id").alias("m1"),
+    r = portable_hash56(
+        F.concat(F.lit(f"{salt}-rank:"), F.col("doc_id").cast("string"))
     )
-    second = (
-        ids.join(mins, "bkt")
-        .where(F.col("doc_id") != F.col("m1"))
-        .groupBy("bkt")
-        .agg(F.min("doc_id").alias("m2"))
-    )
-    anchors = mins.join(second, "bkt")
-    paired = ids.join(F.broadcast(anchors), "bkt").select(
-        "doc_id",
-        F.when(F.col("doc_id") == F.col("m1"), F.col("m2"))
-        .otherwise(F.col("m1"))
-        .alias("partner"),
+    ids = docs.select(F.col("doc_id"), b.alias("bkt"), r.alias("__r"))
+    w = Window.partitionBy("bkt").orderBy("__r", "doc_id")
+    ranked = ids.withColumn("rk", F.row_number().over(w)).withColumn(
+        "grp", ((F.col("rk") - 1) / 2).cast("long")
     )
     return (
-        paired.where(F.col("partner").isNotNull())
-        .where(F.col("doc_id") != F.col("partner"))
-        .select(
-            F.least("doc_id", "partner").alias("d1"),
-            F.greatest("doc_id", "partner").alias("d2"),
+        ranked.groupBy("bkt", "grp")
+        .agg(
+            F.min("doc_id").alias("d1"),
+            F.max("doc_id").alias("d2"),
+            F.count("*").alias("__n"),
         )
-        .distinct()
+        .where(F.col("__n") == 2)  # the odd doc out of a bucket sits out
+        .select("d1", "d2")
     )
 
 
@@ -106,22 +104,17 @@ def o_negative_pairs(
 ) -> str:
     """DuckDB oracle twin of :func:`negative_pairs` (CTE ``negp``)."""
     h = o_hash56(f"'{salt}:' || CAST(doc_id AS VARCHAR)")
+    r = o_hash56(f"'{salt}-rank:' || CAST(doc_id AS VARCHAR)")
     return f"""
-    npids AS (SELECT doc_id, ({h}) % {n_buckets} AS bkt FROM {source_sql}),
-    npm1 AS (SELECT bkt, MIN(doc_id) AS m1 FROM npids GROUP BY bkt),
-    npm2 AS (
-      SELECT i.bkt, MIN(i.doc_id) AS m2
-      FROM npids i JOIN npm1 USING (bkt)
-      WHERE i.doc_id <> npm1.m1 GROUP BY i.bkt
+    npids AS (SELECT doc_id, ({h}) % {n_buckets} AS bkt, {r} AS rh
+              FROM {source_sql}),
+    npranked AS (
+      SELECT doc_id, bkt,
+             (ROW_NUMBER() OVER (PARTITION BY bkt ORDER BY rh, doc_id) - 1)
+               // 2 AS grp
+      FROM npids
     ),
     negp AS (
-      SELECT DISTINCT LEAST(i.doc_id, CASE WHEN i.doc_id = a.m1 THEN a.m2
-                                           ELSE a.m1 END) AS d1,
-             GREATEST(i.doc_id, CASE WHEN i.doc_id = a.m1 THEN a.m2
-                                     ELSE a.m1 END) AS d2
-      FROM npids i
-      JOIN (SELECT npm1.bkt, m1, m2 FROM npm1 JOIN npm2 USING (bkt)) a
-        USING (bkt)
-      WHERE CASE WHEN i.doc_id = a.m1 THEN a.m2 ELSE a.m1 END IS NOT NULL
-        AND i.doc_id <> CASE WHEN i.doc_id = a.m1 THEN a.m2 ELSE a.m1 END
+      SELECT MIN(doc_id) AS d1, MAX(doc_id) AS d2
+      FROM npranked GROUP BY bkt, grp HAVING COUNT(*) = 2
     )"""

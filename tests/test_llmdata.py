@@ -1353,6 +1353,12 @@ def test_contrastive_pairs_labels_and_exclusion(spark, docs):
     assert pos.isdisjoint(neg)           # a near-dup can never be a negative
     assert all(r.jaccard is None for r in out if r.label == 0)
     assert all(d1 < d2 for d1, d2 in pos | neg)
+    # ring pairing: no doc appears in more than one NEGATIVE pair (a
+    # hub anchor would be a skew disaster at corpus scale)
+    from collections import Counter
+
+    deg = Counter(d for p in neg for d in p)
+    assert not deg or deg.most_common(1)[0][1] == 1
     # negatives are deterministic: same output on a different partitioning
     out2 = pairs.contrastive_pairs(
         docs.repartition(7), threshold=0.8, n_buckets=2
