@@ -291,3 +291,91 @@ def o_resample_counts(
     FROM rsgrid g CROSS JOIN rstypes t
     LEFT JOIN rsagg a ON a.b = g.b AND a.event_type = t.event_type
     """
+
+
+ZSCORE_TRAIL = 8   # trailing buckets in the baseline window
+ZSCORE_SIGMA = 2.0
+
+
+def anomaly_zscore(
+    events: DataFrame,
+    bucket_s: int = RESAMPLE_BUCKET_S,
+    trail: int = ZSCORE_TRAIL,
+    sigma: float = ZSCORE_SIGMA,
+) -> DataFrame:
+    """Rolling z-score anomaly detection over the gap-filled per-type
+    count series: each bucket's count compares against the mean/stddev
+    of the ``trail`` buckets strictly before it; |z| > ``sigma`` flags.
+    The dense grid matters — a silent outage bucket (count 0) must be
+    scorable, which is exactly what the zero-fill provides.
+
+    Determinism: sum and sum-of-squares accumulate over exact integer
+    counts (order-free), mean/variance derive from them in identical
+    IEEE expressions, and the z-score is pround(·, 6) on both engines
+    (population variance; sqrt is evaluated by the same libm for both
+    engines on one host and the result is rounded). Windows partition
+    BY EVENT TYPE over the bounded bucket axis — parallelism = #types,
+    each partition is #buckets long, never corpus-sized."""
+    from ..numeric import pround
+
+    dense = resample_counts(events, bucket_s=bucket_s)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(-trail, -1)
+    )
+    n = F.count("n_events").over(w)
+    s1 = F.sum("n_events").over(w)
+    s2 = F.sum(F.col("n_events") * F.col("n_events")).over(w)
+    mean = s1.cast("double") / n
+    var = (s2.cast("double") - s1.cast("double") * s1 / n) / n
+    z = F.when(
+        (n == trail) & (var > 0),
+        pround(
+            (F.col("n_events") - mean) / F.sqrt(var),
+            6,
+        ),
+    )
+    return dense.select(
+        "bucket",
+        "event_type",
+        "n_events",
+        z.alias("zscore"),
+        F.coalesce(F.abs(z) > sigma, F.lit(False)).alias("anomaly"),
+    )
+
+
+def o_anomaly_zscore(
+    bucket_s: int = RESAMPLE_BUCKET_S,
+    trail: int = ZSCORE_TRAIL,
+    sigma: float = ZSCORE_SIGMA,
+    source_sql: str = "events",
+) -> str:
+    """DuckDB oracle twin of :func:`anomaly_zscore`."""
+    from ..numeric import o_pround
+
+    dense = o_resample_counts(bucket_s=bucket_s, source_sql=source_sql)
+    zexpr = o_pround(
+        "(n_events - CAST(s1 AS DOUBLE) / n)"
+        " / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / n)",
+        6,
+    )
+    return f"""
+    WITH dense AS ({dense}),
+    stats AS (
+      SELECT bucket, event_type, n_events,
+             COUNT(n_events) OVER w AS n,
+             SUM(n_events) OVER w AS s1,
+             SUM(n_events * n_events) OVER w AS s2
+      FROM dense
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN {trail} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT bucket, event_type, n_events,
+           CASE WHEN n = {trail}
+                 AND (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / n > 0
+                THEN {zexpr} END AS zscore,
+           COALESCE(ABS(CASE WHEN n = {trail}
+                 AND (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / n > 0
+                THEN {zexpr} END) > {sigma!r}, FALSE) AS anomaly
+    FROM stats"""

@@ -43,3 +43,13 @@ def events_resample(spark, sf_dir):
     with the bounded type dim, observed counts left-joined, zero-filled
     — a missing bucket is a signal, so it must be a row."""
     return ev.resample_counts(load(spark, sf_dir, "events"))
+
+
+@query("events_anomaly_zscore", oracle=ev.o_anomaly_zscore())
+def events_anomaly_zscore(spark, sf_dir):
+    """Rolling z-score anomalies over the gap-filled per-type count
+    series (8-bucket trailing baseline, |z| > 2): integer-exact
+    sum/sum-of-squares in a type-partitioned window over the bounded
+    bucket axis; the zero-filled grid makes silent-outage buckets
+    scorable (`operators/events.py`)."""
+    return ev.anomaly_zscore(load(spark, sf_dir, "events"))

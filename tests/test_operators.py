@@ -238,3 +238,42 @@ def test_resample_zero_fills_gaps(spark):
     assert out[("2024-01-01 06:00:00", "view")] == (0, 0.0)   # gap zero-filled
     assert out[("2024-01-01 12:00:00", "click")] == (0, 0.0)
     assert out[("2024-01-01 18:00:00", "view")] == (1, 3.0)
+
+
+def test_anomaly_zscore_flags_planted_spike(spark):
+    from pyspark.sql import functions as F
+
+    from etl_staging_spark.operators import events as ev
+
+    # stable baseline of 2 events per 6h bucket for 9 buckets, then a
+    # 40-event spike in bucket 10
+    rows = []
+    eid = 0
+    for b in range(10):
+        n = 40 if b == 9 else 2
+        for j in range(n):
+            rows.append((eid, f"2024-01-0{b // 4 + 1} {(b % 4) * 6:02d}:{j % 60:02d}:00", 1, "view", 1.0))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string, value double"
+    ).select("event_id", F.col("ts_s").cast("timestamp_ntz").alias("ts"),
+             "user_id", "event_type", "value")
+    out = sorted(ev.anomaly_zscore(df).collect(), key=lambda r: r.bucket)
+    assert [r.n_events for r in out] == [2] * 9 + [40]
+    # first `trail` buckets have no full baseline -> no score
+    assert all(r.zscore is None and not r.anomaly for r in out[:8])
+    # constant baseline -> zero variance -> unscorable, not anomalous
+    assert out[8].zscore is None and not out[8].anomaly
+    # the spike against a window containing one prior 2->2 .. variance 0?
+    # bucket 9's window covers buckets 1..8 (all 2s) -> var 0 -> None;
+    # so plant variance: rerun with a jittered baseline
+    rows2 = [r for r in rows]
+    # jitter INSIDE the spike's trailing window (bucket 5 = day 2, 06h)
+    rows2.append((eid, "2024-01-02 06:59:00", 2, "view", 1.0))
+    df2 = spark.createDataFrame(
+        rows2, "event_id long, ts_s string, user_id long, event_type string, value double"
+    ).select("event_id", F.col("ts_s").cast("timestamp_ntz").alias("ts"),
+             "user_id", "event_type", "value")
+    out2 = sorted(ev.anomaly_zscore(df2).collect(), key=lambda r: r.bucket)
+    assert not out2[8].anomaly          # a normal bucket stays quiet
+    assert out2[9].anomaly and out2[9].zscore > 2
