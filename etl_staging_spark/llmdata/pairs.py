@@ -18,6 +18,10 @@ implements both with fully deterministic, oracle-checkable mechanics:
   discovery also found is anti-joined away (a "negative" that's
   actually a near-dup is a label error). No RNG state, no global
   sort — one shuffle on the bucket id, window partitioned by bucket.
+  ``n_buckets`` bounds per-partition sort size at N/n_buckets AND caps
+  the window's parallelism, so it must SCALE WITH THE CORPUS (roughly
+  N / desired-partition-rows); the module default suits the test
+  fixtures, not a production corpus.
 
 Scale shape: positives inherit the LSH story (never all-pairs);
 negatives are one bucketed aggregate + a broadcast-sized anti-join of
@@ -44,8 +48,10 @@ def negative_pairs(
     every doc lands in AT MOST ONE pair (no hub: pairing each doc with
     a fixed bucket anchor would give that anchor bucket_size partners,
     a skew disaster at corpus scale). Deterministic, content-
-    independent, d1 < d2 normalized; the window partitions BY BUCKET so
-    parallelism is n_buckets-wide and each partition streams."""
+    independent, d1 < d2 normalized; the window partitions BY BUCKET,
+    so choose ``n_buckets`` ~ N / desired-partition-rows — it is both
+    the parallelism width and the per-partition sort bound (see the
+    module doc)."""
     from pyspark.sql import Window
 
     b = portable_hash56(
@@ -83,9 +89,8 @@ def contrastive_pairs(
     (d1, d2, label, jaccard)."""
     from . import dedup
 
-    pos = dedup.minhash_lsh_pairs(docs, threshold=threshold).select(
-        "d1", "d2", F.lit(1).alias("label"), "jaccard"
-    )
+    mined = dedup.minhash_lsh_pairs(docs, threshold=threshold)
+    pos = mined.select("d1", "d2", F.lit(1).alias("label"), "jaccard")
     neg = (
         negative_pairs(docs, n_buckets=n_buckets, salt=salt)
         .join(pos.select("d1", "d2"), ["d1", "d2"], "left_anti")
@@ -96,7 +101,11 @@ def contrastive_pairs(
             F.lit(None).cast("double").alias("jaccard"),
         )
     )
-    return pos.unionByName(neg)
+    out = pos.unionByName(neg)
+    # re-pin the LSH pipeline's persisted shingle index (select() strips
+    # the attribute) — `pos` appears in BOTH union branches, so losing
+    # the cache would re-run the dominant tokenize/shingle/md5 pass
+    return dedup._pin(out, *getattr(mined, "_pinned_persisted", ()))
 
 
 def o_negative_pairs(

@@ -115,6 +115,23 @@ def mixture_rates(
     return thresholds
 
 
+def _threshold_filter(
+    docs: DataFrame, thresholds: dict[str, int], domain_col: str,
+    key_col: str, salt: str,
+) -> DataFrame:
+    """Apply per-domain bucket thresholds as a literal CASE over the
+    domain column — one pushdown-friendly scan, no join. An empty
+    threshold dict keeps nothing (there are no domains to keep)."""
+    if not thresholds:
+        return docs.where(F.lit(False))
+    b = bucket_col(key_col, salt)
+    expr = None
+    for d, t in sorted(thresholds.items()):
+        cond = F.col(domain_col) == d
+        expr = F.when(cond, t) if expr is None else expr.when(cond, t)
+    return docs.where(b < expr.otherwise(F.lit(0)))
+
+
 def mixture_sample(
     docs: DataFrame,
     weights: dict[str, float],
@@ -134,12 +151,7 @@ def mixture_sample(
         for r in docs.groupBy(domain_col).count().collect()  # bounded: #domains
     }
     thr = mixture_rates(counts, weights, target_total)
-    b = bucket_col(key_col, salt)
-    expr = None
-    for d, t in sorted(thr.items()):
-        cond = F.col(domain_col) == d
-        expr = F.when(cond, t) if expr is None else expr.when(cond, t)
-    return docs.where(b < expr.otherwise(F.lit(0)))
+    return _threshold_filter(docs, thr, domain_col, key_col, salt)
 
 
 def domain_quality_cap(
@@ -528,14 +540,9 @@ def temperature_thresholds(
 ) -> dict[str, int]:
     """Bucket thresholds for temperature-scaled mixture sampling —
     the exact integer/IEEE chain the oracle replays in SQL."""
-    w9 = temperature_weights(counts, alpha)
-    wsum = sum(w9.values())  # exact int sum, order-free
-    thr = {}
-    for d, n in counts.items():
-        quota = target_total * w9[d] / wsum if wsum else 0.0
-        rate = min(1.0, quota / n) if n else 0.0
-        thr[d] = int(rate * BUCKETS)
-    return thr
+    return mixture_rates(
+        counts, temperature_weights(counts, alpha), target_total
+    )
 
 
 def mixture_sample_temperature(
@@ -555,12 +562,7 @@ def mixture_sample_temperature(
         for r in docs.groupBy(domain_col).count().collect()  # bounded: #domains
     }
     thr = temperature_thresholds(counts, alpha, target_total)
-    b = bucket_col(key_col, salt)
-    expr = None
-    for d, t in sorted(thr.items()):
-        cond = F.col(domain_col) == d
-        expr = F.when(cond, t) if expr is None else expr.when(cond, t)
-    return docs.where(b < expr.otherwise(F.lit(0)))
+    return _threshold_filter(docs, thr, domain_col, key_col, salt)
 
 
 def o_mixture_sample_temperature(

@@ -319,6 +319,7 @@ def anomaly_zscore(
     from ..numeric import pround
 
     dense = resample_counts(events, bucket_s=bucket_s)
+    pinned = getattr(dense, "_pinned_persisted", ())
     w = (
         Window.partitionBy("event_type")
         .orderBy("bucket")
@@ -336,13 +337,15 @@ def anomaly_zscore(
             6,
         ),
     )
-    return dense.select(
+    out = dense.select(
         "bucket",
         "event_type",
         "n_events",
         z.alias("zscore"),
         F.coalesce(F.abs(z) > sigma, F.lit(False)).alias("anomaly"),
     )
+    out._pinned_persisted = pinned  # select() strips resample's pin
+    return out
 
 
 def o_anomaly_zscore(
@@ -370,12 +373,14 @@ def o_anomaly_zscore(
       FROM dense
       WINDOW w AS (PARTITION BY event_type ORDER BY bucket
                    ROWS BETWEEN {trail} PRECEDING AND 1 PRECEDING)
+    ),
+    zed AS (
+      SELECT bucket, event_type, n_events,
+             CASE WHEN n = {trail}
+                   AND (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / n > 0
+                  THEN {zexpr} END AS zscore
+      FROM stats
     )
-    SELECT bucket, event_type, n_events,
-           CASE WHEN n = {trail}
-                 AND (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / n > 0
-                THEN {zexpr} END AS zscore,
-           COALESCE(ABS(CASE WHEN n = {trail}
-                 AND (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / n > 0
-                THEN {zexpr} END) > {sigma!r}, FALSE) AS anomaly
-    FROM stats"""
+    SELECT bucket, event_type, n_events, zscore,
+           COALESCE(ABS(zscore) > {sigma!r}, FALSE) AS anomaly
+    FROM zed"""

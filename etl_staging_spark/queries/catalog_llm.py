@@ -117,16 +117,24 @@ bands AS (
 )"""
 
 
-@query(
-    "dedup_minhash_lsh",
-    oracle=f"""
-    WITH {O_TRIH}, {_o_minhash_sigs()}, {O_JACCARD_TAIL}
-    SELECT d1, d2, n_common,
+def _o_lsh_verified_select(threshold: float, label_sql: str = "") -> str:
+    """Verified LSH-pair SELECT over the (inter, cand, sizes) CTEs —
+    shared by dedup_minhash_lsh and the contrastive-pairs positives so
+    the jaccard rounding convention and threshold live in one place."""
+    return f"""
+    SELECT d1, d2,{label_sql} n_common,
            FLOOR((CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)) * 1000000 + 0.5) / 1000000 AS jaccard
     FROM inter
     JOIN cand USING (d1, d2)
     JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
-    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {threshold!r}"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {O_TRIH}, {_o_minhash_sigs()}, {O_JACCARD_TAIL}
+    {_o_lsh_verified_select(0.8)}
     """,
 )
 def dedup_minhash_lsh(spark, sf_dir):
@@ -1648,12 +1656,9 @@ from ..llmdata import pairs  # noqa: E402
     oracle=f"""
     WITH {O_TRIH}, {_o_minhash_sigs()}, {O_JACCARD_TAIL},
     posp AS (
-      SELECT d1, d2, 1 AS label,
-             FLOOR((CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)) * 1000000 + 0.5) / 1000000 AS jaccard
-      FROM inter
-      JOIN cand USING (d1, d2)
-      JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
-      WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
+      SELECT d1, d2, label, jaccard FROM (
+        {_o_lsh_verified_select(0.8, label_sql=" 1 AS label,")}
+      )
     ),
     {pairs.o_negative_pairs()}
     SELECT d1, d2, label, jaccard FROM posp
