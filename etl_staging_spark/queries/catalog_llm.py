@@ -20,7 +20,7 @@ from ..llmdata.hashing import (
     o_hash56,
 )
 from ..llmdata.shingles import O_TOKS, O_TRI
-from ..numeric import o_pround
+from ..numeric import o_pround, pround
 from ..tables import load
 from .registry import query
 
@@ -1695,3 +1695,80 @@ def mixture_temperature(spark, sf_dir):
         load(spark, sf_dir, "documents"), alpha=_MIXT_ALPHA,
         target_total=_MIXT_TARGET,
     )
+
+
+@query(
+    "corpus_source_profile",
+    oracle=f"""
+    WITH {O_TOKS}, {_O_QUAL_CTES}, {_O_REP_CTES},
+    cspb AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, length(lower(text)) - 1),
+                           i -> substr(lower(text), CAST(i AS INT), 2))) AS bg
+      FROM documents
+    ),
+    csps AS (SELECT doc_id, {_LSC} FROM cspb),
+    cspsb AS (SELECT doc_id, *, {_LBEST} AS best FROM csps),
+    cspl AS (SELECT doc_id, {_LPRED} AS pred_lang FROM cspsb),
+    cspj AS (
+      SELECT d.source, q.quality, r.repetitive, l.pred_lang
+      FROM documents d
+      JOIN qual q USING (doc_id) JOIN rep r USING (doc_id)
+      JOIN cspl l USING (doc_id)
+    ),
+    cspa AS (
+      SELECT source, COUNT(*) AS n_docs,
+             {o_pround('CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)', 6)} AS avg_quality,
+             {o_pround('SUM(CASE WHEN repetitive THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE)', 6)} AS pct_repetitive
+      FROM cspj GROUP BY source
+    ),
+    csplc AS (SELECT source, pred_lang, COUNT(*) AS c FROM cspj GROUP BY 1, 2),
+    csptop AS (
+      SELECT source, pred_lang AS top_lang FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY c DESC, pred_lang) AS rk
+        FROM csplc) WHERE rk = 1
+    )
+    SELECT a.source, a.n_docs, a.avg_quality, a.pct_repetitive, t.top_lang
+    FROM cspa a JOIN csptop t USING (source)
+    """,
+)
+def corpus_source_profile(spark, sf_dir):
+    """The corpus report card, per source: doc count, mean quality
+    (exact-decimal sum of the pre-rounded per-doc scores), repetitive
+    fraction, and modal predicted language (count-desc/lang-asc
+    tie-break). One doc-keyed join of three projection families, then
+    bounded per-source aggregates — the summary every pipeline run
+    prints before anyone trusts its corpus."""
+    docs = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    q = textstats.quality_scores(docs, keep=("source",)).select(
+        "doc_id", "source", "quality"
+    )
+    r = textstats.repetition_stats(docs).select("doc_id", "repetitive")
+    lng = textstats.lang_id(docs).select("doc_id", "pred_lang")
+    j = q.join(r, "doc_id").join(lng, "doc_id").persist()
+    agg = j.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        pround(
+            F.sum(F.col("quality").cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("avg_quality"),
+        pround(
+            F.sum(F.when(F.col("repetitive"), 1).otherwise(0))
+            / F.count("*").cast("double"),
+            6,
+        ).alias("pct_repetitive"),
+    )
+    langc = j.groupBy("source", "pred_lang").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("pred_lang"))
+    top = (
+        langc.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("source", F.col("pred_lang").alias("top_lang"))
+    )
+    out = agg.join(top, "source")
+    out._pinned_persisted = (j,)
+    return out
