@@ -333,3 +333,23 @@ def test_events_analytics_plans(spark, queries):
     p = plan_of(spark, queries, "events_funnel")
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_r6b_entry_plans(spark, queries):
+    """contrastive_pairs: LSH discovery side keeps its no-forced-
+    broadcast property (logical plan) and no cartesian appears through
+    the union. mixture_temperature: single-scan filter, no join on the
+    Spark side. corpus_source_profile / events_anomaly_zscore /
+    chunk_overlap: no Python, no single-partition exchange (windows are
+    source-/type-/bucket-partitioned; chunking has no window at all)."""
+    p = plan_of(spark, queries, "contrastive_pairs", mode="extended")
+    assert "strategy=broadcast" not in p
+    p = plan_of(spark, queries, "contrastive_pairs")
+    assert "CartesianProduct" not in p
+    p = plan_of(spark, queries, "mixture_temperature")
+    assert "Join" not in p and "BatchEvalPython" not in p
+    for name in ("corpus_source_profile", "events_anomaly_zscore", "chunk_overlap"):
+        p = plan_of(spark, queries, name)
+        assert "Exchange SinglePartition" not in p, name
+        assert "BatchEvalPython" not in p, name
+    assert "Window" not in plan_of(spark, queries, "chunk_overlap")
