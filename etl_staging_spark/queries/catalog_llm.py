@@ -1772,3 +1772,66 @@ def corpus_source_profile(spark, sf_dir):
     out = agg.join(top, "source")
     out._pinned_persisted = (j,)
     return out
+
+
+@query(
+    "dedup_cluster_sizes",
+    oracle=f"""
+    WITH RECURSIVE {O_TRIH},
+    ftri AS (
+      SELECT doc_id, h FROM trih
+      WHERE h IN (SELECT h FROM trih GROUP BY h
+                  HAVING COUNT(*) <= {dedup.MAX_SHINGLE_DF})
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ftri GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+      FROM ftri a JOIN ftri b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT d1, d2 FROM inter
+      JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
+      WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
+    ),
+    nodes AS (SELECT d1 AS doc_id FROM pairs UNION SELECT d2 FROM pairs),
+    edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+              UNION SELECT d2, d1 FROM pairs),
+    reach(doc_id, r) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc_id
+    ),
+    lbl AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+    sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lbl GROUP BY 1)
+    SELECT CAST(cluster_size AS INT) AS cluster_size,
+           COUNT(*) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+           CAST((cluster_size - 1) * COUNT(*) AS BIGINT) AS n_redundant
+    FROM sz GROUP BY cluster_size
+    """,
+)
+def dedup_cluster_sizes(spark, sf_dir):
+    """The dedup report: near-dup cluster-size histogram — how many
+    clusters of each multiplicity, how many docs they hold, and how
+    many are redundant (droppable beyond each cluster's canonical).
+    One bounded aggregate over the CC assignment; the assignment itself
+    is the audited large-star/small-star pipeline."""
+    pairs = dedup.jaccard_pairs(
+        load(spark, sf_dir, "documents"), threshold=0.8
+    ).select("d1", "d2")
+    cc = cluster.near_dup_clusters(pairs)
+    return (
+        cc.groupBy(F.col("cluster_size").cast("int").alias("cluster_size"))
+        .agg(F.countDistinct("cluster_id").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_redundant"),
+        )
+    )
