@@ -1835,3 +1835,189 @@ def dedup_cluster_sizes(spark, sf_dir):
             .alias("n_redundant"),
         )
     )
+
+
+_V2_SEG_FRAC = 0.25
+_V2_ALPHA = 0.5
+_V2_TARGET = 200
+_V2_SALT = "mixT-v1"
+
+
+@query(
+    "corpus_assembly_v2",
+    oracle=f"""
+    WITH corpus AS (SELECT * FROM documents WHERE doc_id % 20 != 0),
+    v2toks AS (
+      SELECT doc_id, generate_subscripts(string_split(lower(text), ' '), 1) AS ord,
+             unnest(string_split(lower(text), ' ')) AS tok
+      FROM corpus
+    ),
+    v2five AS (
+      SELECT DISTINCT doc_id,
+             tok || ' ' || l1 || ' ' || l2 || ' ' || l3 || ' ' || l4 AS shingle
+      FROM (
+        SELECT doc_id, tok,
+               lead(tok, 1) OVER w AS l1, lead(tok, 2) OVER w AS l2,
+               lead(tok, 3) OVER w AS l3, lead(tok, 4) OVER w AS l4
+        FROM v2toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+      ) WHERE l4 IS NOT NULL
+    ),
+    benchtoks AS (
+      SELECT doc_id, generate_subscripts(string_split(lower(text), ' '), 1) AS ord,
+             unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents WHERE doc_id % 20 = 0
+    ),
+    bench5 AS (
+      SELECT DISTINCT tok || ' ' || l1 || ' ' || l2 || ' ' || l3 || ' ' || l4 AS shingle
+      FROM (
+        SELECT doc_id, tok,
+               lead(tok, 1) OVER w AS l1, lead(tok, 2) OVER w AS l2,
+               lead(tok, 3) OVER w AS l3, lead(tok, 4) OVER w AS l4
+        FROM benchtoks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+      ) WHERE l4 IS NOT NULL
+    ),
+    canon AS (SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY sha256(text)),
+    contaminated AS (
+      SELECT DISTINCT doc_id FROM v2five WHERE shingle IN (SELECT shingle FROM bench5)
+    ),
+    segt AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM corpus),
+    segx AS (
+      SELECT doc_id, unnest(
+        [array_to_string(toks[(i*8+1):(i*8+8)], ' ')
+         FOR i IN range(CAST(ceil(len(toks)/8.0) AS BIGINT))]) AS seg
+      FROM segt
+    ),
+    seghot AS (SELECT seg FROM segx GROUP BY seg HAVING COUNT(*) > 2),
+    segst AS (
+      SELECT doc_id, COUNT(*) AS n,
+             SUM(CASE WHEN seg IN (SELECT seg FROM seghot) THEN 1 ELSE 0 END) AS r
+      FROM segx GROUP BY doc_id
+    ),
+    segkeep AS (
+      SELECT doc_id FROM segst
+      WHERE n > 0 AND CAST(r AS DOUBLE) / n <= {_V2_SEG_FRAC!r}
+    ),
+    flags AS (
+      SELECT c.doc_id, c.source,
+             {o_hash56('c.text')} AS th,
+             c.doc_id IN (SELECT doc_id FROM canon) AS g1,
+             c.doc_id NOT IN (SELECT doc_id FROM contaminated) AS g2,
+             c.doc_id IN (SELECT doc_id FROM segkeep) AS g3,
+             ({o_hash56(f"'{_V2_SALT}:' || CAST(c.doc_id AS VARCHAR)")}) % 10000 AS bkt
+      FROM corpus c
+    ),
+    surv AS (SELECT * FROM flags WHERE g1 AND g2 AND g3),
+    v2counts AS (SELECT source, COUNT(*) AS n, SUM(COUNT(*)) OVER () AS tot
+                 FROM surv GROUP BY source),
+    v2w AS (
+      SELECT source, n,
+             CAST(FLOOR(pow(CAST(n AS DOUBLE) / tot, {_V2_ALPHA!r})
+                        * 1000000000 + 0.5) AS BIGINT) AS w9,
+             SUM(CAST(FLOOR(pow(CAST(n AS DOUBLE) / tot, {_V2_ALPHA!r})
+                            * 1000000000 + 0.5) AS BIGINT)) OVER () AS wsum
+      FROM v2counts
+    ),
+    v2thr AS (
+      SELECT source,
+             CAST(FLOOR(LEAST(1.0, ({_V2_TARGET} * w9 / wsum) / n)
+                        * 10000) AS BIGINT) AS t
+      FROM v2w
+    )
+    SELECT f.source,
+           COUNT(*) AS n_raw,
+           CAST(SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n_canon,
+           CAST(SUM(CASE WHEN g1 AND g2 THEN 1 ELSE 0 END) AS BIGINT) AS n_decontam,
+           CAST(SUM(CASE WHEN g1 AND g2 AND g3 THEN 1 ELSE 0 END) AS BIGINT) AS n_seg,
+           CAST(SUM(CASE WHEN g1 AND g2 AND g3 AND f.bkt < COALESCE(t.t, 0)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+           COALESCE(bit_xor(CASE WHEN g1 AND g2 AND g3 AND f.bkt < COALESCE(t.t, 0)
+                            THEN th END), 0) AS content_xor
+    FROM flags f LEFT JOIN v2thr t USING (source)
+    GROUP BY f.source
+    """,
+)
+def corpus_assembly_v2(spark, sf_dir):
+    """The assembly FUNNEL report with the round's new stages composed:
+    exact-dedup canon -> benchmark decontamination -> segment-
+    boilerplate gate (docs whose hot-segment fraction exceeds 25% drop)
+    -> temperature-scaled mixture (alpha=0.5, survivor-count weights).
+    One row per source with the count surviving each gate prefix and
+    an order-free XOR checksum of the final selection — the lineage
+    summary a production assembly run records.
+
+    Shape: every signal is a doc-keyed id-set (each with its own
+    audited scale story); the funnel is ONE conditional aggregate over
+    the flag-joined corpus; mixture thresholds derive driver-side from
+    the bounded survivor counts."""
+    from ..llmdata import linedup as _ld
+    from ..llmdata import sampling as _sp
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    corpus = (
+        docs.where(F.col("doc_id") % 20 != 0)
+        .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+        .persist()
+    )
+    canon = dedup.exact_dup_groups(corpus).select(
+        F.col("canonical_doc_id").alias("doc_id"), F.lit(True).alias("g1")
+    )
+    clean = (
+        decontam.ngram_overlap(corpus, bench, n=5, min_hits=1)
+        .where(~F.col("contaminated"))
+        .select("doc_id", F.lit(True).alias("g2"))
+    )
+    seg = _ld.segment_dedup(corpus)
+    segkeep = seg.where(
+        (F.col("n_segs") > 0)
+        & (F.col("n_removed").cast("double") / F.col("n_segs") <= _V2_SEG_FRAC)
+    ).select("doc_id", F.lit(True).alias("g3"))
+    from ..llmdata.hashing import portable_hash56 as _h56
+
+    flags = (
+        corpus.select(
+            "doc_id",
+            "source",
+            _h56(F.col("text")).alias("th"),
+            (_sp.bucket_col("doc_id", _V2_SALT)).alias("bkt"),
+        )
+        .join(canon, "doc_id", "left")
+        .join(clean, "doc_id", "left")
+        .join(segkeep, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "th",
+            "bkt",
+            F.coalesce("g1", F.lit(False)).alias("g1"),
+            F.coalesce("g2", F.lit(False)).alias("g2"),
+            F.coalesce("g3", F.lit(False)).alias("g3"),
+        )
+        .persist()
+    )
+    surv_counts = {
+        r[0]: r[1]
+        for r in flags.where("g1 AND g2 AND g3").groupBy("source").count().collect()
+    }
+    thr = _sp.temperature_thresholds(surv_counts, _V2_ALPHA, _V2_TARGET)
+    thr_expr = F.lit(0)
+    for d, t in sorted(thr.items()):
+        thr_expr = F.when(F.col("source") == d, F.lit(t)).otherwise(thr_expr)
+    final = F.col("g1") & F.col("g2") & F.col("g3") & (F.col("bkt") < thr_expr)
+    marked = flags.withColumn("__final", final)
+    out = marked.groupBy("source").agg(
+        F.count("*").alias("n_raw"),
+        F.sum(F.when(F.col("g1"), 1).otherwise(0)).cast("long").alias("n_canon"),
+        F.sum(F.when(F.col("g1") & F.col("g2"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_decontam"),
+        F.sum(F.when(F.col("g1") & F.col("g2") & F.col("g3"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_seg"),
+        F.sum(F.when(F.col("__final"), 1).otherwise(0)).cast("long").alias("n_final"),
+        F.coalesce(
+            F.expr("bit_xor(CASE WHEN __final THEN th END)"), F.lit(0)
+        ).alias("content_xor"),
+    )
+    out._pinned_persisted = (corpus, flags)
+    return out
