@@ -69,6 +69,9 @@ HEADLINE = [
     "shard_manifest",
     "events_sessionize",
     "bpe_pair_counts",
+    "contrastive_pairs",
+    "corpus_source_profile",
+    "corpus_assembly_v2",
 ]
 
 
