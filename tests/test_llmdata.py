@@ -1385,3 +1385,30 @@ def test_temperature_mixture_flattens_proportions(spark):
     assert got["small"] / (got["small"] + got["big"]) > 50 / 450
     with pytest.raises(ValueError):
         sampling.temperature_weights(counts, 0.0)
+
+
+def test_assembly_v2_funnel_monotone(spark):
+    import __spark_entry__ as entrymod
+
+    out = entrymod.queries()["corpus_assembly_v2"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert out, "funnel report must cover every source"
+    for r in out:
+        assert r.n_raw >= r.n_canon >= r.n_decontam >= r.n_seg >= r.n_final >= 0
+        # the checksum is 0 iff nothing survived (XOR of a nonempty
+        # 56-bit hash set is 0 with negligible probability)
+        assert (r.n_final == 0) == (r.content_xor == 0)
+    assert sum(r.n_final for r in out) > 0
+
+
+def test_cluster_sizes_histogram_consistent_with_assignment(spark):
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    hist = qs["dedup_cluster_sizes"](spark, "/root/testdata/sf0.001").collect()
+    cc = qs["dedup_cluster_cc"](spark, "/root/testdata/sf0.001").collect()
+    assert sum(r.n_docs for r in hist) == len(cc)
+    assert sum(r.n_clusters for r in hist) == len({r.cluster_id for r in cc})
+    assert all(r.cluster_size >= 2 for r in hist)  # singletons never pair
+    assert all(r.n_redundant == r.n_docs - r.n_clusters for r in hist)
