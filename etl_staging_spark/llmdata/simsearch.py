@@ -49,6 +49,14 @@ def with_norm(df: DataFrame, vec_col: str = "embedding", out: str = "nrm") -> Da
     return df.withColumn(out, F.sqrt(_dot(F.col(vec_col), F.col(vec_col))))
 
 
+# Parallelism guard for the scoring stages: a small corpus arrives as
+# 1-2 file splits, and a broadcast join inherits the stream side's
+# partitioning — so every per-pair decimal fold downstream runs on one
+# core (measured: the whole `sim_cosine_topk` wall time was one
+# single-threaded scoring task before this guard).
+from ..tables import respread_narrow as _respread_narrow  # noqa: E402
+
+
 def _sign_nonneg(a: Column, b: Column) -> Column:
     """``_dot(a, b) >= 0`` decided cheaply: ONE double fold accumulates
     the dot AND the absolute mass Σ|x·y|; the double sign is trusted
@@ -94,7 +102,7 @@ def cosine_topk(
     Still O(|Q| * N) compute; the bucketed paths
     (:func:`lsh_bucketed_topk` / :func:`ivf_topk`) bound the candidate
     set itself."""
-    normed = with_norm(emb, vec_col)
+    normed = with_norm(_respread_narrow(emb), vec_col)
     q = normed.where(query_pred).select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("qv"),
@@ -156,7 +164,9 @@ def lsh_bucketed_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """ANN: top-k by cosine *within the query's sign-LSH bucket*."""
-    normed = with_norm(emb, vec_col).withColumn("bkt", _bucket(F.col(vec_col), dim))
+    normed = with_norm(_respread_narrow(emb), vec_col).withColumn(
+        "bkt", _bucket(F.col(vec_col), dim)
+    )
     q = normed.where(query_pred).select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"),
         F.col("nrm").alias("qn"), "bkt",
@@ -227,7 +237,7 @@ def cosine_dup_pairs(
     cosine over the candidate ids joined back to the vectors. The
     threshold is a parameter: production near-dup uses ~0.95; fixtures
     use where the synthetic data actually has signal."""
-    normed = with_norm(emb, vec_col).persist()
+    normed = with_norm(_respread_narrow(emb), vec_col).persist()
     planes = hyperplanes(N_PLANES, dim)
     per_band = N_PLANES // bands
     band_cols = []
@@ -440,7 +450,7 @@ def ivf_topk(
             cent_arrs, vcol, probe, cent_norms=cent_norms, nrm_col=F.col("nrm")
         )
 
-    normed = with_norm(emb, vec_col).withColumn(
+    normed = with_norm(_respread_narrow(emb), vec_col).withColumn(
         "cell", probe_cells(F.col(vec_col), 1)[0]
     ).persist()
     q = normed.where(query_pred).select(
@@ -502,7 +512,7 @@ def semantic_dup_pairs(
     cent_arrs, cent_norms = _resolve_centroids(
         emb, centroids, n_centroids, id_col, vec_col
     )
-    normed = with_norm(emb, vec_col).withColumn(
+    normed = with_norm(_respread_narrow(emb), vec_col).withColumn(
         "cells",
         _probe_cells_expr(
             cent_arrs, F.col(vec_col), n_probe,

@@ -21,7 +21,7 @@ from ..llmdata.hashing import (
 )
 from ..llmdata.shingles import O_TOKS, O_TRI
 from ..numeric import o_pround, pround
-from ..tables import load
+from ..tables import load, respread_narrow
 from .registry import query
 
 # Shared oracle CTE: hashed distinct word-trigram shingles per doc.
@@ -669,8 +669,12 @@ _O_QUAL_CTES = f"""
 )
 def text_quality_score(spark, sf_dir):
     """Per-doc quality: length, lexical diversity, stopword density,
-    token shape — all native F.* array ops, one projection, no shuffle."""
-    return textstats.quality_scores(load(spark, sf_dir, "documents"))
+    token shape — all native F.* array ops, one projection, no shuffle
+    (the respread guard only widens a 1-split local scan; a real corpus
+    scan is already wide and passes through untouched)."""
+    return textstats.quality_scores(
+        respread_narrow(load(spark, sf_dir, "documents"))
+    )
 
 
 def _o_lang_scores() -> tuple[str, str, str]:

@@ -69,6 +69,22 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def respread_narrow(df: DataFrame) -> DataFrame:
+    """Parallelism guard for compute-heavy projections/joins: a small
+    table arrives as 1-2 file splits, and narrow transformations (and
+    broadcast-join outputs, which inherit the stream side's
+    partitioning) then run on one core no matter how wide the cluster
+    is. Respread to defaultParallelism when the scan is narrower than
+    the cluster; at real corpus scale the scan already has >=
+    parallelism splits and this adds NO shuffle. Use only in front of
+    genuinely expensive per-row work — for cheap projections the
+    round-robin exchange costs more than it saves."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in TABLES}
 
