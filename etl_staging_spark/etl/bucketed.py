@@ -23,15 +23,37 @@ def drop_managed_table(spark: SparkSession, table: str) -> None:
     previous JVM session's write leaves the directory behind while the
     fresh session's in-memory catalog doesn't list the table, so a bare
     DROP TABLE IF EXISTS is a no-op and the next saveAsTable fails with
-    'associated location already exists'."""
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
-    if warehouse.startswith("file:"):
-        warehouse = warehouse[len("file:"):]
-    if warehouse:
-        import shutil
+    'associated location already exists'.
 
-        shutil.rmtree(f"{warehouse.rstrip('/')}/{table.lower()}", ignore_errors=True)
+    Resolves the table's real location from the catalog when the table
+    exists (so a database-qualified name never maps to the wrong
+    directory); the leftover-directory fallback only fires for plain
+    unqualified names, where <warehouse>/<name> is the managed layout
+    by construction."""
+    location = None
+    try:
+        if spark.catalog.tableExists(table):
+            for row in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+                if row[0] == "Location":
+                    location = row[1]
+                    break
+    except Exception:
+        location = None
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    if location is None:
+        if "." in table or "/" in table or "`" in table:
+            # qualified or exotic name with no catalog entry: nothing to
+            # clean up that we can locate safely — do NOT guess a path
+            return
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+        if not warehouse:
+            return
+        location = f"{warehouse.rstrip('/')}/{table.lower()}"
+    if location.startswith("file:"):
+        location = location[len("file:"):]
+    import shutil
+
+    shutil.rmtree(location, ignore_errors=True)
 
 
 def write_bucketed(

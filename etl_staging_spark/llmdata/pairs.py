@@ -35,12 +35,25 @@ from pyspark.sql import functions as F
 
 from .hashing import o_hash56, portable_hash56
 
-NEG_BUCKETS = 64
+NEG_BUCKETS = 64  # fixture-scale width; library callers get a derived width
 NEG_SALT = "negpair-v1"
+# target per-bucket rows when n_buckets is derived from a corpus count:
+# bounds the window sort at ~4k rows/bucket while keeping bucket count
+# (= parallelism) proportional to corpus size
+NEG_BUCKET_ROWS = 4096
+
+
+def _derived_buckets(docs: DataFrame) -> int:
+    """n_buckets ~ N / NEG_BUCKET_ROWS from one cheap count() (a
+    metadata-only scan on parquet sources). A fixed default is a scale
+    trap: 64 buckets over a production corpus means 64-way parallelism
+    and N/64-row window sorts."""
+    n = docs.count()
+    return max(1, -(-n // NEG_BUCKET_ROWS))
 
 
 def negative_pairs(
-    docs: DataFrame, n_buckets: int = NEG_BUCKETS, salt: str = NEG_SALT
+    docs: DataFrame, n_buckets: int | None = None, salt: str = NEG_SALT
 ) -> DataFrame:
     """(d1, d2) pseudo-random pairs via hash co-bucketing with RING
     pairing: within each salted-hash bucket, docs are ranked by a
@@ -49,11 +62,16 @@ def negative_pairs(
     a fixed bucket anchor would give that anchor bucket_size partners,
     a skew disaster at corpus scale). Deterministic, content-
     independent, d1 < d2 normalized; the window partitions BY BUCKET,
-    so choose ``n_buckets`` ~ N / desired-partition-rows — it is both
-    the parallelism width and the per-partition sort bound (see the
-    module doc)."""
+    so ``n_buckets`` ~ N / desired-partition-rows — it is both the
+    parallelism width and the per-partition sort bound (see the module
+    doc). ``n_buckets=None`` (the default) derives that width from a
+    corpus count; pass it explicitly when the caller needs a
+    reproducible width independent of corpus growth (e.g. the oracle
+    twin, which bakes the width into static SQL)."""
     from pyspark.sql import Window
 
+    if n_buckets is None:
+        n_buckets = _derived_buckets(docs)
     b = portable_hash56(
         F.concat(F.lit(f"{salt}:"), F.col("doc_id").cast("string"))
     ) % n_buckets
@@ -80,7 +98,7 @@ def negative_pairs(
 def contrastive_pairs(
     docs: DataFrame,
     threshold: float = 0.8,
-    n_buckets: int = NEG_BUCKETS,
+    n_buckets: int | None = None,
     salt: str = NEG_SALT,
 ) -> DataFrame:
     """Labelled training pairs: near-dup positives (label 1, verified

@@ -211,19 +211,22 @@ def bpe_train(df: DataFrame, n_merges: int = 10) -> DataFrame:
         l, r, cnt = top[0]["l"], top[0]["r"], top[0]["cnt"]
         merges.append((rank, l, r, l + r, cnt))
         # apply the merge: left-to-right fold collapsing (l, r) -> l||r,
-        # matching the sequential semantics of the reference trainer
-        merged_expr = f"""
-        aggregate(
-          syms,
-          CAST(array() AS ARRAY<STRING>),
-          (acc, x) -> CASE
-            WHEN size(acc) > 0
-                 AND element_at(acc, -1) = {_sql_str(l)}
-                 AND x = {_sql_str(r)}
-            THEN concat(slice(acc, 1, size(acc) - 1), array({_sql_str(l + r)}))
-            ELSE concat(acc, array(x)) END)
-        """
-        nxt = cur.select(F.expr(merged_expr).alias("syms"), "n").persist()
+        # matching the sequential semantics of the reference trainer.
+        # Symbols bind as F.lit() Columns, not interpolated SQL string
+        # literals — escaped literals only parse while
+        # spark.sql.parser.escapedStringLiterals stays false
+        lc, rc, mc = F.lit(l), F.lit(r), F.lit(l + r)
+        merged_col = F.aggregate(
+            F.col("syms"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == lc)
+                & (x == rc),
+                F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(mc)),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        nxt = cur.select(merged_col.alias("syms"), "n").persist()
         nxt.count()  # materialize before dropping the parent
         cur.unpersist()
         cur = nxt
@@ -233,6 +236,3 @@ def bpe_train(df: DataFrame, n_merges: int = 10) -> DataFrame:
         "merge_rank int, left string, right string, merged string, pair_count long",
     )
 
-
-def _sql_str(s: str) -> str:
-    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"

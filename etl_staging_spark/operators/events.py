@@ -44,10 +44,17 @@ def sessionize(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
     is_new = F.when(
         gap.isNull() | (gap > gap_min * 60), F.lit(1)
     ).otherwise(F.lit(0))
-    numbered = events.withColumn(
+    # materialize is_new before the running sum: nesting the lag()
+    # window inside the sum() window in one expression is an
+    # analyzer-dependent shape across Spark releases; two stacked
+    # window projections over the same partition spec plan to the same
+    # single-exchange physical shape
+    numbered = events.withColumn("__is_new", is_new).withColumn(
         "session_id",
-        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"),
-    )
+        F.sum("__is_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("int"),
+    ).drop("__is_new")
     return numbered.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
         F.date_format(F.min("ts"), TS_FMT).alias("started"),

@@ -1677,8 +1677,12 @@ def contrastive_pairs(spark, sf_dir):
     positives (the banded MinHash-LSH machinery — a near-dup IS a
     paraphrase pair) + deterministic hash-co-bucket negatives with
     positives anti-joined away (`llmdata/pairs.py`). No RNG state, no
-    global rank; negatives cost one bucket shuffle."""
-    return pairs.contrastive_pairs(load(spark, sf_dir, "documents"))
+    global rank; negatives cost one bucket shuffle. The bucket width is
+    pinned to the oracle's static SQL; library callers omit it and get
+    a corpus-count-derived width instead."""
+    return pairs.contrastive_pairs(
+        load(spark, sf_dir, "documents"), n_buckets=pairs.NEG_BUCKETS
+    )
 
 
 _MIXT_ALPHA = 0.5
