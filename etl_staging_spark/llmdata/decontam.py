@@ -54,6 +54,70 @@ def ngram_overlap(
     )
 
 
+def fuzzy_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+) -> DataFrame:
+    """NEAR-DUP contamination: corpus docs with a MinHash-LSH-discovered,
+    exact-Jaccard-verified near-duplicate in the benchmark set — the
+    paraphrased-eval-leakage mode that :func:`ngram_overlap`'s exact
+    n-gram collision rule misses (a light rewrite shares few exact
+    5-grams but keeps most of its 3-gram shingle set). Output one row
+    per corpus doc: (doc_id, n_matches, max_jaccard, contaminated).
+
+    Scale shape: both sides band their MinHash signatures (the dedup
+    family's machinery, pointed corpus×eval instead of corpus×corpus);
+    the EVAL side is bounded by definition — an eval suite, not a
+    corpus — so its banded signatures broadcast and candidate discovery
+    is a map-side hash join against the corpus bands: no corpus×corpus
+    work, no all-pairs, corpus text scanned once (shared persisted
+    shingle index feeds signatures and verification). Verification is
+    the exact-Jaccard array intersect over candidates only.
+
+    Precondition: corpus and benchmark doc_id spaces must be disjoint
+    (same contract as ``dedup.incremental_lsh_matches``); equal ids are
+    dropped from candidates as a guard."""
+    from . import dedup
+
+    sh_c = dedup.hashed_shingles(corpus, n=n).persist()
+    sh_b = dedup.hashed_shingles(benchmark, n=n).persist()
+    bc = dedup.banded_signatures(dedup._signatures_from(sh_c)).alias("c")
+    bb = dedup.banded_signatures(dedup._signatures_from(sh_b)).alias("b")
+    cands = (
+        bc.join(
+            F.broadcast(bb),
+            (F.col("c.band") == F.col("b.band")) & (F.col("c.sig") == F.col("b.sig")),
+        )
+        .where(F.col("c.doc_id") != F.col("b.doc_id"))
+        .select(F.col("c.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    arr_c = sh_c.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("h")).alias("hs")
+    )
+    arr_b = sh_b.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("h")).alias("hs")
+    )
+    matches = dedup._pair_jaccard_arrays(arr_c, arr_b, cands, threshold)
+    per_doc = matches.groupBy("d1").agg(
+        F.count("*").alias("n_matches"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+    out = (
+        corpus.select("doc_id")
+        .join(per_doc, F.col("doc_id") == F.col("d1"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_matches", F.lit(0).cast("bigint")).alias("n_matches"),
+            F.col("max_jaccard"),
+            (F.coalesce("n_matches", F.lit(0)) >= 1).alias("contaminated"),
+        )
+    )
+    return dedup._pin(out, sh_c, sh_b)
+
+
 # Intra-corpus boilerplate: a shingle that recurs across a large
 # fraction of a source's documents is template text (headers, nav
 # chrome, license banners), not content — the CCNet/RefinedWeb-style

@@ -304,6 +304,54 @@ def decontaminate_ngram(spark, sf_dir):
     return decontam.ngram_overlap(corpus, bench, n=5, min_hits=1)
 
 
+@query(
+    "decontaminate_fuzzy",
+    oracle=f"""
+    WITH {O_TRIH}, {_o_minhash_sigs("cand0")},
+    fcand AS (
+      SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+      FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig
+      WHERE x.doc_id % 20 != 0 AND y.doc_id % 20 = 0
+    ),
+    fsizes AS (SELECT doc_id, COUNT(*) AS n FROM trih GROUP BY doc_id),
+    finter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+      FROM trih a JOIN trih b ON a.h = b.h
+      WHERE a.doc_id % 20 != 0 AND b.doc_id % 20 = 0
+      GROUP BY 1, 2
+    ),
+    fver AS (
+      SELECT d1,
+             FLOOR((CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)) * 1000000 + 0.5) / 1000000 AS jac
+      FROM finter JOIN fcand USING (d1, d2)
+      JOIN fsizes sa ON sa.doc_id = d1 JOIN fsizes sb ON sb.doc_id = d2
+      WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
+    ),
+    fagg AS (SELECT d1, COUNT(*) AS n_matches, MAX(jac) AS max_jaccard
+             FROM fver GROUP BY d1)
+    SELECT d.doc_id,
+           CAST(COALESCE(n_matches, 0) AS BIGINT) AS n_matches,
+           max_jaccard,
+           COALESCE(n_matches, 0) >= 1 AS contaminated
+    FROM documents d LEFT JOIN fagg ON fagg.d1 = d.doc_id
+    WHERE d.doc_id % 20 != 0
+    """,
+)
+def decontaminate_fuzzy(spark, sf_dir):
+    """FUZZY benchmark decontamination: corpus docs with a MinHash-LSH
+    near-duplicate (exact 3-gram Jaccard >= 0.8 on verify) in the eval
+    set — catches paraphrased eval leakage that the exact 5-gram
+    collision rule (`decontaminate_ngram`) misses. Eval = every 20th
+    doc, as in the exact variant. The eval side's banded signatures
+    broadcast (an eval suite is bounded by definition); discovery is a
+    map-side hash join against the corpus bands — no corpus x corpus
+    work (`llmdata/decontam.py:fuzzy_contamination`)."""
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    corpus = docs.where(F.col("doc_id") % 20 != 0)
+    return decontam.fuzzy_contamination(corpus, bench, threshold=0.8, n=3)
+
+
 _O_REP_CTES = f"""
     bigr AS (
       SELECT doc_id, tok || ' ' || l1 AS g FROM (
@@ -578,6 +626,165 @@ def sim_ann_ivf(spark, sf_dir):
     return simsearch.ivf_topk(emb, F.col("vec_id") < 10, dim=64, k=5).withColumn(
         "rank", F.col("rank").cast("int")
     )
+
+
+@query(
+    "sim_ann_recall",
+    oracle=f"""
+    WITH {_o_planes_values(64)}, {O_ELEMS},
+    xcand AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid
+      FROM norms q JOIN norms c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 10
+    ),
+    xdots AS (
+      SELECT qid, cid, CAST(SUM(CAST(a.e * b.e AS DECIMAL(30,15))) AS DOUBLE) AS dot
+      FROM xcand JOIN elems a ON a.vec_id = qid
+                 JOIN elems b ON b.vec_id = cid AND b.i = a.i
+      GROUP BY 1, 2
+    ),
+    xranked AS (
+      SELECT qid, cid,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY dot / (qn.nrm * cn.nrm) DESC, cid) AS rnk
+      FROM xdots JOIN norms qn ON qn.vec_id = qid JOIN norms cn ON cn.vec_id = cid
+    ),
+    xtop AS (SELECT qid, cid FROM xranked WHERE rnk <= 5),
+    signs AS (
+      SELECT e.vec_id, pl.p,
+             CASE WHEN CAST(SUM(CAST(pl.w * e.e AS DECIMAL(30,15))) AS DOUBLE) >= 0
+                  THEN '1' ELSE '0' END AS ch
+      FROM elems e JOIN planes pl ON pl.i = e.i
+      GROUP BY e.vec_id, pl.p
+    ),
+    buckets AS (
+      SELECT vec_id, string_agg(ch, '' ORDER BY p) AS bkt FROM signs GROUP BY vec_id
+    ),
+    lcand AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid
+      FROM buckets q JOIN buckets c ON q.bkt = c.bkt AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < 10
+    ),
+    ldots AS (
+      SELECT qid, cid, CAST(SUM(CAST(a.e * b.e AS DECIMAL(30,15))) AS DOUBLE) AS dot
+      FROM lcand JOIN elems a ON a.vec_id = qid
+                 JOIN elems b ON b.vec_id = cid AND b.i = a.i
+      GROUP BY 1, 2
+    ),
+    lranked AS (
+      SELECT qid, cid,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY dot / (qn.nrm * cn.nrm) DESC, cid) AS rnk
+      FROM ldots JOIN norms qn ON qn.vec_id = qid JOIN norms cn ON cn.vec_id = cid
+    ),
+    ltop AS (SELECT qid, cid FROM lranked WHERE rnk <= 5),
+    cdots AS (
+      SELECT v.vec_id, c.vec_id AS ccid,
+             CAST(SUM(CAST(v.e * c.e AS DECIMAL(30,15))) AS DOUBLE) AS dot
+      FROM elems v JOIN elems c ON c.i = v.i AND c.vec_id < 8
+      GROUP BY 1, 2
+    ),
+    ccos AS (
+      SELECT cdots.vec_id, ccid, dot / (nv.nrm * nc.nrm) AS c
+      FROM cdots JOIN norms nv ON nv.vec_id = cdots.vec_id
+                 JOIN norms nc ON nc.vec_id = ccid
+    ),
+    ranked_cells AS (
+      SELECT vec_id, ccid, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                              ORDER BY c DESC, ccid) AS rn
+      FROM ccos
+    ),
+    assign AS (SELECT vec_id, ccid AS cell FROM ranked_cells WHERE rn = 1),
+    probes AS (SELECT vec_id, ccid AS cell FROM ranked_cells
+               WHERE rn <= 2 AND vec_id < 10),
+    icand AS (
+      SELECT p.vec_id AS qid, a.vec_id AS cid
+      FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.vec_id
+    ),
+    idots AS (
+      SELECT qid, cid, CAST(SUM(CAST(a.e * b.e AS DECIMAL(30,15))) AS DOUBLE) AS dot
+      FROM icand JOIN elems a ON a.vec_id = qid
+                 JOIN elems b ON b.vec_id = cid AND b.i = a.i
+      GROUP BY 1, 2
+    ),
+    iranked AS (
+      SELECT qid, cid,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY dot / (qn.nrm * cn.nrm) DESC, cid) AS rnk
+      FROM idots JOIN norms qn ON qn.vec_id = qid JOIN norms cn ON cn.vec_id = cid
+    ),
+    itop AS (SELECT qid, cid FROM iranked WHERE rnk <= 5),
+    anns AS (
+      SELECT 'lsh' AS method, qid, cid FROM ltop
+      UNION ALL
+      SELECT 'ivf' AS method, qid, cid FROM itop
+    ),
+    astats AS (
+      SELECT a.method, a.qid, COUNT(*) AS n_ann,
+             SUM(CASE WHEN x.cid IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+      FROM anns a LEFT JOIN xtop x ON x.qid = a.qid AND x.cid = a.cid
+      GROUP BY 1, 2
+    ),
+    grid AS (SELECT DISTINCT qid FROM xtop),
+    methods AS (SELECT 'lsh' AS method UNION ALL SELECT 'ivf' AS method)
+    SELECT g.qid, m.method,
+           CAST(COALESCE(n_ann, 0) AS BIGINT) AS n_ann,
+           CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+           FLOOR((CAST(COALESCE(n_hit, 0) AS DOUBLE) / 5) * 1000000 + 0.5) / 1000000 AS recall_at_k
+    FROM grid g CROSS JOIN methods m
+    LEFT JOIN astats s ON s.qid = g.qid AND s.method = m.method
+    """,
+)
+def sim_ann_recall(spark, sf_dir):
+    """ANN quality report card: per-query recall@5 of the two ANN paths
+    (sign-LSH buckets, IVF inverted lists) against the exact
+    `sim_cosine_topk` baseline — the report that turns 'the ANN runs'
+    into 'the ANN is known-good'. Both sides are deterministic, so the
+    overlap is oracle-expressible; queries whose bucket/cells return
+    fewer than k candidates surface with n_ann < 5 rather than
+    vanishing. Run shape: this is a QA job over the (bounded) probe
+    query set — the exact leg is O(|Q| * N) by design, priced like the
+    baseline it audits, not like production serving."""
+    emb = load(spark, sf_dir, "embeddings")
+    pred = F.col("vec_id") < 10
+    k = 5
+    exact = (
+        simsearch.cosine_topk(emb, pred, k=k)
+        .select("qid", "cid")
+        .withColumn("hit", F.lit(1))
+        .persist()
+    )
+    qids = exact.select("qid").distinct()
+    legs = []
+    pins = [exact]
+    for method, ann in (
+        ("lsh", simsearch.lsh_bucketed_topk(emb, pred, dim=64, k=k)),
+        ("ivf", simsearch.ivf_topk(emb, pred, dim=64, k=k)),
+    ):
+        pins.extend(getattr(ann, "_pinned_persisted", ()))
+        stats = (
+            ann.select("qid", "cid")
+            .join(exact, ["qid", "cid"], "left")
+            .groupBy("qid")
+            .agg(
+                F.count("*").alias("n_ann"),
+                F.sum(F.coalesce("hit", F.lit(0))).alias("n_hit"),
+            )
+        )
+        legs.append(
+            qids.join(stats, "qid", "left").select(
+                "qid",
+                F.lit(method).alias("method"),
+                F.coalesce("n_ann", F.lit(0)).cast("bigint").alias("n_ann"),
+                F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+                pround(F.coalesce("n_hit", F.lit(0)) / F.lit(k), 6).alias(
+                    "recall_at_k"
+                ),
+            )
+        )
+    out = legs[0].unionByName(legs[1])
+    out._pinned_persisted = tuple(pins)
+    return out
 
 
 @query(

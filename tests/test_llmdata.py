@@ -309,6 +309,49 @@ def test_decontamination_planted_overlap(spark):
     assert len(out) == 3  # zero-overlap docs are kept, not dropped
 
 
+def test_sim_ann_recall_report(spark):
+    """The ANN recall report card on the driver testdata: structural
+    invariants (one row per query x method, n_hit <= n_ann <= k,
+    recall = n_hit/k) plus the IVF recall floor the planted-cluster
+    test established. No LSH floor: single-bucket sign-LSH recall is
+    data-dependent (near-random embeddings spread neighbours across
+    buckets) — surfacing that number is the report's job."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.registry.QUERIES["sim_ann_recall"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_m = {}
+    for r in rows:
+        assert 0 <= r.n_hit <= min(r.n_ann, 5)
+        assert abs(r.recall_at_k - r.n_hit / 5) < 1e-9
+        by_m.setdefault(r.method, []).append(r.recall_at_k)
+    assert set(by_m) == {"lsh", "ivf"}
+    n_q = len(by_m["lsh"])
+    assert n_q == len(by_m["ivf"]) and n_q > 0
+    assert sum(by_m["ivf"]) / n_q >= 0.5  # IVF is known-good on this data
+
+
+def test_fuzzy_contamination_planted_paraphrase(spark):
+    from etl_staging_spark.llmdata.decontam import fuzzy_contamination
+
+    bench = spark.createDataFrame(
+        [(100, BASE)], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, NEAR),    # 1-token paraphrase of the eval doc -> contaminated
+         (2, OTHER),   # unrelated -> clean, kept with n_matches = 0
+         (3, BASE)],   # verbatim eval copy -> jaccard 1.0
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           fuzzy_contamination(corpus, bench, threshold=0.7).collect()}
+    assert len(out) == 3  # clean docs are kept, not dropped
+    assert out[1].contaminated and out[1].n_matches == 1
+    assert 0.7 <= out[1].max_jaccard < 1.0  # the paraphrase, not verbatim
+    assert out[3].contaminated and out[3].max_jaccard == 1.0
+    assert not out[2].contaminated
+    assert out[2].n_matches == 0 and out[2].max_jaccard is None
+
+
 def test_pii_masking_planted(spark):
     from etl_staging_spark.llmdata.pii import with_pii_masked
 

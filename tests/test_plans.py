@@ -116,6 +116,18 @@ def test_decontam_and_pii_plans(spark, queries):
     assert "*(1) Project" in p  # the scrub projection is codegen'd
 
 
+def test_decontaminate_fuzzy_plan(spark, queries):
+    """decontaminate_fuzzy: candidate discovery must be an equi hash
+    join of corpus bands against the BROADCAST eval bands (an eval
+    suite is bounded by definition) — never all-pairs, never a
+    cartesian, no Python anywhere."""
+    p = plan_of(spark, queries, "decontaminate_fuzzy")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p
+    assert "BroadcastHashJoin" in p  # the eval-side band join
+
+
 def test_cluster_cc_no_cartesian_and_bounded_plan(spark, queries):
     """dedup_cluster_cc executes its star rounds while building (the
     iterative fixpoint), returning a plan rooted at the checkpointed
