@@ -391,3 +391,89 @@ def o_anomaly_zscore(
     SELECT bucket, event_type, n_events, zscore,
            COALESCE(ABS(zscore) > {sigma!r}, FALSE) AS anomaly
     FROM zed"""
+
+
+ATTRIBUTION_HORIZON_MIN = 60
+
+
+def attribution_first_touch(
+    events: DataFrame, horizon_min: int = ATTRIBUTION_HORIZON_MIN
+) -> DataFrame:
+    """Batch twin of the streaming stream-stream attribution join
+    (`streaming/events.py:purchase_attribution`), plus FIRST-TOUCH
+    credit: each purchase attributes to the same user's EARLIEST click
+    in the preceding ``horizon_min`` minutes (ties to the lowest
+    click_id); purchases with no click in the window are kept
+    unattributed (click columns NULL) so the output is the complete
+    revenue-attribution decision.
+
+    Scale shape: the join stays USER-KEYED EQUI with a bounded
+    time-range predicate — the very condition that bounds the
+    streaming join's state is the pruning predicate here; never a
+    cartesian. First-touch is one min(struct(click_ts, click_id))
+    aggregate per purchase — no window, map-side combinable, and the
+    left join guarantees a group never mixes matched and NULL rows."""
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("amount"),
+    )
+    j = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon_min} MINUTES")
+        ),
+        "left",
+    )
+    first = j.groupBy("purchase_id", "user_id", "purchase_ts", "amount").agg(
+        F.min(F.struct("click_ts", "click_id")).alias("fc")
+    )
+    return first.select(
+        "purchase_id",
+        "user_id",
+        F.date_format("purchase_ts", TS_FMT).alias("purchase_ts"),
+        F.col("fc.click_id").alias("click_id"),
+        F.date_format("fc.click_ts", TS_FMT).alias("click_ts"),
+        "amount",
+        F.col("fc.click_ts").isNotNull().alias("attributed"),
+    )
+
+
+def o_attribution_first_touch(
+    horizon_min: int = ATTRIBUTION_HORIZON_MIN, source_sql: str = "events"
+) -> str:
+    """DuckDB oracle twin of :func:`attribution_first_touch`."""
+    p_ts = O_TS.format(col="purchase_ts")
+    c_ts = O_TS.format(col="click_ts")
+    return f"""
+    WITH ac AS (
+      SELECT user_id, ts AS click_ts, event_id AS click_id
+      FROM {source_sql} WHERE event_type = 'click'
+    ),
+    ap AS (
+      SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+             value AS amount
+      FROM {source_sql} WHERE event_type = 'purchase'
+    ),
+    aj AS (
+      SELECT ap.purchase_id, ap.user_id, ap.purchase_ts, ap.amount,
+             ac.click_id, ac.click_ts,
+             ROW_NUMBER() OVER (PARTITION BY ap.purchase_id
+                                ORDER BY ac.click_ts, ac.click_id) AS rn
+      FROM ap LEFT JOIN ac
+        ON ac.user_id = ap.user_id
+       AND ac.click_ts <= ap.purchase_ts
+       AND ac.click_ts >= ap.purchase_ts - INTERVAL {horizon_min} MINUTE
+    )
+    SELECT purchase_id, user_id, {p_ts} AS purchase_ts, click_id,
+           {c_ts} AS click_ts, amount, click_ts IS NOT NULL AS attributed
+    FROM aj WHERE rn = 1"""

@@ -53,3 +53,15 @@ def events_anomaly_zscore(spark, sf_dir):
     bucket axis; the zero-filled grid makes silent-outage buckets
     scorable (`operators/events.py`)."""
     return ev.anomaly_zscore(load(spark, sf_dir, "events"))
+
+
+@query("events_attribution", oracle=ev.o_attribution_first_touch())
+def events_attribution(spark, sf_dir):
+    """First-touch purchase attribution — the batch twin of the
+    stream-stream attribution join (`streaming/events.py`): each
+    purchase credits the same user's EARLIEST click in the preceding
+    hour; unattributed purchases kept with NULL click columns. The join
+    is user-keyed equi with the bounded time-range predicate (the same
+    condition that bounds the streaming join's state); first-touch is
+    one min(struct) aggregate, no window (`operators/events.py`)."""
+    return ev.attribution_first_touch(load(spark, sf_dir, "events"))

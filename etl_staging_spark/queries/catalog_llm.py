@@ -1712,7 +1712,7 @@ def pack_efficiency(spark, sf_dir):
 # Sub-document dedup + LM quality scoring (r6 additions)
 # ---------------------------------------------------------------------------
 
-from ..llmdata import linedup, lm  # noqa: E402
+from ..llmdata import linedup, lm, trainset  # noqa: E402
 
 
 @query("dedup_segments", oracle=linedup.o_segment_dedup())
@@ -1803,6 +1803,24 @@ def shard_manifest(spark, sf_dir):
     return sampling.shard_manifest(
         load(spark, sf_dir, "documents"), n_shards=_MANIFEST_SHARDS
     )
+
+
+@query(
+    "training_set_pack",
+    oracle=f"WITH RECURSIVE {trainset.o_training_set_rows(4, 256)}",
+)
+def training_set_pack(spark, sf_dir):
+    """The training-set back end's COMPUTE leg, composed: shard
+    assignment (salted hash) -> within-shard training order (hash
+    order, content-independent pseudo-shuffle) -> boundary-preserving
+    greedy packing over that order (chunk = training sequence). One row
+    per doc: (doc_id, shard, position, n_tokens, chunk_id). The
+    file-writing leg (`trainset.write_training_set`) adds the shard=K
+    parquet layout + XOR-manifest verification, pytest-verified since
+    file sinks aren't oracle-expressible (`llmdata/trainset.py`)."""
+    return trainset.training_set_rows(
+        load(spark, sf_dir, "documents"), n_shards=4, seq_len=256
+    ).drop("text")
 
 
 _STRAT_N = 25

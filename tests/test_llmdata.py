@@ -893,6 +893,60 @@ def test_write_training_shards_layout_and_order(spark, tmp_path):
         assert pq.read_table(f1).column("doc_id").to_pylist() == again[k]
 
 
+def test_write_training_set_end_to_end_with_manifest(spark, tmp_path):
+    """The composed back end: corpus -> shard + training order ->
+    greedy packing -> shard=K parquet -> manifest, with the manifest's
+    XOR checksums verified against the WRITTEN files (not the input
+    frame), a tampered shard failing its own checksum, and per-chunk
+    token budgets holding."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from etl_staging_spark.llmdata import trainset
+
+    docs = spark.createDataFrame(
+        [(i, ("tok%d " % i) * (5 + i % 37)) for i in range(300)],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "trainset")
+    manifest = trainset.write_training_set(docs, out, n_shards=4, seq_len=64)
+
+    # manifest recomputed from the written bytes matches exactly
+    check = trainset.verify_training_set(spark, out, manifest, n_shards=4)
+    rows = check.collect()
+    assert len(rows) == 4 and all(r.ok for r in rows)
+    assert sum(r.n_docs for r in rows) == 300
+
+    # within each shard file: position order on disk, chunk budgets hold
+    for k in range(4):
+        files = glob.glob(f"{out}/shard={k}/*.parquet")
+        assert len(files) == 1  # one task -> one file per shard
+        t = pq.read_table(files[0])
+        pos = t.column("position").to_pylist()
+        assert pos == sorted(pos) == list(range(1, len(pos) + 1))
+        chunks = t.column("chunk_id").to_pylist()
+        ntok = t.column("n_tokens").to_pylist()
+        assert chunks == sorted(chunks)  # chunks contiguous in order
+        per_chunk: dict[int, int] = {}
+        for c, n in zip(chunks, ntok):
+            per_chunk[c] = per_chunk.get(c, 0) + n
+        for c, tot in per_chunk.items():
+            # a chunk only exceeds seq_len when a single doc does
+            singles = [n for cc, n in zip(chunks, ntok) if cc == c]
+            assert tot <= 64 or len(singles) == 1
+
+    # tamper with one shard -> exactly that shard's checksum flips
+    sub = spark.read.parquet(out).where("shard = 2 AND position > 1")
+    rest = spark.read.parquet(out).where("shard != 2")
+    tampered = str(tmp_path / "tampered")
+    rest.unionByName(sub).write.partitionBy("shard").parquet(tampered)
+    bad = {r.shard: r.ok for r in trainset.verify_training_set(
+        spark, tampered, manifest, n_shards=4).collect()}
+    assert bad[2] is False
+    assert all(bad[k] for k in (0, 1, 3))
+
+
 def test_domain_quality_cap_hot_path_identical(spark):
     """The hot-domain prefilter path (approx-quantile cutoff before the
     window) returns EXACTLY the plain-window result on a skewed corpus

@@ -277,3 +277,38 @@ def test_anomaly_zscore_flags_planted_spike(spark):
     out2 = sorted(ev.anomaly_zscore(df2).collect(), key=lambda r: r.bucket)
     assert not out2[8].anomaly          # a normal bucket stays quiet
     assert out2[9].anomaly and out2[9].zscore > 2
+
+
+def test_attribution_first_touch_planted(spark):
+    """First-touch credit: the EARLIEST in-window click wins (not the
+    latest, not an out-of-window one); a clickless purchase stays in
+    the output unattributed; another user's clicks never attach."""
+    from pyspark.sql import functions as F
+
+    from etl_staging_spark.operators import events as ev
+
+    rows = [
+        # user 1: click outside the hour, two clicks inside, purchase
+        (1, "2024-01-01 08:00:00", 1, "click", 0.0),
+        (2, "2024-01-01 09:10:00", 1, "click", 0.0),
+        (3, "2024-01-01 09:40:00", 1, "click", 0.0),
+        (4, "2024-01-01 10:00:00", 1, "purchase", 25.0),
+        # user 2: purchase with no clicks at all
+        (5, "2024-01-01 10:00:00", 2, "purchase", 7.0),
+        # user 3: click AFTER the purchase only
+        (6, "2024-01-01 11:00:00", 3, "purchase", 5.0),
+        (7, "2024-01-01 11:30:00", 3, "click", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string, value double"
+    ).select(
+        "event_id", F.col("ts_s").cast("timestamp_ntz").alias("ts"),
+        "user_id", "event_type", "value",
+    )
+    out = {r.purchase_id: r for r in
+           ev.attribution_first_touch(df, horizon_min=60).collect()}
+    assert set(out) == {4, 5, 6}
+    assert out[4].attributed and out[4].click_id == 2  # first touch, in window
+    assert out[4].amount == 25.0
+    assert not out[5].attributed and out[5].click_id is None
+    assert not out[6].attributed  # the later click can't attribute backwards

@@ -116,6 +116,28 @@ def test_decontam_and_pii_plans(spark, queries):
     assert "*(1) Project" in p  # the scrub projection is codegen'd
 
 
+def test_events_attribution_plan(spark, queries):
+    """events_attribution: the time-range join must stay a user-keyed
+    EQUI join with the bounded time predicate as a post-condition —
+    a cartesian/nested-loop shape here explodes at any real event
+    volume. No window either: first-touch is a min(struct) aggregate."""
+    p = plan_of(spark, queries, "events_attribution")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p
+    assert "Window" not in p
+
+
+def test_training_set_pack_no_global_sort(spark, queries):
+    """training_set_pack: training order comes from per-shard windows
+    and packing from per-shard folds — a range exchange (global sort)
+    anywhere means the composition regressed to ordering the corpus."""
+    p = plan_of(spark, queries, "training_set_pack")
+    assert "rangepartitioning" not in p.lower()
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+
+
 def test_decontaminate_fuzzy_plan(spark, queries):
     """decontaminate_fuzzy: candidate discovery must be an equi hash
     join of corpus bands against the BROADCAST eval bands (an eval
