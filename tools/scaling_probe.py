@@ -119,12 +119,13 @@ def ledger_ops():
     }
 
 
-def main() -> None:
+def run_probe(
+    spark, sf_dir: str, replicas: tuple[int, ...] = (1, 4, 16), quiet: bool = False
+) -> dict:
+    """The probe body, callable from the CLI or the opt-in pytest
+    marker (tests/test_scaling.py): returns {op: {r: sec}} so callers
+    can assert growth bounds instead of eyeballing stdout."""
     from etl_staging_spark.llmdata import dedup, lexsearch, linedup, lm, textstats
-    from etl_staging_spark.session import get_spark
-
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    spark = get_spark("scaling-probe")
 
     ops = {
         "dedup_minhash_lsh": lambda d: dedup.minhash_lsh_pairs(d, threshold=0.8),
@@ -139,7 +140,7 @@ def main() -> None:
     }
     lops = ledger_ops()
     results: dict[str, dict[int, float]] = {o: {} for o in (*ops, *lops)}
-    for r in (1, 4, 16):
+    for r in replicas:
         docs = replicated(spark, sf_dir, r).persist()
         n_docs = docs.count()  # also materializes the cache
         for name, fn in ops.items():
@@ -151,8 +152,9 @@ def main() -> None:
                 fn(docs).write.format("noop").mode("overwrite").save()
                 best = min(best, time.time() - t0)
             results[name][r] = round(best, 3)
-            print(json.dumps({"op": name, "replicas": r, "n_docs": n_docs,
-                              "sec": results[name][r]}), flush=True)
+            if not quiet:
+                print(json.dumps({"op": name, "replicas": r, "n_docs": n_docs,
+                                  "sec": results[name][r]}), flush=True)
         docs.unpersist()
         li = replicated_lineitem(spark, sf_dir, r).persist()
         n_li = li.count()
@@ -164,10 +166,20 @@ def main() -> None:
                 fn(li).write.format("noop").mode("overwrite").save()
                 best = min(best, time.time() - t0)
             results[name][r] = round(best, 3)
-            print(json.dumps({"op": name, "replicas": r, "n_rows": n_li,
-                              "sec": results[name][r]}), flush=True)
+            if not quiet:
+                print(json.dumps({"op": name, "replicas": r, "n_rows": n_li,
+                                  "sec": results[name][r]}), flush=True)
         li.unpersist()
         spark.catalog.clearCache()
+    return results
+
+
+def main() -> None:
+    from etl_staging_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("scaling-probe")
+    results = run_probe(spark, sf_dir, replicas=(1, 4, 16))
     summary = {
         name: {
             "t1": ts[1], "t4": ts[4], "t16": ts[16],
