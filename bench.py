@@ -72,6 +72,11 @@ HEADLINE = [
     "contrastive_pairs",
     "corpus_source_profile",
     "corpus_assembly_v2",
+    # round 7 additions
+    "decontaminate_fuzzy",
+    "sim_ann_recall",
+    "training_set_pack",
+    "events_attribution",
 ]
 
 

@@ -477,3 +477,95 @@ def o_attribution_first_touch(
     SELECT purchase_id, user_id, {p_ts} AS purchase_ts, click_id,
            {c_ts} AS click_ts, amount, click_ts IS NOT NULL AS attributed
     FROM aj WHERE rn = 1"""
+
+
+def transitions(events: DataFrame) -> DataFrame:
+    """Markov transition counts over each user's event sequence: one
+    row per (from_type, to_type) with the global count of adjacent
+    occurrences — the path-analysis primitive (what do users do right
+    after a view? where do errors lead?).
+
+    Shape: one lag() over the user_id partition (the same single
+    exchange every operator here shares), then a map-side-combinable
+    count on the bounded (type x type) key space — output is at most
+    |event_types|^2 rows regardless of corpus size."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = events.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).where(F.col("from_type").isNotNull())
+    return pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n_transitions")
+    )
+
+
+def o_transitions(source_sql: str = "events") -> str:
+    """DuckDB oracle twin of :func:`transitions`."""
+    return f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS from_type
+      FROM {source_sql}
+    )
+    SELECT from_type, event_type AS to_type, COUNT(*) AS n_transitions
+    FROM seq WHERE from_type IS NOT NULL
+    GROUP BY from_type, event_type"""
+
+
+def active_users(events: DataFrame) -> DataFrame:
+    """DAU / WAU / stickiness per active day: distinct users that day,
+    distinct users over the trailing 7 days, and their ratio (the
+    product-health number). Only days with at least one event appear
+    (dau >= 1 by construction).
+
+    Shape: the corpus collapses FIRST to distinct (user, day) — the
+    only corpus-scale shuffle; WAU then derives from that bounded
+    frame by exploding each user-day to the <= 7 future days it keeps
+    the user active for (a projection, no self-join), and both counts
+    are distinct-aggregates on |users x days| rows, never raw events."""
+    from ..numeric import pround
+
+    user_days = events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    dau = user_days.groupBy("day").agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    contrib = user_days.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("day"),
+    )
+    wau = contrib.groupBy("day").agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            pround(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+    )
+
+
+def o_active_users(source_sql: str = "events") -> str:
+    """DuckDB oracle twin of :func:`active_users`."""
+    from ..numeric import o_pround
+
+    stick = o_pround("CAST(dau AS DOUBLE) / wau", 6)
+    return f"""
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                FROM {source_sql}),
+    dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM ud GROUP BY day),
+    contrib AS (
+      SELECT user_id, day + CAST(x.o AS INTEGER) AS day
+      FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS o) x
+    ),
+    wau AS (SELECT day, COUNT(DISTINCT user_id) AS wau FROM contrib GROUP BY day)
+    SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, wau.wau,
+           {stick} AS stickiness
+    FROM dau JOIN wau ON wau.day = dau.day"""

@@ -65,3 +65,22 @@ def events_attribution(spark, sf_dir):
     condition that bounds the streaming join's state); first-touch is
     one min(struct) aggregate, no window (`operators/events.py`)."""
     return ev.attribution_first_touch(load(spark, sf_dir, "events"))
+
+
+@query("events_transitions", oracle=ev.o_transitions())
+def events_transitions(spark, sf_dir):
+    """Markov transition counts over per-user event sequences — the
+    path-analysis primitive. One lag() on the shared user_id exchange,
+    then a map-combinable count on the bounded |types|^2 key space
+    (`operators/events.py`)."""
+    return ev.transitions(load(spark, sf_dir, "events"))
+
+
+@query("events_active_users", oracle=ev.o_active_users())
+def events_active_users(spark, sf_dir):
+    """DAU / trailing-7-day WAU / stickiness per active day. The corpus
+    collapses first to distinct (user, day); WAU derives from that
+    bounded frame by exploding each user-day to the <= 7 days it keeps
+    the user active — a projection, never a range self-join over raw
+    events (`operators/events.py`)."""
+    return ev.active_users(load(spark, sf_dir, "events"))

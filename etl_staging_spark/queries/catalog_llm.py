@@ -884,6 +884,106 @@ def text_quality_score(spark, sf_dir):
     )
 
 
+@query(
+    "quality_histogram",
+    oracle=f"""
+    WITH {_O_QUAL_CTES}
+    SELECT CAST(FLOOR(quality * 20) AS INT) AS bin,
+           COUNT(*) AS n_docs,
+           {o_pround('CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)', 6)} AS avg_quality,
+           {o_pround('CAST(SUM(CAST(distinct_ratio AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)', 6)} AS avg_distinct_ratio,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens
+    FROM qual GROUP BY 1
+    """,
+)
+def quality_histogram(spark, sf_dir):
+    """Quality-score distribution in FIXED 0.05-wide bins: doc count,
+    exact-decimal mean quality and lexical diversity, and the token
+    mass per bin — the curve a pipeline owner reads to place a quality
+    gate (how many tokens does each candidate threshold cost?). Fixed
+    bins, not ntile: a global decile window is a sort of the corpus,
+    while this is one map-combinable aggregate on a bounded key (the
+    same bounded-domain trick as `corpus_stats_exact`)."""
+    q = textstats.quality_scores(load(spark, sf_dir, "documents"))
+    return q.groupBy(
+        F.floor(F.col("quality") * 20).cast("int").alias("bin")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        pround(
+            F.sum(F.col("quality").cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("avg_quality"),
+        pround(
+            F.sum(F.col("distinct_ratio").cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("avg_distinct_ratio"),
+        F.sum("n_tokens").cast("long").alias("tokens"),
+    )
+
+
+_MH_N = len(MINHASH_SEEDS)
+_O_MH_MATCHES = " + ".join(
+    f"CASE WHEN s1.mh{i} = s2.mh{i} THEN 1 ELSE 0 END" for i in range(_MH_N)
+)
+
+
+@query(
+    "dedup_minhash_estimate",
+    oracle=f"""
+    WITH {O_TRIH}, {_o_minhash_sigs()}, {O_JACCARD_TAIL},
+    mhev AS (
+      {_o_lsh_verified_select(0.8)}
+    )
+    SELECT v.d1, v.d2, v.jaccard,
+           ({_O_MH_MATCHES}) / {_MH_N}.0 AS jaccard_est,
+           FLOOR(ABS(({_O_MH_MATCHES}) / {_MH_N}.0 - v.jaccard) * 1000000 + 0.5) / 1000000 AS abs_err
+    FROM mhev v JOIN sigs s1 ON s1.doc_id = v.d1
+                JOIN sigs s2 ON s2.doc_id = v.d2
+    """,
+)
+def dedup_minhash_estimate(spark, sf_dir):
+    """MinHash calibration report: for every verified near-dup pair,
+    the signature-ESTIMATED Jaccard (matching minhash fraction over
+    {_MH_N} permutations — the quantity LSH banding actually thresholds
+    on) next to the exact Jaccard and the absolute error. The
+    methodological twin of `sim_ann_recall`: it measures how faithful
+    the sketch is on the pairs that matter, which is what validates the
+    banding threshold choice. One shingle pass feeds discovery,
+    verification AND the signatures."""
+    docs = load(spark, sf_dir, "documents")
+    sh = dedup.hashed_shingles(docs).persist()
+    sigs = dedup._signatures_from(sh)
+    cands = dedup.lsh_candidate_pairs(sigs)
+    verified = dedup._pair_jaccard(sh, cands, 0.8)
+    matches = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(_MH_N)
+    )
+    s1 = sigs.select(
+        F.col("doc_id").alias("d1"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(_MH_N)],
+    )
+    s2 = sigs.select(
+        F.col("doc_id").alias("d2"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(_MH_N)],
+    )
+    est = matches / F.lit(_MH_N)
+    out = (
+        verified.select("d1", "d2", "jaccard")
+        .join(s1, "d1")
+        .join(s2, "d2")
+        .select(
+            "d1",
+            "d2",
+            "jaccard",
+            est.alias("jaccard_est"),
+            pround(F.abs(est - F.col("jaccard")), 6).alias("abs_err"),
+        )
+    )
+    return dedup._pin(out, sh, *getattr(verified, "_pinned_persisted", ()))
+
+
 def _o_lang_scores() -> tuple[str, str, str]:
     scores = ",\n             ".join(
         "len(list_intersect(bg, [{}])) AS s_{}".format(

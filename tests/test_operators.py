@@ -312,3 +312,59 @@ def test_attribution_first_touch_planted(spark):
     assert out[4].amount == 25.0
     assert not out[5].attributed and out[5].click_id is None
     assert not out[6].attributed  # the later click can't attribute backwards
+
+
+def test_transitions_planted(spark):
+    from pyspark.sql import functions as F
+
+    from etl_staging_spark.operators import events as ev
+
+    rows = [
+        (1, "2024-01-01 09:00:00", 1, "view", 0.0),
+        (2, "2024-01-01 09:01:00", 1, "click", 0.0),
+        (3, "2024-01-01 09:02:00", 1, "view", 0.0),
+        (4, "2024-01-01 09:03:00", 1, "click", 0.0),
+        # user 2's first event has no predecessor -> no transition row
+        (5, "2024-01-01 09:00:00", 2, "view", 0.0),
+        (6, "2024-01-01 09:05:00", 2, "purchase", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string, value double"
+    ).select(
+        "event_id", F.col("ts_s").cast("timestamp_ntz").alias("ts"),
+        "user_id", "event_type", "value",
+    )
+    out = {(r.from_type, r.to_type): r.n_transitions
+           for r in ev.transitions(df).collect()}
+    assert out == {
+        ("view", "click"): 2,
+        ("click", "view"): 1,
+        ("view", "purchase"): 1,
+    }
+
+
+def test_active_users_planted(spark):
+    """user A active on day 1 and 8, user B on day 1: day 1 has
+    dau=2/wau=2; day 8's trailing week contains only A's day-8 visit
+    (day 1 fell out), so dau=1/wau=1."""
+    from pyspark.sql import functions as F
+
+    from etl_staging_spark.operators import events as ev
+
+    rows = [
+        (1, "2024-01-01 09:00:00", 1, "view", 0.0),
+        (2, "2024-01-01 10:00:00", 1, "click", 0.0),  # same user+day dedups
+        (3, "2024-01-01 09:00:00", 2, "view", 0.0),
+        (4, "2024-01-08 09:00:00", 1, "view", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string, value double"
+    ).select(
+        "event_id", F.col("ts_s").cast("timestamp_ntz").alias("ts"),
+        "user_id", "event_type", "value",
+    )
+    out = {r.day: (r.dau, r.wau, r.stickiness)
+           for r in ev.active_users(df).collect()}
+    assert set(out) == {"2024-01-01", "2024-01-08"}
+    assert out["2024-01-01"] == (2, 2, 1.0)
+    assert out["2024-01-08"] == (1, 1, 1.0)
