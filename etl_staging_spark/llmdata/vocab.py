@@ -236,3 +236,70 @@ def bpe_train(df: DataFrame, n_merges: int = 10) -> DataFrame:
         "merge_rank int, left string, right string, merged string, pair_count long",
     )
 
+
+
+def bpe_encode_report(
+    df: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """Encode the corpus with a LEARNED merge list (e.g. collected from
+    :func:`bpe_train`) and report per-doc compression: (doc_id,
+    n_chars, n_bpe_tokens, compression = chars per BPE token). The
+    consumer-side half of the tokenizer story — train once, encode the
+    corpus, read the compression curve.
+
+    Scale shape: the merge fold is EXPENSIVE (|merges| chained array
+    folds), so it runs on the frequency-collapsed DISTINCT word table
+    (|vocab| rows — orders of magnitude under the corpus), never on raw
+    text; per-doc totals then come from one explode + an aggregate join
+    of (doc word counts) x (encoded word lengths). Merges apply in rank
+    order with the same left-to-right collapse as the trainer, symbols
+    bound as lit() Columns (no SQL-literal interpolation).
+
+    Like the trained-centroid ANN variant, the merge list is
+    data-derived driver state, so parity is pinned by the
+    python-reference encoder in tests rather than a one-SQL oracle."""
+    words = (
+        with_tokens(df)
+        .select("doc_id", F.explode(F.col(TOKS)).alias("w"))
+        .where(F.length("w") >= 1)
+    )
+    per_doc_word = words.groupBy("doc_id", "w").agg(
+        F.count("*").alias("n_occ")
+    )
+    vocab_words = per_doc_word.select("w").distinct()
+    syms = F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+    enc = vocab_words.select("w", syms.alias("syms"))
+    for l, r in merges:
+        lc, rc, mc = F.lit(l), F.lit(r), F.lit(l + r)
+        enc = enc.select(
+            "w",
+            F.aggregate(
+                F.col("syms"),
+                F.array().cast("array<string>"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == lc)
+                    & (x == rc),
+                    F.concat(
+                        F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(mc)
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ).alias("syms"),
+        )
+    enc_len = enc.select("w", F.size("syms").alias("n_sym"))
+    return (
+        per_doc_word.join(enc_len, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.length("w") * F.col("n_occ")).cast("long").alias("n_chars"),
+            F.sum(F.col("n_sym") * F.col("n_occ")).cast("long").alias("n_bpe_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            "n_bpe_tokens",
+            pround(F.col("n_chars") / F.col("n_bpe_tokens"), 6).alias(
+                "compression"
+            ),
+        )
+    )

@@ -1560,3 +1560,47 @@ def test_dedup_minhash_estimate_bounds(docs):
         assert 0.0 <= r.jaccard_est <= 1.0
         assert round(r.jaccard_est * n) == r.jaccard_est * n  # k/16 rational
         assert r.jaccard >= 0.8
+
+
+def test_bpe_encode_report_matches_python_reference(spark):
+    """Train merges on the corpus, encode the corpus with them, and
+    compare every doc's BPE token count (and chars/compression) to a
+    python-reference encoder applying the same merges in rank order."""
+    import random
+
+    from etl_staging_spark.llmdata import vocab
+
+    rng = random.Random(5)
+    words = ["banana", "bandana", "cabana", "anab", "nana", "ba", "a"]
+    docs = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(1, 12))))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    merges = [
+        (r.left, r.right)
+        for r in vocab.bpe_train(df, n_merges=6).orderBy("merge_rank").collect()
+    ]
+    assert merges  # the fixture corpus must actually learn merges
+
+    def py_encode(word):
+        syms = list(word)
+        for l, r in merges:
+            out = []
+            for ch in syms:
+                if out and out[-1] == l and ch == r:
+                    out[-1] = l + r
+                else:
+                    out.append(ch)
+            syms = out
+        return syms
+
+    got = {r.doc_id: r for r in vocab.bpe_encode_report(df, merges).collect()}
+    for doc_id, text in docs:
+        toks = [w for w in text.lower().split(" ") if w]
+        want_chars = sum(len(w) for w in toks)
+        want_bpe = sum(len(py_encode(w)) for w in toks)
+        assert got[doc_id].n_chars == want_chars, doc_id
+        assert got[doc_id].n_bpe_tokens == want_bpe, doc_id
+        assert got[doc_id].n_bpe_tokens <= want_chars  # merges only shrink
+        assert abs(got[doc_id].compression - round(want_chars / want_bpe, 6)) < 2e-6
