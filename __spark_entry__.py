@@ -11,6 +11,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import sys
 from collections.abc import Callable
 
@@ -51,8 +52,13 @@ def _certification_order(names: list[str]) -> list[str]:
     last_round: dict[str, int] = {}
     here = os.path.dirname(os.path.abspath(__file__))
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        # strict parse: a stray variant (CORRECTNESS_r07_v2.json) must be
+        # skipped, not read as round 72
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", os.path.basename(path))
+        if not m:
+            continue
         try:
-            rnd = int("".join(ch for ch in os.path.basename(path) if ch.isdigit()))
+            rnd = int(m.group(1))
             data = json.load(open(path))
         except (ValueError, OSError, json.JSONDecodeError):
             continue

@@ -29,16 +29,27 @@ def drop_managed_table(spark: SparkSession, table: str) -> None:
     exists (so a database-qualified name never maps to the wrong
     directory); the leftover-directory fallback only fires for plain
     unqualified names, where <warehouse>/<name> is the managed layout
-    by construction."""
+    by construction. An EXTERNAL table's data survives DROP TABLE by
+    contract, so the rmtree only fires when the catalog says MANAGED
+    (or when there is no catalog entry at all and the path is the
+    managed warehouse layout)."""
     location = None
+    table_type = None
     try:
         if spark.catalog.tableExists(table):
             for row in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
                 if row[0] == "Location":
                     location = row[1]
-                    break
+                elif row[0] == "Type":
+                    table_type = row[1]
     except Exception:
         location = None
+        table_type = None
+    if table_type is not None and table_type.upper() != "MANAGED":
+        # External (or view-like) entry: DROP TABLE intentionally leaves
+        # the data in place — never delete it out from under the caller.
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        return
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     if location is None:
         if "." in table or "/" in table or "`" in table:

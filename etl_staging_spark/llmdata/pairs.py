@@ -44,10 +44,18 @@ NEG_BUCKET_ROWS = 4096
 
 
 def _derived_buckets(docs: DataFrame) -> int:
-    """n_buckets ~ N / NEG_BUCKET_ROWS from one cheap count() (a
-    metadata-only scan on parquet sources). A fixed default is a scale
-    trap: 64 buckets over a production corpus means 64-way parallelism
-    and N/64-row window sorts."""
+    """n_buckets ~ N / NEG_BUCKET_ROWS from one eager ``count()``.
+
+    COST NOTE: this executes ``docs``'s lineage once, at plan-
+    construction time, just to pick a width — ``DataFrame.count()`` is
+    NOT a metadata-only operation (parquet aggregate pushdown is off by
+    default, and any upstream transformation forces a full pass
+    regardless). Callers feeding an expensive unpersisted pipeline
+    should ``persist()`` it first, or pass ``n_buckets`` explicitly
+    (e.g. from a known corpus size / partition-count estimate) to skip
+    the count entirely. A fixed default remains the bigger scale trap:
+    64 buckets over a production corpus means 64-way parallelism and
+    N/64-row window sorts."""
     n = docs.count()
     return max(1, -(-n // NEG_BUCKET_ROWS))
 

@@ -109,10 +109,14 @@ def verify_training_set(
             "n_docs",
             "n_tokens",
             "content_xor",
-            (
+            # coalesce: a shard wholly missing from one side of the full
+            # outer join yields NULL comparisons — that is a failure, not
+            # an unknown, so consumers filtering `ok = false` catch it.
+            F.coalesce(
                 (F.col("n_docs") == F.col("m_docs"))
                 & (F.col("n_tokens") == F.col("m_tokens"))
-                & (F.col("content_xor") == F.col("m_xor"))
+                & (F.col("content_xor") == F.col("m_xor")),
+                F.lit(False),
             ).alias("ok"),
         )
     )
