@@ -521,30 +521,50 @@ def _o_planes_values(dim: int) -> str:
     return f"planes(p, i, w) AS (VALUES {rows})"
 
 
-@query(
-    "sim_ann_lsh",
-    oracle=f"""
-    WITH {_o_planes_values(64)}, {O_ELEMS},
-    signs AS (
+def _o_mt_cand(dim: int) -> str:
+    """Multi-table sign-LSH candidate CTEs (mtplanes / msigns /
+    mtbuckets / mcand). The planes are generated IN SQL from the same
+    md5 derivation as `hashing.hyperplanes` (verified bit-exact against
+    the Python generator — no 4k-row VALUES blob); per-table bucket =
+    that table's plane signs concatenated in plane order; candidates =
+    DISTINCT query x corpus pairs sharing ANY table's bucket."""
+    nt, b = simsearch.N_TABLES, simsearch.BITS_PER_TABLE
+    h = o_hash56("'plane:' || CAST(t.p AS VARCHAR) || ':' || CAST(u.d AS VARCHAR)")
+    return f"""
+    mtplanes AS (
+      SELECT t.p, u.d + 1 AS i,
+             CAST((({h}) % 2001) - 1000 AS DOUBLE) / 1000.0 AS w
+      FROM range({nt * b}) t(p), range({dim}) u(d)
+    ),
+    msigns AS (
       SELECT e.vec_id, pl.p,
              CASE WHEN CAST(SUM(CAST(pl.w * e.e AS DECIMAL(30,15))) AS DOUBLE) >= 0
                   THEN '1' ELSE '0' END AS ch
-      FROM elems e JOIN planes pl ON pl.i = e.i
+      FROM elems e JOIN mtplanes pl ON pl.i = e.i
       GROUP BY e.vec_id, pl.p
     ),
-    buckets AS (
-      SELECT vec_id, string_agg(ch, '' ORDER BY p) AS bkt FROM signs GROUP BY vec_id
+    mtbuckets AS (
+      SELECT vec_id, CAST(p // {b} AS INT) AS tbl,
+             string_agg(ch, '' ORDER BY p) AS bkt
+      FROM msigns GROUP BY vec_id, CAST(p // {b} AS INT)
     ),
-    cand AS (
-      SELECT q.vec_id AS qid, c.vec_id AS cid
-      FROM buckets q JOIN buckets c ON q.bkt = c.bkt AND c.vec_id <> q.vec_id
+    mcand AS (
+      SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+      FROM mtbuckets q JOIN mtbuckets c
+        ON c.tbl = q.tbl AND c.bkt = q.bkt AND c.vec_id <> q.vec_id
       WHERE q.vec_id < 10
-    ),
+    )"""
+
+
+@query(
+    "sim_ann_lsh",
+    oracle=f"""
+    WITH {O_ELEMS}, {_o_mt_cand(64)},
     dots AS (
       SELECT qid, cid,
              CAST(SUM(CAST(a.e * b.e AS DECIMAL(30,15))) AS DOUBLE) AS dot
-      FROM cand JOIN elems a ON a.vec_id = qid
-                JOIN elems b ON b.vec_id = cid AND b.i = a.i
+      FROM mcand JOIN elems a ON a.vec_id = qid
+                 JOIN elems b ON b.vec_id = cid AND b.i = a.i
       GROUP BY 1, 2
     ),
     scored AS (
@@ -561,12 +581,16 @@ def _o_planes_values(dim: int) -> str:
     """,
 )
 def sim_ann_lsh(spark, sf_dir):
-    """ANN variant: sign-LSH over 8 deterministic hyperplanes buckets
-    the vectors; each query scores ONLY its own bucket (equi-join on
-    the bucket key — expected N/256 candidates per query at scale, vs N
-    for brute force)."""
+    """ANN variant: MULTI-TABLE sign-LSH — 16 independent 4-bit hash
+    tables (64 deterministic hyperplanes); a corpus vector is scored
+    for a query iff they share any table's bucket. The table count is
+    the recall lever the r7 recall card showed the single-bucket
+    variant lacked (recall ~0.1 there vs 0.86-0.94 here, at/above the
+    IVF baseline on the same data). Candidate discovery is equi-joins
+    on skinny (id, bucket) rows; exact-decimal cosine only on the
+    union of candidates."""
     emb = load(spark, sf_dir, "embeddings")
-    return simsearch.lsh_bucketed_topk(
+    return simsearch.lsh_multitable_topk(
         emb, F.col("vec_id") < 10, dim=64, k=5
     ).withColumn("rank", F.col("rank").cast("int"))
 
@@ -631,7 +655,7 @@ def sim_ann_ivf(spark, sf_dir):
 @query(
     "sim_ann_recall",
     oracle=f"""
-    WITH {_o_planes_values(64)}, {O_ELEMS},
+    WITH {O_ELEMS},
     xcand AS (
       SELECT q.vec_id AS qid, c.vec_id AS cid
       FROM norms q JOIN norms c ON c.vec_id <> q.vec_id
@@ -650,24 +674,10 @@ def sim_ann_ivf(spark, sf_dir):
       FROM xdots JOIN norms qn ON qn.vec_id = qid JOIN norms cn ON cn.vec_id = cid
     ),
     xtop AS (SELECT qid, cid FROM xranked WHERE rnk <= 5),
-    signs AS (
-      SELECT e.vec_id, pl.p,
-             CASE WHEN CAST(SUM(CAST(pl.w * e.e AS DECIMAL(30,15))) AS DOUBLE) >= 0
-                  THEN '1' ELSE '0' END AS ch
-      FROM elems e JOIN planes pl ON pl.i = e.i
-      GROUP BY e.vec_id, pl.p
-    ),
-    buckets AS (
-      SELECT vec_id, string_agg(ch, '' ORDER BY p) AS bkt FROM signs GROUP BY vec_id
-    ),
-    lcand AS (
-      SELECT q.vec_id AS qid, c.vec_id AS cid
-      FROM buckets q JOIN buckets c ON q.bkt = c.bkt AND c.vec_id <> q.vec_id
-      WHERE q.vec_id < 10
-    ),
+    {_o_mt_cand(64)},
     ldots AS (
       SELECT qid, cid, CAST(SUM(CAST(a.e * b.e AS DECIMAL(30,15))) AS DOUBLE) AS dot
-      FROM lcand JOIN elems a ON a.vec_id = qid
+      FROM mcand JOIN elems a ON a.vec_id = qid
                  JOIN elems b ON b.vec_id = cid AND b.i = a.i
       GROUP BY 1, 2
     ),
@@ -737,53 +747,64 @@ def sim_ann_ivf(spark, sf_dir):
 )
 def sim_ann_recall(spark, sf_dir):
     """ANN quality report card: per-query recall@5 of the two ANN paths
-    (sign-LSH buckets, IVF inverted lists) against the exact
+    (multi-table sign-LSH, IVF inverted lists) against the exact
     `sim_cosine_topk` baseline — the report that turns 'the ANN runs'
     into 'the ANN is known-good'. Both sides are deterministic, so the
-    overlap is oracle-expressible; queries whose bucket/cells return
+    overlap is oracle-expressible; queries whose buckets/cells return
     fewer than k candidates surface with n_ann < 5 rather than
     vanishing. Run shape: this is a QA job over the (bounded) probe
-    query set — the exact leg is O(|Q| * N) by design, priced like the
-    baseline it audits, not like production serving."""
+    query set — and the O(|Q| * N) exact scoring pass runs ONCE: the
+    persisted `cosine_scored` frame feeds the baseline top-k AND both
+    ANN legs (each leg = candidate-pair semi-join + top-k), so the ANN
+    paths contribute only their candidate discovery, not a re-score."""
     emb = load(spark, sf_dir, "embeddings")
     pred = F.col("vec_id") < 10
     k = 5
+    scored = simsearch.cosine_scored(emb, pred).persist()
     exact = (
-        simsearch.cosine_topk(emb, pred, k=k)
+        simsearch.topk_from_scored(scored, k)
         .select("qid", "cid")
         .withColumn("hit", F.lit(1))
         .persist()
     )
-    qids = exact.select("qid").distinct()
-    legs = []
-    pins = [exact]
-    for method, ann in (
-        ("lsh", simsearch.lsh_bucketed_topk(emb, pred, dim=64, k=k)),
-        ("ivf", simsearch.ivf_topk(emb, pred, dim=64, k=k)),
-    ):
-        pins.extend(getattr(ann, "_pinned_persisted", ()))
-        stats = (
-            ann.select("qid", "cid")
-            .join(exact, ["qid", "cid"], "left")
-            .groupBy("qid")
-            .agg(
-                F.count("*").alias("n_ann"),
-                F.sum(F.coalesce("hit", F.lit(0))).alias("n_hit"),
-            )
+    lsh_cand = simsearch.lsh_multitable_candidates(emb, pred, dim=64)
+    ivf_cand = simsearch.ivf_candidates(emb, pred)
+    # both legs in ONE pipeline: tag candidate pairs with their method,
+    # attach the shared exact score by a single (qid, cid) join, cut
+    # per-(method, qid) top-k once, and one overlap aggregate — halves
+    # the stage count vs per-leg pipelines
+    cand = lsh_cand.select(
+        F.lit("lsh").alias("method"), "qid", "cid"
+    ).unionByName(ivf_cand.select(F.lit("ivf").alias("method"), "qid", "cid"))
+    ann = simsearch.topk_from_scored(
+        scored.join(cand, ["qid", "cid"]), k, by=("method", "qid")
+    )
+    stats = (
+        ann.select("method", "qid", "cid")
+        .join(exact, ["qid", "cid"], "left")
+        .groupBy("method", "qid")
+        .agg(
+            F.count("*").alias("n_ann"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_hit"),
         )
-        legs.append(
-            qids.join(stats, "qid", "left").select(
-                "qid",
-                F.lit(method).alias("method"),
-                F.coalesce("n_ann", F.lit(0)).cast("bigint").alias("n_ann"),
-                F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
-                pround(F.coalesce("n_hit", F.lit(0)) / F.lit(k), 6).alias(
-                    "recall_at_k"
-                ),
-            )
-        )
-    out = legs[0].unionByName(legs[1])
-    out._pinned_persisted = tuple(pins)
+    )
+    grid = exact.select("qid").distinct().select(
+        "qid",
+        F.explode(F.array(F.lit("lsh"), F.lit("ivf"))).alias("method"),
+    )
+    out = grid.join(stats, ["method", "qid"], "left").select(
+        "qid",
+        "method",
+        F.coalesce("n_ann", F.lit(0)).cast("bigint").alias("n_ann"),
+        F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+        pround(F.coalesce("n_hit", F.lit(0)) / F.lit(k), 6).alias("recall_at_k"),
+    )
+    out._pinned_persisted = (
+        scored,
+        exact,
+        *getattr(lsh_cand, "_pinned_persisted", ()),
+        *getattr(ivf_cand, "_pinned_persisted", ()),
+    )
     return out
 
 

@@ -312,10 +312,11 @@ def test_decontamination_planted_overlap(spark):
 def test_sim_ann_recall_report(spark):
     """The ANN recall report card on the driver testdata: structural
     invariants (one row per query x method, n_hit <= n_ann <= k,
-    recall = n_hit/k) plus the IVF recall floor the planted-cluster
-    test established. No LSH floor: single-bucket sign-LSH recall is
-    data-dependent (near-random embeddings spread neighbours across
-    buckets) — surfacing that number is the report's job."""
+    recall = n_hit/k) plus recall floors for BOTH paths. The LSH floor
+    is the r8 fix: the r7 card measured single-bucket sign-LSH at
+    recall ~0.1 on this data; the multi-table variant (16 tables x 4
+    bits) measures 0.86 at sf0.001 and must stay at or above the IVF
+    level."""
     import __spark_entry__ as entrymod
 
     rows = entrymod.registry.QUERIES["sim_ann_recall"](
@@ -329,7 +330,58 @@ def test_sim_ann_recall_report(spark):
     assert set(by_m) == {"lsh", "ivf"}
     n_q = len(by_m["lsh"])
     assert n_q == len(by_m["ivf"]) and n_q > 0
-    assert sum(by_m["ivf"]) / n_q >= 0.5  # IVF is known-good on this data
+    ivf_mean = sum(by_m["ivf"]) / n_q
+    lsh_mean = sum(by_m["lsh"]) / n_q
+    assert ivf_mean >= 0.5  # IVF is known-good on this data
+    assert lsh_mean >= 0.7  # multi-table LSH floor (measured 0.86)
+    assert lsh_mean >= ivf_mean - 1e-9  # the r8 'done' bar: LSH >= IVF
+
+
+def test_lsh_multitable_planted_dup(spark):
+    """A vector colinear with a corpus vector shares every table's
+    bucket, so the multi-table ANN must surface it at cosine 1."""
+    rows = [(i, [float(i == j) for j in range(8)]) for i in range(8)]
+    rows.append((100, [2.0] + [0.0] * 7))  # same direction as vec 0
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = simsearch.lsh_multitable_topk(
+        emb, F.col("vec_id") == 0, dim=8, k=3
+    ).collect()
+    assert any(r.cid == 100 and r.cosine == 1.0 for r in out)
+
+
+def test_mt_keys_knife_edge_decimal_sign(spark):
+    """A vector orthogonal to plane 0 (exact double dot 0) exercises
+    the Arrow kernel's decimal fallback: the decimal sum is exactly 0,
+    and 0 >= 0 must yield bit '1' — matching the oracle's sign rule."""
+    from etl_staging_spark.llmdata.hashing import hyperplanes
+
+    w = hyperplanes(1, 8)[0]
+    v = [w[1], -w[0]] + [0.0] * 6  # dot = w0*w1 - w1*w0 = 0 exactly
+    # array<double>: a float32 roundtrip would perturb the products and
+    # move the dot off the exact knife edge this test is about
+    emb = spark.createDataFrame([(0, v)], "vec_id long, embedding array<double>")
+    keys = simsearch._mt_keys_udf(8, n_tables=1, bits=1)
+    row = emb.select(keys(F.col("embedding")).alias("k")).collect()[0]
+    assert row.k == ["0|1"]
+
+
+def test_ivf_candidates_match_expression_path(spark):
+    """The Arrow probe-cell kernel must reproduce the expression path's
+    assignment exactly (same ordering, same tie rule) on the driver
+    testdata."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pred = F.col("vec_id") < 10
+    from_udf = {
+        (r.qid, r.cid) for r in simsearch.ivf_candidates(emb, pred).collect()
+    }
+    # expression path: ivf_topk with k = corpus size keeps every
+    # candidate pair it scored
+    n = emb.count()
+    from_expr = {
+        (r.qid, r.cid)
+        for r in simsearch.ivf_topk(emb, pred, dim=64, k=n).collect()
+    }
+    assert from_udf == from_expr
 
 
 def test_fuzzy_contamination_planted_paraphrase(spark):
