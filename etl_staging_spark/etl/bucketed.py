@@ -36,22 +36,30 @@ def drop_managed_table(spark: SparkSession, table: str) -> None:
     location = None
     table_type = None
     try:
-        if spark.catalog.tableExists(table):
+        existed = spark.catalog.tableExists(table)
+    except Exception:
+        existed = None  # catalog unreachable: treat as unknown, never guess
+    if existed:
+        try:
             for row in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
                 if row[0] == "Location":
                     location = row[1]
                 elif row[0] == "Type":
                     table_type = row[1]
-    except Exception:
-        location = None
-        table_type = None
+        except Exception:
+            location = None
+            table_type = None
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
     if table_type is not None and table_type.upper() != "MANAGED":
         # External (or view-like) entry: DROP TABLE intentionally leaves
         # the data in place — never delete it out from under the caller.
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
         return
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
     if location is None:
+        if existed is not False:
+            # A catalog entry existed (or existence is unknown) but its
+            # type/location could not be resolved — it may be EXTERNAL
+            # with data parked at the managed layout. Never guess a path.
+            return
         if "." in table or "/" in table or "`" in table:
             # qualified or exotic name with no catalog entry: nothing to
             # clean up that we can locate safely — do NOT guess a path

@@ -274,6 +274,11 @@ def _mt_keys_udf(dim: int, n_tables: int = N_TABLES, bits: int = BITS_PER_TABLE)
 
     @F.pandas_udf("array<string>")
     def keys(v: pd.Series) -> pd.Series:
+        if v.isna().any():
+            raise ValueError(
+                "sign-LSH key kernel requires non-null embeddings; "
+                "filter NULL vectors before lsh_multitable_*"
+            )
         X = np.array([np.asarray(x, dtype=np.float64) for x in v])
         if len(X) == 0:
             return pd.Series([], dtype=object)
@@ -416,21 +421,36 @@ def _ivf_cells_udf(
 
     @F.pandas_udf("array<int>")
     def cells(v: pd.Series) -> pd.Series:
+        if v.isna().any():
+            raise ValueError(
+                "IVF probe-cell kernel requires non-null embeddings; "
+                "filter NULL vectors before ivf_* entry points"
+            )
         X = np.array([np.asarray(x, dtype=np.float64) for x in v])
         if len(X) == 0:
             return pd.Series([], dtype=object)
         vn = np.linalg.norm(X, axis=1)
         safe_vn = np.where(vn == 0, 1.0, vn)
         cos = (X @ C.T) / ncs / safe_vn[:, None]
-        # sort per row by (-cos, cid); flag knife-edge rows
+        # sort per row by (-cos, cid); flag knife-edge rows (skip the gap
+        # test with a single centroid — no adjacent pair to reorder)
         order = np.lexsort((np.broadcast_to(cids, cos.shape), -cos), axis=1)
-        sorted_cos = np.take_along_axis(cos, order, axis=1)
-        gaps = -np.diff(sorted_cos, axis=1)
-        knife = (gaps.min(axis=1) < 1e-9) | (vn == 0)
+        if cos.shape[1] > 1:
+            sorted_cos = np.take_along_axis(cos, order, axis=1)
+            gaps = -np.diff(sorted_cos, axis=1)
+            knife = (gaps.min(axis=1) < 1e-9) | (vn == 0)
+        else:
+            knife = vn == 0
         out = []
         for r in range(len(X)):
             if knife[r]:
                 nr = _py_decimal_norm(X[r])
+                if nr == 0.0:
+                    # zero vector: cosine undefined — deterministic
+                    # fallback ordering by centroid id, matching the JVM
+                    # expression path's degrade-not-throw behavior
+                    out.append([int(i) for i in cids[:probe]])
+                    continue
                 keys = sorted(
                     (-(_py_decimal_dot(C[j], X[r]) / (float(ncs[j]) * nr)), int(cids[j]))
                     for j in range(len(cids))

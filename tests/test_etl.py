@@ -318,3 +318,44 @@ def test_production_planning_rows_and_quirk_columns(spark):
         assert r["n_bags"] is None and r["n_belts"] is None
     by_line = {r["line_no"]: r for r in rows}
     assert by_line[1]["grade"] == "Brand#1" and by_line[2]["compound"] == "BAG"
+
+
+def test_drop_managed_table_external_data_survives(spark, tmp_path):
+    """DROP on an EXTERNAL table must leave the data files in place —
+    including when the external location coincides with the managed
+    warehouse layout and DESCRIBE fails mid-resolution (the fallback
+    rmtree must not fire for any table the catalog listed)."""
+    from etl_staging_spark.etl.bucketed import drop_managed_table
+
+    loc = tmp_path / "ext_tbl"
+    spark.range(5).write.mode("overwrite").parquet(str(loc))
+    spark.sql(
+        f"CREATE TABLE ext_probe (id BIGINT) USING parquet LOCATION '{loc}'"
+    )
+    try:
+        drop_managed_table(spark, "ext_probe")
+        assert not spark.catalog.tableExists("ext_probe")
+        # the external data is untouched and still readable
+        assert spark.read.parquet(str(loc)).count() == 5
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ext_probe")
+
+
+def test_drop_managed_table_managed_dir_cleaned(spark):
+    """The managed-table path still removes the leftover warehouse
+    directory so a subsequent saveAsTable never hits 'location already
+    exists'."""
+    import os
+
+    from etl_staging_spark.etl.bucketed import drop_managed_table
+
+    spark.range(3).write.mode("overwrite").saveAsTable("mgd_probe")
+    loc = None
+    for row in spark.sql("DESCRIBE TABLE EXTENDED mgd_probe").collect():
+        if row[0] == "Location":
+            loc = row[1]
+    assert loc is not None
+    path = loc[len("file:"):] if loc.startswith("file:") else loc
+    drop_managed_table(spark, "mgd_probe")
+    assert not spark.catalog.tableExists("mgd_probe")
+    assert not os.path.exists(path)

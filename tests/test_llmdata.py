@@ -1656,3 +1656,38 @@ def test_bpe_encode_report_matches_python_reference(spark):
         assert got[doc_id].n_bpe_tokens == want_bpe, doc_id
         assert got[doc_id].n_bpe_tokens <= want_chars  # merges only shrink
         assert abs(got[doc_id].compression - round(want_chars / want_bpe, 6)) < 2e-6
+
+
+def test_ivf_cells_zero_norm_and_single_centroid(spark):
+    """Robustness of the Arrow probe-cell kernel: a zero vector (cosine
+    undefined) degrades to the deterministic by-centroid-id fallback
+    instead of ZeroDivisionError, and a single-centroid codebook skips
+    the adjacent-gap knife test instead of ValueError on an empty axis."""
+    cent = {0: [1.0, 0.0], 3: [0.0, 1.0]}
+    norms = {0: 1.0, 3: 1.0}
+    cells = simsearch._ivf_cells_udf(cent, norms, probe=2)
+    emb = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [3.0, 0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r.vec_id: r.c for r in
+            emb.select("vec_id", cells(F.col("embedding")).alias("c")).collect()}
+    assert rows[0] == [0, 3]        # zero vector: ascending centroid ids
+    assert rows[1] == [0, 3]        # normal vector: nearest first
+    one = simsearch._ivf_cells_udf({7: [1.0, 0.0]}, {7: 1.0}, probe=1)
+    rows1 = emb.select(one(F.col("embedding")).alias("c")).collect()
+    assert [r.c for r in rows1] == [[7], [7]]
+
+
+def test_simsearch_kernels_null_embedding_clear_error(spark):
+    """Both Arrow kernels raise a clear ValueError on a NULL embedding
+    instead of an opaque numpy failure (documented non-null contract)."""
+    emb = spark.createDataFrame(
+        [(0, [1.0] * 8), (1, None)], "vec_id long, embedding array<double>"
+    )
+    keys = simsearch._mt_keys_udf(8, n_tables=1, bits=1)
+    with pytest.raises(Exception, match="non-null embeddings"):
+        emb.select(keys(F.col("embedding"))).collect()
+    cells = simsearch._ivf_cells_udf({0: [1.0] * 8}, {0: float(8 ** 0.5)}, 1)
+    with pytest.raises(Exception, match="non-null embeddings"):
+        emb.select(cells(F.col("embedding"))).collect()
