@@ -808,6 +808,7 @@ def semantic_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
+    tag_same_cell: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs: coarse-quantize every
     vector to its nearest centroid (the IVF assignment, ties to the
@@ -831,7 +832,13 @@ def semantic_dup_pairs(
     mitigation for boundary pairs — a pair is a candidate iff any
     probed cell is shared); verification and the reported ``cell``
     label (d1's primary cell) are unchanged, so raising n_probe only
-    ever ADDS recovered pairs."""
+    ever ADDS recovered pairs.
+
+    ``tag_same_cell=True`` appends a boolean ``same_cell`` column (both
+    members' PRIMARY cells equal). Because every same-primary-cell pair
+    is also a multi-probe candidate, the ``same_cell`` subset of an
+    ``n_probe=N`` run IS the ``n_probe=1`` output — the recall card
+    measures both discovery configs from one pass this way."""
     cent_arrs, cent_norms = _resolve_centroids(
         emb, centroids, n_centroids, id_col, vec_col
     )
@@ -857,12 +864,50 @@ def semantic_dup_pairs(
     if n_probe > 1:
         # a pair sharing several probed cells would verify repeatedly
         cand = cand.distinct()
-    out = _verify_pairs(
+    verified = _verify_pairs(
         cand, normed, threshold, id_col, vec_col, carry_left=("cell",)
-    ).select(
-        "d1", "d2",
+    )
+    cols = [
+        F.col("d1"),
+        F.col("d2"),
         F.col("cell").cast("bigint").alias("cell"),
         pround(F.col("cos_raw"), 6).alias("cosine"),
+    ]
+    if tag_same_cell:
+        # keyed join on the (few) verified pairs only — attaches d2's
+        # primary cell so callers can split out the n_probe=1 subset
+        c2 = normed.select(
+            F.col(id_col).alias("d2"), F.col("cell").alias("__cell2")
+        )
+        verified = verified.join(c2, "d2")
+        cols.append((F.col("cell") == F.col("__cell2")).alias("same_cell"))
+    out = verified.select(*cols)
+    out._pinned_persisted = (normed,)
+    return out
+
+
+def exact_dup_pairs(
+    emb: DataFrame,
+    panel_pred: Column,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact near-dup ground truth over a BOUNDED panel: every pair
+    (d1, d2) with d1 matching ``panel_pred``, d2 > d1 and exact-decimal
+    cosine >= threshold — the baseline leg of the semantic-dedup recall
+    card. Candidates come from broadcasting the SKINNY panel ids
+    against corpus ids (O(|panel| * N) pairs, never corpus x corpus),
+    and the shared two-stage verify (:func:`_verify_pairs`: double
+    prefilter with slack, decimal on the survivors) keeps the exact
+    fold off the non-dup mass — same cost shape as the exact ANN
+    baseline `cosine_topk`."""
+    normed = with_norm(_respread_narrow(emb), vec_col).persist()
+    p = normed.where(panel_pred).select(F.col(id_col).alias("d1"))
+    c = normed.select(F.col(id_col).alias("d2"))
+    cand = c.join(F.broadcast(p), F.col("d2") > F.col("d1"))
+    out = _verify_pairs(cand, normed, threshold, id_col, vec_col).select(
+        "d1", "d2", pround(F.col("cos_raw"), 6).alias("cosine")
     )
     out._pinned_persisted = (normed,)
     return out

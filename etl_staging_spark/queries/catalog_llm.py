@@ -1530,6 +1530,138 @@ def dedup_semantic_ivf(spark, sf_dir):
     return simsearch.semantic_dup_pairs(emb, threshold=_SEM_THRESHOLD, dim=64)
 
 
+# recall-card threshold: where the synthetic embeddings have a
+# meaningful exact-pair population (~271 pairs at sf0.01 vs 14 at the
+# dedup threshold 0.45), so the recall ratio is statistically readable
+_SEMR_T = 0.35
+
+
+@query(
+    "dedup_semantic_recall",
+    oracle=f"""
+    WITH {O_ELEMS},
+    xd AS (
+      SELECT a.vec_id AS d1, b.vec_id AS d2,
+             CAST(SUM(CAST(x.e * y.e AS DECIMAL(30,15))) AS DOUBLE) AS dot
+      FROM norms a JOIN norms b ON b.vec_id > a.vec_id
+      JOIN elems x ON x.vec_id = a.vec_id
+      JOIN elems y ON y.vec_id = b.vec_id AND y.i = x.i
+      WHERE a.vec_id % 10 = 0
+      GROUP BY 1, 2
+    ),
+    xe AS (
+      SELECT d1, d2 FROM xd
+      JOIN norms na ON na.vec_id = xd.d1 JOIN norms nb ON nb.vec_id = xd.d2
+      WHERE xd.dot / (na.nrm * nb.nrm) >= {_SEMR_T}
+    ),
+    cdots AS (
+      SELECT v.vec_id, c.vec_id AS ccid,
+             CAST(SUM(CAST(v.e * c.e AS DECIMAL(30,15))) AS DOUBLE) AS dot
+      FROM elems v JOIN elems c ON c.i = v.i AND c.vec_id < 8
+      GROUP BY 1, 2
+    ),
+    ccos AS (
+      SELECT cdots.vec_id, ccid, dot / (nv.nrm * nc.nrm) AS c
+      FROM cdots JOIN norms nv ON nv.vec_id = cdots.vec_id
+                 JOIN norms nc ON nc.vec_id = ccid
+    ),
+    ranked_cells AS (
+      SELECT vec_id, ccid, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                              ORDER BY c DESC, ccid) AS rn
+      FROM ccos
+    ),
+    assign AS (SELECT vec_id, ccid AS cell FROM ranked_cells WHERE rn = 1),
+    probes AS (SELECT vec_id, ccid AS cell FROM ranked_cells WHERE rn <= 3),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+      FROM probes a JOIN probes b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE a.vec_id % 10 = 0
+    ),
+    fpairs AS (
+      SELECT c.d1, c.d2, (sa.cell = sb.cell) AS same_cell
+      FROM cand c JOIN xe USING (d1, d2)
+      JOIN assign sa ON sa.vec_id = c.d1
+      JOIN assign sb ON sb.vec_id = c.d2
+    ),
+    fstats AS (
+      SELECT method, COUNT(*) AS nf FROM (
+        SELECT d1, d2, 'probe3' AS method FROM fpairs
+        UNION ALL
+        SELECT d1, d2, 'cell1' FROM fpairs WHERE same_cell
+      ) GROUP BY 1
+    ),
+    xc AS (SELECT COUNT(*) AS n_exact FROM xe),
+    methods AS (SELECT 'cell1' AS method UNION ALL SELECT 'probe3')
+    SELECT m.method,
+           CAST(xc.n_exact AS BIGINT) AS n_exact,
+           CAST(COALESCE(f.nf, 0) AS BIGINT) AS n_found,
+           CAST(COALESCE(f.nf, 0) AS BIGINT) AS n_hit,
+           {o_pround('CAST(COALESCE(f.nf, 0) AS DOUBLE) / xc.n_exact', 6)} AS recall
+    FROM methods m CROSS JOIN xc LEFT JOIN fstats f ON f.method = m.method
+    """,
+)
+def dedup_semantic_recall(spark, sf_dir):
+    """Semantic-dedup quality report card — the measured answer to 'how
+    many true near-dup pairs does the IVF cluster-then-dedup path
+    actually find?', closing the calibration-card family (MinHash has
+    `dedup_minhash_estimate`, the ANN paths have `sim_ann_recall`).
+
+    Ground truth: exact-decimal pairs >= {_SEMR_T} whose smaller id
+    sits in a deterministic 1-in-10 probe panel — O(|panel| * N) work
+    (`exact_dup_pairs`), never corpus x corpus, so the card itself
+    stays runnable at scale as a sampled QA job. Both discovery
+    configs come from ONE probe-3 pass (`tag_same_cell=True`): the
+    shared-primary-cell subset IS the certified `dedup_semantic_ivf`
+    config ('cell1'), the full pass is the multi-probe mitigation
+    ('probe3'). n_found == n_hit by construction (both sides verify
+    with the same exact-decimal cosine) — the card doubles as a
+    precision check."""
+    emb = load(spark, sf_dir, "embeddings")
+    exact_raw = simsearch.exact_dup_pairs(
+        emb, F.pmod(F.col("vec_id"), F.lit(10)) == 0, _SEMR_T
+    )
+    exact = exact_raw.select("d1", "d2").withColumn("hit", F.lit(1)).persist()
+    pairs = simsearch.semantic_dup_pairs(
+        emb, threshold=_SEMR_T, dim=64, n_probe=3, tag_same_cell=True
+    )
+    found = pairs.where(F.pmod(F.col("d1"), F.lit(10)) == 0).select(
+        F.explode(
+            F.when(
+                F.col("same_cell"), F.array(F.lit("cell1"), F.lit("probe3"))
+            ).otherwise(F.array(F.lit("probe3")))
+        ).alias("method"),
+        "d1",
+        "d2",
+    )
+    stats = (
+        found.join(F.broadcast(exact), ["d1", "d2"], "left")
+        .groupBy("method")
+        .agg(
+            F.count("*").alias("n_found"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_hit"),
+        )
+    )
+    grid = exact.agg(F.count("*").alias("n_exact")).select(
+        F.explode(F.array(F.lit("cell1"), F.lit("probe3"))).alias("method"),
+        "n_exact",
+    )
+    out = grid.join(stats, "method", "left").select(
+        "method",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.coalesce("n_found", F.lit(0)).cast("bigint").alias("n_found"),
+        F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+        pround(
+            F.coalesce("n_hit", F.lit(0)) / F.col("n_exact"), 6
+        ).alias("recall"),
+    )
+    out._pinned_persisted = (
+        exact,
+        *getattr(exact_raw, "_pinned_persisted", ()),
+        *getattr(pairs, "_pinned_persisted", ()),
+    )
+    return out
+
+
 _EPOCHS = {"src0": 3, "src7": 2}
 
 

@@ -387,3 +387,13 @@ def test_r6b_entry_plans(spark, queries):
         assert "Exchange SinglePartition" not in p, name
         assert "BatchEvalPython" not in p, name
     assert "Window" not in plan_of(spark, queries, "chunk_overlap")
+
+
+def test_semantic_recall_card_plan(spark, queries):
+    """The recall card's exact leg broadcasts the SKINNY panel ids (a
+    sanctioned bounded nested loop, same shape as the exact ANN
+    baseline); everything else is keyed equi-joins — no cartesian, no
+    Python, and the verify stages never collapse to one partition."""
+    p = plan_of(spark, queries, "dedup_semantic_recall")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
