@@ -120,6 +120,93 @@ def gated_ingest_stream(
     )
 
 
+def assembly_ingest_stream(
+    docs_stream: DataFrame,
+    index_table: str,
+    bench_table: str,
+    on_batch: Callable[[int, DataFrame], None],
+    quality_min: float = 0.68,
+    threshold: float = 0.8,
+    n_dedup: int = 3,
+    n_contam: int = 5,
+    splits: dict[str, float] | None = None,
+    query_name: str = "assembly_ingest",
+):
+    """The composed corpus-assembly FRONT-END as one continuous ingest
+    job — the streaming twin of ``corpus_assembly_v2``'s stateless
+    prefix, per micro-batch:
+
+    1. quality gate + Gopher repetition gate (projections over the
+       batch, same operators as `gated_ingest_stream`);
+    2. benchmark n-gram decontamination (`decontam.ngram_overlap`
+       against the ``bench_table`` catalog table — eval side broadcast,
+       never corpus x corpus);
+    3. near-dup scrub against the PERSISTED corpus signature index
+       (`dedup.incremental_lsh_matches_indexed` — bucketed index joins,
+       O(batch) + O(candidates) per batch, corpus never rescanned);
+    4. deterministic hash split stamp (`sampling.hash_split`).
+
+    The handler receives the surviving split-stamped frame per batch
+    and owns the sink (a production loop appends survivors to the
+    corpus and their signatures to the index, making the pipeline
+    self-maintaining). Decisions are batch-boundary independent BY
+    CONSTRUCTION: every gate is a function of the doc's own content
+    plus persisted state (benchmark table, signature index), and the
+    split is a content-hash — so one drop or many yields the same
+    corpus. Reference analog: the CDC rule engine precedent
+    (auditlog/models/rule.py:270-494) — a batch job's semantics applied
+    continuously; doc_id spaces of stream and index must be disjoint
+    (same precondition as the batch operator)."""
+    from pyspark.sql import functions as F
+
+    from ..llmdata import decontam, sampling, textstats
+
+    splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        qual = (
+            textstats.quality_scores(batch_df)
+            .where(F.col("quality") >= quality_min)
+            .select("doc_id")
+        )
+        # materialize before filtering the HOF-derived flags (caller
+        # note on repetition_stats)
+        rep_flags = textstats.repetition_stats(batch_df).persist()
+        try:
+            rep = rep_flags.where(~F.col("repetitive")).select("doc_id")
+            gated = (
+                batch_df.join(qual, "doc_id", "left_semi")
+                .join(rep, "doc_id", "left_semi")
+            )
+            bench = spark.table(bench_table)
+            clean = (
+                decontam.ngram_overlap(gated, bench, n=n_contam, min_hits=1)
+                .where(~F.col("contaminated"))
+                .select("doc_id")
+            )
+            survivors = gated.join(clean, "doc_id", "left_semi")
+            dups = (
+                dedup.incremental_lsh_matches_indexed(
+                    spark, survivors, index_table,
+                    threshold=threshold, n=n_dedup,
+                )
+                .select(F.col("d1").alias("doc_id"))
+                .distinct()
+            )
+            kept = survivors.join(dups, "doc_id", "left_anti")
+            on_batch(batch_id, sampling.hash_split(kept, splits))
+        finally:
+            rep_flags.unpersist()
+
+    return (
+        docs_stream.writeStream.foreachBatch(_process)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def segment_clean_stream(
     docs_stream: DataFrame,
     hot_table: str,

@@ -371,3 +371,94 @@ def test_lm_score_stream_batch_boundary_independent(spark, tmp_path):
         for r in lm.score_with_model(incoming, "lmstream").collect()
     }
     assert got == want and set(got) == {10, 11, 12}
+
+
+def test_assembly_ingest_stream_matches_batch(spark, tmp_path):
+    """The COMPOSED assembly front-end (quality + repetition gates ->
+    benchmark decontamination -> persisted-index dedup scrub -> hash
+    split) run as a multi-micro-batch stream equals the same stages
+    applied batch-wise to the identical documents — and every gate
+    demonstrably fires (spam, a contaminated doc, and a corpus near-dup
+    are each dropped by their own stage)."""
+    from pyspark.sql import functions as F
+
+    from etl_staging_spark.llmdata import decontam, dedup, sampling, textstats
+    from etl_staging_spark.streaming.ingest import DOC_SCHEMA, assembly_ingest_stream
+
+    good = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+        "uniform victor whiskey xray yankee zulu one two three four five "
+        "six seven eight nine ten eleven twelve thirteen fourteen fifteen "
+        "sixteen seventeen eighteen nineteen twenty twentyone twentytwo"
+    )
+    spam = "spam ham spam ham spam ham spam ham spam ham spam ham spam ham"
+    bench_text = (
+        "held out benchmark question about the seven wonders of the "
+        "ancient world and their architects with enough tokens to shingle"
+    )
+    corpus_text = (
+        "entirely separate corpus resident document describing harvest "
+        "seasons crop rotation irrigation channels terraced fields and "
+        "the yearly almanac of planting schedules across river valleys"
+    )
+    rows = (
+        [(i, good + f" tail{i}") for i in range(12)]
+        + [(50, spam)]                                  # repetition gate
+        + [(51, good + " " + bench_text)]               # decontamination
+        + [(52, corpus_text + " x")]                    # near-dup of corpus
+    )
+    incoming = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # persisted state: corpus signature index + benchmark table
+    corpus = spark.createDataFrame([(1000, corpus_text)], "doc_id long, text string")
+    dedup.write_signature_index(corpus, "asm_ix_test", n_buckets=4)
+    bench = spark.createDataFrame([(2000, bench_text)], "doc_id long, text string")
+    bench.createOrReplaceTempView("asm_bench_test")
+
+    drop_dir = str(tmp_path / "drops")
+    incoming.repartition(3).write.mode("overwrite").parquet(drop_dir)
+
+    got: dict[int, str] = {}
+    n_batches = []
+
+    def sink(bid, frame):
+        n_batches.append(bid)
+        for r in frame.collect():
+            got[r.doc_id] = r.split
+
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)   # force multi-batch arrival
+        .parquet(drop_dir)
+    )
+    q = assembly_ingest_stream(
+        stream, "asm_ix_test", "asm_bench_test", sink,
+        quality_min=0.5, threshold=0.6,
+    )
+    q.awaitTermination()
+    assert len(n_batches) >= 2, "fixture must actually arrive in several batches"
+
+    # batch reference: identical stages on the whole frame at once
+    qual = textstats.quality_scores(incoming).where(
+        F.col("quality") >= 0.5).select("doc_id")
+    rep = textstats.repetition_stats(incoming).persist()
+    gated = (incoming.join(qual, "doc_id", "left_semi")
+             .join(rep.where(~F.col("repetitive")).select("doc_id"),
+                   "doc_id", "left_semi"))
+    clean = (decontam.ngram_overlap(gated, bench, n=5, min_hits=1)
+             .where(~F.col("contaminated")).select("doc_id"))
+    survivors = gated.join(clean, "doc_id", "left_semi")
+    dups = dedup.incremental_lsh_matches_indexed(
+        spark, survivors, "asm_ix_test", threshold=0.6
+    ).select(F.col("d1").alias("doc_id")).distinct()
+    kept = survivors.join(dups, "doc_id", "left_anti")
+    want = {r.doc_id: r.split for r in sampling.hash_split(
+        kept, {"train": 0.9, "val": 0.05, "test": 0.05}).collect()}
+    rep.unpersist()
+    spark.sql("DROP TABLE IF EXISTS asm_ix_test_bands")
+    spark.sql("DROP TABLE IF EXISTS asm_ix_test_shingles")
+
+    assert got == want
+    assert set(range(12)) <= set(got), "good docs must survive"
+    assert 50 not in got and 51 not in got and 52 not in got
