@@ -77,7 +77,37 @@ HEADLINE = [
     "sim_ann_recall",
     "training_set_pack",
     "events_attribution",
+    # round 8/9 additions
+    "sim_ann_lsh",
+    "dedup_semantic_recall",
 ]
+
+
+def _prior_timings(here: str) -> dict[str, float]:
+    """Per-query timings from the LATEST published BENCH_r{N}.json —
+    the outlier guard's reference. Strict name parse (a stray variant
+    file must not shadow a round); missing/corrupt files mean no guard,
+    never a crash."""
+    import glob
+
+    latest: dict[str, float] = {}
+    latest_rnd = -1
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(path))
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        if rnd <= latest_rnd:
+            continue
+        try:
+            data = json.load(open(path))
+            # the driver wraps bench.py's JSON line under "parsed"
+            qs = (data.get("parsed") or data).get("queries", {})
+        except (OSError, json.JSONDecodeError, AttributeError):
+            continue
+        if isinstance(qs, dict):
+            latest, latest_rnd = qs, rnd
+    return latest
 
 
 def main() -> None:
@@ -122,13 +152,31 @@ def main() -> None:
     # (±10-20 s swings on a fixed plan). The minimum of three timed
     # executions is the steady-state number and is stable across runs
     # (best-of-2 still published a 1.45x-noise straggler in round 5).
-    timings: dict[str, float] = {}
-    for name in names:
+    # Outlier guard: a best-of-3 that still lands >2x the query's
+    # previous published round is almost always machine contention, not
+    # a plan change (round 8 published three such artifacts) — re-run
+    # the best-of-3 once and keep the overall minimum, flagging the
+    # query in "reruns" so a genuine regression is visible as a number
+    # that survived SIX runs.
+    prior = _prior_timings(os.path.dirname(os.path.abspath(__file__)))
+
+    def best_of_3(name: str) -> float:
         best = float("inf")
         for _ in range(3):
             t0 = time.time()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
+        return best
+
+    timings: dict[str, float] = {}
+    reruns: list[str] = []
+    for name in names:
+        best = best_of_3(name)
+        ref = prior.get(name)
+        if ref and best > 2 * ref:
+            spark.catalog.clearCache()
+            best = min(best, best_of_3(name))
+            reruns.append(name)
         timings[name] = round(best, 3)
         # every call re-persists its internal frames; dropping them
         # between queries keeps heap/GC pressure flat across the run
@@ -152,6 +200,7 @@ def main() -> None:
         "queries": timings,
         "core_r1_subset_time": core_total,
         "n_queries": len(timings),
+        "reruns": reruns,
         "sf": sf,
     }))
 

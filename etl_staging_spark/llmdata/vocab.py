@@ -238,6 +238,46 @@ def bpe_train(df: DataFrame, n_merges: int = 10) -> DataFrame:
 
 
 
+def o_bpe_encode(
+    merges: list[tuple[str, str]], source_sql: str = "documents"
+) -> str:
+    """DuckDB oracle for :func:`bpe_encode_report` under a FIXED merge
+    list: each merge pass is a ``list_reduce`` fold over the symbol
+    list with the accumulator encoded as a chr(31)-joined string —
+    last-symbol == left AND next == right collapses, exactly the
+    left-to-right semantics of the Spark array fold (plain string
+    REPLACE chains cannot express this: with separators consumed the
+    chain "l l l l" misses the second collapse, without boundaries a
+    symbol's prefix/suffix false-matches)."""
+    expr = "[w[i:i] FOR i IN range(1, len(w)+1)]"
+    for left, right in merges:
+        le = left.replace("'", "''")
+        re_ = right.replace("'", "''")
+        expr = f"""string_split(list_reduce({expr}, (acc, x) -> CASE
+          WHEN regexp_extract(acc, '[^\\x1f]*$') = '{le}' AND x = '{re_}'
+          THEN substr(acc, 1, len(acc) - len('{le}')) || '{le}{re_}'
+          ELSE acc || chr(31) || x END), chr(31))"""
+    comp = o_pround("CAST(n_chars AS DOUBLE) / n_bpe_tokens", 6)
+    return f"""
+    WITH bw AS (
+      SELECT doc_id, w, COUNT(*) AS n_occ FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        FROM {source_sql})
+      WHERE len(w) >= 1 GROUP BY doc_id, w
+    ),
+    bvocab AS (SELECT DISTINCT w FROM bw),
+    benc AS (SELECT w, len({expr}) AS n_sym FROM bvocab),
+    btot AS (
+      SELECT doc_id,
+             CAST(SUM(len(w) * n_occ) AS BIGINT) AS n_chars,
+             CAST(SUM(n_sym * n_occ) AS BIGINT) AS n_bpe_tokens
+      FROM bw JOIN benc USING (w)
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_chars, n_bpe_tokens, {comp} AS compression
+    FROM btot"""
+
+
 def bpe_encode_report(
     df: DataFrame, merges: list[tuple[str, str]]
 ) -> DataFrame:

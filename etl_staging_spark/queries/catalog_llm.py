@@ -2122,6 +2122,33 @@ def vocab_coverage(spark, sf_dir):
     return vocab.vocab_coverage(load(spark, sf_dir, "documents"))
 
 
+# A PINNED 10-merge BPE tokenizer: the merge table bpe_train learns on
+# the sf0.01 documents corpus, inlined as constants so the encode fold
+# is oracle-expressible (the live-trained variant stays pytest-vs-
+# python-reference because its merges are data-derived driver state).
+_BPE_FIXED_MERGES = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+]
+
+
+@query(
+    "bpe_encode_compression",
+    oracle=vocab.o_bpe_encode(_BPE_FIXED_MERGES),
+)
+def bpe_encode_compression(spark, sf_dir):
+    """Per-doc BPE compression under the pinned 10-merge tokenizer:
+    (doc_id, n_chars, n_bpe_tokens, chars-per-token). The encode fold
+    runs on the frequency-collapsed DISTINCT word table (|vocab| rows,
+    orders of magnitude under the corpus), entirely JVM-side — ten
+    chained array folds, no Python; per-doc totals come from one
+    (doc, word) count join (`llmdata/vocab.py`). The DuckDB oracle
+    replays the same left-to-right collapse with list_reduce."""
+    return vocab.bpe_encode_report(
+        load(spark, sf_dir, "documents"), _BPE_FIXED_MERGES
+    )
+
+
 @query("chunk_overlap", oracle=linedup.o_chunk_overlap())
 def chunk_overlap(spark, sf_dir):
     """RAG-ingestion chunking: 64-token windows every 48 tokens

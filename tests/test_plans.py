@@ -397,3 +397,13 @@ def test_semantic_recall_card_plan(spark, queries):
     p = plan_of(spark, queries, "dedup_semantic_recall")
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_bpe_encode_fixed_merges_jvm_only(spark, queries):
+    """The pinned-tokenizer encode is ten chained JVM array folds over
+    the distinct-word table: no Python anywhere, no cartesian, and the
+    per-doc rollup is a keyed join."""
+    p = plan_of(spark, queries, "bpe_encode_compression")
+    assert "BatchEvalPython" not in p
+    assert "MapInPandas" not in p
+    assert "CartesianProduct" not in p
