@@ -513,6 +513,69 @@ def o_transitions(source_sql: str = "events") -> str:
     GROUP BY from_type, event_type"""
 
 
+def paths_topk(events: DataFrame, length: int = 3, k: int = 10) -> DataFrame:
+    """Top-``k`` most frequent length-``length`` event-type paths over
+    user sequences — the k-step extension of :func:`transitions`
+    (reference precedent: the funnel/transition pair), answering "what
+    are the dominant 3-step journeys?".
+
+    Shape: ``length - 1`` lags over the SAME single user-keyed window
+    exchange every operator here shares (one shuffle, not one per
+    step), then a map-side-combinable count on the bounded
+    |event_types|^length key space, and a TakeOrdered cut of that tiny
+    counts frame — the global rank touches at most |types|^length
+    rows, never the corpus. Ties break on the path steps ascending, so
+    the cut is deterministic."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    step_cols = [
+        F.lag("event_type", length - 1 - i).over(w).alias(f"step{i + 1}")
+        for i in range(length)
+    ]
+    names = [f"step{i + 1}" for i in range(length)]
+    # step1 carries the LARGEST lag: it being non-null implies every
+    # closer lag in the same partition is too
+    counts = (
+        events.select(*step_cols)
+        .where(F.col("step1").isNotNull())
+        .groupBy(*names)
+        .agg(F.count("*").alias("n_paths"))
+    )
+    order = [F.desc("n_paths")] + [F.asc(n) for n in names]
+    return (
+        counts.orderBy(*order)
+        .limit(k)
+        .withColumn(
+            "rank", F.row_number().over(Window.orderBy(*order)).cast("int")
+        )
+    )
+
+
+def o_paths_topk(
+    length: int = 3, k: int = 10, source_sql: str = "events"
+) -> str:
+    """DuckDB oracle twin of :func:`paths_topk`."""
+    lags = ",\n             ".join(
+        f"lag(event_type, {length - 1 - i}) OVER w AS step{i + 1}"
+        for i in range(length - 1)
+    )
+    names = ", ".join(f"step{i + 1}" for i in range(length))
+    return f"""
+    WITH seq AS (
+      SELECT {lags},
+             event_type AS step{length}
+      FROM {source_sql}
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    pc AS (
+      SELECT {names}, COUNT(*) AS n_paths FROM seq
+      WHERE step1 IS NOT NULL GROUP BY {names}
+    )
+    SELECT {names}, n_paths,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_paths DESC, {names}) AS INT)
+             AS rank
+    FROM pc ORDER BY n_paths DESC, {names} LIMIT {k}"""
+
+
 def active_users(events: DataFrame) -> DataFrame:
     """DAU / WAU / stickiness per active day: distinct users that day,
     distinct users over the trailing 7 days, and their ratio (the

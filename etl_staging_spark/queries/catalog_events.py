@@ -76,6 +76,16 @@ def events_transitions(spark, sf_dir):
     return ev.transitions(load(spark, sf_dir, "events"))
 
 
+@query("events_paths_topk", oracle=ev.o_paths_topk())
+def events_paths_topk(spark, sf_dir):
+    """Top-10 most frequent 3-step event-type paths across user
+    sequences — the k-step extension of `events_transitions`. Two lags
+    on the shared user_id exchange, a count on the bounded |types|^3
+    key space, and a TakeOrdered cut of that tiny frame with a
+    deterministic step-ascending tie-break (`operators/events.py`)."""
+    return ev.paths_topk(load(spark, sf_dir, "events"))
+
+
 @query("events_active_users", oracle=ev.o_active_users())
 def events_active_users(spark, sf_dir):
     """DAU / trailing-7-day WAU / stickiness per active day. The corpus

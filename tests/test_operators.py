@@ -368,3 +368,43 @@ def test_active_users_planted(spark):
     assert set(out) == {"2024-01-01", "2024-01-08"}
     assert out["2024-01-01"] == (2, 2, 1.0)
     assert out["2024-01-08"] == (1, 1, 1.0)
+
+
+def test_paths_topk_planted(spark):
+    """Planted 3-step journeys: the dominant path wins rank 1, paths
+    never cross user boundaries, a 2-event user yields no path, and
+    the tie at the k-edge breaks on ascending steps."""
+    from pyspark.sql import functions as F
+
+    from etl_staging_spark.operators import events as ev
+
+    rows = (
+        # user 1: view,click,buy twice in a row -> paths include the
+        # planted dominant (view,click,buy) x2 via overlapping windows
+        [(i + 1, f"2024-01-01 09:0{i}:00", 1,
+          ["view", "click", "buy", "view", "click", "buy"][i], 0.0)
+         for i in range(6)]
+        # user 2: one (view,click,buy)
+        + [(10 + i, f"2024-01-01 10:0{i}:00", 2,
+            ["view", "click", "buy"][i], 0.0) for i in range(3)]
+        # user 3: only two events -> no length-3 path
+        + [(20, "2024-01-01 11:00:00", 3, "view", 0.0),
+           (21, "2024-01-01 11:01:00", 3, "click", 0.0)]
+    )
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string, value double"
+    ).select(
+        "event_id", F.col("ts_s").cast("timestamp_ntz").alias("ts"),
+        "user_id", "event_type", "value",
+    )
+    out = ev.paths_topk(df, length=3, k=3).collect()
+    assert [r.rank for r in out] == [1, 2, 3]
+    top = out[0]
+    assert (top.step1, top.step2, top.step3, top.n_paths) == (
+        "view", "click", "buy", 3)
+    # no path crosses users: total paths = 4 (u1) + 1 (u2)
+    all_paths = ev.paths_topk(df, length=3, k=100)
+    assert all_paths.agg(F.sum("n_paths")).collect()[0][0] == 5
+    # rank 2/3 are the 1-count paths in step-ascending order
+    assert [(r.step1, r.step2, r.step3) for r in out[1:]] == [
+        ("buy", "view", "click"), ("click", "buy", "view")]
