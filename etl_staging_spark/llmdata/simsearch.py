@@ -809,6 +809,7 @@ def semantic_dup_pairs(
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
     tag_same_cell: bool = False,
+    cand_filter: Column | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs: coarse-quantize every
     vector to its nearest centroid (the IVF assignment, ties to the
@@ -838,7 +839,13 @@ def semantic_dup_pairs(
     members' PRIMARY cells equal). Because every same-primary-cell pair
     is also a multi-probe candidate, the ``same_cell`` subset of an
     ``n_probe=N`` run IS the ``n_probe=1`` output — the recall card
-    measures both discovery configs from one pass this way."""
+    measures both discovery configs from one pass this way.
+
+    ``cand_filter`` (a predicate over the candidate columns d1/d2)
+    prunes candidate pairs BEFORE the exact verify — the sampled-QA
+    path: a recall card scoring only panel-d1 pairs cuts the verify
+    stage by the panel fraction instead of verifying corpus-wide and
+    discarding."""
     cent_arrs, cent_norms = _resolve_centroids(
         emb, centroids, n_centroids, id_col, vec_col
     )
@@ -861,6 +868,8 @@ def semantic_dup_pairs(
     a = probed.select(F.col("pc"), F.col("vid").alias("d1"))
     b = probed.select(F.col("pc"), F.col("vid").alias("d2"))
     cand = a.join(b, "pc").where(F.col("d1") < F.col("d2")).select("d1", "d2")
+    if cand_filter is not None:
+        cand = cand.where(cand_filter)
     if n_probe > 1:
         # a pair sharing several probed cells would verify repeatedly
         cand = cand.distinct()

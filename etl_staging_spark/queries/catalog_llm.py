@@ -1546,7 +1546,7 @@ _SEMR_T = 0.35
       FROM norms a JOIN norms b ON b.vec_id > a.vec_id
       JOIN elems x ON x.vec_id = a.vec_id
       JOIN elems y ON y.vec_id = b.vec_id AND y.i = x.i
-      WHERE a.vec_id % 10 = 0
+      WHERE a.vec_id % 20 = 0
       GROUP BY 1, 2
     ),
     xe AS (
@@ -1575,7 +1575,7 @@ _SEMR_T = 0.35
     cand AS (
       SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
       FROM probes a JOIN probes b ON a.cell = b.cell AND a.vec_id < b.vec_id
-      WHERE a.vec_id % 10 = 0
+      WHERE a.vec_id % 20 = 0
     ),
     fpairs AS (
       SELECT c.d1, c.d2, (sa.cell = sb.cell) AS same_cell
@@ -1607,7 +1607,7 @@ def dedup_semantic_recall(spark, sf_dir):
     `dedup_minhash_estimate`, the ANN paths have `sim_ann_recall`).
 
     Ground truth: exact-decimal pairs >= {_SEMR_T} whose smaller id
-    sits in a deterministic 1-in-10 probe panel — O(|panel| * N) work
+    sits in a deterministic 1-in-20 probe panel — O(|panel| * N) work
     (`exact_dup_pairs`), never corpus x corpus, so the card itself
     stays runnable at scale as a sampled QA job. Both discovery
     configs come from ONE probe-3 pass (`tag_same_cell=True`): the
@@ -1618,13 +1618,14 @@ def dedup_semantic_recall(spark, sf_dir):
     precision check."""
     emb = load(spark, sf_dir, "embeddings")
     exact_raw = simsearch.exact_dup_pairs(
-        emb, F.pmod(F.col("vec_id"), F.lit(10)) == 0, _SEMR_T
+        emb, F.pmod(F.col("vec_id"), F.lit(20)) == 0, _SEMR_T
     )
     exact = exact_raw.select("d1", "d2").withColumn("hit", F.lit(1)).persist()
     pairs = simsearch.semantic_dup_pairs(
-        emb, threshold=_SEMR_T, dim=64, n_probe=3, tag_same_cell=True
+        emb, threshold=_SEMR_T, dim=64, n_probe=3, tag_same_cell=True,
+        cand_filter=F.pmod(F.col("d1"), F.lit(20)) == 0,
     )
-    found = pairs.where(F.pmod(F.col("d1"), F.lit(10)) == 0).select(
+    found = pairs.select(
         F.explode(
             F.when(
                 F.col("same_cell"), F.array(F.lit("cell1"), F.lit("probe3"))

@@ -101,3 +101,22 @@ def register_views(spark: SparkSession, sf_dir: str, rls_filter=None) -> None:
         if rls_filter and t in rls_filter:
             df = df.where(rls_filter[t])
         df.createOrReplaceTempView(t)
+
+
+def release_pinned(df: DataFrame) -> None:
+    """Explicitly release a result frame's pinned persisted inputs.
+
+    THE PIN CONTRACT: catalog builders that persist internal frames the
+    returned plan still references attach them to the result as
+    ``_pinned_persisted`` (a tuple of persisted DataFrames) so Python
+    GC can't drop the cache entries mid-consumption. One-shot harnesses
+    (bench.py, tools/check.py) `clearCache()` between queries and never
+    need this; a LONG-LIVED or multi-tenant session should call
+    ``release_pinned(result)`` after its terminal action to drop
+    exactly this query's pins — not every tenant's cache. Safe on
+    frames without pins and on already-unpersisted frames."""
+    for frame in getattr(df, "_pinned_persisted", ()):
+        try:
+            frame.unpersist()
+        except Exception:
+            pass

@@ -1696,7 +1696,7 @@ def test_simsearch_kernels_null_embedding_clear_error(spark):
 def test_dedup_semantic_recall_card(spark):
     """The semantic-dedup recall card's measured floors: the probe-3
     discovery recovers >= 0.9 of the exact panel pairs (measured 1.0 at
-    sf0.001/sf0.01, 0.94 at sf0.1), strictly dominates the single-cell
+    sf0.001/sf0.01, 0.92 at sf0.1), strictly dominates the single-cell
     config, and n_found == n_hit (precision 1 — every reported pair is
     a true pair, both sides verify with the same exact cosine)."""
     import __spark_entry__ as entrymod
@@ -1727,3 +1727,20 @@ def test_semantic_dup_pairs_tagged_subset(spark):
            for r in tagged.where("same_cell").collect()}
     want = {(r.d1, r.d2, r.cell, r.cosine) for r in single.collect()}
     assert got == want and len(want) > 0
+
+
+def test_release_pinned_contract(spark):
+    """release_pinned drops exactly the result's pinned frames (the
+    multi-tenant alternative to clearCache) and is a no-op on frames
+    without pins."""
+    from etl_staging_spark.tables import release_pinned
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = simsearch.lsh_multitable_topk(emb, F.col("vec_id") == 0, dim=64, k=2)
+    out.collect()
+    pins = out._pinned_persisted
+    assert pins and all(f.storageLevel.useMemory for f in pins)
+    release_pinned(out)
+    assert all(not f.storageLevel.useMemory for f in pins)
+    release_pinned(out)                    # idempotent
+    release_pinned(emb.limit(1))           # no pins -> no-op
