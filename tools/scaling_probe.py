@@ -125,11 +125,13 @@ def run_probe(
     """The probe body, callable from the CLI or the opt-in pytest
     marker (tests/test_scaling.py): returns {op: {r: sec}} so callers
     can assert growth bounds instead of eyeballing stdout."""
-    from etl_staging_spark.llmdata import dedup, lexsearch, linedup, lm, textstats
+    from etl_staging_spark.llmdata import dedup, lexsearch, linedup, lm, textstats, vocab
+    from etl_staging_spark.queries.catalog_llm import _BPE_FIXED_MERGES
 
     ops = {
         "dedup_minhash_lsh": lambda d: dedup.minhash_lsh_pairs(d, threshold=0.8),
         "dedup_exact": lambda d: dedup.exact_dup_groups(d),
+        "bpe_encode": lambda d: vocab.bpe_encode_report(d, _BPE_FIXED_MERGES),
         "bm25_topk": lambda d: lexsearch.bm25_topk(
             d, ["r0spark", "r0hash", "r0window"], k=50
         ),
