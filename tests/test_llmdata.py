@@ -1744,3 +1744,32 @@ def test_release_pinned_contract(spark):
     assert all(not f.storageLevel.useMemory for f in pins)
     release_pinned(out)                    # idempotent
     release_pinned(emb.limit(1))           # no pins -> no-op
+
+
+def test_semantic_dedup_trained_centroids_lift_recall(spark):
+    """The SemDeDup realism knob: spherical-k-means centroids
+    (train_ivf_centroids) produce more coherent cells than the
+    deterministic first-8 seeds, so single-cell dup recall rises
+    (measured 0.28 -> 0.42 on the sf0.001 embeddings) — the tunability
+    the operator docstring promises, demonstrated."""
+    from etl_staging_spark.llmdata.simsearch import (
+        exact_dup_pairs,
+        semantic_dup_pairs,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {(r.d1, r.d2)
+             for r in exact_dup_pairs(emb, F.lit(True), 0.35).collect()}
+    assert len(exact) > 100
+    first8 = {(r.d1, r.d2)
+              for r in semantic_dup_pairs(emb, 0.35, dim=64).collect()}
+    cents = train_ivf_centroids(emb, n_centroids=8)
+    trained = {(r.d1, r.d2)
+               for r in semantic_dup_pairs(
+                   emb, 0.35, dim=64, centroids=cents).collect()}
+    assert first8 <= exact and trained <= exact    # precision 1 both ways
+    r_f8 = len(first8) / len(exact)
+    r_tr = len(trained) / len(exact)
+    assert r_tr > r_f8, (r_tr, r_f8)
+    assert r_tr >= 0.35                            # measured 0.42
