@@ -920,3 +920,112 @@ def exact_dup_pairs(
     )
     out._pinned_persisted = (normed,)
     return out
+
+
+def write_embedding_index(
+    emb: DataFrame,
+    table: str,
+    dim: int,
+    n_tables: int = N_TABLES,
+    bits: int = BITS_PER_TABLE,
+    n_buckets: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the corpus side of the multi-table sign-LSH as bucketed
+    managed tables — the write-once-shuffle half of a day-2 embedding
+    near-dup / ANN service (the embedding analog of
+    ``dedup.write_signature_index``):
+
+    - ``{table}_keys``: (vec_id, bkt), one row per vector per hash
+      table, bucketed by bkt — a new batch's key join reads matching
+      buckets with NO Exchange on the corpus side;
+    - ``{table}_vecs``: (vec_id, embedding, nrm) bucketed by vec_id —
+      the verify join's corpus side, likewise exchange-free, with the
+      canonical decimal norm precomputed at write time.
+
+    Rewrites both tables; production appends partitions instead, which
+    bucketBy supports unchanged."""
+    from ..etl.bucketed import write_bucketed
+
+    keys = _mt_keys_udf(dim, n_tables, bits)
+    keyed = _respread_narrow(emb).select(
+        F.col(id_col).alias("vec_id"),
+        F.explode(keys(F.col(vec_col))).alias("bkt"),
+    )
+    write_bucketed(keyed, f"{table}_keys", ["bkt"], n_buckets)
+    vecs = with_norm(emb, vec_col).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        "nrm",
+    )
+    write_bucketed(vecs, f"{table}_vecs", ["vec_id"], n_buckets)
+
+
+def indexed_embedding_candidates(
+    spark,
+    batch: DataFrame,
+    table: str,
+    dim: int,
+    n_tables: int = N_TABLES,
+    bits: int = BITS_PER_TABLE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distinct (d1 = batch vector, d2 = corpus vector) candidate pairs
+    of a new batch against the persisted key index: the batch's LSH
+    keys equi-join the bucketed corpus key table — only the (small)
+    batch side shuffles."""
+    keys = _mt_keys_udf(dim, n_tables, bits)
+    bk = _respread_narrow(batch).select(
+        F.col(id_col).alias("d1"),
+        F.explode(keys(F.col(vec_col))).alias("bkt"),
+    )
+    ck = spark.table(f"{table}_keys").select(
+        F.col("vec_id").alias("d2"), "bkt"
+    )
+    return bk.join(ck, "bkt").select("d1", "d2").distinct()
+
+
+def incremental_embedding_matches(
+    spark,
+    batch: DataFrame,
+    table: str,
+    threshold: float,
+    dim: int,
+    n_tables: int = N_TABLES,
+    bits: int = BITS_PER_TABLE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup matches (d1 = batch, d2 = corpus, cosine >=
+    threshold) against the PERSISTED index
+    (:func:`write_embedding_index`): candidate discovery joins the
+    bucketed key table, verification attaches vectors from the bucketed
+    vector table via the shared two-stage exact-decimal cosine —
+    amortized cost per batch O(batch) + O(candidates), zero corpus-side
+    shuffle, the corpus itself never re-keyed. Same disjoint-id-space
+    precondition as the text signature index."""
+    cand = indexed_embedding_candidates(
+        spark, batch, table, dim, n_tables, bits, id_col, vec_col
+    )
+    b_normed = (
+        with_norm(_respread_narrow(batch), vec_col)
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("embedding"),
+            "nrm",
+        )
+        .persist()
+    )
+    # the batch side's vectors may be float32 while the index stores
+    # the corpus verbatim — union both verify sides under one schema
+    corpus_vecs = spark.table(f"{table}_vecs")
+    normed = b_normed.select(
+        "vec_id", F.col("embedding").cast(corpus_vecs.schema["embedding"].dataType), "nrm"
+    ).unionByName(corpus_vecs)
+    out = _verify_pairs(cand, normed, threshold, "vec_id", "embedding").select(
+        "d1", "d2", pround(F.col("cos_raw"), 6).alias("cosine")
+    )
+    out._pinned_persisted = (b_normed,)
+    return out

@@ -120,6 +120,39 @@ def gated_ingest_stream(
     )
 
 
+def embedding_dedup_stream(
+    vec_stream: DataFrame,
+    index_table: str,
+    on_batch: Callable[[int, DataFrame], None],
+    threshold: float,
+    dim: int,
+    query_name: str = "embedding_dedup",
+):
+    """Per micro-batch, match incoming embeddings against the persisted
+    multi-table sign-LSH index (`simsearch.write_embedding_index`) and
+    hand ``(batch_id, matches)`` to ``on_batch`` — matches has the
+    (d1 = new vector, d2 = corpus vector, cosine) shape of the batch
+    operator. The embedding analog of :func:`dedup_ingest_stream`: each
+    batch pays O(batch) + O(candidates), the corpus is never re-keyed,
+    and the handler owns the sink (a self-maintaining loop appends
+    non-matching vectors and their keys to the two bucketed tables).
+    vec_id spaces of stream and index must be disjoint."""
+    from ..llmdata import simsearch
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        matches = simsearch.incremental_embedding_matches(
+            batch_df.sparkSession, batch_df, index_table, threshold, dim
+        )
+        on_batch(batch_id, matches)
+
+    return (
+        vec_stream.writeStream.foreachBatch(_process)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def assembly_ingest_stream(
     docs_stream: DataFrame,
     index_table: str,

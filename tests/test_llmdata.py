@@ -1773,3 +1773,63 @@ def test_semantic_dedup_trained_centroids_lift_recall(spark):
     r_tr = len(trained) / len(exact)
     assert r_tr > r_f8, (r_tr, r_f8)
     assert r_tr >= 0.35                            # measured 0.42
+
+
+def test_embedding_index_matches_in_session_path(spark):
+    """The persisted embedding LSH index returns the same verified
+    matches as computing candidates in-session, planted colinear dup
+    found at cosine 1, and the candidate join's corpus side reads the
+    bucketed key table with no Exchange above it."""
+    import contextlib
+    import io
+
+    corpus = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    simsearch.write_embedding_index(corpus, "emb_ix_test", dim=64, n_buckets=4)
+    base = corpus.where("vec_id = 7").collect()[0].embedding
+    batch = spark.createDataFrame(
+        [(10007, [2.0 * float(v) for v in base]),   # colinear dup of 7
+         (10008, [float(i == 0) for i in range(64)])],
+        "vec_id long, embedding array<double>",
+    )
+    try:
+        got = {(r.d1, r.d2, r.cosine)
+               for r in simsearch.incremental_embedding_matches(
+                   spark, batch, "emb_ix_test", threshold=0.9, dim=64
+               ).collect()}
+        assert (10007, 7, 1.0) in got
+        assert all(d1 in (10007, 10008) and d2 < 10000 for d1, d2, _ in got)
+        # in-session reference: same keys, same verify, no index
+        union = corpus.unionByName(
+            batch.select("vec_id", F.col("embedding").cast("array<float>"))
+        )
+        want = {(r.qid, r.cid)
+                for r in simsearch.lsh_multitable_candidates(
+                    union, F.col("vec_id") >= 10000, dim=64).collect()
+                if r.cid < 10000}  # index path is batch-vs-CORPUS only
+        cand = {(r.d1, r.d2)
+                for r in simsearch.indexed_embedding_candidates(
+                    spark, batch, "emb_ix_test", dim=64).collect()}
+        assert cand == want and cand
+
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            cands = simsearch.indexed_embedding_candidates(
+                spark, batch, "emb_ix_test", dim=64)
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                cands.explain("formatted")
+            plan = buf.getvalue()
+            tree = plan.split("\n\n")[0].splitlines()
+            scan_i = next(i for i, ln in enumerate(tree)
+                          if "Scan parquet" in ln and "emb_ix_test_keys" in ln)
+            join_i = max(i for i, ln in enumerate(tree[:scan_i]) if "Join" in ln)
+            corpus_branch = [ln for ln in tree[join_i + 1: scan_i] if ":" not in ln]
+            assert all("Exchange" not in ln for ln in corpus_branch), plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS emb_ix_test_keys")
+        spark.sql("DROP TABLE IF EXISTS emb_ix_test_vecs")

@@ -462,3 +462,60 @@ def test_assembly_ingest_stream_matches_batch(spark, tmp_path):
     assert got == want
     assert set(range(12)) <= set(got), "good docs must survive"
     assert 50 not in got and 51 not in got and 52 not in got
+
+
+def test_embedding_dedup_stream_matches_batch(spark, tmp_path):
+    """Continuous embedding near-dup scrub: vectors arrive as a
+    multi-drop file stream, every micro-batch's matches against the
+    persisted sign-LSH index equal the batch operator's answer for the
+    same vectors (batch-boundary independent — each decision depends
+    only on the vector and the persisted index)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StructField, StructType,
+    )
+
+    from etl_staging_spark.llmdata import simsearch
+    from etl_staging_spark.streaming.ingest import embedding_dedup_stream
+
+    corpus = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    simsearch.write_embedding_index(corpus, "emb_six_test", dim=64, n_buckets=4)
+    b3, b5 = {r.vec_id: r.embedding
+              for r in corpus.where("vec_id in (3, 5)").collect()}.values()
+    incoming = spark.createDataFrame(
+        [(20001, [3.0 * float(v) for v in b3]),     # dup of corpus 3
+         (20002, [-1.0 * float(v) for v in b5]),    # anti-parallel: no match
+         (20003, [0.5 * float(v) for v in b5])],    # dup of corpus 5
+        "vec_id long, embedding array<double>",
+    )
+    drop_dir = str(tmp_path / "vec_drops")
+    incoming.repartition(3).write.mode("overwrite").parquet(drop_dir)
+
+    seen: set = set()
+    bids = []
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(DoubleType())),
+    ])
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(drop_dir))
+    q = embedding_dedup_stream(
+        stream, "emb_six_test",
+        lambda bid, m: (bids.append(bid),
+                        seen.update((r.d1, r.d2, r.cosine) for r in m.collect())),
+        threshold=0.9, dim=64,
+    )
+    q.awaitTermination()
+    assert len(bids) >= 2
+
+    want = {(r.d1, r.d2, r.cosine)
+            for r in simsearch.incremental_embedding_matches(
+                spark, incoming, "emb_six_test", threshold=0.9, dim=64
+            ).collect()}
+    spark.sql("DROP TABLE IF EXISTS emb_six_test_keys")
+    spark.sql("DROP TABLE IF EXISTS emb_six_test_vecs")
+    assert seen == want
+    assert (20001, 3, 1.0) in seen and (20003, 5, 1.0) in seen
+    assert all(d1 != 20002 for d1, _, _ in seen)
