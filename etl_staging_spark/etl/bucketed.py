@@ -107,3 +107,24 @@ def co_located_join(
     count, the plan contains no Exchange — the buckets ARE the shuffle
     output, amortized across every query that joins on this key."""
     return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def append_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Append to an EXISTING bucketed table under the same bucket spec —
+    the growth path of every persisted index here (day-2 batches join
+    the corpus by appending; Spark rejects a mismatched spec, so the
+    exchange-free join property survives every append)."""
+    writer = (
+        df.write.format("parquet")
+        .mode("append")
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)

@@ -297,6 +297,26 @@ def write_signature_index(
     sh.unpersist()
 
 
+def append_signature_index(
+    batch: DataFrame, table: str, n_buckets: int = 16, n: int = 3
+) -> None:
+    """Append a new batch's signatures and shingle arrays to an
+    EXISTING persisted index — the self-maintaining half of the day-2
+    loop the stream handlers document: after matching, the non-dup
+    survivors join the corpus by appending under the SAME bucket spec
+    (`etl.bucketed.append_bucketed`), so every later batch still joins
+    the corpus side exchange-free. Caller guarantees the appended
+    doc_ids are new (the match step just established that)."""
+    from ..etl.bucketed import append_bucketed
+
+    sh = hashed_shingles(batch, n=n).persist()
+    bands = banded_signatures(_signatures_from(sh))
+    append_bucketed(bands, f"{table}_bands", ["band", "sig"], n_buckets)
+    arrs = sh.groupBy("doc_id").agg(F.sort_array(F.collect_list("h")).alias("hs"))
+    append_bucketed(arrs, f"{table}_arrays", ["doc_id"], n_buckets)
+    sh.unpersist()
+
+
 def _indexed_candidates_from(spark, sh_b: DataFrame, table: str) -> DataFrame:
     bb = banded_signatures(_signatures_from(sh_b)).alias("b")
     bc = spark.table(f"{table}_bands").alias("c")

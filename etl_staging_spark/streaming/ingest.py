@@ -39,6 +39,20 @@ def doc_stream(spark, docs_dir: str, schema: StructType = DOC_SCHEMA) -> DataFra
     return spark.readStream.schema(schema).parquet(docs_dir)
 
 
+def _start(stream_writer, query_name: str, checkpoint_dir: str | None):
+    """Shared stream starter: availableNow trigger, optional checkpoint.
+    With ``checkpoint_dir`` set, a restarted stream resumes from the
+    committed offset log and processes ONLY files that arrived since —
+    the exactly-once restart story every ingest service here inherits
+    (foreachBatch re-delivers an uncommitted batch after a crash; the
+    handlers are deterministic and idempotent-by-overwrite, so replays
+    converge)."""
+    w = stream_writer.queryName(query_name).trigger(availableNow=True)
+    if checkpoint_dir:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w.start()
+
+
 def dedup_ingest_stream(
     docs_stream: DataFrame,
     index_table: str,
@@ -46,6 +60,7 @@ def dedup_ingest_stream(
     threshold: float = 0.8,
     n: int = 3,
     query_name: str = "dedup_ingest",
+    checkpoint_dir: str | None = None,
 ):
     """Start an available-now stream that, per micro-batch, matches the
     incoming documents against the persisted corpus signature index and
@@ -64,12 +79,7 @@ def dedup_ingest_stream(
         )
         on_batch(batch_id, matches)
 
-    return (
-        docs_stream.writeStream.foreachBatch(_process)
-        .queryName(query_name)
-        .trigger(availableNow=True)
-        .start()
-    )
+    return _start(docs_stream.writeStream.foreachBatch(_process), query_name, checkpoint_dir)
 
 
 def gated_ingest_stream(
@@ -78,6 +88,7 @@ def gated_ingest_stream(
     quality_min: float = 0.68,
     splits: dict[str, float] | None = None,
     query_name: str = "gated_ingest",
+    checkpoint_dir: str | None = None,
 ):
     """The stateless front half of corpus assembly run continuously at
     ingest: per micro-batch, quality gate + Gopher repetition gate +
@@ -112,12 +123,7 @@ def gated_ingest_stream(
         finally:
             rep_flags.unpersist()
 
-    return (
-        docs_stream.writeStream.foreachBatch(_process)
-        .queryName(query_name)
-        .trigger(availableNow=True)
-        .start()
-    )
+    return _start(docs_stream.writeStream.foreachBatch(_process), query_name, checkpoint_dir)
 
 
 def embedding_dedup_stream(
@@ -127,6 +133,7 @@ def embedding_dedup_stream(
     threshold: float,
     dim: int,
     query_name: str = "embedding_dedup",
+    checkpoint_dir: str | None = None,
 ):
     """Per micro-batch, match incoming embeddings against the persisted
     multi-table sign-LSH index (`simsearch.write_embedding_index`) and
@@ -145,12 +152,7 @@ def embedding_dedup_stream(
         )
         on_batch(batch_id, matches)
 
-    return (
-        vec_stream.writeStream.foreachBatch(_process)
-        .queryName(query_name)
-        .trigger(availableNow=True)
-        .start()
-    )
+    return _start(vec_stream.writeStream.foreachBatch(_process), query_name, checkpoint_dir)
 
 
 def assembly_ingest_stream(
@@ -164,6 +166,7 @@ def assembly_ingest_stream(
     n_contam: int = 5,
     splits: dict[str, float] | None = None,
     query_name: str = "assembly_ingest",
+    checkpoint_dir: str | None = None,
 ):
     """The composed corpus-assembly FRONT-END as one continuous ingest
     job — the streaming twin of ``corpus_assembly_v2``'s stateless
@@ -232,12 +235,7 @@ def assembly_ingest_stream(
         finally:
             rep_flags.unpersist()
 
-    return (
-        docs_stream.writeStream.foreachBatch(_process)
-        .queryName(query_name)
-        .trigger(availableNow=True)
-        .start()
-    )
+    return _start(docs_stream.writeStream.foreachBatch(_process), query_name, checkpoint_dir)
 
 
 def segment_clean_stream(
@@ -246,6 +244,7 @@ def segment_clean_stream(
     on_batch: Callable[[int, DataFrame], None],
     k: int | None = None,
     query_name: str = "segment_clean",
+    checkpoint_dir: str | None = None,
 ):
     """Per micro-batch, scrub incoming documents against the persisted
     hot-segment index (`llmdata.linedup.write_hot_segment_index`) and
@@ -262,12 +261,7 @@ def segment_clean_stream(
         hot = batch_df.sparkSession.table(hot_table)
         on_batch(batch_id, linedup.segment_clean(batch_df, hot, k=seg_k))
 
-    return (
-        docs_stream.writeStream.foreachBatch(_process)
-        .queryName(query_name)
-        .trigger(availableNow=True)
-        .start()
-    )
+    return _start(docs_stream.writeStream.foreachBatch(_process), query_name, checkpoint_dir)
 
 
 def lm_score_stream(
@@ -275,6 +269,7 @@ def lm_score_stream(
     model_table: str,
     on_batch: Callable[[int, DataFrame], None],
     query_name: str = "lm_score",
+    checkpoint_dir: str | None = None,
 ):
     """Per micro-batch, score incoming documents under the PERSISTED
     corpus-trained LM (`llmdata.lm.write_lm_model`) and hand the
@@ -287,9 +282,4 @@ def lm_score_stream(
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         on_batch(batch_id, lm.score_with_model(batch_df, model_table))
 
-    return (
-        docs_stream.writeStream.foreachBatch(_process)
-        .queryName(query_name)
-        .trigger(availableNow=True)
-        .start()
-    )
+    return _start(docs_stream.writeStream.foreachBatch(_process), query_name, checkpoint_dir)

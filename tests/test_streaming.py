@@ -519,3 +519,99 @@ def test_embedding_dedup_stream_matches_batch(spark, tmp_path):
     assert seen == want
     assert (20001, 3, 1.0) in seen and (20003, 5, 1.0) in seen
     assert all(d1 != 20002 for d1, _, _ in seen)
+
+
+def test_self_maintaining_ingest_appends_to_index(spark, tmp_path):
+    """The full day-2 loop the handler docstrings promise: batch 1's
+    non-matching docs append to the signature index under the same
+    bucket spec; batch 2's dup OF A BATCH-1 DOC is then caught — the
+    corpus genuinely grows between drops, and the bucketed join
+    property survives the append."""
+    from etl_staging_spark.llmdata import dedup
+    from etl_staging_spark.streaming.ingest import dedup_ingest_stream, doc_stream
+
+    seed = (
+        "original corpus resident text about glacier meltwater chemistry "
+        "and the seasonal sediment load of braided mountain rivers"
+    )
+    newbie = (
+        "fresh incoming document describing container orchestration "
+        "rollouts canary deployments and automated rollback policies "
+        "across regional clusters with health probes readiness gates "
+        "traffic shifting and staged confidence windows for releases"
+    )
+    corpus = spark.createDataFrame([(0, seed)], "doc_id long, text string")
+    dedup.write_signature_index(corpus, "grow_ix_test", n_buckets=4)
+
+    drop1 = str(tmp_path / "d1")
+    spark.createDataFrame(
+        [(100, newbie)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(drop1)
+
+    def grow_handler(bid, matches):
+        m = matches.persist()
+        dup_ids = {r.d1 for r in m.collect()}
+        batch = spark.read.parquet(drop1)
+        survivors = batch.where(~F.col("doc_id").isin(list(dup_ids) or [-1]))
+        dedup.append_signature_index(survivors, "grow_ix_test", n_buckets=4)
+        m.unpersist()
+
+    q = dedup_ingest_stream(
+        doc_stream(spark, drop1), "grow_ix_test", grow_handler, threshold=0.7
+    )
+    q.awaitTermination()
+
+    # batch 2: a near-dup of the APPENDED doc 100, plus a dup of seed
+    batch2 = spark.createDataFrame(
+        [(200, newbie.replace("automated", "manual")), (201, seed)],
+        "doc_id long, text string",
+    )
+    got = {(r.d1, r.d2) for r in dedup.incremental_lsh_matches_indexed(
+        spark, batch2, "grow_ix_test", threshold=0.7).collect()}
+    spark.sql("DROP TABLE IF EXISTS grow_ix_test_bands")
+    spark.sql("DROP TABLE IF EXISTS grow_ix_test_arrays")
+    assert (200, 100) in got, got      # caught against the APPENDED doc
+    assert (201, 0) in got, got        # original corpus still matches
+
+
+def test_checkpointed_ingest_resumes_without_reprocessing(spark, tmp_path):
+    """Restart semantics: with a checkpoint dir, a re-started
+    available-now stream processes ONLY files that arrived since the
+    last committed offset — no batch-1 doc is re-delivered."""
+    from etl_staging_spark.streaming.ingest import doc_stream, gated_ingest_stream
+
+    good = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+        "uniform victor whiskey xray yankee zulu one two three four five "
+        "six seven eight nine ten eleven twelve thirteen fourteen fifteen"
+    )
+    drop_dir = tmp_path / "drops"
+    ckpt = str(tmp_path / "ckpt")
+    drop_dir.mkdir()
+    spark.createDataFrame(
+        [(i, good + f" tail{i}") for i in range(5)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(drop_dir / "f1"))
+
+    # the source watches the directory tree; each sub-drop is new files
+    runs: list[set] = []
+
+    def run_once():
+        seen: set = set()
+        q = gated_ingest_stream(
+            doc_stream(spark, str(drop_dir) + "/*"),
+            lambda bid, f: seen.update(r.doc_id for r in f.collect()),
+            quality_min=0.5,
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination()
+        runs.append(seen)
+
+    run_once()
+    spark.createDataFrame(
+        [(10 + i, good + f" more{i}") for i in range(3)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(drop_dir / "f2"))
+    run_once()
+
+    assert runs[0] == set(range(5))
+    assert runs[1] == {10, 11, 12}, runs[1]   # nothing reprocessed
