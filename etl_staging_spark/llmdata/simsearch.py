@@ -962,6 +962,38 @@ def write_embedding_index(
     write_bucketed(vecs, f"{table}_vecs", ["vec_id"], n_buckets)
 
 
+def append_embedding_index(
+    emb: DataFrame,
+    table: str,
+    dim: int,
+    n_tables: int = N_TABLES,
+    bits: int = BITS_PER_TABLE,
+    n_buckets: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a new batch's keys and vectors to an EXISTING embedding
+    index under the same bucket spec — the self-maintaining half of the
+    embedding-dedup loop (:func:`write_embedding_index`'s growth path).
+    Caller guarantees the appended vec_ids are new."""
+    from ..etl.bucketed import append_bucketed
+
+    keys = _mt_keys_udf(dim, n_tables, bits)
+    spark = emb.sparkSession
+    vec_type = spark.table(f"{table}_vecs").schema["embedding"].dataType
+    keyed = _respread_narrow(emb).select(
+        F.col(id_col).alias("vec_id"),
+        F.explode(keys(F.col(vec_col))).alias("bkt"),
+    )
+    append_bucketed(keyed, f"{table}_keys", ["bkt"], n_buckets)
+    vecs = with_norm(emb, vec_col).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast(vec_type).alias("embedding"),
+        "nrm",
+    )
+    append_bucketed(vecs, f"{table}_vecs", ["vec_id"], n_buckets)
+
+
 def indexed_embedding_candidates(
     spark,
     batch: DataFrame,

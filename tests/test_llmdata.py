@@ -1833,3 +1833,30 @@ def test_embedding_index_matches_in_session_path(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS emb_ix_test_keys")
         spark.sql("DROP TABLE IF EXISTS emb_ix_test_vecs")
+
+
+def test_embedding_index_append_grows_corpus(spark):
+    """append_embedding_index: a vector appended after the initial
+    write is matched by the next batch exactly like an original corpus
+    vector (same bucket spec, exchange-free join property preserved)."""
+    corpus = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding").where("vec_id < 100")
+    simsearch.write_embedding_index(corpus, "emb_grow_test", dim=64, n_buckets=4)
+    nv = [float((i * 37) % 11 - 5) for i in range(64)]      # novel direction
+    try:
+        simsearch.append_embedding_index(
+            spark.createDataFrame([(500, nv)], "vec_id long, embedding array<double>"),
+            "emb_grow_test", dim=64, n_buckets=4,
+        )
+        batch = spark.createDataFrame(
+            [(9000, [2.0 * v for v in nv])], "vec_id long, embedding array<double>"
+        )
+        got = {(r.d1, r.d2, r.cosine)
+               for r in simsearch.incremental_embedding_matches(
+                   spark, batch, "emb_grow_test", threshold=0.9, dim=64
+               ).collect()}
+        assert (9000, 500, 1.0) in got, got
+    finally:
+        spark.sql("DROP TABLE IF EXISTS emb_grow_test_keys")
+        spark.sql("DROP TABLE IF EXISTS emb_grow_test_vecs")
