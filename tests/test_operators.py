@@ -408,3 +408,46 @@ def test_paths_topk_planted(spark):
     # rank 2/3 are the 1-count paths in step-ascending order
     assert [(r.step1, r.step2, r.step3) for r in out[1:]] == [
         ("buy", "view", "click"), ("click", "buy", "view")]
+
+
+def test_paths_topk_vs_python_reference(spark):
+    """paths_topk on a seeded pseudo-random event log equals a direct
+    Python walk of each user's time-ordered sequence: same counts, same
+    (count desc, steps asc) cut, and path totals conserve
+    sum_u max(0, n_u - L + 1)."""
+    from collections import Counter, defaultdict
+
+    from pyspark.sql import functions as F
+
+    from etl_staging_spark.operators import events as ev
+
+    types = ["view", "click", "buy", "search"]
+    rows = []
+    for i in range(400):
+        # deterministic arithmetic scramble, no RNG
+        u = (i * 7919) % 23
+        t = types[(i * i * 31 + u) % 4]
+        rows.append((i, f"2024-02-0{1 + i % 9} 0{i % 10}:{i % 60:02d}:00", u, t, 0.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string, value double"
+    ).select(
+        "event_id", F.col("ts_s").cast("timestamp_ntz").alias("ts"),
+        "user_id", "event_type", "value",
+    )
+    seqs = defaultdict(list)
+    for eid, ts, u, t, _ in rows:
+        seqs[u].append((ts, eid, t))
+    want = Counter()
+    for u, es in seqs.items():
+        es.sort()
+        ts_ = [t for _, _, t in es]
+        for j in range(len(ts_) - 2):
+            want[tuple(ts_[j:j + 3])] += 1
+    got = ev.paths_topk(df, length=3, k=10_000).collect()
+    assert {(r.step1, r.step2, r.step3): r.n_paths for r in got} == dict(want)
+    assert sum(want.values()) == sum(
+        max(0, len(es) - 2) for es in seqs.values())
+    # the k-cut respects (count desc, steps asc) exactly
+    ordered = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
+    top5 = ev.paths_topk(df, length=3, k=5).collect()
+    assert [((r.step1, r.step2, r.step3), r.n_paths) for r in top5] == ordered[:5]
