@@ -981,17 +981,20 @@ def append_embedding_index(
     keys = _mt_keys_udf(dim, n_tables, bits)
     spark = emb.sparkSession
     vec_type = spark.table(f"{table}_vecs").schema["embedding"].dataType
-    keyed = _respread_narrow(emb).select(
-        F.col(id_col).alias("vec_id"),
-        F.explode(keys(F.col(vec_col))).alias("bkt"),
-    )
-    append_bucketed(keyed, f"{table}_keys", ["bkt"], n_buckets)
-    vecs = with_norm(emb, vec_col).select(
+    # cast FIRST so keys, stored vectors and stored norms all derive
+    # from the same element values (norm-of-double with vector-of-float
+    # would disagree at threshold knife-edges)
+    cast = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast(vec_type).alias("embedding"),
-        "nrm",
     )
-    append_bucketed(vecs, f"{table}_vecs", ["vec_id"], n_buckets)
+    keyed = _respread_narrow(cast).select(
+        "vec_id", F.explode(keys(F.col("embedding"))).alias("bkt")
+    )
+    append_bucketed(keyed, f"{table}_keys", ["bkt"], n_buckets)
+    append_bucketed(
+        with_norm(cast, "embedding"), f"{table}_vecs", ["vec_id"], n_buckets
+    )
 
 
 def indexed_embedding_candidates(
@@ -1038,24 +1041,21 @@ def incremental_embedding_matches(
     amortized cost per batch O(batch) + O(candidates), zero corpus-side
     shuffle, the corpus itself never re-keyed. Same disjoint-id-space
     precondition as the text signature index."""
-    cand = indexed_embedding_candidates(
-        spark, batch, table, dim, n_tables, bits, id_col, vec_col
-    )
-    b_normed = (
-        with_norm(_respread_narrow(batch), vec_col)
-        .select(
-            F.col(id_col).alias("vec_id"),
-            F.col(vec_col).alias("embedding"),
-            "nrm",
-        )
-        .persist()
-    )
-    # the batch side's vectors may be float32 while the index stores
-    # the corpus verbatim — union both verify sides under one schema
+    # cast the batch to the index's element type up front so keys,
+    # norms and the verify all see the same values (the batch may
+    # arrive float64 while the index stores float32)
     corpus_vecs = spark.table(f"{table}_vecs")
-    normed = b_normed.select(
-        "vec_id", F.col("embedding").cast(corpus_vecs.schema["embedding"].dataType), "nrm"
-    ).unionByName(corpus_vecs)
+    cast = batch.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col)
+        .cast(corpus_vecs.schema["embedding"].dataType)
+        .alias("embedding"),
+    )
+    cand = indexed_embedding_candidates(
+        spark, cast, table, dim, n_tables, bits, "vec_id", "embedding"
+    )
+    b_normed = with_norm(_respread_narrow(cast), "embedding").persist()
+    normed = b_normed.unionByName(corpus_vecs)
     out = _verify_pairs(cand, normed, threshold, "vec_id", "embedding").select(
         "d1", "d2", pround(F.col("cos_raw"), 6).alias("cosine")
     )
