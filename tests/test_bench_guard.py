@@ -1,0 +1,40 @@
+"""Unit tests for bench.py's outlier-guard reference loader — pure
+file logic, no Spark: the guard must read the LATEST strictly-named
+BENCH round, unwrap the driver's "parsed" envelope, and never crash on
+stray or corrupt files (a broken guard silently disables re-runs)."""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from bench import _prior_timings
+
+
+def _write(d, name, payload):
+    (d / name).write_text(json.dumps(payload))
+
+
+def test_prior_timings_latest_round_wins(tmp_path):
+    _write(tmp_path, "BENCH_r08.json",
+           {"parsed": {"queries": {"q": 1.0}}})
+    _write(tmp_path, "BENCH_r09.json",
+           {"parsed": {"queries": {"q": 2.0}}})
+    assert _prior_timings(str(tmp_path)) == {"q": 2.0}
+
+
+def test_prior_timings_strict_name_and_corrupt_tolerance(tmp_path):
+    _write(tmp_path, "BENCH_r08.json", {"parsed": {"queries": {"q": 1.0}}})
+    # stray variant must not be parsed as a later round
+    _write(tmp_path, "BENCH_r08_v2.json", {"parsed": {"queries": {"q": 9.0}}})
+    (tmp_path / "BENCH_r10.json").write_text("{not json")
+    assert _prior_timings(str(tmp_path)) == {"q": 1.0}
+
+
+def test_prior_timings_unwrapped_and_empty(tmp_path):
+    # bench.py's own raw output (no driver envelope) also works
+    _write(tmp_path, "BENCH_r03.json", {"queries": {"x": 0.5}})
+    assert _prior_timings(str(tmp_path)) == {"x": 0.5}
+    assert _prior_timings(str(tmp_path / "nowhere")) == {}
