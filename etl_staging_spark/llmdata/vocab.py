@@ -248,7 +248,10 @@ def o_bpe_encode(
     left-to-right semantics of the Spark array fold (plain string
     REPLACE chains cannot express this: with separators consumed the
     chain "l l l l" misses the second collapse, without boundaries a
-    symbol's prefix/suffix false-matches)."""
+    symbol's prefix/suffix false-matches). Oracle-side limitation: a
+    token CONTAINING chr(31) would corrupt the joined accumulator —
+    fine for the whitespace-tokenized test corpora; the Spark fold
+    itself has no such constraint."""
     expr = "[w[i:i] FOR i IN range(1, len(w)+1)]"
     for left, right in merges:
         le = left.replace("'", "''")
