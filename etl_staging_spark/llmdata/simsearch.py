@@ -551,6 +551,9 @@ def cosine_dup_pairs(
     bands: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cand_filter: Column | None = None,
+    d1_pred: Column | None = None,
+    candidates_only: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (d1 < d2, cosine >= threshold).
 
@@ -559,7 +562,17 @@ def cosine_dup_pairs(
     per-bucket self-join, never all-pairs. Verification: exact decimal
     cosine over the candidate ids joined back to the vectors. The
     threshold is a parameter: production near-dup uses ~0.95; fixtures
-    use where the synthetic data actually has signal."""
+    use where the synthetic data actually has signal. ``cand_filter``
+    (predicate over d1/d2) prunes candidates BEFORE the verify — the
+    sampled-QA path (see `semantic_dup_pairs`); ``d1_pred`` (over the
+    original columns) restricts the SMALLER-id side BEFORE the bucket
+    join — same result as a d1 cand_filter at 1/panel-fraction of the
+    join volume, the shape a sampled recall card needs. With
+    ``candidates_only`` the DISCOVERY output (distinct skinny id
+    pairs, unverified) returns directly — a recall card that already
+    holds the exact panel scores needs only the candidate sets, never
+    a per-method re-verify. For the high-recall discovery config see
+    :func:`mt_dup_pairs`."""
     normed = with_norm(_respread_narrow(emb), vec_col).persist()
     planes = hyperplanes(N_PLANES, dim)
     per_band = N_PLANES // bands
@@ -575,7 +588,14 @@ def cosine_dup_pairs(
     banded = normed.select(
         F.col(id_col).alias("vid"), F.explode(F.array(*band_cols)).alias("bkt")
     )
-    x, y = banded.alias("x"), banded.alias("y")
+    banded_x = (
+        normed.where(d1_pred).select(
+            F.col(id_col).alias("vid"), F.explode(F.array(*band_cols)).alias("bkt")
+        )
+        if d1_pred is not None
+        else banded
+    )
+    x, y = banded_x.alias("x"), banded.alias("y")
     # the bucket self-join lands on #buckets keys; respread the skinny
     # id pairs before the per-pair dot products so the verify stage
     # runs at full parallelism (see semantic_dup_pairs for the same
@@ -583,12 +603,62 @@ def cosine_dup_pairs(
     cands = (
         x.join(y, (F.col("x.bkt") == F.col("y.bkt")) & (F.col("x.vid") < F.col("y.vid")))
         .select(F.col("x.vid").alias("d1"), F.col("y.vid").alias("d2"))
-        .distinct()
     )
+    if cand_filter is not None:
+        cands = cands.where(cand_filter)
+    cands = cands.distinct()
+    if candidates_only:
+        cands._pinned_persisted = (normed,)
+        return cands
     out = _verify_pairs(cands, normed, threshold, id_col, vec_col).select(
         "d1", "d2", pround(F.col("cos_raw"), 6).alias("cosine")
     )
     out._pinned_persisted = (normed,)  # hold the cache for branch reuse
+    return out
+
+
+def mt_dup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    dim: int,
+    n_tables: int = N_TABLES,
+    bits: int = BITS_PER_TABLE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cand_filter: Column | None = None,
+    d1_pred: Column | None = None,
+    candidates_only: bool = False,
+) -> DataFrame:
+    """Embedding near-dup pairs under MULTI-TABLE sign-LSH discovery
+    (d1 < d2, cosine >= threshold) — the high-recall configuration:
+    candidates share ANY of the ``n_tables`` x ``bits``-bit buckets, so
+    a cos~0.35 pair collides with probability ~1-(1-p^bits)^n_tables
+    (~0.9 at the defaults) where the 2-band split of 8 planes
+    (`cosine_dup_pairs`) sits near ~0.27. The price is candidate
+    volume: ~n_tables x (N^2 / 2^bits) bucket-pair work — choose this
+    config when recall matters more than candidate cost (or prune with
+    ``cand_filter`` / pre-join ``d1_pred`` for sampled QA — ``d1_pred``
+    restricts the smaller-id side before the bucket join, cutting join
+    volume by the panel fraction). Same bucketed equi-join + shared
+    exact-decimal verify as every dup path; never all-pairs."""
+    keyed = _table_keys_frame(
+        emb, F.lit(False), dim, n_tables, bits, id_col, vec_col
+    ).persist()
+    a_src = keyed.where(d1_pred) if d1_pred is not None else keyed
+    a = a_src.select(F.col(id_col).alias("d1"), "bkt")
+    b = keyed.select(F.col(id_col).alias("d2"), "bkt")
+    cand = a.join(b, "bkt").where(F.col("d1") < F.col("d2")).select("d1", "d2")
+    if cand_filter is not None:
+        cand = cand.where(cand_filter)
+    cand = cand.distinct()
+    if candidates_only:
+        cand._pinned_persisted = (keyed,)
+        return cand
+    normed = with_norm(_respread_narrow(emb), vec_col).persist()
+    out = _verify_pairs(cand, normed, threshold, id_col, vec_col).select(
+        "d1", "d2", pround(F.col("cos_raw"), 6).alias("cosine")
+    )
+    out._pinned_persisted = (keyed, normed)
     return out
 
 
@@ -810,6 +880,8 @@ def semantic_dup_pairs(
     centroids: list[list[float]] | None = None,
     tag_same_cell: bool = False,
     cand_filter: Column | None = None,
+    d1_pred: Column | None = None,
+    candidates_only: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs: coarse-quantize every
     vector to its nearest centroid (the IVF assignment, ties to the
@@ -845,7 +917,11 @@ def semantic_dup_pairs(
     prunes candidate pairs BEFORE the exact verify — the sampled-QA
     path: a recall card scoring only panel-d1 pairs cuts the verify
     stage by the panel fraction instead of verifying corpus-wide and
-    discarding."""
+    discarding. ``d1_pred`` (over the original columns) goes further
+    and restricts the smaller-id side BEFORE the cell join, cutting
+    the join volume itself by the panel fraction. ``candidates_only``
+    returns the distinct DISCOVERY pairs unverified (with ``same_cell``
+    when tagged) — the recall-card path."""
     cent_arrs, cent_norms = _resolve_centroids(
         emb, centroids, n_centroids, id_col, vec_col
     )
@@ -865,7 +941,14 @@ def semantic_dup_pairs(
     probed = normed.select(
         F.col(id_col).alias("vid"), F.explode("cells").alias("pc")
     )
-    a = probed.select(F.col("pc"), F.col("vid").alias("d1"))
+    a_src = (
+        normed.where(d1_pred).select(
+            F.col(id_col).alias("vid"), F.explode("cells").alias("pc")
+        )
+        if d1_pred is not None
+        else probed
+    )
+    a = a_src.select(F.col("pc"), F.col("vid").alias("d1"))
     b = probed.select(F.col("pc"), F.col("vid").alias("d2"))
     cand = a.join(b, "pc").where(F.col("d1") < F.col("d2")).select("d1", "d2")
     if cand_filter is not None:
@@ -873,6 +956,16 @@ def semantic_dup_pairs(
     if n_probe > 1:
         # a pair sharing several probed cells would verify repeatedly
         cand = cand.distinct()
+    if candidates_only:
+        if tag_same_cell:
+            c1 = normed.select(F.col(id_col).alias("d1"), F.col("cell").alias("__c1"))
+            c2 = normed.select(F.col(id_col).alias("d2"), F.col("cell").alias("__c2"))
+            cand = (
+                cand.join(c1, "d1").join(c2, "d2")
+                .select("d1", "d2", (F.col("__c1") == F.col("__c2")).alias("same_cell"))
+            )
+        cand._pinned_persisted = (normed,)
+        return cand
     verified = _verify_pairs(
         cand, normed, threshold, id_col, vec_col, carry_left=("cell",)
     )

@@ -1539,7 +1539,7 @@ _SEMR_T = 0.35
 @query(
     "dedup_semantic_recall",
     oracle=f"""
-    WITH {O_ELEMS},
+    WITH {_o_planes_values(64)}, {O_ELEMS}, {_o_mt_cand(64)},
     xd AS (
       SELECT a.vec_id AS d1, b.vec_id AS d2,
              CAST(SUM(CAST(x.e * y.e AS DECIMAL(30,15))) AS DOUBLE) AS dot
@@ -1583,15 +1583,45 @@ _SEMR_T = 0.35
       JOIN assign sa ON sa.vec_id = c.d1
       JOIN assign sb ON sb.vec_id = c.d2
     ),
+    b2signs AS (
+      SELECT e.vec_id, pl.p,
+             CASE WHEN CAST(SUM(CAST(pl.w * e.e AS DECIMAL(30,15))) AS DOUBLE) >= 0
+                  THEN '1' ELSE '0' END AS ch
+      FROM elems e JOIN planes pl ON pl.i = e.i
+      GROUP BY e.vec_id, pl.p
+    ),
+    b2bands AS (
+      SELECT vec_id, '0|' || string_agg(ch, '' ORDER BY p) AS bkt
+      FROM b2signs WHERE p < 4 GROUP BY vec_id
+      UNION ALL
+      SELECT vec_id, '1|' || string_agg(ch, '' ORDER BY p) AS bkt
+      FROM b2signs WHERE p >= 4 GROUP BY vec_id
+    ),
+    b2pairs AS (
+      SELECT DISTINCT x.vec_id AS d1, y.vec_id AS d2
+      FROM b2bands x JOIN b2bands y ON x.bkt = y.bkt AND x.vec_id < y.vec_id
+      WHERE x.vec_id % 20 = 0
+    ),
+    mtpairs AS (
+      SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+      FROM mtbuckets a JOIN mtbuckets b
+        ON b.tbl = a.tbl AND b.bkt = a.bkt AND a.vec_id < b.vec_id
+      WHERE a.vec_id % 20 = 0
+    ),
     fstats AS (
       SELECT method, COUNT(*) AS nf FROM (
         SELECT d1, d2, 'probe3' AS method FROM fpairs
         UNION ALL
         SELECT d1, d2, 'cell1' FROM fpairs WHERE same_cell
+        UNION ALL
+        SELECT d1, d2, 'band2' FROM b2pairs JOIN xe USING (d1, d2)
+        UNION ALL
+        SELECT d1, d2, 'mtlsh' FROM mtpairs JOIN xe USING (d1, d2)
       ) GROUP BY 1
     ),
     xc AS (SELECT COUNT(*) AS n_exact FROM xe),
-    methods AS (SELECT 'cell1' AS method UNION ALL SELECT 'probe3')
+    methods AS (SELECT 'cell1' AS method UNION ALL SELECT 'probe3'
+                UNION ALL SELECT 'band2' UNION ALL SELECT 'mtlsh')
     SELECT m.method,
            CAST(xc.n_exact AS BIGINT) AS n_exact,
            CAST(COALESCE(f.nf, 0) AS BIGINT) AS n_found,
@@ -1609,21 +1639,50 @@ def dedup_semantic_recall(spark, sf_dir):
     Ground truth: exact-decimal pairs >= {_SEMR_T} whose smaller id
     sits in a deterministic 1-in-20 probe panel — O(|panel| * N) work
     (`exact_dup_pairs`), never corpus x corpus, so the card itself
-    stays runnable at scale as a sampled QA job. Both discovery
-    configs come from ONE probe-3 pass (`tag_same_cell=True`): the
-    shared-primary-cell subset IS the certified `dedup_semantic_ivf`
-    config ('cell1'), the full pass is the multi-probe mitigation
-    ('probe3'). n_found == n_hit by construction (both sides verify
-    with the same exact-decimal cosine) — the card doubles as a
-    precision check."""
+    stays runnable at scale as a sampled QA job. FOUR discovery
+    configs are measured: the IVF pair comes from ONE probe-3 pass
+    (`tag_same_cell=True` — the shared-primary-cell subset IS the
+    certified `dedup_semantic_ivf` config 'cell1', the full pass is
+    the multi-probe mitigation 'probe3'); 'band2' is the 2-band
+    8-plane discovery `dedup_embed_cosine` ships with, and 'mtlsh' is
+    the 16-table high-recall config (`mt_dup_pairs`) — so every
+    embedding dup-discovery path in the engine carries a measured
+    recall, with band2/cell1 low (~0.2-0.3, the documented cheap
+    configs) and probe3/mtlsh high (~0.9+). Each method contributes
+    only its skinny candidate pairs; recall = |candidates ∩ exact| /
+    |exact| (a candidate >= T IS a found pair — the verify stage is
+    the same exact-decimal cosine the exact leg already ran, so
+    re-verifying per method would be pure waste). n_found == n_hit ==
+    that intersection on both sides."""
     emb = load(spark, sf_dir, "embeddings")
     exact_raw = simsearch.exact_dup_pairs(
         emb, F.pmod(F.col("vec_id"), F.lit(20)) == 0, _SEMR_T
     )
     exact = exact_raw.select("d1", "d2").withColumn("hit", F.lit(1)).persist()
+    panel_vec = F.pmod(F.col("vec_id"), F.lit(20)) == 0
+    # DISCOVERY candidates only, per method — the exact panel frame
+    # already scores every panel pair >= T, so a method's found-pairs
+    # are exactly its candidates ∩ exact: one shared exact leg, zero
+    # per-method re-verifies (the sim_ann_recall shared-leg trick,
+    # applied to dup discovery)
     pairs = simsearch.semantic_dup_pairs(
         emb, threshold=_SEMR_T, dim=64, n_probe=3, tag_same_cell=True,
-        cand_filter=F.pmod(F.col("d1"), F.lit(20)) == 0,
+        d1_pred=panel_vec, candidates_only=True,
+    )
+    # both LSH legs from ONE Arrow key pass: hyperplanes(n) is a PREFIX
+    # of hyperplanes(m>n) (per-index md5 derivation), so tables 0-1 of
+    # the 16x4-bit keying carry exactly the 2-band buckets of the
+    # 8-plane split `cosine_dup_pairs` ships with — same "band|bits"
+    # strings, same decimal sign rule (equivalence pytest-pinned)
+    keyed = simsearch._table_keys_frame(emb, F.lit(False), dim=64).persist()
+    ka = keyed.where(panel_vec).select(F.col("vec_id").alias("d1"), "bkt")
+    kb = keyed.select(F.col("vec_id").alias("d2"), "bkt")
+    kpairs = ka.join(kb, "bkt").where(F.col("d1") < F.col("d2"))
+    mt = kpairs.select("d1", "d2").distinct()
+    b2 = (
+        kpairs.where(F.substring_index("bkt", "|", 1).isin("0", "1"))
+        .select("d1", "d2")
+        .distinct()
     )
     found = pairs.select(
         F.explode(
@@ -1633,17 +1692,24 @@ def dedup_semantic_recall(spark, sf_dir):
         ).alias("method"),
         "d1",
         "d2",
+    ).unionByName(
+        b2.select(F.lit("band2").alias("method"), "d1", "d2")
+    ).unionByName(
+        mt.select(F.lit("mtlsh").alias("method"), "d1", "d2")
     )
     stats = (
-        found.join(F.broadcast(exact), ["d1", "d2"], "left")
+        found.join(F.broadcast(exact), ["d1", "d2"])
         .groupBy("method")
         .agg(
             F.count("*").alias("n_found"),
-            F.sum(F.coalesce("hit", F.lit(0))).alias("n_hit"),
+            F.sum("hit").alias("n_hit"),
         )
     )
     grid = exact.agg(F.count("*").alias("n_exact")).select(
-        F.explode(F.array(F.lit("cell1"), F.lit("probe3"))).alias("method"),
+        F.explode(
+            F.array(F.lit("cell1"), F.lit("probe3"),
+                    F.lit("band2"), F.lit("mtlsh"))
+        ).alias("method"),
         "n_exact",
     )
     out = grid.join(stats, "method", "left").select(
@@ -1657,6 +1723,7 @@ def dedup_semantic_recall(spark, sf_dir):
     )
     out._pinned_persisted = (
         exact,
+        keyed,
         *getattr(exact_raw, "_pinned_persisted", ()),
         *getattr(pairs, "_pinned_persisted", ()),
     )

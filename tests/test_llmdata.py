@@ -1694,17 +1694,19 @@ def test_simsearch_kernels_null_embedding_clear_error(spark):
 
 
 def test_dedup_semantic_recall_card(spark):
-    """The semantic-dedup recall card's measured floors: the probe-3
-    discovery recovers >= 0.9 of the exact panel pairs (measured 1.0 at
-    sf0.001/sf0.01, 0.92 at sf0.1), strictly dominates the single-cell
-    config, and n_found == n_hit (precision 1 — every reported pair is
-    a true pair, both sides verify with the same exact cosine)."""
+    """The embedding-dedup recall card's measured floors: probe-3 IVF
+    recovers >= 0.9 of the exact panel pairs (measured 1.0 at
+    sf0.001/sf0.01, 0.92 at sf0.1) and dominates single-cell; the
+    16-table LSH config clears 0.8 and dominates the cheap 2-band
+    config; n_found == n_hit for every method (precision 1 — every
+    reported pair is a true pair, all sides verify with the same exact
+    cosine)."""
     import __spark_entry__ as entrymod
 
     rows = {r.method: r for r in
             entrymod.registry.QUERIES["dedup_semantic_recall"](
                 spark, "/root/testdata/sf0.001").collect()}
-    assert set(rows) == {"cell1", "probe3"}
+    assert set(rows) == {"cell1", "probe3", "band2", "mtlsh"}
     for r in rows.values():
         assert r.n_found == r.n_hit     # precision 1 by construction
         assert r.n_exact > 0            # card is non-degenerate
@@ -1713,6 +1715,10 @@ def test_dedup_semantic_recall_card(spark):
     # multi-probe is the boundary-pair mitigation: it must actually
     # recover pairs the single-cell config misses on this data
     assert rows["probe3"].n_hit > rows["cell1"].n_hit
+    # the 16-table config is the high-recall LSH path: it must clear
+    # 0.8 and dominate the cheap 2-band config (measured 1.0 vs 0.2)
+    assert rows["mtlsh"].recall >= 0.8
+    assert rows["mtlsh"].recall > rows["band2"].recall
 
 
 def test_semantic_dup_pairs_tagged_subset(spark):
@@ -1860,3 +1866,26 @@ def test_embedding_index_append_grows_corpus(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS emb_grow_test_keys")
         spark.sql("DROP TABLE IF EXISTS emb_grow_test_vecs")
+
+
+def test_band2_buckets_equal_table_keys_prefix(spark):
+    """The recall card derives the 2-band buckets from tables 0-1 of
+    the 16x4-bit key kernel. That is only sound if hyperplanes(8) is a
+    prefix of hyperplanes(64) and the bucket strings coincide — pinned
+    here: candidates from the key-prefix construction equal
+    cosine_dup_pairs' own discovery exactly."""
+    from etl_staging_spark.llmdata.hashing import hyperplanes
+
+    assert hyperplanes(8, 64) == hyperplanes(64, 64)[:8]
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    want = {(r.d1, r.d2) for r in simsearch.cosine_dup_pairs(
+        emb, threshold=0.0, dim=64, bands=2, candidates_only=True).collect()}
+    keyed = simsearch._table_keys_frame(emb, F.lit(False), dim=64)
+    ka = keyed.select(F.col("vec_id").alias("d1"), "bkt")
+    kb = keyed.select(F.col("vec_id").alias("d2"), "bkt")
+    got = {(r.d1, r.d2) for r in
+           ka.join(kb, "bkt")
+           .where(F.col("d1") < F.col("d2"))
+           .where(F.substring_index("bkt", "|", 1).isin("0", "1"))
+           .select("d1", "d2").distinct().collect()}
+    assert got == want and got
