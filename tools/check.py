@@ -8,6 +8,9 @@ equality is required — the engine's numeric conventions (decimal sums,
 fixed-scale rounding) are designed to make that hold bit-for-bit.
 
 Usage: python tools/check.py [sf_dir] [query_name ...]
+       python tools/check.py [sf_dir] --window N   # first N entries in
+       certification order — exactly the slice the driver will certify
+       next round, for a round-close dry run of that gate
 """
 
 from __future__ import annotations
@@ -54,7 +57,13 @@ def main() -> int:
     import __spark_entry__ as entrymod
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    rest = sys.argv[2:]
+    window = None
+    if "--window" in rest:
+        i = rest.index("--window")
+        window = int(rest[i + 1])
+        rest = rest[:i] + rest[i + 2:]
+    only = set(rest)
 
     spark = get_spark("correctness-check")
     con = duckdb.connect()
@@ -65,6 +74,10 @@ def main() -> int:
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if window is not None:
+        # queries() is already in certification order — the first N are
+        # exactly the driver's next certification slice
+        queries = dict(list(queries.items())[:window])
     n_pass = n_fail = n_weak = 0
     failures = []
     for name, fn in queries.items():
