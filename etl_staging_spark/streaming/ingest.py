@@ -167,6 +167,7 @@ def assembly_ingest_stream(
     splits: dict[str, float] | None = None,
     query_name: str = "assembly_ingest",
     checkpoint_dir: str | None = None,
+    on_stats: Callable[[int, dict], None] | None = None,
 ):
     """The composed corpus-assembly FRONT-END as one continuous ingest
     job — the streaming twin of ``corpus_assembly_v2``'s stateless
@@ -192,7 +193,14 @@ def assembly_ingest_stream(
     corpus. Reference analog: the CDC rule engine precedent
     (auditlog/models/rule.py:270-494) — a batch job's semantics applied
     continuously; doc_id spaces of stream and index must be disjoint
-    (same precondition as the batch operator)."""
+    (same precondition as the batch operator).
+
+    ``on_stats`` (optional) receives ``(batch_id, funnel)`` per batch,
+    where funnel = {n_in, n_gated, n_decontam, n_kept} — the streaming
+    twin of ``corpus_assembly_v2``'s per-prefix survivor counts, the
+    observability row a production ingest job appends to its metrics
+    sink. Costs one extra action per stage on the (persisted) batch
+    frames; leave None for the zero-overhead path."""
     from pyspark.sql import functions as F
 
     from ..llmdata import decontam, sampling, textstats
@@ -201,6 +209,15 @@ def assembly_ingest_stream(
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        pinned = []
+
+        def pin(df: DataFrame) -> DataFrame:
+            if on_stats is None:
+                return df
+            pinned.append(df.persist())
+            return pinned[-1]
+
+        batch_df = pin(batch_df)
         qual = (
             textstats.quality_scores(batch_df)
             .where(F.col("quality") >= quality_min)
@@ -211,7 +228,7 @@ def assembly_ingest_stream(
         rep_flags = textstats.repetition_stats(batch_df).persist()
         try:
             rep = rep_flags.where(~F.col("repetitive")).select("doc_id")
-            gated = (
+            gated = pin(
                 batch_df.join(qual, "doc_id", "left_semi")
                 .join(rep, "doc_id", "left_semi")
             )
@@ -221,7 +238,7 @@ def assembly_ingest_stream(
                 .where(~F.col("contaminated"))
                 .select("doc_id")
             )
-            survivors = gated.join(clean, "doc_id", "left_semi")
+            survivors = pin(gated.join(clean, "doc_id", "left_semi"))
             dups = (
                 dedup.incremental_lsh_matches_indexed(
                     spark, survivors, index_table,
@@ -230,10 +247,19 @@ def assembly_ingest_stream(
                 .select(F.col("d1").alias("doc_id"))
                 .distinct()
             )
-            kept = survivors.join(dups, "doc_id", "left_anti")
+            kept = pin(survivors.join(dups, "doc_id", "left_anti"))
             on_batch(batch_id, sampling.hash_split(kept, splits))
+            if on_stats is not None:
+                on_stats(batch_id, {
+                    "n_in": batch_df.count(),
+                    "n_gated": gated.count(),
+                    "n_decontam": survivors.count(),
+                    "n_kept": kept.count(),
+                })
         finally:
             rep_flags.unpersist()
+            for df in pinned:
+                df.unpersist()
 
     return _start(docs_stream.writeStream.foreachBatch(_process), query_name, checkpoint_dir)
 

@@ -432,12 +432,22 @@ def test_assembly_ingest_stream_matches_batch(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)   # force multi-batch arrival
         .parquet(drop_dir)
     )
+    funnel: dict[str, int] = {"n_in": 0, "n_gated": 0, "n_decontam": 0, "n_kept": 0}
+
+    def stats(bid, f):
+        for k in funnel:
+            funnel[k] += f[k]
+
     q = assembly_ingest_stream(
         stream, "asm_ix_test", "asm_bench_test", sink,
-        quality_min=0.5, threshold=0.6,
+        quality_min=0.5, threshold=0.6, on_stats=stats,
     )
     q.awaitTermination()
     assert len(n_batches) >= 2, "fixture must actually arrive in several batches"
+    # funnel telemetry sums across batches to the planted expectations:
+    # 15 in, spam(50) out at the gate, 51 out at decontamination,
+    # 52 out at the dedup scrub
+    assert funnel == {"n_in": 15, "n_gated": 14, "n_decontam": 13, "n_kept": 12}
 
     # batch reference: identical stages on the whole frame at once
     qual = textstats.quality_scores(incoming).where(
