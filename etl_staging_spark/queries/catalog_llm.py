@@ -849,7 +849,12 @@ def dedup_embed_cosine(spark, sf_dir):
     half-bucket, recall scaling like MinHash banding) + exact-decimal
     cosine verify. Threshold 0.45 sits where the synthetic embeddings
     actually have neighbours (max pairwise cosine ~0.51); the operator
-    is threshold-parametric."""
+    is threshold-parametric. RECALL POSTURE: 2 bands is the CHEAP
+    config — `dedup_semantic_recall` measures it at ~0.2-0.3 on these
+    near-orthogonal synthetic vectors (true near-dups at production
+    thresholds ~0.95 collide far more readily); when recall dominates
+    cost, `simsearch.mt_dup_pairs` (16x4-bit tables, measured 0.9+ on
+    the same card) is the drop-in high-recall configuration."""
     emb = load(spark, sf_dir, "embeddings")
     return simsearch.cosine_dup_pairs(emb, threshold=0.45, dim=64, bands=2)
 
