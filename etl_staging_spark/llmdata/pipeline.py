@@ -1,0 +1,123 @@
+"""Fluent corpus-assembly builder: the certified stage operators
+composed behind one chainable API.
+
+The catalog entries (`corpus_assembly_v2`, `corpus_assembly_full`)
+prove the composed SEMANTICS; this module is the ergonomic front door a
+pipeline author actually writes:
+
+    kept = (CorpusPipeline(docs)
+            .dedup_exact()
+            .decontaminate(bench_docs)
+            .quality_gate(0.68)
+            .repetition_gate()
+            .domain_cap(5000)
+            .split({"train": 0.9, "val": 0.05, "test": 0.05})
+            .frame())
+
+Every stage delegates to the same library function its catalog entry
+uses — nothing here re-implements semantics, so the builder inherits
+each stage's oracle/pytest coverage and scale story (doc-keyed id-set
+joins, no cartesian, no row-Python). Stages apply IN CALL ORDER (a cap
+before the quality gate budgets raw docs; after it, survivors —
+order is the author's policy decision, same as the reference's wizard
+option order).
+
+Laziness: each stage only narrows the kept frame via `left_semi`
+joins on doc_id id-sets, so the whole chain remains ONE Spark plan —
+nothing executes until the caller acts on `.frame()`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from . import decontam, dedup, sampling, textstats
+
+
+class CorpusPipeline:
+    """Chainable corpus-assembly builder over a documents frame
+    (doc_id, text, source, ...). Immutable-ish: every stage returns
+    self with the kept-frame replaced; branch with `.fork()`."""
+
+    def __init__(self, docs: DataFrame):
+        self._df = docs
+        self._pins: list = []
+
+    # -- plumbing -----------------------------------------------------
+
+    def frame(self) -> DataFrame:
+        """The surviving documents frame (lazy plan, not executed)."""
+        return self._df
+
+    def fork(self) -> "CorpusPipeline":
+        """An independent branch sharing the plan so far."""
+        child = CorpusPipeline(self._df)
+        child._pins = self._pins  # shared: release() once frees both
+        return child
+
+    def release(self) -> None:
+        """Unpersist every internal frame the chained stages pinned
+        (the `release_pinned` contract, tables.py) — call after the
+        terminal action in long-lived sessions."""
+        for f in self._pins:
+            try:
+                f.unpersist()
+            except Exception:
+                pass
+        self._pins.clear()
+
+    def _keep(self, ids: DataFrame) -> "CorpusPipeline":
+        self._df = self._df.join(ids.select("doc_id"), "doc_id", "left_semi")
+        return self
+
+    # -- stages (each delegates to its certified operator) ------------
+
+    def dedup_exact(self) -> "CorpusPipeline":
+        """Keep one canonical doc per exact sha256 group
+        (`dedup.exact_dup_groups` — the `dedup_exact` entry)."""
+        canon = dedup.exact_dup_groups(self._df).select(
+            F.col("canonical_doc_id").alias("doc_id")
+        )
+        return self._keep(canon)
+
+    def decontaminate(self, bench: DataFrame, n: int = 5) -> "CorpusPipeline":
+        """Drop docs sharing any word n-gram with the benchmark
+        (`decontam.ngram_overlap` — the `decontaminate_ngram` entry)."""
+        clean = decontam.ngram_overlap(self._df, bench, n=n, min_hits=1).where(
+            ~F.col("contaminated")
+        )
+        return self._keep(clean)
+
+    def quality_gate(self, quality_min: float = 0.68) -> "CorpusPipeline":
+        """Keep docs at or above the quality score
+        (`textstats.quality_scores` — the `text_quality_score` entry)."""
+        ok = textstats.quality_scores(self._df).where(
+            F.col("quality") >= quality_min
+        )
+        return self._keep(ok)
+
+    def repetition_gate(self) -> "CorpusPipeline":
+        """Drop Gopher-repetitive docs (`textstats.repetition_stats` —
+        the `text_repetition_gopher` entry). The flag frame stays
+        persisted until :meth:`release` (the operator's documented HOF
+        caveat: filtering the unmaterialized projection re-evaluates
+        the n-gram fold interpreted, ~100x), so this stage pins cache
+        like `domain_cap` does."""
+        flags = textstats.repetition_stats(self._df).persist()
+        self._pins.append(flags)
+        return self._keep(flags.where(~F.col("repetitive")))
+
+    def domain_cap(self, cap: int) -> "CorpusPipeline":
+        """At most ``cap`` docs per source, best-quality-first
+        (`sampling.domain_quality_cap` — the `domain_quality_cap`
+        entry)."""
+        kept = sampling.domain_quality_cap(self._df, cap=cap)
+        self._pins.extend(getattr(kept, "_pinned_persisted", ()))
+        return self._keep(kept)
+
+    def split(self, fractions: dict[str, float]) -> "CorpusPipeline":
+        """Stamp the deterministic hash split (`sampling.hash_split` —
+        the `split_hash_deterministic` entry). Terminal-ish: adds the
+        `split` column rather than narrowing."""
+        self._df = sampling.hash_split(self._df, fractions)
+        return self

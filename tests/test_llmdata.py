@@ -1889,3 +1889,59 @@ def test_band2_buckets_equal_table_keys_prefix(spark):
            .where(F.substring_index("bkt", "|", 1).isin("0", "1"))
            .select("d1", "d2").distinct().collect()}
     assert got == want and got
+
+
+def test_corpus_pipeline_facade_matches_manual_composition(spark):
+    """The fluent builder delegates to the exact stage operators, so a
+    chained run equals the hand-composed stages on the same docs — and
+    each planted offender is dropped by its own stage."""
+    from etl_staging_spark.llmdata.pipeline import CorpusPipeline
+    from etl_staging_spark.llmdata import decontam as dc, sampling as sp, textstats as ts
+
+    good = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+        "uniform victor whiskey xray yankee zulu one two three four five "
+        "six seven eight nine ten eleven twelve thirteen fourteen fifteen"
+    )
+    bench_text = "unique benchmark sequence about ancient observatories and stars"
+    rows = (
+        [(i, good + f" tail{i}", "web") for i in range(8)]
+        + [(21, good + " tail1", "web")]             # exact dup of doc 1
+        + [(30, "spam ham " * 10, "web")]            # repetition gate
+        + [(31, good + " " + bench_text, "web")]     # decontamination
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    bench = spark.createDataFrame([(900, bench_text)], "doc_id long, text string")
+
+    out = (
+        CorpusPipeline(docs)
+        .dedup_exact()
+        .decontaminate(bench)
+        .quality_gate(0.5)
+        .repetition_gate()
+        .split({"train": 0.9, "val": 0.1})
+    )
+    got = {r.doc_id: r.split for r in out.frame().collect()}
+    out.release()
+
+    # manual composition with the same operators
+    canon = dedup.exact_dup_groups(docs).select(
+        F.col("canonical_doc_id").alias("doc_id"))
+    d1 = docs.join(canon, "doc_id", "left_semi")
+    clean = dc.ngram_overlap(d1, bench, n=5, min_hits=1).where(
+        ~F.col("contaminated")).select("doc_id")
+    d2 = d1.join(clean, "doc_id", "left_semi")
+    q = ts.quality_scores(d2).where(F.col("quality") >= 0.5).select("doc_id")
+    d3 = d2.join(q, "doc_id", "left_semi")
+    rep = ts.repetition_stats(d3).persist()
+    d4 = d3.join(rep.where(~F.col("repetitive")).select("doc_id"),
+                 "doc_id", "left_semi")
+    want = {r.doc_id: r.split for r in sp.hash_split(
+        d4, {"train": 0.9, "val": 0.1}).collect()}
+    rep.unpersist()
+
+    assert got == want
+    assert 21 not in got          # exact-dup loser (doc 1 is canonical)
+    assert 30 not in got and 31 not in got
+    assert set(range(8)) <= set(got)
