@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from . import decontam, dedup, sampling, textstats
+from . import cluster, decontam, dedup, sampling, textstats
 
 
 class CorpusPipeline:
@@ -79,6 +79,22 @@ class CorpusPipeline:
             F.col("canonical_doc_id").alias("doc_id")
         )
         return self._keep(canon)
+
+    def dedup_near(self, threshold: float = 0.8, n: int = 3) -> "CorpusPipeline":
+        """Keep one canonical doc per NEAR-dup cluster: MinHash-LSH
+        banded pairs + exact-Jaccard verify (`dedup.minhash_lsh_pairs`
+        — the `dedup_minhash_lsh` entry) -> connected components with
+        component-minimum canonicals (`cluster.near_dup_clusters` — the
+        `dedup_cluster_cc` entry). Docs in no cluster are singletons
+        and survive untouched (anti-join on the losers, so the corpus
+        never funnels through the cluster frame)."""
+        pairs = dedup.minhash_lsh_pairs(self._df, threshold=threshold, n=n)
+        self._pins.extend(getattr(pairs, "_pinned_persisted", ()))
+        losers = cluster.near_dup_clusters(pairs).where(
+            ~F.col("is_canonical")
+        ).select("doc_id")
+        self._df = self._df.join(losers, "doc_id", "left_anti")
+        return self
 
     def decontaminate(self, bench: DataFrame, n: int = 5) -> "CorpusPipeline":
         """Drop docs sharing any word n-gram with the benchmark

@@ -1945,3 +1945,13 @@ def test_corpus_pipeline_facade_matches_manual_composition(spark):
     assert 21 not in got          # exact-dup loser (doc 1 is canonical)
     assert 30 not in got and 31 not in got
     assert set(range(8)) <= set(got)
+
+
+def test_corpus_pipeline_dedup_near_stage(spark, docs):
+    """The near-dup stage keeps exactly the cluster canonicals plus
+    every singleton (module fixture: 0,1,2 one near-dup cluster with
+    canonical 0; 3,4 a cluster with canonical 3; 5 a singleton)."""
+    from etl_staging_spark.llmdata.pipeline import CorpusPipeline
+
+    out = CorpusPipeline(docs).dedup_near(threshold=0.5).frame()
+    assert {r.doc_id for r in out.collect()} == {0, 3, 5}
