@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from . import cluster, decontam, dedup, sampling, textstats
+from . import cluster, decontam, dedup, linedup, lm, sampling, textstats
 
 
 class CorpusPipeline:
@@ -122,6 +122,33 @@ class CorpusPipeline:
         flags = textstats.repetition_stats(self._df).persist()
         self._pins.append(flags)
         return self._keep(flags.where(~F.col("repetitive")))
+
+    def lm_quality_gate(self, model_table: str, min_avg_prob: float) -> "CorpusPipeline":
+        """Keep docs whose mean bigram probability under the PERSISTED
+        corpus-trained LM (`lm.score_with_model` — the `text_lm_bigram`
+        family) clears the floor — the CCNet-style perplexity gate as
+        an incremental stage: O(batch) joins against the bucketed model
+        tables, the training corpus never rescanned."""
+        ok = lm.score_with_model(self._df, model_table).where(
+            F.col("avg_prob") >= min_avg_prob
+        )
+        return self._keep(ok)
+
+    def segment_clean(self, hot: DataFrame, k: int | None = None) -> "CorpusPipeline":
+        """REWRITE each doc's text with corpus-hot segments removed
+        (`linedup.segment_clean` — the `dedup_segments` family); docs
+        whose text empties are dropped. Unlike the narrowing gates this
+        stage replaces the text column, so run it BEFORE quality/LM
+        scoring if those should judge the cleaned text (stage order is
+        the author's policy, as the module doc notes)."""
+        seg_k = k if k is not None else linedup.SEG_TOKENS
+        cleaned = linedup.segment_clean(self._df, hot, k=seg_k).select(
+            "doc_id", F.col("clean_text").alias("text")
+        ).where(F.length("text") > 0)
+        self._df = (
+            self._df.drop("text").join(cleaned, "doc_id")
+        )
+        return self
 
     def domain_cap(self, cap: int) -> "CorpusPipeline":
         """At most ``cap`` docs per source, best-quality-first

@@ -1955,3 +1955,46 @@ def test_corpus_pipeline_dedup_near_stage(spark, docs):
 
     out = CorpusPipeline(docs).dedup_near(threshold=0.5).frame()
     assert {r.doc_id for r in out.collect()} == {0, 3, 5}
+
+
+def test_corpus_pipeline_segment_clean_and_lm_stages(spark, tmp_path):
+    """The text-rewriting and model-backed stages: hot segments are
+    scrubbed from the surviving text, and the LM gate keeps docs the
+    persisted model scores above the floor."""
+    from etl_staging_spark.llmdata import linedup, lm
+    from etl_staging_spark.llmdata.pipeline import CorpusPipeline
+    from etl_staging_spark.llmdata.hashing import portable_hash56
+
+    boiler = "subscribe to our newsletter for updates every day"
+    body = "the river carried silt from the mountains toward the delta plains"
+    docs = spark.createDataFrame(
+        [(1, boiler + " " + body, "web"), (2, boiler, "web")],
+        "doc_id long, text string, source string",
+    )
+    k = linedup.SEG_TOKENS
+    hot = (
+        spark.createDataFrame([(boiler,)], "seg string")
+        .select(portable_hash56(F.col("seg")).alias("h"))
+    )
+    # the boiler fixture must BE one segment for the planted scrub
+    assert len(boiler.split()) == k, "fixture must be exactly one segment"
+    out = CorpusPipeline(docs).segment_clean(hot).frame().collect()
+    assert {r.doc_id: r.text for r in out} == {1: body}  # doc 2 emptied -> dropped
+
+    # LM gate: train on good text; gibberish scores below the floor
+    corpus = spark.createDataFrame(
+        [(10, body + " " + body)], "doc_id long, text string")
+    lm.write_lm_model(corpus, "pipe_lm_test", n_buckets=2)
+    try:
+        gated = spark.createDataFrame(
+            [(1, body, "web"), (2, "zz qq xx vv kk jj pp ww", "web")],
+            "doc_id long, text string, source string",
+        )
+        # add-one smoothing floors unseen bigrams near 1/V (~0.09 on
+        # this tiny vocab); in-corpus bigrams score ~(c+1)/(c+V) ~0.2+
+        kept = CorpusPipeline(gated).lm_quality_gate(
+            "pipe_lm_test", 0.15).frame().collect()
+        assert {r.doc_id for r in kept} == {1}
+    finally:
+        for t in ("pipe_lm_test_uni", "pipe_lm_test_bi", "pipe_lm_test_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
