@@ -23,6 +23,10 @@ pipeline needs (builder brief, BASELINE north star):
 - multimodal plumbing: opaque binary payloads + Arrow-batched
   Pandas-UDF decode (decode itself stubbed deterministically; the
   image/audio libs are not in this container) — :mod:`.multimodal`
+- the fluent front door: :class:`.pipeline.CorpusPipeline` chains the
+  certified stages (dedup exact/near, decontaminate, quality/
+  repetition/LM gates, segment clean, domain cap, split) into one lazy
+  plan — :mod:`.pipeline`
 
 Everything hot-path is native ``pyspark.sql.functions`` (JVM,
 whole-stage codegen); Python appears only in the mapInPandas
