@@ -14,6 +14,15 @@ pipeline author actually writes:
             .split({"train": 0.9, "val": 0.05, "test": 0.05})
             .frame())
 
+and the back end runs the same chain through mixture weighting all the
+way to verified shards on disk:
+
+    manifest = (CorpusPipeline(docs)
+                .dedup_exact().quality_gate(0.68)
+                .mixture_temperature(alpha=0.6, target_total=1_000_000)
+                .epochs({"books": 3})
+                .to_training_set("/data/run1", n_shards=1024, seq_len=4096))
+
 Every stage delegates to the same library function its catalog entry
 uses — nothing here re-implements semantics, so the builder inherits
 each stage's oracle/pytest coverage and scale story (doc-keyed id-set
@@ -31,7 +40,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from . import cluster, decontam, dedup, linedup, lm, sampling, textstats
+from . import cluster, decontam, dedup, linedup, lm, sampling, textstats, trainset
 
 
 class CorpusPipeline:
@@ -164,3 +173,83 @@ class CorpusPipeline:
         `split` column rather than narrowing."""
         self._df = sampling.hash_split(self._df, fractions)
         return self
+
+    # -- mixture back end ---------------------------------------------
+
+    def mixture(
+        self, weights: dict[str, float], target_total: int
+    ) -> "CorpusPipeline":
+        """Downsample to ≈``target_total`` docs at the given per-source
+        proportions (`sampling.mixture_sample` — the
+        `mixture_weighted_sample` entry). EAGER at build time: the
+        per-domain counts aggregate runs when this stage is chained
+        (bounded O(#domains) driver state), the filter itself stays a
+        single-scan literal-CASE hash threshold."""
+        return self._keep(
+            sampling.mixture_sample(self._df, weights, target_total)
+        )
+
+    def mixture_temperature(
+        self, alpha: float, target_total: int
+    ) -> "CorpusPipeline":
+        """Temperature-scaled mixture downsampling
+        (`sampling.mixture_sample_temperature` — the
+        `mixture_temperature` entry). Same eager bounded-counts note as
+        :meth:`mixture`."""
+        return self._keep(
+            sampling.mixture_sample_temperature(self._df, alpha, target_total)
+        )
+
+    def epochs(
+        self, epochs: dict[str, int], default_epochs: int = 1
+    ) -> "CorpusPipeline":
+        """UPSAMPLE by repetition: emit each doc ``epochs[source]``
+        times (the `mixture_epoch_upsample` weighting), re-keyed so
+        every copy has a unique doc_id — required because everything
+        downstream (shard hash, greedy-pack join keys, the manifest's
+        order-free XOR) assumes doc_id uniqueness; two identical
+        (doc_id, text) rows would collide pack keys and XOR-cancel in
+        the manifest. New id = doc_id * E + (epoch-1) with E = the max
+        repeat factor — deterministic, collision-free, and the original
+        id stays recoverable as doc_id DIV E. Row generation is the
+        operator's JVM explode(sequence); no shuffle, no join."""
+        factor = max([default_epochs, *epochs.values(), 1])
+        reps = F.lit(default_epochs)
+        for dom, n in sorted(epochs.items()):
+            if n < 0:
+                raise ValueError(f"negative epoch count for {dom!r}")
+            reps = F.when(F.col("source") == dom, F.lit(n)).otherwise(reps)
+        exploded = self._df.withColumn(
+            "__epoch",
+            F.explode(
+                F.when(
+                    reps >= 1, F.sequence(F.lit(1), reps)
+                ).otherwise(F.array().cast("array<int>"))
+            ),
+        )
+        self._df = exploded.withColumn(
+            "doc_id",
+            F.col("doc_id") * F.lit(factor) + F.col("__epoch") - F.lit(1),
+        ).drop("__epoch")
+        return self
+
+    # -- terminal -----------------------------------------------------
+
+    def to_training_set(
+        self,
+        path: str,
+        n_shards: int,
+        seq_len: int,
+        salt: str = "shard-v1",
+    ) -> DataFrame:
+        """TERMINAL action: materialize the surviving corpus as packed
+        ``path/shard=K/`` parquet (`trainset.write_training_set` — the
+        `training_set_pack` entry: salted shard + hash training order +
+        boundary-preserving greedy pack) and return the shard manifest
+        computed from the input rows. Executes the whole chained plan
+        once; pair with `trainset.verify_training_set(spark, path,
+        manifest, n_shards)` to prove the written bytes match, and call
+        :meth:`release` afterwards in long-lived sessions."""
+        return trainset.write_training_set(
+            self._df, path, n_shards, seq_len, salt=salt
+        )

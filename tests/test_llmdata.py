@@ -1998,3 +1998,75 @@ def test_corpus_pipeline_segment_clean_and_lm_stages(spark, tmp_path):
     finally:
         for t in ("pipe_lm_test_uni", "pipe_lm_test_bi", "pipe_lm_test_meta"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_corpus_pipeline_mixture_stages(spark):
+    """The mixture back-end stages delegate to the certified sampling
+    operators: chained results equal the direct operator calls on the
+    same surviving frame."""
+    from etl_staging_spark.llmdata import sampling as sp
+    from etl_staging_spark.llmdata.pipeline import CorpusPipeline
+
+    rows = [(i, f"document body number {i} with words", "web" if i % 3 else "books")
+            for i in range(120)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    got = {r.doc_id for r in
+           CorpusPipeline(docs).mixture({"web": 0.5, "books": 0.5}, 40)
+           .frame().collect()}
+    want = {r.doc_id for r in
+            sp.mixture_sample(docs, {"web": 0.5, "books": 0.5}, 40).collect()}
+    assert got == want and got
+
+    got_t = {r.doc_id for r in
+             CorpusPipeline(docs).mixture_temperature(0.5, 40).frame().collect()}
+    want_t = {r.doc_id for r in
+              sp.mixture_sample_temperature(docs, 0.5, 40).collect()}
+    assert got_t == want_t and got_t
+
+
+def test_corpus_pipeline_epochs_rekeys_uniquely(spark):
+    """The epochs stage repeats docs per source with UNIQUE new ids
+    (doc_id * E + epoch-1, E = max repeat factor): pack join keys and
+    the manifest XOR both require uniqueness, and the original id stays
+    recoverable as doc_id DIV E. A 0-epoch source vanishes."""
+    from etl_staging_spark.llmdata.pipeline import CorpusPipeline
+
+    docs = spark.createDataFrame(
+        [(1, "alpha text", "web"), (2, "bravo text", "books"),
+         (3, "charlie text", "junk")],
+        "doc_id long, text string, source string",
+    )
+    out = (CorpusPipeline(docs)
+           .epochs({"web": 3, "junk": 0}, default_epochs=1)
+           .frame().collect())
+    ids = [r.doc_id for r in out]
+    assert len(ids) == len(set(ids)) == 4          # 3 copies + 1 + 0
+    orig = sorted(i // 3 for i in ids)
+    assert orig == [1, 1, 1, 2]
+    # each copy keeps the source row's text
+    assert {r.text for r in out} == {"alpha text", "bravo text"}
+
+
+def test_corpus_pipeline_to_training_set_verifies(spark, tmp_path):
+    """Terminal action: the full chain (gates -> epochs -> pack) writes
+    shard=K parquet whose recomputed manifest matches — ok on every
+    shard — and the written docs are exactly the upsampled survivors."""
+    from etl_staging_spark.llmdata import trainset
+    from etl_staging_spark.llmdata.pipeline import CorpusPipeline
+
+    rows = [(i, f"clean document body {i} " + "word " * (5 + i % 7), "web")
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    path = str(tmp_path / "ts")
+
+    pipe = CorpusPipeline(docs).dedup_exact().epochs({"web": 2})
+    survivors = pipe.frame().count()
+    manifest = pipe.to_training_set(path, n_shards=4, seq_len=64)
+    ver = trainset.verify_training_set(spark, path, manifest, n_shards=4)
+    rows_v = ver.collect()
+    assert len(rows_v) == 4 and all(r.ok for r in rows_v)
+    written = spark.read.parquet(path)
+    assert written.count() == survivors == 80
+    assert written.select("doc_id").distinct().count() == 80
+    pipe.release()
