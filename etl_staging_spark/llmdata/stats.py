@@ -145,3 +145,100 @@ def o_exact_corpus_stats(text_col: str = "text") -> str:
            MIN(CASE WHEN cum >= FLOOR((t.n_docs - 1) * 0.9) + 1 THEN n END) AS p90_tokens
     FROM ecs_cum CROSS JOIN ecs_tot t
     GROUP BY t.n_docs, t.n_distinct_texts"""
+
+
+def source_overlap_matrix(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source duplication matrix: for every unordered source pair
+    (a <= b), how many verified near-dup pairs span them and what
+    fraction of each side's corpus is implicated — the "how much of
+    snapshot A is already in snapshot B" planning question asked before
+    merging crawls or buying a dataset.
+
+    One row per source pair that has at least one near-dup pair:
+    (source_a, source_b, n_pairs, docs_a, docs_b, frac_a, frac_b) where
+    docs_a = distinct docs FROM source_a in a near-dup pair with
+    source_b (after a<=b normalization) and frac_a = docs_a / |source_a|.
+    The diagonal (a == b) reports within-source redundancy; there
+    docs_a == docs_b counts each implicated doc once.
+
+    Scale shape: discovery is `dedup.minhash_lsh_pairs` — the certified
+    banded-LSH + exact-Jaccard-verify operator, never all-pairs — and
+    everything after it is skinny: two doc_id->source lookups against a
+    2-column projection of the corpus, a #sources^2-bounded aggregate,
+    and a broadcast of the per-source totals (#sources rows)."""
+    from . import dedup
+
+    src = docs.select("doc_id", F.col(source_col).alias("src"))
+    totals = docs.groupBy(F.col(source_col).alias("src")).agg(
+        F.count("*").alias("n_total")
+    )
+    raw_pairs = dedup.minhash_lsh_pairs(docs, threshold=threshold, n=n)
+    pairs = (
+        raw_pairs.select("d1", "d2")
+        .join(src.select(F.col("doc_id").alias("d1"), F.col("src").alias("s1")), "d1")
+        .join(src.select(F.col("doc_id").alias("d2"), F.col("src").alias("s2")), "d2")
+    )
+    # normalize so source_a <= source_b, carrying each doc with the
+    # side its source landed on
+    swap = F.col("s1") > F.col("s2")
+    norm = pairs.select(
+        F.when(swap, F.col("s2")).otherwise(F.col("s1")).alias("source_a"),
+        F.when(swap, F.col("s1")).otherwise(F.col("s2")).alias("source_b"),
+        F.when(swap, F.col("d2")).otherwise(F.col("d1")).alias("da"),
+        F.when(swap, F.col("d1")).otherwise(F.col("d2")).alias("db"),
+    )
+    counts = norm.groupBy("source_a", "source_b").agg(
+        F.count("*").alias("n_pairs")
+    )
+    # distinct implicated docs per side: union the memberships so a
+    # diagonal pair's two docs both count once under side a == side b
+    memb = norm.select(
+        "source_a", "source_b", F.col("da").alias("doc_id"),
+        F.lit("a").alias("side"),
+    ).unionByName(
+        norm.select(
+            "source_a", "source_b", F.col("db").alias("doc_id"),
+            F.lit("b").alias("side"),
+        )
+    )
+    diag = F.col("source_a") == F.col("source_b")
+    sides = (
+        memb.withColumn("side", F.when(diag, F.lit("a")).otherwise(F.col("side")))
+        .distinct()
+        .groupBy("source_a", "source_b")
+        .pivot("side", ["a", "b"])
+        .agg(F.count(F.lit(1)))
+    )
+    out = (
+        counts.join(sides, ["source_a", "source_b"])
+        .join(
+            F.broadcast(totals.select(F.col("src").alias("source_a"),
+                                      F.col("n_total").alias("tot_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(totals.select(F.col("src").alias("source_b"),
+                                      F.col("n_total").alias("tot_b"))),
+            "source_b",
+        )
+    )
+    docs_a = F.coalesce(F.col("a"), F.lit(0))
+    docs_b = F.when(diag, docs_a).otherwise(F.coalesce(F.col("b"), F.lit(0)))
+    result = out.select(
+        "source_a",
+        "source_b",
+        "n_pairs",
+        docs_a.cast("bigint").alias("docs_a"),
+        docs_b.cast("bigint").alias("docs_b"),
+        (docs_a / F.col("tot_a")).alias("frac_a"),
+        (docs_b / F.col("tot_b")).alias("frac_b"),
+    )
+    result._pinned_persisted = tuple(
+        getattr(raw_pairs, "_pinned_persisted", ())
+    )
+    return result

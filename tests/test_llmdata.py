@@ -2070,3 +2070,40 @@ def test_corpus_pipeline_to_training_set_verifies(spark, tmp_path):
     assert written.count() == survivors == 80
     assert written.select("doc_id").distinct().count() == 80
     pipe.release()
+
+
+def test_source_overlap_matrix_planted(spark):
+    """Cross-source duplication matrix on a planted corpus: one
+    near-dup pair spanning web<->cc, one within-source (diagonal) web
+    pair, and a books corpus with no dups anywhere."""
+    from etl_staging_spark.llmdata import stats
+    from etl_staging_spark.tables import release_pinned
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo "
+            "sierra tango uniform victor whiskey xray yankee zulu")
+    other = ("one two three four five six seven eight nine ten eleven "
+             "twelve thirteen fourteen fifteen sixteen seventeen "
+             "eighteen nineteen twenty twentyone twentytwo twentythree")
+    rows = [
+        (1, base + " end1", "web"),          # near-dup with 2 (cross) and 3 (diag)
+        (2, base + " end2", "cc"),
+        (3, base + " end3", "web"),
+        (4, other + " tail", "books"),       # no partner
+        (5, "totally different short text about rivers", "cc"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = stats.source_overlap_matrix(docs, threshold=0.7)
+    got = {(r.source_a, r.source_b):
+           (r.n_pairs, r.docs_a, r.docs_b, r.frac_a, r.frac_b)
+           for r in out.collect()}
+    release_pinned(out)
+
+    # cc<->web: pairs (1,2) and (2,3); cc side = {2}, web side = {1,3}
+    assert got[("cc", "web")][0] == 2
+    assert got[("cc", "web")][1] == 1 and got[("cc", "web")][2] == 2
+    assert got[("cc", "web")][3] == 0.5          # 1 of 2 cc docs
+    assert got[("cc", "web")][4] == 1.0          # 2 of 2 web docs
+    # web diagonal: pair (1,3), both docs counted once on each side
+    assert got[("web", "web")] == (1, 2, 2, 1.0, 1.0)
+    assert ("books", "books") not in got and len(got) == 2
