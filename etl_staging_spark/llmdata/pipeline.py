@@ -105,6 +105,33 @@ class CorpusPipeline:
         self._df = self._df.join(losers, "doc_id", "left_anti")
         return self
 
+    def dedup_semantic(
+        self, emb: DataFrame, threshold: float = 0.8, dim: int = 64
+    ) -> "CorpusPipeline":
+        """Keep one canonical doc per EMBEDDING near-dup cluster —
+        SemDeDup-shaped semantic dedup as a pipeline stage: multi-table
+        sign-LSH discovery + exact-decimal cosine verify
+        (`simsearch.mt_dup_pairs`, the measured ~0.9-recall config of
+        the `dedup_semantic_recall` card) -> connected components with
+        component-minimum canonicals (`cluster.near_dup_clusters`).
+        ``emb`` carries (doc_id, embedding) for at least the surviving
+        docs; docs without a vector are untouched (the anti-join only
+        removes cluster losers). Completes the stage family: exact
+        sha256 (`dedup_exact`), lexical MinHash (`dedup_near`), and
+        semantic (this)."""
+        from . import simsearch
+
+        pairs = simsearch.mt_dup_pairs(
+            emb.join(self._df.select("doc_id"), "doc_id", "left_semi"),
+            threshold=threshold, dim=dim, id_col="doc_id",
+        )
+        self._pins.extend(getattr(pairs, "_pinned_persisted", ()))
+        losers = cluster.near_dup_clusters(
+            pairs.select("d1", "d2")
+        ).where(~F.col("is_canonical")).select("doc_id")
+        self._df = self._df.join(losers, "doc_id", "left_anti")
+        return self
+
     def decontaminate(self, bench: DataFrame, n: int = 5) -> "CorpusPipeline":
         """Drop docs sharing any word n-gram with the benchmark
         (`decontam.ngram_overlap` — the `decontaminate_ngram` entry)."""

@@ -2107,3 +2107,29 @@ def test_source_overlap_matrix_planted(spark):
     # web diagonal: pair (1,3), both docs counted once on each side
     assert got[("web", "web")] == (1, 2, 2, 1.0, 1.0)
     assert ("books", "books") not in got and len(got) == 2
+
+
+def test_corpus_pipeline_dedup_semantic_stage(spark):
+    """Semantic-dedup stage: planted embedding clusters — docs 1,2
+    near-identical vectors (cluster, canonical 1), doc 3 orthogonal,
+    doc 4 has no vector at all; doc 5 was already dropped upstream so
+    its vector must not resurrect it or drag doc 1 out."""
+    import numpy as np
+    from etl_staging_spark.llmdata.pipeline import CorpusPipeline
+
+    rng = np.random.RandomState(7)
+    v1 = rng.randn(64); v2 = v1 + rng.randn(64) * 0.01
+    v3 = rng.randn(64); v5 = v1 + rng.randn(64) * 0.01
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", "web") for i in (1, 2, 3, 4)],
+        "doc_id long, text string, source string",
+    )
+    emb = spark.createDataFrame(
+        [(1, v1.tolist()), (2, v2.tolist()), (3, v3.tolist()),
+         (5, v5.tolist())],
+        "doc_id long, embedding array<float>",
+    )
+    pipe = CorpusPipeline(docs).dedup_semantic(emb, threshold=0.9)
+    got = {r.doc_id for r in pipe.frame().collect()}
+    pipe.release()
+    assert got == {1, 3, 4}
