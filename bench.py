@@ -105,7 +105,11 @@ def _prior_timings(here: str) -> dict[str, float]:
             qs = (data.get("parsed") or data).get("queries", {})
         except (OSError, json.JSONDecodeError, AttributeError):
             continue
-        if isinstance(qs, dict):
+        # only adopt a round that carries actual timings: a published
+        # crash artifact ({"parsed": null} or an empty queries dict)
+        # must not shadow an earlier round and silently disable the
+        # guard
+        if isinstance(qs, dict) and qs:
             latest, latest_rnd = qs, rnd
     return latest
 

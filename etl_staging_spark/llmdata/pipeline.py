@@ -31,9 +31,16 @@ before the quality gate budgets raw docs; after it, survivors —
 order is the author's policy decision, same as the reference's wizard
 option order).
 
-Laziness: each stage only narrows the kept frame via `left_semi`
-joins on doc_id id-sets, so the whole chain remains ONE Spark plan —
-nothing executes until the caller acts on `.frame()`.
+Laziness: the narrowing gates (`dedup_exact`, `decontaminate`,
+`quality_gate`, `repetition_gate`, `lm_quality_gate`, `segment_clean`,
+`domain_cap`, `split`, `epochs`) only compose `left_semi`/anti joins on
+doc_id id-sets, so their chain stays ONE lazy Spark plan. Three stages
+are EAGER at chain-build time and say so in their docstrings:
+`dedup_near` and `dedup_semantic` run their clustering job when chained
+(connected components is iterative — it must materialize rounds), and
+`mixture`/`mixture_temperature` run one bounded per-domain counts
+aggregate. Compose eager stages where a running job is acceptable, not
+in service-init hot paths.
 """
 
 from __future__ import annotations
@@ -65,14 +72,16 @@ class CorpusPipeline:
         return child
 
     def release(self) -> None:
-        """Unpersist every internal frame the chained stages pinned
-        (the `release_pinned` contract, tables.py) — call after the
-        terminal action in long-lived sessions."""
-        for f in self._pins:
-            try:
-                f.unpersist()
-            except Exception:
-                pass
+        """Unpersist every internal frame the chained stages pinned —
+        call after the terminal action in long-lived sessions. One
+        implementation of the pin contract: delegates to
+        `tables.release_pinned`."""
+        from ..tables import release_pinned
+
+        carrier = self._df
+        carrier._pinned_persisted = tuple(self._pins)
+        release_pinned(carrier)
+        carrier._pinned_persisted = ()
         self._pins.clear()
 
     def _keep(self, ids: DataFrame) -> "CorpusPipeline":
@@ -96,7 +105,9 @@ class CorpusPipeline:
         component-minimum canonicals (`cluster.near_dup_clusters` — the
         `dedup_cluster_cc` entry). Docs in no cluster are singletons
         and survive untouched (anti-join on the losers, so the corpus
-        never funnels through the cluster frame)."""
+        never funnels through the cluster frame). EAGER: connected
+        components is iterative and materializes its rounds, so the
+        discovery + clustering job runs when this stage is chained."""
         pairs = dedup.minhash_lsh_pairs(self._df, threshold=threshold, n=n)
         self._pins.extend(getattr(pairs, "_pinned_persisted", ()))
         losers = cluster.near_dup_clusters(pairs).where(
@@ -118,7 +129,8 @@ class CorpusPipeline:
         docs; docs without a vector are untouched (the anti-join only
         removes cluster losers). Completes the stage family: exact
         sha256 (`dedup_exact`), lexical MinHash (`dedup_near`), and
-        semantic (this)."""
+        semantic (this). EAGER, like `dedup_near`: the clustering job
+        runs when this stage is chained."""
         from . import simsearch
 
         pairs = simsearch.mt_dup_pairs(
@@ -160,15 +172,22 @@ class CorpusPipeline:
         return self._keep(flags.where(~F.col("repetitive")))
 
     def lm_quality_gate(self, model_table: str, min_avg_prob: float) -> "CorpusPipeline":
-        """Keep docs whose mean bigram probability under the PERSISTED
+        """DROP docs whose mean bigram probability under the PERSISTED
         corpus-trained LM (`lm.score_with_model` — the `text_lm_bigram`
-        family) clears the floor — the CCNet-style perplexity gate as
-        an incremental stage: O(batch) joins against the bucketed model
-        tables, the training corpus never rescanned."""
-        ok = lm.score_with_model(self._df, model_table).where(
-            F.col("avg_prob") >= min_avg_prob
+        family) falls below the floor — the CCNet-style perplexity gate
+        as an incremental stage: O(batch) joins against the bucketed
+        model tables, the training corpus never rescanned. The gate is
+        TOTAL: a doc too short to have any bigram gets no score row and
+        the gate ABSTAINS (anti-join on the below-floor set), leaving
+        short docs to the length-aware `quality_gate` instead of
+        silently discarding them."""
+        bad = lm.score_with_model(self._df, model_table).where(
+            F.col("avg_prob") < min_avg_prob
         )
-        return self._keep(ok)
+        self._df = self._df.join(
+            bad.select("doc_id"), "doc_id", "left_anti"
+        )
+        return self
 
     def segment_clean(self, hot: DataFrame, k: int | None = None) -> "CorpusPipeline":
         """REWRITE each doc's text with corpus-hot segments removed

@@ -513,6 +513,7 @@ def _verify_pairs(
     id_col: str,
     vec_col: str,
     carry_left: tuple[str, ...] = (),
+    normed_right: DataFrame | None = None,
 ) -> DataFrame:
     """Shared near-dup verification: candidate (d1, d2) pairs respread
     across the cluster (discovery joins land on few bucket/cell keys —
@@ -522,14 +523,19 @@ def _verify_pairs(
     ~1e-12 double-vs-decimal gap) discards the non-dup mass at ~1/6 the
     decimal fold's cost, and the canonical exact-decimal cosine decides
     the edge on the survivors. Output identical to a decimal-only pass:
-    rows (d1, d2, *carry_left, cos_raw >= threshold)."""
+    rows (d1, d2, *carry_left, cos_raw >= threshold).
+
+    ``normed_right`` supplies the d2 side from a DIFFERENT frame when
+    the pair id spaces are disjoint (batch-vs-corpus): pointing it at a
+    vec_id-bucketed corpus table keeps the corpus branch of the verify
+    join exchange-free instead of unioning the corpus into both sides."""
     spark = normed.sparkSession
     cand = cands.repartition(spark.sparkContext.defaultParallelism, "d1", "d2")
     va = normed.select(
         F.col(id_col).alias("d1"), F.col(vec_col).alias("va"),
         F.col("nrm").alias("na"), *carry_left,
     )
-    vb = normed.select(
+    vb = (normed if normed_right is None else normed_right).select(
         F.col(id_col).alias("d2"), F.col(vec_col).alias("vb"),
         F.col("nrm").alias("nb"),
     )
@@ -1148,8 +1154,16 @@ def incremental_embedding_matches(
         spark, cast, table, dim, n_tables, bits, "vec_id", "embedding"
     )
     b_normed = with_norm(_respread_narrow(cast), "embedding").persist()
-    normed = b_normed.unionByName(corpus_vecs)
-    out = _verify_pairs(cand, normed, threshold, "vec_id", "embedding").select(
+    # d1 is always a batch id and d2 always a corpus id (disjoint-id
+    # precondition), so the verify's two sides come from two different
+    # frames: the batch serves d1, the vec_id-BUCKETED vector table
+    # serves d2 — only the skinny candidate frame shuffles; unioning
+    # the corpus into both sides would exchange the whole {table}_vecs
+    # relation per batch, exactly the cost the index exists to avoid
+    out = _verify_pairs(
+        cand, b_normed, threshold, "vec_id", "embedding",
+        normed_right=corpus_vecs,
+    ).select(
         "d1", "d2", pround(F.col("cos_raw"), 6).alias("cosine")
     )
     out._pinned_persisted = (b_normed,)

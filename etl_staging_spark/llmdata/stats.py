@@ -186,12 +186,15 @@ def source_overlap_matrix(
     # normalize so source_a <= source_b, carrying each doc with the
     # side its source landed on
     swap = F.col("s1") > F.col("s2")
+    # persisted: three downstream consumers (counts + both membership
+    # branches) would otherwise re-run the LSH discovery + exact-Jaccard
+    # verify — the dominant cost — once each
     norm = pairs.select(
         F.when(swap, F.col("s2")).otherwise(F.col("s1")).alias("source_a"),
         F.when(swap, F.col("s1")).otherwise(F.col("s2")).alias("source_b"),
         F.when(swap, F.col("d2")).otherwise(F.col("d1")).alias("da"),
         F.when(swap, F.col("d1")).otherwise(F.col("d2")).alias("db"),
-    )
+    ).persist()
     counts = norm.groupBy("source_a", "source_b").agg(
         F.count("*").alias("n_pairs")
     )
@@ -238,7 +241,8 @@ def source_overlap_matrix(
         (docs_a / F.col("tot_a")).alias("frac_a"),
         (docs_b / F.col("tot_b")).alias("frac_b"),
     )
-    result._pinned_persisted = tuple(
-        getattr(raw_pairs, "_pinned_persisted", ())
+    result._pinned_persisted = (
+        norm,
+        *getattr(raw_pairs, "_pinned_persisted", ()),
     )
     return result

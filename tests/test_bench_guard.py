@@ -38,3 +38,13 @@ def test_prior_timings_unwrapped_and_empty(tmp_path):
     _write(tmp_path, "BENCH_r03.json", {"queries": {"x": 0.5}})
     assert _prior_timings(str(tmp_path)) == {"x": 0.5}
     assert _prior_timings(str(tmp_path / "nowhere")) == {}
+
+
+def test_prior_timings_crash_artifact_does_not_shadow(tmp_path):
+    """A published crash round ({"parsed": null} or an empty queries
+    dict) must not win as latest with {} — that would silently disable
+    the guard while a perfectly good earlier round exists."""
+    _write(tmp_path, "BENCH_r08.json", {"parsed": {"queries": {"q": 1.0}}})
+    _write(tmp_path, "BENCH_r09.json", {"parsed": None, "error": "oom"})
+    _write(tmp_path, "BENCH_r10.json", {"parsed": {"queries": {}}})
+    assert _prior_timings(str(tmp_path)) == {"q": 1.0}

@@ -1834,6 +1834,23 @@ def test_embedding_index_matches_in_session_path(spark):
             join_i = max(i for i, ln in enumerate(tree[:scan_i]) if "Join" in ln)
             corpus_branch = [ln for ln in tree[join_i + 1: scan_i] if ":" not in ln]
             assert all("Exchange" not in ln for ln in corpus_branch), plan
+
+            # the VERIFY join's corpus side (the bucketed _vecs table)
+            # must likewise read with no Exchange — a union of batch
+            # and corpus into both verify sides would shuffle the whole
+            # vector table per batch
+            full = simsearch.incremental_embedding_matches(
+                spark, batch, "emb_ix_test", threshold=0.9, dim=64)
+            buf2 = io.StringIO()
+            with contextlib.redirect_stdout(buf2):
+                full.explain("formatted")
+            vplan = buf2.getvalue()
+            vtree = vplan.split("\n\n")[0].splitlines()
+            vscan_i = next(i for i, ln in enumerate(vtree)
+                           if "Scan parquet" in ln and "emb_ix_test_vecs" in ln)
+            vjoin_i = max(i for i, ln in enumerate(vtree[:vscan_i]) if "Join" in ln)
+            vbranch = [ln for ln in vtree[vjoin_i + 1: vscan_i] if ":" not in ln]
+            assert all("Exchange" not in ln for ln in vbranch), vplan
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     finally:
@@ -2133,3 +2150,30 @@ def test_corpus_pipeline_dedup_semantic_stage(spark):
     got = {r.doc_id for r in pipe.frame().collect()}
     pipe.release()
     assert got == {1, 3, 4}
+
+
+def test_corpus_pipeline_lm_gate_abstains_on_short_docs(spark):
+    """The LM gate is TOTAL: a doc too short for any bigram has no
+    score row and must SURVIVE the gate (abstain), not vanish — only
+    scored docs below the floor drop."""
+    from etl_staging_spark.llmdata import lm
+    from etl_staging_spark.llmdata.pipeline import CorpusPipeline
+
+    body = "the river carried silt from the mountains toward the delta plains"
+    corpus = spark.createDataFrame(
+        [(10, body + " " + body)], "doc_id long, text string")
+    lm.write_lm_model(corpus, "pipe_lm_abstain", n_buckets=2)
+    try:
+        docs = spark.createDataFrame(
+            [(1, body, "web"),                       # scores above floor
+             (2, "zz qq xx vv kk jj pp ww", "web"),  # scores below floor
+             (3, "hello", "web")],                   # one token: no bigram
+            "doc_id long, text string, source string",
+        )
+        kept = CorpusPipeline(docs).lm_quality_gate(
+            "pipe_lm_abstain", 0.15).frame().collect()
+        assert {r.doc_id for r in kept} == {1, 3}
+    finally:
+        for t in ("pipe_lm_abstain_uni", "pipe_lm_abstain_bi",
+                  "pipe_lm_abstain_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

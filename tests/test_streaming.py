@@ -467,7 +467,7 @@ def test_assembly_ingest_stream_matches_batch(spark, tmp_path):
         kept, {"train": 0.9, "val": 0.05, "test": 0.05}).collect()}
     rep.unpersist()
     spark.sql("DROP TABLE IF EXISTS asm_ix_test_bands")
-    spark.sql("DROP TABLE IF EXISTS asm_ix_test_shingles")
+    spark.sql("DROP TABLE IF EXISTS asm_ix_test_arrays")
 
     assert got == want
     assert set(range(12)) <= set(got), "good docs must survive"
