@@ -1,0 +1,91 @@
+"""Property-based checks of the pure mixture-planning helpers — the
+driver-side arithmetic every mixture/temperature sampler and its DuckDB
+oracle replay. Fixed fixtures pin specific mixes; these pin the LAWS:
+threshold bounds, quota caps, temperature monotonicity/flattening, and
+the exact integer quantization the cross-engine chain depends on. No
+Spark — pure functions, so hypothesis can run hundreds of cases."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given
+from hypothesis import strategies as st
+
+from etl_staging_spark.llmdata.sampling import (
+    BUCKETS,
+    mixture_rates,
+    temperature_thresholds,
+    temperature_weights,
+)
+
+domains = st.dictionaries(
+    st.sampled_from([f"src{i}" for i in range(8)]),
+    st.integers(min_value=0, max_value=10_000_000),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(domains, st.floats(0.01, 1.0), st.integers(0, 10_000_000))
+def test_mixture_rates_threshold_bounds_and_caps(counts, w0, target):
+    weights = {d: w0 * (i + 1) for i, d in enumerate(sorted(counts))}
+    thr = mixture_rates(counts, weights, target)
+    assert set(thr) == set(counts)
+    for d, t in thr.items():
+        assert 0 <= t <= BUCKETS
+        n = counts[d]
+        # no-upsampling cap: a domain never owes more than it has, so
+        # quota >= population must saturate the threshold
+        wsum = sum(weights.values())
+        quota = target * weights[d] / wsum if wsum else 0.0
+        if n and quota >= n:
+            assert t == BUCKETS
+        if n == 0 or quota == 0:
+            assert t == 0
+
+
+@given(domains, st.floats(0.01, 1.0))
+def test_temperature_weights_quantized_and_bounded(counts, alpha):
+    w = temperature_weights(counts, alpha)
+    assert set(w) == set(counts)
+    total = sum(counts.values())
+    for d, v in w.items():
+        assert isinstance(v, int) and 0 <= v <= 1_000_000_000
+        if total:
+            # exact quantization law the SQL oracle replays
+            assert v == int(
+                math.floor((counts[d] / total) ** alpha * 1e9 + 0.5)
+            )
+
+
+multi_domains = st.lists(
+    st.tuples(
+        st.sampled_from([f"src{i}" for i in range(8)]),
+        st.integers(min_value=1, max_value=10_000_000),
+    ),
+    min_size=2,
+    max_size=8,
+    unique_by=lambda p: p[0],
+).map(dict)
+
+
+@given(multi_domains)
+def test_temperature_flattens_toward_uniform(counts):
+    """Lower alpha compresses the weight ratio between the largest and
+    smallest domain — the whole point of temperature sampling. Compare
+    the RATIO at alpha=1 (natural) vs alpha=0.3: flatter or equal,
+    never more skewed."""
+    hot = temperature_weights(counts, 1.0)
+    cool = temperature_weights(counts, 0.3)
+    hi, lo = max(counts, key=counts.get), min(counts, key=counts.get)
+    if cool[lo] and hot[lo]:
+        assert cool[hi] / cool[lo] <= hot[hi] / hot[lo] + 1e-9
+
+
+@given(domains, st.integers(0, 1_000_000))
+def test_temperature_thresholds_monotone_in_target(counts, target):
+    """A bigger target never LOWERS any domain's keep threshold."""
+    lo = temperature_thresholds(counts, 0.5, target)
+    hi = temperature_thresholds(counts, 0.5, target * 2)
+    assert all(hi[d] >= lo[d] for d in counts)
