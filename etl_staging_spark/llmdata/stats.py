@@ -246,3 +246,45 @@ def source_overlap_matrix(
         *getattr(raw_pairs, "_pinned_persisted", ()),
     )
     return result
+
+
+def quality_threshold_for_keep_rate(
+    docs: DataFrame, keep_rate: float, decimals: int = 3
+) -> float:
+    """Calibrate the quality gate: the LOWEST quantized quality score
+    ``t`` such that keeping ``quality >= t`` retains at least
+    ``keep_rate`` of the corpus — the inverse-CDF question every
+    pipeline author answers before picking `quality_gate(...)`'s
+    floor ("I want to keep the best 70%; what's the cut?").
+
+    Scale shape: the quality score is already quantized (pround) and
+    bounded in [0, 1], so rounding to ``decimals`` puts scores in a
+    domain of at most 10^decimals + 1 values — the per-score histogram
+    is one map-side-combinable aggregate whose result COLLECTS bounded
+    (the `exact_corpus_stats` histogram convention), and the threshold
+    resolves driver-side by walking the CDF from the top. No sort, no
+    window, one scan + one tiny shuffle. The returned cut keeps AT
+    LEAST the requested fraction (ties at the threshold are kept, so
+    the kept set can only overshoot)."""
+    if not 0 < keep_rate <= 1:
+        raise ValueError("keep_rate must be in (0, 1]")
+    from .textstats import quality_scores
+
+    q = F.round(F.col("quality"), decimals)
+    hist = sorted(
+        (r[0], r[1])
+        for r in quality_scores(docs)
+        .groupBy(q.alias("qb"))
+        .agg(F.count("*").alias("c"))
+        .collect()  # bounded: <= 10^decimals + 1 quantized score values
+    )
+    n_docs = sum(c for _, c in hist)
+    if not n_docs:
+        return 0.0
+    need = keep_rate * n_docs
+    kept = 0
+    for v, c in reversed(hist):  # walk the CDF from the best score down
+        kept += c
+        if kept >= need:
+            return float(v)
+    return float(hist[0][0])

@@ -2177,3 +2177,22 @@ def test_corpus_pipeline_lm_gate_abstains_on_short_docs(spark):
         for t in ("pipe_lm_abstain_uni", "pipe_lm_abstain_bi",
                   "pipe_lm_abstain_meta"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_quality_threshold_for_keep_rate(spark):
+    """The calibrated cut keeps AT LEAST the requested fraction, the
+    kept set is exactly {quality >= t}, and a tighter rate never
+    lowers the threshold."""
+    from etl_staging_spark.llmdata import stats, textstats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = docs.count()
+    scored = textstats.quality_scores(docs).select("doc_id", "quality")
+    for rate in (0.3, 0.7, 1.0):
+        t = stats.quality_threshold_for_keep_rate(docs, rate)
+        kept = scored.where(F.round("quality", 3) >= t).count()
+        assert kept >= rate * n, (rate, t, kept, n)
+    t_loose = stats.quality_threshold_for_keep_rate(docs, 0.9)
+    t_tight = stats.quality_threshold_for_keep_rate(docs, 0.2)
+    assert t_tight >= t_loose
+    assert stats.quality_threshold_for_keep_rate(docs.where("doc_id < 0"), 0.5) == 0.0
