@@ -37,9 +37,10 @@ Laziness: the narrowing gates (`dedup_exact`, `decontaminate`,
 doc_id id-sets, so their chain stays ONE lazy Spark plan. Three stages
 are EAGER at chain-build time and say so in their docstrings:
 `dedup_near` and `dedup_semantic` run their clustering job when chained
-(connected components is iterative — it must materialize rounds), and
+(connected components is iterative — it must materialize rounds),
 `mixture`/`mixture_temperature` run one bounded per-domain counts
-aggregate. Compose eager stages where a running job is acceptable, not
+aggregate, and `quality_gate_keep_rate` runs the bounded score
+histogram that resolves its threshold. Compose eager stages where a running job is acceptable, not
 in service-init hot paths.
 """
 
@@ -157,6 +158,27 @@ class CorpusPipeline:
         (`textstats.quality_scores` — the `text_quality_score` entry)."""
         ok = textstats.quality_scores(self._df).where(
             F.col("quality") >= quality_min
+        )
+        return self._keep(ok)
+
+    def quality_gate_keep_rate(
+        self, keep_rate: float, decimals: int = 3
+    ) -> "CorpusPipeline":
+        """Quality gate calibrated to KEEP at least ``keep_rate`` of
+        the surviving corpus: resolves the threshold with
+        `stats.quality_threshold_for_keep_rate` (bounded per-score
+        histogram, driver-side inverse CDF) and keeps docs whose
+        ROUNDED score clears it — "keep the best 70%" instead of a
+        hand-picked floor. EAGER: the histogram aggregate runs when
+        this stage is chained (one scan, <= 10^decimals + 1 collected
+        rows)."""
+        from . import stats
+
+        t = stats.quality_threshold_for_keep_rate(
+            self._df, keep_rate, decimals=decimals
+        )
+        ok = textstats.quality_scores(self._df).where(
+            F.round(F.col("quality"), decimals) >= t
         )
         return self._keep(ok)
 

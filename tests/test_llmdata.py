@@ -2196,3 +2196,17 @@ def test_quality_threshold_for_keep_rate(spark):
     t_tight = stats.quality_threshold_for_keep_rate(docs, 0.2)
     assert t_tight >= t_loose
     assert stats.quality_threshold_for_keep_rate(docs.where("doc_id < 0"), 0.5) == 0.0
+
+
+def test_corpus_pipeline_quality_gate_keep_rate(spark):
+    """The calibrated quality stage keeps at least the requested
+    fraction of the chain's SURVIVORS (calibration happens after the
+    upstream stages narrow, not on the raw corpus)."""
+    from etl_staging_spark.llmdata.pipeline import CorpusPipeline
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pipe = CorpusPipeline(docs).dedup_exact()
+    n_before = pipe.frame().count()
+    kept = pipe.quality_gate_keep_rate(0.6).frame().count()
+    assert kept >= 0.6 * n_before
+    assert kept < n_before  # the gate actually cut something
