@@ -34,8 +34,8 @@ option order).
 Laziness: the narrowing gates (`dedup_exact`, `decontaminate`,
 `quality_gate`, `repetition_gate`, `lm_quality_gate`, `segment_clean`,
 `domain_cap`, `split`, `epochs`) only compose `left_semi`/anti joins on
-doc_id id-sets, so their chain stays ONE lazy Spark plan. Three stages
-are EAGER at chain-build time and say so in their docstrings:
+doc_id id-sets, so their chain stays ONE lazy Spark plan. Five stage
+methods are EAGER at chain-build time and say so in their docstrings:
 `dedup_near` and `dedup_semantic` run their clustering job when chained
 (connected components is iterative — it must materialize rounds),
 `mixture`/`mixture_temperature` run one bounded per-domain counts
@@ -77,12 +77,13 @@ class CorpusPipeline:
         call after the terminal action in long-lived sessions. One
         implementation of the pin contract: delegates to
         `tables.release_pinned`."""
+        from types import SimpleNamespace
+
         from ..tables import release_pinned
 
-        carrier = self._df
-        carrier._pinned_persisted = tuple(self._pins)
-        release_pinned(carrier)
-        carrier._pinned_persisted = ()
+        # a throwaway carrier — NEVER the kept frame itself, whose own
+        # _pinned_persisted may belong to a caller-owned operator result
+        release_pinned(SimpleNamespace(_pinned_persisted=tuple(self._pins)))
         self._pins.clear()
 
     def _keep(self, ids: DataFrame) -> "CorpusPipeline":
@@ -170,17 +171,22 @@ class CorpusPipeline:
         histogram, driver-side inverse CDF) and keeps docs whose
         ROUNDED score clears it — "keep the best 70%" instead of a
         hand-picked floor. EAGER: the histogram aggregate runs when
-        this stage is chained (one scan, <= 10^decimals + 1 collected
-        rows)."""
+        this stage is chained. The scored survivors persist until
+        :meth:`release` (the `repetition_gate` pin pattern) so the
+        upstream chain and the quality scoring each execute ONCE —
+        calibration reads the same cached frame the gate filters."""
         from . import stats
 
-        t = stats.quality_threshold_for_keep_rate(
-            self._df, keep_rate, decimals=decimals
+        scored = (
+            textstats.quality_scores(self._df)
+            .select("doc_id", "quality")
+            .persist()
         )
-        ok = textstats.quality_scores(self._df).where(
-            F.round(F.col("quality"), decimals) >= t
+        self._pins.append(scored)
+        t = stats.threshold_from_scores(scored, keep_rate, decimals)
+        return self._keep(
+            scored.where(F.round(F.col("quality"), decimals) >= t)
         )
-        return self._keep(ok)
 
     def repetition_gate(self) -> "CorpusPipeline":
         """Drop Gopher-repetitive docs (`textstats.repetition_stats` —

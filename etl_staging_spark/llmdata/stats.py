@@ -264,16 +264,32 @@ def quality_threshold_for_keep_rate(
     (the `exact_corpus_stats` histogram convention), and the threshold
     resolves driver-side by walking the CDF from the top. No sort, no
     window, one scan + one tiny shuffle. The returned cut keeps AT
-    LEAST the requested fraction (ties at the threshold are kept, so
-    the kept set can only overshoot)."""
-    if not 0 < keep_rate <= 1:
-        raise ValueError("keep_rate must be in (0, 1]")
+    LEAST the requested fraction OF THE SCORED DOCS (ties at the
+    threshold are kept, so the kept set can only overshoot;
+    NULL-quality docs — NULL/empty text — are outside both sides of
+    the rate since no threshold could ever keep them)."""
     from .textstats import quality_scores
 
+    return threshold_from_scores(quality_scores(docs), keep_rate, decimals)
+
+
+def threshold_from_scores(
+    scored: DataFrame, keep_rate: float, decimals: int = 3
+) -> float:
+    """The CDF walk of :func:`quality_threshold_for_keep_rate` over an
+    ALREADY-SCORED frame (a ``quality`` column) — callers that keep the
+    scored frame around (e.g. the pipeline's calibrated gate, which
+    persists it and filters the same frame) calibrate without scoring
+    twice. NULL-quality docs (NULL/empty text) are excluded from both
+    sides of the rate: no threshold could ever keep them, so counting
+    them in the denominator would silently break the keep-at-least
+    guarantee — and a None bucket would not sort against floats."""
+    if not 0 < keep_rate <= 1:
+        raise ValueError("keep_rate must be in (0, 1]")
     q = F.round(F.col("quality"), decimals)
     hist = sorted(
         (r[0], r[1])
-        for r in quality_scores(docs)
+        for r in scored.where(F.col("quality").isNotNull())
         .groupBy(q.alias("qb"))
         .agg(F.count("*").alias("c"))
         .collect()  # bounded: <= 10^decimals + 1 quantized score values

@@ -1450,21 +1450,25 @@ def test_lm_model_artifacts_match_inline_scoring(spark):
         "doc_id long, text string",
     )
     lm.write_lm_model(docs, "lmtest", min_count=2, n_buckets=2)
-    inline = {
-        (r.doc_id, r.n_bigrams, r.avg_prob)
-        for r in lm.lm_bigram_score(docs, min_count=2).collect()
-    }
-    stored = {
-        (r.doc_id, r.n_bigrams, r.avg_prob)
-        for r in lm.score_with_model(docs, "lmtest").collect()
-    }
-    assert stored == inline
-    # unseen vocab: "z z" has no trained unigrams/bigrams ->
-    # p = (0+1)/(0+V); V = 3 (a, b, c)
-    new = spark.createDataFrame([(9, "z z")], "doc_id long, text string")
-    r9 = lm.score_with_model(new, "lmtest").collect()[0]
-    assert r9.n_bigrams == 1
-    assert r9.avg_prob == pytest.approx(1 / 3, abs=2e-6)
+    try:
+        inline = {
+            (r.doc_id, r.n_bigrams, r.avg_prob)
+            for r in lm.lm_bigram_score(docs, min_count=2).collect()
+        }
+        stored = {
+            (r.doc_id, r.n_bigrams, r.avg_prob)
+            for r in lm.score_with_model(docs, "lmtest").collect()
+        }
+        assert stored == inline
+        # unseen vocab: "z z" has no trained unigrams/bigrams ->
+        # p = (0+1)/(0+V); V = 3 (a, b, c)
+        new = spark.createDataFrame([(9, "z z")], "doc_id long, text string")
+        r9 = lm.score_with_model(new, "lmtest").collect()[0]
+        assert r9.n_bigrams == 1
+        assert r9.avg_prob == pytest.approx(1 / 3, abs=2e-6)
+    finally:
+        for t in ("lmtest_uni", "lmtest_big", "lmtest_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
 def test_chunk_overlap_coverage_and_overlap(spark):
@@ -2013,7 +2017,7 @@ def test_corpus_pipeline_segment_clean_and_lm_stages(spark, tmp_path):
             "pipe_lm_test", 0.15).frame().collect()
         assert {r.doc_id for r in kept} == {1}
     finally:
-        for t in ("pipe_lm_test_uni", "pipe_lm_test_bi", "pipe_lm_test_meta"):
+        for t in ("pipe_lm_test_uni", "pipe_lm_test_big", "pipe_lm_test_meta"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
@@ -2174,7 +2178,7 @@ def test_corpus_pipeline_lm_gate_abstains_on_short_docs(spark):
             "pipe_lm_abstain", 0.15).frame().collect()
         assert {r.doc_id for r in kept} == {1, 3}
     finally:
-        for t in ("pipe_lm_abstain_uni", "pipe_lm_abstain_bi",
+        for t in ("pipe_lm_abstain_uni", "pipe_lm_abstain_big",
                   "pipe_lm_abstain_meta"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
@@ -2210,3 +2214,44 @@ def test_corpus_pipeline_quality_gate_keep_rate(spark):
     kept = pipe.quality_gate_keep_rate(0.6).frame().count()
     assert kept >= 0.6 * n_before
     assert kept < n_before  # the gate actually cut something
+
+
+def test_quality_threshold_null_text_docs_excluded(spark):
+    """NULL/empty-text docs score NULL quality; the calibrator must
+    neither crash on the None bucket nor count them in the rate's
+    denominator (no threshold could ever keep them)."""
+    from etl_staging_spark.llmdata import stats
+
+    good = [(i, f"some reasonable document text number {i} here", "web")
+            for i in range(10)]
+    docs = spark.createDataFrame(
+        good + [(90, None, "web"), (91, "", "web")],
+        "doc_id long, text string, source string",
+    )
+    t = stats.quality_threshold_for_keep_rate(docs, 1.0)
+    # keep-all over the SCORED docs: the lowest scored bucket wins
+    # (the NULL-text doc is unscored; the empty-string doc still
+    # scores, so it stays inside the rate)
+    from etl_staging_spark.llmdata import textstats
+    scored = textstats.quality_scores(docs).where("quality is not null")
+    n_scored = scored.count()
+    assert n_scored >= 10
+    assert scored.where(F.round("quality", 3) >= t).count() == n_scored
+
+
+def test_corpus_pipeline_release_does_not_clobber_caller_pins(spark):
+    """release() must not touch the kept frame's own _pinned_persisted:
+    a caller-owned result frame wrapped in a pipeline keeps its pin
+    record (and its cache) after the pipeline releases its stages."""
+    from etl_staging_spark.llmdata.pipeline import CorpusPipeline
+
+    docs = spark.createDataFrame(
+        [(1, "alpha text", "web")], "doc_id long, text string, source string")
+    pinned = spark.createDataFrame([(1,)], "x long").persist()
+    pinned.count()
+    docs._pinned_persisted = (pinned,)
+    pipe = CorpusPipeline(docs)
+    pipe.release()
+    assert docs._pinned_persisted == (pinned,)
+    assert pinned.storageLevel.useMemory  # still cached
+    pinned.unpersist()
