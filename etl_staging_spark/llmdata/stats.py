@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Row
 from pyspark.sql import functions as F
 
+from ..numeric import pround
 from .textstats import TOKEN_RE
 
 
@@ -238,8 +239,10 @@ def source_overlap_matrix(
         "n_pairs",
         docs_a.cast("bigint").alias("docs_a"),
         docs_b.cast("bigint").alias("docs_b"),
-        (docs_a / F.col("tot_a")).alias("frac_a"),
-        (docs_b / F.col("tot_b")).alias("frac_b"),
+        # pround: the deterministic rounding convention every oracle-
+        # facing ratio in the catalog uses (cross-engine hashable)
+        pround(docs_a / F.col("tot_a"), 6).alias("frac_a"),
+        pround(docs_b / F.col("tot_b"), 6).alias("frac_b"),
     )
     result._pinned_persisted = (
         norm,

@@ -130,6 +130,57 @@ def _o_lsh_verified_select(threshold: float, label_sql: str = "") -> str:
     WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {threshold!r}"""
 
 
+def o_source_overlap_matrix(threshold: float = 0.8) -> str:
+    """DuckDB oracle twin of `llmdata.stats.source_overlap_matrix`
+    (r10 registration queue — exercised today by the dedicated
+    Spark-vs-DuckDB pytest): the verified MinHash-LSH pair chain
+    (`_o_minhash_sigs` + `_o_lsh_verified_select`, bit-identical to
+    the Spark discovery) -> a<=b source normalization -> pair counts,
+    per-side distinct implicated docs (diagonal counts each doc once),
+    and pround'd per-side fractions."""
+    return f"""
+    WITH {O_TRIH}, {_o_minhash_sigs()}, {O_JACCARD_TAIL},
+    vpairs AS ({_o_lsh_verified_select(threshold)}),
+    srcs AS (SELECT doc_id, source FROM documents),
+    totals AS (SELECT source, COUNT(*) AS n_total FROM documents GROUP BY source),
+    norm AS (
+      SELECT CASE WHEN s1.source > s2.source THEN s2.source ELSE s1.source END AS source_a,
+             CASE WHEN s1.source > s2.source THEN s1.source ELSE s2.source END AS source_b,
+             CASE WHEN s1.source > s2.source THEN p.d2 ELSE p.d1 END AS da,
+             CASE WHEN s1.source > s2.source THEN p.d1 ELSE p.d2 END AS db
+      FROM vpairs p
+      JOIN srcs s1 ON s1.doc_id = p.d1 JOIN srcs s2 ON s2.doc_id = p.d2
+    ),
+    pcounts AS (
+      SELECT source_a, source_b, COUNT(*) AS n_pairs
+      FROM norm GROUP BY 1, 2
+    ),
+    memb AS (
+      SELECT source_a, source_b, da AS doc_id, 'a' AS side FROM norm
+      UNION ALL
+      SELECT source_a, source_b, db,
+             CASE WHEN source_a = source_b THEN 'a' ELSE 'b' END FROM norm
+    ),
+    sides AS (
+      SELECT source_a, source_b,
+             COUNT(DISTINCT CASE WHEN side = 'a' THEN doc_id END) AS a_docs,
+             COUNT(DISTINCT CASE WHEN side = 'b' THEN doc_id END) AS b_docs
+      FROM memb GROUP BY 1, 2
+    )
+    SELECT c.source_a, c.source_b, c.n_pairs,
+           CAST(s.a_docs AS BIGINT) AS docs_a,
+           CAST(CASE WHEN c.source_a = c.source_b THEN s.a_docs ELSE s.b_docs END
+                AS BIGINT) AS docs_b,
+           {o_pround('CAST(s.a_docs AS DOUBLE) / ta.n_total', 6)} AS frac_a,
+           {o_pround(
+               'CAST(CASE WHEN c.source_a = c.source_b THEN s.a_docs '
+               'ELSE s.b_docs END AS DOUBLE) / tb.n_total', 6)} AS frac_b
+    FROM pcounts c
+    JOIN sides s USING (source_a, source_b)
+    JOIN totals ta ON ta.source = c.source_a
+    JOIN totals tb ON tb.source = c.source_b"""
+
+
 @query(
     "dedup_minhash_lsh",
     oracle=f"""

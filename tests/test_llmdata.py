@@ -2255,3 +2255,30 @@ def test_corpus_pipeline_release_does_not_clobber_caller_pins(spark):
     assert docs._pinned_persisted == (pinned,)
     assert pinned.storageLevel.useMemory  # still cached
     pinned.unpersist()
+
+
+def test_source_overlap_matrix_matches_duckdb_oracle(spark):
+    """Dry-run of the r10 oracle entry: the Spark matrix hash-matches
+    the DuckDB twin on the real sf0.001 documents table (same rows,
+    same pround'd fractions)."""
+    import duckdb
+
+    from etl_staging_spark.llmdata import stats
+    from etl_staging_spark.queries.catalog_llm import o_source_overlap_matrix
+    from etl_staging_spark.tables import release_pinned
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = stats.source_overlap_matrix(docs, threshold=0.8)
+    got = sorted(
+        (r.source_a, r.source_b, r.n_pairs, r.docs_a, r.docs_b,
+         r.frac_a, r.frac_b)
+        for r in out.collect()
+    )
+    release_pinned(out)
+
+    con = duckdb.connect()
+    con.sql("CREATE VIEW documents AS SELECT * FROM "
+            "'/root/testdata/sf0.001/documents.parquet'")
+    want = sorted(tuple(r) for r in
+                  con.sql(o_source_overlap_matrix(0.8)).fetchall())
+    assert got == want and got
