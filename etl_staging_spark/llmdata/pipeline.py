@@ -48,6 +48,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..numeric import pround
 from . import cluster, decontam, dedup, linedup, lm, sampling, textstats, trainset
 
 
@@ -185,7 +186,7 @@ class CorpusPipeline:
         self._pins.append(scored)
         t = stats.threshold_from_scores(scored, keep_rate, decimals)
         return self._keep(
-            scored.where(F.round(F.col("quality"), decimals) >= t)
+            scored.where(pround(F.col("quality"), decimals) >= t)
         )
 
     def repetition_gate(self) -> "CorpusPipeline":

@@ -289,21 +289,78 @@ def threshold_from_scores(
     guarantee — and a None bucket would not sort against floats."""
     if not 0 < keep_rate <= 1:
         raise ValueError("keep_rate must be in (0, 1]")
-    q = F.round(F.col("quality"), decimals)
-    hist = sorted(
+    hist = _score_histogram(scored, decimals)
+    n_docs = sum(c for _, c in hist)
+    if not n_docs:
+        return 0.0
+    return _cdf_cut(hist, keep_rate * n_docs)[0]
+
+
+def _score_histogram(scored: DataFrame, decimals: int) -> list[tuple[float, int]]:
+    """Bounded (quantized score -> count) histogram, ascending.
+    pround, not F.round: the floor(x*10^d + 0.5) convention is the one
+    DuckDB replays exactly (HALF_UP vs banker's knife edges)."""
+    q = pround(F.col("quality"), decimals)
+    return sorted(
         (r[0], r[1])
         for r in scored.where(F.col("quality").isNotNull())
         .groupBy(q.alias("qb"))
         .agg(F.count("*").alias("c"))
         .collect()  # bounded: <= 10^decimals + 1 quantized score values
     )
-    n_docs = sum(c for _, c in hist)
-    if not n_docs:
-        return 0.0
-    need = keep_rate * n_docs
+
+
+def _cdf_cut(hist: list[tuple[float, int]], need: float) -> tuple[float, int]:
+    """Walk the CDF from the best score down: the first (= highest)
+    bucket where the cumulative count reaches ``need`` is the cut.
+    Returns (threshold, n_kept at that threshold)."""
     kept = 0
-    for v, c in reversed(hist):  # walk the CDF from the best score down
+    for v, c in reversed(hist):
         kept += c
         if kept >= need:
-            return float(v)
-    return float(hist[0][0])
+            return float(v), kept
+    return float(hist[0][0]), kept
+
+
+CALIBRATION_RATES = (0.25, 0.5, 0.75, 0.9)
+
+
+def quality_calibration_card(
+    docs: DataFrame,
+    rates: tuple[float, ...] = CALIBRATION_RATES,
+    decimals: int = 3,
+) -> DataFrame:
+    """The calibration REPORT CARD: for each target keep rate, the
+    resolved quality cut and what it actually keeps — (keep_rate,
+    threshold, n_scored, n_kept, actual_rate), one row per rate. The
+    tabular twin of :func:`quality_threshold_for_keep_rate`, built for
+    the oracle harness (r10 registration queue) and for eyeballing the
+    corpus's quality CDF before committing to a gate.
+
+    ONE bounded histogram collect serves every rate (the
+    `exact_corpus_stats` convention: heavy scan once, driver resolves
+    the tiny rank walk, result frame carries the literals).
+    ``actual_rate >= keep_rate`` always — threshold ties are kept."""
+    hist = _score_histogram(quality_scores_of(docs), decimals)
+    n_docs = sum(c for _, c in hist)
+    spark = docs.sparkSession
+    schema = ("keep_rate double, threshold double, n_scored bigint, "
+              "n_kept bigint, actual_rate double")
+    if not n_docs:
+        return spark.createDataFrame([], schema)
+    rows = []
+    for rate in rates:
+        t, kept = _cdf_cut(hist, rate * n_docs)
+        import math
+
+        actual = math.floor(kept / n_docs * 1_000_000 + 0.5) / 1_000_000
+        rows.append((float(rate), t, n_docs, kept, actual))
+    return spark.createDataFrame(rows, schema)
+
+
+def quality_scores_of(docs: DataFrame) -> DataFrame:
+    """The (doc_id, quality) projection this module calibrates over —
+    one place for the import so both card and threshold share it."""
+    from .textstats import quality_scores
+
+    return quality_scores(docs).select("doc_id", "quality")

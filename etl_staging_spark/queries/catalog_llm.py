@@ -961,6 +961,39 @@ def text_quality_score(spark, sf_dir):
     )
 
 
+def o_quality_calibration_card() -> str:
+    """DuckDB oracle twin of `llmdata.stats.quality_calibration_card`
+    (r10 registration queue — exercised by the dedicated Spark-vs-DuckDB
+    pytest): the shared quality CTEs -> quantized score histogram ->
+    top-down cumulative counts -> per-rate MAX(qv) whose cumulative
+    reaches the need — the SQL replay of the driver-side CDF walk."""
+    return f"""
+    WITH {_O_QUAL_CTES},
+    hb AS (
+      SELECT FLOOR(quality * 1000 + 0.5) / 1000 AS qv, COUNT(*) AS c
+      FROM qual WHERE quality IS NOT NULL GROUP BY 1
+    ),
+    tot AS (SELECT SUM(c) AS n FROM hb),
+    cum AS (
+      SELECT qv, SUM(c) OVER (ORDER BY qv DESC
+                              ROWS UNBOUNDED PRECEDING) AS ckeep
+      FROM hb
+    ),
+    rates AS (SELECT CAST(r AS DOUBLE) AS keep_rate
+              FROM (VALUES (0.25), (0.5), (0.75), (0.9)) v(r)),
+    th AS (
+      SELECT r.keep_rate, MAX(cum.qv) AS threshold
+      FROM rates r CROSS JOIN tot
+      JOIN cum ON cum.ckeep >= r.keep_rate * tot.n
+      GROUP BY r.keep_rate
+    )
+    SELECT t.keep_rate, t.threshold,
+           CAST(tot.n AS BIGINT) AS n_scored,
+           CAST(cum.ckeep AS BIGINT) AS n_kept,
+           {o_pround('CAST(cum.ckeep AS DOUBLE) / tot.n', 6)} AS actual_rate
+    FROM th t JOIN cum ON cum.qv = t.threshold CROSS JOIN tot"""
+
+
 @query(
     "quality_histogram",
     oracle=f"""

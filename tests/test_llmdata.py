@@ -2282,3 +2282,26 @@ def test_source_overlap_matrix_matches_duckdb_oracle(spark):
     want = sorted(tuple(r) for r in
                   con.sql(o_source_overlap_matrix(0.8)).fetchall())
     assert got == want and got
+
+
+def test_quality_calibration_card_matches_duckdb_oracle(spark):
+    """Dry-run of the r10 calibration-card entry: Spark card equals the
+    DuckDB twin on the real sf0.001 documents table, and every row
+    keeps at least its target rate."""
+    import duckdb
+
+    from etl_staging_spark.llmdata import stats
+    from etl_staging_spark.queries.catalog_llm import o_quality_calibration_card
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = sorted(
+        (r.keep_rate, r.threshold, r.n_scored, r.n_kept, r.actual_rate)
+        for r in stats.quality_calibration_card(docs).collect()
+    )
+    assert all(r[4] >= r[0] for r in got)
+    con = duckdb.connect()
+    con.sql("CREATE VIEW documents AS SELECT * FROM "
+            "'/root/testdata/sf0.001/documents.parquet'")
+    want = sorted(tuple(r) for r in
+                  con.sql(o_quality_calibration_card()).fetchall())
+    assert got == want and len(got) == 4
