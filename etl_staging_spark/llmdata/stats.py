@@ -348,11 +348,11 @@ def quality_calibration_card(
               "n_kept bigint, actual_rate double")
     if not n_docs:
         return spark.createDataFrame([], schema)
+    import math
+
     rows = []
     for rate in rates:
         t, kept = _cdf_cut(hist, rate * n_docs)
-        import math
-
         actual = math.floor(kept / n_docs * 1_000_000 + 0.5) / 1_000_000
         rows.append((float(rate), t, n_docs, kept, actual))
     return spark.createDataFrame(rows, schema)
