@@ -19,14 +19,19 @@ pipeline needs (builder brief, BASELINE north star):
 - corpus assembly: deterministic hash splits, mixture down-sampling
   and epoch up-sampling, per-domain quality budgets, shard +
   training-order assignment (:mod:`.sampling`); sequence packing
-  (:mod:`.packing`); HLL/GK approximate corpus stats (:mod:`.stats`)
+  (:mod:`.packing`); HLL/GK approximate corpus stats plus the exact
+  planning reports — cross-source duplication matrix and quality-gate
+  calibration (threshold-for-keep-rate + per-rate card)
+  (:mod:`.stats`)
 - multimodal plumbing: opaque binary payloads + Arrow-batched
   Pandas-UDF decode (decode itself stubbed deterministically; the
   image/audio libs are not in this container) — :mod:`.multimodal`
 - the fluent front door: :class:`.pipeline.CorpusPipeline` chains the
-  certified stages (dedup exact/near, decontaminate, quality/
-  repetition/LM gates, segment clean, domain cap, split) into one lazy
-  plan — :mod:`.pipeline`
+  certified stages (dedup exact/near/semantic, decontaminate, quality/
+  repetition/LM gates — fixed-floor or keep-rate-calibrated — segment
+  clean, domain cap, split, mixture, epochs) through to the
+  `to_training_set` terminal (verified shards on disk) —
+  :mod:`.pipeline`
 
 Everything hot-path is native ``pyspark.sql.functions`` (JVM,
 whole-stage codegen); Python appears only in the mapInPandas
