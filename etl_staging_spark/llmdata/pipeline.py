@@ -60,6 +60,8 @@ class CorpusPipeline:
     def __init__(self, docs: DataFrame):
         self._df = docs
         self._pins: list = []
+        # (stage label, kept frame AFTER the stage) — powers funnel()
+        self._stages: list[tuple[str, DataFrame]] = [("input", docs)]
 
     # -- plumbing -----------------------------------------------------
 
@@ -71,6 +73,7 @@ class CorpusPipeline:
         """An independent branch sharing the plan so far."""
         child = CorpusPipeline(self._df)
         child._pins = self._pins  # shared: release() once frees both
+        child._stages = list(self._stages)  # own copy: histories diverge
         return child
 
     def release(self) -> None:
@@ -87,9 +90,21 @@ class CorpusPipeline:
         release_pinned(SimpleNamespace(_pinned_persisted=tuple(self._pins)))
         self._pins.clear()
 
-    def _keep(self, ids: DataFrame) -> "CorpusPipeline":
+    def _keep(self, ids: DataFrame, label: str) -> "CorpusPipeline":
         self._df = self._df.join(ids.select("doc_id"), "doc_id", "left_semi")
+        self._stages.append((label, self._df))
         return self
+
+    def funnel(self) -> list[tuple[str, int]]:
+        """Per-stage survivor counts, in chain order, starting at
+        ("input", N) — the debugging twin of the certified
+        `corpus_assembly_v2` funnel report. EAGER and O(#stages) jobs:
+        each recorded frame is counted (Spark caches shared lineage
+        prefixes poorly across separate count() actions, so expect the
+        chain's cost roughly once per stage — a diagnostic you run on a
+        sample or at sf-small, not inside the production job; the
+        composed catalog entries report the same funnel in ONE pass)."""
+        return [(label, frame.count()) for label, frame in self._stages]
 
     # -- stages (each delegates to its certified operator) ------------
 
@@ -99,7 +114,7 @@ class CorpusPipeline:
         canon = dedup.exact_dup_groups(self._df).select(
             F.col("canonical_doc_id").alias("doc_id")
         )
-        return self._keep(canon)
+        return self._keep(canon, "dedup_exact")
 
     def dedup_near(self, threshold: float = 0.8, n: int = 3) -> "CorpusPipeline":
         """Keep one canonical doc per NEAR-dup cluster: MinHash-LSH
@@ -117,6 +132,7 @@ class CorpusPipeline:
             ~F.col("is_canonical")
         ).select("doc_id")
         self._df = self._df.join(losers, "doc_id", "left_anti")
+        self._stages.append(("dedup_near", self._df))
         return self
 
     def dedup_semantic(
@@ -145,6 +161,7 @@ class CorpusPipeline:
             pairs.select("d1", "d2")
         ).where(~F.col("is_canonical")).select("doc_id")
         self._df = self._df.join(losers, "doc_id", "left_anti")
+        self._stages.append(("dedup_semantic", self._df))
         return self
 
     def decontaminate(self, bench: DataFrame, n: int = 5) -> "CorpusPipeline":
@@ -153,7 +170,7 @@ class CorpusPipeline:
         clean = decontam.ngram_overlap(self._df, bench, n=n, min_hits=1).where(
             ~F.col("contaminated")
         )
-        return self._keep(clean)
+        return self._keep(clean, "decontaminate")
 
     def quality_gate(self, quality_min: float = 0.68) -> "CorpusPipeline":
         """Keep docs at or above the quality score
@@ -161,7 +178,7 @@ class CorpusPipeline:
         ok = textstats.quality_scores(self._df).where(
             F.col("quality") >= quality_min
         )
-        return self._keep(ok)
+        return self._keep(ok, "quality_gate")
 
     def quality_gate_keep_rate(
         self, keep_rate: float, decimals: int = 3
@@ -186,7 +203,8 @@ class CorpusPipeline:
         self._pins.append(scored)
         t = stats.threshold_from_scores(scored, keep_rate, decimals)
         return self._keep(
-            scored.where(pround(F.col("quality"), decimals) >= t)
+            scored.where(pround(F.col("quality"), decimals) >= t),
+            "quality_gate_keep_rate",
         )
 
     def repetition_gate(self) -> "CorpusPipeline":
@@ -198,7 +216,7 @@ class CorpusPipeline:
         like `domain_cap` does."""
         flags = textstats.repetition_stats(self._df).persist()
         self._pins.append(flags)
-        return self._keep(flags.where(~F.col("repetitive")))
+        return self._keep(flags.where(~F.col("repetitive")), "repetition_gate")
 
     def lm_quality_gate(self, model_table: str, min_avg_prob: float) -> "CorpusPipeline":
         """DROP docs whose mean bigram probability under the PERSISTED
@@ -216,6 +234,7 @@ class CorpusPipeline:
         self._df = self._df.join(
             bad.select("doc_id"), "doc_id", "left_anti"
         )
+        self._stages.append(("lm_quality_gate", self._df))
         return self
 
     def segment_clean(self, hot: DataFrame, k: int | None = None) -> "CorpusPipeline":
@@ -232,6 +251,7 @@ class CorpusPipeline:
         self._df = (
             self._df.drop("text").join(cleaned, "doc_id")
         )
+        self._stages.append(("segment_clean", self._df))
         return self
 
     def domain_cap(self, cap: int) -> "CorpusPipeline":
@@ -240,13 +260,14 @@ class CorpusPipeline:
         entry)."""
         kept = sampling.domain_quality_cap(self._df, cap=cap)
         self._pins.extend(getattr(kept, "_pinned_persisted", ()))
-        return self._keep(kept)
+        return self._keep(kept, "domain_cap")
 
     def split(self, fractions: dict[str, float]) -> "CorpusPipeline":
         """Stamp the deterministic hash split (`sampling.hash_split` —
         the `split_hash_deterministic` entry). Terminal-ish: adds the
         `split` column rather than narrowing."""
         self._df = sampling.hash_split(self._df, fractions)
+        self._stages.append(("split", self._df))
         return self
 
     # -- mixture back end ---------------------------------------------
@@ -261,7 +282,8 @@ class CorpusPipeline:
         (bounded O(#domains) driver state), the filter itself stays a
         single-scan literal-CASE hash threshold."""
         return self._keep(
-            sampling.mixture_sample(self._df, weights, target_total)
+            sampling.mixture_sample(self._df, weights, target_total),
+            "mixture",
         )
 
     def mixture_temperature(
@@ -272,7 +294,8 @@ class CorpusPipeline:
         `mixture_temperature` entry). Same eager bounded-counts note as
         :meth:`mixture`."""
         return self._keep(
-            sampling.mixture_sample_temperature(self._df, alpha, target_total)
+            sampling.mixture_sample_temperature(self._df, alpha, target_total),
+            "mixture_temperature",
         )
 
     def epochs(
@@ -306,6 +329,7 @@ class CorpusPipeline:
             "doc_id",
             F.col("doc_id") * F.lit(factor) + F.col("__epoch") - F.lit(1),
         ).drop("__epoch")
+        self._stages.append(("epochs", self._df))
         return self
 
     # -- terminal -----------------------------------------------------

@@ -2305,3 +2305,24 @@ def test_quality_calibration_card_matches_duckdb_oracle(spark):
     want = sorted(tuple(r) for r in
                   con.sql(o_quality_calibration_card()).fetchall())
     assert got == want and len(got) == 4
+
+
+def test_corpus_pipeline_funnel_counts(spark):
+    """funnel() reports per-stage survivor counts in chain order, and a
+    fork's history diverges from its parent's after the fork point."""
+    from etl_staging_spark.llmdata.pipeline import CorpusPipeline
+
+    good = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo")
+    docs = spark.createDataFrame(
+        [(i, good + f" tail{i}", "web") for i in range(6)]
+        + [(21, good + " tail1", "web")],       # exact dup of doc 1
+        "doc_id long, text string, source string",
+    )
+    pipe = CorpusPipeline(docs).dedup_exact()
+    child = pipe.fork().quality_gate(0.99)      # gate that drops all
+    f = pipe.funnel()
+    cf = child.funnel()
+    assert f == [("input", 7), ("dedup_exact", 6)]
+    assert cf[:2] == f and cf[2] == ("quality_gate", 0)
+    assert len(pipe.funnel()) == 2              # parent history untouched
