@@ -341,7 +341,9 @@ def quality_calibration_card(
     `exact_corpus_stats` convention: heavy scan once, driver resolves
     the tiny rank walk, result frame carries the literals).
     ``actual_rate >= keep_rate`` always — threshold ties are kept."""
-    hist = _score_histogram(quality_scores_of(docs), decimals)
+    from .textstats import quality_scores
+
+    hist = _score_histogram(quality_scores(docs), decimals)
     n_docs = sum(c for _, c in hist)
     spark = docs.sparkSession
     schema = ("keep_rate double, threshold double, n_scored bigint, "
@@ -357,10 +359,3 @@ def quality_calibration_card(
         rows.append((float(rate), t, n_docs, kept, actual))
     return spark.createDataFrame(rows, schema)
 
-
-def quality_scores_of(docs: DataFrame) -> DataFrame:
-    """The (doc_id, quality) projection this module calibrates over —
-    one place for the import so both card and threshold share it."""
-    from .textstats import quality_scores
-
-    return quality_scores(docs).select("doc_id", "quality")
