@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Row
 from pyspark.sql import functions as F
 
-from ..numeric import pround
+from ..numeric import pround, py_pround
 from .textstats import TOKEN_RE
 
 
@@ -350,12 +350,13 @@ def quality_calibration_card(
               "n_kept bigint, actual_rate double")
     if not n_docs:
         return spark.createDataFrame([], schema)
-    import math
-
     rows = []
     for rate in rates:
+        if not 0 < rate <= 1:
+            raise ValueError("keep rates must be in (0, 1]")
         t, kept = _cdf_cut(hist, rate * n_docs)
-        actual = math.floor(kept / n_docs * 1_000_000 + 0.5) / 1_000_000
-        rows.append((float(rate), t, n_docs, kept, actual))
+        rows.append(
+            (float(rate), t, n_docs, kept, py_pround(kept / n_docs, 6))
+        )
     return spark.createDataFrame(rows, schema)
 

@@ -30,3 +30,15 @@ def o_pround(expr: str, scale: int) -> str:
     """DuckDB oracle twin of :func:`pround`."""
     m = 10 ** scale
     return f"FLOOR(({expr}) * {m} + 0.5) / {m}"
+
+
+def py_pround(x: float, scale: int) -> float:
+    """Driver-side scalar twin of :func:`pround` — the same
+    floor(x*10^s + 0.5)/10^s IEEE chain for values already collected
+    to the driver (bounded-histogram walks and report-card literals),
+    so the convention has exactly three spellings: Column, SQL, scalar
+    — all in this module."""
+    import math
+
+    m = 10 ** scale
+    return math.floor(x * m + 0.5) / m

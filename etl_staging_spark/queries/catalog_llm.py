@@ -961,16 +961,26 @@ def text_quality_score(spark, sf_dir):
     )
 
 
-def o_quality_calibration_card() -> str:
+def o_quality_calibration_card(
+    rates: tuple[float, ...] | None = None, decimals: int = 3
+) -> str:
     """DuckDB oracle twin of `llmdata.stats.quality_calibration_card`
     (r10 registration queue — exercised by the dedicated Spark-vs-DuckDB
     pytest): the shared quality CTEs -> quantized score histogram ->
     top-down cumulative counts -> per-rate MAX(qv) whose cumulative
-    reaches the need — the SQL replay of the driver-side CDF walk."""
+    reaches the need — the SQL replay of the driver-side CDF walk.
+    Rates and the quantization scale interpolate from the SAME
+    defaults the Spark side uses, so editing CALIBRATION_RATES or
+    decimals cannot silently diverge the twins."""
+    from ..llmdata.stats import CALIBRATION_RATES
+
+    if rates is None:
+        rates = CALIBRATION_RATES
+    values = ", ".join(f"({r!r})" for r in rates)
     return f"""
     WITH {_O_QUAL_CTES},
     hb AS (
-      SELECT FLOOR(quality * 1000 + 0.5) / 1000 AS qv, COUNT(*) AS c
+      SELECT {o_pround('quality', decimals)} AS qv, COUNT(*) AS c
       FROM qual WHERE quality IS NOT NULL GROUP BY 1
     ),
     tot AS (SELECT SUM(c) AS n FROM hb),
@@ -980,7 +990,7 @@ def o_quality_calibration_card() -> str:
       FROM hb
     ),
     rates AS (SELECT CAST(r AS DOUBLE) AS keep_rate
-              FROM (VALUES (0.25), (0.5), (0.75), (0.9)) v(r)),
+              FROM (VALUES {values}) v(r)),
     th AS (
       SELECT r.keep_rate, MAX(cum.qv) AS threshold
       FROM rates r CROSS JOIN tot

@@ -2189,12 +2189,15 @@ def test_quality_threshold_for_keep_rate(spark):
     lowers the threshold."""
     from etl_staging_spark.llmdata import stats, textstats
 
+    from etl_staging_spark.numeric import pround as _pr
+
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     n = docs.count()
     scored = textstats.quality_scores(docs).select("doc_id", "quality")
     for rate in (0.3, 0.7, 1.0):
         t = stats.quality_threshold_for_keep_rate(docs, rate)
-        kept = scored.where(F.round("quality", 3) >= t).count()
+        # pround, the gate's actual filter convention (not F.round)
+        kept = scored.where(_pr(F.col("quality"), 3) >= t).count()
         assert kept >= rate * n, (rate, t, kept, n)
     t_loose = stats.quality_threshold_for_keep_rate(docs, 0.9)
     t_tight = stats.quality_threshold_for_keep_rate(docs, 0.2)
@@ -2233,10 +2236,11 @@ def test_quality_threshold_null_text_docs_excluded(spark):
     # (the NULL-text doc is unscored; the empty-string doc still
     # scores, so it stays inside the rate)
     from etl_staging_spark.llmdata import textstats
+    from etl_staging_spark.numeric import pround as _pr
     scored = textstats.quality_scores(docs).where("quality is not null")
     n_scored = scored.count()
     assert n_scored >= 10
-    assert scored.where(F.round("quality", 3) >= t).count() == n_scored
+    assert scored.where(_pr(F.col("quality"), 3) >= t).count() == n_scored
 
 
 def test_corpus_pipeline_release_does_not_clobber_caller_pins(spark):
@@ -2326,3 +2330,19 @@ def test_corpus_pipeline_funnel_counts(spark):
     assert f == [("input", 7), ("dedup_exact", 6)]
     assert cf[:2] == f and cf[2] == ("quality_gate", 0)
     assert len(pipe.funnel()) == 2              # parent history untouched
+
+
+def test_quality_calibration_card_rejects_bad_rates(spark):
+    """The card validates rates like its scalar twin — an out-of-range
+    rate raises instead of silently emitting a row the oracle twin
+    would drop (cross-engine row-count divergence)."""
+    import pytest as _pytest
+
+    from etl_staging_spark.llmdata import stats
+
+    docs = spark.createDataFrame(
+        [(1, "some text here", "web")],
+        "doc_id long, text string, source string",
+    )
+    with _pytest.raises(ValueError):
+        stats.quality_calibration_card(docs, rates=(0.5, 1.2)).collect()
