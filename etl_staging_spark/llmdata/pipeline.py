@@ -48,7 +48,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..numeric import pround
 from . import cluster, decontam, dedup, linedup, lm, sampling, textstats, trainset
 
 
@@ -184,15 +183,19 @@ class CorpusPipeline:
         self, keep_rate: float, decimals: int = 3
     ) -> "CorpusPipeline":
         """Quality gate calibrated to KEEP at least ``keep_rate`` of
-        the surviving corpus: resolves the threshold with
-        `stats.quality_threshold_for_keep_rate` (bounded per-score
-        histogram, driver-side inverse CDF) and keeps docs whose
-        ROUNDED score clears it — "keep the best 70%" instead of a
-        hand-picked floor. EAGER: the histogram aggregate runs when
-        this stage is chained. The scored survivors persist until
-        :meth:`release` (the `repetition_gate` pin pattern) so the
-        upstream chain and the quality scoring each execute ONCE —
-        calibration reads the same cached frame the gate filters."""
+        the chain's SCORED survivors: resolves the raw-score cut with
+        `stats.threshold_from_scores` (bounded per-score histogram,
+        driver-side inverse CDF, bucket-lower-edge cut) and keeps docs
+        whose raw score clears it — "keep the best 70%" instead of a
+        hand-picked floor. Survivors with NULL/empty text score NULL
+        quality and sit outside both sides of the rate (no threshold
+        could keep them), so the corpus-relative keep fraction can
+        undershoot by exactly the unscored docs. EAGER: the histogram
+        aggregate runs when this stage is chained. The scored
+        survivors persist until :meth:`release` (the `repetition_gate`
+        pin pattern) so the upstream chain and the quality scoring
+        each execute ONCE — calibration reads the same cached frame
+        the gate filters."""
         from . import stats
 
         scored = (
@@ -203,7 +206,7 @@ class CorpusPipeline:
         self._pins.append(scored)
         t = stats.threshold_from_scores(scored, keep_rate, decimals)
         return self._keep(
-            scored.where(pround(F.col("quality"), decimals) >= t),
+            scored.where(F.col("quality") >= t),
             "quality_gate_keep_rate",
         )
 

@@ -254,11 +254,13 @@ def source_overlap_matrix(
 def quality_threshold_for_keep_rate(
     docs: DataFrame, keep_rate: float, decimals: int = 3
 ) -> float:
-    """Calibrate the quality gate: the LOWEST quantized quality score
-    ``t`` such that keeping ``quality >= t`` retains at least
-    ``keep_rate`` of the corpus — the inverse-CDF question every
-    pipeline author answers before picking `quality_gate(...)`'s
-    floor ("I want to keep the best 70%; what's the cut?").
+    """Calibrate the quality gate: the LOWEST cut ``t`` such that
+    keeping raw ``quality >= t`` retains at least ``keep_rate`` of the
+    scored corpus — the inverse-CDF question every pipeline author
+    answers before picking `quality_gate(...)`'s floor ("I want to
+    keep the best 70%; what's the cut?"). The cut is the lower edge of
+    the winning quantized bucket, so it is directly usable as
+    `quality_gate`'s raw-score floor.
 
     Scale shape: the quality score is already quantized (pround) and
     bounded in [0, 1], so rounding to ``decimals`` puts scores in a
@@ -267,10 +269,14 @@ def quality_threshold_for_keep_rate(
     (the `exact_corpus_stats` histogram convention), and the threshold
     resolves driver-side by walking the CDF from the top. No sort, no
     window, one scan + one tiny shuffle. The returned cut keeps AT
-    LEAST the requested fraction OF THE SCORED DOCS (ties at the
-    threshold are kept, so the kept set can only overshoot;
-    NULL-quality docs — NULL/empty text — are outside both sides of
-    the rate since no threshold could ever keep them)."""
+    LEAST the requested fraction OF THE SCORED DOCS when applied to
+    the RAW ``quality`` column — i.e. ``quality_gate(t)`` honors the
+    rate as advertised: the cut is the LOWER EDGE of the winning
+    quantized bucket (bucket value minus half a quantum), so every doc
+    the histogram counted as kept clears a plain ``quality >= t``
+    filter too (ties at the edge are kept, so the kept set can only
+    overshoot; NULL-quality docs — NULL/empty text — are outside both
+    sides of the rate since no threshold could ever keep them)."""
     from .textstats import quality_scores
 
     return threshold_from_scores(quality_scores(docs), keep_rate, decimals)
@@ -293,7 +299,16 @@ def threshold_from_scores(
     n_docs = sum(c for _, c in hist)
     if not n_docs:
         return 0.0
-    return _cdf_cut(hist, keep_rate * n_docs)[0]
+    return _bucket_edge(_cdf_cut(hist, keep_rate * n_docs)[0], decimals)
+
+
+def _bucket_edge(bucket: float, decimals: int) -> float:
+    """Lower edge of a pround bucket: the smallest raw value that
+    quantizes INTO it (bucket minus half a quantum, re-prounded at one
+    extra decimal so the edge is the exact float a 6-decimal quality
+    score lands on — a raw ``>= edge`` filter then keeps exactly the
+    buckets at or above ``bucket``, with no IEEE boundary leakage)."""
+    return py_pround(bucket - 0.5 * 10 ** -decimals, decimals + 1)
 
 
 def _score_histogram(scored: DataFrame, decimals: int) -> list[tuple[float, int]]:
@@ -340,9 +355,16 @@ def quality_calibration_card(
     ONE bounded histogram collect serves every rate (the
     `exact_corpus_stats` convention: heavy scan once, driver resolves
     the tiny rank walk, result frame carries the literals).
-    ``actual_rate >= keep_rate`` always — threshold ties are kept."""
+    ``actual_rate >= keep_rate`` always — edge ties are kept. The
+    reported threshold is the bucket LOWER EDGE (the
+    :func:`quality_threshold_for_keep_rate` convention), directly
+    usable as a raw-score gate floor. Rates are validated before any
+    work — same rejection on an empty corpus as a full one — and must
+    be unique so the card and its per-rate oracle twin agree row for
+    row."""
     from .textstats import quality_scores
 
+    _validate_rates(rates)
     hist = _score_histogram(quality_scores(docs), decimals)
     n_docs = sum(c for _, c in hist)
     spark = docs.sparkSession
@@ -352,11 +374,24 @@ def quality_calibration_card(
         return spark.createDataFrame([], schema)
     rows = []
     for rate in rates:
-        if not 0 < rate <= 1:
-            raise ValueError("keep rates must be in (0, 1]")
         t, kept = _cdf_cut(hist, rate * n_docs)
         rows.append(
-            (float(rate), t, n_docs, kept, py_pround(kept / n_docs, 6))
+            (float(rate), _bucket_edge(t, decimals), n_docs, kept,
+             py_pround(kept / n_docs, 6))
         )
     return spark.createDataFrame(rows, schema)
+
+
+def _validate_rates(rates: tuple[float, ...]) -> None:
+    """Shared rate validation for the calibration card and its DuckDB
+    oracle twin: the SAME rejection on either engine, resolved before
+    any scan (an invalid rate must not depend on the data, and must
+    not pay for the histogram first)."""
+    if not rates:
+        raise ValueError("at least one keep rate is required")
+    if len(set(rates)) != len(rates):
+        raise ValueError("keep rates must be unique")
+    for rate in rates:
+        if not 0 < rate <= 1:
+            raise ValueError("keep rates must be in (0, 1]")
 

@@ -16,6 +16,8 @@ matters is that both sides share it.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -38,7 +40,5 @@ def py_pround(x: float, scale: int) -> float:
     to the driver (bounded-histogram walks and report-card literals),
     so the convention has exactly three spellings: Column, SQL, scalar
     — all in this module."""
-    import math
-
     m = 10 ** scale
     return math.floor(x * m + 0.5) / m

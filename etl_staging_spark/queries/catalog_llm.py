@@ -968,14 +968,19 @@ def o_quality_calibration_card(
     (r10 registration queue — exercised by the dedicated Spark-vs-DuckDB
     pytest): the shared quality CTEs -> quantized score histogram ->
     top-down cumulative counts -> per-rate MAX(qv) whose cumulative
-    reaches the need — the SQL replay of the driver-side CDF walk.
-    Rates and the quantization scale interpolate from the SAME
-    defaults the Spark side uses, so editing CALIBRATION_RATES or
-    decimals cannot silently diverge the twins."""
-    from ..llmdata.stats import CALIBRATION_RATES
+    reaches the need, lowered to the bucket edge — the SQL replay of
+    the driver-side CDF walk including the half-quantum edge
+    convention. Rates and the quantization scale interpolate from the
+    SAME defaults the Spark side uses — and pass the SAME up-front
+    validation (non-empty, unique, in (0, 1]) — so editing
+    CALIBRATION_RATES or decimals cannot silently diverge the twins,
+    and an invalid rate tuple is rejected identically on either
+    engine."""
+    from ..llmdata.stats import CALIBRATION_RATES, _validate_rates
 
     if rates is None:
         rates = CALIBRATION_RATES
+    _validate_rates(rates)
     values = ", ".join(f"({r!r})" for r in rates)
     return f"""
     WITH {_O_QUAL_CTES},
@@ -997,7 +1002,9 @@ def o_quality_calibration_card(
       JOIN cum ON cum.ckeep >= r.keep_rate * tot.n
       GROUP BY r.keep_rate
     )
-    SELECT t.keep_rate, t.threshold,
+    SELECT t.keep_rate,
+           {o_pround(f't.threshold - {0.5 * 10 ** -decimals!r}',
+                     decimals + 1)} AS threshold,
            CAST(tot.n AS BIGINT) AS n_scored,
            CAST(cum.ckeep AS BIGINT) AS n_kept,
            {o_pround('CAST(cum.ckeep AS DOUBLE) / tot.n', 6)} AS actual_rate

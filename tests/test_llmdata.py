@@ -2184,20 +2184,18 @@ def test_corpus_pipeline_lm_gate_abstains_on_short_docs(spark):
 
 
 def test_quality_threshold_for_keep_rate(spark):
-    """The calibrated cut keeps AT LEAST the requested fraction, the
-    kept set is exactly {quality >= t}, and a tighter rate never
-    lowers the threshold."""
+    """The calibrated cut keeps AT LEAST the requested fraction under
+    the RAW-score filter quality_gate actually applies, and a tighter
+    rate never lowers the threshold."""
     from etl_staging_spark.llmdata import stats, textstats
-
-    from etl_staging_spark.numeric import pround as _pr
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     n = docs.count()
     scored = textstats.quality_scores(docs).select("doc_id", "quality")
     for rate in (0.3, 0.7, 1.0):
         t = stats.quality_threshold_for_keep_rate(docs, rate)
-        # pround, the gate's actual filter convention (not F.round)
-        kept = scored.where(_pr(F.col("quality"), 3) >= t).count()
+        # raw >= t: the quality_gate convention the cut is built for
+        kept = scored.where(F.col("quality") >= t).count()
         assert kept >= rate * n, (rate, t, kept, n)
     t_loose = stats.quality_threshold_for_keep_rate(docs, 0.9)
     t_tight = stats.quality_threshold_for_keep_rate(docs, 0.2)
@@ -2236,11 +2234,10 @@ def test_quality_threshold_null_text_docs_excluded(spark):
     # (the NULL-text doc is unscored; the empty-string doc still
     # scores, so it stays inside the rate)
     from etl_staging_spark.llmdata import textstats
-    from etl_staging_spark.numeric import pround as _pr
     scored = textstats.quality_scores(docs).where("quality is not null")
     n_scored = scored.count()
     assert n_scored >= 10
-    assert scored.where(_pr(F.col("quality"), 3) >= t).count() == n_scored
+    assert scored.where(F.col("quality") >= t).count() == n_scored
 
 
 def test_corpus_pipeline_release_does_not_clobber_caller_pins(spark):
@@ -2333,16 +2330,45 @@ def test_corpus_pipeline_funnel_counts(spark):
 
 
 def test_quality_calibration_card_rejects_bad_rates(spark):
-    """The card validates rates like its scalar twin — an out-of-range
-    rate raises instead of silently emitting a row the oracle twin
-    would drop (cross-engine row-count divergence)."""
+    """Both twins validate rates identically and BEFORE any scan: an
+    out-of-range, duplicate, or empty rate tuple raises on the Spark
+    card (even over an empty corpus, where the old early-return used
+    to skip validation) and on the oracle builder (where duplicates
+    would GROUP-BY-collapse and an empty tuple is a syntax error)."""
     import pytest as _pytest
 
     from etl_staging_spark.llmdata import stats
+    from etl_staging_spark.queries.catalog_llm import o_quality_calibration_card
 
     docs = spark.createDataFrame(
         [(1, "some text here", "web")],
         "doc_id long, text string, source string",
     )
-    with _pytest.raises(ValueError):
-        stats.quality_calibration_card(docs, rates=(0.5, 1.2)).collect()
+    empty = docs.where("doc_id < 0")
+    for bad in ((0.5, 1.2), (0.5, 0.5), ()):
+        with _pytest.raises(ValueError):
+            stats.quality_calibration_card(docs, rates=bad).collect()
+        with _pytest.raises(ValueError):
+            stats.quality_calibration_card(empty, rates=bad).collect()
+        with _pytest.raises(ValueError):
+            o_quality_calibration_card(rates=bad)
+
+
+def test_threshold_is_raw_score_gate_floor(spark):
+    """The calibrated cut is the winning bucket's LOWER EDGE: a raw
+    ``quality >= t`` filter (quality_gate's convention) keeps exactly
+    the docs the histogram counted — including a doc whose 6-decimal
+    score sits precisely on the half-quantum boundary of the cut
+    bucket (0.6815 quantizes up into bucket 0.682 at 3 decimals and
+    must survive the raw-score gate the calibrator advertises)."""
+    from etl_staging_spark.llmdata import stats
+
+    scored = spark.createDataFrame(
+        [(1, 0.6815), (2, 0.682), (3, 0.9), (4, 0.2)],
+        "doc_id long, quality double",
+    )
+    # need = 3 of 4: CDF walk lands on bucket 0.682 -> edge 0.6815
+    t = stats.threshold_from_scores(scored, 0.75)
+    assert t == 0.6815
+    kept = scored.where(F.col("quality") >= t).count()
+    assert kept == 3  # the boundary doc (0.6815) is kept, 0.2 is cut
