@@ -185,3 +185,78 @@ def boilerplate_flags(
         frac.alias("bp_frac"),
         (frac > doc_frac).alias("boilerplate"),
     )
+
+
+def semantic_contamination(
+    corpus_emb: DataFrame,
+    eval_emb: DataFrame,
+    threshold: float = 0.45,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SEMANTIC contamination: corpus vectors with an exact-decimal
+    cosine >= ``threshold`` neighbor in the benchmark embedding set —
+    the third rung of the decontamination ladder after
+    :func:`ngram_overlap` (exact n-gram collisions) and
+    :func:`fuzzy_contamination` (lexical near-dups): a translated or
+    fully re-worded eval leak shares no shingles at all but still sits
+    next to its source in embedding space. Output one row per corpus
+    vector: (id, n_matches, max_cosine, contaminated) — zero-match
+    vectors kept (n_matches = 0, NULL max_cosine) so the frame is the
+    full keep/drop decision, the :func:`fuzzy_contamination` contract.
+
+    Scale shape: multi-table sign-LSH discovery (the measured
+    ~0.9-recall config of the `dedup_semantic_recall` card), with the
+    BOUNDED eval side's bucket keys broadcast — candidate discovery is
+    a map-side hash join against the corpus keys, no corpus x corpus
+    and no corpus x eval all-pairs; both key sets come from the same
+    Arrow-batched kernel. Verification attaches vectors to the skinny
+    candidate pairs by keyed joins and runs the shared two-stage
+    double-prefilter + exact-decimal cosine (`simsearch._verify_pairs`
+    with the eval frame on the right side, so the corpus is never
+    unioned into both branches). Precondition: corpus and eval id
+    spaces must be disjoint (the `fuzzy_contamination` contract)."""
+    from . import simsearch as ss
+
+    keyed_c = ss._table_keys_frame(
+        corpus_emb, F.lit(False), dim, id_col=id_col, vec_col=vec_col
+    ).persist()
+    keyed_e = ss._table_keys_frame(
+        eval_emb, F.lit(True), dim, id_col=id_col, vec_col=vec_col
+    )
+    cand = (
+        keyed_c.select(F.col(id_col).alias("d1"), "bkt")
+        .join(
+            F.broadcast(keyed_e.select(F.col(id_col).alias("d2"), "bkt")),
+            "bkt",
+        )
+        .where(F.col("d1") != F.col("d2"))  # disjoint-id contract guard
+        .select("d1", "d2")
+        .distinct()
+    )
+    normed_c = ss.with_norm(
+        ss._respread_narrow(corpus_emb), vec_col
+    ).persist()
+    normed_e = ss.with_norm(eval_emb, vec_col)
+    matches = ss._verify_pairs(
+        cand, normed_c, threshold, id_col, vec_col, normed_right=normed_e
+    )
+    from ..numeric import pround
+
+    per_vec = matches.groupBy("d1").agg(
+        F.count("*").alias("n_matches"),
+        pround(F.max("cos_raw"), 6).alias("max_cosine"),
+    )
+    out = (
+        corpus_emb.select(id_col)
+        .join(per_vec, F.col(id_col) == F.col("d1"), "left")
+        .select(
+            id_col,
+            F.coalesce("n_matches", F.lit(0).cast("bigint")).alias("n_matches"),
+            F.col("max_cosine"),
+            (F.coalesce("n_matches", F.lit(0)) >= 1).alias("contaminated"),
+        )
+    )
+    out._pinned_persisted = (keyed_c, normed_c)
+    return out

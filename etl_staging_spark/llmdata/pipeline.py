@@ -32,9 +32,10 @@ order is the author's policy decision, same as the reference's wizard
 option order).
 
 Laziness: the narrowing gates (`dedup_exact`, `decontaminate`,
-`quality_gate`, `repetition_gate`, `lm_quality_gate`, `segment_clean`,
-`domain_cap`, `split`, `epochs`) only compose `left_semi`/anti joins on
-doc_id id-sets, so their chain stays ONE lazy Spark plan. Five stage
+`decontaminate_semantic`, `quality_gate`, `repetition_gate`,
+`lm_quality_gate`, `segment_clean`, `domain_cap`, `split`, `epochs`)
+only compose `left_semi`/anti joins on doc_id id-sets, so their chain
+stays ONE lazy Spark plan. Five stage
 methods are EAGER at chain-build time and say so in their docstrings:
 `dedup_near` and `dedup_semantic` run their clustering job when chained
 (connected components is iterative — it must materialize rounds),
@@ -170,6 +171,37 @@ class CorpusPipeline:
             ~F.col("contaminated")
         )
         return self._keep(clean, "decontaminate")
+
+    def decontaminate_semantic(
+        self,
+        emb: DataFrame,
+        bench_emb: DataFrame,
+        threshold: float = 0.9,
+        dim: int = 64,
+    ) -> "CorpusPipeline":
+        """Drop survivors whose EMBEDDING has a cosine >= ``threshold``
+        neighbor in the benchmark embedding set
+        (`decontam.semantic_contamination`) — the paraphrase-proof rung
+        of the decontamination ladder: a translated or fully re-worded
+        eval leak shares no n-grams with its source (so both
+        :meth:`decontaminate` and the fuzzy lexical check miss it) but
+        still sits next to it in embedding space. ``emb`` carries
+        (doc_id, embedding) for at least the surviving docs; docs
+        without a vector are untouched (the `dedup_semantic` anti-join
+        convention — only flagged ids are removed). Precondition:
+        corpus and benchmark doc_id spaces are disjoint."""
+        flagged = decontam.semantic_contamination(
+            emb.join(self._df.select("doc_id"), "doc_id", "left_semi"),
+            bench_emb,
+            threshold=threshold,
+            dim=dim,
+            id_col="doc_id",
+        )
+        self._pins.extend(getattr(flagged, "_pinned_persisted", ()))
+        bad = flagged.where(F.col("contaminated")).select("doc_id")
+        self._df = self._df.join(bad, "doc_id", "left_anti")
+        self._stages.append(("decontaminate_semantic", self._df))
+        return self
 
     def quality_gate(self, quality_min: float = 0.68) -> "CorpusPipeline":
         """Keep docs at or above the quality score

@@ -572,13 +572,17 @@ def _o_planes_values(dim: int) -> str:
     return f"planes(p, i, w) AS (VALUES {rows})"
 
 
-def _o_mt_cand(dim: int) -> str:
+def _o_mt_cand(dim: int, pair_pred: str = "q.vec_id < 10") -> str:
     """Multi-table sign-LSH candidate CTEs (mtplanes / msigns /
     mtbuckets / mcand). The planes are generated IN SQL from the same
     md5 derivation as `hashing.hyperplanes` (verified bit-exact against
     the Python generator — no 4k-row VALUES blob); per-table bucket =
     that table's plane signs concatenated in plane order; candidates =
-    DISTINCT query x corpus pairs sharing ANY table's bucket."""
+    DISTINCT query x corpus pairs sharing ANY table's bucket.
+    ``pair_pred`` scopes the pair space over aliases ``q`` (query side)
+    and ``c`` (corpus side) — the default is the ANN entries' vec_id
+    query panel; the semantic-decontamination twin passes a modulus
+    split instead."""
     nt, b = simsearch.N_TABLES, simsearch.BITS_PER_TABLE
     h = o_hash56("'plane:' || CAST(t.p AS VARCHAR) || ':' || CAST(u.d AS VARCHAR)")
     return f"""
@@ -603,8 +607,47 @@ def _o_mt_cand(dim: int) -> str:
       SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
       FROM mtbuckets q JOIN mtbuckets c
         ON c.tbl = q.tbl AND c.bkt = q.bkt AND c.vec_id <> q.vec_id
-      WHERE q.vec_id < 10
+      WHERE {pair_pred}
     )"""
+
+
+def o_semantic_contamination(
+    threshold: float = 0.35, eval_mod: int = 41
+) -> str:
+    """DuckDB oracle twin of `llmdata.decontam.semantic_contamination`
+    over the embeddings table with eval = every ``eval_mod``-th vector
+    (r10 registration queue — exercised by the dedicated Spark-vs-DuckDB
+    pytest): the shared multi-table sign-LSH candidate CTEs
+    (:func:`_o_mt_cand`, pair space scoped to eval x corpus by the
+    modulus split) -> exact-decimal cosine on candidates -> per-corpus-
+    vector match counts, left-joined back so zero-match vectors keep
+    their row — the full keep/drop decision, `decontaminate_fuzzy`'s
+    output contract in embedding space."""
+    split = (f"q.vec_id % {eval_mod} = 0 AND c.vec_id % {eval_mod} <> 0")
+    return f"""
+    WITH {O_ELEMS}, {_o_mt_cand(64, pair_pred=split)},
+    sdots AS (
+      SELECT cid, qid,
+             CAST(SUM(CAST(a.e * b.e AS DECIMAL(30,15))) AS DOUBLE) AS dot
+      FROM mcand JOIN elems a ON a.vec_id = cid
+                 JOIN elems b ON b.vec_id = qid AND b.i = a.i
+      GROUP BY 1, 2
+    ),
+    sscored AS (
+      SELECT cid, dot / (cn.nrm * qn.nrm) AS c
+      FROM sdots JOIN norms cn ON cn.vec_id = cid
+                 JOIN norms qn ON qn.vec_id = qid
+    ),
+    shits AS (
+      SELECT cid, COUNT(*) AS n_matches, MAX(c) AS mx
+      FROM sscored WHERE c >= {threshold!r} GROUP BY cid
+    )
+    SELECT e.vec_id,
+           CAST(COALESCE(h.n_matches, 0) AS BIGINT) AS n_matches,
+           {o_pround('h.mx', 6)} AS max_cosine,
+           COALESCE(h.n_matches, 0) >= 1 AS contaminated
+    FROM embeddings e LEFT JOIN shits h ON h.cid = e.vec_id
+    WHERE e.vec_id % {eval_mod} <> 0"""
 
 
 @query(

@@ -404,6 +404,63 @@ def test_fuzzy_contamination_planted_paraphrase(spark):
     assert out[2].n_matches == 0 and out[2].max_jaccard is None
 
 
+def test_semantic_contamination_planted_neighbor(spark):
+    """A corpus vector that is a tiny perturbation of an eval vector
+    flags contaminated (cosine ~1 under the multi-table LSH discovery
+    + exact verify); an orthogonal vector stays clean and keeps its
+    zero-match row — the fuzzy_contamination output contract in
+    embedding space."""
+    import numpy as np
+
+    from etl_staging_spark.llmdata.decontam import semantic_contamination
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(64)
+    near = base + 0.01 * rng.randn(64)     # cosine ~0.9999
+    ortho = rng.randn(64)
+    ortho -= ortho.dot(base) / base.dot(base) * base  # cosine ~0
+    rows_e = [(1000, [float(x) for x in base])]
+    rows_c = [(1, [float(x) for x in near]),
+              (2, [float(x) for x in ortho]),
+              (3, [float(x) for x in base])]  # verbatim copy
+    schema = "vec_id long, embedding array<float>"
+    eva = spark.createDataFrame(rows_e, schema)
+    corp = spark.createDataFrame(rows_c, schema)
+    out = {r.vec_id: r for r in
+           semantic_contamination(corp, eva, threshold=0.9).collect()}
+    assert len(out) == 3  # clean vectors keep their rows
+    assert out[1].contaminated and out[1].n_matches == 1
+    assert 0.99 <= out[1].max_cosine <= 1.0
+    assert out[3].contaminated and out[3].max_cosine == 1.0
+    assert not out[2].contaminated
+    assert out[2].n_matches == 0 and out[2].max_cosine is None
+
+
+def test_semantic_contamination_matches_duckdb_oracle(spark):
+    """Dry-run of the r10 semantic-decontamination entry: the Spark
+    frame equals the DuckDB twin (same mt-LSH candidate replay, same
+    exact-decimal cosine) on the real sf0.001 embeddings with the
+    every-41st-vector eval panel, and the planted threshold finds a
+    nonzero contaminated set."""
+    import duckdb
+
+    from etl_staging_spark.llmdata.decontam import semantic_contamination
+    from etl_staging_spark.queries.catalog_llm import o_semantic_contamination
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    bench = emb.where(F.col("vec_id") % 41 == 0)
+    corpus = emb.where(F.col("vec_id") % 41 != 0)
+    out = semantic_contamination(corpus, bench, threshold=0.35)
+    got = sorted(tuple(r) for r in out.collect())
+    con = duckdb.connect()
+    con.sql("CREATE VIEW embeddings AS SELECT * FROM "
+            "'/root/testdata/sf0.001/embeddings.parquet'")
+    want = sorted(tuple(r) for r in
+                  con.sql(o_semantic_contamination()).fetchall())
+    assert got == want
+    assert sum(1 for r in got if r[3]) > 0
+
+
 def test_pii_masking_planted(spark):
     from etl_staging_spark.llmdata.pii import with_pii_masked
 
@@ -2327,6 +2384,42 @@ def test_corpus_pipeline_funnel_counts(spark):
     assert f == [("input", 7), ("dedup_exact", 6)]
     assert cf[:2] == f and cf[2] == ("quality_gate", 0)
     assert len(pipe.funnel()) == 2              # parent history untouched
+
+
+def test_corpus_pipeline_decontaminate_semantic(spark):
+    """The semantic-decontamination stage drops exactly the survivors
+    whose embedding nears a benchmark vector; docs WITHOUT a vector
+    pass untouched (anti-join convention), and the stage records its
+    funnel entry."""
+    import numpy as np
+
+    from etl_staging_spark.llmdata.pipeline import CorpusPipeline
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(64)
+    near = base + 0.01 * rng.randn(64)   # cosine ~0.9999 -> leak
+    other = rng.randn(64)                # random: cosine ~0 -> clean
+    docs = spark.createDataFrame(
+        [(1, "a leaked benchmark document", "web"),
+         (2, "an ordinary clean document", "web"),
+         (3, "a doc that never got embedded", "web")],
+        "doc_id long, text string, source string",
+    )
+    eschema = "doc_id long, embedding array<float>"
+    emb = spark.createDataFrame(
+        [(1, [float(x) for x in near]), (2, [float(x) for x in other])],
+        eschema,
+    )
+    bench = spark.createDataFrame(
+        [(1000, [float(x) for x in base])], eschema
+    )
+    pipe = CorpusPipeline(docs).decontaminate_semantic(
+        emb, bench, threshold=0.9
+    )
+    kept = {r.doc_id for r in pipe.frame().select("doc_id").collect()}
+    assert kept == {2, 3}  # the leak is gone, the vectorless doc stays
+    assert pipe.funnel()[-1] == ("decontaminate_semantic", 2)
+    pipe.release()
 
 
 def test_quality_calibration_card_rejects_bad_rates(spark):

@@ -407,3 +407,32 @@ def test_bpe_encode_fixed_merges_jvm_only(spark, queries):
     assert "BatchEvalPython" not in p
     assert "MapInPandas" not in p
     assert "CartesianProduct" not in p
+
+
+def test_semantic_contamination_plan(spark):
+    """semantic_contamination (r10 queue, unregistered): candidate
+    discovery joins the corpus LSH keys against the BROADCAST eval
+    keys (an eval suite is bounded by definition) — no all-pairs, no
+    cartesian; Python appears only as the Arrow-batched sign-LSH key
+    kernel, never row-at-a-time."""
+    from pyspark.sql import functions as F
+
+    from etl_staging_spark.llmdata.decontam import semantic_contamination
+    from etl_staging_spark.tables import release_pinned
+
+    emb = spark.read.parquet(SF_DIR + "/embeddings.parquet")
+    out = semantic_contamination(
+        emb.where(F.col("vec_id") % 41 != 0),
+        emb.where(F.col("vec_id") % 41 == 0),
+        threshold=0.35,
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    p = buf.getvalue()
+    release_pinned(out)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p
+    assert "ArrowEvalPython" in p    # the sign-LSH key kernel
+    assert "BroadcastHashJoin" in p  # the eval-side key join
