@@ -179,3 +179,46 @@ def near_dup_clusters(pairs: DataFrame) -> DataFrame:
             (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
         )
     )
+
+
+def canonicals_by_score(
+    clusters: DataFrame, scores: DataFrame, score_col: str = "quality"
+) -> DataFrame:
+    """Re-elect each cluster's canonical by a per-doc score: the member
+    with the HIGHEST score wins (ties fall to the smallest doc_id) —
+    the policy production dedup pipelines actually want ("among
+    near-dups, keep the best copy"), replacing
+    :func:`near_dup_clusters`'s structural component-minimum default.
+    ``clusters`` is any (doc_id, cluster_id, ...) assignment;
+    ``scores`` carries (doc_id, ``score_col``). Members missing a
+    score rank below every scored member — they only win a cluster
+    with no scored member at all. Output: the clusters frame with
+    ``is_canonical`` replaced by the score-elected flag.
+
+    Scale shape: one left join to attach scores (cluster membership is
+    a small fraction of the corpus — only docs with a near-dup pair),
+    then a map-side-combinable struct-max per cluster (score first,
+    negated doc_id second, so the comparator IS the election rule —
+    no window, no per-cluster sort), and a skinny broadcast-size join
+    back. Deterministic for any input order."""
+    neg_inf = F.lit(float("-inf"))
+    ranked = clusters.drop("is_canonical").join(
+        scores.select("doc_id", F.col(score_col).alias("__score")),
+        "doc_id",
+        "left",
+    )
+    winners = ranked.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(
+                F.coalesce("__score", neg_inf).alias("s"),
+                (-F.col("doc_id")).alias("nid"),
+            )
+        ).alias("__w")
+    )
+    return (
+        ranked.join(winners, "cluster_id")
+        .withColumn(
+            "is_canonical", F.col("doc_id") == -F.col("__w.nid")
+        )
+        .drop("__score", "__w")
+    )

@@ -116,34 +116,63 @@ class CorpusPipeline:
         )
         return self._keep(canon, "dedup_exact")
 
-    def dedup_near(self, threshold: float = 0.8, n: int = 3) -> "CorpusPipeline":
+    def _cluster_losers(self, pairs: DataFrame, keep: str) -> DataFrame:
+        """Shared canonical election for the clustering dedup stages:
+        ``keep="min_id"`` takes `near_dup_clusters`' structural
+        component-minimum; ``keep="quality"`` re-elects each cluster's
+        canonical as its highest-quality member
+        (`cluster.canonicals_by_score`, scored only over cluster
+        members — a small fraction of the corpus). Returns the loser
+        doc_id frame the stage anti-joins away."""
+        clusters = cluster.near_dup_clusters(pairs)
+        if keep == "quality":
+            members = self._df.join(
+                clusters.select("doc_id"), "doc_id", "left_semi"
+            )
+            scores = textstats.quality_scores(members).select(
+                "doc_id", "quality"
+            )
+            clusters = cluster.canonicals_by_score(clusters, scores)
+        elif keep != "min_id":
+            raise ValueError("keep must be 'min_id' or 'quality'")
+        return clusters.where(~F.col("is_canonical")).select("doc_id")
+
+    def dedup_near(
+        self, threshold: float = 0.8, n: int = 3, keep: str = "min_id"
+    ) -> "CorpusPipeline":
         """Keep one canonical doc per NEAR-dup cluster: MinHash-LSH
         banded pairs + exact-Jaccard verify (`dedup.minhash_lsh_pairs`
-        — the `dedup_minhash_lsh` entry) -> connected components with
-        component-minimum canonicals (`cluster.near_dup_clusters` — the
-        `dedup_cluster_cc` entry). Docs in no cluster are singletons
-        and survive untouched (anti-join on the losers, so the corpus
-        never funnels through the cluster frame). EAGER: connected
-        components is iterative and materializes its rounds, so the
-        discovery + clustering job runs when this stage is chained."""
+        — the `dedup_minhash_lsh` entry) -> connected components
+        (`cluster.near_dup_clusters` — the `dedup_cluster_cc` entry)
+        with component-minimum canonicals, or the cluster's
+        highest-quality member under ``keep="quality"``
+        (`cluster.canonicals_by_score`). Docs in no cluster are
+        singletons and survive untouched (anti-join on the losers, so
+        the corpus never funnels through the cluster frame). EAGER:
+        connected components is iterative and materializes its rounds,
+        so the discovery + clustering job runs when this stage is
+        chained."""
         pairs = dedup.minhash_lsh_pairs(self._df, threshold=threshold, n=n)
         self._pins.extend(getattr(pairs, "_pinned_persisted", ()))
-        losers = cluster.near_dup_clusters(pairs).where(
-            ~F.col("is_canonical")
-        ).select("doc_id")
+        losers = self._cluster_losers(pairs.select("d1", "d2"), keep)
         self._df = self._df.join(losers, "doc_id", "left_anti")
         self._stages.append(("dedup_near", self._df))
         return self
 
     def dedup_semantic(
-        self, emb: DataFrame, threshold: float = 0.8, dim: int = 64
+        self,
+        emb: DataFrame,
+        threshold: float = 0.8,
+        dim: int = 64,
+        keep: str = "min_id",
     ) -> "CorpusPipeline":
         """Keep one canonical doc per EMBEDDING near-dup cluster —
         SemDeDup-shaped semantic dedup as a pipeline stage: multi-table
         sign-LSH discovery + exact-decimal cosine verify
         (`simsearch.mt_dup_pairs`, the measured ~0.9-recall config of
         the `dedup_semantic_recall` card) -> connected components with
-        component-minimum canonicals (`cluster.near_dup_clusters`).
+        component-minimum canonicals (`cluster.near_dup_clusters`), or
+        highest-quality-member canonicals under ``keep="quality"``.
         ``emb`` carries (doc_id, embedding) for at least the surviving
         docs; docs without a vector are untouched (the anti-join only
         removes cluster losers). Completes the stage family: exact
@@ -157,9 +186,7 @@ class CorpusPipeline:
             threshold=threshold, dim=dim, id_col="doc_id",
         )
         self._pins.extend(getattr(pairs, "_pinned_persisted", ()))
-        losers = cluster.near_dup_clusters(
-            pairs.select("d1", "d2")
-        ).where(~F.col("is_canonical")).select("doc_id")
+        losers = self._cluster_losers(pairs.select("d1", "d2"), keep)
         self._df = self._df.join(losers, "doc_id", "left_anti")
         self._stages.append(("dedup_semantic", self._df))
         return self

@@ -2386,6 +2386,65 @@ def test_corpus_pipeline_funnel_counts(spark):
     assert len(pipe.funnel()) == 2              # parent history untouched
 
 
+def test_canonicals_by_score_election(spark):
+    """Score-elected canonicals: the highest-scored member wins its
+    cluster, ties fall to the smallest doc_id, unscored members lose to
+    any scored one, and an all-unscored cluster falls back to the
+    minimum id — exactly one canonical per cluster, every member
+    keeps its row."""
+    from etl_staging_spark.llmdata import cluster
+
+    clusters = spark.createDataFrame(
+        [(1, 1, 3, True), (2, 1, 3, False), (3, 1, 3, False),
+         (10, 10, 2, True), (11, 10, 2, False),
+         (20, 20, 2, True), (21, 20, 2, False)],
+        "doc_id long, cluster_id long, cluster_size long, is_canonical boolean",
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9),     # tie at 0.9 -> doc 2 wins
+         (11, 0.5)],                        # 10 unscored -> 11 wins
+        "doc_id long, quality double",      # cluster 20: all unscored
+    )
+    out = cluster.canonicals_by_score(clusters, scores)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == 7  # every member keeps its row
+    winners = {r.doc_id for r in rows.values() if r.is_canonical}
+    assert winners == {2, 11, 20}
+    assert rows[2].cluster_size == 3  # carried columns survive
+
+
+def test_corpus_pipeline_dedup_keep_quality(spark):
+    """keep="quality" re-elects each near-dup cluster's survivor as its
+    highest-quality member: a planted 3-doc near-dup cluster keeps the
+    richest copy (not the minimum id), while the default policy keeps
+    the minimum id on the same corpus."""
+    from etl_staging_spark.llmdata.pipeline import CorpusPipeline
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo "
+            "sierra tango uniform victor whiskey xray yankee zulu")
+    # doc 3 is the longest, most lexically diverse copy -> best quality
+    docs = spark.createDataFrame(
+        [(1, base, "web"),
+         (2, base + " extra", "web"),
+         (3, base + " extra rich unique ending words here", "web"),
+         (9, "completely different standalone text about nothing "
+             "in particular with plenty of its own unique words", "web")],
+        "doc_id long, text string, source string",
+    )
+    kept_q = {r.doc_id for r in CorpusPipeline(docs)
+              .dedup_near(threshold=0.7, keep="quality")
+              .frame().select("doc_id").collect()}
+    kept_min = {r.doc_id for r in CorpusPipeline(docs)
+                .dedup_near(threshold=0.7)
+                .frame().select("doc_id").collect()}
+    assert kept_min == {1, 9}
+    assert kept_q == {3, 9}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        CorpusPipeline(docs).dedup_near(keep="longest")
+
+
 def test_corpus_pipeline_decontaminate_semantic(spark):
     """The semantic-decontamination stage drops exactly the survivors
     whose embedding nears a benchmark vector; docs WITHOUT a vector
