@@ -14,8 +14,10 @@ pipeline needs (builder brief, BASELINE north star):
   persisted inverted index (:mod:`.lexsearch`)
 - text analysis: quality scoring, language-ID n-gram heuristic,
   tokenizer-ish counting, document fingerprinting, Gopher repetition
-  gates (:mod:`.textstats`); benchmark decontamination and per-source
-  boilerplate flagging (:mod:`.decontam`); PII masking (:mod:`.pii`)
+  gates (:mod:`.textstats`); benchmark decontamination — exact n-gram,
+  fuzzy MinHash, and semantic embedding-cosine — and per-source
+  boilerplate flagging (:mod:`.decontam`); corpus text normalization
+  and hash-key folding (:mod:`.textclean`); PII masking (:mod:`.pii`)
 - corpus assembly: deterministic hash splits, mixture down-sampling
   and epoch up-sampling, per-domain quality budgets, shard +
   training-order assignment (:mod:`.sampling`); sequence packing
@@ -27,7 +29,8 @@ pipeline needs (builder brief, BASELINE north star):
   Pandas-UDF decode (decode itself stubbed deterministically; the
   image/audio libs are not in this container) — :mod:`.multimodal`
 - the fluent front door: :class:`.pipeline.CorpusPipeline` chains the
-  certified stages (dedup exact/near/semantic, decontaminate, quality/
+  certified stages (clean, dedup exact/near/semantic — min-id or
+  best-quality canonicals — decontaminate n-gram/semantic, quality/
   repetition/LM gates — fixed-floor or keep-rate-calibrated — segment
   clean, domain cap, split, mixture, epochs) through to the
   `to_training_set` terminal (verified shards on disk) —

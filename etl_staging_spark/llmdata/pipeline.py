@@ -49,7 +49,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from . import cluster, decontam, dedup, linedup, lm, sampling, textstats, trainset
+from . import cluster, decontam, dedup, linedup, lm, sampling, textclean, textstats, trainset
 
 
 class CorpusPipeline:
@@ -107,6 +107,18 @@ class CorpusPipeline:
         return [(label, frame.count()) for label, frame in self._stages]
 
     # -- stages (each delegates to its certified operator) ------------
+
+    def clean(self) -> "CorpusPipeline":
+        """Normalize the text column in place
+        (`textclean.clean_text`: strip invisibles/controls, normalize
+        exotic whitespace, collapse runs) — run FIRST so every
+        downstream hash and score sees content, not encoding noise
+        (two visually-identical docs dedup together only after this).
+        A pure codegen'd projection: lazy, no shuffle, doc count
+        unchanged."""
+        self._df = textclean.with_clean_text(self._df)
+        self._stages.append(("clean", self._df))
+        return self
 
     def dedup_exact(self) -> "CorpusPipeline":
         """Keep one canonical doc per exact sha256 group

@@ -2524,3 +2524,130 @@ def test_threshold_is_raw_score_gate_floor(spark):
     assert t == 0.6815
     kept = scored.where(F.col("quality") >= t).count()
     assert kept == 3  # the boundary doc (0.6815) is kept, 0.2 is cut
+
+
+def test_clean_text_planted(spark):
+    """The normalization chain: CRLF/CR -> LF, zero-width and control
+    chars deleted, exotic unicode spaces -> ASCII space, space runs
+    collapsed, newline-hugging spaces trimmed, 3+ newlines -> paragraph
+    break, ends trimmed; NULL propagates and already-clean text is a
+    fixed point."""
+    from etl_staging_spark.llmdata import textclean as tc
+
+    rows = [
+        (1, "hello​world\r\nsecond\rline"),
+        (2, "a b\tc   　d"),
+        (3, "  lead and trail  \n\n\n\nnext para  "),
+        (4, "ctrl\x01\x02chars\x7fgone"),
+        (5, None),
+        (6, "already clean"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.c for r in
+           df.select("doc_id", tc.clean_text(F.col("text")).alias("c"))
+           .collect()}
+    assert out[1] == "helloworld\nsecond\nline"
+    assert out[2] == "a b c d"
+    assert out[3] == "lead and trail\n\nnext para"
+    assert out[4] == "ctrlcharsgone"
+    assert out[5] is None
+    assert out[6] == "already clean"
+    report = {r.doc_id: r for r in tc.clean_report(df).collect()}
+    assert report[3].n_removed == 8 and report[3].changed
+    assert report[6].n_removed == 0 and not report[6].changed
+    assert report[5].n_raw_chars is None and not report[5].changed
+
+
+def test_fold_key_accent_case_fold(spark):
+    """fold_key folds case and Latin-1 accents (through clean_text) so
+    visually-equal variants share one exact-dedup hash key — while
+    clean_text alone never touches case or accents."""
+    from etl_staging_spark.llmdata import textclean as tc
+
+    df = spark.createDataFrame(
+        [(1, "Café  À GRANDE"), (2, "cafe a grande")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.k, r.c) for r in df.select(
+        "doc_id",
+        tc.fold_key(F.col("text")).alias("k"),
+        tc.clean_text(F.col("text")).alias("c"),
+    ).collect()}
+    assert out[1][0] == out[2][0] == "cafe a grande"
+    assert out[1][1] == "Café À GRANDE"  # text keeps its face
+
+
+def test_clean_text_matches_duckdb(spark, tmp_path):
+    """Cross-engine agreement of the full cleaning chain: Java regex
+    (Spark) and RE2 (DuckDB) produce byte-identical cleaned text and
+    length accounting on planted noisy docs — the property that makes
+    the pass oracle-checkable (explicit code-point classes, no \\p{..})."""
+    import duckdb
+
+    from etl_staging_spark.llmdata import textclean as tc
+
+    rows = [
+        (1, "hello​world\r\nsecond\rline"),
+        (2, "a b\tc   　d  e"),
+        (3, "  lead  \n \n\n\nnext  "),
+        (4, "ctrl\x01chars\x7fgone⁠done"),
+        (5, None),
+        (6, "already clean"),
+        (7, "tabs\t\tand  more\n\n\n\n\nend"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pq = str(tmp_path / "noisy.parquet")
+    df.coalesce(1).write.parquet(pq)
+    got = sorted(
+        tuple(r)
+        for r in tc.clean_report(df)
+        .join(df.select("doc_id", tc.clean_text(F.col("text")).alias("clean")),
+              "doc_id")
+        .collect()
+    )
+    zw, ctl, sp = (tc.ZERO_WIDTH_CLASS, tc.CONTROL_CLASS,
+                   tc.UNI_SPACE_CLASS)
+    chain = (
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        "text, '\\r\\n?', e'\\n', 'g'), "
+        f"'{zw}', '', 'g'), "
+        f"'{ctl}', '', 'g'), "
+        f"'{sp}', ' ', 'g'), "
+        "'  +', ' ', 'g'), "
+        "' *\\n *', e'\\n', 'g'), "
+        "'\\n\\n\\n+', e'\\n\\n', 'g'), "
+        "'^[ \\n]+|[ \\n]+$', '', 'g')"
+    )
+    want = sorted(tuple(r) for r in duckdb.sql(f"""
+        WITH cl AS (SELECT doc_id, text, {chain} AS clean
+                    FROM '{pq}/*.parquet')
+        SELECT doc_id,
+               CAST(LENGTH(text) AS BIGINT) AS n_raw_chars,
+               CAST(LENGTH(clean) AS BIGINT) AS n_clean_chars,
+               CAST(LENGTH(text) - LENGTH(clean) AS BIGINT) AS n_removed,
+               COALESCE(text != clean, FALSE) AS changed,
+               clean
+        FROM cl
+    """).fetchall())
+    assert got == want
+
+
+def test_corpus_pipeline_clean_stage(spark):
+    """clean() normalizes in place (count unchanged, funnel records the
+    stage) and makes encoding-noise twins collapse in the downstream
+    exact dedup — the order-matters property the stage exists for."""
+    from etl_staging_spark.llmdata.pipeline import CorpusPipeline
+
+    docs = spark.createDataFrame(
+        [(1, "same doc content here", "web"),
+         (2, "same​ doc  content here ", "web"),   # noise twin
+         (3, "a different document entirely", "web")],
+        "doc_id long, text string, source string",
+    )
+    # without clean: the noise twin survives exact dedup
+    assert CorpusPipeline(docs).dedup_exact().frame().count() == 3
+    pipe = CorpusPipeline(docs).clean().dedup_exact()
+    assert pipe.funnel() == [("input", 3), ("clean", 3), ("dedup_exact", 2)]
+    kept = {r.doc_id for r in pipe.frame().select("doc_id").collect()}
+    assert kept == {1, 3}
