@@ -190,7 +190,7 @@ def boilerplate_flags(
 def semantic_contamination(
     corpus_emb: DataFrame,
     eval_emb: DataFrame,
-    threshold: float = 0.45,
+    threshold: float = 0.9,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -215,13 +215,17 @@ def semantic_contamination(
     candidate pairs by keyed joins and runs the shared two-stage
     double-prefilter + exact-decimal cosine (`simsearch._verify_pairs`
     with the eval frame on the right side, so the corpus is never
-    unioned into both branches). Precondition: corpus and eval id
-    spaces must be disjoint (the `fuzzy_contamination` contract)."""
+    unioned into both branches). Nothing corpus-scale is persisted:
+    unlike the dup-pair operators (whose keyed/normed frames feed TWO
+    join branches), every corpus frame here has exactly one reader in
+    the output plan — caching it would cost executor storage for zero
+    recomputation saved. Precondition: corpus and eval id spaces must
+    be disjoint (the `fuzzy_contamination` contract)."""
     from . import simsearch as ss
 
     keyed_c = ss._table_keys_frame(
         corpus_emb, F.lit(False), dim, id_col=id_col, vec_col=vec_col
-    ).persist()
+    )
     keyed_e = ss._table_keys_frame(
         eval_emb, F.lit(True), dim, id_col=id_col, vec_col=vec_col
     )
@@ -235,9 +239,7 @@ def semantic_contamination(
         .select("d1", "d2")
         .distinct()
     )
-    normed_c = ss.with_norm(
-        ss._respread_narrow(corpus_emb), vec_col
-    ).persist()
+    normed_c = ss.with_norm(ss._respread_narrow(corpus_emb), vec_col)
     normed_e = ss.with_norm(eval_emb, vec_col)
     matches = ss._verify_pairs(
         cand, normed_c, threshold, id_col, vec_col, normed_right=normed_e
@@ -258,5 +260,4 @@ def semantic_contamination(
             (F.coalesce("n_matches", F.lit(0)) >= 1).alias("contaminated"),
         )
     )
-    out._pinned_persisted = (keyed_c, normed_c)
     return out

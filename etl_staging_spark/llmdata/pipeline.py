@@ -135,7 +135,11 @@ class CorpusPipeline:
         canonical as its highest-quality member
         (`cluster.canonicals_by_score`, scored only over cluster
         members — a small fraction of the corpus). Returns the loser
-        doc_id frame the stage anti-joins away."""
+        doc_id frame the stage anti-joins away. Validates ``keep``
+        BEFORE the eager clustering job — an argument typo must not
+        pay for a corpus-scale discovery pass first."""
+        if keep not in ("min_id", "quality"):
+            raise ValueError("keep must be 'min_id' or 'quality'")
         clusters = cluster.near_dup_clusters(pairs)
         if keep == "quality":
             members = self._df.join(
@@ -145,8 +149,6 @@ class CorpusPipeline:
                 "doc_id", "quality"
             )
             clusters = cluster.canonicals_by_score(clusters, scores)
-        elif keep != "min_id":
-            raise ValueError("keep must be 'min_id' or 'quality'")
         return clusters.where(~F.col("is_canonical")).select("doc_id")
 
     def dedup_near(

@@ -55,29 +55,47 @@ ACCENT_SRC = (
 ACCENT_DST = "aaaaaaceeeeiiiinooooouuuuyy"
 
 
+# The full chain as ONE importable (pattern, replacement) table — the
+# Spark fold and the DuckDB oracle twin both interpolate it, so a chain
+# edit can never silently diverge the engines. Patterns are ASCII
+# regex TEXT (escape sequences like \r, \n, \x{hhhh} parsed identically
+# by Java regex and RE2); replacements are ACTUAL characters (Java and
+# RE2 disagree on replacement-string escapes, so none are used).
+CLEAN_STEPS: tuple[tuple[str, str], ...] = (
+    (r"\r\n?", "\n"),                  # 1. CRLF / lone CR -> LF
+    (ZERO_WIDTH_CLASS, ""),            # 2. zero-width deleted
+    (CONTROL_CLASS, ""),               # 3. control chars deleted
+    (UNI_SPACE_CLASS, " "),            # 4. unicode spaces/tabs -> space
+    ("  +", " "),                      # 5. space runs collapsed
+    (r" *\n *", "\n"),                 # 6. newline-hugging spaces out
+    (r"\n\n\n+", "\n\n"),              # 7. 3+ newlines -> paragraph
+    (r"^[ \n]+|[ \n]+$", ""),          # 8. ends trimmed
+)
+
+
 def clean_text(col: Column) -> Column:
-    """The normalization chain over one string column:
+    """The normalization chain (:data:`CLEAN_STEPS`, in order) over one
+    string column: CRLF/CR -> LF, zero-width and control characters
+    deleted, exotic unicode spaces and tabs -> ASCII space, space runs
+    collapsed, newline-hugging spaces trimmed, 3+ newlines squeezed to
+    a paragraph break, ends trimmed. NULL propagates (a NULL doc stays
+    NULL, the textstats convention)."""
+    c = col
+    for pat, rep in CLEAN_STEPS:
+        c = F.regexp_replace(c, pat, rep)
+    return c
 
-    1. CRLF / lone CR -> LF
-    2. zero-width characters deleted
-    3. remaining control characters (not tab/newline) deleted
-    4. exotic unicode spaces and tabs -> ASCII space
-    5. runs of spaces collapsed to one
-    6. spaces hugging a newline trimmed
-    7. 3+ consecutive newlines collapsed to a paragraph break (2)
-    8. leading/trailing spaces and newlines trimmed
 
-    NULL propagates (a NULL doc stays NULL, the textstats convention).
-    """
-    c = F.regexp_replace(col, "\r\n?", "\n")
-    c = F.regexp_replace(c, ZERO_WIDTH_CLASS, "")
-    c = F.regexp_replace(c, CONTROL_CLASS, "")
-    c = F.regexp_replace(c, UNI_SPACE_CLASS, " ")
-    c = F.regexp_replace(c, "  +", " ")
-    c = F.regexp_replace(c, " *\n *", "\n")
-    c = F.regexp_replace(c, "\n\n\n+", "\n\n")
-    return F.regexp_replace(c, "^[ \\n]+|[ \\n]+$", "")
-
+def o_clean_sql(expr: str) -> str:
+    """DuckDB spelling of the SAME chain: nested ``regexp_replace(...,
+    'g')`` built from :data:`CLEAN_STEPS`, replacement characters
+    rendered as e-string escapes — an oracle twin interpolates this
+    instead of retyping the eight steps."""
+    sql = expr
+    for pat, rep in CLEAN_STEPS:
+        rep_sql = "e'" + rep.replace("\\", "\\\\").replace("\n", "\\n") + "'"
+        sql = f"regexp_replace({sql}, '{pat}', {rep_sql}, 'g')"
+    return sql
 
 def fold_key(col: Column) -> Column:
     """Lossy fold for EXACT-DEDUP HASH KEYS: :func:`clean_text`, then

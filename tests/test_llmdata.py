@@ -2605,20 +2605,7 @@ def test_clean_text_matches_duckdb(spark, tmp_path):
               "doc_id")
         .collect()
     )
-    zw, ctl, sp = (tc.ZERO_WIDTH_CLASS, tc.CONTROL_CLASS,
-                   tc.UNI_SPACE_CLASS)
-    chain = (
-        "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
-        "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
-        "text, '\\r\\n?', e'\\n', 'g'), "
-        f"'{zw}', '', 'g'), "
-        f"'{ctl}', '', 'g'), "
-        f"'{sp}', ' ', 'g'), "
-        "'  +', ' ', 'g'), "
-        "' *\\n *', e'\\n', 'g'), "
-        "'\\n\\n\\n+', e'\\n\\n', 'g'), "
-        "'^[ \\n]+|[ \\n]+$', '', 'g')"
-    )
+    chain = tc.o_clean_sql("text")  # the SAME CLEAN_STEPS table
     want = sorted(tuple(r) for r in duckdb.sql(f"""
         WITH cl AS (SELECT doc_id, text, {chain} AS clean
                     FROM '{pq}/*.parquet')

@@ -418,7 +418,6 @@ def test_semantic_contamination_plan(spark):
     from pyspark.sql import functions as F
 
     from etl_staging_spark.llmdata.decontam import semantic_contamination
-    from etl_staging_spark.tables import release_pinned
 
     emb = spark.read.parquet(SF_DIR + "/embeddings.parquet")
     out = semantic_contamination(
@@ -430,7 +429,6 @@ def test_semantic_contamination_plan(spark):
     with contextlib.redirect_stdout(buf):
         out.explain("formatted")
     p = buf.getvalue()
-    release_pinned(out)
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "BatchEvalPython" not in p
