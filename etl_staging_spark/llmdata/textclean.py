@@ -97,6 +97,7 @@ def o_clean_sql(expr: str) -> str:
         sql = f"regexp_replace({sql}, '{pat}', {rep_sql}, 'g')"
     return sql
 
+
 def fold_key(col: Column) -> Column:
     """Lossy fold for EXACT-DEDUP HASH KEYS: :func:`clean_text`, then
     lowercase and a fixed Latin-1 accent translation — so "Caf\u00e9 X"
