@@ -32,7 +32,7 @@ order is the author's policy decision, same as the reference's wizard
 option order).
 
 Laziness: the narrowing gates (`dedup_exact`, `decontaminate`,
-`decontaminate_semantic`, `quality_gate`, `repetition_gate`,
+`decontaminate_semantic`, `lang_filter`, `quality_gate`, `repetition_gate`,
 `lm_quality_gate`, `segment_clean`, `domain_cap`, `split`, `epochs`)
 only compose `left_semi`/anti joins on doc_id id-sets, so their chain
 stays ONE lazy Spark plan. Five stage
@@ -243,6 +243,19 @@ class CorpusPipeline:
         self._df = self._df.join(bad, "doc_id", "left_anti")
         self._stages.append(("decontaminate_semantic", self._df))
         return self
+
+    def lang_filter(self, langs: tuple[str, ...] = ("en",)) -> "CorpusPipeline":
+        """Keep docs whose n-gram language ID lands in ``langs``
+        (`textstats.lang_id` — the `text_lang_id` entry): the standard
+        monolingual-corpus gate, run before quality scoring so the
+        stopword-density features judge the language they were built
+        for. NULL/empty-text docs score no language and are dropped
+        (they carry no trainable text either way). Lazy doc-keyed
+        semi-join like the other gates."""
+        ok = textstats.lang_id(self._df).where(
+            F.col("pred_lang").isin(*langs)
+        )
+        return self._keep(ok, "lang_filter")
 
     def quality_gate(self, quality_min: float = 0.68) -> "CorpusPipeline":
         """Keep docs at or above the quality score

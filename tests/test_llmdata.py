@@ -2620,6 +2620,29 @@ def test_clean_text_matches_duckdb(spark, tmp_path):
     assert got == want
 
 
+def test_corpus_pipeline_lang_filter(spark):
+    """lang_filter keeps docs whose bigram-profile language ID lands in
+    the wanted set and drops NULL-text docs (no language, no trainable
+    text); the funnel records the stage."""
+    from etl_staging_spark.llmdata.pipeline import CorpusPipeline
+    from etl_staging_spark.llmdata import textstats
+
+    rows = [
+        (1, "the weather here is rather fine and the evening theatre "
+            "begins later than another evening", "web"),
+        (2, "la casa de los cuentos es el lugar que ue ar en los dias "
+            "de la escuela", "web"),
+        (3, None, "web"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    ids = {r.doc_id: r.pred_lang for r in textstats.lang_id(docs).collect()}
+    assert ids[1] == "en" and ids[2] == "es"  # fixture sanity
+    pipe = CorpusPipeline(docs).lang_filter(("en",))
+    kept = {r.doc_id for r in pipe.frame().select("doc_id").collect()}
+    assert kept == {1}
+    assert pipe.funnel() == [("input", 3), ("lang_filter", 1)]
+
+
 def test_corpus_pipeline_clean_stage(spark):
     """clean() normalizes in place (count unchanged, funnel records the
     stage) and makes encoding-noise twins collapse in the downstream
