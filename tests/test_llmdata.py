@@ -2661,3 +2661,44 @@ def test_corpus_pipeline_clean_stage(spark):
     assert pipe.funnel() == [("input", 3), ("clean", 3), ("dedup_exact", 2)]
     kept = {r.doc_id for r in pipe.frame().select("doc_id").collect()}
     assert kept == {1, 3}
+
+
+def test_clean_text_python_reference_and_idempotent(spark):
+    """clean_text against an independent pure-Python replay of
+    CLEAN_STEPS (patterns translated \\x{hhhh} -> chr) on seeded random
+    noisy strings, and the fixed-point property: cleaning a cleaned
+    string changes nothing — the invariant that makes the pass safe to
+    re-run on partially-cleaned corpora."""
+    import random
+    import re
+
+    from etl_staging_spark.llmdata import textclean as tc
+
+    def py_pat(pat):
+        return re.sub(
+            r"\\x\{([0-9a-fA-F]+)\}",
+            lambda m: re.escape(chr(int(m.group(1), 16))),
+            pat,
+        )
+
+    def py_clean(s):
+        for pat, rep in tc.CLEAN_STEPS:
+            s = re.sub(py_pat(pat), rep.replace("\\", "\\\\"), s)
+        return s
+
+    alphabet = (
+        list("abc XY.")
+        + ["\r", "\n", "\t", "\u200b", "\u2060", "\ufeff", "\x01",
+           "\x7f", "\u00a0", "\u3000", "\u2003", "  "]
+    )
+    rng = random.Random(23)
+    rows = [
+        (i, "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.c for r in df.select(
+        "doc_id", tc.clean_text(F.col("text")).alias("c")).collect()}
+    for i, raw in rows:
+        assert got[i] == py_clean(raw), (i, repr(raw), repr(got[i]))
+        assert py_clean(got[i]) == got[i], (i, repr(got[i]))  # fixed point
