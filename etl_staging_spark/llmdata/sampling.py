@@ -236,6 +236,53 @@ def domain_quality_cap(
     return out
 
 
+def domain_token_budget(
+    docs: DataFrame, budget: int, domain_col: str = "source"
+) -> DataFrame:
+    """Per-domain TOKEN budget: keep each domain's highest-quality docs
+    until the domain's cumulative token count reaches ``budget`` —
+    mixture planning in the unit that actually costs training compute
+    (tokens), where :func:`domain_quality_cap` budgets doc COUNTS. A
+    doc is admitted while its domain's budget is not yet filled
+    (tokens of strictly better-ranked docs < budget), so the crossing
+    doc is kept and the spend overshoots by at most one document — the
+    deterministic greedy rule. Quality ties break by doc_id; docs with
+    NULL quality (NULL/empty text) carry no trainable tokens and are
+    outside the selection, the calibrator posture. Output: (doc_id,
+    domain, quality, n_tokens, tok_before).
+
+    Scale shape: quality and the token count come from the ONE
+    quality-scan projection (no re-join); the running token total is a
+    window partitioned BY DOMAIN — never a global sort — so
+    parallelism is #domains-wide and each partition streams. Same
+    window discipline as :func:`domain_quality_cap`; a dominant crawl
+    can reuse its hot-domain pre-filter upstream if needed."""
+    from pyspark.sql import Window
+
+    from .textstats import quality_scores
+
+    q = quality_scores(docs, keep=(domain_col,)).select(
+        "doc_id", F.col(domain_col).alias("domain"), "quality", "n_tokens"
+    ).where(F.col("quality").isNotNull())
+    w = (
+        Window.partitionBy("domain")
+        .orderBy(F.desc("quality"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        q.withColumn(
+            "tok_before",
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint"),
+        )
+        .where(F.col("tok_before") < budget)
+        .select(
+            "doc_id", "domain", "quality",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            "tok_before",
+        )
+    )
+
+
 def epoch_upsample(
     docs: DataFrame,
     epochs: dict[str, int],

@@ -987,6 +987,31 @@ _O_QUAL_CTES = f"""
     )"""
 
 
+def o_domain_token_budget(budget: int = 800) -> str:
+    """DuckDB oracle twin of `llmdata.sampling.domain_token_budget`
+    over the documents table (r10 registration queue — exercised by
+    the dedicated Spark-vs-DuckDB pytest): the shared quality CTEs ->
+    per-domain running token total of strictly better-ranked docs
+    (quality DESC, doc_id ASC) -> admit while the budget is unfilled —
+    the SQL replay of the greedy token-budget rule, crossing doc kept."""
+    return f"""
+    WITH {_O_QUAL_CTES},
+    tb AS (
+      SELECT q.doc_id, d.source AS domain, q.quality, q.n_tokens,
+             COALESCE(SUM(q.n_tokens) OVER (
+               PARTITION BY d.source
+               ORDER BY q.quality DESC, q.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS tok_before
+      FROM qual q JOIN documents d ON d.doc_id = q.doc_id
+      WHERE q.quality IS NOT NULL
+    )
+    SELECT doc_id, domain, quality,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(tok_before AS BIGINT) AS tok_before
+    FROM tb WHERE tok_before < {budget}"""
+
+
 @query(
     "text_quality_score",
     oracle=f"""

@@ -2702,3 +2702,61 @@ def test_clean_text_python_reference_and_idempotent(spark):
     for i, raw in rows:
         assert got[i] == py_clean(raw), (i, repr(raw), repr(got[i]))
         assert py_clean(got[i]) == got[i], (i, repr(got[i]))  # fixed point
+
+
+def test_domain_token_budget_greedy_rule(spark):
+    """The token budget admits each domain's docs in quality order
+    until the budget fills: the crossing doc is KEPT (overshoot by at
+    most one doc), later docs drop, domains budget independently, and
+    NULL-text docs sit outside the selection."""
+    from etl_staging_spark.llmdata import sampling, textstats
+
+    rich = ("unique alpha bravo charlie delta echo foxtrot golf hotel "
+            "india juliet kilo lima mike november oscar papa quebec")
+    mid = "plain words repeated words repeated words repeated here now"
+    poor = "aa aa aa aa aa"
+    docs = spark.createDataFrame(
+        [(1, rich + " one", "a"), (2, mid + " two", "a"),
+         (3, poor + " three", "a"),
+         (10, rich + " ten", "b"),
+         (20, None, "a")],
+        "doc_id long, text string, source string",
+    )
+    toks = {r.doc_id: (r.quality, r.n_tokens) for r in
+            textstats.quality_scores(docs).collect()}
+    # fixture sanity: quality strictly orders 1 > 2 > 3 in domain a
+    assert toks[1][0] > toks[2][0] > toks[3][0]
+    # budget = doc1's tokens: doc1 fills it exactly; doc2's tok_before
+    # == budget -> dropped; doc3 likewise; domain b keeps its one doc
+    budget = toks[1][1]
+    out = {r.doc_id: r for r in
+           sampling.domain_token_budget(docs, budget).collect()}
+    assert set(out) == {1, 10}
+    assert out[1].tok_before == 0 and out[10].tok_before == 0
+    # one more token of budget admits doc2 (the crossing doc is kept)
+    out2 = {r.doc_id for r in
+            sampling.domain_token_budget(docs, budget + 1).collect()}
+    assert out2 == {1, 2, 10}
+
+
+def test_domain_token_budget_matches_duckdb_oracle(spark):
+    """Dry-run of the r10 token-budget entry: Spark equals the DuckDB
+    twin on the real documents table at a budget that actually cuts,
+    and every domain's spend (tok_before of its last kept doc) is
+    under budget."""
+    import duckdb
+
+    from etl_staging_spark.llmdata import sampling
+    from etl_staging_spark.queries.catalog_llm import o_domain_token_budget
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = sampling.domain_token_budget(docs, 800)
+    got = sorted(tuple(r) for r in out.collect())
+    assert 0 < len(got) < docs.count()  # the budget actually cuts
+    assert all(r[4] < 800 for r in got)
+    con = duckdb.connect()
+    con.sql("CREATE VIEW documents AS SELECT * FROM "
+            "'/root/testdata/sf0.001/documents.parquet'")
+    want = sorted(tuple(r) for r in
+                  con.sql(o_domain_token_budget(800)).fetchall())
+    assert got == want

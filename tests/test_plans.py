@@ -434,3 +434,22 @@ def test_semantic_contamination_plan(spark):
     assert "BatchEvalPython" not in p
     assert "ArrowEvalPython" in p    # the sign-LSH key kernel
     assert "BroadcastHashJoin" in p  # the eval-side key join
+
+
+def test_domain_token_budget_windows_by_domain(spark):
+    """domain_token_budget (r10 queue, unregistered): the running
+    token total hash-partitions on the domain key — never a global
+    sort, never one partition — and the whole pass is one scan plus
+    the window (no join, no Python)."""
+    from etl_staging_spark.llmdata.sampling import domain_token_budget
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    out = domain_token_budget(docs, 800)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    p = buf.getvalue()
+    assert "Exchange SinglePartition" not in p
+    assert "Window" in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
