@@ -125,7 +125,9 @@ def run_probe(
     """The probe body, callable from the CLI or the opt-in pytest
     marker (tests/test_scaling.py): returns {op: {r: sec}} so callers
     can assert growth bounds instead of eyeballing stdout."""
-    from etl_staging_spark.llmdata import dedup, lexsearch, linedup, lm, textstats, vocab
+    from etl_staging_spark.llmdata import (
+        dedup, lexsearch, linedup, lm, sampling, textclean, textstats, vocab,
+    )
     from etl_staging_spark.queries.catalog_llm import _BPE_FIXED_MERGES
 
     ops = {
@@ -139,6 +141,8 @@ def run_probe(
         "repetition_stats": lambda d: textstats.repetition_stats(d),
         "segment_dedup": lambda d: linedup.segment_dedup(d),
         "lm_bigram_score": lambda d: lm.lm_bigram_score(d),
+        "clean_report": lambda d: textclean.clean_report(d),
+        "domain_token_budget": lambda d: sampling.domain_token_budget(d, 800),
     }
     lops = ledger_ops()
     results: dict[str, dict[int, float]] = {o: {} for o in (*ops, *lops)}
