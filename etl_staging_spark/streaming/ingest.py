@@ -89,22 +89,35 @@ def gated_ingest_stream(
     splits: dict[str, float] | None = None,
     query_name: str = "gated_ingest",
     checkpoint_dir: str | None = None,
+    clean: bool = False,
+    langs: tuple[str, ...] | None = None,
 ):
     """The stateless front half of corpus assembly run continuously at
-    ingest: per micro-batch, quality gate + Gopher repetition gate +
-    deterministic hash split, handing the gated, split-stamped frame to
-    ``on_batch``. Every stage is a projection or doc-keyed join WITHIN
-    the micro-batch (the hash split is content-independent, so arrival
-    order and batch boundaries cannot change any doc's split); dedup
-    against the persisted corpus index composes via
-    :func:`dedup_ingest_stream` in the same foreachBatch loop."""
+    ingest: per micro-batch, optional text normalization
+    (`textclean.clean_text` — ``clean=True``), optional language filter
+    (`textstats.lang_id` — ``langs``), quality gate + Gopher repetition
+    gate + deterministic hash split, handing the gated, split-stamped
+    frame to ``on_batch``. Every stage is a projection or doc-keyed
+    join WITHIN the micro-batch — all PER-DOC decisions, so batch
+    boundaries cannot change any outcome (the hash split is
+    content-derived; normalization feeds the same cleaned text to the
+    hash regardless of arrival order); dedup against the persisted
+    corpus index composes via :func:`dedup_ingest_stream` in the same
+    foreachBatch loop."""
     from pyspark.sql import functions as F
 
-    from ..llmdata import sampling, textstats
+    from ..llmdata import sampling, textclean, textstats
 
     splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if clean:
+            batch_df = textclean.with_clean_text(batch_df)
+        if langs:
+            ok = textstats.lang_id(batch_df).where(
+                F.col("pred_lang").isin(*langs)
+            ).select("doc_id")
+            batch_df = batch_df.join(ok, "doc_id", "left_semi")
         qual = (
             textstats.quality_scores(batch_df)
             .where(F.col("quality") >= quality_min)

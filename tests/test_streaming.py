@@ -625,3 +625,73 @@ def test_checkpointed_ingest_resumes_without_reprocessing(spark, tmp_path):
 
     assert runs[0] == set(range(5))
     assert runs[1] == {10, 11, 12}, runs[1]   # nothing reprocessed
+
+
+def test_gated_ingest_clean_and_lang_matches_batch(spark, tmp_path):
+    """The opt-in hygiene stages of the streaming ingest (text
+    normalization + language filter) per micro-batch equal the batch
+    chain (clean -> lang_filter -> quality gate -> repetition gate ->
+    hash split) on the same documents, across FORCED multi-batch
+    delivery — per-doc decisions, so batch boundaries cannot change
+    any outcome. The noisy English doc must survive BECAUSE cleaning
+    runs before scoring (its raw text carries control/zero-width
+    noise), and the Spanish doc must drop at the language gate."""
+    from pyspark.sql import functions as F
+
+    from etl_staging_spark.llmdata import sampling, textclean, textstats
+    from etl_staging_spark.streaming.ingest import gated_ingest_stream
+
+    good = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+        "the weather here is rather fine another evening theatre begins"
+    )
+    noisy = good.replace(" ", "  ") + "\r\n\x01tail​end"
+    spanish = ("la casa de los cuentos es el lugar que ue ar en los "
+               "dias de la escuela para los amigos de la ciudad")
+    rows = [(i, good + f" tail{i}") for i in range(8)] + [
+        (50, noisy),
+        (60, spanish),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    drop_dir = str(tmp_path / "drops")
+    docs.repartition(3).write.parquet(drop_dir)
+
+    got: dict[int, str] = {}
+    batches: list[int] = []
+
+    def sink(bid, frame):
+        batches.append(bid)
+        for r in frame.collect():
+            got[r.doc_id] = r.split
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop_dir)
+    )
+    q = gated_ingest_stream(
+        stream, sink, quality_min=0.5, clean=True, langs=("en",),
+        query_name="hygiene_ingest",
+    )
+    q.awaitTermination()
+    assert len(batches) >= 3  # multi-batch actually forced
+
+    # batch reference: same stages composed on the full frame
+    cleaned = textclean.with_clean_text(docs)
+    lang_ok = textstats.lang_id(cleaned).where(
+        F.col("pred_lang") == "en").select("doc_id")
+    cleaned = cleaned.join(lang_ok, "doc_id", "left_semi")
+    qual = textstats.quality_scores(cleaned).where(
+        F.col("quality") >= 0.5).select("doc_id")
+    rep_flags = textstats.repetition_stats(cleaned).persist()
+    rep = rep_flags.where(~F.col("repetitive")).select("doc_id")
+    kept = cleaned.join(qual, "doc_id", "left_semi").join(
+        rep, "doc_id", "left_semi")
+    want = {r.doc_id: r.split
+            for r in sampling.hash_split(
+                kept, {"train": 0.9, "val": 0.05, "test": 0.05}).collect()}
+    rep_flags.unpersist()
+    assert got == want
+    assert 50 in got      # the noisy doc survives via cleaning
+    assert 60 not in got  # the Spanish doc drops at the language gate
