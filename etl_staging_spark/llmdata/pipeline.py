@@ -249,7 +249,9 @@ class CorpusPipeline:
         (`textstats.lang_id` — the `text_lang_id` entry): the standard
         monolingual-corpus gate, run before quality scoring so the
         stopword-density features judge the language they were built
-        for. NULL/empty-text docs score no language and are dropped
+        for. Unidentifiable docs — NULL text, or text whose bigrams hit
+        no profile at all (empty/whitespace/digit-only) — score a NULL
+        language and are dropped
         (they carry no trainable text either way). Lazy doc-keyed
         semi-join like the other gates."""
         ok = textstats.lang_id(self._df).where(
@@ -273,7 +275,7 @@ class CorpusPipeline:
         `stats.threshold_from_scores` (bounded per-score histogram,
         driver-side inverse CDF, bucket-lower-edge cut) and keeps docs
         whose raw score clears it — "keep the best 70%" instead of a
-        hand-picked floor. Survivors with NULL/empty text score NULL
+        hand-picked floor. Survivors with NULL text score NULL
         quality and sit outside both sides of the rate (no threshold
         could keep them), so the corpus-relative keep fraction can
         undershoot by exactly the unscored docs. EAGER: the histogram

@@ -247,8 +247,9 @@ def domain_token_budget(
     (tokens of strictly better-ranked docs < budget), so the crossing
     doc is kept and the spend overshoots by at most one document — the
     deterministic greedy rule. Quality ties break by doc_id; docs with
-    NULL quality (NULL/empty text) carry no trainable tokens and are
-    outside the selection, the calibrator posture. Output: (doc_id,
+    NULL quality (NULL text — an empty string still tokenizes and
+    competes, the `quality_scores` convention) are outside the
+    selection, the calibrator posture. Output: (doc_id,
     domain, quality, n_tokens, tok_before).
 
     Scale shape: quality and the token count come from the ONE

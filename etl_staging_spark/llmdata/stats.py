@@ -275,7 +275,7 @@ def quality_threshold_for_keep_rate(
     quantized bucket (bucket value minus half a quantum), so every doc
     the histogram counted as kept clears a plain ``quality >= t``
     filter too (ties at the edge are kept, so the kept set can only
-    overshoot; NULL-quality docs — NULL/empty text — are outside both
+    overshoot; NULL-quality docs — NULL text — are outside both
     sides of the rate since no threshold could ever keep them)."""
     from .textstats import quality_scores
 
@@ -289,7 +289,8 @@ def threshold_from_scores(
     ALREADY-SCORED frame (a ``quality`` column) — callers that keep the
     scored frame around (e.g. the pipeline's calibrated gate, which
     persists it and filters the same frame) calibrate without scoring
-    twice. NULL-quality docs (NULL/empty text) are excluded from both
+    twice. NULL-quality docs (NULL text; empty strings still score,
+    the `quality_scores` convention) are excluded from both
     sides of the rate: no threshold could ever keep them, so counting
     them in the denominator would silently break the keep-at-least
     guarantee — and a None bucket would not sort against floats."""

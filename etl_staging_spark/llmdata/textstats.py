@@ -66,7 +66,12 @@ def quality_scores(df: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
 
 def lang_id(df: DataFrame) -> DataFrame:
     """Char-bigram profile language ID; deterministic alphabetical
-    tie-break on equal scores."""
+    tie-break on equal scores. ZERO evidence is NOT a language: a doc
+    whose bigrams hit no profile at all (empty/whitespace/digit-only
+    text) gets a NULL ``pred_lang`` rather than the alphabetical
+    tie-break's arbitrary first label — downstream language gates must
+    treat it as unidentified, not misroute it. NULL text is NULL
+    throughout."""
     d = df.select("doc_id", F.lower(F.col("text")).alias("lt"))
     d = d.withColumn(
         "bigrams",
@@ -83,6 +88,7 @@ def lang_id(df: DataFrame) -> DataFrame:
     pred = F.lit(None).cast("string")
     for lang in sorted(LANG_PROFILES, reverse=True):
         pred = F.when(F.col(f"s_{lang}") == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best > 0, pred)  # zero evidence -> NULL, not 'de'
     return d.select("doc_id", pred.alias("pred_lang"), best.alias("best_score"))
 
 

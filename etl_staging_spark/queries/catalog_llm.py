@@ -1189,12 +1189,12 @@ def _o_lang_scores() -> tuple[str, str, str]:
     best = "GREATEST({})".format(
         ", ".join(f"s_{lang}" for lang in textstats.LANG_PROFILES)
     )
-    pred = "CASE {} END".format(
+    pred = "CASE WHEN best > 0 THEN CASE {} END END".format(
         " ".join(
             f"WHEN s_{lang} = best THEN '{lang}'"
             for lang in sorted(textstats.LANG_PROFILES)
         )
-    )
+    )  # zero evidence -> NULL: the Spark twin's guard, replayed
     return scores, best, pred
 
 

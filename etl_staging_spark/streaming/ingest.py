@@ -99,11 +99,14 @@ def gated_ingest_stream(
     gate + deterministic hash split, handing the gated, split-stamped
     frame to ``on_batch``. Every stage is a projection or doc-keyed
     join WITHIN the micro-batch — all PER-DOC decisions, so batch
-    boundaries cannot change any outcome (the hash split is
-    content-derived; normalization feeds the same cleaned text to the
-    hash regardless of arrival order); dedup against the persisted
+    boundaries cannot change any outcome (the hash split keys on
+    doc_id and never sees the text, so it is content-independent and
+    unaffected by the hygiene stages); dedup against the persisted
     corpus index composes via :func:`dedup_ingest_stream` in the same
-    foreachBatch loop."""
+    foreachBatch loop. With ``clean`` the normalized batch persists
+    for the duration of the batch: the language/quality/repetition
+    scans and the output projection all read the 8-regex chain's
+    output ONCE instead of re-running it per consumer."""
     from pyspark.sql import functions as F
 
     from ..llmdata import sampling, textclean, textstats
@@ -111,8 +114,9 @@ def gated_ingest_stream(
     splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        cleaned = None
         if clean:
-            batch_df = textclean.with_clean_text(batch_df)
+            batch_df = cleaned = textclean.with_clean_text(batch_df).persist()
         if langs:
             ok = textstats.lang_id(batch_df).where(
                 F.col("pred_lang").isin(*langs)
@@ -135,6 +139,8 @@ def gated_ingest_stream(
             on_batch(batch_id, sampling.hash_split(kept, splits))
         finally:
             rep_flags.unpersist()
+            if cleaned is not None:
+                cleaned.unpersist()
 
     return _start(docs_stream.writeStream.foreachBatch(_process), query_name, checkpoint_dir)
 

@@ -2620,6 +2620,26 @@ def test_clean_text_matches_duckdb(spark, tmp_path):
     assert got == want
 
 
+def test_lang_id_zero_evidence_is_null(spark):
+    """ZERO evidence is NOT a language: empty, whitespace-only and
+    digit-only docs hit no profile bigram, so pred_lang is NULL (not
+    the alphabetical tie-break's arbitrary 'de') and a language gate
+    drops them as unidentified; a real doc keeps its label."""
+    from etl_staging_spark.llmdata import textstats
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "12345 67890"), (4, None),
+         (5, "the weather here is rather fine this evening")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.pred_lang, r.best_score) for r in
+           textstats.lang_id(docs).collect()}
+    assert out[1][0] is None and out[1][1] == 0
+    assert out[2][0] is None and out[3][0] is None
+    assert out[4][0] is None
+    assert out[5][0] == "en" and out[5][1] > 0
+
+
 def test_corpus_pipeline_lang_filter(spark):
     """lang_filter keeps docs whose bigram-profile language ID lands in
     the wanted set and drops NULL-text docs (no language, no trainable
