@@ -34,13 +34,27 @@ from .hashing import BAND_ROWS, MINHASH_SEEDS, N_BANDS, minhash_col, portable_ha
 from .shingles import shingle_index
 
 
-def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def exact_dup_groups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    folded: bool = False,
+) -> DataFrame:
     """Exact dedup: group by sha256(text); canonical row = min id.
     (Reference analog: the dedup/purge maintenance jobs M3,
     `etl_stock/models/company.py:1186-1195` — keyed there on natural
-    keys, here on content hash.)"""
+    keys, here on content hash.) With ``folded`` the hash keys on
+    `textclean.fold_key` — normalized, case- and Latin-1-accent-folded
+    text — so visually-equal variants ("Café  X" / "cafe x") share one
+    group; the stored text is untouched, only the KEY folds. Same one
+    map-side-combinable hash shuffle either way."""
+    key = F.col(text_col)
+    if folded:
+        from .textclean import fold_key
+
+        key = fold_key(key)
     return (
-        df.groupBy(F.sha2(F.col(text_col), 256).alias("text_sha256"))
+        df.groupBy(F.sha2(key, 256).alias("text_sha256"))
         .agg(
             F.count("*").alias("n_copies"),
             F.min(id_col).alias("canonical_doc_id"),

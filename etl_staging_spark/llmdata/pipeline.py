@@ -33,7 +33,8 @@ option order).
 
 Laziness: the narrowing gates (`dedup_exact`, `decontaminate`,
 `decontaminate_semantic`, `lang_filter`, `quality_gate`, `repetition_gate`,
-`lm_quality_gate`, `segment_clean`, `domain_cap`, `split`, `epochs`)
+`lm_quality_gate`, `segment_clean`, `domain_cap`, `token_budget`,
+`split`, `epochs`)
 only compose `left_semi`/anti joins on doc_id id-sets, so their chain
 stays ONE lazy Spark plan. Five stage
 methods are EAGER at chain-build time and say so in their docstrings:
@@ -120,10 +121,13 @@ class CorpusPipeline:
         self._stages.append(("clean", self._df))
         return self
 
-    def dedup_exact(self) -> "CorpusPipeline":
+    def dedup_exact(self, folded: bool = False) -> "CorpusPipeline":
         """Keep one canonical doc per exact sha256 group
-        (`dedup.exact_dup_groups` — the `dedup_exact` entry)."""
-        canon = dedup.exact_dup_groups(self._df).select(
+        (`dedup.exact_dup_groups` — the `dedup_exact` entry). With
+        ``folded`` the group key is the normalized, case/accent-folded
+        text (`textclean.fold_key`), so "Café  X" and "cafe x" dedup
+        together while the kept doc's text stays untouched."""
+        canon = dedup.exact_dup_groups(self._df, folded=folded).select(
             F.col("canonical_doc_id").alias("doc_id")
         )
         return self._keep(canon, "dedup_exact")
@@ -344,6 +348,15 @@ class CorpusPipeline:
         )
         self._stages.append(("segment_clean", self._df))
         return self
+
+    def token_budget(self, budget: int) -> "CorpusPipeline":
+        """Keep each domain's highest-quality docs until the domain's
+        cumulative TOKEN count fills ``budget``
+        (`sampling.domain_token_budget`): the mixture knob in the unit
+        that costs training compute, where :meth:`domain_cap` budgets
+        doc counts. Lazy doc-keyed semi-join like the other gates."""
+        kept = sampling.domain_token_budget(self._df, budget)
+        return self._keep(kept, "token_budget")
 
     def domain_cap(self, cap: int) -> "CorpusPipeline":
         """At most ``cap`` docs per source, best-quality-first

@@ -2780,3 +2780,54 @@ def test_domain_token_budget_matches_duckdb_oracle(spark):
     want = sorted(tuple(r) for r in
                   con.sql(o_domain_token_budget(800)).fetchall())
     assert got == want
+
+
+def test_exact_dedup_folded_key(spark):
+    """folded=True groups case/accent/noise variants under one fold key
+    while the default keeps them distinct; the kept canonical's text is
+    untouched (only the KEY folds). Pipeline passthrough included."""
+    from etl_staging_spark.llmdata import dedup
+    from etl_staging_spark.llmdata.pipeline import CorpusPipeline
+
+    docs = spark.createDataFrame(
+        [(1, "Café  GRANDE opens"), (2, "cafe grande opens"),
+         (3, "a different text entirely")],
+        "doc_id long, text string",
+    )
+    assert dedup.exact_dup_groups(docs).count() == 3
+    folded = dedup.exact_dup_groups(docs, folded=True).collect()
+    assert len(folded) == 2
+    groups = {r.canonical_doc_id: r.n_copies for r in folded}
+    assert groups == {1: 2, 3: 1}
+    docs3 = docs.withColumn("source", F.lit("web"))
+    kept = {r.doc_id for r in CorpusPipeline(docs3).dedup_exact(folded=True)
+            .frame().select("doc_id").collect()}
+    assert kept == {1, 3}
+    assert {r.text for r in docs3.join(
+        spark.createDataFrame([(1,)], "doc_id long"), "doc_id").collect()
+    } == {"Café  GRANDE opens"}  # canonical keeps its face
+
+
+def test_corpus_pipeline_token_budget_stage(spark):
+    """token_budget keeps each domain's best docs until the token
+    budget fills, as a lazy pipeline stage; the funnel records it."""
+    from etl_staging_spark.llmdata import sampling, textstats
+    from etl_staging_spark.llmdata.pipeline import CorpusPipeline
+
+    rich = ("unique alpha bravo charlie delta echo foxtrot golf hotel "
+            "india juliet kilo lima mike november oscar papa quebec")
+    docs = spark.createDataFrame(
+        [(1, rich + " one", "a"), (2, "plain words here now two", "a"),
+         (10, rich + " ten", "b")],
+        "doc_id long, text string, source string",
+    )
+    budget = {r.doc_id: r.n_tokens for r in
+              textstats.quality_scores(docs).collect()}[1]
+    pipe = CorpusPipeline(docs).token_budget(budget)
+    kept = {r.doc_id for r in pipe.frame().select("doc_id").collect()}
+    assert kept == {1, 10}
+    assert pipe.funnel() == [("input", 3), ("token_budget", 2)]
+    # stage equals the library operator on the same frame
+    lib = {r.doc_id for r in
+           sampling.domain_token_budget(docs, budget).collect()}
+    assert lib == kept
