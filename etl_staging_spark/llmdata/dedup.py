@@ -39,6 +39,7 @@ def exact_dup_groups(
     id_col: str = "doc_id",
     text_col: str = "text",
     folded: bool = False,
+    pre_cleaned: bool = False,
 ) -> DataFrame:
     """Exact dedup: group by sha256(text); canonical row = min id.
     (Reference analog: the dedup/purge maintenance jobs M3,
@@ -46,13 +47,16 @@ def exact_dup_groups(
     keys, here on content hash.) With ``folded`` the hash keys on
     `textclean.fold_key` — normalized, case- and Latin-1-accent-folded
     text — so visually-equal variants ("Café  X" / "cafe x") share one
-    group; the stored text is untouched, only the KEY folds. Same one
+    group; the stored text is untouched, only the KEY folds; ``pre_cleaned`` skips the
+    fold's normalization pass when the text is already clean (the
+    pipeline sets it after a `.clean()` stage — clean_text is
+    idempotent, so the key is identical, only cheaper). Same one
     map-side-combinable hash shuffle either way."""
     key = F.col(text_col)
     if folded:
         from .textclean import fold_key
 
-        key = fold_key(key)
+        key = fold_key(key, pre_cleaned=pre_cleaned)
     return (
         df.groupBy(F.sha2(key, 256).alias("text_sha256"))
         .agg(

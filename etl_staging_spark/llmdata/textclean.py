@@ -98,12 +98,16 @@ def o_clean_sql(expr: str) -> str:
     return sql
 
 
-def fold_key(col: Column) -> Column:
+def fold_key(col: Column, pre_cleaned: bool = False) -> Column:
     """Lossy fold for EXACT-DEDUP HASH KEYS: :func:`clean_text`, then
     lowercase and a fixed Latin-1 accent translation — so "Caf\u00e9 X"
     and "cafe x" land in the same hash group. Key-derivation only; the
-    stored text keeps its case and accents."""
-    return F.translate(F.lower(clean_text(col)), ACCENT_SRC, ACCENT_DST)
+    stored text keeps its case and accents. ``pre_cleaned`` skips the
+    8-regex normalization when the caller already ran it (clean_text
+    is idempotent — the fixed-point test — so this changes cost, never
+    the key)."""
+    base = col if pre_cleaned else clean_text(col)
+    return F.translate(F.lower(base), ACCENT_SRC, ACCENT_DST)
 
 
 def with_clean_text(

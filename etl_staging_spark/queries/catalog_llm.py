@@ -2481,7 +2481,7 @@ def mixture_temperature(spark, sf_dir):
     csptop AS (
       SELECT source, pred_lang AS top_lang FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY source
-                                     ORDER BY c DESC, pred_lang) AS rk
+                                     ORDER BY c DESC, pred_lang NULLS LAST) AS rk
         FROM csplc) WHERE rk = 1
     )
     SELECT a.source, a.n_docs, a.avg_quality, a.pct_repetitive, t.top_lang
@@ -2518,7 +2518,11 @@ def corpus_source_profile(spark, sf_dir):
         ).alias("pct_repetitive"),
     )
     langc = j.groupBy("source", "pred_lang").agg(F.count("*").alias("c"))
-    w = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("pred_lang"))
+    w = Window.partitionBy("source").orderBy(
+        F.desc("c"), F.asc_nulls_last("pred_lang")
+    )  # NULLS LAST: an unidentified-language bucket must lose the
+    # modal election to any real language, and DuckDB ASC defaults
+    # to NULLS LAST, so the twins agree once NULL pred_lang exists
     top = (
         langc.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") == 1)

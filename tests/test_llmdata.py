@@ -2800,12 +2800,12 @@ def test_exact_dedup_folded_key(spark):
     groups = {r.canonical_doc_id: r.n_copies for r in folded}
     assert groups == {1: 2, 3: 1}
     docs3 = docs.withColumn("source", F.lit("web"))
-    kept = {r.doc_id for r in CorpusPipeline(docs3).dedup_exact(folded=True)
-            .frame().select("doc_id").collect()}
-    assert kept == {1, 3}
-    assert {r.text for r in docs3.join(
-        spark.createDataFrame([(1,)], "doc_id long"), "doc_id").collect()
-    } == {"Café  GRANDE opens"}  # canonical keeps its face
+    pipe_out = CorpusPipeline(docs3).dedup_exact(folded=True).frame()
+    kept = {r.doc_id: r.text for r in pipe_out.collect()}
+    assert set(kept) == {1, 3}
+    # canonical keeps its face: the PIPELINE OUTPUT carries the raw
+    # text, not the folded key
+    assert kept[1] == "Café  GRANDE opens"
 
 
 def test_corpus_pipeline_token_budget_stage(spark):
@@ -2831,3 +2831,53 @@ def test_corpus_pipeline_token_budget_stage(spark):
     lib = {r.doc_id for r in
            sampling.domain_token_budget(docs, budget).collect()}
     assert lib == kept
+
+
+def test_fold_key_pre_cleaned_same_key(spark):
+    """pre_cleaned=True skips the fold's normalization pass but yields
+    the IDENTICAL fold key on already-clean text (clean_text is
+    idempotent), so pipeline clean() -> dedup_exact(folded=True)
+    groups exactly like the unchained fold on raw text."""
+    from etl_staging_spark.llmdata import dedup, textclean
+
+    raw = spark.createDataFrame(
+        [(1, "Café​  GRANDE\r\nopens"), (2, "cafe grande\nopens"),
+         (3, "different text")],
+        "doc_id long, text string",
+    )
+    cleaned = textclean.with_clean_text(raw)
+    a = sorted(tuple(r) for r in
+               dedup.exact_dup_groups(raw, folded=True).collect())
+    b = sorted(tuple(r) for r in dedup.exact_dup_groups(
+        cleaned, folded=True, pre_cleaned=True).collect())
+    assert a == b
+    assert {r[2] for r in a} == {1, 3} and {r[1] for r in a} == {2, 1}
+
+
+def test_source_profile_null_lang_tiebreak(spark):
+    """With zero-evidence docs now scoring NULL pred_lang, the modal-
+    language election must rank NULL LAST on both engines: a source
+    split evenly between NULL and 'en' elects 'en', matching the
+    DuckDB oracle's ASC default. Locks the cross-engine NULL-ordering
+    convention the registered corpus_source_profile card relies on."""
+    from pyspark.sql import Window
+
+    from etl_staging_spark.llmdata import textstats
+
+    good = "the weather here is rather fine another evening theatre"
+    docs = spark.createDataFrame(
+        [(i, good + f" tail{i}", "web") for i in range(5)]
+        + [(10 + i, "12345 67890", "web") for i in range(5)],
+        "doc_id long, text string, source string",
+    )
+    langc = (
+        textstats.lang_id(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source", "pred_lang").agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("c"), F.asc_nulls_last("pred_lang")
+    )
+    top = (langc.withColumn("rk", F.row_number().over(w))
+           .where("rk = 1").collect())
+    assert len(top) == 1 and top[0].pred_lang == "en"
