@@ -396,3 +396,61 @@ def _validate_rates(rates: tuple[float, ...]) -> None:
         if not 0 < rate <= 1:
             raise ValueError("keep rates must be in (0, 1]")
 
+
+
+def quality_calibration_by_domain(
+    docs: DataFrame,
+    keep_rate: float,
+    decimals: int = 3,
+    domain_col: str = "source",
+) -> DataFrame:
+    """PER-DOMAIN calibrated quality cuts: for one target keep rate,
+    each domain's own threshold and what it actually keeps — (domain,
+    threshold, n_scored, n_kept, actual_rate), one row per domain with
+    at least one scored doc. Domains have different quality
+    distributions (a clean books corpus vs a noisy crawl), so "keep
+    the best 70% of each source" needs a per-source cut; the global
+    card (:func:`quality_calibration_card`) would over-keep the clean
+    domain and gut the noisy one. Thresholds are bucket lower edges
+    (the raw-score gate-floor convention shared with
+    :func:`quality_threshold_for_keep_rate`).
+
+    Scale shape: ONE (domain, quantized-score) histogram aggregate —
+    map-side combinable, output bounded by #domains x (10^decimals+1)
+    rows — COLLECTS (the `exact_corpus_stats` bounded-collect
+    convention) and every domain's CDF walks driver-side; the result
+    frame carries the literals. No window over the corpus, no
+    per-domain job. Docs with a NULL domain are excluded — a cut for
+    an unnamed source is meaningless, and the exclusion keeps the
+    DuckDB twin's equi-joins exact."""
+    from .textstats import quality_scores
+
+    if not 0 < keep_rate <= 1:
+        raise ValueError("keep_rate must be in (0, 1]")
+    q = quality_scores(docs, keep=(domain_col,))
+    rows = (
+        q.where(
+            F.col("quality").isNotNull() & F.col(domain_col).isNotNull()
+        )
+        .groupBy(
+            F.col(domain_col).alias("domain"),
+            pround(F.col("quality"), decimals).alias("qb"),
+        )
+        .agg(F.count("*").alias("c"))
+        .collect()  # bounded: #domains x (10^decimals + 1)
+    )
+    by_domain: dict = {}
+    for r in rows:
+        by_domain.setdefault(r["domain"], []).append((r["qb"], r["c"]))
+    out = []
+    for domain in sorted(by_domain):
+        hist = sorted(by_domain[domain])
+        n = sum(c for _, c in hist)
+        t, kept = _cdf_cut(hist, keep_rate * n)
+        out.append(
+            (domain, _bucket_edge(t, decimals), n, kept,
+             py_pround(kept / n, 6))
+        )
+    schema = ("domain string, threshold double, n_scored bigint, "
+              "n_kept bigint, actual_rate double")
+    return docs.sparkSession.createDataFrame(out, schema)

@@ -1012,6 +1012,50 @@ def o_domain_token_budget(budget: int = 800) -> str:
     FROM tb WHERE tok_before < {budget}"""
 
 
+def o_quality_calibration_by_domain(
+    keep_rate: float = 0.7, decimals: int = 3
+) -> str:
+    """DuckDB oracle twin of `llmdata.stats.quality_calibration_by_domain`
+    over the documents table (r10/r11 registration queue — exercised by
+    the dedicated Spark-vs-DuckDB pytest): the shared quality CTEs ->
+    per-domain quantized histogram -> top-down cumulative counts
+    PARTITIONed BY domain -> per-domain MAX(qv) whose cumulative
+    reaches the need, lowered to the bucket edge — the per-source
+    replay of the global calibration card's CDF walk. NULL domains
+    excluded on both engines."""
+    from ..llmdata.stats import _validate_rates
+
+    _validate_rates((keep_rate,))
+    edge = o_pround(f"t.threshold - {0.5 * 10 ** -decimals!r}", decimals + 1)
+    return f"""
+    WITH {_O_QUAL_CTES},
+    dhb AS (
+      SELECT d.source AS domain, {o_pround('q.quality', decimals)} AS qv,
+             COUNT(*) AS c
+      FROM qual q JOIN documents d ON d.doc_id = q.doc_id
+      WHERE q.quality IS NOT NULL AND d.source IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    dtot AS (SELECT domain, SUM(c) AS n FROM dhb GROUP BY 1),
+    dcum AS (
+      SELECT domain, qv, SUM(c) OVER (PARTITION BY domain ORDER BY qv DESC
+                                      ROWS UNBOUNDED PRECEDING) AS ckeep
+      FROM dhb
+    ),
+    dth AS (
+      SELECT c.domain, MAX(c.qv) AS threshold
+      FROM dcum c JOIN dtot t ON t.domain = c.domain
+      WHERE c.ckeep >= {keep_rate!r} * t.n
+      GROUP BY 1
+    )
+    SELECT t.domain, {edge} AS threshold,
+           CAST(n.n AS BIGINT) AS n_scored,
+           CAST(c.ckeep AS BIGINT) AS n_kept,
+           {o_pround('CAST(c.ckeep AS DOUBLE) / n.n', 6)} AS actual_rate
+    FROM dth t JOIN dcum c ON c.domain = t.domain AND c.qv = t.threshold
+               JOIN dtot n ON n.domain = t.domain"""
+
+
 @query(
     "text_quality_score",
     oracle=f"""

@@ -2881,3 +2881,59 @@ def test_source_profile_null_lang_tiebreak(spark):
     top = (langc.withColumn("rk", F.row_number().over(w))
            .where("rk = 1").collect())
     assert len(top) == 1 and top[0].pred_lang == "en"
+
+
+def test_quality_calibration_by_domain(spark):
+    """Per-domain cuts: each domain keeps at least the target fraction
+    of ITS scored docs under a raw >= threshold filter, a clean domain
+    and a noisy domain get different cuts, NULL domains and NULL-text
+    docs are excluded, and invalid rates reject up front."""
+    import pytest as _pytest
+
+    from etl_staging_spark.llmdata import stats, textstats
+
+    rich = ("unique alpha bravo charlie delta echo foxtrot golf hotel "
+            "india juliet kilo lima mike november oscar papa quebec")
+    rows = ([(i, rich + f" variant {i} extra words", "clean")
+             for i in range(10)]
+            + [(100 + i, "aa " * (3 + i % 3) + f"x{i}", "noisy")
+               for i in range(10)]
+            + [(200, rich, None), (201, None, "clean")])
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.domain: r for r in
+           stats.quality_calibration_by_domain(docs, 0.7).collect()}
+    assert set(out) == {"clean", "noisy"}  # NULL domain excluded
+    assert out["clean"].n_scored == 10     # NULL-text doc excluded
+    assert out["clean"].threshold != out["noisy"].threshold
+    scored = textstats.quality_scores(docs, keep=("source",))
+    for dom, r in out.items():
+        kept = scored.where(
+            (F.col("source") == dom) & (F.col("quality") >= r.threshold)
+        ).count()
+        assert kept == r.n_kept and kept >= 0.7 * r.n_scored
+    with _pytest.raises(ValueError):
+        stats.quality_calibration_by_domain(docs, 1.2)
+
+
+def test_quality_calibration_by_domain_matches_duckdb(spark):
+    """Dry-run of the queued per-domain calibration entry: Spark equals
+    the DuckDB twin on the real documents table at the default rate."""
+    import duckdb
+
+    from etl_staging_spark.llmdata import stats
+    from etl_staging_spark.queries.catalog_llm import (
+        o_quality_calibration_by_domain,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = sorted(tuple(r) for r in
+                 stats.quality_calibration_by_domain(docs, 0.7).collect())
+    con = duckdb.connect()
+    con.sql("CREATE VIEW documents AS SELECT * FROM "
+            "'/root/testdata/sf0.001/documents.parquet'")
+    want = sorted(tuple(r) for r in
+                  con.sql(o_quality_calibration_by_domain(0.7)).fetchall())
+    assert got == want and len(got) == 20
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        o_quality_calibration_by_domain(0.0)
