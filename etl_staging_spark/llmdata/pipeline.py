@@ -41,8 +41,8 @@ methods are EAGER at chain-build time and say so in their docstrings:
 `dedup_near` and `dedup_semantic` run their clustering job when chained
 (connected components is iterative — it must materialize rounds),
 `mixture`/`mixture_temperature` run one bounded per-domain counts
-aggregate, and `quality_gate_keep_rate` runs the bounded score
-histogram that resolves its threshold. Compose eager stages where a running job is acceptable, not
+aggregate, and `quality_gate_keep_rate` (+ its per-domain sibling)
+runs the bounded score histogram that resolves its threshold(s). Compose eager stages where a running job is acceptable, not
 in service-init hot paths.
 """
 
@@ -306,6 +306,40 @@ class CorpusPipeline:
             scored.where(F.col("quality") >= t),
             "quality_gate_keep_rate",
         )
+
+    def quality_gate_keep_rate_by_domain(
+        self, keep_rate: float, decimals: int = 3,
+        domain_col: str = "source",
+    ) -> "CorpusPipeline":
+        """The per-source sibling of :meth:`quality_gate_keep_rate`:
+        every domain keeps at least ``keep_rate`` of ITS scored
+        survivors under its OWN calibrated cut
+        (`stats.quality_calibration_by_domain` — clean and noisy
+        sources get different thresholds). The per-domain cuts come
+        back as a bounded dict and apply as a literal CASE over the
+        domain column (the mixture sampler's `_threshold_filter`
+        shape) — one scan, no join. Docs with a NULL domain or NULL
+        quality drop (no cut could be calibrated for them). EAGER:
+        the bounded histogram aggregate runs when this stage is
+        chained."""
+        from . import stats
+
+        cuts = {
+            r["domain"]: r["threshold"]
+            for r in stats.quality_calibration_by_domain(
+                self._df, keep_rate, decimals, domain_col
+            ).collect()  # bounded: #domains rows
+        }
+        scored = textstats.quality_scores(self._df, keep=(domain_col,))
+        if not cuts:
+            return self._keep(scored.where(F.lit(False)),
+                              "quality_gate_keep_rate_by_domain")
+        expr = None
+        for d, t in sorted(cuts.items()):
+            cond = F.col(domain_col) == d
+            expr = F.when(cond, t) if expr is None else expr.when(cond, t)
+        ok = scored.where(F.col("quality") >= expr)
+        return self._keep(ok, "quality_gate_keep_rate_by_domain")
 
     def repetition_gate(self) -> "CorpusPipeline":
         """Drop Gopher-repetitive docs (`textstats.repetition_stats` —

@@ -2937,3 +2937,33 @@ def test_quality_calibration_by_domain_matches_duckdb(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         o_quality_calibration_by_domain(0.0)
+
+
+def test_corpus_pipeline_keep_rate_by_domain(spark):
+    """The per-domain calibrated gate keeps at least the rate of EACH
+    source's scored survivors — where the global calibrated gate
+    satisfies the rate only corpus-wide and can gut the noisy domain;
+    NULL-domain docs drop (no cut exists for them)."""
+    from etl_staging_spark.llmdata.pipeline import CorpusPipeline
+
+    rich = ("unique alpha bravo charlie delta echo foxtrot golf hotel "
+            "india juliet kilo lima mike november oscar papa quebec")
+    rows = ([(i, rich + f" variant {i} extra words", "clean")
+             for i in range(10)]
+            + [(100 + i, "aa " * (3 + i % 3) + f"x{i}", "noisy")
+               for i in range(10)]
+            + [(200, rich, None)])
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    pipe = CorpusPipeline(docs).quality_gate_keep_rate_by_domain(0.7)
+    kept = [r for r in pipe.frame().select("doc_id", "source").collect()]
+    per_dom = {"clean": 0, "noisy": 0}
+    for r in kept:
+        per_dom[r.source] += 1
+    assert per_dom["clean"] >= 7 and per_dom["noisy"] >= 7
+    assert all(r.source is not None for r in kept)  # NULL domain dropped
+    assert pipe.funnel()[-1][0] == "quality_gate_keep_rate_by_domain"
+    # the global gate at the same rate keeps fewer of the noisy domain
+    glob = CorpusPipeline(docs).quality_gate_keep_rate(0.7)
+    g_noisy = glob.frame().where("source = 'noisy'").count()
+    assert g_noisy < per_dom["noisy"]
+    glob.release()
