@@ -36,14 +36,15 @@ Laziness: the narrowing gates (`dedup_exact`, `decontaminate`,
 `lm_quality_gate`, `segment_clean`, `domain_cap`, `token_budget`,
 `split`, `epochs`)
 only compose `left_semi`/anti joins on doc_id id-sets, so their chain
-stays ONE lazy Spark plan. Five stage
-methods are EAGER at chain-build time and say so in their docstrings:
-`dedup_near` and `dedup_semantic` run their clustering job when chained
-(connected components is iterative — it must materialize rounds),
+stays ONE lazy Spark plan. The remaining stage methods are EAGER at
+chain-build time and say so in their docstrings: `dedup_near` and
+`dedup_semantic` run their clustering job when chained (connected
+components is iterative — it must materialize rounds),
 `mixture`/`mixture_temperature` run one bounded per-domain counts
 aggregate, and `quality_gate_keep_rate` (+ its per-domain sibling)
-runs the bounded score histogram that resolves its threshold(s). Compose eager stages where a running job is acceptable, not
-in service-init hot paths.
+runs the bounded score histogram that resolves its threshold(s).
+Compose eager stages where a running job is acceptable, not in
+service-init hot paths.
 """
 
 from __future__ import annotations
