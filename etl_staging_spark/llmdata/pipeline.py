@@ -322,24 +322,30 @@ class CorpusPipeline:
         shape) — one scan, no join. Docs with a NULL domain or NULL
         quality drop (no cut could be calibrated for them). EAGER:
         the bounded histogram aggregate runs when this stage is
-        chained."""
+        chained; the scored survivors persist until :meth:`release`
+        (the global sibling's pin pattern) so the upstream chain and
+        the quality scoring each execute ONCE — calibration reads the
+        same cached frame the gate filters."""
         from . import stats
 
+        scored = (
+            textstats.quality_scores(self._df, keep=(domain_col,))
+            .select("doc_id", domain_col, "quality")
+            .persist()
+        )
+        self._pins.append(scored)
         cuts = {
             r["domain"]: r["threshold"]
-            for r in stats.quality_calibration_by_domain(
-                self._df, keep_rate, decimals, domain_col
+            for r in stats.calibration_by_domain_from_scores(
+                scored, keep_rate, decimals, domain_col
             ).collect()  # bounded: #domains rows
         }
-        scored = textstats.quality_scores(self._df, keep=(domain_col,))
         if not cuts:
             return self._keep(scored.where(F.lit(False)),
                               "quality_gate_keep_rate_by_domain")
-        expr = None
-        for d, t in sorted(cuts.items()):
-            cond = F.col(domain_col) == d
-            expr = F.when(cond, t) if expr is None else expr.when(cond, t)
-        ok = scored.where(F.col("quality") >= expr)
+        ok = scored.where(
+            F.col("quality") >= sampling.domain_case(cuts, domain_col)
+        )
         return self._keep(ok, "quality_gate_keep_rate_by_domain")
 
     def repetition_gate(self) -> "CorpusPipeline":

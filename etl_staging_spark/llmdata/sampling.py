@@ -115,20 +115,34 @@ def mixture_rates(
     return thresholds
 
 
+def domain_case(mapping: dict, domain_col: str) -> Column:
+    """Literal CASE over a BOUNDED per-domain mapping (#domains
+    branches, sorted for a deterministic expression) — the shared
+    shape of every per-domain scalar lookup here and in the pipeline's
+    calibrated gates: one pushdown-friendly scan, no join. No
+    ``otherwise``: unmapped or NULL domains yield NULL, and each
+    caller chooses its own default. Raises on an empty mapping —
+    callers decide what "no domains" means."""
+    if not mapping:
+        raise ValueError("mapping must be non-empty")
+    expr = None
+    for d, v in sorted(mapping.items()):
+        cond = F.col(domain_col) == d
+        expr = F.when(cond, v) if expr is None else expr.when(cond, v)
+    return expr
+
+
 def _threshold_filter(
     docs: DataFrame, thresholds: dict[str, int], domain_col: str,
     key_col: str, salt: str,
 ) -> DataFrame:
     """Apply per-domain bucket thresholds as a literal CASE over the
-    domain column — one pushdown-friendly scan, no join. An empty
-    threshold dict keeps nothing (there are no domains to keep)."""
+    domain column (:func:`domain_case`). An empty threshold dict keeps
+    nothing (there are no domains to keep)."""
     if not thresholds:
         return docs.where(F.lit(False))
     b = bucket_col(key_col, salt)
-    expr = None
-    for d, t in sorted(thresholds.items()):
-        cond = F.col(domain_col) == d
-        expr = F.when(cond, t) if expr is None else expr.when(cond, t)
+    expr = domain_case(thresholds, domain_col)
     return docs.where(b < expr.otherwise(F.lit(0)))
 
 

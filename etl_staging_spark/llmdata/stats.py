@@ -425,11 +425,28 @@ def quality_calibration_by_domain(
     DuckDB twin's equi-joins exact."""
     from .textstats import quality_scores
 
-    if not 0 < keep_rate <= 1:
-        raise ValueError("keep_rate must be in (0, 1]")
-    q = quality_scores(docs, keep=(domain_col,))
+    return calibration_by_domain_from_scores(
+        quality_scores(docs, keep=(domain_col,)), keep_rate, decimals,
+        domain_col,
+    )
+
+
+def calibration_by_domain_from_scores(
+    scored: DataFrame,
+    keep_rate: float,
+    decimals: int = 3,
+    domain_col: str = "source",
+) -> DataFrame:
+    """The per-domain CDF walk of
+    :func:`quality_calibration_by_domain` over an ALREADY-SCORED frame
+    (``quality`` + the domain column) — the `threshold_from_scores`
+    split, so callers holding the scored frame (e.g. the pipeline's
+    per-domain gate, which persists it and filters the same frame)
+    calibrate without scoring twice. Rates validate through the shared
+    :func:`_validate_rates`, the SAME rejection the oracle twin uses."""
+    _validate_rates((keep_rate,))
     rows = (
-        q.where(
+        scored.where(
             F.col("quality").isNotNull() & F.col(domain_col).isNotNull()
         )
         .groupBy(
@@ -453,4 +470,4 @@ def quality_calibration_by_domain(
         )
     schema = ("domain string, threshold double, n_scored bigint, "
               "n_kept bigint, actual_rate double")
-    return docs.sparkSession.createDataFrame(out, schema)
+    return scored.sparkSession.createDataFrame(out, schema)

@@ -1022,7 +1022,11 @@ def o_quality_calibration_by_domain(
     PARTITIONed BY domain -> per-domain MAX(qv) whose cumulative
     reaches the need, lowered to the bucket edge — the per-source
     replay of the global calibration card's CDF walk. NULL domains
-    excluded on both engines."""
+    excluded on both engines. The rate is CAST to DOUBLE before the
+    need product — DuckDB otherwise parses the literal as an exact
+    DECIMAL whose knife-edge comparisons (0.07 * 100 = 7.00 exactly)
+    diverge from the Spark driver's IEEE need, the same trap the
+    per-rate card's rates CTE casts away."""
     from ..llmdata.stats import _validate_rates
 
     _validate_rates((keep_rate,))
@@ -1045,7 +1049,7 @@ def o_quality_calibration_by_domain(
     dth AS (
       SELECT c.domain, MAX(c.qv) AS threshold
       FROM dcum c JOIN dtot t ON t.domain = c.domain
-      WHERE c.ckeep >= {keep_rate!r} * t.n
+      WHERE c.ckeep >= CAST({keep_rate!r} AS DOUBLE) * t.n
       GROUP BY 1
     )
     SELECT t.domain, {edge} AS threshold,

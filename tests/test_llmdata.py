@@ -2967,3 +2967,25 @@ def test_corpus_pipeline_keep_rate_by_domain(spark):
     g_noisy = glob.frame().where("source = 'noisy'").count()
     assert g_noisy < per_dom["noisy"]
     glob.release()
+
+
+def test_by_domain_oracle_need_is_double(spark):
+    """The per-domain oracle must compute its need in IEEE doubles like
+    the Spark driver: DuckDB parses a bare rate literal as exact
+    DECIMAL whose knife edges (0.07 * 100 = 7.00 exactly) diverge from
+    Python's 7.000000000000001 — the cast is the parity guarantee."""
+    import duckdb
+
+    from etl_staging_spark.queries.catalog_llm import (
+        o_quality_calibration_by_domain,
+    )
+
+    sql = o_quality_calibration_by_domain(0.07)
+    assert "CAST(0.07 AS DOUBLE) * t.n" in sql
+    # engine semantics: the DOUBLE need matches Python's IEEE product,
+    # the DECIMAL need would not
+    con = duckdb.connect()
+    dbl = con.sql("SELECT 7 >= CAST(0.07 AS DOUBLE) * 100").fetchone()[0]
+    dec = con.sql("SELECT 7 >= 0.07 * 100").fetchone()[0]
+    assert dbl == (7 >= 0.07 * 100) == False  # noqa: E712
+    assert dec is True  # the trap the cast avoids
