@@ -30,7 +30,7 @@ pipeline needs (builder brief, BASELINE north star):
   image/audio libs are not in this container) — :mod:`.multimodal`
 - the fluent front door: :class:`.pipeline.CorpusPipeline` chains the
   certified stages (clean, dedup exact/near/semantic — min-id or
-  best-quality canonicals — decontaminate n-gram/semantic, language
+  best-quality canonicals — decontaminate n-gram/fuzzy/semantic, language
   filter, quality/
   repetition/LM gates — fixed-floor or keep-rate-calibrated — segment
   clean, domain cap, split, mixture, epochs) through to the

@@ -32,7 +32,7 @@ order is the author's policy decision, same as the reference's wizard
 option order).
 
 Laziness: the narrowing gates (`dedup_exact`, `decontaminate`,
-`decontaminate_semantic`, `lang_filter`, `quality_gate`, `repetition_gate`,
+`decontaminate_fuzzy`, `decontaminate_semantic`, `lang_filter`, `quality_gate`, `repetition_gate`,
 `lm_quality_gate`, `segment_clean`, `domain_cap`, `token_budget`,
 `split`, `epochs`)
 only compose `left_semi`/anti joins on doc_id id-sets, so their chain
@@ -222,6 +222,25 @@ class CorpusPipeline:
             ~F.col("contaminated")
         )
         return self._keep(clean, "decontaminate")
+
+    def decontaminate_fuzzy(
+        self, bench: DataFrame, threshold: float = 0.8, n: int = 3
+    ) -> "CorpusPipeline":
+        """Drop docs with a MinHash-LSH-discovered, exact-Jaccard-
+        verified near-duplicate in the benchmark
+        (`decontam.fuzzy_contamination` — the `decontaminate_fuzzy`
+        entry): the middle rung of the decontamination ladder, catching
+        paraphrased eval leakage the exact n-gram collision rule
+        misses. Completes the ladder as stages: exact
+        (:meth:`decontaminate`), lexical-fuzzy (this), semantic
+        (:meth:`decontaminate_semantic`). Precondition: corpus and
+        benchmark doc_id spaces are disjoint."""
+        flagged = decontam.fuzzy_contamination(
+            self._df, bench, threshold=threshold, n=n
+        )
+        self._pins.extend(getattr(flagged, "_pinned_persisted", ()))
+        clean = flagged.where(~F.col("contaminated"))
+        return self._keep(clean, "decontaminate_fuzzy")
 
     def decontaminate_semantic(
         self,

@@ -2989,3 +2989,27 @@ def test_by_domain_oracle_need_is_double(spark):
     dec = con.sql("SELECT 7 >= 0.07 * 100").fetchone()[0]
     assert dbl == (7 >= 0.07 * 100) == False  # noqa: E712
     assert dec is True  # the trap the cast avoids
+
+
+def test_corpus_pipeline_decontaminate_fuzzy(spark):
+    """The fuzzy-decontamination stage drops the paraphrased eval leak
+    (1-token edit: shares few exact 5-grams, most 3-gram shingles) and
+    keeps the unrelated doc — the middle rung of the stage ladder,
+    matching the library operator on the same frame."""
+    from etl_staging_spark.llmdata.decontam import fuzzy_contamination
+    from etl_staging_spark.llmdata.pipeline import CorpusPipeline
+
+    bench = spark.createDataFrame([(100, BASE)], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, NEAR, "web"), (2, OTHER, "web")],
+        "doc_id long, text string, source string",
+    )
+    pipe = CorpusPipeline(docs).decontaminate_fuzzy(bench, threshold=0.7)
+    kept = {r.doc_id for r in pipe.frame().select("doc_id").collect()}
+    assert kept == {2}
+    assert pipe.funnel() == [("input", 2), ("decontaminate_fuzzy", 1)]
+    lib = {r.doc_id for r in
+           fuzzy_contamination(docs, bench, threshold=0.7).collect()
+           if not r.contaminated}
+    assert lib == kept
+    pipe.release()
