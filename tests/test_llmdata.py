@@ -3013,3 +3013,71 @@ def test_corpus_pipeline_decontaminate_fuzzy(spark):
            if not r.contaminated}
     assert lib == kept
     pipe.release()
+
+
+def test_corpus_pipeline_full_hygiene_chain(spark):
+    """Kitchen-sink integration of the r9 stage family: clean ->
+    lang_filter -> folded exact dedup (pre_cleaned kicks in) ->
+    fuzzy + semantic decontamination -> per-domain calibrated gate ->
+    token budget -> split. Each planted offender is removed by exactly
+    the stage built for it, the funnel tells the story stage by stage,
+    and release() leaves no cached frames behind."""
+    import numpy as np
+
+    from etl_staging_spark.llmdata.pipeline import CorpusPipeline
+
+    good = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo "
+            "the weather here is rather fine another evening theatre")
+    rows = (
+        # 8 clean English docs across two sources
+        [(i, good + f" tail{i}", "a") for i in range(4)]
+        + [(10 + i, good + f" more{i}", "b") for i in range(4)]
+        # noise twin of doc 0: survives clean+dedup only as one copy
+        + [(20, good.replace(" ", "  ") + " tail0\r\n", "a")]
+        # Spanish doc: lang_filter removes
+        + [(30, "la casa de los cuentos es el lugar que ue ar en los "
+                "dias de la escuela para los amigos", "a")]
+        # fuzzy eval leak: 1-token paraphrase of the benchmark doc
+        + [(40, BASE, "b")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    bench = spark.createDataFrame(
+        [(900, NEAR)], "doc_id long, text string")
+    # embeddings: doc 11 is a near-copy of the eval embedding -> semantic leak
+    rng = np.random.RandomState(3)
+    base_v = rng.randn(64)
+    eschema = "doc_id long, embedding array<float>"
+    emb = spark.createDataFrame(
+        [(11, [float(x) for x in (base_v + 0.01 * rng.randn(64))])], eschema)
+    bench_emb = spark.createDataFrame(
+        [(901, [float(x) for x in base_v])], eschema)
+
+    pipe = (
+        CorpusPipeline(docs)
+        .clean()
+        .lang_filter(("en",))
+        .dedup_exact(folded=True)
+        .decontaminate_fuzzy(bench, threshold=0.7)
+        .decontaminate_semantic(emb, bench_emb, threshold=0.9)
+        .quality_gate_keep_rate_by_domain(0.5)
+        .token_budget(10_000)
+        .split({"train": 0.8, "val": 0.2})
+    )
+    out = {r.doc_id: r.split for r in pipe.frame().collect()}
+    labels = [label for label, _ in pipe.funnel()]
+    assert labels == ["input", "clean", "lang_filter", "dedup_exact",
+                      "decontaminate_fuzzy", "decontaminate_semantic",
+                      "quality_gate_keep_rate_by_domain", "token_budget",
+                      "split"]
+    assert 30 not in out          # Spanish: lang gate
+    assert 20 not in out          # noise twin: clean + folded dedup
+    assert 40 not in out          # fuzzy eval leak
+    assert 11 not in out          # semantic eval leak
+    assert 0 in out               # the twin's canonical survives
+    kept = set(out)
+    assert kept <= set(range(4)) | {10, 12, 13}
+    assert len(kept) >= 5         # the 0.5-rate gate keeps most
+    assert set(out.values()) <= {"train", "val"}
+    pipe.release()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
