@@ -89,3 +89,22 @@ def test_temperature_thresholds_monotone_in_target(counts, target):
     lo = temperature_thresholds(counts, 0.5, target)
     hi = temperature_thresholds(counts, 0.5, target * 2)
     assert all(hi[d] >= lo[d] for d in counts)
+
+
+@given(
+    st.integers(min_value=0, max_value=1000),
+    st.integers(min_value=0, max_value=999999),
+)
+def test_bucket_edge_membership_law(bucket_milli, raw_micro):
+    """The half-quantum edge is EXACTLY the bucket-membership boundary
+    for 6-decimal scores: pround(x, 3) >= bucket iff x >= edge(bucket)
+    — the law that lets every calibrated threshold be applied as a raw
+    `quality >= t` filter with zero IEEE boundary leakage."""
+    from etl_staging_spark.llmdata.stats import _bucket_edge
+    from etl_staging_spark.numeric import py_pround
+
+    bucket = py_pround(bucket_milli / 1000, 3)
+    x = py_pround(raw_micro / 1_000_000, 6)  # any 6-decimal score
+    edge = _bucket_edge(bucket, 3)
+    assert edge < bucket
+    assert (py_pround(x, 3) >= bucket) == (x >= edge), (bucket, x, edge)
