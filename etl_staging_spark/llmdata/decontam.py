@@ -261,3 +261,81 @@ def semantic_contamination(
         )
     )
     return out
+
+
+def decontamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    corpus_emb: DataFrame | None = None,
+    bench_emb: DataFrame | None = None,
+    n_exact: int = 5,
+    fuzzy_threshold: float = 0.8,
+    fuzzy_n: int = 3,
+    semantic_threshold: float = 0.9,
+    dim: int = 64,
+) -> DataFrame:
+    """Per-doc contamination EVIDENCE across the whole ladder — the
+    audit frame that answers "why was this doc dropped?" with every
+    rung's numbers in one row: (doc_id, n_overlap, n_fuzzy,
+    max_jaccard, n_semantic, max_cosine, contaminated). Exact n-gram
+    collisions and lexical near-dups always run; the semantic rung
+    joins in when both embedding frames are supplied — docs WITHOUT a
+    vector carry NULL semantic evidence (unknown, not clean-by-fiat),
+    and NULL never sets the flag. ``contaminated`` is the any-rung OR,
+    the same decision the pipeline's three stages make separately.
+
+    Scale shape: pure composition of the three certified operators
+    (each already eval-broadcast, candidate-verified, never all-pairs)
+    plus two or three doc_id-keyed left joins of one-row-per-doc
+    frames — no new shuffle structure. The fuzzy rung's pinned shingle
+    caches ride the output's ``_pinned_persisted`` contract."""
+    ex = ngram_overlap(corpus, benchmark, n=n_exact, min_hits=1).select(
+        "doc_id", "n_overlap",
+        F.col("contaminated").alias("__c_exact"),
+    )
+    fz = fuzzy_contamination(
+        corpus, benchmark, threshold=fuzzy_threshold, n=fuzzy_n
+    )
+    out = ex.join(
+        fz.select(
+            "doc_id",
+            F.col("n_matches").alias("n_fuzzy"),
+            "max_jaccard",
+            F.col("contaminated").alias("__c_fuzzy"),
+        ),
+        "doc_id",
+    )
+    flags = [F.col("__c_exact"), F.col("__c_fuzzy")]
+    if corpus_emb is not None and bench_emb is not None:
+        sem = semantic_contamination(
+            corpus_emb.join(corpus.select("doc_id"), "doc_id", "left_semi"),
+            bench_emb,
+            threshold=semantic_threshold,
+            dim=dim,
+            id_col="doc_id",
+        )
+        out = out.join(
+            sem.select(
+                "doc_id",
+                F.col("n_matches").alias("n_semantic"),
+                "max_cosine",
+                F.col("contaminated").alias("__c_sem"),
+            ),
+            "doc_id",
+            "left",
+        )
+        flags.append(F.coalesce("__c_sem", F.lit(False)))
+    else:
+        out = out.withColumn(
+            "n_semantic", F.lit(None).cast("bigint")
+        ).withColumn("max_cosine", F.lit(None).cast("double"))
+    any_flag = flags[0]
+    for f in flags[1:]:
+        any_flag = any_flag | f
+    result = out.select(
+        "doc_id", "n_overlap", "n_fuzzy", "max_jaccard",
+        "n_semantic", "max_cosine",
+        any_flag.alias("contaminated"),
+    )
+    result._pinned_persisted = tuple(getattr(fz, "_pinned_persisted", ()))
+    return result

@@ -3081,3 +3081,45 @@ def test_corpus_pipeline_full_hygiene_chain(spark):
     assert set(out.values()) <= {"train", "val"}
     pipe.release()
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+
+def test_decontamination_report_all_rungs(spark):
+    """One evidence row per corpus doc with every rung's numbers: the
+    verbatim eval copy shows exact+fuzzy evidence, the paraphrase
+    fuzzy-only, the embedding leak semantic-only, the vectorless clean
+    doc NULL semantic evidence (unknown, flag unset), and the any-rung
+    OR matches each stage's own decision."""
+    import numpy as np
+
+    from etl_staging_spark.llmdata.decontam import decontamination_report
+
+    rng = np.random.RandomState(5)
+    base_v = rng.randn(64)
+    bench = spark.createDataFrame([(900, BASE)], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, BASE, "web"),      # verbatim copy: exact + fuzzy
+         (2, NEAR, "web"),      # paraphrase: fuzzy (few exact 5-grams)
+         (3, OTHER, "web"),     # lexically clean, embedding leak
+         (4, OTHER + " extra words here", "web")],  # clean, no vector
+        "doc_id long, text string, source string",
+    )
+    eschema = "doc_id long, embedding array<float>"
+    emb = spark.createDataFrame(
+        [(3, [float(x) for x in (base_v + 0.01 * rng.randn(64))])], eschema)
+    bench_emb = spark.createDataFrame(
+        [(901, [float(x) for x in base_v])], eschema)
+    out = {r.doc_id: r for r in decontamination_report(
+        docs, bench, emb, bench_emb, fuzzy_threshold=0.7).collect()}
+    assert len(out) == 4
+    assert out[1].contaminated and out[1].n_overlap > 0 and out[1].n_fuzzy == 1
+    assert out[2].contaminated and out[2].n_fuzzy == 1
+    assert 0.7 <= out[2].max_jaccard < 1.0
+    assert out[3].contaminated and out[3].n_semantic == 1
+    assert out[3].max_cosine > 0.99 and out[3].n_fuzzy == 0
+    assert not out[4].contaminated
+    assert out[4].n_semantic is None and out[4].max_cosine is None
+    # without embeddings: semantic columns NULL, lexical flags intact
+    out2 = {r.doc_id: r for r in decontamination_report(
+        docs, bench, fuzzy_threshold=0.7).collect()}
+    assert out2[3].n_semantic is None and not out2[3].contaminated
+    assert out2[1].contaminated and out2[2].contaminated
