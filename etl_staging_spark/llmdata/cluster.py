@@ -222,3 +222,41 @@ def canonicals_by_score(
         )
         .drop("__score", "__w")
     )
+
+def split_by_cluster(
+    docs: DataFrame,
+    pairs: DataFrame,
+    fractions: dict[str, float],
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Leakage-SAFE train/val/test split: every member of a near-dup
+    cluster draws its split from ONE key — the cluster's
+    component-minimum label — so a benchmark document can never have a
+    near-copy on the other side of the split. This is the FIX operator
+    paired with the `split_leakage_audit` report: document-level
+    hash splitting (`sampling.hash_split`) leaves every near-dup pair
+    a coin-flip away from train/test contamination; re-keying by
+    cluster drives the audit's ``leaky`` count to exactly zero while
+    unclustered docs (the overwhelming majority) keep their ordinary
+    per-doc assignment under the SAME salt and thresholds.
+
+    ``docs`` is any (doc_id, ...) frame; ``pairs`` the near-dup edges
+    (d1, d2) from any discovery path (exact-Jaccard, MinHash-LSH,
+    SimHash...). Output: docs' columns + nullable ``cluster_id`` +
+    ``split``.
+
+    Scale shape: the CC labels are the audited O(log n)
+    large-star/small-star fold over the PAIRS only (cluster membership
+    is a small fraction of the corpus), the label attach is one left
+    join on doc_id, and the split stamp is a pure hash projection —
+    no extra shuffle beyond the label join, no window, no driver data.
+    """
+    from .sampling import hash_split
+
+    lbl = near_dup_clusters(pairs).select("doc_id", "cluster_id")
+    keyed = docs.join(lbl, "doc_id", "left").withColumn(
+        "__split_key", F.coalesce("cluster_id", "doc_id")
+    )
+    return hash_split(keyed, fractions, key_col="__split_key", salt=salt).drop(
+        "__split_key"
+    )

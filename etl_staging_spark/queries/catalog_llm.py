@@ -36,6 +36,37 @@ inter AS (
   GROUP BY 1, 2
 )"""
 
+# Shared oracle CTE tail (needs WITH RECURSIVE + O_TRIH in scope):
+# exact-Jaccard >= 0.8 near-dup pairs folded to connected-component
+# labels (component-minimum doc_id). Transitive closure by label
+# propagation — MIN over reachable ids is the component minimum; the
+# recursive UNION deduplicates, so the fold terminates.
+O_CC_LBL = f"""ftri AS (
+  SELECT doc_id, h FROM trih
+  WHERE h IN (SELECT h FROM trih GROUP BY h
+              HAVING COUNT(*) <= {dedup.MAX_SHINGLE_DF})
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM ftri GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+  FROM ftri a JOIN ftri b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT d1, d2 FROM inter
+  JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
+  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
+),
+nodes AS (SELECT d1 AS doc_id FROM pairs UNION SELECT d2 FROM pairs),
+edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+          UNION SELECT d2, d1 FROM pairs),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc_id
+),
+lbl AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id)"""
+
 
 # ---------------------------------------------------------------------------
 # Dedup family
@@ -181,6 +212,30 @@ def o_source_overlap_matrix(threshold: float = 0.8) -> str:
     JOIN totals tb ON tb.source = c.source_b"""
 
 
+def o_split_by_cluster(
+    fractions: dict[str, float], salt: str = "split-v1"
+) -> str:
+    """DuckDB oracle twin of `llmdata.cluster.split_by_cluster` over
+    the documents table with exact-Jaccard >= 0.8 pair discovery (r10
+    registration queue — exercised today by the dedicated
+    Spark-vs-DuckDB pytest): the shared CC-label fold (`O_CC_LBL`,
+    bit-identical to `dedup_cluster_cc`'s certified oracle) left-joined
+    onto the corpus, then the `o_hash_split` CASE over the
+    cluster-or-doc key — the leakage-safe split assignment."""
+    from ..llmdata import sampling as _sampling
+
+    split = _sampling.o_hash_split(
+        fractions,
+        key_expr="COALESCE(l.cluster_id, d.doc_id)",
+        salt=salt,
+    )
+    return f"""
+    WITH RECURSIVE {O_TRIH},
+    {O_CC_LBL}
+    SELECT d.doc_id, l.cluster_id, {split} AS split
+    FROM documents d LEFT JOIN lbl l ON l.doc_id = d.doc_id"""
+
+
 @query(
     "dedup_minhash_lsh",
     oracle=f"""
@@ -262,34 +317,7 @@ def dedup_simhash_pairs(spark, sf_dir):
     "dedup_cluster_cc",
     oracle=f"""
     WITH RECURSIVE {O_TRIH},
-    ftri AS (
-      SELECT doc_id, h FROM trih
-      WHERE h IN (SELECT h FROM trih GROUP BY h
-                  HAVING COUNT(*) <= {dedup.MAX_SHINGLE_DF})
-    ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ftri GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
-      FROM ftri a JOIN ftri b ON a.h = b.h AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ),
-    pairs AS (
-      SELECT d1, d2 FROM inter
-      JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
-      WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
-    ),
-    nodes AS (SELECT d1 AS doc_id FROM pairs UNION SELECT d2 FROM pairs),
-    edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
-              UNION SELECT d2, d1 FROM pairs),
-    -- transitive closure by label propagation; MIN over reachable ids
-    -- is the component minimum (the recursive UNION deduplicates, so
-    -- the fold terminates)
-    reach(doc_id, r) AS (
-      SELECT doc_id, doc_id FROM nodes
-      UNION
-      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc_id
-    ),
-    lbl AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+    {O_CC_LBL},
     sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lbl
            GROUP BY cluster_id)
     SELECT l.doc_id, l.cluster_id, s.cluster_size,
@@ -2585,31 +2613,7 @@ def corpus_source_profile(spark, sf_dir):
     "dedup_cluster_sizes",
     oracle=f"""
     WITH RECURSIVE {O_TRIH},
-    ftri AS (
-      SELECT doc_id, h FROM trih
-      WHERE h IN (SELECT h FROM trih GROUP BY h
-                  HAVING COUNT(*) <= {dedup.MAX_SHINGLE_DF})
-    ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ftri GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
-      FROM ftri a JOIN ftri b ON a.h = b.h AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ),
-    pairs AS (
-      SELECT d1, d2 FROM inter
-      JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
-      WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
-    ),
-    nodes AS (SELECT d1 AS doc_id FROM pairs UNION SELECT d2 FROM pairs),
-    edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
-              UNION SELECT d2, d1 FROM pairs),
-    reach(doc_id, r) AS (
-      SELECT doc_id, doc_id FROM nodes
-      UNION
-      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc_id
-    ),
-    lbl AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+    {O_CC_LBL},
     sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lbl GROUP BY 1)
     SELECT CAST(cluster_size AS INT) AS cluster_size,
            COUNT(*) AS n_clusters,

@@ -2315,6 +2315,75 @@ def test_corpus_pipeline_release_does_not_clobber_caller_pins(spark):
     pinned.unpersist()
 
 
+def test_split_by_cluster_matches_duckdb_oracle(spark):
+    """Dry-run of the r10 leakage-safe-split entry: the Spark
+    assignment hash-matches the DuckDB twin on the real documents
+    tables at BOTH parity scales (cluster labels, nullable for
+    unclustered docs, and the re-keyed split)."""
+    import duckdb
+
+    from etl_staging_spark.llmdata import cluster, dedup
+    from etl_staging_spark.queries.catalog_llm import o_split_by_cluster
+
+    fractions = {"train": 0.9, "val": 0.05, "test": 0.05}
+    for sf in ("sf0.001", "sf0.01"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        docs = spark.read.parquet(path)
+        pairs = dedup.jaccard_pairs(docs, threshold=0.8).select("d1", "d2")
+        out = cluster.split_by_cluster(
+            docs.select("doc_id"), pairs, fractions
+        )
+        got = sorted(
+            (r.doc_id, r.cluster_id, r.split) for r in out.collect()
+        )
+
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+        want = sorted(
+            tuple(r) for r in con.sql(o_split_by_cluster(fractions)).fetchall()
+        )
+        assert got == want and got
+        # the fix is not vacuous: some docs really are re-keyed
+        assert any(c is not None for _, c, _ in got)
+
+
+def test_split_by_cluster_heals_leaky_pairs(spark):
+    """Planted near-dup edges: every cluster's members land in ONE
+    split (the canonical's), per-doc splitting would have leaked at
+    least one of the planted pairs across splits, and unclustered docs
+    keep their ordinary per-doc assignment untouched."""
+    from etl_staging_spark.llmdata import cluster
+    from etl_staging_spark.llmdata.sampling import hash_split
+
+    fractions = {"train": 0.5, "val": 0.25, "test": 0.25}
+    docs = spark.createDataFrame([(i,) for i in range(60)], "doc_id long")
+    # chain {1,2,3} plus nine disjoint pairs — enough draws that the
+    # deterministic per-doc hash must disagree inside some pair
+    edges = [(1, 2), (2, 3)] + [(10 + 2 * k, 11 + 2 * k) for k in range(9)]
+    pairs = spark.createDataFrame(edges, "d1 long, d2 long")
+
+    out = cluster.split_by_cluster(docs, pairs, fractions)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == set(range(60))
+
+    plain = {
+        r.doc_id: r.split
+        for r in hash_split(docs, fractions).collect()
+    }
+    clustered = {d for e in edges for d in e}
+    # members of one cluster share the canonical's split
+    assert {rows[d].cluster_id for d in (1, 2, 3)} == {1}
+    assert {rows[d].split for d in (1, 2, 3)} == {plain[1]}
+    for a, b in edges[2:]:
+        assert rows[a].cluster_id == rows[b].cluster_id == a
+        assert rows[a].split == rows[b].split == plain[a]
+    # the operator actually changed something a per-doc split got wrong
+    assert any(plain[a] != plain[b] for a, b in edges)
+    # unclustered docs: NULL label, ordinary per-doc assignment
+    for d in set(range(60)) - clustered:
+        assert rows[d].cluster_id is None and rows[d].split == plain[d]
+
+
 def test_source_overlap_matrix_matches_duckdb_oracle(spark):
     """Dry-run of the r10 oracle entry: the Spark matrix hash-matches
     the DuckDB twin on the real sf0.001 documents table (same rows,
@@ -3053,6 +3122,18 @@ def test_corpus_pipeline_full_hygiene_chain(spark):
     bench_emb = spark.createDataFrame(
         [(901, [float(x) for x in base_v])], eschema)
 
+    # Earlier tests in a shared session may legitimately leave pinned
+    # caches behind (the _pinned_persisted pattern); assert on the DELTA
+    # this pipeline creates, not on a globally empty cache.
+    def _persisted_ids():
+        it = spark.sparkContext._jsc.getPersistentRDDs().keySet().iterator()
+        ids = set()
+        while it.hasNext():
+            ids.add(it.next())
+        return ids
+
+    pre_persisted = _persisted_ids()
+
     pipe = (
         CorpusPipeline(docs)
         .clean()
@@ -3080,7 +3161,7 @@ def test_corpus_pipeline_full_hygiene_chain(spark):
     assert len(kept) >= 5         # the 0.5-rate gate keeps most
     assert set(out.values()) <= {"train", "val"}
     pipe.release()
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    assert _persisted_ids() <= pre_persisted
 
 
 def test_decontamination_report_all_rungs(spark):
