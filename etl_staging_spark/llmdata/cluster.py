@@ -243,18 +243,23 @@ def split_by_cluster(
     ``docs`` is any (doc_id, ...) frame; ``pairs`` the near-dup edges
     (d1, d2) from any discovery path (exact-Jaccard, MinHash-LSH,
     SimHash...). Output: docs' columns + nullable ``cluster_id`` +
-    ``split``.
+    ``split`` (a pre-existing ``cluster_id`` on ``docs`` is replaced
+    by the labels derived from ``pairs`` — the split must key on THESE
+    edges, not a stale labeling).
 
-    Scale shape: the CC labels are the audited O(log n)
+    Scale shape: the CC labels come straight from
+    :func:`connected_components` — the audited O(log n)
     large-star/small-star fold over the PAIRS only (cluster membership
-    is a small fraction of the corpus), the label attach is one left
-    join on doc_id, and the split stamp is a pure hash projection —
-    no extra shuffle beyond the label join, no window, no driver data.
+    is a small fraction of the corpus); `near_dup_clusters`' size
+    aggregate and canonical election are skipped because the split
+    needs nothing but the label. The label attach is one left join on
+    doc_id, and the split stamp is a pure hash projection — no extra
+    shuffle beyond the label join, no window, no driver data.
     """
     from .sampling import hash_split
 
-    lbl = near_dup_clusters(pairs).select("doc_id", "cluster_id")
-    keyed = docs.join(lbl, "doc_id", "left").withColumn(
+    lbl = connected_components(pairs)
+    keyed = docs.drop("cluster_id").join(lbl, "doc_id", "left").withColumn(
         "__split_key", F.coalesce("cluster_id", "doc_id")
     )
     return hash_split(keyed, fractions, key_col="__split_key", salt=salt).drop(

@@ -306,6 +306,13 @@ def decontamination_report(
         "doc_id",
     )
     flags = [F.col("__c_exact"), F.col("__c_fuzzy")]
+    if (corpus_emb is None) != (bench_emb is None):
+        raise ValueError(
+            "decontamination_report needs BOTH corpus_emb and bench_emb "
+            "for the semantic rung (or neither to skip it); a "
+            "half-supplied pair would silently report NULL semantic "
+            "evidence while looking embedding-screened"
+        )
     if corpus_emb is not None and bench_emb is not None:
         sem = semantic_contamination(
             corpus_emb.join(corpus.select("doc_id"), "doc_id", "left_semi"),

@@ -283,6 +283,12 @@ class CorpusPipeline:
         language and are dropped
         (they carry no trainable text either way). Lazy doc-keyed
         semi-join like the other gates."""
+        if isinstance(langs, str):
+            raise TypeError(
+                "langs must be a collection of language codes, not a "
+                f"bare string {langs!r} — isin(*'en') would test "
+                "membership in its CHARACTERS and drop every document"
+            )
         ok = textstats.lang_id(self._df).where(
             F.col("pred_lang").isin(*langs)
         )

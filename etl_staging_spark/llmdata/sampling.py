@@ -263,8 +263,11 @@ def domain_token_budget(
     deterministic greedy rule. Quality ties break by doc_id; docs with
     NULL quality (NULL text — an empty string still tokenizes and
     competes, the `quality_scores` convention) are outside the
-    selection, the calibrator posture. Output: (doc_id,
-    domain, quality, n_tokens, tok_before).
+    selection, and so are docs with a NULL domain — a token budget for
+    an unnamed source is as meaningless as a quality cut for one, the
+    same posture as `quality_gate_keep_rate_by_domain` (without it the
+    NULL group would be granted a full domain-budget of un-sourced
+    text). Output: (doc_id, domain, quality, n_tokens, tok_before).
 
     Scale shape: quality and the token count come from the ONE
     quality-scan projection (no re-join); the running token total is a
@@ -278,7 +281,7 @@ def domain_token_budget(
 
     q = quality_scores(docs, keep=(domain_col,)).select(
         "doc_id", F.col(domain_col).alias("domain"), "quality", "n_tokens"
-    ).where(F.col("quality").isNotNull())
+    ).where(F.col("quality").isNotNull() & F.col("domain").isNotNull())
     w = (
         Window.partitionBy("domain")
         .orderBy(F.desc("quality"), F.asc("doc_id"))

@@ -1032,7 +1032,7 @@ def o_domain_token_budget(budget: int = 800) -> str:
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
              ), 0) AS tok_before
       FROM qual q JOIN documents d ON d.doc_id = q.doc_id
-      WHERE q.quality IS NOT NULL
+      WHERE q.quality IS NOT NULL AND d.source IS NOT NULL
     )
     SELECT doc_id, domain, quality,
            CAST(n_tokens AS BIGINT) AS n_tokens,

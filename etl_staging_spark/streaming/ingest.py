@@ -111,6 +111,12 @@ def gated_ingest_stream(
 
     from ..llmdata import sampling, textclean, textstats
 
+    if isinstance(langs, str):
+        raise TypeError(
+            "langs must be a collection of language codes, not a "
+            f"bare string {langs!r} — isin(*'en') would test "
+            "membership in its CHARACTERS and empty every micro-batch"
+        )
     splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:

@@ -3204,3 +3204,67 @@ def test_decontamination_report_all_rungs(spark):
         docs, bench, fuzzy_threshold=0.7).collect()}
     assert out2[3].n_semantic is None and not out2[3].contaminated
     assert out2[1].contaminated and out2[2].contaminated
+
+
+def test_decontamination_report_half_pair_raises(spark):
+    """A half-supplied embedding pair is a caller mistake, not a
+    skip-the-rung request: the report refuses instead of silently
+    emitting NULL semantic evidence that looks embedding-screened."""
+    import pytest as _pytest
+
+    from etl_staging_spark.llmdata.decontam import decontamination_report
+
+    bench = spark.createDataFrame([(900, BASE)], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, BASE, "web")], "doc_id long, text string, source string")
+    emb = spark.createDataFrame(
+        [(1, [1.0] * 8)], "doc_id long, embedding array<float>")
+    for kwargs in ({"corpus_emb": emb}, {"bench_emb": emb}):
+        with _pytest.raises(ValueError, match="BOTH"):
+            decontamination_report(docs, bench, **kwargs)
+
+
+def test_lang_filter_rejects_bare_string(spark):
+    """langs="en" would isin() against the CHARACTERS {'e','n'} and
+    drop everything; the gate refuses the bare string up front."""
+    import pytest as _pytest
+
+    from etl_staging_spark.llmdata.pipeline import CorpusPipeline
+
+    docs = spark.createDataFrame(
+        [(1, "hello there", "web")],
+        "doc_id long, text string, source string")
+    with _pytest.raises(TypeError, match="bare string"):
+        CorpusPipeline(docs).lang_filter("en")
+
+
+def test_split_by_cluster_replaces_preexisting_label(spark):
+    """A docs frame that already carries cluster_id (e.g. straight out
+    of near_dup_clusters) must not trip an ambiguous-reference error:
+    the operator replaces the stale label with the one derived from
+    THESE pairs."""
+    from etl_staging_spark.llmdata import cluster
+
+    docs = spark.createDataFrame(
+        [(i, 999) for i in range(6)], "doc_id long, cluster_id long")
+    pairs = spark.createDataFrame([(1, 2)], "d1 long, d2 long")
+    rows = {r.doc_id: r for r in cluster.split_by_cluster(
+        docs, pairs, {"train": 0.5, "test": 0.5}).collect()}
+    assert rows[1].cluster_id == rows[2].cluster_id == 1
+    assert rows[1].split == rows[2].split
+    # the stale 999 label is gone, unclustered docs are NULL again
+    assert rows[4].cluster_id is None
+
+
+def test_domain_token_budget_null_domain_excluded(spark):
+    """NULL-source docs sit outside the selection (the per-domain
+    calibrator posture) instead of forming a phantom domain granted a
+    full token budget."""
+    from etl_staging_spark.llmdata.sampling import domain_token_budget
+
+    text = "some reasonably ordinary words for scoring quality here"
+    docs = spark.createDataFrame(
+        [(1, text, "web"), (2, text, None), (3, text + " more", None)],
+        "doc_id long, text string, source string")
+    out = domain_token_budget(docs, budget=10_000)
+    assert {r.doc_id for r in out.collect()} == {1}

@@ -695,3 +695,16 @@ def test_gated_ingest_clean_and_lang_matches_batch(spark, tmp_path):
     assert got == want
     assert 50 in got      # the noisy doc survives via cleaning
     assert 60 not in got  # the Spanish doc drops at the language gate
+
+
+def test_gated_ingest_rejects_bare_string_langs(spark):
+    """langs="en" would empty every micro-batch (character membership);
+    the ingest job refuses before the query ever starts."""
+    import pytest as _pytest
+
+    from etl_staging_spark.streaming.ingest import gated_ingest_stream
+
+    docs = spark.createDataFrame(
+        [(1, "hello", "web")], "doc_id long, text string, source string")
+    with _pytest.raises(TypeError, match="bare string"):
+        gated_ingest_stream(docs, lambda b, df: None, langs="en")
