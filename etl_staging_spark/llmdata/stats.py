@@ -471,3 +471,98 @@ def calibration_by_domain_from_scores(
     schema = ("domain string, threshold double, n_scored bigint, "
               "n_kept bigint, actual_rate double")
     return scored.sparkSession.createDataFrame(out, schema)
+
+
+def ngram_freq_spectrum(
+    docs: DataFrame, n: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """Word n-gram frequency-of-frequency spectrum — the Zipf card: for
+    every corpus frequency ``freq``, how many DISTINCT n-grams occur
+    exactly that often. The planning read-out behind tokenizer-vocab
+    sizing (how much of the long tail is hapax), dedup-threshold
+    choice (a fat high-freq head means boilerplate), and n-gram
+    decontamination cost estimates (how many distinct grams the eval
+    join must key on). Occurrences are TOTAL counts (Zipf), not the
+    per-doc-distinct shingles the dedup path uses; tokens are the
+    whitespace-split lowercased convention shared with `shingles`.
+    Docs with fewer than ``n`` tokens (or NULL text) contribute
+    nothing. Output: (freq, n_grams), one row per observed frequency.
+
+    Scale shape: explode -> one map-side-combinable count per gram ->
+    a second tiny aggregate keyed on the count itself (cardinality =
+    #distinct frequencies, ~hundreds). The gram count is THE shuffle;
+    it is keyed on the gram string, the same width the decontamination
+    join already shuffles, and needs no verify stage or window. No
+    driver data, no Python."""
+    from .shingles import TOKS, with_tokens
+
+    concat = ", ' ', ".join(f"{TOKS}[i+{k}]" for k in range(n))
+    grams = F.expr(
+        f"CASE WHEN size({TOKS}) >= {n} THEN "
+        f"transform(sequence(0, size({TOKS})-{n}), i -> concat({concat})) "
+        f"ELSE array() END"
+    )
+    freq = (
+        with_tokens(docs, text_col)
+        .select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("freq"))
+    )
+    return freq.groupBy("freq").agg(F.count("*").alias("n_grams"))
+
+
+def dup_rate_by_source(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    folded: bool = False,
+) -> DataFrame:
+    """Per-source EXACT duplication rate — the "how redundant is each
+    crawl" dataset-card row: for every source, how many docs carry
+    text, how many distinct texts they collapse to, and the fraction
+    of text-bearing docs that are excess copies. The exact-identity
+    sibling of `source_overlap_matrix`'s diagonal (which reports
+    NEAR-dup redundancy); with ``folded`` the identity keys on
+    `textclean.fold_key` so encoding-noise twins count as copies.
+    NULL-text docs appear in ``n_docs`` but carry no identity (NULL
+    never joins the distinct count, the engine convention); a NULL
+    source is reported as its own row — this is an audit, not an
+    allocator, and un-sourced redundancy is exactly what an audit
+    must surface. Output: (source, n_docs, n_with_text, n_texts,
+    dup_docs, dup_rate); dup_rate is NULL when no doc carries text.
+
+    Scale shape: ONE aggregate — count-distinct-per-group expands to
+    the standard two-phase plan (partial on (source, key), final on
+    source), both map-side combinable; the distinct key is
+    sha2(text) so the shuffle carries a 64-char digest, never the
+    document body. No join, no window, no Python."""
+    key = F.col(text_col)
+    if folded:
+        from .textclean import fold_key
+
+        key = fold_key(key)
+    n_with_text = F.count(text_col)
+    n_texts = F.count_distinct(F.sha2(key, 256))
+    return (
+        docs.groupBy(F.col(source_col).alias("source"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            n_with_text.alias("n_with_text"),
+            n_texts.alias("n_texts"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_with_text",
+            "n_texts",
+            (F.col("n_with_text") - F.col("n_texts")).alias("dup_docs"),
+            F.when(
+                F.col("n_with_text") > 0,
+                pround(
+                    (F.col("n_with_text") - F.col("n_texts"))
+                    / F.col("n_with_text"),
+                    6,
+                ),
+            ).alias("dup_rate"),
+        )
+    )

@@ -2832,3 +2832,48 @@ def corpus_assembly_v2(spark, sf_dir):
     )
     out._pinned_persisted = (corpus, flags)
     return out
+
+
+def o_ngram_freq_spectrum(n: int = 2) -> str:
+    """DuckDB oracle twin of `llmdata.stats.ngram_freq_spectrum` over
+    the documents table (r10/r11 registration queue — exercised by the
+    dedicated Spark-vs-DuckDB pytest): whitespace-split lowercased
+    tokens -> ALL adjacent n-gram occurrences (total counts, not the
+    dedup path's per-doc-distinct shingles) -> per-gram corpus
+    frequency -> frequency-of-frequency rollup. Docs with fewer than
+    n tokens (or NULL text) contribute nothing; DuckDB's 1-based
+    inclusive list slice mirrors Spark's transform over
+    sequence(0, size-n)."""
+    return f"""
+    WITH t AS (
+      SELECT string_split(lower(text), ' ') AS toks
+      FROM documents WHERE text IS NOT NULL
+    ), g AS (
+      SELECT unnest(list_transform(range(1, len(toks) - {n} + 2),
+             i -> array_to_string(toks[i:i+{n - 1}], ' '))) AS gram
+      FROM t WHERE len(toks) >= {n}
+    ), f AS (
+      SELECT gram, COUNT(*) AS freq FROM g GROUP BY gram
+    )
+    SELECT freq, COUNT(*) AS n_grams FROM f GROUP BY freq"""
+
+
+def o_dup_rate_by_source() -> str:
+    """DuckDB oracle twin of `llmdata.stats.dup_rate_by_source` over
+    the documents table (r10/r11 registration queue — exercised by the
+    dedicated Spark-vs-DuckDB pytest). The oracle keys the distinct
+    count on the text itself where the Spark side keys on sha2(text)
+    to keep the shuffle digest-wide — identical answers absent a
+    SHA-256 collision. COUNT(text)/COUNT(DISTINCT text) both ignore
+    NULL text on both engines; the numerator CASTs to DOUBLE before
+    the pround product (the DECIMAL knife-edge trap)."""
+    rate = ("FLOOR(CAST(COUNT(text) - COUNT(DISTINCT text) AS DOUBLE)"
+            " / COUNT(text) * 1000000 + 0.5) / 1000000")
+    return f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(text) AS n_with_text,
+           COUNT(DISTINCT text) AS n_texts,
+           COUNT(text) - COUNT(DISTINCT text) AS dup_docs,
+           CASE WHEN COUNT(text) > 0 THEN {rate} END AS dup_rate
+    FROM documents GROUP BY source"""

@@ -3268,3 +3268,113 @@ def test_domain_token_budget_null_domain_excluded(spark):
         "doc_id long, text string, source string")
     out = domain_token_budget(docs, budget=10_000)
     assert {r.doc_id for r in out.collect()} == {1}
+
+
+def test_ngram_freq_spectrum_matches_duckdb_oracle(spark):
+    """Dry-run of the r10/r11 Zipf-card entry: the Spark spectrum
+    hash-matches the DuckDB twin on the real documents tables at BOTH
+    parity scales."""
+    import duckdb
+
+    from etl_staging_spark.llmdata import stats
+    from etl_staging_spark.queries.catalog_llm import o_ngram_freq_spectrum
+
+    for sf in ("sf0.001", "sf0.01"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        docs = spark.read.parquet(path)
+        got = sorted(
+            (r.freq, r.n_grams)
+            for r in stats.ngram_freq_spectrum(docs, n=2).collect()
+        )
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+        want = sorted(
+            tuple(r) for r in con.sql(o_ngram_freq_spectrum(2)).fetchall()
+        )
+        assert got == want and got
+        # sanity: hapax grams exist and the spectrum is non-degenerate
+        # (the templated synthetic corpus is NOT Zipf-shaped — its
+        # repeated-phrase mass can out-count the hapax bucket)
+        assert got[0][0] == 1 and len(got) > 1
+
+
+def test_ngram_freq_spectrum_planted_counts(spark):
+    """Planted corpus with known totals: occurrences count EVERY
+    adjacent window (not per-doc distinct), short/NULL docs contribute
+    nothing."""
+    from etl_staging_spark.llmdata import stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b"),     # "a b" x2, "b a" x1
+            (2, "a b c"),       # "a b", "b c"
+            (3, "x"),           # < n tokens: nothing
+            (4, None),          # NULL: nothing
+        ],
+        "doc_id long, text string",
+    )
+    freq = {
+        r.freq: r.n_grams
+        for r in stats.ngram_freq_spectrum(docs, n=2).collect()
+    }
+    # "a b" occurs 3x; "b a" and "b c" once each
+    assert freq == {3: 1, 1: 2}
+
+
+def test_dup_rate_by_source_matches_duckdb_oracle(spark):
+    """Dry-run of the r10/r11 duplication-card entry: the Spark card
+    hash-matches the DuckDB twin on the real documents tables at BOTH
+    parity scales."""
+    import duckdb
+
+    from etl_staging_spark.llmdata import stats
+    from etl_staging_spark.queries.catalog_llm import o_dup_rate_by_source
+
+    for sf in ("sf0.001", "sf0.01"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        docs = spark.read.parquet(path)
+        got = sorted(
+            (r.source, r.n_docs, r.n_with_text, r.n_texts, r.dup_docs,
+             r.dup_rate)
+            for r in stats.dup_rate_by_source(docs).collect()
+        )
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+        want = sorted(
+            tuple(r) for r in con.sql(o_dup_rate_by_source()).fetchall()
+        )
+        assert got == want and got
+
+
+def test_dup_rate_by_source_planted_and_folded(spark):
+    """Planted fixture: exact copies count, NULL text carries no
+    identity (rate over text-bearing docs only), NULL source is its
+    own audit row, and folded=True collapses encoding-noise twins."""
+    from etl_staging_spark.llmdata import stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "same text", "web"),
+            (2, "same text", "web"),
+            (3, "other text", "web"),
+            (4, None, "web"),
+            (5, "Café  X", "wiki"),
+            (6, "cafe x", "wiki"),
+            (7, "only doc", None),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {r.source: r for r in stats.dup_rate_by_source(docs).collect()}
+    web = rows["web"]
+    assert (web.n_docs, web.n_with_text, web.n_texts, web.dup_docs) == (
+        4, 3, 2, 1)
+    assert web.dup_rate == 0.333333
+    assert rows["wiki"].dup_docs == 0
+    none_row = rows[None]
+    assert (none_row.n_docs, none_row.dup_docs) == (1, 0)
+
+    folded = {
+        r.source: r for r in stats.dup_rate_by_source(docs, folded=True).collect()
+    }
+    assert folded["wiki"].dup_docs == 1
+    assert folded["wiki"].dup_rate == 0.5
