@@ -566,3 +566,84 @@ def dup_rate_by_source(
             ).alias("dup_rate"),
         )
     )
+
+
+def token_drift_card(
+    docs: DataFrame,
+    source_a: str,
+    source_b: str,
+    top_n: int = 50,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Unigram drift between two sources/snapshots: the ``top_n``
+    tokens whose corpus rate moved most (|rate_a - rate_b|), with both
+    counts and rates — the "what changed between these crawls" QA card
+    read before trusting a refreshed snapshot in an established
+    mixture. Tokens are the whitespace-split lowercased convention;
+    NULL-text docs contribute nothing; a side with zero tokens yields
+    NULL rates/delta (degenerate comparison, surfaced not hidden).
+    Output: (token, count_a, count_b, rate_a, rate_b, delta), delta =
+    rate_a - rate_b, ranked by |delta| DESC then token ASC (a total
+    order, so the top-n cut is deterministic cross-engine).
+
+    Scale shape: one filtered scan -> explode -> ONE map-side-
+    combinable (token) aggregate with conditional counts (persisted:
+    the grand totals and the final projection both read it); the
+    totals attach via a constant-key broadcast of the 1-row aggregate
+    (BroadcastHashJoin, never a nested loop); every rate/delta is
+    ROW-LOCAL IEEE arithmetic prounded to 6 places (no float
+    sum-order dependence), and the top-n cut is a TakeOrdered heap —
+    no global sort, no window, no Python."""
+    side = F.when(F.col(source_col) == source_a, F.lit("a")).otherwise(
+        F.lit("b")
+    )
+    toks = (
+        docs.where(
+            F.col(source_col).isin(source_a, source_b)
+            & F.col(text_col).isNotNull()
+        )
+        .select(
+            side.alias("side"),
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("token"),
+        )
+    )
+    counts = (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.when(F.col("side") == "a", 1)).alias("count_a"),
+            F.count(F.when(F.col("side") == "b", 1)).alias("count_b"),
+        )
+        .persist()
+    )
+    totals = counts.agg(
+        F.sum("count_a").alias("__ta"), F.sum("count_b").alias("__tb")
+    ).withColumn("__k", F.lit(1))
+    rate_a = F.when(
+        F.col("__ta") > 0, pround(F.col("count_a") / F.col("__ta"), 6)
+    )
+    rate_b = F.when(
+        F.col("__tb") > 0, pround(F.col("count_b") / F.col("__tb"), 6)
+    )
+    delta = F.when(
+        (F.col("__ta") > 0) & (F.col("__tb") > 0),
+        pround(
+            F.col("count_a") / F.col("__ta")
+            - F.col("count_b") / F.col("__tb"),
+            6,
+        ),
+    )
+    out = (
+        counts.withColumn("__k", F.lit(1))
+        .join(F.broadcast(totals), "__k")
+        .select(
+            "token", "count_a", "count_b",
+            rate_a.alias("rate_a"),
+            rate_b.alias("rate_b"),
+            delta.alias("delta"),
+        )
+        .orderBy(F.abs(F.col("delta")).desc_nulls_last(), F.asc("token"))
+        .limit(top_n)
+    )
+    out._pinned_persisted = (counts,)
+    return out

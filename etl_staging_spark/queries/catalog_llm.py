@@ -2877,3 +2877,44 @@ def o_dup_rate_by_source() -> str:
            COUNT(text) - COUNT(DISTINCT text) AS dup_docs,
            CASE WHEN COUNT(text) > 0 THEN {rate} END AS dup_rate
     FROM documents GROUP BY source"""
+
+
+def o_token_drift_card(
+    source_a: str, source_b: str, top_n: int = 50
+) -> str:
+    """DuckDB oracle twin of `llmdata.stats.token_drift_card` over the
+    documents table (r10/r11 registration queue — exercised by the
+    dedicated Spark-vs-DuckDB pytest): filtered two-source token
+    explode -> per-token conditional counts -> grand totals -> ROW-
+    LOCAL rates/delta (CAST to DOUBLE so the division chain is the
+    same IEEE sequence Spark runs — no DECIMAL knife edges, no
+    float-sum ordering anywhere) -> |delta| DESC, token ASC top-n,
+    the same total order Spark's TakeOrdered cut uses."""
+    return f"""
+    WITH t AS (
+      SELECT CASE WHEN source = '{source_a}' THEN 'a' ELSE 'b' END AS side,
+             unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+      WHERE source IN ('{source_a}', '{source_b}') AND text IS NOT NULL
+    ), c AS (
+      SELECT token,
+             COUNT(*) FILTER (side = 'a') AS count_a,
+             COUNT(*) FILTER (side = 'b') AS count_b
+      FROM t GROUP BY token
+    ), tot AS (
+      SELECT SUM(count_a) AS ta, SUM(count_b) AS tb FROM c
+    )
+    SELECT token, count_a, count_b,
+           CASE WHEN ta > 0 THEN
+             FLOOR(CAST(count_a AS DOUBLE) / ta * 1000000 + 0.5) / 1000000
+           END AS rate_a,
+           CASE WHEN tb > 0 THEN
+             FLOOR(CAST(count_b AS DOUBLE) / tb * 1000000 + 0.5) / 1000000
+           END AS rate_b,
+           CASE WHEN ta > 0 AND tb > 0 THEN
+             FLOOR((CAST(count_a AS DOUBLE) / ta
+                    - CAST(count_b AS DOUBLE) / tb) * 1000000 + 0.5) / 1000000
+           END AS delta
+    FROM c, tot
+    ORDER BY ABS(delta) DESC NULLS LAST, token
+    LIMIT {top_n}"""

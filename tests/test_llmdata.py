@@ -3378,3 +3378,58 @@ def test_dup_rate_by_source_planted_and_folded(spark):
     }
     assert folded["wiki"].dup_docs == 1
     assert folded["wiki"].dup_rate == 0.5
+
+
+def test_token_drift_card_matches_duckdb_oracle(spark):
+    """Dry-run of the r10/r11 drift-card entry: the Spark card
+    hash-matches the DuckDB twin on the real documents tables at BOTH
+    parity scales, including the deterministic top-n cut."""
+    import duckdb
+
+    from etl_staging_spark.llmdata import stats
+    from etl_staging_spark.queries.catalog_llm import o_token_drift_card
+    from etl_staging_spark.tables import release_pinned
+
+    for sf in ("sf0.001", "sf0.01"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        docs = spark.read.parquet(path)
+        out = stats.token_drift_card(docs, "src0", "src1", top_n=20)
+        got = sorted(
+            (r.token, r.count_a, r.count_b, r.rate_a, r.rate_b, r.delta)
+            for r in out.collect()
+        )
+        release_pinned(out)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+        want = sorted(
+            tuple(r)
+            for r in con.sql(o_token_drift_card("src0", "src1", 20)).fetchall()
+        )
+        assert got == want and len(got) == 20
+
+
+def test_token_drift_card_planted(spark):
+    """Planted two-source corpus with hand-computed rates: the biggest
+    absolute rate mover ranks first, shared-rate tokens carry delta 0,
+    and a side-missing token still reports both rates."""
+    from etl_staging_spark.llmdata import stats
+    from etl_staging_spark.tables import release_pinned
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x x x y", "a"),     # a: x 3/4, y 1/4
+            (2, "x y y y", "b"),     # b: x 1/4, y 3/4
+            (3, "ignored words", "c"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = stats.token_drift_card(docs, "a", "b", top_n=10)
+    rows = [
+        (r.token, r.count_a, r.count_b, r.rate_a, r.rate_b, r.delta)
+        for r in out.collect()
+    ]
+    release_pinned(out)
+    assert len(rows) == 2
+    # |delta| ties at 0.5: token ASC breaks them -> x before y
+    assert rows[0] == ("x", 3, 1, 0.75, 0.25, 0.5)
+    assert rows[1] == ("y", 1, 3, 0.25, 0.75, -0.5)
