@@ -590,8 +590,9 @@ def token_drift_card(
     Scale shape: one filtered scan -> explode -> ONE map-side-
     combinable (token) aggregate with conditional counts (persisted:
     the grand totals and the final projection both read it); the
-    totals attach via a constant-key broadcast of the 1-row aggregate
-    (BroadcastHashJoin, never a nested loop); every rate/delta is
+    totals attach via the repo's sanctioned 1-ROW broadcast nested
+    loop (the BM25/stats scalar-frame pattern — each output row scans
+    exactly one build row); every rate/delta is
     ROW-LOCAL IEEE arithmetic prounded to 6 places (no float
     sum-order dependence), and the top-n cut is a TakeOrdered heap —
     no global sort, no window, no Python."""
@@ -618,7 +619,7 @@ def token_drift_card(
     )
     totals = counts.agg(
         F.sum("count_a").alias("__ta"), F.sum("count_b").alias("__tb")
-    ).withColumn("__k", F.lit(1))
+    )
     rate_a = F.when(
         F.col("__ta") > 0, pround(F.col("count_a") / F.col("__ta"), 6)
     )
@@ -634,8 +635,7 @@ def token_drift_card(
         ),
     )
     out = (
-        counts.withColumn("__k", F.lit(1))
-        .join(F.broadcast(totals), "__k")
+        counts.crossJoin(F.broadcast(totals))
         .select(
             "token", "count_a", "count_b",
             rate_a.alias("rate_a"),
@@ -647,3 +647,68 @@ def token_drift_card(
     )
     out._pinned_persisted = (counts,)
     return out
+
+
+def embedding_stats_card(
+    embs: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-table QA card, per group: vector counts, NULL and
+    zero-vector counts, dimension range, and L2-norm min/max/mean —
+    the "trust the embedding column before ANN/dedup runs on it"
+    read-out. A NULL vector contributes to ``n_vectors``/``n_null``
+    but to no norm or dimension statistic; an EMPTY array is a real
+    (degenerate) vector: dim 0, norm 0, counted in ``n_zero``
+    alongside genuine all-zero vectors — both poison cosine math, and
+    this card is where they surface. A ragged dimension range
+    (``dim_min != dim_max``) is the schema-drift alarm. Output:
+    (group, n_vectors, n_null, n_zero, dim_min, dim_max, norm_min,
+    norm_max, norm_mean), ordered by group NULLS LAST.
+
+    Numeric determinism: each row's norm is the exact-decimal
+    self-dot (`simsearch._dot`, DECIMAL(30,15) element products —
+    order-independent by construction) rounded to 9 places; the mean
+    sums those rounded norms as DECIMAL(38,9) (exact, so partition
+    order can't move the sum) before one IEEE division, and every
+    published stat is pround-6. Scale shape: ONE map-side-combinable
+    aggregate over a single scan — the norm fold is per-row JVM
+    expression work (whole-stage codegen), the shuffle carries only
+    #groups × 9 scalars, no window, no join, no Python."""
+    from .simsearch import _dot
+
+    v = F.col(vec_col)
+    nrm9 = pround(F.sqrt(_dot(v, v)), 9)
+    dim = F.when(v.isNotNull(), F.size(v)).cast("long")
+    agg = (
+        embs.select(
+            F.col(group_col).alias("grp"),
+            v.isNull().alias("__isnull"),
+            dim.alias("__dim"),
+            nrm9.alias("__n9"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.count(F.when(F.col("__isnull"), 1)).alias("n_null"),
+            F.count(F.when(F.col("__n9") == 0, 1)).alias("n_zero"),
+            F.min("__dim").alias("dim_min"),
+            F.max("__dim").alias("dim_max"),
+            F.min("__n9").alias("__nmin"),
+            F.max("__n9").alias("__nmax"),
+            F.sum(F.col("__n9").cast("decimal(38,9)")).alias("__nsum"),
+            F.count("__n9").alias("__ncnt"),
+        )
+    )
+    # all-NULL group: __ncnt == 0 -> no norm stats (guarded division,
+    # never an ANSI divide-by-zero)
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_vectors", "n_null", "n_zero", "dim_min", "dim_max",
+        pround(F.col("__nmin"), 6).alias("norm_min"),
+        pround(F.col("__nmax"), 6).alias("norm_max"),
+        F.when(
+            F.col("__ncnt") > 0,
+            pround(F.col("__nsum").cast("double") / F.col("__ncnt"), 6),
+        ).alias("norm_mean"),
+    ).orderBy(F.asc_nulls_last(group_col))

@@ -2918,3 +2918,47 @@ def o_token_drift_card(
     FROM c, tot
     ORDER BY ABS(delta) DESC NULLS LAST, token
     LIMIT {top_n}"""
+
+
+def o_embedding_stats_card(group_col: str = "label") -> str:
+    """DuckDB oracle twin of `llmdata.stats.embedding_stats_card` over
+    the embeddings table (r10/r11 registration queue — exercised by
+    the dedicated Spark-vs-DuckDB pytest). Per-row norm replays the
+    exact-decimal convention (`O_ELEMS`-style DECIMAL(30,15) element
+    squares -> exact SUM -> sqrt -> pround-9); a NULL vector unnests
+    to no element rows, so the LEFT JOIN back to the base table keeps
+    it with NULL stats, and the empty-array row (also no element rows)
+    is pinned to norm 0.0 by the len() CASE — the two degenerate
+    shapes Spark's fold distinguishes for free. The mean sums the
+    rounded norms as exact DECIMAL(38,9) before ONE IEEE division,
+    matching Spark's partition-order-independent chain. Assumes
+    vec_id uniquely keys the table (true for the driver testdata)."""
+    return f"""
+    WITH elems AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e
+      FROM embeddings
+    ), nr AS (
+      SELECT vec_id,
+             sqrt(CAST(SUM(CAST(e * e AS DECIMAL(30,15))) AS DOUBLE)) AS nrm
+      FROM elems GROUP BY vec_id
+    ), r AS (
+      SELECT b.{group_col} AS grp, b.embedding,
+             CASE WHEN b.embedding IS NULL THEN NULL
+                  WHEN len(b.embedding) = 0 THEN CAST(0.0 AS DOUBLE)
+                  ELSE FLOOR(nr.nrm * 1000000000 + 0.5) / 1000000000
+             END AS n9
+      FROM embeddings b LEFT JOIN nr USING (vec_id)
+    )
+    SELECT grp AS {group_col},
+           COUNT(*) AS n_vectors,
+           COUNT(*) FILTER (embedding IS NULL) AS n_null,
+           COUNT(*) FILTER (n9 = 0) AS n_zero,
+           MIN(len(embedding)) AS dim_min,
+           MAX(len(embedding)) AS dim_max,
+           FLOOR(MIN(n9) * 1000000 + 0.5) / 1000000 AS norm_min,
+           FLOOR(MAX(n9) * 1000000 + 0.5) / 1000000 AS norm_max,
+           CASE WHEN COUNT(n9) > 0 THEN
+             FLOOR(CAST(SUM(CAST(n9 AS DECIMAL(38,9))) AS DOUBLE)
+                   / COUNT(n9) * 1000000 + 0.5) / 1000000
+           END AS norm_mean
+    FROM r GROUP BY grp ORDER BY {group_col} NULLS LAST"""

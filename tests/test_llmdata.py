@@ -3433,3 +3433,54 @@ def test_token_drift_card_planted(spark):
     # |delta| ties at 0.5: token ASC breaks them -> x before y
     assert rows[0] == ("x", 3, 1, 0.75, 0.25, 0.5)
     assert rows[1] == ("y", 1, 3, 0.25, 0.75, -0.5)
+
+
+def test_embedding_stats_card_matches_duckdb_oracle(spark):
+    """Dry-run of the r10/r11 embedding-QA entry: the Spark card
+    hash-matches the DuckDB twin on the real embeddings tables at
+    BOTH parity scales."""
+    import duckdb
+
+    from etl_staging_spark.llmdata import stats
+    from etl_staging_spark.queries.catalog_llm import o_embedding_stats_card
+
+    for sf in ("sf0.001", "sf0.01"):
+        path = f"/root/testdata/{sf}/embeddings.parquet"
+        got = [
+            tuple(r)
+            for r in stats.embedding_stats_card(
+                spark.read.parquet(path)
+            ).collect()
+        ]
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{path}'")
+        want = [tuple(r) for r in con.sql(o_embedding_stats_card()).fetchall()]
+        assert got == want and len(got) == 10
+
+
+def test_embedding_stats_card_planted(spark):
+    """Planted degenerate shapes: NULL vector (counted, no stats),
+    empty array (dim 0, norm 0), all-zero vector, ragged dims, and an
+    all-NULL group whose norm stats stay NULL instead of dividing by
+    zero."""
+    from etl_staging_spark.llmdata import stats
+
+    embs = spark.createDataFrame(
+        [
+            (1, [3.0, 4.0], "a"),
+            (2, [0.0, 0.0], "a"),
+            (3, [], "a"),
+            (4, None, "a"),
+            (5, None, "b"),
+            (6, [1.0], "c"),
+            (7, [0.5, 0.5, 0.5, 0.5], "c"),
+        ],
+        "vec_id long, embedding array<float>, label string",
+    )
+    rows = [tuple(r) for r in stats.embedding_stats_card(embs).collect()]
+    assert rows == [
+        # norm_mean(a) = (5 + 0 + 0) / 3 -> 1.666667 after pround-6
+        ("a", 4, 1, 2, 0, 2, 0.0, 5.0, 1.666667),
+        ("b", 1, 1, 0, None, None, None, None, None),
+        ("c", 2, 0, 0, 1, 4, 1.0, 1.0, 1.0),
+    ]

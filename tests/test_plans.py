@@ -453,3 +453,39 @@ def test_domain_token_budget_windows_by_domain(spark):
     assert "Window" in p
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_embedding_stats_card_one_aggregate_jvm_only(spark):
+    """embedding_stats_card (r10 queue, unregistered): the whole card
+    is ONE map-side-combinable aggregate over a single scan — the
+    exact-decimal norm fold stays a JVM expression (no Python worker),
+    and there is no window, no join, and no per-row blowup."""
+    from etl_staging_spark.llmdata.stats import embedding_stats_card
+
+    embs = spark.read.parquet(SF_DIR + "/embeddings.parquet")
+    out = embedding_stats_card(embs)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Window" not in p
+    assert "Join" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("HashAggregate") == 2  # partial + final, one shuffle
+
+
+def test_token_drift_card_heap_cut_and_broadcast_totals(spark):
+    """token_drift_card (r10 queue, unregistered): the top-n cut is a
+    TakeOrdered heap (no global sort), the grand totals attach via the
+    sanctioned 1-ROW broadcast nested loop (the BM25/stats
+    scalar-frame pattern), and the token count is the only wide
+    shuffle."""
+    from etl_staging_spark.llmdata.stats import token_drift_card
+    from etl_staging_spark.tables import release_pinned
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    out = token_drift_card(docs, "src0", "src1", top_n=20)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    release_pinned(out)
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastNestedLoopJoin" in p  # 1-row build side by construction
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
