@@ -712,3 +712,60 @@ def embedding_stats_card(
             pround(F.col("__nsum").cast("double") / F.col("__ncnt"), 6),
         ).alias("norm_mean"),
     ).orderBy(F.asc_nulls_last(group_col))
+
+
+def source_novelty_card(
+    docs: DataFrame,
+    n: int = 3,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source content novelty: for every source, how many distinct
+    word n-grams it contains and what fraction of them appear in NO
+    other source — the "is this crawl adding anything" dataset-card
+    row. The gram-level complement of `source_overlap_matrix` (which
+    counts near-dup DOC identity) and the content dual of
+    `token_drift_card` (which ranks individual movers): a source can
+    be 0% doc-overlapping yet 0% novel if its text is re-assembled
+    from grams every other source already has. Grams follow the
+    shingle convention (whitespace-split lowercased, per-doc
+    DISTINCT); docs with NULL text or fewer than ``n`` tokens
+    contribute nothing; a NULL source is its own audit row
+    (struct-wrapped below so the set aggregate cannot drop it).
+    Output: (source, n_grams, n_unique, novelty_rate), novelty_rate =
+    n_unique / n_grams prounded to 6, ordered by source NULLS LAST.
+
+    Scale shape: explode -> ONE gram-keyed aggregate collecting the
+    BOUNDED source set (≤ #sources elements, map-side partials dedup
+    early) -> explode that tiny set back out -> per-source rollup.
+    The gram aggregate is THE shuffle — the same gram-string width the
+    dedup and decontamination joins already move; no window, no join,
+    no Python, and the per-source division can never see a zero
+    denominator (a source row exists only with ≥1 gram)."""
+    from .shingles import ngram_array, with_tokens
+
+    pairs = with_tokens(docs, text_col).select(
+        F.col(source_col).alias("__src"),
+        F.explode(ngram_array(n)).alias("gram"),
+    )
+    g = pairs.groupBy("gram").agg(
+        F.collect_set(F.struct(F.col("__src").alias("s"))).alias("srcs")
+    )
+    per = g.select(
+        F.explode("srcs").alias("sv"), F.size("srcs").alias("nsrc")
+    )
+    return (
+        per.select(F.col("sv.s").alias(source_col), "nsrc")
+        .groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.when(F.col("nsrc") == 1, 1)).alias("n_unique"),
+        )
+        .select(
+            source_col, "n_grams", "n_unique",
+            pround(F.col("n_unique") / F.col("n_grams"), 6).alias(
+                "novelty_rate"
+            ),
+        )
+        .orderBy(F.asc_nulls_last(source_col))
+    )

@@ -2962,3 +2962,32 @@ def o_embedding_stats_card(group_col: str = "label") -> str:
                    / COUNT(n9) * 1000000 + 0.5) / 1000000
            END AS norm_mean
     FROM r GROUP BY grp ORDER BY {group_col} NULLS LAST"""
+
+
+def o_source_novelty_card(n: int = 3) -> str:
+    """DuckDB oracle twin of `llmdata.stats.source_novelty_card` over
+    the documents table (r10/r11 registration queue — exercised by the
+    dedicated Spark-vs-DuckDB pytest): per-doc DISTINCT word n-grams
+    (the shingle convention, mirrored with DuckDB's 1-based inclusive
+    list slice) -> DISTINCT (source, gram) membership (NULL source
+    kept as its own audit row) -> per-gram source count -> per-source
+    novelty rollup. The rate division CASTs to DOUBLE before the
+    pround-6 floor so both engines run the same IEEE chain."""
+    return f"""
+    WITH t AS (
+      SELECT source, string_split(lower(text), ' ') AS toks
+      FROM documents WHERE text IS NOT NULL
+    ), g AS (
+      SELECT DISTINCT source,
+             unnest(list_transform(range(1, len(toks) - {n} + 2),
+                    i -> array_to_string(toks[i:i+{n - 1}], ' '))) AS gram
+      FROM t WHERE len(toks) >= {n}
+    ), c AS (
+      SELECT gram, COUNT(*) AS nsrc FROM g GROUP BY gram
+    )
+    SELECT g.source, COUNT(*) AS n_grams,
+           COUNT(*) FILTER (c.nsrc = 1) AS n_unique,
+           FLOOR(CAST(COUNT(*) FILTER (c.nsrc = 1) AS DOUBLE)
+                 / COUNT(*) * 1000000 + 0.5) / 1000000 AS novelty_rate
+    FROM g JOIN c USING (gram)
+    GROUP BY g.source ORDER BY g.source NULLS LAST"""

@@ -3484,3 +3484,51 @@ def test_embedding_stats_card_planted(spark):
         ("b", 1, 1, 0, None, None, None, None, None),
         ("c", 2, 0, 0, 1, 4, 1.0, 1.0, 1.0),
     ]
+
+
+def test_source_novelty_card_matches_duckdb_oracle(spark):
+    """Dry-run of the r10/r11 novelty entry: the Spark card
+    hash-matches the DuckDB twin on the real documents tables at BOTH
+    parity scales."""
+    import duckdb
+
+    from etl_staging_spark.llmdata import stats
+    from etl_staging_spark.queries.catalog_llm import o_source_novelty_card
+
+    for sf in ("sf0.001", "sf0.01"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        got = [
+            tuple(r)
+            for r in stats.source_novelty_card(
+                spark.read.parquet(path)
+            ).collect()
+        ]
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+        want = [tuple(r) for r in con.sql(o_source_novelty_card()).fetchall()]
+        assert got == want and len(got) == 20
+
+
+def test_source_novelty_card_planted(spark):
+    """Planted corpus with hand-computed memberships: per-doc repeated
+    grams count once, a gram shared across sources is not novel, a
+    NULL source keeps its own audit row, and NULL text contributes
+    nothing."""
+    from etl_staging_spark.llmdata import stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "p q p q", "a"),   # distinct bigrams: {p q, q p}
+            (2, "p q x", "a"),     # {p q, q x}
+            (3, "p q", "b"),       # {p q}
+            (4, "z z z", None),    # {z z}
+            (5, None, "b"),        # nothing
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = [tuple(r) for r in stats.source_novelty_card(docs, n=2).collect()]
+    assert rows == [
+        ("a", 3, 2, 0.666667),  # q p / q x unique; p q shared with b
+        ("b", 1, 0, 0.0),
+        (None, 1, 1, 1.0),
+    ]

@@ -489,3 +489,19 @@ def test_token_drift_card_heap_cut_and_broadcast_totals(spark):
     assert "BroadcastNestedLoopJoin" in p  # 1-row build side by construction
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_source_novelty_card_bounded_set_agg_no_join(spark):
+    """source_novelty_card (r10 queue, unregistered): the gram-keyed
+    set aggregate is THE shuffle (collect_set bounded by #sources);
+    no window, no join, no Python, no cartesian anywhere."""
+    from etl_staging_spark.llmdata.stats import source_novelty_card
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    out = source_novelty_card(docs)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Window" not in p
+    assert "Join" not in p
+    assert "CartesianProduct" not in p
+    assert "collect_set" in p
