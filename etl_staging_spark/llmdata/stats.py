@@ -658,13 +658,17 @@ def embedding_stats_card(
     zero-vector counts, dimension range, and L2-norm min/max/mean —
     the "trust the embedding column before ANN/dedup runs on it"
     read-out. A NULL vector contributes to ``n_vectors``/``n_null``
-    but to no norm or dimension statistic; an EMPTY array is a real
+    but to no norm or dimension statistic; a vector CONTAINING a NULL
+    element (the worst corruption an embedding column carries) is
+    counted in ``n_nullelem`` and excluded from every norm stat —
+    its norm is undefined, and hiding it among the healthy norms is
+    exactly what a QA card must not do; an EMPTY array is a real
     (degenerate) vector: dim 0, norm 0, counted in ``n_zero``
     alongside genuine all-zero vectors — both poison cosine math, and
     this card is where they surface. A ragged dimension range
     (``dim_min != dim_max``) is the schema-drift alarm. Output:
-    (group, n_vectors, n_null, n_zero, dim_min, dim_max, norm_min,
-    norm_max, norm_mean), ordered by group NULLS LAST.
+    (group, n_vectors, n_null, n_nullelem, n_zero, dim_min, dim_max,
+    norm_min, norm_max, norm_mean), ordered by group NULLS LAST.
 
     Numeric determinism: each row's norm is the exact-decimal
     self-dot (`simsearch._dot`, DECIMAL(30,15) element products —
@@ -678,12 +682,17 @@ def embedding_stats_card(
     from .simsearch import _dot
 
     v = F.col(vec_col)
+    # a NULL element poisons _dot's decimal fold to a NULL norm — the
+    # fold and the explicit flag agree by construction, and the flag
+    # makes the corruption a counted column instead of a silent hole
+    bad = v.isNotNull() & F.exists(v, lambda x: x.isNull())
     nrm9 = pround(F.sqrt(_dot(v, v)), 9)
     dim = F.when(v.isNotNull(), F.size(v)).cast("long")
     agg = (
         embs.select(
             F.col(group_col).alias("grp"),
             v.isNull().alias("__isnull"),
+            bad.alias("__bad"),
             dim.alias("__dim"),
             nrm9.alias("__n9"),
         )
@@ -691,6 +700,7 @@ def embedding_stats_card(
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
             F.count(F.when(F.col("__isnull"), 1)).alias("n_null"),
+            F.count(F.when(F.col("__bad"), 1)).alias("n_nullelem"),
             F.count(F.when(F.col("__n9") == 0, 1)).alias("n_zero"),
             F.min("__dim").alias("dim_min"),
             F.max("__dim").alias("dim_max"),
@@ -704,7 +714,8 @@ def embedding_stats_card(
     # never an ANSI divide-by-zero)
     return agg.select(
         F.col("grp").alias(group_col),
-        "n_vectors", "n_null", "n_zero", "dim_min", "dim_max",
+        "n_vectors", "n_null", "n_nullelem", "n_zero",
+        "dim_min", "dim_max",
         pround(F.col("__nmin"), 6).alias("norm_min"),
         pround(F.col("__nmax"), 6).alias("norm_max"),
         F.when(

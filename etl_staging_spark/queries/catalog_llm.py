@@ -2889,7 +2889,11 @@ def o_token_drift_card(
     LOCAL rates/delta (CAST to DOUBLE so the division chain is the
     same IEEE sequence Spark runs — no DECIMAL knife edges, no
     float-sum ordering anywhere) -> |delta| DESC, token ASC top-n,
-    the same total order Spark's TakeOrdered cut uses."""
+    the same total order Spark's TakeOrdered cut uses. Source names
+    are quote-escaped — the only free-form strings any oracle here
+    interpolates."""
+    source_a = source_a.replace("'", "''")
+    source_b = source_b.replace("'", "''")
     return f"""
     WITH t AS (
       SELECT CASE WHEN source = '{source_a}' THEN 'a' ELSE 'b' END AS side,
@@ -2927,9 +2931,12 @@ def o_embedding_stats_card(group_col: str = "label") -> str:
     exact-decimal convention (`O_ELEMS`-style DECIMAL(30,15) element
     squares -> exact SUM -> sqrt -> pround-9); a NULL vector unnests
     to no element rows, so the LEFT JOIN back to the base table keeps
-    it with NULL stats, and the empty-array row (also no element rows)
-    is pinned to norm 0.0 by the len() CASE — the two degenerate
-    shapes Spark's fold distinguishes for free. The mean sums the
+    it with NULL stats; the empty-array row (also no element rows)
+    is pinned to norm 0.0 by the len() CASE; and a vector CONTAINING
+    a NULL element is forced to a NULL norm by the list_filter CASE —
+    DuckDB's SUM would otherwise skip the NULL product and report a
+    partial norm where Spark's decimal fold propagates NULL (the
+    n_nullelem column counts these). The mean sums the
     rounded norms as exact DECIMAL(38,9) before ONE IEEE division,
     matching Spark's partition-order-independent chain. Assumes
     vec_id uniquely keys the table (true for the driver testdata)."""
@@ -2943,7 +2950,12 @@ def o_embedding_stats_card(group_col: str = "label") -> str:
       FROM elems GROUP BY vec_id
     ), r AS (
       SELECT b.{group_col} AS grp, b.embedding,
+             b.embedding IS NOT NULL
+               AND len(list_filter(b.embedding, x -> x IS NULL)) > 0
+               AS bad,
              CASE WHEN b.embedding IS NULL THEN NULL
+                  WHEN len(list_filter(b.embedding, x -> x IS NULL)) > 0
+                    THEN NULL
                   WHEN len(b.embedding) = 0 THEN CAST(0.0 AS DOUBLE)
                   ELSE FLOOR(nr.nrm * 1000000000 + 0.5) / 1000000000
              END AS n9
@@ -2952,6 +2964,7 @@ def o_embedding_stats_card(group_col: str = "label") -> str:
     SELECT grp AS {group_col},
            COUNT(*) AS n_vectors,
            COUNT(*) FILTER (embedding IS NULL) AS n_null,
+           COUNT(*) FILTER (bad) AS n_nullelem,
            COUNT(*) FILTER (n9 = 0) AS n_zero,
            MIN(len(embedding)) AS dim_min,
            MAX(len(embedding)) AS dim_max,

@@ -3460,30 +3460,57 @@ def test_embedding_stats_card_matches_duckdb_oracle(spark):
 
 def test_embedding_stats_card_planted(spark):
     """Planted degenerate shapes: NULL vector (counted, no stats),
-    empty array (dim 0, norm 0), all-zero vector, ragged dims, and an
-    all-NULL group whose norm stats stay NULL instead of dividing by
-    zero."""
-    from etl_staging_spark.llmdata import stats
+    NULL-ELEMENT vector (counted in n_nullelem, excluded from every
+    norm stat on BOTH engines), empty array (dim 0, norm 0), all-zero
+    vector, ragged dims, and an all-NULL group whose norm stats stay
+    NULL instead of dividing by zero."""
+    import duckdb
 
+    from etl_staging_spark.llmdata import stats
+    from etl_staging_spark.queries.catalog_llm import o_embedding_stats_card
+
+    data = [
+        (1, [3.0, 4.0], "a"),
+        (2, [0.0, 0.0], "a"),
+        (3, [], "a"),
+        (4, None, "a"),
+        (5, None, "b"),
+        (6, [1.0], "c"),
+        (7, [0.5, 0.5, 0.5, 0.5], "c"),
+        (8, [1.0, None], "c"),
+    ]
     embs = spark.createDataFrame(
-        [
-            (1, [3.0, 4.0], "a"),
-            (2, [0.0, 0.0], "a"),
-            (3, [], "a"),
-            (4, None, "a"),
-            (5, None, "b"),
-            (6, [1.0], "c"),
-            (7, [0.5, 0.5, 0.5, 0.5], "c"),
-        ],
-        "vec_id long, embedding array<float>, label string",
+        data, "vec_id long, embedding array<float>, label string"
     )
     rows = [tuple(r) for r in stats.embedding_stats_card(embs).collect()]
-    assert rows == [
+    expected = [
         # norm_mean(a) = (5 + 0 + 0) / 3 -> 1.666667 after pround-6
-        ("a", 4, 1, 2, 0, 2, 0.0, 5.0, 1.666667),
-        ("b", 1, 1, 0, None, None, None, None, None),
-        ("c", 2, 0, 0, 1, 4, 1.0, 1.0, 1.0),
+        ("a", 4, 1, 0, 2, 0, 2, 0.0, 5.0, 1.666667),
+        ("b", 1, 1, 0, 0, None, None, None, None, None),
+        # vec 8 is corrupt: dims still count it, norms exclude it
+        ("c", 3, 0, 1, 0, 1, 4, 1.0, 1.0, 1.0),
     ]
+    assert rows == expected
+    # the DuckDB twin agrees on the same degenerate fixture (this is
+    # the divergence a partial-norm SUM would hide)
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM (VALUES "
+        + ", ".join(
+            "({}, {}, {})".format(
+                i,
+                "NULL" if v is None else
+                "CAST([" + ", ".join(
+                    "NULL" if x is None else repr(x) for x in v
+                ) + "] AS FLOAT[])",
+                f"'{s}'",
+            )
+            for i, v, s in data
+        )
+        + ") t(vec_id, embedding, label)"
+    )
+    want = [tuple(r) for r in con.sql(o_embedding_stats_card()).fetchall()]
+    assert want == expected
 
 
 def test_source_novelty_card_matches_duckdb_oracle(spark):
