@@ -40,7 +40,9 @@ def bucket_col(key_col: str, salt: str) -> Column:
 
 
 def o_bucket(key_expr: str, salt: str) -> str:
-    """DuckDB twin of the salted hash bucket."""
+    """DuckDB twin of the salted hash bucket (salt quote-escaped —
+    it is caller-supplied free text reaching a SQL literal)."""
+    salt = salt.replace("'", "''")
     salted = f"'{salt}:' || CAST({key_expr} AS VARCHAR)"
     return f"({o_hash56(salted)} % {BUCKETS})"
 
@@ -84,13 +86,18 @@ def o_hash_split(fractions: dict[str, float], key_expr: str = "doc_id",
     b = o_bucket(key_expr, salt)
     acc = 0.0
     names = list(fractions)
+    # split names are caller-supplied free text headed into SQL
+    # string literals — quote-escape them like o_bucket's salt
+    lits = {n: n.replace("'", "''") for n in names}
     whens = []
     for name in names[:-1]:
         acc += fractions[name]
-        whens.append(f"WHEN {b} < {int(round(acc * BUCKETS))} THEN '{name}'")
+        whens.append(
+            f"WHEN {b} < {int(round(acc * BUCKETS))} THEN '{lits[name]}'"
+        )
     if not whens:  # single split: CASE with no WHEN is invalid SQL
-        return f"'{names[-1]}'"
-    return "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"
+        return f"'{lits[names[-1]]}'"
+    return "CASE " + " ".join(whens) + f" ELSE '{lits[names[-1]]}' END"
 
 
 def mixture_rates(

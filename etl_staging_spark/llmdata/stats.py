@@ -682,9 +682,11 @@ def embedding_stats_card(
     from .simsearch import _dot
 
     v = F.col(vec_col)
-    # a NULL element poisons _dot's decimal fold to a NULL norm — the
-    # fold and the explicit flag agree by construction, and the flag
-    # makes the corruption a counted column instead of a silent hole
+    # a NULL element poisons _dot's decimal fold to a NULL norm, so
+    # the flag and the fold agree on every row that evaluates: NULL
+    # elements are the fold's ONLY NULL source for a non-NULL vector
+    # (the session runs ANSI, so a decimal-overflow element is a loud
+    # error in both engines, never a silently skipped row)
     bad = v.isNotNull() & F.exists(v, lambda x: x.isNull())
     nrm9 = pround(F.sqrt(_dot(v, v)), 9)
     dim = F.when(v.isNotNull(), F.size(v)).cast("long")

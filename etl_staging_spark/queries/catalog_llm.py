@@ -2890,8 +2890,9 @@ def o_token_drift_card(
     same IEEE sequence Spark runs — no DECIMAL knife edges, no
     float-sum ordering anywhere) -> |delta| DESC, token ASC top-n,
     the same total order Spark's TakeOrdered cut uses. Source names
-    are quote-escaped — the only free-form strings any oracle here
-    interpolates."""
+    are quote-escaped (free-form strings also reach SQL via
+    `sampling.o_hash_split`'s split names/salt, escaped at that
+    source)."""
     source_a = source_a.replace("'", "''")
     source_b = source_b.replace("'", "''")
     return f"""
@@ -2950,15 +2951,15 @@ def o_embedding_stats_card(group_col: str = "label") -> str:
       FROM elems GROUP BY vec_id
     ), r AS (
       SELECT b.{group_col} AS grp, b.embedding,
-             b.embedding IS NOT NULL
-               AND len(list_filter(b.embedding, x -> x IS NULL)) > 0
-               AS bad,
              CASE WHEN b.embedding IS NULL THEN NULL
                   WHEN len(list_filter(b.embedding, x -> x IS NULL)) > 0
                     THEN NULL
                   WHEN len(b.embedding) = 0 THEN CAST(0.0 AS DOUBLE)
                   ELSE FLOOR(nr.nrm * 1000000000 + 0.5) / 1000000000
-             END AS n9
+             END AS n9,
+             -- lateral alias: bad derives from the single n9 CASE, so
+             -- the corruption predicate lives in exactly one place
+             b.embedding IS NOT NULL AND n9 IS NULL AS bad
       FROM embeddings b LEFT JOIN nr USING (vec_id)
     )
     SELECT grp AS {group_col},
