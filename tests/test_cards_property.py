@@ -1,0 +1,187 @@
+"""Property triangulation of the r10-queue card ORACLES.
+
+The planted and parity tests pin Spark == DuckDB; these pin
+DuckDB == an INDEPENDENT pure-python reference on hundreds of random
+tiny corpora, so a shared twin bug (the same wrong math implemented on
+both engines) cannot hide. No Spark session — each example is a
+millisecond DuckDB run, which is what lets hypothesis explore the
+degenerate corners (empty sides, NULL sources, all-NULL groups,
+empty-string docs, NULL-element vectors) the fixed fixtures sample
+only once."""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+from decimal import ROUND_HALF_UP, Decimal
+
+import duckdb
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from etl_staging_spark.llmdata.simsearch import _py_decimal_norm
+from etl_staging_spark.numeric import py_pround
+from etl_staging_spark.queries.catalog_llm import (
+    o_embedding_stats_card,
+    o_source_novelty_card,
+    o_token_drift_card,
+)
+
+token_st = st.sampled_from(["x", "y", "z", "w", "qq"])
+text_st = st.one_of(
+    st.none(), st.lists(token_st, max_size=8).map(" ".join)
+)
+source_st = st.sampled_from(["a", "b", "c"])
+
+
+def _docs_con(rows, with_ids=False):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents(doc_id BIGINT, text VARCHAR, source VARCHAR)"
+    )
+    if rows:
+        con.executemany(
+            "INSERT INTO documents VALUES (?, ?, ?)",
+            [(i, t, s) for i, (t, s) in enumerate(rows)],
+        )
+    return con
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(st.tuples(text_st, source_st), max_size=12), st.integers(1, 5))
+def test_token_drift_oracle_matches_python_reference(rows, top_n):
+    counts = {"a": defaultdict(int), "b": defaultdict(int)}
+    for text, src in rows:
+        if text is None or src not in ("a", "b"):
+            continue
+        for tok in text.lower().split(" "):
+            counts[src][tok] += 1
+    ta = sum(counts["a"].values())
+    tb = sum(counts["b"].values())
+    ref = []
+    for tok in set(counts["a"]) | set(counts["b"]):
+        ca, cb = counts["a"][tok], counts["b"][tok]
+        ra = py_pround(ca / ta, 6) if ta else None
+        rb = py_pround(cb / tb, 6) if tb else None
+        d = py_pround(ca / ta - cb / tb, 6) if ta and tb else None
+        ref.append((tok, ca, cb, ra, rb, d))
+    # |delta| DESC NULLS LAST, token ASC — the card's total order
+    ref.sort(key=lambda r: (r[5] is None, -abs(r[5] or 0.0), r[0]))
+    ref = ref[:top_n]
+    con = _docs_con(rows)
+    got = [
+        tuple(r)
+        for r in con.sql(o_token_drift_card("a", "b", top_n)).fetchall()
+    ]
+    assert got == ref
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.lists(
+        st.tuples(text_st, st.one_of(st.none(), source_st)), max_size=12
+    ),
+    st.integers(1, 3),
+)
+def test_source_novelty_oracle_matches_python_reference(rows, n):
+    member: dict[str, set] = defaultdict(set)
+    per_source: dict = defaultdict(set)
+    sentinel = object()  # NULL source distinct from every real name
+    for text, src in rows:
+        if text is None:
+            continue
+        toks = text.lower().split(" ")
+        if len(toks) < n:
+            continue
+        key = sentinel if src is None else src
+        for i in range(len(toks) - n + 1):
+            g = " ".join(toks[i : i + n])
+            member[g].add(key)
+            per_source[key].add(g)
+    ref = []
+    for key, grams in per_source.items():
+        uniq = sum(1 for g in grams if len(member[g]) == 1)
+        ref.append(
+            (
+                None if key is sentinel else key,
+                len(grams),
+                uniq,
+                py_pround(uniq / len(grams), 6),
+            )
+        )
+    ref.sort(key=lambda r: (r[0] is None, r[0] or ""))
+    con = _docs_con(rows)
+    got = [tuple(r) for r in con.sql(o_source_novelty_card(n)).fetchall()]
+    assert got == ref
+
+
+elem_st = st.one_of(
+    st.none(),
+    st.floats(
+        width=32, allow_nan=False, allow_infinity=False,
+        min_value=-100, max_value=100,
+    ),
+)
+vec_st = st.one_of(st.none(), st.lists(elem_st, max_size=4))
+label_st = st.one_of(st.none(), st.sampled_from(["g1", "g2"]))
+
+
+def _n9(vec):
+    """The cross-engine per-row norm: NULL vec or NULL element -> None;
+    else exact-decimal norm prounded to 9 (empty vec folds to 0.0)."""
+    if vec is None or any(x is None for x in vec):
+        return None
+    return py_pround(_py_decimal_norm(vec), 9)
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(st.tuples(vec_st, label_st), max_size=12))
+def test_embedding_stats_oracle_matches_python_reference(rows):
+    groups: dict = defaultdict(list)
+    for vec, label in rows:
+        groups[label].append(vec)
+    q9 = Decimal(1).scaleb(-9)
+    ref = []
+    for label, vecs in groups.items():
+        n9s = [_n9(v) for v in vecs]
+        live = [x for x in n9s if x is not None]
+        dims = [len(v) for v in vecs if v is not None]
+        # DECIMAL(38,9) sum of the 9-dp norms: exact, order-free
+        mean = None
+        if live:
+            acc = sum(
+                Decimal(repr(x)).quantize(q9, rounding=ROUND_HALF_UP)
+                for x in live
+            )
+            mean = py_pround(float(acc) / len(live), 6)
+        ref.append(
+            (
+                label,
+                len(vecs),
+                sum(1 for v in vecs if v is None),
+                sum(
+                    1
+                    for v in vecs
+                    if v is not None and any(x is None for x in v)
+                ),
+                sum(1 for x in live if x == 0),
+                min(dims) if dims else None,
+                max(dims) if dims else None,
+                py_pround(min(live), 6) if live else None,
+                py_pround(max(live), 6) if live else None,
+                mean,
+            )
+        )
+    ref.sort(key=lambda r: (r[0] is None, r[0] or ""))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE embeddings(vec_id BIGINT, embedding FLOAT[],"
+        " label VARCHAR)"
+    )
+    if rows:
+        con.executemany(
+            "INSERT INTO embeddings VALUES (?, CAST(? AS FLOAT[]), ?)",
+            [(i, v, s) for i, (v, s) in enumerate(rows)],
+        )
+    got = [tuple(r) for r in con.sql(o_embedding_stats_card()).fetchall()]
+    assert got == ref
