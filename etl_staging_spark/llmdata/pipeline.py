@@ -62,6 +62,14 @@ class CorpusPipeline:
     def __init__(self, docs: DataFrame):
         self._df = docs
         self._pins: list = []
+        # shared-cell branch refcount: fork() increments, release()
+        # decrements; pins actually unpersist only when the LAST live
+        # branch releases (an early unpersist would silently force the
+        # sibling's next action to recompute e.g. the repetition
+        # gate's HOF fold interpreted — the ~100x cost the pin exists
+        # to prevent)
+        self._live_branches: list[int] = [1]
+        self._released = False
         # (stage label, kept frame AFTER the stage) — powers funnel()
         self._stages: list[tuple[str, DataFrame]] = [("input", docs)]
 
@@ -72,21 +80,35 @@ class CorpusPipeline:
         return self._df
 
     def fork(self) -> "CorpusPipeline":
-        """An independent branch sharing the plan so far."""
+        """An independent branch sharing the plan so far. The pin pool
+        and the branch refcount stay SHARED: either branch's stages may
+        cache frames the other branch's plan also references, so
+        :meth:`release` frees the pool only once every branch has
+        called it."""
         child = CorpusPipeline(self._df)
-        child._pins = self._pins  # shared: release() once frees both
+        child._pins = self._pins  # shared pool, refcounted release
+        child._live_branches = self._live_branches
+        self._live_branches[0] += 1
         child._stages = list(self._stages)  # own copy: histories diverge
         return child
 
     def release(self) -> None:
-        """Unpersist every internal frame the chained stages pinned —
-        call after the terminal action in long-lived sessions. One
+        """Declare THIS branch done (call after its terminal action in
+        long-lived sessions). The shared pin pool unpersists when the
+        last live branch releases — never earlier, so a released parent
+        cannot yank caches a forked sibling's plan still needs. One
         implementation of the pin contract: delegates to
-        `tables.release_pinned`."""
+        `tables.release_pinned`. Idempotent per branch."""
         from types import SimpleNamespace
 
         from ..tables import release_pinned
 
+        if self._released:
+            return
+        self._released = True
+        self._live_branches[0] -= 1
+        if self._live_branches[0] > 0:
+            return
         # a throwaway carrier — NEVER the kept frame itself, whose own
         # _pinned_persisted may belong to a caller-owned operator result
         release_pinned(SimpleNamespace(_pinned_persisted=tuple(self._pins)))
@@ -130,13 +152,19 @@ class CorpusPipeline:
         together while the kept doc's text stays untouched; after a
         :meth:`clean` stage the fold skips its redundant normalization
         pass (clean_text is idempotent — same key, one fewer 8-regex
-        sweep over the corpus)."""
+        sweep over the corpus). NULL-text docs carry no identity (the
+        `dup_rate_by_source` convention): they all pass through rather
+        than collapsing into one sha2(NULL) group whose 'duplicates'
+        share no content."""
         canon = dedup.exact_dup_groups(
-            self._df,
+            self._df.where(F.col("text").isNotNull()),
             folded=folded,
             pre_cleaned=any(label == "clean" for label, _ in self._stages),
         ).select(F.col("canonical_doc_id").alias("doc_id"))
-        return self._keep(canon, "dedup_exact")
+        keep = canon.unionByName(
+            self._df.where(F.col("text").isNull()).select("doc_id")
+        )
+        return self._keep(keep, "dedup_exact")
 
     def _cluster_losers(self, pairs: DataFrame, keep: str) -> DataFrame:
         """Shared canonical election for the clustering dedup stages:
@@ -485,20 +513,13 @@ class CorpusPipeline:
         the manifest. New id = doc_id * E + (epoch-1) with E = the max
         repeat factor — deterministic, collision-free, and the original
         id stays recoverable as doc_id DIV E. Row generation is the
-        operator's JVM explode(sequence); no shuffle, no join."""
+        operator's shared guarded explode (`sampling.epoch_reps` /
+        `epoch_explode` — one source for the negative-count and
+        0-epoch-vanish rules); no shuffle, no join."""
         factor = max([default_epochs, *epochs.values(), 1])
-        reps = F.lit(default_epochs)
-        for dom, n in sorted(epochs.items()):
-            if n < 0:
-                raise ValueError(f"negative epoch count for {dom!r}")
-            reps = F.when(F.col("source") == dom, F.lit(n)).otherwise(reps)
+        reps = sampling.epoch_reps(epochs, "source", default_epochs)
         exploded = self._df.withColumn(
-            "__epoch",
-            F.explode(
-                F.when(
-                    reps >= 1, F.sequence(F.lit(1), reps)
-                ).otherwise(F.array().cast("array<int>"))
-            ),
+            "__epoch", sampling.epoch_explode(reps)
         )
         self._df = exploded.withColumn(
             "doc_id",

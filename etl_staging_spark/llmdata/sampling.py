@@ -308,6 +308,36 @@ def domain_token_budget(
     )
 
 
+def epoch_reps(
+    epochs: dict[str, int], domain_col: str, default_epochs: int
+) -> Column:
+    """Validated per-domain repeat-factor CASE shared by
+    :func:`epoch_upsample` and ``CorpusPipeline.epochs`` — ONE source
+    for the negative-count guard, INCLUDING ``default_epochs`` (a
+    negative default would otherwise silently delete every unmapped
+    domain via the 0-epoch vanish rule instead of raising)."""
+    if default_epochs < 0:
+        raise ValueError(f"negative default_epochs {default_epochs}")
+    reps = F.lit(default_epochs)
+    for dom, n in sorted(epochs.items()):
+        if n < 0:
+            raise ValueError(f"negative epoch count for {dom!r}")
+        reps = F.when(F.col(domain_col) == dom, F.lit(n)).otherwise(reps)
+    return reps
+
+
+def epoch_explode(reps: Column) -> Column:
+    """The guarded 1-based epoch generator over a repeat-factor
+    column: Spark's sequence(1, 0) steps DOWN to [1, 0], so a 0-epoch
+    domain must route to an empty array to vanish (DuckDB's
+    range(1, 1) = [] agrees) — the subtlety lives here exactly once."""
+    return F.explode(
+        F.when(reps >= 1, F.sequence(F.lit(1), reps)).otherwise(
+            F.array().cast("array<int>")
+        )
+    )
+
+
 def epoch_upsample(
     docs: DataFrame,
     epochs: dict[str, int],
@@ -325,23 +355,11 @@ def epoch_upsample(
     ``explode(sequence(...))`` — JVM-side row generation, no shuffle,
     no Python. Downstream shuffles see the repeated rows, which is the
     point: the tokenizer/packer consumes epochs as ordinary rows."""
-    reps = F.lit(default_epochs)
-    for dom, n in sorted(epochs.items()):
-        if n < 0:
-            raise ValueError(f"negative epoch count for {dom!r}")
-        reps = F.when(F.col(domain_col) == dom, F.lit(n)).otherwise(reps)
     return (
-        docs.withColumn("__reps", reps)
-        # guard: Spark's sequence(1, 0) steps DOWN to [1, 0]; a 0-epoch
-        # domain must vanish (DuckDB's range(1, 1) = [] agrees)
-        .withColumn(
-            "__epoch",
-            F.explode(
-                F.when(
-                    F.col("__reps") >= 1, F.sequence(F.lit(1), F.col("__reps"))
-                ).otherwise(F.array().cast("array<int>"))
-            ),
+        docs.withColumn(
+            "__reps", epoch_reps(epochs, domain_col, default_epochs)
         )
+        .withColumn("__epoch", epoch_explode(F.col("__reps")))
         .select(
             "doc_id",
             F.col(domain_col).alias("domain"),

@@ -1109,11 +1109,16 @@ def indexed_embedding_candidates(
     """Distinct (d1 = batch vector, d2 = corpus vector) candidate pairs
     of a new batch against the persisted key index: the batch's LSH
     keys equi-join the bucketed corpus key table — only the (small)
-    batch side shuffles."""
+    batch side shuffles. The batch is cast to the index's element type
+    BEFORE keying (schema-only read of ``{table}_vecs``), so a float64
+    batch probing a float32-stored index hashes knife-edge vectors to
+    the same buckets the index did — the same convention
+    :func:`incremental_embedding_matches` applies to norms and verify."""
+    idx_type = spark.table(f"{table}_vecs").schema["embedding"].dataType
     keys = _mt_keys_udf(dim, n_tables, bits)
     bk = _respread_narrow(batch).select(
         F.col(id_col).alias("d1"),
-        F.explode(keys(F.col(vec_col))).alias("bkt"),
+        F.explode(keys(F.col(vec_col).cast(idx_type))).alias("bkt"),
     )
     ck = spark.table(f"{table}_keys").select(
         F.col("vec_id").alias("d2"), "bkt"

@@ -596,6 +596,10 @@ def token_drift_card(
     ROW-LOCAL IEEE arithmetic prounded to 6 places (no float
     sum-order dependence), and the top-n cut is a TakeOrdered heap —
     no global sort, no window, no Python."""
+    if source_a == source_b:
+        # the side CASE would route every token to 'a' and publish an
+        # all-NULL-rate card — a copy-paste slip, not a comparison
+        raise ValueError(f"source_a == source_b ({source_a!r})")
     side = F.when(F.col(source_col) == source_a, F.lit("a")).otherwise(
         F.lit("b")
     )

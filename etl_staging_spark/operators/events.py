@@ -526,6 +526,8 @@ def paths_topk(events: DataFrame, length: int = 3, k: int = 10) -> DataFrame:
     counts frame — the global rank touches at most |types|^length
     rows, never the corpus. Ties break on the path steps ascending, so
     the cut is deterministic."""
+    if length < 1:
+        raise ValueError(f"path length must be >= 1, got {length}")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     step_cols = [
         F.lag("event_type", length - 1 - i).over(w).alias(f"step{i + 1}")
@@ -553,16 +555,22 @@ def paths_topk(events: DataFrame, length: int = 3, k: int = 10) -> DataFrame:
 def o_paths_topk(
     length: int = 3, k: int = 10, source_sql: str = "events"
 ) -> str:
-    """DuckDB oracle twin of :func:`paths_topk`."""
-    lags = ",\n             ".join(
-        f"lag(event_type, {length - 1 - i}) OVER w AS step{i + 1}"
-        for i in range(length - 1)
+    """DuckDB oracle twin of :func:`paths_topk` (same ``length >= 1``
+    guard; the select list is built jointly so the degenerate
+    length=1 card — plain event counts — still renders valid SQL)."""
+    if length < 1:
+        raise ValueError(f"path length must be >= 1, got {length}")
+    sel = ",\n             ".join(
+        [
+            f"lag(event_type, {length - 1 - i}) OVER w AS step{i + 1}"
+            for i in range(length - 1)
+        ]
+        + [f"event_type AS step{length}"]
     )
     names = ", ".join(f"step{i + 1}" for i in range(length))
     return f"""
     WITH seq AS (
-      SELECT {lags},
-             event_type AS step{length}
+      SELECT {sel}
       FROM {source_sql}
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),

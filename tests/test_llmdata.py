@@ -3559,3 +3559,78 @@ def test_source_novelty_card_planted(spark):
         ("b", 1, 0, 0.0),
         (None, 1, 1, 1.0),
     ]
+
+
+def test_corpus_pipeline_dedup_exact_null_text_passthrough(spark):
+    """NULL-text docs carry no identity (the dup_rate_by_source
+    convention): all of them survive .dedup_exact() instead of
+    collapsing into one sha2(NULL) group, while real copies still
+    dedup to one canonical."""
+    from etl_staging_spark.llmdata.pipeline import CorpusPipeline
+
+    docs = spark.createDataFrame(
+        [
+            (1, "same text", "web"),
+            (2, "same text", "web"),
+            (3, None, "web"),
+            (4, None, "web"),
+            (5, None, "books"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    kept = sorted(
+        r.doc_id for r in CorpusPipeline(docs).dedup_exact().frame().collect()
+    )
+    assert kept == [1, 3, 4, 5]
+
+
+def test_corpus_pipeline_epochs_negative_default_raises(spark):
+    """A negative default_epochs must raise (shared epoch_reps guard),
+    never silently vanish every unmapped domain — in the pipeline
+    stage AND the certified operator."""
+    import pytest as _pytest
+
+    from etl_staging_spark.llmdata import sampling
+    from etl_staging_spark.llmdata.pipeline import CorpusPipeline
+
+    docs = spark.createDataFrame(
+        [(1, "t", "web")], "doc_id long, text string, source string"
+    )
+    with _pytest.raises(ValueError, match="default_epochs"):
+        CorpusPipeline(docs).epochs({"books": 3}, default_epochs=-1)
+    with _pytest.raises(ValueError, match="default_epochs"):
+        sampling.epoch_upsample(docs, {"books": 3}, default_epochs=-1)
+
+
+def test_corpus_pipeline_fork_release_is_refcounted(spark):
+    """release() on one branch must NOT unpersist caches a forked
+    sibling's plan still references: the shared pool frees only when
+    the LAST branch releases (and per-branch release is idempotent)."""
+    from etl_staging_spark.llmdata.pipeline import CorpusPipeline
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} " * 30, "web") for i in range(8)],
+        "doc_id long, text string, source string",
+    )
+    parent = CorpusPipeline(docs).quality_gate_keep_rate(0.9)
+    assert parent._pins, "the calibrated gate should pin its scored frame"
+    pinned = parent._pins[0]
+    child = parent.fork().quality_gate(0.0)
+    parent.release()
+    parent.release()  # idempotent: must not double-decrement
+    assert pinned.storageLevel.useMemory  # child still alive -> cached
+    child.release()
+    assert not pinned.storageLevel.useMemory  # last branch -> freed
+    assert not child._pins
+
+
+def test_token_drift_card_rejects_self_comparison(spark):
+    from etl_staging_spark.llmdata import stats
+
+    docs = spark.createDataFrame(
+        [(1, "a b", "web")], "doc_id long, text string, source string"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="source_a == source_b"):
+        stats.token_drift_card(docs, "web", "web")

@@ -451,3 +451,43 @@ def test_paths_topk_vs_python_reference(spark):
     ordered = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
     top5 = ev.paths_topk(df, length=3, k=5).collect()
     assert [((r.step1, r.step2, r.step3), r.n_paths) for r in top5] == ordered[:5]
+
+
+def test_paths_topk_length_one_twin_parity_and_guard(spark):
+    """length=1 degenerates to plain event-type counts: the oracle now
+    renders valid SQL and matches the Spark twin; length < 1 raises on
+    both sides before any work."""
+    import duckdb
+    import pytest as _pytest
+
+    from etl_staging_spark.operators import events as ev
+
+    rows = [
+        (1, "2024-01-01 09:00:00", 1, "view", 0.0),
+        (2, "2024-01-01 09:01:00", 1, "click", 0.0),
+        (3, "2024-01-01 10:00:00", 2, "view", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts_s string, user_id long, event_type string,"
+        " value double",
+    ).select(
+        "event_id", F.col("ts_s").cast("timestamp_ntz").alias("ts"),
+        "user_id", "event_type", "value",
+    )
+    got = [
+        (r.step1, r.n_paths, r.rank)
+        for r in ev.paths_topk(df, length=1, k=5).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events(event_id BIGINT, ts TIMESTAMP,"
+        " user_id BIGINT, event_type VARCHAR, value DOUBLE)"
+    )
+    con.executemany("INSERT INTO events VALUES (?, ?, ?, ?, ?)", rows)
+    want = [tuple(r) for r in con.sql(ev.o_paths_topk(length=1, k=5)).fetchall()]
+    assert got == want == [("view", 2, 1), ("click", 1, 2)]
+    with _pytest.raises(ValueError, match="path length"):
+        ev.paths_topk(df, length=0)
+    with _pytest.raises(ValueError, match="path length"):
+        ev.o_paths_topk(length=0)

@@ -56,14 +56,22 @@ def main() -> int:
     from etl_staging_spark.session import get_spark
     import __spark_entry__ as entrymod
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    rest = sys.argv[2:]
+    args = sys.argv[1:]
     window = None
-    if "--window" in rest:
-        i = rest.index("--window")
-        window = int(rest[i + 1])
-        rest = rest[:i] + rest[i + 2:]
-    only = set(rest)
+    if "--window" in args:
+        i = args.index("--window")
+        if i + 1 >= len(args) or not args[i + 1].isdigit():
+            print(
+                "usage: check.py [sf_dir] [--window N] [query ...]",
+                file=sys.stderr,
+            )
+            return 2
+        window = int(args[i + 1])
+        args = args[:i] + args[i + 2:]
+    # sf_dir is the first positional (never an option value — the
+    # guard above already consumed --window's N)
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     spark = get_spark("correctness-check")
     con = duckdb.connect()
