@@ -51,14 +51,27 @@ def exact_dup_groups(
     fold's normalization pass when the text is already clean (the
     pipeline sets it after a `.clean()` stage — clean_text is
     idempotent, so the key is identical, only cheaper). Same one
-    map-side-combinable hash shuffle either way."""
+    map-side-combinable hash shuffle either way.
+
+    NULL text carries no identity (the `dup_rate_by_source`
+    convention): its key falls back to the sentinel ``null:<id>`` —
+    a per-doc SINGLETON group, never one sha2(NULL) bucket whose
+    'duplicates' share no content — so every canonical-keeping
+    consumer (the composed assembly entries, `CorpusPipeline`)
+    passes NULL-text docs through in the same single pass. The
+    sentinel cannot collide with a real key: sha256 hex is exactly
+    64 chars of [0-9a-f]."""
     key = F.col(text_col)
     if folded:
         from .textclean import fold_key
 
         key = fold_key(key, pre_cleaned=pre_cleaned)
+    group_key = F.coalesce(
+        F.sha2(key, 256),
+        F.concat(F.lit("null:"), F.col(id_col).cast("string")),
+    )
     return (
-        df.groupBy(F.sha2(key, 256).alias("text_sha256"))
+        df.groupBy(group_key.alias("text_sha256"))
         .agg(
             F.count("*").alias("n_copies"),
             F.min(id_col).alias("canonical_doc_id"),

@@ -95,18 +95,22 @@ class CorpusPipeline:
     def release(self) -> None:
         """Declare THIS branch done (call after its terminal action in
         long-lived sessions). The shared pin pool unpersists when the
-        last live branch releases — never earlier, so a released parent
-        cannot yank caches a forked sibling's plan still needs. One
+        last live branch has released — never earlier, so a released
+        parent cannot yank caches a forked sibling's plan still needs.
+        A branch decrements the live count only once, but every
+        release() call drains whatever sits in the pool once the count
+        is zero — a builder that keeps chaining after its release (new
+        pins land in the shared pool) frees them on its next release()
+        instead of leaking them for the session's lifetime. One
         implementation of the pin contract: delegates to
-        `tables.release_pinned`. Idempotent per branch."""
+        `tables.release_pinned`."""
         from types import SimpleNamespace
 
         from ..tables import release_pinned
 
-        if self._released:
-            return
-        self._released = True
-        self._live_branches[0] -= 1
+        if not self._released:
+            self._released = True
+            self._live_branches[0] -= 1
         if self._live_branches[0] > 0:
             return
         # a throwaway carrier — NEVER the kept frame itself, whose own
@@ -152,19 +156,16 @@ class CorpusPipeline:
         together while the kept doc's text stays untouched; after a
         :meth:`clean` stage the fold skips its redundant normalization
         pass (clean_text is idempotent — same key, one fewer 8-regex
-        sweep over the corpus). NULL-text docs carry no identity (the
-        `dup_rate_by_source` convention): they all pass through rather
-        than collapsing into one sha2(NULL) group whose 'duplicates'
-        share no content."""
+        sweep over the corpus). NULL-text docs pass through: the
+        operator keys them to per-doc singleton groups (its
+        ``null:<id>`` sentinel), so no extra branch or scan is needed
+        here and the composed catalog entries agree."""
         canon = dedup.exact_dup_groups(
-            self._df.where(F.col("text").isNotNull()),
+            self._df,
             folded=folded,
             pre_cleaned=any(label == "clean" for label, _ in self._stages),
         ).select(F.col("canonical_doc_id").alias("doc_id"))
-        keep = canon.unionByName(
-            self._df.where(F.col("text").isNull()).select("doc_id")
-        )
-        return self._keep(keep, "dedup_exact")
+        return self._keep(canon, "dedup_exact")
 
     def _cluster_losers(self, pairs: DataFrame, keep: str) -> DataFrame:
         """Shared canonical election for the clustering dedup stages:

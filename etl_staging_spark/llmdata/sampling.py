@@ -308,20 +308,27 @@ def domain_token_budget(
     )
 
 
+def _validate_epochs(epochs: dict[str, int], default_epochs: int) -> None:
+    """THE negative-count guard, shared by the Spark column builder
+    AND the DuckDB oracle renderer — a negative default would
+    otherwise silently delete every unmapped domain via the 0-epoch
+    vanish rule instead of raising, on either engine."""
+    if default_epochs < 0:
+        raise ValueError(f"negative default_epochs {default_epochs}")
+    for dom, n in epochs.items():
+        if n < 0:
+            raise ValueError(f"negative epoch count for {dom!r}")
+
+
 def epoch_reps(
     epochs: dict[str, int], domain_col: str, default_epochs: int
 ) -> Column:
     """Validated per-domain repeat-factor CASE shared by
     :func:`epoch_upsample` and ``CorpusPipeline.epochs`` — ONE source
-    for the negative-count guard, INCLUDING ``default_epochs`` (a
-    negative default would otherwise silently delete every unmapped
-    domain via the 0-epoch vanish rule instead of raising)."""
-    if default_epochs < 0:
-        raise ValueError(f"negative default_epochs {default_epochs}")
+    (:func:`_validate_epochs`) for the negative-count guard."""
+    _validate_epochs(epochs, default_epochs)
     reps = F.lit(default_epochs)
     for dom, n in sorted(epochs.items()):
-        if n < 0:
-            raise ValueError(f"negative epoch count for {dom!r}")
         reps = F.when(F.col(domain_col) == dom, F.lit(n)).otherwise(reps)
     return reps
 
@@ -373,7 +380,10 @@ def o_epoch_upsample(
     domain_col: str = "source",
     default_epochs: int = 1,
 ) -> str:
-    """DuckDB oracle twin of :func:`epoch_upsample`."""
+    """DuckDB oracle twin of :func:`epoch_upsample` (same
+    `_validate_epochs` guard — the twins must reject the same
+    inputs, not diverge into raise-vs-silent-deletion)."""
+    _validate_epochs(epochs, default_epochs)
     whens = " ".join(
         f"WHEN '{dom}' THEN {n}" for dom, n in sorted(epochs.items())
     )

@@ -76,9 +76,13 @@ lbl AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id)"""
 @query(
     "dedup_exact",
     oracle="""
-    SELECT sha256(text) AS text_sha256, COUNT(*) AS n_copies,
+    -- NULL text carries no identity: sentinel key = its own
+    -- singleton group (the operator's null:<id> convention)
+    SELECT COALESCE(sha256(text), 'null:' || CAST(doc_id AS VARCHAR))
+             AS text_sha256,
+           COUNT(*) AS n_copies,
            MIN(doc_id) AS canonical_doc_id
-    FROM documents GROUP BY sha256(text)
+    FROM documents GROUP BY 1
     """,
 )
 def dedup_exact(spark, sf_dir):
@@ -1538,7 +1542,8 @@ QUALITY_MIN = 0.68  # keeps ~60% of the synthetic corpus at any sf
     WITH {O_TOKS}, {O_FIVE}, {_O_QUAL_CTES}, {_O_REP_CTES},
     corpus AS (SELECT * FROM documents WHERE doc_id % 20 != 0),
     canon AS (
-      SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY sha256(text)
+      SELECT MIN(doc_id) AS doc_id FROM corpus
+       GROUP BY COALESCE(sha256(text), 'null:' || CAST(doc_id AS VARCHAR))
     ),
     bench5 AS (SELECT DISTINCT shingle FROM five WHERE doc_id % 20 = 0),
     contaminated AS (
@@ -2025,7 +2030,8 @@ _FULL_SHARDS = 16
     WITH {O_TOKS}, {O_FIVE}, {_O_QUAL_CTES}, {_O_REP_CTES},
     corpus AS (SELECT * FROM documents WHERE doc_id % 20 != 0),
     canon AS (
-      SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY sha256(text)
+      SELECT MIN(doc_id) AS doc_id FROM corpus
+       GROUP BY COALESCE(sha256(text), 'null:' || CAST(doc_id AS VARCHAR))
     ),
     bench5 AS (SELECT DISTINCT shingle FROM five WHERE doc_id % 20 = 0),
     contaminated AS (
@@ -2687,7 +2693,8 @@ _V2_SALT = "mixT-v1"
         FROM benchtoks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
       ) WHERE l4 IS NOT NULL
     ),
-    canon AS (SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY sha256(text)),
+    canon AS (SELECT MIN(doc_id) AS doc_id FROM corpus
+       GROUP BY COALESCE(sha256(text), 'null:' || CAST(doc_id AS VARCHAR))),
     contaminated AS (
       SELECT DISTINCT doc_id FROM v2five WHERE shingle IN (SELECT shingle FROM bench5)
     ),

@@ -3634,3 +3634,53 @@ def test_token_drift_card_rejects_self_comparison(spark):
 
     with _pytest.raises(ValueError, match="source_a == source_b"):
         stats.token_drift_card(docs, "web", "web")
+
+
+def test_exact_dup_groups_null_text_singletons_twin_parity(spark):
+    """The operator's null:<id> sentinel gives every NULL-text doc its
+    own singleton group, on BOTH engines (the registered dedup_exact
+    oracle carries the same COALESCE) — never one sha2(NULL) bucket."""
+    import duckdb
+
+    from etl_staging_spark.llmdata import dedup
+
+    data = [(1, "same"), (2, "same"), (3, None), (4, None)]
+    docs = spark.createDataFrame(data, "doc_id long, text string")
+    got = sorted(
+        (r.text_sha256, r.n_copies, r.canonical_doc_id)
+        for r in dedup.exact_dup_groups(docs).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", data)
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            """SELECT COALESCE(sha256(text),
+                               'null:' || CAST(doc_id AS VARCHAR))
+                        AS text_sha256,
+                      COUNT(*) AS n_copies, MIN(doc_id) AS canonical_doc_id
+               FROM documents GROUP BY 1"""
+        ).fetchall()
+    )
+    assert got == want
+    assert ("null:3", 1, 3) in got and ("null:4", 1, 4) in got
+    assert [g for g in got if g[1] == 2][0][2] == 1  # real copies dedup
+
+
+def test_corpus_pipeline_release_drains_post_release_pins(spark):
+    """A builder that keeps chaining after its release() must free the
+    NEW pins on its next release() — not leak them for the session."""
+    from etl_staging_spark.llmdata.pipeline import CorpusPipeline
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} " * 30, "web") for i in range(8)],
+        "doc_id long, text string, source string",
+    )
+    pipe = CorpusPipeline(docs).quality_gate_keep_rate(0.9)
+    pipe.release()
+    pipe.quality_gate_keep_rate(0.8)  # chained AFTER the release
+    assert pipe._pins
+    late_pin = pipe._pins[0]
+    pipe.release()
+    assert not late_pin.storageLevel.useMemory and not pipe._pins
