@@ -34,6 +34,18 @@ from .hashing import BAND_ROWS, MINHASH_SEEDS, N_BANDS, minhash_col, portable_ha
 from .shingles import shingle_index
 
 
+def o_exact_group_key(text_expr: str = "text", id_expr: str = "doc_id") -> str:
+    """DuckDB twin of :func:`exact_dup_groups`'s NULL-safe group key —
+    THE one definition every oracle site renders (the registered
+    `dedup_exact` entry plus the three composed assembly funnels), so
+    a sentinel change can never desynchronize Spark/oracle parity at
+    a missed site."""
+    return (
+        f"COALESCE(sha256({text_expr}), "
+        f"'null:' || CAST({id_expr} AS VARCHAR))"
+    )
+
+
 def exact_dup_groups(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -60,7 +72,10 @@ def exact_dup_groups(
     consumer (the composed assembly entries, `CorpusPipeline`)
     passes NULL-text docs through in the same single pass. The
     sentinel cannot collide with a real key: sha256 hex is exactly
-    64 chars of [0-9a-f]."""
+    64 chars of [0-9a-f]. Precondition: ``id_col`` is non-NULL (the
+    corpus-wide key convention — a NULL id would NULL the sentinel
+    too, and no id-set join downstream can keep a NULL-id row
+    anyway)."""
     key = F.col(text_col)
     if folded:
         from .textclean import fold_key

@@ -118,6 +118,18 @@ class CorpusPipeline:
         release_pinned(SimpleNamespace(_pinned_persisted=tuple(self._pins)))
         self._pins.clear()
 
+    def _pin(self, frames) -> None:
+        """Register cached frames in the shared pool. A RELEASED branch
+        that pins again re-arms itself as live (the refcount invariant:
+        any branch holding un-freed pins counts), so a sibling's
+        redundant release() can never drain caches this branch's plan
+        still references — it decrements again on its own next
+        release()."""
+        if self._released:
+            self._released = False
+            self._live_branches[0] += 1
+        self._pins.extend(frames)
+
     def _keep(self, ids: DataFrame, label: str) -> "CorpusPipeline":
         self._df = self._df.join(ids.select("doc_id"), "doc_id", "left_semi")
         self._stages.append((label, self._df))
@@ -206,7 +218,7 @@ class CorpusPipeline:
         so the discovery + clustering job runs when this stage is
         chained."""
         pairs = dedup.minhash_lsh_pairs(self._df, threshold=threshold, n=n)
-        self._pins.extend(getattr(pairs, "_pinned_persisted", ()))
+        self._pin(getattr(pairs, "_pinned_persisted", ()))
         losers = self._cluster_losers(pairs.select("d1", "d2"), keep)
         self._df = self._df.join(losers, "doc_id", "left_anti")
         self._stages.append(("dedup_near", self._df))
@@ -238,7 +250,7 @@ class CorpusPipeline:
             emb.join(self._df.select("doc_id"), "doc_id", "left_semi"),
             threshold=threshold, dim=dim, id_col="doc_id",
         )
-        self._pins.extend(getattr(pairs, "_pinned_persisted", ()))
+        self._pin(getattr(pairs, "_pinned_persisted", ()))
         losers = self._cluster_losers(pairs.select("d1", "d2"), keep)
         self._df = self._df.join(losers, "doc_id", "left_anti")
         self._stages.append(("dedup_semantic", self._df))
@@ -267,7 +279,7 @@ class CorpusPipeline:
         flagged = decontam.fuzzy_contamination(
             self._df, bench, threshold=threshold, n=n
         )
-        self._pins.extend(getattr(flagged, "_pinned_persisted", ()))
+        self._pin(getattr(flagged, "_pinned_persisted", ()))
         clean = flagged.where(~F.col("contaminated"))
         return self._keep(clean, "decontaminate_fuzzy")
 
@@ -296,7 +308,7 @@ class CorpusPipeline:
             dim=dim,
             id_col="doc_id",
         )
-        self._pins.extend(getattr(flagged, "_pinned_persisted", ()))
+        self._pin(getattr(flagged, "_pinned_persisted", ()))
         bad = flagged.where(F.col("contaminated")).select("doc_id")
         self._df = self._df.join(bad, "doc_id", "left_anti")
         self._stages.append(("decontaminate_semantic", self._df))
@@ -355,7 +367,7 @@ class CorpusPipeline:
             .select("doc_id", "quality")
             .persist()
         )
-        self._pins.append(scored)
+        self._pin([scored])
         t = stats.threshold_from_scores(scored, keep_rate, decimals)
         return self._keep(
             scored.where(F.col("quality") >= t),
@@ -387,7 +399,7 @@ class CorpusPipeline:
             .select("doc_id", domain_col, "quality")
             .persist()
         )
-        self._pins.append(scored)
+        self._pin([scored])
         cuts = {
             r["domain"]: r["threshold"]
             for r in stats.calibration_by_domain_from_scores(
@@ -410,7 +422,7 @@ class CorpusPipeline:
         the n-gram fold interpreted, ~100x), so this stage pins cache
         like `domain_cap` does."""
         flags = textstats.repetition_stats(self._df).persist()
-        self._pins.append(flags)
+        self._pin([flags])
         return self._keep(flags.where(~F.col("repetitive")), "repetition_gate")
 
     def lm_quality_gate(self, model_table: str, min_avg_prob: float) -> "CorpusPipeline":
@@ -463,7 +475,7 @@ class CorpusPipeline:
         (`sampling.domain_quality_cap` — the `domain_quality_cap`
         entry)."""
         kept = sampling.domain_quality_cap(self._df, cap=cap)
-        self._pins.extend(getattr(kept, "_pinned_persisted", ()))
+        self._pin(getattr(kept, "_pinned_persisted", ()))
         return self._keep(kept, "domain_cap")
 
     def split(self, fractions: dict[str, float]) -> "CorpusPipeline":

@@ -315,7 +315,7 @@ def _validate_epochs(epochs: dict[str, int], default_epochs: int) -> None:
     vanish rule instead of raising, on either engine."""
     if default_epochs < 0:
         raise ValueError(f"negative default_epochs {default_epochs}")
-    for dom, n in epochs.items():
+    for dom, n in sorted(epochs.items()):  # deterministic message
         if n < 0:
             raise ValueError(f"negative epoch count for {dom!r}")
 

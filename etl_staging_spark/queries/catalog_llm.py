@@ -75,11 +75,10 @@ lbl AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id)"""
 
 @query(
     "dedup_exact",
-    oracle="""
+    oracle=f"""
     -- NULL text carries no identity: sentinel key = its own
     -- singleton group (the operator's null:<id> convention)
-    SELECT COALESCE(sha256(text), 'null:' || CAST(doc_id AS VARCHAR))
-             AS text_sha256,
+    SELECT {dedup.o_exact_group_key()} AS text_sha256,
            COUNT(*) AS n_copies,
            MIN(doc_id) AS canonical_doc_id
     FROM documents GROUP BY 1
@@ -1543,7 +1542,7 @@ QUALITY_MIN = 0.68  # keeps ~60% of the synthetic corpus at any sf
     corpus AS (SELECT * FROM documents WHERE doc_id % 20 != 0),
     canon AS (
       SELECT MIN(doc_id) AS doc_id FROM corpus
-       GROUP BY COALESCE(sha256(text), 'null:' || CAST(doc_id AS VARCHAR))
+       GROUP BY {dedup.o_exact_group_key()}
     ),
     bench5 AS (SELECT DISTINCT shingle FROM five WHERE doc_id % 20 = 0),
     contaminated AS (
@@ -2031,7 +2030,7 @@ _FULL_SHARDS = 16
     corpus AS (SELECT * FROM documents WHERE doc_id % 20 != 0),
     canon AS (
       SELECT MIN(doc_id) AS doc_id FROM corpus
-       GROUP BY COALESCE(sha256(text), 'null:' || CAST(doc_id AS VARCHAR))
+       GROUP BY {dedup.o_exact_group_key()}
     ),
     bench5 AS (SELECT DISTINCT shingle FROM five WHERE doc_id % 20 = 0),
     contaminated AS (
@@ -2694,7 +2693,7 @@ _V2_SALT = "mixT-v1"
       ) WHERE l4 IS NOT NULL
     ),
     canon AS (SELECT MIN(doc_id) AS doc_id FROM corpus
-       GROUP BY COALESCE(sha256(text), 'null:' || CAST(doc_id AS VARCHAR))),
+       GROUP BY {dedup.o_exact_group_key()}),
     contaminated AS (
       SELECT DISTINCT doc_id FROM v2five WHERE shingle IN (SELECT shingle FROM bench5)
     ),

@@ -3650,18 +3650,17 @@ def test_exact_dup_groups_null_text_singletons_twin_parity(spark):
         (r.text_sha256, r.n_copies, r.canonical_doc_id)
         for r in dedup.exact_dup_groups(docs).collect()
     )
+    import __spark_entry__ as entrymod
+
     con = duckdb.connect()
     con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
     con.executemany("INSERT INTO documents VALUES (?, ?)", data)
+    # run the REGISTERED oracle verbatim, so an edit to the catalog
+    # entry's NULL handling fails here — not only when the shared
+    # testdata someday gains NULL-text rows
     want = sorted(
         tuple(r)
-        for r in con.sql(
-            """SELECT COALESCE(sha256(text),
-                               'null:' || CAST(doc_id AS VARCHAR))
-                        AS text_sha256,
-                      COUNT(*) AS n_copies, MIN(doc_id) AS canonical_doc_id
-               FROM documents GROUP BY 1"""
-        ).fetchall()
+        for r in con.sql(entrymod.oracle_sql()["dedup_exact"]).fetchall()
     )
     assert got == want
     assert ("null:3", 1, 3) in got and ("null:4", 1, 4) in got
@@ -3684,3 +3683,25 @@ def test_corpus_pipeline_release_drains_post_release_pins(spark):
     late_pin = pipe._pins[0]
     pipe.release()
     assert not late_pin.storageLevel.useMemory and not pipe._pins
+
+
+def test_corpus_pipeline_rearmed_branch_survives_sibling_release(spark):
+    """A branch that pins again AFTER releasing re-arms itself as live:
+    a sibling's redundant release() must not drain its in-use cache;
+    its own next release() does."""
+    from etl_staging_spark.llmdata.pipeline import CorpusPipeline
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} " * 30, "web") for i in range(8)],
+        "doc_id long, text string, source string",
+    )
+    a = CorpusPipeline(docs)
+    b = a.fork()
+    a.release()
+    b.release()  # live count 0, pool empty so far
+    b.quality_gate_keep_rate(0.9)  # b re-arms with a fresh pin
+    pin = b._pins[0]
+    a.release()  # redundant sibling release: must NOT yank b's cache
+    assert pin.storageLevel.useMemory
+    b.release()
+    assert not pin.storageLevel.useMemory and not b._pins
