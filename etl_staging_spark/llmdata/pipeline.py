@@ -97,11 +97,11 @@ class CorpusPipeline:
         long-lived sessions). The shared pin pool unpersists when the
         last live branch has released — never earlier, so a released
         parent cannot yank caches a forked sibling's plan still needs.
-        A branch decrements the live count only once, but every
-        release() call drains whatever sits in the pool once the count
-        is zero — a builder that keeps chaining after its release (new
-        pins land in the shared pool) frees them on its next release()
-        instead of leaking them for the session's lifetime. One
+        Each release() decrements at most once per arming: a released
+        branch that pins again RE-ARMS itself (see :meth:`_pin`), so
+        post-release pins are protected by the refcount like any
+        others and free on that branch's own next release() — never
+        leaked for the session, never yanked by a sibling. One
         implementation of the pin contract: delegates to
         `tables.release_pinned`."""
         from types import SimpleNamespace
@@ -121,10 +121,15 @@ class CorpusPipeline:
     def _pin(self, frames) -> None:
         """Register cached frames in the shared pool. A RELEASED branch
         that pins again re-arms itself as live (the refcount invariant:
-        any branch holding un-freed pins counts), so a sibling's
-        redundant release() can never drain caches this branch's plan
-        still references — it decrements again on its own next
-        release()."""
+        the count equals the branches with un-released work), so a
+        sibling's redundant release() can never drain caches this
+        branch's plan still references — it decrements again on its
+        own next release(). A stage that pinned NOTHING must not
+        re-arm: it would block the pool drain while protecting
+        nothing."""
+        frames = tuple(frames)
+        if not frames:
+            return
         if self._released:
             self._released = False
             self._live_branches[0] += 1

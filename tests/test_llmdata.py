@@ -3705,3 +3705,20 @@ def test_corpus_pipeline_rearmed_branch_survives_sibling_release(spark):
     assert pin.storageLevel.useMemory
     b.release()
     assert not pin.storageLevel.useMemory and not b._pins
+
+
+def test_corpus_pipeline_pinless_stage_does_not_rearm(spark):
+    """A post-release stage that pins NOTHING must not re-arm the
+    branch: the sibling's pool drain stays unblocked."""
+    from etl_staging_spark.llmdata.pipeline import CorpusPipeline
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta", "web")], "doc_id long, text string, source string"
+    )
+    a = CorpusPipeline(docs)
+    b = a.fork()
+    b.release()
+    b.quality_gate(0.0)  # pins nothing
+    assert b._released and b._live_branches[0] == 1
+    a.release()  # must drain: only pin-less work happened after b left
+    assert a._live_branches[0] == 0 and not a._pins
