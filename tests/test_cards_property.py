@@ -185,3 +185,54 @@ def test_embedding_stats_oracle_matches_python_reference(rows):
         )
     got = [tuple(r) for r in con.sql(o_embedding_stats_card()).fetchall()]
     assert got == ref
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(st.tuples(text_st, source_st), max_size=12), st.integers(1, 3))
+def test_ngram_freq_spectrum_oracle_matches_python_reference(rows, n):
+    from collections import Counter
+
+    grams: Counter = Counter()
+    for text, _src in rows:
+        if text is None:
+            continue
+        toks = text.lower().split(" ")
+        for i in range(len(toks) - n + 1):
+            grams[" ".join(toks[i : i + n])] += 1  # TOTAL counts (Zipf)
+    spectrum: Counter = Counter(grams.values())
+    ref = sorted(spectrum.items())
+    from etl_staging_spark.queries.catalog_llm import o_ngram_freq_spectrum
+
+    con = _docs_con(rows)
+    got = sorted(
+        tuple(r) for r in con.sql(o_ngram_freq_spectrum(n)).fetchall()
+    )
+    assert got == ref
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.lists(
+        st.tuples(text_st, st.one_of(st.none(), source_st)), max_size=12
+    )
+)
+def test_dup_rate_by_source_oracle_matches_python_reference(rows):
+    from etl_staging_spark.queries.catalog_llm import o_dup_rate_by_source
+
+    per: dict = {}
+    for text, src in rows:
+        per.setdefault(src, []).append(text)
+    ref = []
+    for src, texts in per.items():
+        with_text = [t for t in texts if t is not None]
+        n_texts = len(set(with_text))
+        dup = len(with_text) - n_texts
+        rate = py_pround(dup / len(with_text), 6) if with_text else None
+        ref.append((src, len(texts), len(with_text), n_texts, dup, rate))
+    ref.sort(key=lambda r: (r[0] is None, r[0] or ""))
+    con = _docs_con(rows)
+    got = sorted(
+        (tuple(r) for r in con.sql(o_dup_rate_by_source()).fetchall()),
+        key=lambda r: (r[0] is None, r[0] or ""),
+    )
+    assert got == ref
