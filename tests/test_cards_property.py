@@ -236,3 +236,47 @@ def test_dup_rate_by_source_oracle_matches_python_reference(rows):
         key=lambda r: (r[0] is None, r[0] or ""),
     )
     assert got == ref
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.integers(1, 20),
+    st.lists(
+        st.tuples(
+            st.sampled_from(["train", "val", "o'ddly named"]),
+            st.floats(0.01, 0.33),
+        ),
+        min_size=1,
+        max_size=3,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_hash_split_oracle_matches_python_reference(n_docs, parts):
+    """o_hash_split == the documented python hash chain on random
+    fraction maps — including quoted split names and a quoted salt
+    (the newly escaped free-form strings)."""
+    from etl_staging_spark.llmdata.hashing import py_hash56
+    from etl_staging_spark.llmdata.sampling import BUCKETS, o_hash_split
+
+    fractions = dict(parts)
+    salt = "v1'quoted"
+    names = list(fractions)
+
+    def ref_split(doc_id: int) -> str:
+        b = py_hash56(f"{salt}:{doc_id}")
+        acc = 0.0
+        for name in names[:-1]:
+            acc += fractions[name]
+            if b % BUCKETS < int(round(acc * BUCKETS)):
+                return name
+        return names[-1]
+
+    rows = [(None, "s") for _ in range(n_docs)]
+    con = _docs_con(rows)
+    got = dict(
+        con.sql(
+            f"SELECT doc_id, {o_hash_split(fractions, salt=salt)} AS split"
+            " FROM documents"
+        ).fetchall()
+    )
+    assert got == {i: ref_split(i) for i in range(n_docs)}
