@@ -280,3 +280,43 @@ def test_hash_split_oracle_matches_python_reference(n_docs, parts):
         ).fetchall()
     )
     assert got == {i: ref_split(i) for i in range(n_docs)}
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=20),
+    st.floats(0.1, 1.0),
+    st.integers(0, 30),
+)
+def test_mixture_temperature_oracle_matches_python_chain(srcs, alpha, target):
+    """o_mixture_sample_temperature's SQL replay of the quantized
+    weight chain (pow -> 1e9 floor-quantize -> BIGINT sum -> IEEE rate
+    -> FLOOR threshold) selects exactly the rows the python driver
+    chain (temperature_thresholds + py_hash56 buckets) selects."""
+    from etl_staging_spark.llmdata.hashing import py_hash56
+    from etl_staging_spark.llmdata.sampling import (
+        BUCKETS,
+        o_mixture_sample_temperature,
+        temperature_thresholds,
+    )
+
+    rows = [(f"t{i}", s) for i, s in enumerate(srcs)]
+    counts: dict = {}
+    for _t, s in rows:
+        counts[s] = counts.get(s, 0) + 1
+    thr = temperature_thresholds(counts, alpha, target)
+    ref = sorted(
+        i
+        for i, (_t, s) in enumerate(rows)
+        if py_hash56(f"mixT-v1:{i}") % BUCKETS < thr.get(s, 0)
+    )
+    con = _docs_con(rows)
+    got = sorted(
+        r[0]
+        for r in con.sql(
+            "SELECT doc_id FROM ("
+            + o_mixture_sample_temperature(alpha, target)
+            + ")"
+        ).fetchall()
+    )
+    assert got == ref
