@@ -215,16 +215,18 @@ def semantic_contamination(
     candidate pairs by keyed joins and runs the shared two-stage
     double-prefilter + exact-decimal cosine (`simsearch._verify_pairs`
     with the eval frame on the right side, so the corpus is never
-    unioned into both branches). Nothing corpus-scale is persisted:
-    unlike the dup-pair operators (whose keyed/normed frames feed TWO
-    join branches), every corpus frame here has exactly one reader in
-    the output plan — caching it would cost executor storage for zero
-    recomputation saved. Precondition: corpus and eval id spaces must
-    be disjoint (the `fuzzy_contamination` contract)."""
+    unioned into both branches). The narrow (id, vector) corpus
+    projection feeds THREE branches — LSH keying, the verify-side
+    normed vectors, and the output id left join — so it is persisted
+    once (the dup-pair operators' pattern) and pinned on the output's
+    ``_pinned_persisted`` contract; without the cache the corpus scan
+    would re-execute per branch. Precondition: corpus and eval id
+    spaces must be disjoint (the `fuzzy_contamination` contract)."""
     from . import simsearch as ss
 
+    base = ss._respread_narrow(corpus_emb.select(id_col, vec_col)).persist()
     keyed_c = ss._table_keys_frame(
-        corpus_emb, F.lit(False), dim, id_col=id_col, vec_col=vec_col
+        base, F.lit(False), dim, id_col=id_col, vec_col=vec_col
     )
     keyed_e = ss._table_keys_frame(
         eval_emb, F.lit(True), dim, id_col=id_col, vec_col=vec_col
@@ -239,7 +241,7 @@ def semantic_contamination(
         .select("d1", "d2")
         .distinct()
     )
-    normed_c = ss.with_norm(ss._respread_narrow(corpus_emb), vec_col)
+    normed_c = ss.with_norm(base, vec_col)
     normed_e = ss.with_norm(eval_emb, vec_col)
     matches = ss._verify_pairs(
         cand, normed_c, threshold, id_col, vec_col, normed_right=normed_e
@@ -251,7 +253,7 @@ def semantic_contamination(
         pround(F.max("cos_raw"), 6).alias("max_cosine"),
     )
     out = (
-        corpus_emb.select(id_col)
+        base.select(id_col)
         .join(per_vec, F.col(id_col) == F.col("d1"), "left")
         .select(
             id_col,
@@ -260,6 +262,7 @@ def semantic_contamination(
             (F.coalesce("n_matches", F.lit(0)) >= 1).alias("contaminated"),
         )
     )
+    out._pinned_persisted = (base,)
     return out
 
 
@@ -313,6 +316,7 @@ def decontamination_report(
             "half-supplied pair would silently report NULL semantic "
             "evidence while looking embedding-screened"
         )
+    sem_pins: tuple = ()
     if corpus_emb is not None and bench_emb is not None:
         sem = semantic_contamination(
             corpus_emb.join(corpus.select("doc_id"), "doc_id", "left_semi"),
@@ -332,6 +336,7 @@ def decontamination_report(
             "left",
         )
         flags.append(F.coalesce("__c_sem", F.lit(False)))
+        sem_pins = tuple(getattr(sem, "_pinned_persisted", ()))
     else:
         out = out.withColumn(
             "n_semantic", F.lit(None).cast("bigint")
@@ -344,5 +349,7 @@ def decontamination_report(
         "n_semantic", "max_cosine",
         any_flag.alias("contaminated"),
     )
-    result._pinned_persisted = tuple(getattr(fz, "_pinned_persisted", ()))
+    result._pinned_persisted = (
+        tuple(getattr(fz, "_pinned_persisted", ())) + sem_pins
+    )
     return result

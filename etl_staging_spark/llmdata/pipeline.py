@@ -452,16 +452,28 @@ class CorpusPipeline:
     def segment_clean(self, hot: DataFrame, k: int | None = None) -> "CorpusPipeline":
         """REWRITE each doc's text with corpus-hot segments removed
         (`linedup.segment_clean` — the `dedup_segments` family); docs
-        whose text empties are dropped. Unlike the narrowing gates this
-        stage replaces the text column, so run it BEFORE quality/LM
-        scoring if those should judge the cleaned text (stage order is
-        the author's policy, as the module doc notes)."""
+        whose text empties are dropped, while NULL-text docs pass
+        through untouched (the `dedup_exact` NULL-passthrough
+        convention — they had nothing to scrub, and dropping them is a
+        gate's decision, not a rewrite's). Unlike the narrowing gates
+        this stage replaces the text column, so run it BEFORE
+        quality/LM scoring if those should judge the cleaned text
+        (stage order is the author's policy, as the module doc
+        notes)."""
         seg_k = k if k is not None else linedup.SEG_TOKENS
         cleaned = linedup.segment_clean(self._df, hot, k=seg_k).select(
-            "doc_id", F.col("clean_text").alias("text")
-        ).where(F.length("text") > 0)
+            "doc_id", F.col("clean_text").alias("__ctext")
+        )
+        cols = self._df.columns
         self._df = (
-            self._df.drop("text").join(cleaned, "doc_id")
+            self._df.withColumnRenamed("text", "__orig")
+            .join(cleaned, "doc_id", "left")
+            # keep: rewritten docs with surviving text, plus NULL-text
+            # passthrough rows (which produce no segments, hence no
+            # cleaned row — their text stays NULL via __ctext)
+            .where(F.col("__orig").isNull() | (F.length("__ctext") > 0))
+            .withColumn("text", F.col("__ctext"))
+            .select(*cols)
         )
         self._stages.append(("segment_clean", self._df))
         return self

@@ -22,6 +22,11 @@ from pyspark.sql import functions as F
 from ..numeric import pround, py_pround
 from .textstats import TOKEN_RE
 
+# Audit-row sentinel for NULL sources in cards that must equi-join on
+# the source key (NULL never equi-joins): un-sourced docs surface under
+# this label instead of silently dropping out of the report.
+NULL_SOURCE_SENTINEL = "(null)"
+
 
 def corpus_cardinality(
     docs: DataFrame, rsd: float = 0.02, text_col: str = "text"
@@ -167,6 +172,12 @@ def source_overlap_matrix(
     The diagonal (a == b) reports within-source redundancy; there
     docs_a == docs_b counts each implicated doc once.
 
+    NULL sources are coalesced to the sentinel row ``(null)`` so
+    un-sourced redundancy surfaces like the other audit cards
+    (`dup_rate_by_source` / `source_novelty_card` keep NULL source as
+    its own row) instead of silently vanishing at the equi-joins —
+    this is an audit, not an allocator.
+
     Scale shape: discovery is `dedup.minhash_lsh_pairs` — the certified
     banded-LSH + exact-Jaccard-verify operator, never all-pairs — and
     everything after it is skinny: two doc_id->source lookups against a
@@ -174,8 +185,9 @@ def source_overlap_matrix(
     and a broadcast of the per-source totals (#sources rows)."""
     from . import dedup
 
-    src = docs.select("doc_id", F.col(source_col).alias("src"))
-    totals = docs.groupBy(F.col(source_col).alias("src")).agg(
+    sent = F.coalesce(F.col(source_col), F.lit(NULL_SOURCE_SENTINEL))
+    src = docs.select("doc_id", sent.alias("src"))
+    totals = docs.groupBy(sent.alias("src")).agg(
         F.count("*").alias("n_total")
     )
     raw_pairs = dedup.minhash_lsh_pairs(docs, threshold=threshold, n=n)

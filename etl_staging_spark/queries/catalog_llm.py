@@ -171,12 +171,14 @@ def o_source_overlap_matrix(threshold: float = 0.8) -> str:
     (`_o_minhash_sigs` + `_o_lsh_verified_select`, bit-identical to
     the Spark discovery) -> a<=b source normalization -> pair counts,
     per-side distinct implicated docs (diagonal counts each doc once),
-    and pround'd per-side fractions."""
+    and pround'd per-side fractions. NULL sources coalesce to the
+    ``(null)`` audit sentinel, mirroring the Spark side."""
     return f"""
     WITH {O_TRIH}, {_o_minhash_sigs()}, {O_JACCARD_TAIL},
     vpairs AS ({_o_lsh_verified_select(threshold)}),
-    srcs AS (SELECT doc_id, source FROM documents),
-    totals AS (SELECT source, COUNT(*) AS n_total FROM documents GROUP BY source),
+    srcs AS (SELECT doc_id, COALESCE(source, '(null)') AS source FROM documents),
+    totals AS (SELECT COALESCE(source, '(null)') AS source, COUNT(*) AS n_total
+               FROM documents GROUP BY 1),
     norm AS (
       SELECT CASE WHEN s1.source > s2.source THEN s2.source ELSE s1.source END AS source_a,
              CASE WHEN s1.source > s2.source THEN s1.source ELSE s2.source END AS source_b,

@@ -2078,6 +2078,34 @@ def test_corpus_pipeline_segment_clean_and_lm_stages(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_corpus_pipeline_segment_clean_null_text_passthrough(spark):
+    """NULL-text docs pass through segment_clean untouched (the
+    dedup_exact NULL convention, r10 ADVICE fix) while emptied docs
+    are still dropped and surviving docs are rewritten."""
+    from etl_staging_spark.llmdata import linedup
+    from etl_staging_spark.llmdata.pipeline import CorpusPipeline
+    from etl_staging_spark.llmdata.hashing import portable_hash56
+
+    boiler = "subscribe to our newsletter for updates every day"
+    body = "the river carried silt from the mountains toward the delta plains"
+    assert len(boiler.split()) == linedup.SEG_TOKENS
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " " + body, "web"),  # rewritten
+            (2, boiler, "web"),               # empties -> dropped
+            (3, None, "web"),                 # NULL text -> passthrough
+        ],
+        "doc_id long, text string, source string",
+    )
+    hot = (
+        spark.createDataFrame([(boiler,)], "seg string")
+        .select(portable_hash56(F.col("seg")).alias("h"))
+    )
+    out = CorpusPipeline(docs).segment_clean(hot).frame()
+    assert out.columns == ["doc_id", "text", "source"]
+    assert {r.doc_id: r.text for r in out.collect()} == {1: body, 3: None}
+
+
 def test_corpus_pipeline_mixture_stages(spark):
     """The mixture back-end stages delegate to the certified sampling
     operators: chained results equal the direct operator calls on the
@@ -2409,6 +2437,52 @@ def test_source_overlap_matrix_matches_duckdb_oracle(spark):
     want = sorted(tuple(r) for r in
                   con.sql(o_source_overlap_matrix(0.8)).fetchall())
     assert got == want and got
+
+
+def test_source_overlap_matrix_null_source_sentinel(spark):
+    """NULL-source docs surface under the '(null)' audit sentinel
+    instead of vanishing at the equi-joins (r10 ADVICE fix), on BOTH
+    engines: a planted cross pair spanning a NULL source and 'web'
+    yields a ('(null)', 'web') row with sentinel-keyed totals."""
+    import duckdb
+    import pandas as pd
+
+    from etl_staging_spark.llmdata import stats
+    from etl_staging_spark.queries.catalog_llm import o_source_overlap_matrix
+    from etl_staging_spark.tables import release_pinned
+
+    ta = "the river carried silt from the mountains toward the delta plains"
+    tb = "a quiet library keeps old maps of roads that no longer exist"
+    rows = [
+        (1, ta, None),     # cross pair with doc 2
+        (2, ta, "web"),
+        (3, tb, "web"),    # diagonal web pair
+        (4, tb, "web"),
+        (5, "completely unrelated text about glacier moraines", "wiki"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = stats.source_overlap_matrix(docs, threshold=0.8)
+    got = sorted(
+        (r.source_a, r.source_b, r.n_pairs, r.docs_a, r.docs_b,
+         r.frac_a, r.frac_b)
+        for r in out.collect()
+    )
+    release_pinned(out)
+    # totals: (null)=1, web=3, wiki=1
+    assert got == [
+        ("(null)", "web", 1, 1, 1, 1.0, 0.333333),
+        ("web", "web", 1, 2, 2, 0.666667, 0.666667),
+    ]
+
+    con = duckdb.connect()
+    con.register(
+        "planted_docs",
+        pd.DataFrame(rows, columns=["doc_id", "text", "source"]),
+    )
+    con.sql("CREATE VIEW documents AS SELECT * FROM planted_docs")
+    want = sorted(tuple(r) for r in
+                  con.sql(o_source_overlap_matrix(0.8)).fetchall())
+    assert got == want
 
 
 def test_quality_calibration_card_matches_duckdb_oracle(spark):

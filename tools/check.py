@@ -82,10 +82,25 @@ def main() -> int:
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(queries)
+    if unknown:
+        # an unregistered name would silently no-op ("pass 0" looks green)
+        print(f"error: unknown queries: {sorted(unknown)}", file=sys.stderr)
+        return 2
     if window is not None:
         # queries() is already in certification order — the first N are
         # exactly the driver's next certification slice
         queries = dict(list(queries.items())[:window])
+        missing = only - set(queries)
+        if missing:
+            # a named query outside the window would be silently skipped,
+            # making a dry run look green for something never executed
+            print(
+                f"error: named queries outside the --window {window} slice: "
+                f"{sorted(missing)}",
+                file=sys.stderr,
+            )
+            return 2
     n_pass = n_fail = n_weak = 0
     failures = []
     for name, fn in queries.items():
