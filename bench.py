@@ -80,6 +80,10 @@ HEADLINE = [
     # round 8/9 additions
     "sim_ann_lsh",
     "dedup_semantic_recall",
+    # round 10 additions
+    "source_overlap_matrix",
+    "quality_calibration_card",
+    "embedding_stats_card",
 ]
 
 

@@ -1160,6 +1160,17 @@ def o_quality_calibration_card(
     FROM th t JOIN cum ON cum.qv = t.threshold CROSS JOIN tot"""
 
 
+@query("quality_calibration_card", oracle=o_quality_calibration_card())
+def quality_calibration_card(spark, sf_dir):
+    """Quality-gate calibration report card (registered r10 from the
+    r9 queue): for each default target keep rate, the resolved
+    raw-score threshold (bucket LOWER edge — directly usable as
+    `quality_gate`'s floor) and what it actually keeps. ONE bounded
+    quantized-score histogram collect serves every rate; the CDF walk
+    is driver-side over <= 10^decimals + 1 buckets."""
+    return stats.quality_calibration_card(load(spark, sf_dir, "documents"))
+
+
 @query(
     "quality_histogram",
     oracle=f"""
@@ -2984,6 +2995,30 @@ def o_embedding_stats_card(group_col: str = "label") -> str:
                    / COUNT(n9) * 1000000 + 0.5) / 1000000
            END AS norm_mean
     FROM r GROUP BY grp ORDER BY {group_col} NULLS LAST"""
+
+
+@query("source_overlap_matrix", oracle=o_source_overlap_matrix())
+def source_overlap_matrix(spark, sf_dir):
+    """Cross-source near-dup overlap matrix (registered r10 from the
+    r9 queue): per unordered source pair, verified MinHash-LSH
+    near-dup pair counts and the fraction of each side's corpus
+    implicated — the "how much of snapshot A is already in B" merge
+    planning card. NULL sources surface under the '(null)' audit
+    sentinel. Discovery is the certified banded-LSH + exact-Jaccard
+    verify (never all-pairs); everything downstream is skinny keyed
+    joins plus a #sources^2-bounded aggregate."""
+    return stats.source_overlap_matrix(load(spark, sf_dir, "documents"))
+
+
+@query("embedding_stats_card", oracle=o_embedding_stats_card())
+def embedding_stats_card(spark, sf_dir):
+    """Embedding-table QA card (registered r10 from the r9 queue):
+    per label, vector counts, NULL / NULL-element / zero-vector
+    counts, dimension range, and exact-decimal L2-norm min/max/mean —
+    the "trust the embedding column before ANN or semantic dedup runs
+    on it" read-out. ONE map-side-combinable aggregate over a single
+    scan; the shuffle carries #groups x 9 scalars."""
+    return stats.embedding_stats_card(load(spark, sf_dir, "embeddings"))
 
 
 def o_source_novelty_card(n: int = 3) -> str:
