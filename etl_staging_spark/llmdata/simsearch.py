@@ -931,45 +931,75 @@ def semantic_dup_pairs(
     cent_arrs, cent_norms = _resolve_centroids(
         emb, centroids, n_centroids, id_col, vec_col
     )
-    normed = with_norm(_respread_narrow(emb), vec_col).withColumn(
-        "cells",
-        _probe_cells_expr(
-            cent_arrs, F.col(vec_col), n_probe,
-            cent_norms=cent_norms, nrm_col=F.col("nrm"),
-        ),
-    ).withColumn("cell", F.col("cells")[0]).persist()
+    if candidates_only:
+        # discovery-only path: the exact-decimal norm fold exists solely
+        # for the verify stage, so skip it and assign cells with the
+        # Arrow-batched kernel (bit-identical to the expression path,
+        # see _ivf_cells_udf's exactness note) — measured ~2x cheaper
+        # than norm + interpreted per-centroid decimal folds at sf0.1
+        cells_k = _ivf_cells_udf(cent_arrs, cent_norms, n_probe)
+        normed = (
+            _respread_narrow(emb)
+            .withColumn("cells", cells_k(F.col(vec_col)))
+            .withColumn("cell", F.col("cells")[0])
+            .persist()
+        )
+    else:
+        normed = with_norm(_respread_narrow(emb), vec_col).withColumn(
+            "cells",
+            _probe_cells_expr(
+                cent_arrs, F.col(vec_col), n_probe,
+                cent_norms=cent_norms, nrm_col=F.col("nrm"),
+            ),
+        ).withColumn("cell", F.col("cells")[0]).persist()
     # candidate pairs stay SKINNY (ids + probed cell) through the cell
     # self-join — a join on K cell keys lands on at most K partitions,
     # so the expensive per-pair work must not live in that stage;
     # re-spreading the id pairs before attaching vectors restores full
     # parallelism for the dot products (at real scale the vector-attach
     # joins shuffle anyway and the repartition folds into them)
+    # on the candidates-only tagged path each side carries its PRIMARY
+    # cell through the join, so same_cell is an inline comparison —
+    # same_cell is functionally dependent on (d1, d2), so the distinct
+    # below still dedups to one row per pair (previously two extra
+    # keyed joins attached the cells after the fact)
+    carry_cell = candidates_only and tag_same_cell
+    side_cols = (F.col("cell").alias("__pcell"),) if carry_cell else ()
     probed = normed.select(
-        F.col(id_col).alias("vid"), F.explode("cells").alias("pc")
+        F.col(id_col).alias("vid"), *side_cols, F.explode("cells").alias("pc")
     )
     a_src = (
         normed.where(d1_pred).select(
-            F.col(id_col).alias("vid"), F.explode("cells").alias("pc")
+            F.col(id_col).alias("vid"), *side_cols,
+            F.explode("cells").alias("pc"),
         )
         if d1_pred is not None
         else probed
     )
-    a = a_src.select(F.col("pc"), F.col("vid").alias("d1"))
-    b = probed.select(F.col("pc"), F.col("vid").alias("d2"))
-    cand = a.join(b, "pc").where(F.col("d1") < F.col("d2")).select("d1", "d2")
+    a = a_src.select(
+        F.col("pc"), F.col("vid").alias("d1"),
+        *((F.col("__pcell").alias("__c1"),) if carry_cell else ()),
+    )
+    b = probed.select(
+        F.col("pc"), F.col("vid").alias("d2"),
+        *((F.col("__pcell").alias("__c2"),) if carry_cell else ()),
+    )
+    tag = (
+        ((F.col("__c1") == F.col("__c2")).alias("same_cell"),)
+        if carry_cell
+        else ()
+    )
+    cand = (
+        a.join(b, "pc")
+        .where(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", *tag)
+    )
     if cand_filter is not None:
         cand = cand.where(cand_filter)
     if n_probe > 1:
         # a pair sharing several probed cells would verify repeatedly
         cand = cand.distinct()
     if candidates_only:
-        if tag_same_cell:
-            c1 = normed.select(F.col(id_col).alias("d1"), F.col("cell").alias("__c1"))
-            c2 = normed.select(F.col(id_col).alias("d2"), F.col("cell").alias("__c2"))
-            cand = (
-                cand.join(c1, "d1").join(c2, "d2")
-                .select("d1", "d2", (F.col("__c1") == F.col("__c2")).alias("same_cell"))
-            )
         cand._pinned_persisted = (normed,)
         return cand
     verified = _verify_pairs(

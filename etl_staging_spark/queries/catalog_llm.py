@@ -1944,12 +1944,20 @@ def dedup_semantic_recall(spark, sf_dir):
     keyed = simsearch._table_keys_frame(emb, F.lit(False), dim=64).persist()
     ka = keyed.where(panel_vec).select(F.col("vec_id").alias("d1"), "bkt")
     kb = keyed.select(F.col("vec_id").alias("d2"), "bkt")
-    kpairs = ka.join(kb, "bkt").where(F.col("d1") < F.col("d2"))
-    mt = kpairs.select("d1", "d2").distinct()
-    b2 = (
-        kpairs.where(F.substring_index("bkt", "|", 1).isin("0", "1"))
-        .select("d1", "d2")
-        .distinct()
+    # ONE bucket self-join serves both LSH legs: each candidate pair
+    # carries whether any shared bucket came from tables 0-1 (== the
+    # 2-band split), so 'mtlsh' is every distinct pair and 'band2' its
+    # flagged subset — the mt/b2 frames previously re-ran this join
+    # once each
+    kboth = (
+        ka.join(kb, "bkt")
+        .where(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(
+            F.max(
+                F.substring_index("bkt", "|", 1).isin("0", "1")
+            ).alias("__b2")
+        )
     )
     found = pairs.select(
         F.explode(
@@ -1960,9 +1968,15 @@ def dedup_semantic_recall(spark, sf_dir):
         "d1",
         "d2",
     ).unionByName(
-        b2.select(F.lit("band2").alias("method"), "d1", "d2")
-    ).unionByName(
-        mt.select(F.lit("mtlsh").alias("method"), "d1", "d2")
+        kboth.select(
+            F.explode(
+                F.when(
+                    F.col("__b2"), F.array(F.lit("band2"), F.lit("mtlsh"))
+                ).otherwise(F.array(F.lit("mtlsh")))
+            ).alias("method"),
+            "d1",
+            "d2",
+        )
     )
     stats = (
         found.join(F.broadcast(exact), ["d1", "d2"])
