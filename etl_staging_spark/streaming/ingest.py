@@ -193,6 +193,10 @@ def assembly_ingest_stream(
     query_name: str = "assembly_ingest",
     checkpoint_dir: str | None = None,
     on_stats: Callable[[int, dict], None] | None = None,
+    emb_table: str | None = None,
+    bench_emb_table: str | None = None,
+    semantic_threshold: float = 0.9,
+    dim: int = 64,
 ):
     """The composed corpus-assembly FRONT-END as one continuous ingest
     job — the streaming twin of ``corpus_assembly_v2``'s stateless
@@ -203,6 +207,14 @@ def assembly_ingest_stream(
     2. benchmark n-gram decontamination (`decontam.ngram_overlap`
        against the ``bench_table`` catalog table — eval side broadcast,
        never corpus x corpus);
+    2b. OPTIONAL semantic decontamination rung (`decontam.
+       semantic_contamination`) when BOTH ``emb_table`` (doc_id-keyed
+       embeddings, looked up for the batch's survivors by semi-join)
+       and ``bench_emb_table`` are given — the paraphrase-proof rung
+       completing ladder parity with ``CorpusPipeline.
+       decontaminate_semantic``; docs WITHOUT a vector are untouched
+       (the pipeline's anti-join convention), and a half-supplied
+       table pair raises up front;
     3. near-dup scrub against the PERSISTED corpus signature index
        (`dedup.incremental_lsh_matches_indexed` — bucketed index joins,
        O(batch) + O(candidates) per batch, corpus never rescanned);
@@ -221,7 +233,8 @@ def assembly_ingest_stream(
     (same precondition as the batch operator).
 
     ``on_stats`` (optional) receives ``(batch_id, funnel)`` per batch,
-    where funnel = {n_in, n_gated, n_decontam, n_kept} — the streaming
+    where funnel = {n_in, n_gated, n_decontam, n_kept} (plus
+    ``n_semantic`` when the semantic rung is on) — the streaming
     twin of ``corpus_assembly_v2``'s per-prefix survivor counts, the
     observability row a production ingest job appends to its metrics
     sink. Costs one extra action per stage on the (persisted) batch
@@ -231,6 +244,12 @@ def assembly_ingest_stream(
     from ..llmdata import decontam, sampling, textstats
 
     splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
+    if (emb_table is None) != (bench_emb_table is None):
+        raise ValueError(
+            "the semantic rung needs BOTH emb_table and bench_emb_table "
+            "(or neither to skip it); a half-supplied pair would "
+            "silently ingest embedding-unscreened documents"
+        )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -264,6 +283,23 @@ def assembly_ingest_stream(
                 .select("doc_id")
             )
             survivors = pin(gated.join(clean, "doc_id", "left_semi"))
+            n_decontam = survivors
+            if emb_table is not None:
+                # batch survivors' vectors looked up by semi-join —
+                # O(batch) against the embeddings table's pruned scan;
+                # the operator pins its narrow corpus projection, which
+                # the finally block below releases with the batch
+                emb = spark.table(emb_table).join(
+                    survivors.select("doc_id"), "doc_id", "left_semi"
+                )
+                flagged = decontam.semantic_contamination(
+                    emb, spark.table(bench_emb_table),
+                    threshold=semantic_threshold, dim=dim,
+                    id_col="doc_id",
+                )
+                pinned.extend(getattr(flagged, "_pinned_persisted", ()))
+                sem_bad = flagged.where(F.col("contaminated")).select("doc_id")
+                survivors = pin(survivors.join(sem_bad, "doc_id", "left_anti"))
             dups = (
                 dedup.incremental_lsh_matches_indexed(
                     spark, survivors, index_table,
@@ -275,12 +311,15 @@ def assembly_ingest_stream(
             kept = pin(survivors.join(dups, "doc_id", "left_anti"))
             on_batch(batch_id, sampling.hash_split(kept, splits))
             if on_stats is not None:
-                on_stats(batch_id, {
+                funnel = {
                     "n_in": batch_df.count(),
                     "n_gated": gated.count(),
-                    "n_decontam": survivors.count(),
+                    "n_decontam": n_decontam.count(),
                     "n_kept": kept.count(),
-                })
+                }
+                if emb_table is not None:
+                    funnel["n_semantic"] = survivors.count()
+                on_stats(batch_id, funnel)
         finally:
             rep_flags.unpersist()
             for df in pinned:

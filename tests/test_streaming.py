@@ -474,6 +474,127 @@ def test_assembly_ingest_stream_matches_batch(spark, tmp_path):
     assert 50 not in got and 51 not in got and 52 not in got
 
 
+def test_assembly_ingest_stream_semantic_rung_matches_batch(spark, tmp_path):
+    """The OPTIONAL semantic-decontamination rung completes ladder
+    parity between the streaming front door and CorpusPipeline: a
+    lexically-clean paraphrase whose embedding sits next to a benchmark
+    vector is dropped by the rung (and ONLY by it) in both the forced
+    multi-batch stream and the batch reference; docs without a vector
+    pass untouched; the half-supplied table pair raises up front."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_staging_spark.llmdata import decontam, dedup, sampling, textstats
+    from etl_staging_spark.streaming.ingest import DOC_SCHEMA, assembly_ingest_stream
+
+    good = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+        "uniform victor whiskey xray yankee zulu one two three four five"
+    )
+    rows = [(i, good + f" tail{i}") for i in range(6)] + [(53, good + " tail53x")]
+    incoming = spark.createDataFrame(rows, "doc_id long, text string")
+
+    corpus = spark.createDataFrame(
+        [(1000, "unrelated corpus text about glacier moraines and eskers "
+                "left behind by retreating ice sheets across the plains")],
+        "doc_id long, text string",
+    )
+    dedup.write_signature_index(corpus, "asm_sem_ix", n_buckets=4)
+    bench = spark.createDataFrame(
+        [(2000, "held out benchmark question on ancient aqueducts with "
+                "enough planted tokens to shingle five grams")],
+        "doc_id long, text string",
+    )
+    bench.createOrReplaceTempView("asm_sem_bench")
+
+    # embeddings: doc 53 sits next to the benchmark vector (the
+    # paraphrase leak n-grams can't see); 0-2 far away; 3-5 NO vector
+    near = [1.0, 0.01, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    far = [[0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+           [0.0, 0.0, 1.0, 0.5, 0.0, 0.0, 0.0, 0.0],
+           [-1.0, 0.0, 0.0, 0.0, 0.3, 0.0, 0.0, 0.0]]
+    spark.createDataFrame(
+        [(53, near)] + [(i, far[i]) for i in range(3)],
+        "doc_id long, embedding array<double>",
+    ).createOrReplaceTempView("asm_sem_emb")
+    spark.createDataFrame(
+        [(3000, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0])],
+        "doc_id long, embedding array<double>",
+    ).createOrReplaceTempView("asm_sem_bench_emb")
+
+    with pytest.raises(ValueError, match="BOTH emb_table"):
+        assembly_ingest_stream(
+            None, "asm_sem_ix", "asm_sem_bench", lambda *_: None,
+            emb_table="asm_sem_emb",
+        )
+
+    drop_dir = str(tmp_path / "drops")
+    incoming.repartition(3).write.mode("overwrite").parquet(drop_dir)
+    got: dict[int, str] = {}
+    n_batches = []
+    funnel = {"n_in": 0, "n_gated": 0, "n_decontam": 0,
+              "n_semantic": 0, "n_kept": 0}
+
+    def sink(bid, frame):
+        n_batches.append(bid)
+        for r in frame.collect():
+            got[r.doc_id] = r.split
+
+    def stats(bid, f):
+        for k in funnel:
+            funnel[k] += f[k]
+
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop_dir)
+    )
+    q = assembly_ingest_stream(
+        stream, "asm_sem_ix", "asm_sem_bench", sink,
+        quality_min=0.5, threshold=0.6, on_stats=stats,
+        emb_table="asm_sem_emb", bench_emb_table="asm_sem_bench_emb",
+        semantic_threshold=0.9, dim=8,
+    )
+    q.awaitTermination()
+    assert len(n_batches) >= 2, "fixture must actually arrive in several batches"
+    # only the semantic rung fires: 7 in, 7 through the gates and the
+    # n-gram rung, 53 out at the semantic rung, nothing at the scrub
+    assert funnel == {"n_in": 7, "n_gated": 7, "n_decontam": 7,
+                      "n_semantic": 6, "n_kept": 6}
+    assert set(got) == set(range(6))
+
+    # batch reference: identical stages on the whole frame at once
+    qual = textstats.quality_scores(incoming).where(
+        F.col("quality") >= 0.5).select("doc_id")
+    rep = textstats.repetition_stats(incoming).persist()
+    gated = (incoming.join(qual, "doc_id", "left_semi")
+             .join(rep.where(~F.col("repetitive")).select("doc_id"),
+                   "doc_id", "left_semi"))
+    clean = (decontam.ngram_overlap(gated, bench, n=5, min_hits=1)
+             .where(~F.col("contaminated")).select("doc_id"))
+    survivors = gated.join(clean, "doc_id", "left_semi")
+    emb = spark.table("asm_sem_emb").join(
+        survivors.select("doc_id"), "doc_id", "left_semi")
+    flagged = decontam.semantic_contamination(
+        emb, spark.table("asm_sem_bench_emb"),
+        threshold=0.9, dim=8, id_col="doc_id",
+    )
+    survivors = survivors.join(
+        flagged.where(F.col("contaminated")).select("doc_id"),
+        "doc_id", "left_anti")
+    dups = dedup.incremental_lsh_matches_indexed(
+        spark, survivors, "asm_sem_ix", threshold=0.6
+    ).select(F.col("d1").alias("doc_id")).distinct()
+    kept = survivors.join(dups, "doc_id", "left_anti")
+    want = {r.doc_id: r.split for r in sampling.hash_split(
+        kept, {"train": 0.9, "val": 0.05, "test": 0.05}).collect()}
+    rep.unpersist()
+    spark.sql("DROP TABLE IF EXISTS asm_sem_ix_bands")
+    spark.sql("DROP TABLE IF EXISTS asm_sem_ix_arrays")
+    assert got == want
+
+
 def test_embedding_dedup_stream_matches_batch(spark, tmp_path):
     """Continuous embedding near-dup scrub: vectors arrive as a
     multi-drop file stream, every micro-batch's matches against the
