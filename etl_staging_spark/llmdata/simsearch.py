@@ -934,12 +934,16 @@ def semantic_dup_pairs(
     if candidates_only:
         # discovery-only path: the exact-decimal norm fold exists solely
         # for the verify stage, so skip it and assign cells with the
-        # Arrow-batched kernel (bit-identical to the expression path,
-        # see _ivf_cells_udf's exactness note) — measured ~2x cheaper
-        # than norm + interpreted per-centroid decimal folds at sf0.1
+        # Arrow-batched kernel (bit-identical to the expression path for
+        # non-NULL vectors, see _ivf_cells_udf's exactness note) —
+        # measured ~2x cheaper than norm + interpreted per-centroid
+        # decimal folds at sf0.1. NULL-vector rows are excluded up
+        # front: they can never verify (NULL cosine fails any
+        # threshold), emitting them as unverified "candidates" would be
+        # noise, and the kernel raises on NULL by contract.
         cells_k = _ivf_cells_udf(cent_arrs, cent_norms, n_probe)
         normed = (
-            _respread_narrow(emb)
+            _respread_narrow(emb.where(F.col(vec_col).isNotNull()))
             .withColumn("cells", cells_k(F.col(vec_col)))
             .withColumn("cell", F.col("cells")[0])
             .persist()

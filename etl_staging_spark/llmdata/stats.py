@@ -176,7 +176,11 @@ def source_overlap_matrix(
     un-sourced redundancy surfaces like the other audit cards
     (`dup_rate_by_source` / `source_novelty_card` keep NULL source as
     its own row) instead of silently vanishing at the equi-joins —
-    this is an audit, not an allocator.
+    this is an audit, not an allocator. CAVEAT: a corpus whose source
+    column literally contains the string ``(null)`` merges that source
+    with the un-sourced population (and a consumer joining this card
+    against the NULL-row cards must map NULL <-> the sentinel) —
+    rename such a source before running the matrix.
 
     Scale shape: discovery is `dedup.minhash_lsh_pairs` — the certified
     banded-LSH + exact-Jaccard-verify operator, never all-pairs — and

@@ -289,8 +289,14 @@ def assembly_ingest_stream(
                 # O(batch) against the embeddings table's pruned scan;
                 # the operator pins its narrow corpus projection, which
                 # the finally block below releases with the batch
-                emb = spark.table(emb_table).join(
-                    survivors.select("doc_id"), "doc_id", "left_semi"
+                # NULL-vector rows are dropped from the lookup — they
+                # are exactly the "doc without a (usable) vector"
+                # passthrough case, and the LSH kernels raise on NULL
+                # by contract (one bad row must not kill the stream)
+                emb = (
+                    spark.table(emb_table)
+                    .where(F.col("embedding").isNotNull())
+                    .join(survivors.select("doc_id"), "doc_id", "left_semi")
                 )
                 flagged = decontam.semantic_contamination(
                     emb, spark.table(bench_emb_table),

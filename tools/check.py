@@ -106,6 +106,11 @@ def main() -> int:
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        # drop the previous entry's caches (incl. pin-contract frames —
+        # tables.py documents that one-shot harnesses clearCache between
+        # queries): a full-catalog run must not accumulate every
+        # pin-carrying entry's persisted frames
+        spark.catalog.clearCache()
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
