@@ -928,6 +928,15 @@ def semantic_dup_pairs(
     the join volume itself by the panel fraction. ``candidates_only``
     returns the distinct DISCOVERY pairs unverified (with ``same_cell``
     when tagged) — the recall-card path."""
+    # NULL-vector rows are excluded before ANYTHING reads the frame:
+    # they can never verify (NULL cosine fails any threshold), emitting
+    # them as unverified "candidates" would be noise, the Arrow kernel
+    # raises on NULL by contract, and a NULL among the first
+    # ``n_centroids`` ids would crash the centroids=None driver collect
+    # — so that mode means "first K NON-NULL vectors by id" (the oracle
+    # twin assumes no NULL vectors among the first K, true of the
+    # driver testdata)
+    emb = emb.where(F.col(vec_col).isNotNull())
     cent_arrs, cent_norms = _resolve_centroids(
         emb, centroids, n_centroids, id_col, vec_col
     )
@@ -937,13 +946,10 @@ def semantic_dup_pairs(
         # Arrow-batched kernel (bit-identical to the expression path for
         # non-NULL vectors, see _ivf_cells_udf's exactness note) —
         # measured ~2x cheaper than norm + interpreted per-centroid
-        # decimal folds at sf0.1. NULL-vector rows are excluded up
-        # front: they can never verify (NULL cosine fails any
-        # threshold), emitting them as unverified "candidates" would be
-        # noise, and the kernel raises on NULL by contract.
+        # decimal folds at sf0.1
         cells_k = _ivf_cells_udf(cent_arrs, cent_norms, n_probe)
         normed = (
-            _respread_narrow(emb.where(F.col(vec_col).isNotNull()))
+            _respread_narrow(emb)
             .withColumn("cells", cells_k(F.col(vec_col)))
             .withColumn("cell", F.col("cells")[0])
             .persist()

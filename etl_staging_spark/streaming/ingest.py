@@ -213,8 +213,15 @@ def assembly_ingest_stream(
        and ``bench_emb_table`` are given — the paraphrase-proof rung
        completing ladder parity with ``CorpusPipeline.
        decontaminate_semantic``; docs WITHOUT a vector are untouched
-       (the pipeline's anti-join convention), and a half-supplied
-       table pair raises up front;
+       (the pipeline's anti-join convention), NULL vectors on either
+       table are dropped from the rung (degrade, not crash — the LSH
+       kernels raise on NULL by contract), and a half-supplied table
+       pair raises up front. Precondition: stream doc_ids and
+       ``bench_emb_table`` doc_ids must be disjoint (the
+       `semantic_contamination` contract — a colliding id would
+       silently skip its own contamination pair via the d1 != d2
+       guard), the same shape as the signature-index precondition
+       below;
     3. near-dup scrub against the PERSISTED corpus signature index
        (`dedup.incremental_lsh_matches_indexed` — bucketed index joins,
        O(batch) + O(candidates) per batch, corpus never rescanned);
@@ -255,8 +262,8 @@ def assembly_ingest_stream(
         spark = batch_df.sparkSession
         pinned = []
 
-        def pin(df: DataFrame) -> DataFrame:
-            if on_stats is None:
+        def pin(df: DataFrame, force: bool = False) -> DataFrame:
+            if on_stats is None and not force:
                 return df
             pinned.append(df.persist())
             return pinned[-1]
@@ -282,15 +289,22 @@ def assembly_ingest_stream(
                 .where(~F.col("contaminated"))
                 .select("doc_id")
             )
-            survivors = pin(gated.join(clean, "doc_id", "left_semi"))
+            # the semantic rung makes survivors a genuine multi-consumer
+            # node (emb semi-join + anti-join left side + the scrub),
+            # so it persists even on the zero-stats path — otherwise
+            # the gate chain would re-execute per branch
+            survivors = pin(
+                gated.join(clean, "doc_id", "left_semi"),
+                force=emb_table is not None,
+            )
             n_decontam = survivors
             if emb_table is not None:
                 # batch survivors' vectors looked up by semi-join —
                 # O(batch) against the embeddings table's pruned scan;
                 # the operator pins its narrow corpus projection, which
-                # the finally block below releases with the batch
-                # NULL-vector rows are dropped from the lookup — they
-                # are exactly the "doc without a (usable) vector"
+                # the finally block below releases with the batch.
+                # NULL-vector rows are dropped from BOTH lookup sides —
+                # they are exactly the "doc without a (usable) vector"
                 # passthrough case, and the LSH kernels raise on NULL
                 # by contract (one bad row must not kill the stream)
                 emb = (
@@ -299,7 +313,10 @@ def assembly_ingest_stream(
                     .join(survivors.select("doc_id"), "doc_id", "left_semi")
                 )
                 flagged = decontam.semantic_contamination(
-                    emb, spark.table(bench_emb_table),
+                    emb,
+                    spark.table(bench_emb_table).where(
+                        F.col("embedding").isNotNull()
+                    ),
                     threshold=semantic_threshold, dim=dim,
                     id_col="doc_id",
                 )

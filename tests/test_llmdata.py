@@ -1754,6 +1754,42 @@ def test_simsearch_kernels_null_embedding_clear_error(spark):
         emb.select(cells(F.col("embedding"))).collect()
 
 
+def test_semantic_dup_pairs_null_vector_excluded(spark):
+    """NULL-vector rows are excluded before centroid resolution and
+    discovery on BOTH semantic_dup_pairs paths (r10 hardening): a NULL
+    vector among the first n_centroids ids neither crashes the
+    centroids=None driver collect nor surfaces as a candidate, and the
+    planted near-dup pair still verifies."""
+    from etl_staging_spark.llmdata import simsearch
+    from etl_staging_spark.tables import release_pinned
+
+    base = [0.0] * 8
+    rows = [
+        (0, [1.0, 0.1, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        (1, None),                      # NULL inside the centroid prefix
+        (2, [0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        (10, [1.0, 0.11, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),  # near-dup of 0
+        (11, None),                     # NULL outside the prefix
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    verified = simsearch.semantic_dup_pairs(
+        emb, threshold=0.95, dim=8, n_centroids=2
+    )
+    got = {(r.d1, r.d2) for r in verified.collect()}
+    release_pinned(verified)
+    assert (0, 10) in got
+    assert not any(1 in p or 11 in p for p in got)
+
+    cand = simsearch.semantic_dup_pairs(
+        emb, threshold=0.95, dim=8, n_centroids=2,
+        n_probe=2, tag_same_cell=True, candidates_only=True,
+    )
+    crows = cand.collect()
+    release_pinned(cand)
+    assert {(r.d1, r.d2) for r in crows if r.same_cell} >= {(0, 10)}
+    assert not any(1 in (r.d1, r.d2) or 11 in (r.d1, r.d2) for r in crows)
+
+
 def test_dedup_semantic_recall_card(spark):
     """The embedding-dedup recall card's measured floors: probe-3 IVF
     recovers >= 0.9 of the exact panel pairs (measured 1.0 at
