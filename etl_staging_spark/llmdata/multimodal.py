@@ -118,20 +118,29 @@ def feature_batches(dim: int = 64):
     ``dim`` bins (bin b collects bytes with value % dim == b), a
     deterministic content signature of the raw bytes. A model encoder
     (image tower, audio embedder) drops into the same slot unchanged:
-    payload bytes in, fixed-dim float vector out, one numpy pass per
-    Arrow batch. An empty payload yields the zero vector (surfaced by
-    `stats.embedding_stats_card`'s n_zero, the QA convention)."""
+    payload bytes in, fixed-dim float vector out, ONE numpy pass per
+    Arrow batch (payloads concatenate into one buffer; a row-offset
+    bincount computes every row's histogram at once). An empty payload
+    yields the zero vector and a NULL payload (NULL text) a NULL
+    vector — the two degenerate classes
+    `stats.embedding_stats_card` tracks as n_zero / n_null."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            vecs = []
-            for p in pdf["payload"]:
-                arr = np.frombuffer(bytes(p), dtype=np.uint8)
-                if arr.size == 0:
-                    vecs.append([0.0] * dim)
-                    continue
-                counts = np.bincount(arr % dim, minlength=dim).astype(np.float64)
-                vecs.append((counts / arr.size).tolist())
+            raw = [None if p is None else bytes(p) for p in pdf["payload"]]
+            lens = np.array([0 if b is None else len(b) for b in raw])
+            flat = np.frombuffer(b"".join(b for b in raw if b), dtype=np.uint8)
+            # row-offset bincount: byte value folded to dim, shifted by
+            # its row's slot, one histogram per row in a single pass
+            row_of = np.repeat(np.arange(len(raw)), lens)
+            counts = np.bincount(
+                row_of * dim + (flat % dim), minlength=len(raw) * dim
+            ).reshape(len(raw), dim).astype(np.float64)
+            norms = counts / np.where(lens == 0, 1, lens)[:, None]
+            vecs = [
+                None if b is None else norms[i].tolist()
+                for i, b in enumerate(raw)
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
@@ -147,10 +156,13 @@ def feature_table(df: DataFrame, dim: int = 64) -> DataFrame:
     """payload table -> per-doc feature vectors via Arrow-batched
     mapInPandas (partition-preserving, no shuffle). The output matches
     the embeddings-table convention (doc-keyed ``array<double>``), so
-    the vectors flow straight into the embedding operators — byte-level
-    near-dup via `simsearch.cosine_dup_pairs`/`semantic_dup_pairs`,
-    ANN via the `lsh_multitable_*`/`ivf_*` paths, and QA via
-    `stats.embedding_stats_card` — completing the multimodal chain the
+    the vectors feed the embedding operators — byte-level near-dup via
+    `simsearch.cosine_dup_pairs(..., id_col="doc_id")` /
+    `semantic_dup_pairs(..., id_col="doc_id")`, ANN via the
+    `lsh_multitable_*`/`ivf_*` paths (same ``id_col`` override), and QA
+    via `stats.embedding_stats_card(feats, group_col="fmt")` — the id
+    and group columns here are ``doc_id``/``fmt``, not those operators'
+    ``vec_id``/``label`` defaults. Completes the multimodal chain the
     module doc promises: decode, feature-extract, resize, frame-sample."""
     return with_payload(df).mapInPandas(
         feature_batches(dim), schema=FEATURES_SCHEMA

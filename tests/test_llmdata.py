@@ -251,6 +251,27 @@ def test_multimodal_features_feed_embedding_dedup(spark):
     assert got == {(0, 1)}
 
 
+def test_multimodal_feature_null_and_empty_payloads(spark):
+    """Degenerate payloads degrade, never crash: NULL text yields a
+    NULL vector and empty text the zero vector — surfaced by
+    embedding_stats_card as n_null / n_zero (the documented chain,
+    group_col='fmt')."""
+    from etl_staging_spark.llmdata import stats
+
+    docs = spark.createDataFrame(
+        [(0, "normal payload"), (1, None), (2, "")],
+        "doc_id long, text string",
+    )
+    feats = multimodal.feature_table(docs, dim=16)
+    rows = {r.doc_id: r.embedding for r in feats.collect()}
+    assert rows[1] is None
+    assert rows[2] == [0.0] * 16
+    assert abs(sum(rows[0]) - 1.0) < 1e-12
+    card = stats.embedding_stats_card(feats, group_col="fmt")
+    agg = card.groupBy().sum("n_vectors", "n_null", "n_zero").first()
+    assert tuple(agg) == (3, 1, 1)
+
+
 def test_trained_ivf_recall_on_planted_clusters(spark):
     """Recall@5 >= 0.9 at n_probe=2 with TRAINED centroids on a
     planted-cluster corpus: 8 well-separated directions in R^16, 24
