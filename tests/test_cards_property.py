@@ -320,3 +320,41 @@ def test_mixture_temperature_oracle_matches_python_chain(srcs, alpha, target):
         ).fetchall()
     )
     assert got == ref
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    payloads=st.lists(
+        st.one_of(st.none(), st.binary(max_size=40)), min_size=1, max_size=12
+    ),
+    dim=st.sampled_from([2, 16, 64]),
+)
+def test_feature_batches_matches_naive_reference(payloads, dim):
+    """The row-offset-bincount byte-histogram kernel
+    (`multimodal.feature_batches`) equals a naive per-row reference on
+    random payload batches including None and empty bytes — the
+    single-pass vectorization cannot silently mix rows or mis-handle
+    the degenerate classes."""
+    import pandas as pd
+
+    from etl_staging_spark.llmdata.multimodal import feature_batches
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(payloads)),
+            "payload": payloads,
+            "fmt": ["img"] * len(payloads),
+        }
+    )
+    (out,) = list(feature_batches(dim)([pdf]))
+    for i, p in enumerate(payloads):
+        got = out["embedding"][i]
+        if p is None:
+            assert got is None
+            continue
+        ref = [0.0] * dim
+        for b in p:
+            ref[b % dim] += 1.0
+        if p:
+            ref = [c / len(p) for c in ref]
+        assert got == ref, (i, p)
