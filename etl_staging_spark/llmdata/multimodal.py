@@ -128,7 +128,11 @@ def feature_batches(dim: int = 64):
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             raw = [None if p is None else bytes(p) for p in pdf["payload"]]
-            lens = np.array([0 if b is None else len(b) for b in raw])
+            # explicit int64: an empty list would otherwise infer float64
+            # and np.repeat can't safely cast float counts (zero-row batch)
+            lens = np.array(
+                [0 if b is None else len(b) for b in raw], dtype=np.int64
+            )
             flat = np.frombuffer(b"".join(b for b in raw if b), dtype=np.uint8)
             # row-offset bincount: byte value folded to dim, shifted by
             # its row's slot, one histogram per row in a single pass

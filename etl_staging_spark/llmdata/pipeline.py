@@ -452,10 +452,13 @@ class CorpusPipeline:
     def segment_clean(self, hot: DataFrame, k: int | None = None) -> "CorpusPipeline":
         """REWRITE each doc's text with corpus-hot segments removed
         (`linedup.segment_clean` — the `dedup_segments` family); docs
-        whose text empties are dropped, while NULL-text docs pass
-        through untouched (the `dedup_exact` NULL-passthrough
-        convention — they had nothing to scrub, and dropping them is a
-        gate's decision, not a rewrite's). Unlike the narrowing gates
+        whose rewrite EMPTIES (every segment was hot → clean_text '')
+        are dropped, while docs that produced no cleaned row at all —
+        NULL text, and text too short to yield a single k-token
+        segment (whitespace, bare punctuation, sub-k snippets) — pass
+        through with their text unchanged (they had nothing to scrub,
+        and dropping them is a gate's decision, not a rewrite's
+        — r11 ADVICE fix). Unlike the narrowing gates
         this stage replaces the text column, so run it BEFORE
         quality/LM scoring if those should judge the cleaned text
         (stage order is the author's policy, as the module doc
@@ -468,11 +471,12 @@ class CorpusPipeline:
         self._df = (
             self._df.withColumnRenamed("text", "__orig")
             .join(cleaned, "doc_id", "left")
-            # keep: rewritten docs with surviving text, plus NULL-text
-            # passthrough rows (which produce no segments, hence no
-            # cleaned row — their text stays NULL via __ctext)
-            .where(F.col("__orig").isNull() | (F.length("__ctext") > 0))
-            .withColumn("text", F.col("__ctext"))
+            # keep: rewritten docs with surviving text, plus any doc
+            # that produced no cleaned row (__ctext NULL — NULL text or
+            # zero-token text tokenizes to no segments) passing through
+            # with its original text; only an emptied rewrite ('') drops
+            .where(F.col("__ctext").isNull() | (F.length("__ctext") > 0))
+            .withColumn("text", F.coalesce(F.col("__ctext"), F.col("__orig")))
             .select(*cols)
         )
         self._stages.append(("segment_clean", self._df))

@@ -22,12 +22,6 @@ from pyspark.sql import functions as F
 from ..numeric import pround, py_pround
 from .textstats import TOKEN_RE
 
-# Audit-row sentinel for NULL sources in cards that must equi-join on
-# the source key (NULL never equi-joins): un-sourced docs surface under
-# this label instead of silently dropping out of the report.
-NULL_SOURCE_SENTINEL = "(null)"
-
-
 def corpus_cardinality(
     docs: DataFrame, rsd: float = 0.02, text_col: str = "text"
 ) -> Row:
@@ -172,15 +166,14 @@ def source_overlap_matrix(
     The diagonal (a == b) reports within-source redundancy; there
     docs_a == docs_b counts each implicated doc once.
 
-    NULL sources are coalesced to the sentinel row ``(null)`` so
-    un-sourced redundancy surfaces like the other audit cards
-    (`dup_rate_by_source` / `source_novelty_card` keep NULL source as
-    its own row) instead of silently vanishing at the equi-joins —
-    this is an audit, not an allocator. CAVEAT: a corpus whose source
-    column literally contains the string ``(null)`` merges that source
-    with the un-sourced population (and a consumer joining this card
-    against the NULL-row cards must map NULL <-> the sentinel) —
-    rename such a source before running the matrix.
+    A NULL source is reported as its own GENUINE-NULL row, sorting
+    after every real source on the a<=b axis — the same convention the
+    sibling audit cards (`dup_rate_by_source` / `source_novelty_card`)
+    use, so the cards join on source without a sentinel mapping and a
+    real source literally named ``(null)`` can never merge with the
+    un-sourced population. Internally the matrix keys on a
+    (is_null, value) struct — collision-free, totally ordered, never a
+    NULL join key — and unwraps it only in the final projection.
 
     Scale shape: discovery is `dedup.minhash_lsh_pairs` — the certified
     banded-LSH + exact-Jaccard-verify operator, never all-pairs — and
@@ -189,9 +182,16 @@ def source_overlap_matrix(
     and a broadcast of the per-source totals (#sources rows)."""
     from . import dedup
 
-    sent = F.coalesce(F.col(source_col), F.lit(NULL_SOURCE_SENTINEL))
-    src = docs.select("doc_id", sent.alias("src"))
-    totals = docs.groupBy(sent.alias("src")).agg(
+    def skey(c):
+        # collision-free total-order key: NULL source sorts LAST and
+        # can never equal a real value (incl. '' and '(null)')
+        return F.struct(c.isNull().alias("z"), F.coalesce(c, F.lit("")).alias("v"))
+
+    def unkey(k):
+        return F.when(~k.getField("z"), k.getField("v"))
+
+    src = docs.select("doc_id", skey(F.col(source_col)).alias("src"))
+    totals = docs.groupBy(skey(F.col(source_col)).alias("src")).agg(
         F.count("*").alias("n_total")
     )
     raw_pairs = dedup.minhash_lsh_pairs(docs, threshold=threshold, n=n)
@@ -250,8 +250,10 @@ def source_overlap_matrix(
     docs_a = F.coalesce(F.col("a"), F.lit(0))
     docs_b = F.when(diag, docs_a).otherwise(F.coalesce(F.col("b"), F.lit(0)))
     result = out.select(
-        "source_a",
-        "source_b",
+        # unwrap the internal (is_null, value) keys back to genuine
+        # NULL-able source names only here, after every join is done
+        unkey(F.col("source_a")).alias("source_a"),
+        unkey(F.col("source_b")).alias("source_b"),
         "n_pairs",
         docs_a.cast("bigint").alias("docs_a"),
         docs_b.cast("bigint").alias("docs_b"),

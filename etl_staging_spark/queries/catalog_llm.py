@@ -171,19 +171,23 @@ def o_source_overlap_matrix(threshold: float = 0.8) -> str:
     (`_o_minhash_sigs` + `_o_lsh_verified_select`, bit-identical to
     the Spark discovery) -> a<=b source normalization -> pair counts,
     per-side distinct implicated docs (diagonal counts each doc once),
-    and pround'd per-side fractions. NULL sources coalesce to the
-    ``(null)`` audit sentinel, mirroring the Spark side."""
+    and pround'd per-side fractions. A NULL source is its own
+    GENUINE-NULL row sorting after every real source (the Spark side's
+    (is_null, value) struct key, mirrored here as a ROW comparison for
+    the swap and IS NOT DISTINCT FROM at every source-keyed join)."""
+    swp = ("ROW(s1.source IS NULL, COALESCE(s1.source, '')) > "
+           "ROW(s2.source IS NULL, COALESCE(s2.source, ''))")
     return f"""
     WITH {O_TRIH}, {_o_minhash_sigs()}, {O_JACCARD_TAIL},
     vpairs AS ({_o_lsh_verified_select(threshold)}),
-    srcs AS (SELECT doc_id, COALESCE(source, '(null)') AS source FROM documents),
-    totals AS (SELECT COALESCE(source, '(null)') AS source, COUNT(*) AS n_total
+    srcs AS (SELECT doc_id, source FROM documents),
+    totals AS (SELECT source, COUNT(*) AS n_total
                FROM documents GROUP BY 1),
     norm AS (
-      SELECT CASE WHEN s1.source > s2.source THEN s2.source ELSE s1.source END AS source_a,
-             CASE WHEN s1.source > s2.source THEN s1.source ELSE s2.source END AS source_b,
-             CASE WHEN s1.source > s2.source THEN p.d2 ELSE p.d1 END AS da,
-             CASE WHEN s1.source > s2.source THEN p.d1 ELSE p.d2 END AS db
+      SELECT CASE WHEN {swp} THEN s2.source ELSE s1.source END AS source_a,
+             CASE WHEN {swp} THEN s1.source ELSE s2.source END AS source_b,
+             CASE WHEN {swp} THEN p.d2 ELSE p.d1 END AS da,
+             CASE WHEN {swp} THEN p.d1 ELSE p.d2 END AS db
       FROM vpairs p
       JOIN srcs s1 ON s1.doc_id = p.d1 JOIN srcs s2 ON s2.doc_id = p.d2
     ),
@@ -195,7 +199,8 @@ def o_source_overlap_matrix(threshold: float = 0.8) -> str:
       SELECT source_a, source_b, da AS doc_id, 'a' AS side FROM norm
       UNION ALL
       SELECT source_a, source_b, db,
-             CASE WHEN source_a = source_b THEN 'a' ELSE 'b' END FROM norm
+             CASE WHEN source_a IS NOT DISTINCT FROM source_b
+                  THEN 'a' ELSE 'b' END FROM norm
     ),
     sides AS (
       SELECT source_a, source_b,
@@ -205,16 +210,19 @@ def o_source_overlap_matrix(threshold: float = 0.8) -> str:
     )
     SELECT c.source_a, c.source_b, c.n_pairs,
            CAST(s.a_docs AS BIGINT) AS docs_a,
-           CAST(CASE WHEN c.source_a = c.source_b THEN s.a_docs ELSE s.b_docs END
+           CAST(CASE WHEN c.source_a IS NOT DISTINCT FROM c.source_b
+                     THEN s.a_docs ELSE s.b_docs END
                 AS BIGINT) AS docs_b,
            {o_pround('CAST(s.a_docs AS DOUBLE) / ta.n_total', 6)} AS frac_a,
            {o_pround(
-               'CAST(CASE WHEN c.source_a = c.source_b THEN s.a_docs '
-               'ELSE s.b_docs END AS DOUBLE) / tb.n_total', 6)} AS frac_b
+               'CAST(CASE WHEN c.source_a IS NOT DISTINCT FROM c.source_b '
+               'THEN s.a_docs ELSE s.b_docs END AS DOUBLE) / tb.n_total',
+               6)} AS frac_b
     FROM pcounts c
-    JOIN sides s USING (source_a, source_b)
-    JOIN totals ta ON ta.source = c.source_a
-    JOIN totals tb ON tb.source = c.source_b"""
+    JOIN sides s ON s.source_a IS NOT DISTINCT FROM c.source_a
+                AND s.source_b IS NOT DISTINCT FROM c.source_b
+    JOIN totals ta ON ta.source IS NOT DISTINCT FROM c.source_a
+    JOIN totals tb ON tb.source IS NOT DISTINCT FROM c.source_b"""
 
 
 def o_split_by_cluster(
@@ -2912,6 +2920,49 @@ def o_dup_rate_by_source() -> str:
     FROM documents GROUP BY source"""
 
 
+@query("ngram_freq_spectrum", oracle=o_ngram_freq_spectrum(2))
+def ngram_freq_spectrum(spark, sf_dir):
+    """Word-bigram frequency-of-frequency spectrum — the Zipf card
+    (registered r11 from the r9 queue): for every corpus frequency,
+    how many distinct bigrams occur exactly that often — the
+    vocab-sizing / dedup-threshold / decontamination-cost planning
+    read-out. TWO map-side-combinable aggregates (per-gram count, then
+    count-keyed rollup); the gram count is the only real shuffle, the
+    same gram-string width the decontamination joins already move."""
+    return stats.ngram_freq_spectrum(load(spark, sf_dir, "documents"), n=2)
+
+
+@query("dup_rate_by_source", oracle=o_dup_rate_by_source())
+def dup_rate_by_source(spark, sf_dir):
+    """Per-source EXACT duplication rate (registered r11 from the r9
+    queue): docs, text-bearing docs, distinct texts, excess copies and
+    the pround'd dup_rate per source — `source_overlap_matrix`'s
+    exact-identity sibling, with NULL source as its own genuine-NULL
+    audit row. ONE two-phase count-distinct aggregate; the shuffle
+    carries sha2 digests, never document bodies."""
+    return stats.dup_rate_by_source(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "decontaminate_semantic",
+    oracle=o_semantic_contamination(threshold=0.35, eval_mod=41),
+)
+def decontaminate_semantic(spark, sf_dir):
+    """Third rung of the decontamination ladder (registered r11 from
+    the r9 queue): corpus vectors with an exact-decimal cosine >= 0.35
+    neighbor in the benchmark embedding panel (every 41st vector), one
+    row per corpus vector with (n_matches, max_cosine, contaminated) —
+    the full keep/drop decision, `decontaminate_fuzzy`'s contract in
+    embedding space for reworded/translated leaks that share no
+    shingles. Multi-table sign-LSH discovery with the bounded eval
+    side's bucket keys broadcast; exact-decimal cosine only on
+    candidates — no corpus x corpus, no corpus x eval all-pairs."""
+    emb = load(spark, sf_dir, "embeddings")
+    bench = emb.where(F.col("vec_id") % 41 == 0)
+    corpus = emb.where(F.col("vec_id") % 41 != 0)
+    return decontam.semantic_contamination(corpus, bench, threshold=0.35)
+
+
 def o_token_drift_card(
     source_a: str, source_b: str, top_n: int = 50
 ) -> str:
@@ -3017,8 +3068,9 @@ def source_overlap_matrix(spark, sf_dir):
     r9 queue): per unordered source pair, verified MinHash-LSH
     near-dup pair counts and the fraction of each side's corpus
     implicated — the "how much of snapshot A is already in B" merge
-    planning card. NULL sources surface under the '(null)' audit
-    sentinel. Discovery is the certified banded-LSH + exact-Jaccard
+    planning card. A NULL source is its own genuine-NULL audit row
+    (the sibling cards' convention — r11 ADVICE fix).
+    Discovery is the certified banded-LSH + exact-Jaccard
     verify (never all-pairs); everything downstream is skinny keyed
     joins plus a #sources^2-bounded aggregate."""
     return stats.source_overlap_matrix(load(spark, sf_dir, "documents"))

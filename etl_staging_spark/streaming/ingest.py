@@ -322,7 +322,12 @@ def assembly_ingest_stream(
                 )
                 pinned.extend(getattr(flagged, "_pinned_persisted", ()))
                 sem_bad = flagged.where(F.col("contaminated")).select("doc_id")
-                survivors = pin(survivors.join(sem_bad, "doc_id", "left_anti"))
+                # the post-semantic frame is itself multi-consumer (LSH
+                # discovery + the kept anti-join), so persist it even on
+                # the zero-stats path — same hazard as the pre-semantic pin
+                survivors = pin(
+                    survivors.join(sem_bad, "doc_id", "left_anti"), force=True
+                )
             dups = (
                 dedup.incremental_lsh_matches_indexed(
                     spark, survivors, index_table,

@@ -358,3 +358,18 @@ def test_feature_batches_matches_naive_reference(payloads, dim):
         if p:
             ref = [c / len(p) for c in ref]
         assert got == ref, (i, p)
+
+
+def test_feature_batches_zero_row_batch():
+    """A zero-row Arrow batch yields a zero-row frame instead of the
+    float64 np.repeat cast crash (r11 ADVICE fix): Spark's mapInPandas
+    never sends one today, but plain-python callers and future Arrow
+    slicing behavior can."""
+    import pandas as pd
+
+    from etl_staging_spark.llmdata.multimodal import feature_batches
+
+    empty = pd.DataFrame({"doc_id": [], "payload": [], "fmt": []})
+    (out,) = list(feature_batches(16)([empty]))
+    assert len(out) == 0
+    assert list(out.columns) == ["doc_id", "fmt", "embedding"]

@@ -2175,9 +2175,11 @@ def test_corpus_pipeline_segment_clean_and_lm_stages(spark, tmp_path):
 
 
 def test_corpus_pipeline_segment_clean_null_text_passthrough(spark):
-    """NULL-text docs pass through segment_clean untouched (the
-    dedup_exact NULL convention, r10 ADVICE fix) while emptied docs
-    are still dropped and surviving docs are rewritten."""
+    """Docs that produce NO cleaned row pass through segment_clean
+    untouched — NULL text (the dedup_exact NULL convention, r10 ADVICE
+    fix) AND sub-segment-width text that tokenizes to zero segments
+    (punctuation-only, short snippets — r11 ADVICE fix) — while
+    emptied docs are still dropped and surviving docs rewritten."""
     from etl_staging_spark.llmdata import linedup
     from etl_staging_spark.llmdata.pipeline import CorpusPipeline
     from etl_staging_spark.llmdata.hashing import portable_hash56
@@ -2190,6 +2192,8 @@ def test_corpus_pipeline_segment_clean_null_text_passthrough(spark):
             (1, boiler + " " + body, "web"),  # rewritten
             (2, boiler, "web"),               # empties -> dropped
             (3, None, "web"),                 # NULL text -> passthrough
+            (4, "???", "web"),                # zero segments -> passthrough
+            (5, "too short to scrub", "web"), # sub-k tokens -> passthrough
         ],
         "doc_id long, text string, source string",
     )
@@ -2199,7 +2203,9 @@ def test_corpus_pipeline_segment_clean_null_text_passthrough(spark):
     )
     out = CorpusPipeline(docs).segment_clean(hot).frame()
     assert out.columns == ["doc_id", "text", "source"]
-    assert {r.doc_id: r.text for r in out.collect()} == {1: body, 3: None}
+    assert {r.doc_id: r.text for r in out.collect()} == {
+        1: body, 3: None, 4: "???", 5: "too short to scrub",
+    }
 
 
 def test_corpus_pipeline_mixture_stages(spark):
@@ -2535,11 +2541,12 @@ def test_source_overlap_matrix_matches_duckdb_oracle(spark):
     assert got == want and got
 
 
-def test_source_overlap_matrix_null_source_sentinel(spark):
-    """NULL-source docs surface under the '(null)' audit sentinel
-    instead of vanishing at the equi-joins (r10 ADVICE fix), on BOTH
-    engines: a planted cross pair spanning a NULL source and 'web'
-    yields a ('(null)', 'web') row with sentinel-keyed totals."""
+def test_source_overlap_matrix_null_source_genuine_null(spark):
+    """NULL-source docs surface as a GENUINE-NULL audit row sorting
+    after every real source (r11 ADVICE fix — the sibling cards'
+    convention, no sentinel collision), on BOTH engines: a planted
+    cross pair spanning a NULL source and 'web' yields a
+    ('web', NULL) row with NULL-safe-keyed totals."""
     import duckdb
     import pandas as pd
 
@@ -2558,16 +2565,19 @@ def test_source_overlap_matrix_null_source_sentinel(spark):
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
     out = stats.source_overlap_matrix(docs, threshold=0.8)
+    nkey = lambda r: (r[0] is None, r[0] or "", r[1] is None, r[1] or "")
     got = sorted(
-        (r.source_a, r.source_b, r.n_pairs, r.docs_a, r.docs_b,
-         r.frac_a, r.frac_b)
-        for r in out.collect()
+        ((r.source_a, r.source_b, r.n_pairs, r.docs_a, r.docs_b,
+          r.frac_a, r.frac_b)
+         for r in out.collect()),
+        key=nkey,
     )
     release_pinned(out)
-    # totals: (null)=1, web=3, wiki=1
+    # totals: NULL=1, web=3, wiki=1; NULL sorts after 'web' on the
+    # a<=b axis, so the cross pair lands on ('web', NULL)
     assert got == [
-        ("(null)", "web", 1, 1, 1, 1.0, 0.333333),
         ("web", "web", 1, 2, 2, 0.666667, 0.666667),
+        ("web", None, 1, 1, 1, 0.333333, 1.0),
     ]
 
     con = duckdb.connect()
@@ -2576,8 +2586,10 @@ def test_source_overlap_matrix_null_source_sentinel(spark):
         pd.DataFrame(rows, columns=["doc_id", "text", "source"]),
     )
     con.sql("CREATE VIEW documents AS SELECT * FROM planted_docs")
-    want = sorted(tuple(r) for r in
-                  con.sql(o_source_overlap_matrix(0.8)).fetchall())
+    want = sorted(
+        (tuple(r) for r in con.sql(o_source_overlap_matrix(0.8)).fetchall()),
+        key=nkey,
+    )
     assert got == want
 
 

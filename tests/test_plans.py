@@ -410,7 +410,8 @@ def test_bpe_encode_fixed_merges_jvm_only(spark, queries):
 
 
 def test_semantic_contamination_plan(spark):
-    """semantic_contamination (r10 queue, unregistered): candidate
+    """semantic_contamination (registered r11 as
+    `decontaminate_semantic`): candidate
     discovery joins the corpus LSH keys against the BROADCAST eval
     keys (an eval suite is bounded by definition) — no all-pairs, no
     cartesian; Python appears only as the Arrow-batched sign-LSH key
@@ -437,7 +438,7 @@ def test_semantic_contamination_plan(spark):
 
 
 def test_domain_token_budget_windows_by_domain(spark):
-    """domain_token_budget (r10 queue, unregistered): the running
+    """domain_token_budget (r12 queue, unregistered): the running
     token total hash-partitions on the domain key — never a global
     sort, never one partition — and the whole pass is one scan plus
     the window (no join, no Python)."""
@@ -456,7 +457,7 @@ def test_domain_token_budget_windows_by_domain(spark):
 
 
 def test_embedding_stats_card_one_aggregate_jvm_only(spark):
-    """embedding_stats_card (r10 queue, unregistered): the whole card
+    """embedding_stats_card (registered r10): the whole card
     is ONE map-side-combinable aggregate over a single scan — the
     exact-decimal norm fold stays a JVM expression (no Python worker),
     and there is no window, no join, and no per-row blowup."""
@@ -472,8 +473,42 @@ def test_embedding_stats_card_one_aggregate_jvm_only(spark):
     assert p.count("HashAggregate") == 2  # partial + final, one shuffle
 
 
+def test_ngram_freq_spectrum_two_aggregates_jvm_only(spark):
+    """ngram_freq_spectrum (registered r11): explode -> per-gram count
+    -> count-keyed rollup — exactly two shuffling aggregates, no join,
+    no window, no Python; the gram count is the only wide shuffle."""
+    from etl_staging_spark.llmdata.stats import ngram_freq_spectrum
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    out = ngram_freq_spectrum(docs, n=2)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Window" not in p
+    assert "Join" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("Exchange") == 2  # gram count + freq rollup
+
+
+def test_dup_rate_by_source_single_aggregate_digest_shuffle(spark):
+    """dup_rate_by_source (registered r11): ONE count-distinct
+    aggregate expanding to the standard partial/final plan — no join,
+    no window, no Python — and the distinct key in the shuffle is the
+    sha2 digest, never the document body."""
+    from etl_staging_spark.llmdata.stats import dup_rate_by_source
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    out = dup_rate_by_source(docs)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Window" not in p
+    assert "Join" not in p
+    assert "CartesianProduct" not in p
+    assert "sha2" in p
+    assert "text#" not in p.split("Exchange", 1)[1].split("\n")[0]
+
+
 def test_token_drift_card_heap_cut_and_broadcast_totals(spark):
-    """token_drift_card (r10 queue, unregistered): the top-n cut is a
+    """token_drift_card (r12 queue, unregistered): the top-n cut is a
     TakeOrdered heap (no global sort), the grand totals attach via the
     sanctioned 1-ROW broadcast nested loop (the BM25/stats
     scalar-frame pattern), and the token count is the only wide
@@ -492,7 +527,7 @@ def test_token_drift_card_heap_cut_and_broadcast_totals(spark):
 
 
 def test_source_novelty_card_bounded_set_agg_no_join(spark):
-    """source_novelty_card (r10 queue, unregistered): the gram-keyed
+    """source_novelty_card (r12 queue, unregistered): the gram-keyed
     set aggregate is THE shuffle (collect_set bounded by #sources);
     no window, no join, no Python, no cartesian anywhere."""
     from etl_staging_spark.llmdata.stats import source_novelty_card
