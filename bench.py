@@ -84,24 +84,29 @@ HEADLINE = [
     "source_overlap_matrix",
     "quality_calibration_card",
     "embedding_stats_card",
+    # round 11 additions
+    "ngram_freq_spectrum",
+    "dup_rate_by_source",
+    "decontaminate_semantic",
 ]
 
 
 def _prior_timings(here: str) -> dict[str, float]:
-    """Per-query timings from the LATEST published BENCH_r{N}.json —
-    the outlier guard's reference. Strict name parse (a stray variant
-    file must not shadow a round); missing/corrupt files mean no guard,
+    """Per-query reference for the outlier guard: the per-query MINIMUM
+    across the last TWO published BENCH_r{N}.json rounds. One contended
+    publication (r10 shipped with 14 rerun-flagged queries) must not
+    become the sole comparison base — a 7.6 s contention artifact as
+    the reference would let a genuine 3x regression pass unflagged the
+    next round; the min across two rounds keeps at least one clean
+    number per query in play. Strict name parse (a stray variant file
+    must not shadow a round); missing/corrupt files mean no guard,
     never a crash."""
     import glob
 
-    latest: dict[str, float] = {}
-    latest_rnd = -1
+    rounds: dict[int, dict[str, float]] = {}
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(path))
         if not m:
-            continue
-        rnd = int(m.group(1))
-        if rnd <= latest_rnd:
             continue
         try:
             data = json.load(open(path))
@@ -114,8 +119,13 @@ def _prior_timings(here: str) -> dict[str, float]:
         # must not shadow an earlier round and silently disable the
         # guard
         if isinstance(qs, dict) and qs:
-            latest, latest_rnd = qs, rnd
-    return latest
+            rounds[int(m.group(1))] = qs
+    ref: dict[str, float] = {}
+    for rnd in sorted(rounds)[-2:]:
+        for name, sec in rounds[rnd].items():
+            if isinstance(sec, (int, float)) and sec > 0:
+                ref[name] = min(ref.get(name, float("inf")), float(sec))
+    return ref
 
 
 def main() -> None:
@@ -176,20 +186,39 @@ def main() -> None:
             best = min(best, time.time() - t0)
         return best
 
+    # Systemic-contention restart: one or two guard trips are a local
+    # hiccup, but MANY queries >2x their reference in the same run mean
+    # the whole machine was contended (r10 published a 14-rerun
+    # artifact that overstated the engine ~45%) — such a run is
+    # unpublishable by construction: restart the full timed loop,
+    # keeping each query's overall minimum, and only publish when a
+    # pass ends with <=3 rerun flags (or attempts are exhausted, in
+    # which case the non-empty "reruns" field is the visible signal).
     timings: dict[str, float] = {}
     reruns: list[str] = []
-    for name in names:
-        best = best_of_3(name)
-        ref = prior.get(name)
-        if ref and best > 2 * ref:
+    attempts = 0
+    for attempt in range(3):
+        attempts = attempt + 1
+        reruns = []
+        for name in names:
+            best = best_of_3(name)
+            ref = prior.get(name)
+            if ref and best > 2 * ref:
+                spark.catalog.clearCache()
+                best = min(best, best_of_3(name))
+                # flagged on the TRIP, not on recovery: the rerun list
+                # is the run's contention signal, and a recovered rerun
+                # still means the first three runs were untrustworthy
+                reruns.append(name)
+            if name in timings:
+                best = min(best, timings[name])
+            timings[name] = round(best, 3)
+            # every call re-persists its internal frames; dropping them
+            # between queries keeps heap/GC pressure flat across the run
+            # instead of penalizing whichever queries time last
             spark.catalog.clearCache()
-            best = min(best, best_of_3(name))
-            reruns.append(name)
-        timings[name] = round(best, 3)
-        # every call re-persists its internal frames; dropping them
-        # between queries keeps heap/GC pressure flat across the run
-        # instead of penalizing whichever queries time last
-        spark.catalog.clearCache()
+        if len(reruns) <= 3:
+            break
 
     total = round(sum(timings.values()), 3)
     # the round-1 headline subset, for like-for-like cross-round
@@ -201,7 +230,8 @@ def main() -> None:
         "o2_pagination",
     ]
     core_total = round(sum(timings[n] for n in core if n in timings), 3)
-    print(json.dumps({
+    here = os.path.dirname(os.path.abspath(__file__))
+    verbose = {
         "metric": "headline_queries_total_time",
         "value": total,
         "unit": "sec",
@@ -209,8 +239,31 @@ def main() -> None:
         "core_r1_subset_time": core_total,
         "n_queries": len(timings),
         "reruns": reruns,
+        "attempts": attempts,
         "sf": sf,
-    }))
+    }
+    # full-precision record for the repo's own ledger / guard analysis
+    with open(os.path.join(here, "bench_last.json"), "w") as f:
+        json.dump(verbose, f)
+    # The stdout line is parsed by the driver from a BOUNDED (~2000
+    # char) stdout tail — round 10's default-formatted 59-query line
+    # outgrew it and the round published "parsed": null. Keep the line
+    # parseable by construction: compact separators, 2-decimal query
+    # timings (the outlier guard's 2x test doesn't need more), and the
+    # rerun list capped at 3 names + a count (a 14-name contended list
+    # must not be what overflows the publication).
+    print(json.dumps({
+        "metric": "headline_queries_total_time",
+        "value": round(total, 2),
+        "unit": "sec",
+        "queries": {n: round(s, 2) for n, s in timings.items()},
+        "core_r1_subset_time": round(core_total, 2),
+        "n_queries": len(timings),
+        "reruns": reruns[:3],
+        "n_reruns": len(reruns),
+        "attempts": attempts,
+        "sf": sf,
+    }, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -37,8 +37,9 @@ Laziness: the narrowing gates (`dedup_exact`, `decontaminate`,
 `split`, `epochs`)
 only compose `left_semi`/anti joins on doc_id id-sets, so their chain
 stays ONE lazy Spark plan. The remaining stage methods are EAGER at
-chain-build time and say so in their docstrings: `dedup_near` and
-`dedup_semantic` run their clustering job when chained (connected
+chain-build time and say so in their docstrings: `dedup_near`,
+`dedup_semantic` and `dedup_bytes` (the multimodal byte-payload rung)
+run their clustering job when chained (connected
 components is iterative — it must materialize rounds),
 `mixture`/`mixture_temperature` run one bounded per-domain counts
 aggregate, and `quality_gate_keep_rate` (+ its per-domain sibling)
@@ -260,6 +261,43 @@ class CorpusPipeline:
         self._df = self._df.join(losers, "doc_id", "left_anti")
         self._stages.append(("dedup_semantic", self._df))
         return self
+
+    def dedup_bytes(
+        self,
+        payloads: DataFrame,
+        dim: int = 64,
+        threshold: float = 0.995,
+        keep: str = "min_id",
+    ) -> "CorpusPipeline":
+        """Byte-level MULTIMODAL near-dup rung: keep one canonical doc
+        per cluster of near-identical payloads (re-encoded images, the
+        same audio at two bitrates, truncated re-uploads), with vectors
+        computed from the raw payload bytes by
+        `multimodal.feature_table` — the L1-normalized folded byte
+        histogram — and clustering delegated to
+        :meth:`dedup_semantic`, so the byte rung is reachable from the
+        fluent builder exactly the way the text rungs are. ``payloads``
+        carries (doc_id, payload, fmt) for at least the surviving docs
+        (docs without a payload row, or with a NULL payload -> NULL
+        vector, are untouched — the `dedup_semantic` anti-join
+        convention; the LSH keying drops NULL vectors up front). The
+        default threshold is deliberately tight: byte histograms are a
+        content signature, not a perceptual embedding, so only
+        near-identical byte streams should collapse — a real model
+        encoder (image tower, audio embedder) drops into the
+        `feature_table` slot unchanged and then a looser semantic
+        threshold applies. EAGER, like `dedup_semantic`."""
+        from . import multimodal
+
+        feats = multimodal.feature_table(payloads, dim=dim).where(
+            F.col("embedding").isNotNull()
+        )
+        out = self.dedup_semantic(
+            feats.select("doc_id", "embedding"),
+            threshold=threshold, dim=dim, keep=keep,
+        )
+        out._stages[-1] = ("dedup_bytes", out._stages[-1][1])
+        return out
 
     def decontaminate(self, bench: DataFrame, n: int = 5) -> "CorpusPipeline":
         """Drop docs sharing any word n-gram with the benchmark

@@ -1433,6 +1433,55 @@ def mm_frame_sample(spark, sf_dir):
     return multimodal.sample_frames(load(spark, sf_dir, "documents"), fps_ms=1000)
 
 
+def o_feature_table(dim: int = 16) -> str:
+    """DuckDB oracle twin of `llmdata.multimodal.feature_table` — the
+    byte-histogram feature extractor (r12 registration queue as
+    `mm_feature_hist`; exercised today by the dedicated Spark-vs-DuckDB
+    parity pytest at two SFs): per payload, the L1-normalized histogram
+    of bytes folded to ``dim`` bins. Byte extraction goes through
+    hex(encode(text)) + a '0x'-prefixed 2-char cast (DuckDB has no
+    direct blob indexing); the zero-count bins come from an explicit
+    doc x bin grid so every vector is dense and ordered; NULL text
+    keeps a NULL embedding (left join from the full table) and an
+    empty payload the zero vector (the CASE n = 0 guard). The
+    normalization divides CAST(count AS DOUBLE) / n — the same single
+    IEEE division numpy's counts/len performs, so vectors hash-match
+    bit for bit."""
+    return f"""
+    WITH fb AS (
+      SELECT doc_id,
+             CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'img'
+                  WHEN octet_length(encode(text)) % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS fmt,
+             hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id AS eid, n,
+             CAST('0x' || substr(hx, 2 * CAST(i AS INT) - 1, 2) AS INT)
+               % {dim} AS bin
+      FROM fb, unnest(range(1, n + 1)) AS t(i)
+      WHERE n > 0
+    ),
+    h AS (SELECT eid, bin, COUNT(*) AS c FROM e GROUP BY 1, 2),
+    grid AS (
+      SELECT doc_id AS gid, n, unnest(range(0, {dim})) AS bin
+      FROM fb WHERE n IS NOT NULL
+    ),
+    v AS (
+      SELECT g.gid, g.bin,
+             CASE WHEN g.n = 0 THEN 0.0
+                  ELSE CAST(COALESCE(h.c, 0) AS DOUBLE) / g.n END AS val
+      FROM grid g LEFT JOIN h ON h.eid = g.gid AND h.bin = g.bin
+    ),
+    vec AS (
+      SELECT gid, list(val ORDER BY bin) AS embedding FROM v GROUP BY gid
+    )
+    SELECT fb.doc_id, fb.fmt, vec.embedding
+    FROM fb LEFT JOIN vec ON vec.gid = fb.doc_id"""
+
+
 # ---------------------------------------------------------------------------
 # Training-data assembly: deterministic split, mixture sampling,
 # sequence packing. All pure projections/window ops over one scan —

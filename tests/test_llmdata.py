@@ -251,6 +251,76 @@ def test_multimodal_features_feed_embedding_dedup(spark):
     assert got == {(0, 1)}
 
 
+def test_corpus_pipeline_dedup_bytes_matches_hand_composed_chain(spark):
+    """The multimodal byte rung is reachable from the fluent builder
+    (r11): `CorpusPipeline.dedup_bytes` keeps the canonical of a
+    planted byte-identical payload pair, leaves NULL-payload and
+    distinct docs untouched, and equals the hand-composed chain
+    (feature_table -> mt_dup_pairs -> cluster losers) doc for doc."""
+    from etl_staging_spark.llmdata import cluster
+    from etl_staging_spark.llmdata.pipeline import CorpusPipeline
+
+    same = "identical payload text shared by two documents exactly"
+    rows = [
+        (0, same, "img"),
+        (1, same, "img"),       # byte-identical twin -> loser
+        (2, "a completely different byte stream with another "
+            "distribution zzzz", "img"),
+        (3, None, "img"),       # NULL payload -> NULL vector, untouched
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, fmt string")
+
+    pipe = CorpusPipeline(docs).dedup_bytes(docs, dim=16, threshold=0.999)
+    got = {r.doc_id for r in pipe.frame().collect()}
+    assert [s for s, _ in pipe._stages] == ["input", "dedup_bytes"]
+    pipe.release()
+    assert got == {0, 2, 3}
+
+    # hand-composed chain parity
+    feats = multimodal.feature_table(docs, dim=16).where(
+        F.col("embedding").isNotNull()
+    )
+    pairs = simsearch.mt_dup_pairs(
+        feats.select("doc_id", "embedding"),
+        threshold=0.999, dim=16, id_col="doc_id",
+    )
+    losers = {
+        r.doc_id
+        for r in cluster.near_dup_clusters(pairs.select("d1", "d2"))
+        .where(~F.col("is_canonical"))
+        .select("doc_id").collect()
+    }
+    from etl_staging_spark.tables import release_pinned
+    release_pinned(pairs)
+    assert got == {r[0] for r in rows} - losers
+
+
+def test_feature_table_matches_duckdb_oracle(spark):
+    """Dry-run of the r12 `mm_feature_hist` entry: the byte-histogram
+    feature table hash-matches its DuckDB twin on the real documents
+    tables at BOTH parity scales — per-element vector equality (one
+    IEEE division on both engines), fmt tags, and the NULL-text NULL
+    vector included."""
+    import duckdb
+
+    from etl_staging_spark.queries.catalog_llm import o_feature_table
+
+    for sf in ("sf0.001", "sf0.01"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        docs = spark.read.parquet(path)
+        got = sorted(
+            (r.doc_id, r.fmt, None if r.embedding is None else tuple(r.embedding))
+            for r in multimodal.feature_table(docs, dim=16).collect()
+        )
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+        want = sorted(
+            (r[0], r[1], None if r[2] is None else tuple(r[2]))
+            for r in con.sql(o_feature_table(16)).fetchall()
+        )
+        assert got == want and got
+
+
 def test_multimodal_feature_null_and_empty_payloads(spark):
     """Degenerate payloads degrade, never crash: NULL text yields a
     NULL vector and empty text the zero vector — surfaced by
