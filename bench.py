@@ -91,16 +91,19 @@ HEADLINE = [
 ]
 
 
-def _prior_timings(here: str) -> dict[str, float]:
+def _prior_timings(here: str, sf: float | None = None) -> dict[str, float]:
     """Per-query reference for the outlier guard: the per-query MINIMUM
     across the last TWO published BENCH_r{N}.json rounds. One contended
     publication (r10 shipped with 14 rerun-flagged queries) must not
     become the sole comparison base — a 7.6 s contention artifact as
     the reference would let a genuine 3x regression pass unflagged the
     next round; the min across two rounds keeps at least one clean
-    number per query in play. Strict name parse (a stray variant file
-    must not shadow a round); missing/corrupt files mean no guard,
-    never a crash."""
+    number per query in play. Rounds recorded at a DIFFERENT scale
+    factor are skipped when ``sf`` is given: an sf0.001 smoke run's
+    0.1 s timings as references would trip the guard on every sf0.1
+    query and spin the restart loop. Strict name parse (a stray
+    variant file must not shadow a round); missing/corrupt files mean
+    no guard, never a crash."""
     import glob
 
     rounds: dict[int, dict[str, float]] = {}
@@ -111,8 +114,12 @@ def _prior_timings(here: str) -> dict[str, float]:
         try:
             data = json.load(open(path))
             # the driver wraps bench.py's JSON line under "parsed"
-            qs = (data.get("parsed") or data).get("queries", {})
+            parsed = data.get("parsed") or data
+            qs = parsed.get("queries", {})
+            rec_sf = parsed.get("sf", data.get("sf"))
         except (OSError, json.JSONDecodeError, AttributeError):
+            continue
+        if sf is not None and rec_sf is not None and rec_sf != sf:
             continue
         # only adopt a round that carries actual timings: a published
         # crash artifact ({"parsed": null} or an empty queries dict)
@@ -176,7 +183,7 @@ def main() -> None:
     # the best-of-3 once and keep the overall minimum, flagging the
     # query in "reruns" so a genuine regression is visible as a number
     # that survived SIX runs.
-    prior = _prior_timings(os.path.dirname(os.path.abspath(__file__)))
+    prior = _prior_timings(os.path.dirname(os.path.abspath(__file__)), sf)
 
     def best_of_3(name: str) -> float:
         best = float("inf")
@@ -248,22 +255,39 @@ def main() -> None:
     # The stdout line is parsed by the driver from a BOUNDED (~2000
     # char) stdout tail — round 10's default-formatted 59-query line
     # outgrew it and the round published "parsed": null. Keep the line
-    # parseable by construction: compact separators, 2-decimal query
-    # timings (the outlier guard's 2x test doesn't need more), and the
-    # rerun list capped at 3 names + a count (a 14-name contended list
-    # must not be what overflows the publication).
-    print(json.dumps({
-        "metric": "headline_queries_total_time",
-        "value": round(total, 2),
-        "unit": "sec",
-        "queries": {n: round(s, 2) for n, s in timings.items()},
-        "core_r1_subset_time": round(core_total, 2),
-        "n_queries": len(timings),
-        "reruns": reruns[:3],
-        "n_reruns": len(reruns),
-        "attempts": attempts,
-        "sf": sf,
-    }, separators=(",", ":")))
+    # parseable BY CONSTRUCTION, not by hoping the headline set stops
+    # growing: compact separators, 2-decimal query timings (the
+    # outlier guard's 2x test doesn't need more), the rerun list
+    # capped at 3 names + a count (a 14-name contended list must not
+    # be what overflows the publication), and a stepwise degrade if
+    # the line still exceeds the budget — first 1-decimal timings,
+    # then (last resort) the queries dict is dropped with an explicit
+    # flag; bench_last.json always carries the full-precision record.
+    def _line(ndigits: int, with_queries: bool = True) -> str:
+        return json.dumps({
+            "metric": "headline_queries_total_time",
+            "value": round(total, 2),
+            "unit": "sec",
+            "queries": (
+                {n: round(s, ndigits) for n, s in timings.items()}
+                if with_queries else {}
+            ),
+            "queries_omitted": not with_queries,
+            "core_r1_subset_time": round(core_total, 2),
+            "n_queries": len(timings),
+            "reruns": reruns[:3],
+            "n_reruns": len(reruns),
+            "attempts": attempts,
+            "sf": sf,
+        }, separators=(",", ":"))
+
+    budget = 1900  # headroom under the observed 2000-char consumer tail
+    line = _line(2)
+    if len(line) > budget:
+        line = _line(1)
+    if len(line) > budget:
+        line = _line(0, with_queries=False)
+    print(line)
 
 
 if __name__ == "__main__":

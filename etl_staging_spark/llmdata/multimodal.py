@@ -167,10 +167,14 @@ def feature_table(df: DataFrame, dim: int = 64) -> DataFrame:
     via `stats.embedding_stats_card(feats, group_col="fmt")` — the id
     and group columns here are ``doc_id``/``fmt``, not those operators'
     ``vec_id``/``label`` defaults. Completes the multimodal chain the
-    module doc promises: decode, feature-extract, resize, frame-sample."""
-    return with_payload(df).mapInPandas(
-        feature_batches(dim), schema=FEATURES_SCHEMA
-    )
+    module doc promises: decode, feature-extract, resize, frame-sample.
+
+    Input: a frame that already carries a real ``payload`` binary
+    column (plus ``fmt``) is consumed as-is — the production contract;
+    a text-only frame goes through :func:`with_payload`, which
+    synthesizes the fake utf-8 payload this container's tests use."""
+    src = df if "payload" in df.columns else with_payload(df)
+    return src.mapInPandas(feature_batches(dim), schema=FEATURES_SCHEMA)
 
 
 FRAMES_SCHEMA = "doc_id bigint, frame_idx int, frame_ts_ms bigint, frame_key bigint"

@@ -277,20 +277,30 @@ class CorpusPipeline:
         histogram — and clustering delegated to
         :meth:`dedup_semantic`, so the byte rung is reachable from the
         fluent builder exactly the way the text rungs are. ``payloads``
-        carries (doc_id, payload, fmt) for at least the surviving docs
-        (docs without a payload row, or with a NULL payload -> NULL
-        vector, are untouched — the `dedup_semantic` anti-join
-        convention; the LSH keying drops NULL vectors up front). The
-        default threshold is deliberately tight: byte histograms are a
-        content signature, not a perceptual embedding, so only
-        near-identical byte streams should collapse — a real model
-        encoder (image tower, audio embedder) drops into the
-        `feature_table` slot unchanged and then a looser semantic
-        threshold applies. EAGER, like `dedup_semantic`."""
+        carries doc_id plus either a real ``payload`` binary column
+        (the production contract) or the text column
+        `multimodal.with_payload` fakes payloads from in this
+        container. Docs without a payload row, with a NULL payload
+        (NULL vector), or with an EMPTY payload (zero vector — a zero
+        norm would divide-by-zero in the ANSI-mode cosine verify, and
+        two empty payloads are trivially "identical" in a useless way)
+        are untouched — the `dedup_semantic` anti-join convention.
+        Feature extraction — the dominant Python cost — runs only on
+        the docs still alive in the pipeline (semi-join BEFORE the
+        Arrow kernel, the same order `dedup_semantic` uses for its
+        vector lookup). The default threshold is deliberately tight:
+        byte histograms are a content signature, not a perceptual
+        embedding, so only near-identical byte streams should
+        collapse — a real model encoder (image tower, audio embedder)
+        drops into the `feature_table` slot unchanged and then a
+        looser semantic threshold applies. EAGER, like
+        `dedup_semantic`."""
         from . import multimodal
 
-        feats = multimodal.feature_table(payloads, dim=dim).where(
+        alive = payloads.join(self._df.select("doc_id"), "doc_id", "left_semi")
+        feats = multimodal.feature_table(alive, dim=dim).where(
             F.col("embedding").isNotNull()
+            & F.exists("embedding", lambda x: x != 0)
         )
         out = self.dedup_semantic(
             feats.select("doc_id", "embedding"),
@@ -491,12 +501,17 @@ class CorpusPipeline:
         """REWRITE each doc's text with corpus-hot segments removed
         (`linedup.segment_clean` — the `dedup_segments` family); docs
         whose rewrite EMPTIES (every segment was hot → clean_text '')
-        are dropped, while docs that produced no cleaned row at all —
-        NULL text, and text too short to yield a single k-token
-        segment (whitespace, bare punctuation, sub-k snippets) — pass
-        through with their text unchanged (they had nothing to scrub,
-        and dropping them is a gate's decision, not a rewrite's
-        — r11 ADVICE fix). Unlike the narrowing gates
+        are dropped, while docs that produce no cleaned row at all
+        pass through with their text unchanged (they had nothing to
+        scrub, and dropping them is a gate's decision, not a
+        rewrite's). Under the engine's split-on-space token convention
+        only NULL text reaches that branch today — even '' yields one
+        empty token, hence one (identically rebuilt) segment — but the
+        keep predicate is written against the cleaned row itself
+        (`__ctext IS NULL` = no row, `coalesce` = passthrough text) so
+        the passthrough stays correct if tokenization ever starts
+        filtering empty tokens (r11 ADVICE hardening). Unlike the
+        narrowing gates
         this stage replaces the text column, so run it BEFORE
         quality/LM scoring if those should judge the cleaned text
         (stage order is the author's policy, as the module doc

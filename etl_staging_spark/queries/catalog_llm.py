@@ -1435,8 +1435,10 @@ def mm_frame_sample(spark, sf_dir):
 
 def o_feature_table(dim: int = 16) -> str:
     """DuckDB oracle twin of `llmdata.multimodal.feature_table` — the
-    byte-histogram feature extractor (r12 registration queue as
-    `mm_feature_hist`; exercised today by the dedicated Spark-vs-DuckDB
+    byte-histogram feature extractor (r13 registration queue as
+    `mm_feature_hist`, per COVERAGE.md's schedule — r12's three slots
+    are token_drift_card / source_novelty_card / domain_token_budget;
+    exercised today by the dedicated Spark-vs-DuckDB
     parity pytest at two SFs): per payload, the L1-normalized histogram
     of bytes folded to ``dim`` bins. Byte extraction goes through
     hex(encode(text)) + a '0x'-prefixed 2-char cast (DuckDB has no

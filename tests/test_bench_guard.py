@@ -17,12 +17,34 @@ def _write(d, name, payload):
     (d / name).write_text(json.dumps(payload))
 
 
-def test_prior_timings_latest_round_wins(tmp_path):
+def test_prior_timings_min_of_last_two_rounds(tmp_path):
+    """The guard reference is the per-query MINIMUM across the last
+    TWO published rounds (r11 hardening: one contended publication
+    must not become the sole comparison base), with older rounds
+    ignored and queries known to only one of the two still covered."""
+    _write(tmp_path, "BENCH_r07.json",
+           {"parsed": {"queries": {"q": 0.1}}})  # older than window
     _write(tmp_path, "BENCH_r08.json",
-           {"parsed": {"queries": {"q": 1.0}}})
+           {"parsed": {"queries": {"q": 1.0, "only8": 3.0}}})
     _write(tmp_path, "BENCH_r09.json",
-           {"parsed": {"queries": {"q": 2.0}}})
-    assert _prior_timings(str(tmp_path)) == {"q": 2.0}
+           {"parsed": {"queries": {"q": 2.0, "only9": 4.0}}})
+    assert _prior_timings(str(tmp_path)) == {
+        "q": 1.0, "only8": 3.0, "only9": 4.0,
+    }
+
+
+def test_prior_timings_skips_other_scale_factors(tmp_path):
+    """A round recorded at a different sf is not a valid reference —
+    sf0.001 smoke timings would trip the guard on every sf0.1 query
+    and spin the systemic-contention restart loop."""
+    _write(tmp_path, "BENCH_r08.json",
+           {"parsed": {"queries": {"q": 0.01}, "sf": 0.001}})
+    _write(tmp_path, "BENCH_r09.json",
+           {"parsed": {"queries": {"q": 2.0}, "sf": 0.1}})
+    assert _prior_timings(str(tmp_path), sf=0.1) == {"q": 2.0}
+    # sf unknown on the record (pre-r11 artifacts): still adopted
+    _write(tmp_path, "BENCH_r10.json", {"parsed": {"queries": {"q": 1.5}}})
+    assert _prior_timings(str(tmp_path), sf=0.1) == {"q": 1.5}
 
 
 def test_prior_timings_strict_name_and_corrupt_tolerance(tmp_path):

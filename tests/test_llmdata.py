@@ -254,31 +254,48 @@ def test_multimodal_features_feed_embedding_dedup(spark):
 def test_corpus_pipeline_dedup_bytes_matches_hand_composed_chain(spark):
     """The multimodal byte rung is reachable from the fluent builder
     (r11): `CorpusPipeline.dedup_bytes` keeps the canonical of a
-    planted byte-identical payload pair, leaves NULL-payload and
-    distinct docs untouched, and equals the hand-composed chain
-    (feature_table -> mt_dup_pairs -> cluster losers) doc for doc."""
+    planted byte-identical payload pair; leaves NULL-payload, EMPTY-
+    payload (zero vector — must not reach the ANSI cosine division)
+    and distinct docs untouched; extracts features only for docs still
+    alive (a pre-dropped byte-identical twin must not steal the
+    canonical slot and kill both survivors); and equals the
+    hand-composed chain (feature_table -> mt_dup_pairs -> cluster
+    losers) doc for doc."""
     from etl_staging_spark.llmdata import cluster
     from etl_staging_spark.llmdata.pipeline import CorpusPipeline
 
     same = "identical payload text shared by two documents exactly"
+    twin = "other payload text shared by three documents in this corpus"
     rows = [
         (0, same, "img"),
         (1, same, "img"),       # byte-identical twin -> loser
         (2, "a completely different byte stream with another "
             "distribution zzzz", "img"),
         (3, None, "img"),       # NULL payload -> NULL vector, untouched
+        (4, "", "img"),         # EMPTY payload -> zero vector, untouched
+        (5, "", "img"),         # second empty: still no pair, no crash
+        (10, twin, "img"),      # pre-dropped below -> must not cluster
+        (11, twin, "img"),      # alive twin pair: one canonical stays
+        (12, twin, "img"),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string, fmt string")
 
-    pipe = CorpusPipeline(docs).dedup_bytes(docs, dim=16, threshold=0.999)
+    pipe = CorpusPipeline(docs.where(F.col("doc_id") != 10)).dedup_bytes(
+        docs, dim=16, threshold=0.999
+    )
     got = {r.doc_id for r in pipe.frame().collect()}
     assert [s for s, _ in pipe._stages] == ["input", "dedup_bytes"]
     pipe.release()
-    assert got == {0, 2, 3}
+    # 11 is the canonical of the alive {11, 12} cluster — the dropped
+    # doc 10 must neither re-enter nor be elected canonical (which
+    # would have removed BOTH 11 and 12)
+    assert got == {0, 2, 3, 4, 5, 11}
 
-    # hand-composed chain parity
-    feats = multimodal.feature_table(docs, dim=16).where(
+    # hand-composed chain parity (same alive + non-degenerate filters)
+    alive = docs.where(F.col("doc_id") != 10)
+    feats = multimodal.feature_table(alive, dim=16).where(
         F.col("embedding").isNotNull()
+        & F.exists("embedding", lambda x: x != 0)
     )
     pairs = simsearch.mt_dup_pairs(
         feats.select("doc_id", "embedding"),
@@ -292,11 +309,11 @@ def test_corpus_pipeline_dedup_bytes_matches_hand_composed_chain(spark):
     }
     from etl_staging_spark.tables import release_pinned
     release_pinned(pairs)
-    assert got == {r[0] for r in rows} - losers
+    assert got == ({r[0] for r in rows} - {10}) - losers
 
 
 def test_feature_table_matches_duckdb_oracle(spark):
-    """Dry-run of the r12 `mm_feature_hist` entry: the byte-histogram
+    """Dry-run of the r13-queued `mm_feature_hist` entry: the byte-histogram
     feature table hash-matches its DuckDB twin on the real documents
     tables at BOTH parity scales — per-element vector equality (one
     IEEE division on both engines), fmt tags, and the NULL-text NULL
@@ -2246,10 +2263,13 @@ def test_corpus_pipeline_segment_clean_and_lm_stages(spark, tmp_path):
 
 def test_corpus_pipeline_segment_clean_null_text_passthrough(spark):
     """Docs that produce NO cleaned row pass through segment_clean
-    untouched — NULL text (the dedup_exact NULL convention, r10 ADVICE
-    fix) AND sub-segment-width text that tokenizes to zero segments
-    (punctuation-only, short snippets — r11 ADVICE fix) — while
-    emptied docs are still dropped and surviving docs rewritten."""
+    untouched — under the split-on-space convention that is exactly
+    NULL text (even '' yields one empty token, hence a rebuilt
+    segment) — while emptied docs are dropped, surviving docs are
+    rewritten, and short non-hot docs come back byte-identical
+    (single short segment rebuilt by array_join; a rewrite, not a
+    passthrough — r11 ADVICE hardening keeps the predicate on the
+    cleaned row so true passthrough survives tokenizer changes)."""
     from etl_staging_spark.llmdata import linedup
     from etl_staging_spark.llmdata.pipeline import CorpusPipeline
     from etl_staging_spark.llmdata.hashing import portable_hash56
@@ -2262,8 +2282,8 @@ def test_corpus_pipeline_segment_clean_null_text_passthrough(spark):
             (1, boiler + " " + body, "web"),  # rewritten
             (2, boiler, "web"),               # empties -> dropped
             (3, None, "web"),                 # NULL text -> passthrough
-            (4, "???", "web"),                # zero segments -> passthrough
-            (5, "too short to scrub", "web"), # sub-k tokens -> passthrough
+            (4, "???", "web"),                # 1 short seg, rebuilt identical
+            (5, "too short to scrub", "web"), # sub-k seg, rebuilt identical
         ],
         "doc_id long, text string, source string",
     )

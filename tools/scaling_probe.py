@@ -126,7 +126,8 @@ def run_probe(
     marker (tests/test_scaling.py): returns {op: {r: sec}} so callers
     can assert growth bounds instead of eyeballing stdout."""
     from etl_staging_spark.llmdata import (
-        dedup, lexsearch, linedup, lm, sampling, textclean, textstats, vocab,
+        dedup, lexsearch, linedup, lm, multimodal, sampling, stats,
+        textclean, textstats, vocab,
     )
     from etl_staging_spark.queries.catalog_llm import _BPE_FIXED_MERGES
 
@@ -143,6 +144,12 @@ def run_probe(
         "lm_bigram_score": lambda d: lm.lm_bigram_score(d),
         "clean_report": lambda d: textclean.clean_report(d),
         "domain_token_budget": lambda d: sampling.domain_token_budget(d, 800),
+        # r11 registrations + the byte-feature Arrow kernel: all three
+        # should grow ~linearly (two-phase aggregates / one mapInPandas
+        # pass — no joins, no candidate blowup)
+        "ngram_freq_spectrum": lambda d: stats.ngram_freq_spectrum(d, n=2),
+        "dup_rate_by_source": lambda d: stats.dup_rate_by_source(d),
+        "feature_table": lambda d: multimodal.feature_table(d, dim=64),
     }
     lops = ledger_ops()
     results: dict[str, dict[int, float]] = {o: {} for o in (*ops, *lops)}
