@@ -172,8 +172,16 @@ def feature_table(df: DataFrame, dim: int = 64) -> DataFrame:
     Input: a frame that already carries a real ``payload`` binary
     column (plus ``fmt``) is consumed as-is — the production contract;
     a text-only frame goes through :func:`with_payload`, which
-    synthesizes the fake utf-8 payload this container's tests use."""
-    src = df if "payload" in df.columns else with_payload(df)
+    synthesizes the fake utf-8 payload this container's tests use. The
+    pass-through branch projects to exactly (doc_id, payload, fmt)
+    BEFORE the Arrow boundary: a missing fmt fails at plan time with a
+    clear AnalysisException instead of a KeyError inside the Python
+    worker, and extra columns are never serialized to the workers."""
+    src = (
+        df.select("doc_id", "payload", "fmt")
+        if "payload" in df.columns
+        else with_payload(df)
+    )
     return src.mapInPandas(feature_batches(dim), schema=FEATURES_SCHEMA)
 
 

@@ -236,6 +236,7 @@ class CorpusPipeline:
         threshold: float = 0.8,
         dim: int = 64,
         keep: str = "min_id",
+        _scoped: bool = False,
     ) -> "CorpusPipeline":
         """Keep one canonical doc per EMBEDDING near-dup cluster —
         SemDeDup-shaped semantic dedup as a pipeline stage: multi-table
@@ -249,12 +250,18 @@ class CorpusPipeline:
         removes cluster losers). Completes the stage family: exact
         sha256 (`dedup_exact`), lexical MinHash (`dedup_near`), and
         semantic (this). EAGER, like `dedup_near`: the clustering job
-        runs when this stage is chained."""
+        runs when this stage is chained. ``_scoped`` (internal) marks
+        ``emb`` as ALREADY restricted to surviving docs, skipping the
+        scoping semi-join — `dedup_bytes` scopes before its Arrow
+        kernel, and Catalyst can't see through the Python eval to
+        eliminate a second identical join."""
         from . import simsearch
 
+        scoped = emb if _scoped else emb.join(
+            self._df.select("doc_id"), "doc_id", "left_semi"
+        )
         pairs = simsearch.mt_dup_pairs(
-            emb.join(self._df.select("doc_id"), "doc_id", "left_semi"),
-            threshold=threshold, dim=dim, id_col="doc_id",
+            scoped, threshold=threshold, dim=dim, id_col="doc_id",
         )
         self._pin(getattr(pairs, "_pinned_persisted", ()))
         losers = self._cluster_losers(pairs.select("d1", "d2"), keep)
@@ -304,7 +311,7 @@ class CorpusPipeline:
         )
         out = self.dedup_semantic(
             feats.select("doc_id", "embedding"),
-            threshold=threshold, dim=dim, keep=keep,
+            threshold=threshold, dim=dim, keep=keep, _scoped=True,
         )
         out._stages[-1] = ("dedup_bytes", out._stages[-1][1])
         return out
@@ -499,37 +506,42 @@ class CorpusPipeline:
 
     def segment_clean(self, hot: DataFrame, k: int | None = None) -> "CorpusPipeline":
         """REWRITE each doc's text with corpus-hot segments removed
-        (`linedup.segment_clean` — the `dedup_segments` family); docs
-        whose rewrite EMPTIES (every segment was hot → clean_text '')
-        are dropped, while docs that produce no cleaned row at all
-        pass through with their text unchanged (they had nothing to
-        scrub, and dropping them is a gate's decision, not a
-        rewrite's). Under the engine's split-on-space token convention
-        only NULL text reaches that branch today — even '' yields one
-        empty token, hence one (identically rebuilt) segment — but the
-        keep predicate is written against the cleaned row itself
-        (`__ctext IS NULL` = no row, `coalesce` = passthrough text) so
-        the passthrough stays correct if tokenization ever starts
-        filtering empty tokens (r11 ADVICE hardening). Unlike the
-        narrowing gates
-        this stage replaces the text column, so run it BEFORE
-        quality/LM scoring if those should judge the cleaned text
-        (stage order is the author's policy, as the module doc
-        notes)."""
+        (`linedup.segment_clean` — the `dedup_segments` family). A doc
+        is touched only when the scrub actually REMOVED a segment: it
+        then carries the rebuilt text, or is dropped if the rewrite
+        emptied it (every segment hot). Every other doc — NULL text
+        (no cleaned row), and any doc with zero removals, including ''
+        text whose lone empty segment was never hot and short docs
+        whose single sub-k segment isn't hot — passes through with its
+        text BYTE-IDENTICAL (the rebuild would whitespace-normalize;
+        an untouched doc must not be rewritten, and dropping is a
+        gate's decision, not a rewrite's — r11 ADVICE hardening).
+        Unlike the narrowing gates this stage replaces the text
+        column, so run it BEFORE quality/LM scoring if those should
+        judge the cleaned text (stage order is the author's policy, as
+        the module doc notes)."""
         seg_k = k if k is not None else linedup.SEG_TOKENS
         cleaned = linedup.segment_clean(self._df, hot, k=seg_k).select(
-            "doc_id", F.col("clean_text").alias("__ctext")
+            "doc_id",
+            F.col("clean_text").alias("__ctext"),
+            F.col("n_removed").alias("__nrem"),
         )
         cols = self._df.columns
+        untouched = F.col("__ctext").isNull() | (F.col("__nrem") == 0)
         self._df = (
             self._df.withColumnRenamed("text", "__orig")
             .join(cleaned, "doc_id", "left")
-            # keep: rewritten docs with surviving text, plus any doc
-            # that produced no cleaned row (__ctext NULL — NULL text or
-            # zero-token text tokenizes to no segments) passing through
-            # with its original text; only an emptied rewrite ('') drops
-            .where(F.col("__ctext").isNull() | (F.length("__ctext") > 0))
-            .withColumn("text", F.coalesce(F.col("__ctext"), F.col("__orig")))
+            # keep: docs the scrub didn't touch (no cleaned row — NULL
+            # text — or zero segments removed, incl. the ''-text doc
+            # whose lone '' segment was never hot) with their ORIGINAL
+            # text byte-identical (the rebuild whitespace-normalizes;
+            # an untouched doc must not be rewritten at all), plus
+            # rewritten docs whose text survived; ONLY a rewrite that
+            # actually removed segments and emptied the doc drops it —
+            # dropping is otherwise a gate's decision, not a rewrite's
+            .where(untouched | (F.length("__ctext") > 0))
+            .withColumn("text", F.when(untouched, F.col("__orig"))
+                        .otherwise(F.col("__ctext")))
             .select(*cols)
         )
         self._stages.append(("segment_clean", self._df))

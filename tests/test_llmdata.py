@@ -2262,14 +2262,13 @@ def test_corpus_pipeline_segment_clean_and_lm_stages(spark, tmp_path):
 
 
 def test_corpus_pipeline_segment_clean_null_text_passthrough(spark):
-    """Docs that produce NO cleaned row pass through segment_clean
-    untouched — under the split-on-space convention that is exactly
-    NULL text (even '' yields one empty token, hence a rebuilt
-    segment) — while emptied docs are dropped, surviving docs are
-    rewritten, and short non-hot docs come back byte-identical
-    (single short segment rebuilt by array_join; a rewrite, not a
-    passthrough — r11 ADVICE hardening keeps the predicate on the
-    cleaned row so true passthrough survives tokenizer changes)."""
+    """segment_clean touches a doc only when it actually removed a
+    segment: NULL text (no cleaned row), ''-text (lone empty segment,
+    never hot), short sub-k docs, doubled-space docs — anything with
+    zero removals — passes through BYTE-IDENTICAL (no whitespace
+    normalization from the rebuild), while a doc whose rewrite emptied
+    is dropped and a genuinely scrubbed doc carries the rebuilt text
+    (r11 ADVICE hardening)."""
     from etl_staging_spark.llmdata import linedup
     from etl_staging_spark.llmdata.pipeline import CorpusPipeline
     from etl_staging_spark.llmdata.hashing import portable_hash56
@@ -2282,8 +2281,11 @@ def test_corpus_pipeline_segment_clean_null_text_passthrough(spark):
             (1, boiler + " " + body, "web"),  # rewritten
             (2, boiler, "web"),               # empties -> dropped
             (3, None, "web"),                 # NULL text -> passthrough
-            (4, "???", "web"),                # 1 short seg, rebuilt identical
-            (5, "too short to scrub", "web"), # sub-k seg, rebuilt identical
+            (4, "???", "web"),                # 1 short seg, 0 removed
+            (5, "too short to scrub", "web"), # sub-k seg, 0 removed
+            (6, "", "web"),                   # '' seg never hot, 0 removed
+            (7, "doubled  spaces  kept", "web"),  # byte-identical, no
+                                                  # whitespace rewrite
         ],
         "doc_id long, text string, source string",
     )
@@ -2295,6 +2297,7 @@ def test_corpus_pipeline_segment_clean_null_text_passthrough(spark):
     assert out.columns == ["doc_id", "text", "source"]
     assert {r.doc_id: r.text for r in out.collect()} == {
         1: body, 3: None, 4: "???", 5: "too short to scrub",
+        6: "", 7: "doubled  spaces  kept",
     }
 
 
