@@ -236,6 +236,7 @@ class CorpusPipeline:
         threshold: float = 0.8,
         dim: int = 64,
         keep: str = "min_id",
+        *,
         _scoped: bool = False,
     ) -> "CorpusPipeline":
         """Keep one canonical doc per EMBEDDING near-dup cluster —
@@ -285,9 +286,11 @@ class CorpusPipeline:
         :meth:`dedup_semantic`, so the byte rung is reachable from the
         fluent builder exactly the way the text rungs are. ``payloads``
         carries doc_id plus either a real ``payload`` binary column
-        (the production contract) or the text column
-        `multimodal.with_payload` fakes payloads from in this
-        container. Docs without a payload row, with a NULL payload
+        AND its ``fmt`` modality tag (the production contract —
+        `feature_table` projects to exactly those three columns before
+        the Arrow boundary, so a missing fmt fails at plan time) or
+        the text column `multimodal.with_payload` fakes payload/fmt
+        from in this container. Docs without a payload row, with a NULL payload
         (NULL vector), or with an EMPTY payload (zero vector — a zero
         norm would divide-by-zero in the ANSI-mode cosine verify, and
         two empty payloads are trivially "identical" in a useless way)

@@ -338,6 +338,35 @@ def test_feature_table_matches_duckdb_oracle(spark):
         assert got == want and got
 
 
+def test_feature_table_real_binary_payload_branch(spark):
+    """The production pass-through branch is exercised with a REAL
+    binary payload frame (not the with_payload text synthesis): same
+    bytes -> same vectors as the text path, extra columns pruned
+    before the Arrow boundary, and a payload frame missing fmt fails
+    at plan time with an AnalysisException, not a worker KeyError."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    texts = [(0, "some real payload bytes"), (1, "other content entirely")]
+    text_frame = spark.createDataFrame(texts, "doc_id long, text string")
+    bin_frame = spark.createDataFrame(
+        [(i, t.encode("utf-8"), "img", "extra-metadata") for i, t in texts],
+        "doc_id long, payload binary, fmt string, note string",
+    )
+    via_text = {r.doc_id: r.embedding
+                for r in multimodal.feature_table(text_frame, dim=16).collect()}
+    out = multimodal.feature_table(bin_frame, dim=16)
+    assert out.columns == ["doc_id", "fmt", "embedding"]
+    got = {r.doc_id: r.embedding for r in out.collect()}
+    assert got == via_text
+
+    no_fmt = spark.createDataFrame(
+        [(0, b"abc")], "doc_id long, payload binary"
+    )
+    with pytest.raises(AnalysisException):
+        multimodal.feature_table(no_fmt, dim=16)
+
+
 def test_multimodal_feature_null_and_empty_payloads(spark):
     """Degenerate payloads degrade, never crash: NULL text yields a
     NULL vector and empty text the zero vector — surfaced by
