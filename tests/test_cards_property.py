@@ -373,3 +373,49 @@ def test_feature_batches_zero_row_batch():
     (out,) = list(feature_batches(16)([empty]))
     assert len(out) == 0
     assert list(out.columns) == ["doc_id", "fmt", "embedding"]
+
+
+text_payload_st = st.one_of(
+    st.none(),
+    st.text(
+        alphabet=st.characters(min_codepoint=1, max_codepoint=0x2FF),
+        max_size=24,
+    ),
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(text_payload_st, min_size=1, max_size=10),
+    st.sampled_from([2, 16, 64]),
+)
+def test_feature_table_oracle_matches_python_reference(texts, dim):
+    """The DuckDB `o_feature_table` twin equals an independent pure-
+    python byte-histogram reference on random corpora incl. NULL text,
+    empty strings, and multi-byte UTF-8 — the hex-substr byte
+    extraction and the dense-grid zero bins cannot silently diverge
+    from the kernel's semantics (same guarantee the other card oracles
+    carry)."""
+    from etl_staging_spark.queries.catalog_llm import o_feature_table
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)", list(enumerate(texts))
+    )
+    got = {
+        r[0]: (r[1], None if r[2] is None else list(r[2]))
+        for r in con.sql(o_feature_table(dim)).fetchall()
+    }
+    for i, t in enumerate(texts):
+        if t is None:
+            assert got[i] == ("video", None)
+            continue
+        raw = t.encode("utf-8")
+        fmt = ["img", "audio", "video"][len(raw) % 3]
+        ref = [0.0] * dim
+        for b in raw:
+            ref[b % dim] += 1.0
+        if raw:
+            ref = [c / len(raw) for c in ref]
+        assert got[i] == (fmt, ref), (i, t)
