@@ -180,6 +180,50 @@ def embedding_dedup_stream(
     return _start(vec_stream.writeStream.foreachBatch(_process), query_name, checkpoint_dir)
 
 
+def multimodal_dedup_stream(
+    docs_stream: DataFrame,
+    index_table: str,
+    on_batch: Callable[[int, DataFrame], None],
+    threshold: float = 0.995,
+    dim: int = 64,
+    query_name: str = "multimodal_dedup",
+    checkpoint_dir: str | None = None,
+):
+    """Per micro-batch, extract byte-histogram feature vectors from the
+    incoming payload documents (`multimodal.feature_table` — the Arrow
+    kernel; a real image/audio encoder drops into the same slot) and
+    match them against the persisted multi-table sign-LSH embedding
+    index — the streaming twin of ``CorpusPipeline.dedup_bytes`` and
+    the byte-level sibling of :func:`embedding_dedup_stream`, handing
+    ``(batch_id, matches)`` with the (d1 = new doc, d2 = corpus doc,
+    cosine) shape to the handler. The batch rung's degenerate-payload
+    policy is mirrored exactly: NULL vectors (NULL payload) and zero
+    vectors (empty payload — a zero norm would divide-by-zero in the
+    ANSI cosine verify, and empty payloads pair trivially) never enter
+    the match, so one bad upload cannot kill the stream. Each batch
+    pays O(batch) + O(candidates); the corpus index is never re-keyed.
+    doc_id spaces of stream and index must be disjoint."""
+    from pyspark.sql import functions as F
+
+    from ..llmdata import multimodal, simsearch
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        feats = multimodal.feature_table(batch_df, dim=dim).where(
+            F.col("embedding").isNotNull()
+            & F.exists("embedding", lambda x: x != 0)
+        )
+        matches = simsearch.incremental_embedding_matches(
+            batch_df.sparkSession,
+            feats.select(F.col("doc_id").alias("vec_id"), "embedding"),
+            index_table, threshold, dim,
+        )
+        on_batch(batch_id, matches)
+
+    return _start(
+        docs_stream.writeStream.foreachBatch(_process), query_name, checkpoint_dir
+    )
+
+
 def assembly_ingest_stream(
     docs_stream: DataFrame,
     index_table: str,

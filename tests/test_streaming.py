@@ -652,6 +652,69 @@ def test_embedding_dedup_stream_matches_batch(spark, tmp_path):
     assert all(d1 != 20002 for d1, _, _ in seen)
 
 
+def test_multimodal_dedup_stream_matches_batch(spark, tmp_path):
+    """Continuous byte-level multimodal dedup: payload docs arrive as a
+    multi-drop file stream, features are extracted per micro-batch and
+    matched against the persisted byte-feature index; matches equal the
+    hand-composed batch chain (feature_table -> incremental matches)
+    for the same docs, a byte-identical re-upload is caught, and NULL /
+    EMPTY payloads flow through without crashing the stream (the
+    dedup_bytes degenerate-payload policy, r11)."""
+    from pyspark.sql import functions as F
+
+    from etl_staging_spark.llmdata import multimodal, simsearch
+    from etl_staging_spark.streaming.ingest import multimodal_dedup_stream
+
+    seed = "corpus resident payload about glacier meltwater chemistry"
+    corpus = spark.createDataFrame(
+        [(1, seed), (2, "another corpus payload on soil acoustics")],
+        "doc_id long, text string",
+    )
+    cfeats = multimodal.feature_table(corpus, dim=64).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    simsearch.write_embedding_index(cfeats, "mm_feat_idx_test", dim=64, n_buckets=4)
+
+    incoming = spark.createDataFrame(
+        [
+            (101, seed),        # byte-identical re-upload -> match corpus 1
+            (102, "a genuinely new payload with its own distribution"),
+            (103, None),        # NULL payload -> never enters the match
+            (104, ""),          # empty payload -> zero vector, filtered
+        ],
+        "doc_id long, text string",
+    )
+    drop_dir = str(tmp_path / "mm_drops")
+    incoming.repartition(4).write.mode("overwrite").parquet(drop_dir)
+
+    seen: set = set()
+    bids = []
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(drop_dir))
+    q = multimodal_dedup_stream(
+        stream, "mm_feat_idx_test",
+        lambda bid, m: (bids.append(bid),
+                        seen.update((r.d1, r.d2, r.cosine) for r in m.collect())),
+        threshold=0.995, dim=64,
+    )
+    q.awaitTermination()
+    assert len(bids) >= 2  # genuinely multi-batch
+
+    bfeats = multimodal.feature_table(incoming, dim=64).where(
+        F.col("embedding").isNotNull()
+        & F.exists("embedding", lambda x: x != 0)
+    ).select(F.col("doc_id").alias("vec_id"), "embedding")
+    want = {(r.d1, r.d2, r.cosine)
+            for r in simsearch.incremental_embedding_matches(
+                spark, bfeats, "mm_feat_idx_test", threshold=0.995, dim=64
+            ).collect()}
+    spark.sql("DROP TABLE IF EXISTS mm_feat_idx_test_keys")
+    spark.sql("DROP TABLE IF EXISTS mm_feat_idx_test_vecs")
+    assert seen == want
+    assert (101, 1, 1.0) in seen
+    assert all(d1 not in (103, 104) for d1, _, _ in seen)
+
+
 def test_self_maintaining_ingest_appends_to_index(spark, tmp_path):
     """The full day-2 loop the handler docstrings promise: batch 1's
     non-matching docs append to the signature index under the same
