@@ -185,6 +185,19 @@ def feature_table(df: DataFrame, dim: int = 64) -> DataFrame:
     return src.mapInPandas(feature_batches(dim), schema=FEATURES_SCHEMA)
 
 
+def usable_features(feats: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """THE degenerate-payload policy, in one place for every consumer
+    (`CorpusPipeline.dedup_bytes`, `streaming.multimodal_dedup_stream`,
+    and their parity tests): drop NULL vectors (NULL payload — the LSH
+    kernels raise on NULL by contract) and ZERO vectors (empty payload
+    — a zero norm divide-by-zeros the ANSI-mode cosine verify, and two
+    empty payloads are trivially 'identical' in a useless way). Editing
+    the policy here keeps the batch rung, the stream, and the tests
+    mirrored by construction."""
+    c = F.col(vec_col)
+    return feats.where(c.isNotNull() & F.exists(c, lambda x: x != 0))
+
+
 FRAMES_SCHEMA = "doc_id bigint, frame_idx int, frame_ts_ms bigint, frame_key bigint"
 
 

@@ -308,9 +308,8 @@ class CorpusPipeline:
         from . import multimodal
 
         alive = payloads.join(self._df.select("doc_id"), "doc_id", "left_semi")
-        feats = multimodal.feature_table(alive, dim=dim).where(
-            F.col("embedding").isNotNull()
-            & F.exists("embedding", lambda x: x != 0)
+        feats = multimodal.usable_features(
+            multimodal.feature_table(alive, dim=dim)
         )
         out = self.dedup_semantic(
             feats.select("doc_id", "embedding"),

@@ -170,12 +170,19 @@ def embedding_dedup_stream(
     non-matching vectors and their keys to the two bucketed tables).
     vec_id spaces of stream and index must be disjoint."""
     from ..llmdata import simsearch
+    from ..tables import release_pinned
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         matches = simsearch.incremental_embedding_matches(
             batch_df.sparkSession, batch_df, index_table, threshold, dim
         )
-        on_batch(batch_id, matches)
+        try:
+            on_batch(batch_id, matches)
+        finally:
+            # the operator pins its normed batch projection (the pin
+            # contract); a long-lived stream must release per batch or
+            # the cache grows one entry per micro-batch
+            release_pinned(matches)
 
     return _start(vec_stream.writeStream.foreachBatch(_process), query_name, checkpoint_dir)
 
@@ -188,36 +195,58 @@ def multimodal_dedup_stream(
     dim: int = 64,
     query_name: str = "multimodal_dedup",
     checkpoint_dir: str | None = None,
+    within_batch: bool = True,
 ):
     """Per micro-batch, extract byte-histogram feature vectors from the
     incoming payload documents (`multimodal.feature_table` — the Arrow
     kernel; a real image/audio encoder drops into the same slot) and
     match them against the persisted multi-table sign-LSH embedding
-    index — the streaming twin of ``CorpusPipeline.dedup_bytes`` and
-    the byte-level sibling of :func:`embedding_dedup_stream`, handing
-    ``(batch_id, matches)`` with the (d1 = new doc, d2 = corpus doc,
-    cosine) shape to the handler. The batch rung's degenerate-payload
-    policy is mirrored exactly: NULL vectors (NULL payload) and zero
-    vectors (empty payload — a zero norm would divide-by-zero in the
-    ANSI cosine verify, and empty payloads pair trivially) never enter
-    the match, so one bad upload cannot kill the stream. Each batch
-    pays O(batch) + O(candidates); the corpus index is never re-keyed.
-    doc_id spaces of stream and index must be disjoint."""
+    index, handing ``(batch_id, matches)`` with the (d1, d2, cosine)
+    shape to the handler — the byte-level sibling of
+    :func:`embedding_dedup_stream`. With ``within_batch`` (default) the
+    batch ALSO pairs against itself (`simsearch.mt_dup_pairs`, d1 < d2,
+    both ids from this batch), so two byte-identical payloads landing
+    in the same drop are caught before a self-maintaining handler
+    appends them both to the index — without it the stream only sees
+    batch-vs-index and intra-batch duplicates are invisible (they
+    surface as matches only from the NEXT batch on, if the handler
+    appends). Even so, the stream is batch-boundary-DEPENDENT where
+    `CorpusPipeline.dedup_bytes` sees the whole corpus at once: it
+    reports match pairs and leaves the keep/append decision to the
+    handler, rather than electing cluster canonicals. The batch rung's
+    degenerate-payload policy is shared code, not a copy
+    (`multimodal.usable_features`): NULL vectors (NULL payload) and
+    zero vectors (empty payload) never enter the match, so one bad
+    upload cannot kill the stream. Each batch pays O(batch) +
+    O(candidates); the corpus index is never re-keyed. doc_id spaces
+    of stream and index must be disjoint."""
     from pyspark.sql import functions as F
 
     from ..llmdata import multimodal, simsearch
+    from ..tables import release_pinned
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        feats = multimodal.feature_table(batch_df, dim=dim).where(
-            F.col("embedding").isNotNull()
-            & F.exists("embedding", lambda x: x != 0)
+        feats = multimodal.usable_features(
+            multimodal.feature_table(batch_df, dim=dim)
+        ).select(F.col("doc_id").alias("vec_id"), "embedding")
+        base = simsearch.incremental_embedding_matches(
+            batch_df.sparkSession, feats, index_table, threshold, dim,
         )
-        matches = simsearch.incremental_embedding_matches(
-            batch_df.sparkSession,
-            feats.select(F.col("doc_id").alias("vec_id"), "embedding"),
-            index_table, threshold, dim,
-        )
-        on_batch(batch_id, matches)
+        matches, intra = base, None
+        if within_batch:
+            intra = simsearch.mt_dup_pairs(feats, threshold=threshold, dim=dim)
+            matches = base.unionByName(intra.select("d1", "d2", "cosine"))
+        try:
+            on_batch(batch_id, matches)
+        finally:
+            # both operators pin internal frames (the pin contract);
+            # a long-lived stream must release per batch or the cache
+            # grows one entry per micro-batch for the session's life.
+            # Release the ORIGINAL frames — unionByName returns a new
+            # DataFrame without the _pinned_persisted attribute.
+            release_pinned(base)
+            if intra is not None:
+                release_pinned(intra)
 
     return _start(
         docs_stream.writeStream.foreachBatch(_process), query_name, checkpoint_dir

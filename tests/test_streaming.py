@@ -654,16 +654,20 @@ def test_embedding_dedup_stream_matches_batch(spark, tmp_path):
 
 def test_multimodal_dedup_stream_matches_batch(spark, tmp_path):
     """Continuous byte-level multimodal dedup: payload docs arrive as a
-    multi-drop file stream, features are extracted per micro-batch and
-    matched against the persisted byte-feature index; matches equal the
-    hand-composed batch chain (feature_table -> incremental matches)
-    for the same docs, a byte-identical re-upload is caught, and NULL /
-    EMPTY payloads flow through without crashing the stream (the
-    dedup_bytes degenerate-payload policy, r11)."""
+    multi-drop file stream (one doc per drop, plus one two-doc drop of
+    byte-identical twins), features are extracted per micro-batch and
+    matched against the persisted byte-feature index PLUS within the
+    batch itself; matches equal the hand-composed chain (feature_table
+    -> usable_features -> incremental matches, + mt_dup_pairs for the
+    twin batch), a byte-identical re-upload is caught, intra-batch
+    twins are caught before a self-maintaining handler would append
+    both, and NULL / EMPTY payloads flow through without crashing the
+    stream (the shared degenerate-payload policy, r11)."""
     from pyspark.sql import functions as F
 
     from etl_staging_spark.llmdata import multimodal, simsearch
     from etl_staging_spark.streaming.ingest import multimodal_dedup_stream
+    from etl_staging_spark.tables import release_pinned
 
     seed = "corpus resident payload about glacier meltwater chemistry"
     corpus = spark.createDataFrame(
@@ -675,21 +679,27 @@ def test_multimodal_dedup_stream_matches_batch(spark, tmp_path):
     )
     simsearch.write_embedding_index(cfeats, "mm_feat_idx_test", dim=64, n_buckets=4)
 
-    incoming = spark.createDataFrame(
-        [
-            (101, seed),        # byte-identical re-upload -> match corpus 1
-            (102, "a genuinely new payload with its own distribution"),
-            (103, None),        # NULL payload -> never enters the match
-            (104, ""),          # empty payload -> zero vector, filtered
-        ],
-        "doc_id long, text string",
-    )
+    singles = [
+        (101, seed),        # byte-identical re-upload -> match corpus 1
+        (102, "a genuinely new payload with its own distribution"),
+        (103, None),        # NULL payload -> never enters the match
+        (104, ""),          # empty payload -> zero vector, filtered
+    ]
+    twin = "0000 9999 ???? zzzz !!!! 0000 9999 zzzz ???? !!!!"
+    twins = [(201, twin), (202, twin)]  # same drop -> same micro-batch
     drop_dir = str(tmp_path / "mm_drops")
-    incoming.repartition(4).write.mode("overwrite").parquet(drop_dir)
+    schema = "doc_id long, text string"
+    for row in singles:  # one file per doc: deterministic batch shapes
+        spark.createDataFrame([row], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(drop_dir)
+    spark.createDataFrame(twins, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(drop_dir)
 
     seen: set = set()
     bids = []
-    stream = (spark.readStream.schema("doc_id long, text string")
+    stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", 1).parquet(drop_dir))
     q = multimodal_dedup_stream(
         stream, "mm_feat_idx_test",
@@ -700,18 +710,24 @@ def test_multimodal_dedup_stream_matches_batch(spark, tmp_path):
     q.awaitTermination()
     assert len(bids) >= 2  # genuinely multi-batch
 
-    bfeats = multimodal.feature_table(incoming, dim=64).where(
-        F.col("embedding").isNotNull()
-        & F.exists("embedding", lambda x: x != 0)
+    incoming = spark.createDataFrame(singles + twins, schema)
+    bfeats = multimodal.usable_features(
+        multimodal.feature_table(incoming, dim=64)
     ).select(F.col("doc_id").alias("vec_id"), "embedding")
     want = {(r.d1, r.d2, r.cosine)
             for r in simsearch.incremental_embedding_matches(
                 spark, bfeats, "mm_feat_idx_test", threshold=0.995, dim=64
             ).collect()}
+    # the only multi-doc batch is the twin drop: its intra-batch pairs
+    twin_feats = bfeats.where(F.col("vec_id").isin(201, 202))
+    intra = simsearch.mt_dup_pairs(twin_feats, threshold=0.995, dim=64)
+    want |= {(r.d1, r.d2, r.cosine) for r in intra.collect()}
+    release_pinned(intra)
     spark.sql("DROP TABLE IF EXISTS mm_feat_idx_test_keys")
     spark.sql("DROP TABLE IF EXISTS mm_feat_idx_test_vecs")
     assert seen == want
-    assert (101, 1, 1.0) in seen
+    assert (101, 1, 1.0) in seen          # re-upload vs corpus
+    assert (201, 202, 1.0) in seen        # intra-batch twins
     assert all(d1 not in (103, 104) for d1, _, _ in seen)
 
 
