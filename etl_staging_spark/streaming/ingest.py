@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from ..llmdata import dedup
+from ..tables import release_pinned
 
 DOC_SCHEMA = StructType(
     [
@@ -53,6 +54,24 @@ def _start(stream_writer, query_name: str, checkpoint_dir: str | None):
     return w.start()
 
 
+def _handoff(on_batch, batch_id: int, result: DataFrame, *also_release) -> None:
+    """Shared handler handoff honoring THE PIN CONTRACT per micro-batch:
+    call the handler, then release the result's pinned frames plus any
+    extra frames whose pins the result's plan consumed (operators like
+    `incremental_lsh_matches_indexed` / `incremental_embedding_matches`
+    / `mt_dup_pairs` persist internal frames and attach them via
+    ``_pinned_persisted``). A long-lived stream that skips this grows
+    one cache entry per micro-batch for the session's life — unbounded
+    executor storage and CacheManager bloat. Safe on frames without
+    pins (`tables.release_pinned`)."""
+    try:
+        on_batch(batch_id, result)
+    finally:
+        release_pinned(result)
+        for df in also_release:
+            release_pinned(df)
+
+
 def dedup_ingest_stream(
     docs_stream: DataFrame,
     index_table: str,
@@ -77,7 +96,7 @@ def dedup_ingest_stream(
         matches = dedup.incremental_lsh_matches_indexed(
             batch_df.sparkSession, batch_df, index_table, threshold=threshold, n=n
         )
-        on_batch(batch_id, matches)
+        _handoff(on_batch, batch_id, matches)
 
     return _start(docs_stream.writeStream.foreachBatch(_process), query_name, checkpoint_dir)
 
@@ -170,19 +189,12 @@ def embedding_dedup_stream(
     non-matching vectors and their keys to the two bucketed tables).
     vec_id spaces of stream and index must be disjoint."""
     from ..llmdata import simsearch
-    from ..tables import release_pinned
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         matches = simsearch.incremental_embedding_matches(
             batch_df.sparkSession, batch_df, index_table, threshold, dim
         )
-        try:
-            on_batch(batch_id, matches)
-        finally:
-            # the operator pins its normed batch projection (the pin
-            # contract); a long-lived stream must release per batch or
-            # the cache grows one entry per micro-batch
-            release_pinned(matches)
+        _handoff(on_batch, batch_id, matches)
 
     return _start(vec_stream.writeStream.foreachBatch(_process), query_name, checkpoint_dir)
 
@@ -223,30 +235,30 @@ def multimodal_dedup_stream(
     from pyspark.sql import functions as F
 
     from ..llmdata import multimodal, simsearch
-    from ..tables import release_pinned
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        # persisted: the feature frame feeds up to four uncached
+        # subtrees (index-match keys + normed verify side, intra keys +
+        # normed side) and the Arrow byte-histogram kernel is the
+        # dominant per-batch Python cost — without the cache it would
+        # re-run per consumer; released with the batch below
         feats = multimodal.usable_features(
             multimodal.feature_table(batch_df, dim=dim)
-        ).select(F.col("doc_id").alias("vec_id"), "embedding")
-        base = simsearch.incremental_embedding_matches(
-            batch_df.sparkSession, feats, index_table, threshold, dim,
-        )
-        matches, intra = base, None
-        if within_batch:
-            intra = simsearch.mt_dup_pairs(feats, threshold=threshold, dim=dim)
-            matches = base.unionByName(intra.select("d1", "d2", "cosine"))
+        ).select(F.col("doc_id").alias("vec_id"), "embedding").persist()
         try:
-            on_batch(batch_id, matches)
+            base = simsearch.incremental_embedding_matches(
+                batch_df.sparkSession, feats, index_table, threshold, dim,
+            )
+            matches, intra = base, None
+            if within_batch:
+                intra = simsearch.mt_dup_pairs(feats, threshold=threshold, dim=dim)
+                # unionByName returns a new frame WITHOUT the inputs'
+                # _pinned_persisted attrs — release the originals below
+                matches = base.unionByName(intra.select("d1", "d2", "cosine"))
+            _handoff(on_batch, batch_id, matches, base,
+                     *([intra] if intra is not None else []))
         finally:
-            # both operators pin internal frames (the pin contract);
-            # a long-lived stream must release per batch or the cache
-            # grows one entry per micro-batch for the session's life.
-            # Release the ORIGINAL frames — unionByName returns a new
-            # DataFrame without the _pinned_persisted attribute.
-            release_pinned(base)
-            if intra is not None:
-                release_pinned(intra)
+            feats.unpersist()
 
     return _start(
         docs_stream.writeStream.foreachBatch(_process), query_name, checkpoint_dir
@@ -401,14 +413,15 @@ def assembly_ingest_stream(
                 survivors = pin(
                     survivors.join(sem_bad, "doc_id", "left_anti"), force=True
                 )
-            dups = (
-                dedup.incremental_lsh_matches_indexed(
-                    spark, survivors, index_table,
-                    threshold=threshold, n=n_dedup,
-                )
-                .select(F.col("d1").alias("doc_id"))
-                .distinct()
+            raw_dups = dedup.incremental_lsh_matches_indexed(
+                spark, survivors, index_table,
+                threshold=threshold, n=n_dedup,
             )
+            # .select().distinct() below returns a new frame WITHOUT
+            # the operator's _pinned_persisted attr — collect the pin
+            # here or it leaks one cached shingle frame per micro-batch
+            pinned.extend(getattr(raw_dups, "_pinned_persisted", ()))
+            dups = raw_dups.select(F.col("d1").alias("doc_id")).distinct()
             kept = pin(survivors.join(dups, "doc_id", "left_anti"))
             on_batch(batch_id, sampling.hash_split(kept, splits))
             if on_stats is not None:

@@ -714,10 +714,11 @@ def test_multimodal_dedup_stream_matches_batch(spark, tmp_path):
     bfeats = multimodal.usable_features(
         multimodal.feature_table(incoming, dim=64)
     ).select(F.col("doc_id").alias("vec_id"), "embedding")
-    want = {(r.d1, r.d2, r.cosine)
-            for r in simsearch.incremental_embedding_matches(
-                spark, bfeats, "mm_feat_idx_test", threshold=0.995, dim=64
-            ).collect()}
+    want_frame = simsearch.incremental_embedding_matches(
+        spark, bfeats, "mm_feat_idx_test", threshold=0.995, dim=64
+    )
+    want = {(r.d1, r.d2, r.cosine) for r in want_frame.collect()}
+    release_pinned(want_frame)
     # the only multi-doc batch is the twin drop: its intra-batch pairs
     twin_feats = bfeats.where(F.col("vec_id").isin(201, 202))
     intra = simsearch.mt_dup_pairs(twin_feats, threshold=0.995, dim=64)
