@@ -245,20 +245,27 @@ def multimodal_dedup_stream(
         feats = multimodal.usable_features(
             multimodal.feature_table(batch_df, dim=dim)
         ).select(F.col("doc_id").alias("vec_id"), "embedding").persist()
+        # pins released in the OUTER finally (not via _handoff) so an
+        # exception between building an operator frame and the handler
+        # call — e.g. a plan-time unionByName failure — cannot strand
+        # already-persisted internals for the session's life
+        to_release: list[DataFrame] = []
         try:
-            base = simsearch.incremental_embedding_matches(
+            matches = simsearch.incremental_embedding_matches(
                 batch_df.sparkSession, feats, index_table, threshold, dim,
             )
-            matches, intra = base, None
+            to_release.append(matches)
             if within_batch:
                 intra = simsearch.mt_dup_pairs(feats, threshold=threshold, dim=dim)
+                to_release.append(intra)
                 # unionByName returns a new frame WITHOUT the inputs'
-                # _pinned_persisted attrs — release the originals below
-                matches = base.unionByName(intra.select("d1", "d2", "cosine"))
-            _handoff(on_batch, batch_id, matches, base,
-                     *([intra] if intra is not None else []))
+                # _pinned_persisted attrs — to_release holds the originals
+                matches = matches.unionByName(intra.select("d1", "d2", "cosine"))
+            on_batch(batch_id, matches)
         finally:
             feats.unpersist()
+            for df in to_release:
+                release_pinned(df)
 
     return _start(
         docs_stream.writeStream.foreachBatch(_process), query_name, checkpoint_dir

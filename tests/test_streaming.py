@@ -6,6 +6,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from etl_staging_spark.tables import release_pinned
 from etl_staging_spark.streaming.events import (
     run_available_now,
     stateful_user_totals,
@@ -226,12 +227,11 @@ def test_streaming_dedup_against_persisted_index(spark, tmp_path):
     )
     q.awaitTermination()
 
-    want = {
-        (r.d1, r.d2)
-        for r in dedup.incremental_lsh_matches_indexed(
-            spark, incoming, "stream_ix_test", threshold=0.7
-        ).collect()
-    }
+    want_frame = dedup.incremental_lsh_matches_indexed(
+        spark, incoming, "stream_ix_test", threshold=0.7
+    )
+    want = {(r.d1, r.d2) for r in want_frame.collect()}
+    release_pinned(want_frame)
     assert set(seen) == want
     assert (1, 0) in want and (2, 0) in want and (4, 3) in want
     assert all(d2 in (0, 3) for _, d2 in want)
@@ -459,12 +459,14 @@ def test_assembly_ingest_stream_matches_batch(spark, tmp_path):
     clean = (decontam.ngram_overlap(gated, bench, n=5, min_hits=1)
              .where(~F.col("contaminated")).select("doc_id"))
     survivors = gated.join(clean, "doc_id", "left_semi")
-    dups = dedup.incremental_lsh_matches_indexed(
+    raw_dups = dedup.incremental_lsh_matches_indexed(
         spark, survivors, "asm_ix_test", threshold=0.6
-    ).select(F.col("d1").alias("doc_id")).distinct()
+    )
+    dups = raw_dups.select(F.col("d1").alias("doc_id")).distinct()
     kept = survivors.join(dups, "doc_id", "left_anti")
     want = {r.doc_id: r.split for r in sampling.hash_split(
         kept, {"train": 0.9, "val": 0.05, "test": 0.05}).collect()}
+    release_pinned(raw_dups)
     rep.unpersist()
     spark.sql("DROP TABLE IF EXISTS asm_ix_test_bands")
     spark.sql("DROP TABLE IF EXISTS asm_ix_test_arrays")
@@ -583,12 +585,14 @@ def test_assembly_ingest_stream_semantic_rung_matches_batch(spark, tmp_path):
     survivors = survivors.join(
         flagged.where(F.col("contaminated")).select("doc_id"),
         "doc_id", "left_anti")
-    dups = dedup.incremental_lsh_matches_indexed(
+    raw_dups = dedup.incremental_lsh_matches_indexed(
         spark, survivors, "asm_sem_ix", threshold=0.6
-    ).select(F.col("d1").alias("doc_id")).distinct()
+    )
+    dups = raw_dups.select(F.col("d1").alias("doc_id")).distinct()
     kept = survivors.join(dups, "doc_id", "left_anti")
     want = {r.doc_id: r.split for r in sampling.hash_split(
         kept, {"train": 0.9, "val": 0.05, "test": 0.05}).collect()}
+    release_pinned(raw_dups)
     rep.unpersist()
     spark.sql("DROP TABLE IF EXISTS asm_sem_ix_bands")
     spark.sql("DROP TABLE IF EXISTS asm_sem_ix_arrays")
@@ -641,10 +645,11 @@ def test_embedding_dedup_stream_matches_batch(spark, tmp_path):
     q.awaitTermination()
     assert len(bids) >= 2
 
-    want = {(r.d1, r.d2, r.cosine)
-            for r in simsearch.incremental_embedding_matches(
-                spark, incoming, "emb_six_test", threshold=0.9, dim=64
-            ).collect()}
+    want_frame = simsearch.incremental_embedding_matches(
+        spark, incoming, "emb_six_test", threshold=0.9, dim=64
+    )
+    want = {(r.d1, r.d2, r.cosine) for r in want_frame.collect()}
+    release_pinned(want_frame)
     spark.sql("DROP TABLE IF EXISTS emb_six_test_keys")
     spark.sql("DROP TABLE IF EXISTS emb_six_test_vecs")
     assert seen == want
@@ -777,8 +782,10 @@ def test_self_maintaining_ingest_appends_to_index(spark, tmp_path):
         [(200, newbie.replace("automated", "manual")), (201, seed)],
         "doc_id long, text string",
     )
-    got = {(r.d1, r.d2) for r in dedup.incremental_lsh_matches_indexed(
-        spark, batch2, "grow_ix_test", threshold=0.7).collect()}
+    got_frame = dedup.incremental_lsh_matches_indexed(
+        spark, batch2, "grow_ix_test", threshold=0.7)
+    got = {(r.d1, r.d2) for r in got_frame.collect()}
+    release_pinned(got_frame)
     spark.sql("DROP TABLE IF EXISTS grow_ix_test_bands")
     spark.sql("DROP TABLE IF EXISTS grow_ix_test_arrays")
     assert (200, 100) in got, got      # caught against the APPENDED doc
