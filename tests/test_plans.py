@@ -409,6 +409,34 @@ def test_bpe_encode_fixed_merges_jvm_only(spark, queries):
     assert "CartesianProduct" not in p
 
 
+def test_dedup_bytes_chain_plan(spark):
+    """The multimodal byte rung's discovery chain (feature_table ->
+    usable_features -> mt_dup_pairs, the plan dedup_bytes drives):
+    Python appears only as the Arrow-batched kernels (feature
+    extraction + sign-LSH keying), never row-at-a-time; candidate
+    discovery is bucket equi-joins — no cartesian, no nested loop."""
+    from pyspark.sql import functions as F
+
+    from etl_staging_spark.llmdata import multimodal, simsearch
+    from etl_staging_spark.tables import release_pinned
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    feats = multimodal.usable_features(
+        multimodal.feature_table(docs, dim=16)
+    ).select(F.col("doc_id").alias("vec_id"), "embedding")
+    out = simsearch.mt_dup_pairs(feats, threshold=0.999, dim=16)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    p = buf.getvalue()
+    release_pinned(out)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p
+    assert "MapInPandas" in p        # the byte-feature kernel
+    assert "ArrowEvalPython" in p    # the sign-LSH key kernel
+
+
 def test_semantic_contamination_plan(spark):
     """semantic_contamination (registered r11 as
     `decontaminate_semantic`): candidate

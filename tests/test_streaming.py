@@ -835,6 +835,57 @@ def test_checkpointed_ingest_resumes_without_reprocessing(spark, tmp_path):
     assert runs[1] == {10, 11, 12}, runs[1]   # nothing reprocessed
 
 
+def test_multimodal_dedup_stream_checkpointed_restart(spark, tmp_path):
+    """The r11 starter inherits the restart contract through the shared
+    _start: with a checkpoint dir, a re-started multimodal dedup stream
+    processes ONLY payload drops that arrived since the committed
+    offset — the batch-1 re-upload match is not re-delivered, and the
+    batch-2 drop still matches the index."""
+    from pyspark.sql import functions as F
+
+    from etl_staging_spark.llmdata import multimodal, simsearch
+    from etl_staging_spark.streaming.ingest import multimodal_dedup_stream
+
+    seed = "corpus resident payload about glacier meltwater chemistry"
+    corpus = spark.createDataFrame([(1, seed)], "doc_id long, text string")
+    cfeats = multimodal.feature_table(corpus, dim=64).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    simsearch.write_embedding_index(cfeats, "mm_ckpt_idx", dim=64, n_buckets=4)
+
+    drop_dir = tmp_path / "drops"
+    ckpt = str(tmp_path / "ckpt")
+    drop_dir.mkdir()
+    schema = "doc_id long, text string"
+    spark.createDataFrame([(101, seed)], schema).coalesce(1).write.parquet(
+        str(drop_dir / "f1")
+    )
+
+    runs: list[set] = []
+
+    def run_once():
+        seen: set = set()
+        q = multimodal_dedup_stream(
+            spark.readStream.schema(schema).parquet(str(drop_dir) + "/*"),
+            "mm_ckpt_idx",
+            lambda bid, m: seen.update((r.d1, r.d2) for r in m.collect()),
+            threshold=0.995, dim=64, checkpoint_dir=ckpt,
+        )
+        q.awaitTermination()
+        runs.append(seen)
+
+    run_once()
+    spark.createDataFrame([(102, seed)], schema).coalesce(1).write.parquet(
+        str(drop_dir / "f2")
+    )
+    run_once()
+    spark.sql("DROP TABLE IF EXISTS mm_ckpt_idx_keys")
+    spark.sql("DROP TABLE IF EXISTS mm_ckpt_idx_vecs")
+
+    assert runs[0] == {(101, 1)}
+    assert runs[1] == {(102, 1)}, runs[1]  # 101 not re-delivered
+
+
 def test_gated_ingest_clean_and_lang_matches_batch(spark, tmp_path):
     """The opt-in hygiene stages of the streaming ingest (text
     normalization + language filter) per micro-batch equal the batch
