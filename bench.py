@@ -91,6 +91,40 @@ HEADLINE = [
 ]
 
 
+def bench_rounds(here: str) -> dict[int, dict]:
+    """THE one place BENCH_r{N}.json files are discovered and parsed
+    ({round: parsed-dict}) — shared by the outlier guard below and by
+    `tools/ledger.py`'s bench-history table, so a format change (new
+    wrapper key, different file naming) cannot desynchronize the two.
+    Strict name parse (a stray variant file must not shadow a round);
+    keys are NUMERIC rounds, so ordering never depends on zero-padded
+    filenames; missing/corrupt files are skipped, never a crash. The
+    driver wraps bench.py's JSON line under "parsed"; bench.py's own
+    raw output (no envelope) also parses."""
+    import glob
+
+    rounds: dict[int, dict] = {}
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(path))
+        if not m:
+            continue
+        try:
+            data = json.load(open(path))
+            parsed = data.get("parsed")
+        except (OSError, json.JSONDecodeError, AttributeError):
+            continue
+        if not isinstance(parsed, dict):
+            # bench.py's own raw output has no envelope — but the
+            # driver wrapper with "parsed": null (the r10 crash
+            # artifact) must NOT be adopted as if it were a record
+            parsed = data if isinstance(data, dict) and "queries" in data else None
+        if isinstance(parsed, dict):
+            parsed = dict(parsed)
+            parsed.setdefault("sf", data.get("sf") if isinstance(data, dict) else None)
+            rounds[int(m.group(1))] = parsed
+    return rounds
+
+
 def _prior_timings(here: str, sf: float | None = None) -> dict[str, float]:
     """Per-query reference for the outlier guard: the per-query MINIMUM
     across the last TWO published BENCH_r{N}.json rounds. One contended
@@ -101,32 +135,16 @@ def _prior_timings(here: str, sf: float | None = None) -> dict[str, float]:
     number per query in play. Rounds recorded at a DIFFERENT scale
     factor are skipped when ``sf`` is given: an sf0.001 smoke run's
     0.1 s timings as references would trip the guard on every sf0.1
-    query and spin the restart loop. Strict name parse (a stray
-    variant file must not shadow a round); missing/corrupt files mean
-    no guard, never a crash."""
-    import glob
-
+    query and spin the restart loop. A round without per-query
+    timings ({"parsed": null} crash artifacts, or a degraded
+    queries-omitted publication) is skipped, never adopted as {}."""
     rounds: dict[int, dict[str, float]] = {}
-    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
-        m = re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(path))
-        if not m:
+    for rnd, parsed in bench_rounds(here).items():
+        qs = parsed.get("queries", {})
+        if sf is not None and parsed.get("sf") is not None and parsed["sf"] != sf:
             continue
-        try:
-            data = json.load(open(path))
-            # the driver wraps bench.py's JSON line under "parsed"
-            parsed = data.get("parsed") or data
-            qs = parsed.get("queries", {})
-            rec_sf = parsed.get("sf", data.get("sf"))
-        except (OSError, json.JSONDecodeError, AttributeError):
-            continue
-        if sf is not None and rec_sf is not None and rec_sf != sf:
-            continue
-        # only adopt a round that carries actual timings: a published
-        # crash artifact ({"parsed": null} or an empty queries dict)
-        # must not shadow an earlier round and silently disable the
-        # guard
         if isinstance(qs, dict) and qs:
-            rounds[int(m.group(1))] = qs
+            rounds[rnd] = qs
     ref: dict[str, float] = {}
     for rnd in sorted(rounds)[-2:]:
         for name, sec in rounds[rnd].items():
@@ -210,7 +228,12 @@ def main() -> None:
         for name in names:
             best = best_of_3(name)
             ref = prior.get(name)
-            if ref and best > 2 * ref:
+            # absolute floor on trips: sub-0.4s results are dominated
+            # by job-scheduling constants and 2-decimal reference
+            # quantization (a 0.15s ref tripping at 0.31s is timer
+            # noise, not contention) — they can neither signal a real
+            # regression nor justify a rerun
+            if ref and best > 2 * ref and best > 0.4:
                 spark.catalog.clearCache()
                 best = min(best, best_of_3(name))
                 # flagged on the TRIP, not on recovery: the rerun list
@@ -281,12 +304,16 @@ def main() -> None:
             "sf": sf,
         }, separators=(",", ":"))
 
+    # NO intermediate 1-decimal rung: quantizing a 0.149s steady state
+    # to 0.1 would poison the next round's guard references (false
+    # trips at 2x a halved ref; real 2x regressions hidden) — better
+    # to drop the per-query dict entirely (the guard then skips the
+    # round, falling back to earlier rounds' references, and
+    # bench_last.json keeps the full-precision record).
     budget = 1900  # headroom under the observed 2000-char consumer tail
     line = _line(2)
     if len(line) > budget:
-        line = _line(1)
-    if len(line) > budget:
-        line = _line(0, with_queries=False)
+        line = _line(2, with_queries=False)
     print(line)
 
 

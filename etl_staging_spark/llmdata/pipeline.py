@@ -273,8 +273,8 @@ class CorpusPipeline:
     def dedup_bytes(
         self,
         payloads: DataFrame,
-        dim: int = 64,
         threshold: float = 0.995,
+        dim: int = 64,
         keep: str = "min_id",
     ) -> "CorpusPipeline":
         """Byte-level MULTIMODAL near-dup rung: keep one canonical doc
