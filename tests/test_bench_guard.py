@@ -70,3 +70,19 @@ def test_prior_timings_crash_artifact_does_not_shadow(tmp_path):
     _write(tmp_path, "BENCH_r09.json", {"parsed": None, "error": "oom"})
     _write(tmp_path, "BENCH_r10.json", {"parsed": {"queries": {}}})
     assert _prior_timings(str(tmp_path)) == {"q": 1.0}
+
+
+def test_bench_rounds_rejects_crash_wrapper(tmp_path):
+    """The r11 regression caught at review: a driver wrapper with
+    "parsed": null (the r10 crash artifact) must NOT fall back to the
+    wrapper dict itself — the ledger would then print the contended
+    round as 'clean' with 0 reruns."""
+    from bench import bench_rounds
+
+    _write(tmp_path, "BENCH_r10.json",
+           {"n": 10, "rc": 0, "sf": 0.1, "tail": "...", "parsed": None})
+    _write(tmp_path, "BENCH_r09.json",
+           {"parsed": {"queries": {"q": 2.0}, "sf": 0.1}})
+    rounds = bench_rounds(str(tmp_path))
+    assert 10 not in rounds
+    assert rounds[9]["queries"] == {"q": 2.0}
