@@ -169,6 +169,13 @@ def run_probe(
                 print(json.dumps({"op": name, "replicas": r, "n_docs": n_docs,
                                   "sec": results[name][r]}), flush=True)
         docs.unpersist()
+        # settle between legs: at 16x the documents leg leaves heap /
+        # page-cache pressure that inflated the lineitem leg 3-5x in
+        # the r11 combined run (isolated re-measures were 1.4-1.8x per
+        # 4x step) — drop every cache and let the JVM reclaim before
+        # the ledger shapes are timed
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
         li = replicated_lineitem(spark, sf_dir, r).persist()
         n_li = li.count()
         for name, fn in lops.items():
