@@ -792,6 +792,70 @@ def test_self_maintaining_ingest_appends_to_index(spark, tmp_path):
     assert (201, 0) in got, got        # original corpus still matches
 
 
+def test_multimodal_self_maintaining_feature_index(spark, tmp_path):
+    """The multimodal day-2 loop end to end: batch 1's non-matching
+    byte-feature vectors append to the embedding index under the same
+    bucket spec (`append_embedding_index`); batch 2's byte-identical
+    re-upload OF A BATCH-1 PAYLOAD is then caught — the feature index
+    genuinely grows between drops and the exchange-free bucketed-join
+    property survives the append, completing the stream's handler
+    contract with real code instead of a docstring promise."""
+    from pyspark.sql import functions as F
+
+    from etl_staging_spark.llmdata import multimodal, simsearch
+    from etl_staging_spark.streaming.ingest import multimodal_dedup_stream
+
+    seed = "corpus resident payload about glacier meltwater chemistry"
+    newbie = "fresh payload describing container orchestration rollouts"
+    corpus = spark.createDataFrame([(0, seed)], "doc_id long, text string")
+    cfeats = multimodal.feature_table(corpus, dim=64).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    simsearch.write_embedding_index(cfeats, "mm_grow_idx", dim=64, n_buckets=4)
+
+    drop1 = str(tmp_path / "d1")
+    spark.createDataFrame(
+        [(100, newbie)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(drop1)
+
+    def grow_handler(bid, matches):
+        m = matches.persist()
+        dup_ids = {r.d1 for r in m.collect()}
+        batch = spark.read.parquet(drop1)
+        survivors = multimodal.usable_features(
+            multimodal.feature_table(
+                batch.where(~F.col("doc_id").isin(list(dup_ids) or [-1])),
+                dim=64,
+            )
+        ).select(F.col("doc_id").alias("vec_id"), "embedding")
+        simsearch.append_embedding_index(survivors, "mm_grow_idx", dim=64,
+                                         n_buckets=4)
+        m.unpersist()
+
+    q = multimodal_dedup_stream(
+        spark.readStream.schema("doc_id long, text string").parquet(drop1),
+        "mm_grow_idx", grow_handler, threshold=0.995, dim=64,
+    )
+    q.awaitTermination()
+
+    # batch 2: byte-identical to the APPENDED payload, plus the seed
+    batch2 = spark.createDataFrame(
+        [(200, newbie), (201, seed)], "doc_id long, text string"
+    )
+    b2feats = multimodal.usable_features(
+        multimodal.feature_table(batch2, dim=64)
+    ).select(F.col("doc_id").alias("vec_id"), "embedding")
+    got_frame = simsearch.incremental_embedding_matches(
+        spark, b2feats, "mm_grow_idx", threshold=0.995, dim=64
+    )
+    got = {(r.d1, r.d2) for r in got_frame.collect()}
+    release_pinned(got_frame)
+    spark.sql("DROP TABLE IF EXISTS mm_grow_idx_keys")
+    spark.sql("DROP TABLE IF EXISTS mm_grow_idx_vecs")
+    assert (200, 100) in got, got      # caught against the APPENDED vector
+    assert (201, 0) in got, got        # original corpus still matches
+
+
 def test_checkpointed_ingest_resumes_without_reprocessing(spark, tmp_path):
     """Restart semantics: with a checkpoint dir, a re-started
     available-now stream processes ONLY files that arrived since the
