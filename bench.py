@@ -91,23 +91,36 @@ HEADLINE = [
 ]
 
 
-def bench_rounds(here: str) -> dict[int, dict]:
-    """THE one place BENCH_r{N}.json files are discovered and parsed
-    ({round: parsed-dict}) — shared by the outlier guard below and by
-    `tools/ledger.py`'s bench-history table, so a format change (new
-    wrapper key, different file naming) cannot desynchronize the two.
-    Strict name parse (a stray variant file must not shadow a round);
-    keys are NUMERIC rounds, so ordering never depends on zero-padded
-    filenames; missing/corrupt files are skipped, never a crash. The
-    driver wraps bench.py's JSON line under "parsed"; bench.py's own
-    raw output (no envelope) also parses."""
+def bench_files(here: str) -> dict[int, str]:
+    """THE one place BENCH_r{N}.json files are DISCOVERED ({round:
+    path}) — shared by :func:`bench_rounds` and `tools/ledger.py`'s
+    bench-history table, so a naming-convention change cannot
+    desynchronize the guard from the published history. Strict name
+    parse (a stray variant file must not shadow a round); keys are
+    NUMERIC rounds; if both BENCH_r9.json and BENCH_r09.json ever
+    coexist the lexicographically-first file wins DETERMINISTICALLY
+    (sorted glob, first mapping kept) instead of flipping with
+    filesystem enumeration order."""
     import glob
 
-    rounds: dict[int, dict] = {}
-    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+    out: dict[int, str] = {}
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
         m = re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(path))
-        if not m:
-            continue
+        if m:
+            out.setdefault(int(m.group(1)), path)
+    return out
+
+
+def bench_rounds(here: str) -> dict[int, dict]:
+    """THE one place BENCH_r{N}.json files are PARSED ({round:
+    parsed-dict}), over :func:`bench_files`' discovery — shared by the
+    outlier guard below and by `tools/ledger.py`'s bench-history
+    table, so a format change (new wrapper key) cannot desynchronize
+    the two. Corrupt files are skipped, never a crash. The driver
+    wraps bench.py's JSON line under "parsed"; bench.py's own raw
+    output (no envelope) also parses."""
+    rounds: dict[int, dict] = {}
+    for rnd, path in bench_files(here).items():
         try:
             data = json.load(open(path))
             parsed = data.get("parsed")
@@ -121,7 +134,7 @@ def bench_rounds(here: str) -> dict[int, dict]:
         if isinstance(parsed, dict):
             parsed = dict(parsed)
             parsed.setdefault("sf", data.get("sf") if isinstance(data, dict) else None)
-            rounds[int(m.group(1))] = parsed
+            rounds[rnd] = parsed
     return rounds
 
 
@@ -282,10 +295,10 @@ def main() -> None:
     # growing: compact separators, 2-decimal query timings (the
     # outlier guard's 2x test doesn't need more), the rerun list
     # capped at 3 names + a count (a 14-name contended list must not
-    # be what overflows the publication), and a stepwise degrade if
-    # the line still exceeds the budget — first 1-decimal timings,
-    # then (last resort) the queries dict is dropped with an explicit
-    # flag; bench_last.json always carries the full-precision record.
+    # be what overflows the publication), and — should the line ever
+    # exceed the budget anyway — dropping the queries dict outright
+    # with an explicit flag (see the NO-1-decimal-rung note below);
+    # bench_last.json always carries the full-precision record.
     def _line(ndigits: int, with_queries: bool = True) -> str:
         return json.dumps({
             "metric": "headline_queries_total_time",

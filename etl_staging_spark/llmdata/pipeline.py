@@ -273,6 +273,7 @@ class CorpusPipeline:
     def dedup_bytes(
         self,
         payloads: DataFrame,
+        *,
         threshold: float = 0.995,
         dim: int = 64,
         keep: str = "min_id",

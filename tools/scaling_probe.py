@@ -190,7 +190,10 @@ def run_probe(
                 print(json.dumps({"op": name, "replicas": r, "n_rows": n_li,
                                   "sec": results[name][r]}), flush=True)
         li.unpersist()
+        # symmetric settle: the NEXT replica's documents leg must not
+        # inherit this lineitem leg's pressure either
         spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
     return results
 
 
