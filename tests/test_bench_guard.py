@@ -86,3 +86,20 @@ def test_bench_rounds_rejects_crash_wrapper(tmp_path):
     rounds = bench_rounds(str(tmp_path))
     assert 10 not in rounds
     assert rounds[9]["queries"] == {"q": 2.0}
+
+def test_ledger_bench_history_tolerates_non_dict_payload(tmp_path):
+    """r11 ADVICE: a BENCH_r*.json holding valid non-object JSON (a
+    bare list) crashed bench_history() with AttributeError on
+    data.get('tail') while bench_rounds() tolerated the same shape —
+    the ledger regeneration must skip it instead."""
+    sys.path.insert(0, "/root/repo/tools")
+    from ledger import bench_history
+
+    _write(tmp_path, "BENCH_r08.json", [1, 2, 3])
+    _write(tmp_path, "BENCH_r09.json",
+           {"parsed": {"queries": {"q": 2.0}, "value": 2.0,
+                       "n_queries": 1, "sf": 0.1}})
+    lines = bench_history(str(tmp_path))
+    joined = "\n".join(lines)
+    assert "| r9 |" in joined
+    assert "| r8 |" not in joined

@@ -47,7 +47,7 @@ def history() -> tuple[dict[str, list[int]], dict[str, list[int]], int]:
     return green, red, latest
 
 
-def bench_history() -> list[str]:
+def bench_history(root: str = HERE) -> list[str]:
     """Cross-round bench table with the contention signal made visible:
     per published BENCH_r{N}.json — headline total, query count, core
     subset, rerun count, and a status annotating contended (>3 reruns)
@@ -63,12 +63,16 @@ def bench_history() -> list[str]:
     # this table)
     from bench import bench_files, bench_rounds
 
-    parsed_rounds = bench_rounds(HERE)
+    parsed_rounds = bench_rounds(root)
     rows = []
-    for rnd, path in sorted(bench_files(HERE).items()):
+    for rnd, path in sorted(bench_files(root).items()):
         try:
             data = json.load(open(path))
         except (OSError, json.JSONDecodeError):
+            continue
+        if not isinstance(data, dict):
+            # valid-but-non-object JSON (e.g. a bare list): skip, matching
+            # bench_rounds' tolerance, instead of AttributeError below
             continue
         p = parsed_rounds.get(rnd)
         if not isinstance(p, dict):
