@@ -88,6 +88,11 @@ HEADLINE = [
     "ngram_freq_spectrum",
     "dup_rate_by_source",
     "decontaminate_semantic",
+    # round 12 additions
+    "token_drift_card",
+    "source_novelty_card",
+    "domain_token_budget",
+    "mm_feature_hist",
 ]
 
 

@@ -1435,11 +1435,10 @@ def mm_frame_sample(spark, sf_dir):
 
 def o_feature_table(dim: int = 16) -> str:
     """DuckDB oracle twin of `llmdata.multimodal.feature_table` — the
-    byte-histogram feature extractor (r13 registration queue as
-    `mm_feature_hist`, per COVERAGE.md's schedule — r12's three slots
-    are token_drift_card / source_novelty_card / domain_token_budget;
-    exercised today by the dedicated Spark-vs-DuckDB
-    parity pytest at two SFs): per payload, the L1-normalized histogram
+    byte-histogram feature extractor (registered r12 as
+    `mm_feature_hist`, pulled forward from the r13 queue; also
+    exercised by the dedicated Spark-vs-DuckDB parity pytest at two
+    SFs): per payload, the L1-normalized histogram
     of bytes folded to ``dim`` bins. Byte extraction goes through
     hex(encode(text)) + a '0x'-prefixed 2-char cast (DuckDB has no
     direct blob indexing); the zero-count bins come from an explicit
@@ -3165,3 +3164,66 @@ def o_source_novelty_card(n: int = 3) -> str:
                  / COUNT(*) * 1000000 + 0.5) / 1000000 AS novelty_rate
     FROM g JOIN c USING (gram)
     GROUP BY g.source ORDER BY g.source NULLS LAST"""
+
+
+@query("token_drift_card", oracle=o_token_drift_card("src0", "src1", 20))
+def token_drift_card_q(spark, sf_dir):
+    """Two-source token-drift card (registered r12 from the r9 queue):
+    the 20 unigrams whose corpus rate moved most between src0 and
+    src1, with counts, rates and delta — the "what changed between
+    these crawls" QA read before trusting a refreshed snapshot in an
+    established mixture. ONE token-keyed conditional-count aggregate
+    (map-side combinable); grand totals attach via the sanctioned
+    1-row broadcast; the top-n cut is a TakeOrdered heap over a total
+    order (|delta| DESC, token ASC) — no global sort, no window, no
+    Python. top_n=20 so the cut binds even at sf0.001 (31 drift
+    tokens there)."""
+    return stats.token_drift_card(
+        load(spark, sf_dir, "documents"), "src0", "src1", top_n=20
+    )
+
+
+@query("source_novelty_card", oracle=o_source_novelty_card(3))
+def source_novelty_card_q(spark, sf_dir):
+    """Per-source gram-novelty card (registered r12 from the r9
+    queue): distinct word trigrams per source and the fraction
+    appearing in NO other source — the "is this crawl adding anything"
+    dataset-card row, gram-level complement of `source_overlap_matrix`
+    (doc identity) and content dual of `token_drift_card` (individual
+    movers). ONE gram-keyed set aggregate whose per-gram source set is
+    bounded by #sources (map-side partials dedup early); NULL source
+    struct-wrapped so it keeps its audit row; no window, no join, no
+    Python."""
+    return stats.source_novelty_card(load(spark, sf_dir, "documents"), n=3)
+
+
+@query("domain_token_budget", oracle=o_domain_token_budget(800))
+def domain_token_budget_q(spark, sf_dir):
+    """Per-domain TOKEN budget (registered r12 from the r9 queue):
+    keep each domain's highest-quality docs until the cumulative token
+    count fills the 800-token budget (crossing doc kept, ≤1-doc
+    overshoot — the deterministic greedy rule) — mixture planning in
+    the unit that costs training compute, where `domain_quality_cap`
+    budgets doc counts. One quality-scan projection plus a
+    domain-PARTITIONED running-total window (parallelism = #domains,
+    never a global sort); budget=800 actually cuts at the parity
+    scales."""
+    return sampling.domain_token_budget(
+        load(spark, sf_dir, "documents"), budget=800
+    )
+
+
+@query("mm_feature_hist", oracle=o_feature_table(16))
+def mm_feature_hist(spark, sf_dir):
+    """Byte-histogram feature extraction over the multimodal payload
+    table (registered r12, pulled forward from the r13 queue): per
+    payload, the L1-normalized histogram of bytes folded to 16 bins,
+    emitted in the embeddings-table convention (doc-keyed
+    array<double>) so the vectors flow straight into the embedding
+    dedup/ANN/QA operators — a model encoder drops into the same slot
+    unchanged. Completes the decode / feature-extract / resize /
+    frame-sample multimodal chain as driver-certified. Arrow-batched
+    mapInPandas (single-pass row-offset bincount kernel), partition-
+    preserving — no shuffle; NULL text keeps a NULL vector, an empty
+    payload the zero vector."""
+    return multimodal.feature_table(load(spark, sf_dir, "documents"), dim=16)

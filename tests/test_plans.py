@@ -466,7 +466,7 @@ def test_semantic_contamination_plan(spark):
 
 
 def test_domain_token_budget_windows_by_domain(spark):
-    """domain_token_budget (r12 queue, unregistered): the running
+    """domain_token_budget (registered r12): the running
     token total hash-partitions on the domain key — never a global
     sort, never one partition — and the whole pass is one scan plus
     the window (no join, no Python)."""
@@ -536,7 +536,7 @@ def test_dup_rate_by_source_single_aggregate_digest_shuffle(spark):
 
 
 def test_token_drift_card_heap_cut_and_broadcast_totals(spark):
-    """token_drift_card (r12 queue, unregistered): the top-n cut is a
+    """token_drift_card (registered r12): the top-n cut is a
     TakeOrdered heap (no global sort), the grand totals attach via the
     sanctioned 1-ROW broadcast nested loop (the BM25/stats
     scalar-frame pattern), and the token count is the only wide
@@ -555,7 +555,7 @@ def test_token_drift_card_heap_cut_and_broadcast_totals(spark):
 
 
 def test_source_novelty_card_bounded_set_agg_no_join(spark):
-    """source_novelty_card (r12 queue, unregistered): the gram-keyed
+    """source_novelty_card (registered r12): the gram-keyed
     set aggregate is THE shuffle (collect_set bounded by #sources);
     no window, no join, no Python, no cartesian anywhere."""
     from etl_staging_spark.llmdata.stats import source_novelty_card
