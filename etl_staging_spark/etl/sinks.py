@@ -42,9 +42,12 @@ def write_report_file(df: DataFrame, path: str, title: str | None = None,
                 "level": 0,
                 "columns": [{"no_format": row[c]} for c in cols[1:]],
             }
+            # bounded: report lines — sinks consume already-aggregated
+            # results (module contract above), never raw facts
             for i, row in enumerate(df.collect())
         ]
         return write_report_html(path, title or "Report", cols[1:], lines)
+    # bounded: report lines (same contract as the collect above)
     df.toPandas().to_csv(path, index=False)
     return path
 
@@ -53,6 +56,7 @@ def dashboard_json(df: DataFrame, key_col: str, path: str | None = None) -> dict
     """S6: the journal-dashboard JSON sink
     (`etl_account/models/account_move.py:139-263`) — a dict of formatted
     aggregates per entity, from a collected small aggregate."""
+    # bounded: one row per dashboard entity (a grouped aggregate)
     rows = df.collect()
     out = {
         str(r[key_col]): {k: v for k, v in r.asDict().items() if k != key_col}
