@@ -804,3 +804,148 @@ def source_novelty_card(
         )
         .orderBy(F.asc_nulls_last(source_col))
     )
+
+
+# Power-of-two token-length buckets, THE single source of truth for
+# `length_histogram_card` and its DuckDB oracle (both CASE ladders are
+# generated from this constant, so the edges cannot drift apart).
+# Bucket 0 holds zero-token docs; bucket k >= 1 holds 2^(k-1) <= n <
+# 2^k; the last bucket is open-ended (hi reported NULL). Exact integer
+# comparisons only — no log2, whose Java (ln x / ln 2) and C++
+# (std::log2) implementations disagree by an ulp at power-of-two
+# boundaries and would knife-edge the floor.
+LENGTH_BUCKET_MAX_POW = 24
+
+
+def length_histogram_card(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source token-length histogram on power-of-two buckets — the
+    exact, certifiable companion of :func:`token_length_quantiles`
+    (which is a one-pass sketch): how each source's document lengths
+    distribute, the read that picks sequence length / truncation /
+    packing mode per source before a training run commits to them.
+    Tokens are the BPE-ish ``TOKEN_RE`` convention (the unit
+    `quality_scores` and the packing operators budget in). NULL-text
+    docs contribute nothing; an empty string is a genuine zero-token
+    doc (bucket 0); a NULL source keeps its own audit row. Output:
+    (source, lo_tokens, hi_tokens, n_docs, share); hi_tokens is NULL
+    for the open top bucket; share = n_docs / source total, prounded
+    to 6.
+
+    Scale shape: one scan -> row-local CASE ladder -> ONE map-side-
+    combinable (source, bucket) aggregate; the share window runs over
+    the BOUNDED histogram frame (#sources x <=26 buckets), never the
+    corpus. No join, no Python."""
+    from pyspark.sql import Window
+
+    n = F.size(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+    )
+    lo = F.when(n == 0, F.lit(0))
+    for k in range(LENGTH_BUCKET_MAX_POW):
+        lo = lo.when(n < 2 ** (k + 1), F.lit(2**k))
+    lo = lo.otherwise(F.lit(2**LENGTH_BUCKET_MAX_POW))
+    hist = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(F.col(source_col).alias("source"), lo.alias("lo_tokens"))
+        .groupBy("source", "lo_tokens")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    hi = (
+        F.when(F.col("lo_tokens") == 0, F.lit(0))
+        .when(F.col("lo_tokens") == 2**LENGTH_BUCKET_MAX_POW, F.lit(None))
+        .otherwise(F.col("lo_tokens") * 2 - 1)
+    )
+    w = Window.partitionBy("source")
+    return hist.select(
+        "source",
+        F.col("lo_tokens").cast("int").alias("lo_tokens"),
+        hi.cast("int").alias("hi_tokens"),
+        "n_docs",
+        pround(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias("share"),
+    )
+
+
+def ttr_card(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source lexical diversity: total tokens, distinct token
+    types, hapax legomena (types occurring exactly once in that
+    source), type-token ratio and hapax rate — the dataset-card row
+    that separates template-stamped sources (low TTR: few types
+    repeated endlessly) from natural text BEFORE n-gram dedup spends a
+    shuffle proving it, and sizes the vocabulary a tokenizer trained
+    on that source would see. Tokens are the whitespace-lowercase
+    convention (the per-source identity unit `token_drift_card` and
+    `source_novelty_card` use). NULL-text docs contribute nothing; a
+    NULL source keeps its own audit row. Output: (source, n_tokens,
+    n_types, n_hapax, ttr, hapax_rate), both rates prounded to 6 —
+    denominators can never be zero (a source row exists only with >=1
+    token).
+
+    Scale shape: explode -> ONE (source, token)-keyed count aggregate
+    (map-side combinable — the same token-string shuffle width
+    `token_drift_card` moves) -> per-source rollup whose input is
+    bounded by per-source vocabulary, not corpus size. No window, no
+    join, no Python."""
+    toks = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(source_col).alias("source"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("token"),
+    )
+    per_tok = toks.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return per_tok.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.count(F.when(F.col("cnt") == 1, 1)).alias("n_hapax"),
+    ).select(
+        "source",
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        pround(F.col("n_types") / F.col("n_tokens"), 6).alias("ttr"),
+        pround(F.col("n_hapax") / F.col("n_types"), 6).alias("hapax_rate"),
+    )
+
+
+def lang_source_matrix(
+    docs: DataFrame, source_col: str = "source"
+) -> DataFrame:
+    """Language x source distribution: per (source, predicted
+    language) doc counts and the within-source share — the full
+    distribution behind `corpus_source_profile`'s single modal-language
+    column, and the dataset-card staple that decides which language
+    gates each source needs. Predictions are `textstats.lang_id`
+    (char-bigram profiles, alphabetical tie-break); zero-evidence and
+    NULL-text docs land in the NULL-language row — unidentified is a
+    population to report, not to hide; a NULL source keeps its own
+    audit row. Output: (source, pred_lang, n_docs, share), share
+    prounded to 6.
+
+    Scale shape: the lang-ID projection is row-local JVM expressions
+    (`keep` carries the source through — no doc_id re-join); ONE
+    map-side-combinable (source, lang) aggregate; the share window
+    runs over the BOUNDED matrix (#sources x #profiles+1), never the
+    corpus. No join, no Python."""
+    from pyspark.sql import Window
+
+    from .textstats import lang_id
+
+    m = (
+        lang_id(docs, keep=(source_col,))
+        .groupBy(F.col(source_col).alias("source"), "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.partitionBy("source")
+    return m.select(
+        "source",
+        "pred_lang",
+        "n_docs",
+        pround(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias("share"),
+    )

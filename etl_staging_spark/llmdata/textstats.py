@@ -64,15 +64,17 @@ def quality_scores(df: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     return d.withColumn("quality", pround(quality, 6))
 
 
-def lang_id(df: DataFrame) -> DataFrame:
+def lang_id(df: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     """Char-bigram profile language ID; deterministic alphabetical
     tie-break on equal scores. ZERO evidence is NOT a language: a doc
     whose bigrams hit no profile at all (empty/whitespace/digit-only
     text) gets a NULL ``pred_lang`` rather than the alphabetical
     tie-break's arbitrary first label — downstream language gates must
     treat it as unidentified, not misroute it. NULL text is NULL
-    throughout."""
-    d = df.select("doc_id", F.lower(F.col("text")).alias("lt"))
+    throughout. ``keep`` carries extra columns (e.g. ``source``)
+    through the projection so group-by consumers
+    (`stats.lang_source_matrix`) need no doc_id re-join."""
+    d = df.select("doc_id", *keep, F.lower(F.col("text")).alias("lt"))
     d = d.withColumn(
         "bigrams",
         F.expr("array_distinct(transform(sequence(1, length(lt)-1), i -> substr(lt, i, 2)))"),
@@ -82,14 +84,16 @@ def lang_id(df: DataFrame) -> DataFrame:
         for lang, prof in LANG_PROFILES.items()
     }
     d = d.select(
-        "doc_id", *[c.alias(f"s_{lang}") for lang, c in score_cols.items()]
+        "doc_id", *keep, *[c.alias(f"s_{lang}") for lang, c in score_cols.items()]
     )
     best = F.greatest(*[F.col(f"s_{lang}") for lang in LANG_PROFILES])
     pred = F.lit(None).cast("string")
     for lang in sorted(LANG_PROFILES, reverse=True):
         pred = F.when(F.col(f"s_{lang}") == best, F.lit(lang)).otherwise(pred)
     pred = F.when(best > 0, pred)  # zero evidence -> NULL, not 'de'
-    return d.select("doc_id", pred.alias("pred_lang"), best.alias("best_score"))
+    return d.select(
+        "doc_id", *keep, pred.alias("pred_lang"), best.alias("best_score")
+    )
 
 
 def token_counts(df: DataFrame) -> DataFrame:

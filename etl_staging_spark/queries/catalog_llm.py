@@ -3227,3 +3227,93 @@ def mm_feature_hist(spark, sf_dir):
     preserving — no shuffle; NULL text keeps a NULL vector, an empty
     payload the zero vector."""
     return multimodal.feature_table(load(spark, sf_dir, "documents"), dim=16)
+
+
+def o_length_histogram_card() -> str:
+    """DuckDB oracle twin of `llmdata.stats.length_histogram_card`
+    (r13/r14 registration queue — exercised by the dedicated
+    Spark-vs-DuckDB parity pytest at two SFs): the power-of-two bucket
+    CASE ladder is GENERATED from the same
+    `stats.LENGTH_BUCKET_MAX_POW` constant the Spark side uses (exact
+    integer comparisons — no log2, whose Java and C++ implementations
+    disagree by an ulp at power-of-two boundaries), the share is one
+    row-local CAST-to-DOUBLE division prounded to 6, and the share
+    window runs over the bounded histogram frame."""
+    from ..llmdata.stats import LENGTH_BUCKET_MAX_POW as MP
+
+    ladder = "CASE WHEN n = 0 THEN 0 " + " ".join(
+        f"WHEN n < {2 ** (k + 1)} THEN {2**k}" for k in range(MP)
+    ) + f" ELSE {2**MP} END"
+    return f"""
+    WITH lhn AS (
+      SELECT source,
+             len(regexp_extract_all(lower(text), '{textstats.TOKEN_RE}')) AS n
+      FROM documents WHERE text IS NOT NULL
+    ), lhb AS (
+      SELECT source, {ladder} AS lo FROM lhn
+    ), lh AS (
+      SELECT source, lo, COUNT(*) AS n_docs FROM lhb GROUP BY 1, 2
+    )
+    SELECT source, CAST(lo AS INT) AS lo_tokens,
+           CAST(CASE WHEN lo = 0 THEN 0
+                     WHEN lo = {2**MP} THEN NULL
+                     ELSE lo * 2 - 1 END AS INT) AS hi_tokens,
+           n_docs,
+           {o_pround("CAST(n_docs AS DOUBLE)"
+                     " / SUM(n_docs) OVER (PARTITION BY source)", 6)} AS share
+    FROM lh"""
+
+
+def o_ttr_card() -> str:
+    """DuckDB oracle twin of `llmdata.stats.ttr_card` (r13/r14
+    registration queue — exercised by the dedicated Spark-vs-DuckDB
+    parity pytest at two SFs): whitespace-lowercase token explode ->
+    per-(source, token) counts -> per-source rollup; both rates are
+    single CAST-to-DOUBLE divisions prounded to 6 (denominators never
+    zero — a source row exists only with >= 1 token)."""
+    return f"""
+    WITH ttrt AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents WHERE text IS NOT NULL
+    ), ttrc AS (
+      SELECT source, token, COUNT(*) AS cnt FROM ttrt GROUP BY 1, 2
+    )
+    SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_types,
+           COUNT(*) FILTER (cnt = 1) AS n_hapax,
+           {o_pround("CAST(COUNT(*) AS DOUBLE) / SUM(cnt)", 6)} AS ttr,
+           {o_pround("CAST(COUNT(*) FILTER (cnt = 1) AS DOUBLE)"
+                     " / COUNT(*)", 6)} AS hapax_rate
+    FROM ttrc GROUP BY source"""
+
+
+def o_lang_source_matrix() -> str:
+    """DuckDB oracle twin of `llmdata.stats.lang_source_matrix`
+    (r13/r14 registration queue — exercised by the dedicated
+    Spark-vs-DuckDB parity pytest at two SFs): replays the
+    `lang_id_ngram` bigram-profile prediction (the same generated
+    _LSC/_LBEST/_LPRED fragments that entry hash-matches with) with
+    source carried through, then ONE (source, lang) count and a
+    bounded-frame share window; zero-evidence and NULL-text docs land
+    in the NULL-language row."""
+    return f"""
+    WITH lsb AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(generate_series(1, length(lower(text)) - 1),
+                           i -> substr(lower(text), CAST(i AS INT), 2))) AS bg
+      FROM documents
+    ), lss AS (
+      SELECT doc_id, source,
+             {_LSC}
+      FROM lsb
+    ), lssb AS (
+      SELECT *, {_LBEST} AS best FROM lss
+    ), lsp AS (
+      SELECT source, {_LPRED} AS pred_lang FROM lssb
+    ), lsm AS (
+      SELECT source, pred_lang, COUNT(*) AS n_docs FROM lsp GROUP BY 1, 2
+    )
+    SELECT source, pred_lang, n_docs,
+           {o_pround("CAST(n_docs AS DOUBLE)"
+                     " / SUM(n_docs) OVER (PARTITION BY source)", 6)} AS share
+    FROM lsm"""

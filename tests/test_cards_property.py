@@ -419,3 +419,156 @@ def test_feature_table_oracle_matches_python_reference(texts, dim):
         if raw:
             ref = [c / len(raw) for c in ref]
         assert got[i] == (fmt, ref), (i, t)
+
+
+def _nsafe(rows):
+    return sorted(rows, key=lambda t: tuple((v is not None, v) for v in t))
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.lists(st.tuples(text_st, st.one_of(st.none(), source_st)), max_size=12)
+)
+def test_ttr_oracle_matches_python_reference(rows):
+    from etl_staging_spark.queries.catalog_llm import o_ttr_card
+
+    sentinel = object()
+    counts: dict = defaultdict(lambda: defaultdict(int))
+    for text, src in rows:
+        if text is None:
+            continue
+        key = sentinel if src is None else src
+        for tok in text.lower().split(" "):
+            counts[key][tok] += 1
+    ref = []
+    for key, toks in counts.items():
+        n_tokens = sum(toks.values())
+        n_types = len(toks)
+        n_hapax = sum(1 for c in toks.values() if c == 1)
+        ref.append(
+            (
+                None if key is sentinel else key,
+                n_tokens,
+                n_types,
+                n_hapax,
+                py_pround(n_types / n_tokens, 6),
+                py_pround(n_hapax / n_types, 6),
+            )
+        )
+    con = _docs_con(rows)
+    got = [tuple(r) for r in con.sql(o_ttr_card()).fetchall()]
+    assert _nsafe(got) == _nsafe(ref)
+
+
+# texts with TOKEN_RE-relevant shapes: alnum runs, punctuation symbols,
+# empty strings (zero tokens), repeated words
+lh_text_st = st.one_of(
+    st.none(),
+    st.lists(
+        st.sampled_from(["x", "yy", "z9", ".", "!", "longword"]), max_size=20
+    ).map(" ".join),
+)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.lists(st.tuples(lh_text_st, st.one_of(st.none(), source_st)),
+             max_size=12)
+)
+def test_length_histogram_oracle_matches_python_reference(rows):
+    import re
+
+    from etl_staging_spark.llmdata.stats import LENGTH_BUCKET_MAX_POW
+    from etl_staging_spark.llmdata.textstats import TOKEN_RE
+    from etl_staging_spark.queries.catalog_llm import o_length_histogram_card
+
+    sentinel = object()
+    hist: dict = defaultdict(int)
+    totals: dict = defaultdict(int)
+    for text, src in rows:
+        if text is None:
+            continue
+        n = len(re.findall(TOKEN_RE, text.lower()))
+        lo = 0
+        if n > 0:
+            lo = 2 ** LENGTH_BUCKET_MAX_POW
+            for k in range(LENGTH_BUCKET_MAX_POW):
+                if n < 2 ** (k + 1):
+                    lo = 2 ** k
+                    break
+        key = sentinel if src is None else src
+        hist[(key, lo)] += 1
+        totals[key] += 1
+    ref = []
+    for (key, lo), n_docs in hist.items():
+        hi = (
+            0 if lo == 0
+            else None if lo == 2 ** LENGTH_BUCKET_MAX_POW
+            else lo * 2 - 1
+        )
+        ref.append(
+            (
+                None if key is sentinel else key,
+                lo,
+                hi,
+                n_docs,
+                py_pround(n_docs / totals[key], 6),
+            )
+        )
+    con = _docs_con(rows)
+    got = [tuple(r) for r in con.sql(o_length_histogram_card()).fetchall()]
+    assert _nsafe(got) == _nsafe(ref)
+
+
+lang_text_st = st.one_of(
+    st.none(),
+    st.lists(
+        st.sampled_from(
+            ["that", "there", "schein", "unter", "12345", "", "le", "ng"]
+        ),
+        max_size=6,
+    ).map(" ".join),
+)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.lists(st.tuples(lang_text_st, st.one_of(st.none(), source_st)),
+             max_size=12)
+)
+def test_lang_source_matrix_oracle_matches_python_reference(rows):
+    from etl_staging_spark.llmdata.textstats import LANG_PROFILES
+    from etl_staging_spark.queries.catalog_llm import o_lang_source_matrix
+
+    def pred_lang(text):
+        if text is None:
+            return None
+        lt = text.lower()
+        bg = {lt[i : i + 2] for i in range(len(lt) - 1)}
+        scores = {
+            lang: len(bg & set(prof)) for lang, prof in LANG_PROFILES.items()
+        }
+        best = max(scores.values()) if scores else 0
+        if best <= 0:
+            return None
+        return min(lang for lang, s in scores.items() if s == best)
+
+    sentinel = object()
+    m: dict = defaultdict(int)
+    totals: dict = defaultdict(int)
+    for text, src in rows:
+        key = sentinel if src is None else src
+        m[(key, pred_lang(text))] += 1
+        totals[key] += 1
+    ref = [
+        (
+            None if key is sentinel else key,
+            lang,
+            n,
+            py_pround(n / totals[key], 6),
+        )
+        for (key, lang), n in m.items()
+    ]
+    con = _docs_con(rows)
+    got = [tuple(r) for r in con.sql(o_lang_source_matrix()).fetchall()]
+    assert _nsafe(got) == _nsafe(ref)

@@ -4026,3 +4026,182 @@ def test_corpus_pipeline_pinless_stage_does_not_rearm(spark):
     assert b._released and b._live_branches[0] == 1
     a.release()  # must drain: only pin-less work happened after b left
     assert a._live_branches[0] == 0 and not a._pins
+
+
+def test_length_histogram_card_planted(spark):
+    """Planted corpus with hand-computed buckets: TOKEN_RE tokens land
+    on power-of-two edges (1 tok -> [1,1], 3 -> [2,3], 5 -> [4,7]),
+    an empty string is a genuine zero-token doc in bucket [0,0],
+    NULL text contributes nothing, a NULL source keeps its audit row,
+    and shares divide within the source."""
+    from etl_staging_spark.llmdata import stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha", "a"),                 # 1 token  -> [1,1]
+            (2, "x y z", "a"),                 # 3 tokens -> [2,3]
+            (3, "a b c d e", "a"),             # 5 tokens -> [4,7]
+            (4, "", "a"),                      # 0 tokens -> [0,0]
+            (5, None, "a"),                    # excluded
+            (6, "q", None),                    # NULL-source audit row
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = sorted(
+        (tuple(r) for r in stats.length_histogram_card(docs).collect()),
+        key=lambda t: tuple((v is not None, v) for v in t),
+    )
+    assert rows == [
+        (None, 1, 1, 1, 1.0),
+        ("a", 0, 0, 1, 0.25),
+        ("a", 1, 1, 1, 0.25),
+        ("a", 2, 3, 1, 0.25),
+        ("a", 4, 7, 1, 0.25),
+    ]
+
+
+def test_length_histogram_card_matches_duckdb_oracle(spark):
+    """Dry-run of the queued `length_histogram_card` entry: Spark
+    equals the DuckDB twin on the real documents tables at BOTH parity
+    scales (the bucket ladders are generated from the same
+    constant)."""
+    import duckdb
+
+    from etl_staging_spark.llmdata import stats
+    from etl_staging_spark.queries.catalog_llm import o_length_histogram_card
+
+    for sf in ("sf0.001", "sf0.01"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        got = sorted(
+            tuple(r)
+            for r in stats.length_histogram_card(
+                spark.read.parquet(path)
+            ).collect()
+        )
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+        want = sorted(
+            tuple(r) for r in con.sql(o_length_histogram_card()).fetchall()
+        )
+        assert got == want and got
+
+
+def test_ttr_card_planted(spark):
+    """Planted corpus with hand-computed type/token arithmetic:
+    repeated types collapse, hapax counts singletons within the
+    source, an empty string is one ''-token (the whitespace-split
+    convention), NULL text contributes nothing, and a NULL source
+    keeps its audit row."""
+    from etl_staging_spark.llmdata import stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a b", "s1"),    # tokens a,a,b
+            (2, "b c", "s1"),      # b twice in s1 now; c hapax
+            (3, "", "s2"),         # one '' token
+            (4, None, "s2"),       # excluded
+            (5, "z", None),        # NULL-source audit row
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = sorted(
+        (tuple(r) for r in stats.ttr_card(docs).collect()),
+        key=lambda t: tuple((v is not None, v) for v in t),
+    )
+    # s1: tokens=5 (a,a,b,b,c), types=3, hapax=1 (c)
+    assert rows == [
+        (None, 1, 1, 1, 1.0, 1.0),
+        ("s1", 5, 3, 1, 0.6, 0.333333),
+        ("s2", 1, 1, 1, 1.0, 1.0),
+    ]
+
+
+def test_ttr_card_matches_duckdb_oracle(spark):
+    """Dry-run of the queued `ttr_card` entry at BOTH parity scales."""
+    import duckdb
+
+    from etl_staging_spark.llmdata import stats
+    from etl_staging_spark.queries.catalog_llm import o_ttr_card
+
+    for sf in ("sf0.001", "sf0.01"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        got = sorted(
+            tuple(r)
+            for r in stats.ttr_card(spark.read.parquet(path)).collect()
+        )
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+        want = sorted(tuple(r) for r in con.sql(o_ttr_card()).fetchall())
+        assert got == want and got
+
+
+def test_lang_source_matrix_planted(spark):
+    """Planted corpus with hand-checkable predictions: an en-profile
+    text and a de-profile text split one source's shares, digit-only
+    text has zero bigram evidence and lands in the NULL-language row,
+    NULL text joins it, and a NULL source keeps its audit row."""
+    from etl_staging_spark.llmdata import stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "that there", "s1"),    # en bigrams th,he,er,re,at -> en
+            (2, "schein unter", "s1"),  # de bigrams sc,ch,ei,un,er -> de
+            (3, "12345", "s2"),         # zero profile evidence -> NULL
+            (4, None, "s2"),            # NULL text -> NULL lang
+            (5, "that there", None),    # NULL-source audit row
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = sorted(
+        (tuple(r) for r in stats.lang_source_matrix(docs).collect()),
+        key=lambda t: tuple((v is not None, v) for v in t),
+    )
+    assert rows == [
+        (None, "en", 1, 1.0),
+        ("s1", "de", 1, 0.5),
+        ("s1", "en", 1, 0.5),
+        ("s2", None, 2, 1.0),
+    ]
+
+
+def test_lang_source_matrix_matches_duckdb_oracle(spark):
+    """Dry-run of the queued `lang_source_matrix` entry at BOTH parity
+    scales (the oracle replays the certified lang_id_ngram prediction
+    fragments with source carried through)."""
+    import duckdb
+
+    from etl_staging_spark.llmdata import stats
+    from etl_staging_spark.queries.catalog_llm import o_lang_source_matrix
+
+    for sf in ("sf0.001", "sf0.01"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        got = sorted(
+            tuple(r)
+            for r in stats.lang_source_matrix(
+                spark.read.parquet(path)
+            ).collect()
+        )
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+        want = sorted(
+            tuple(r) for r in con.sql(o_lang_source_matrix()).fetchall()
+        )
+        assert got == want and got
+
+
+def test_lang_id_keep_columns_pass_through(spark):
+    """lang_id(keep=...) carries extra columns through the projection
+    unchanged (the lang_source_matrix contract: no doc_id re-join),
+    and the default projection is unchanged for existing callers."""
+    from etl_staging_spark.llmdata import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "that there", "s1")],
+        "doc_id long, text string, source string",
+    )
+    kept = textstats.lang_id(docs, keep=("source",))
+    assert kept.columns == ["doc_id", "source", "pred_lang", "best_score"]
+    assert kept.head().source == "s1"
+    assert textstats.lang_id(docs).columns == [
+        "doc_id", "pred_lang", "best_score",
+    ]

@@ -568,3 +568,54 @@ def test_source_novelty_card_bounded_set_agg_no_join(spark):
     assert "Join" not in p
     assert "CartesianProduct" not in p
     assert "collect_set" in p
+
+
+def test_length_histogram_card_bounded_window_no_join(spark):
+    """length_histogram_card (r13/r14 queue): ONE map-side-combinable
+    (source, bucket) hash aggregate over the scan; the share window
+    runs over the bounded histogram frame (post-aggregate — exactly
+    one Window operator, downstream of HashAggregate); no join, no
+    Python, no cartesian."""
+    from etl_staging_spark.llmdata.stats import length_histogram_card
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    out = length_histogram_card(docs)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("Window") == 1
+    assert "HashAggregate" in p
+
+
+def test_ttr_card_two_phase_agg_no_window_no_join(spark):
+    """ttr_card (r13/r14 queue): explode -> (source, token) count ->
+    per-source rollup, all hash aggregates (map-side combinable); no
+    window, no join, no Python, no cartesian."""
+    from etl_staging_spark.llmdata.stats import ttr_card
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    out = ttr_card(docs)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Window" not in p
+    assert "Join" not in p
+    assert "CartesianProduct" not in p
+    assert "HashAggregate" in p
+
+
+def test_lang_source_matrix_no_rejoin_bounded_window(spark):
+    """lang_source_matrix (r13/r14 queue): the lang-ID projection
+    carries source through (keep= — NO doc_id re-join), one (source,
+    lang) hash aggregate, and the share window runs over the bounded
+    matrix frame; no join, no Python, no cartesian."""
+    from etl_staging_spark.llmdata.stats import lang_source_matrix
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    out = lang_source_matrix(docs)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("Window") == 1
+    assert "HashAggregate" in p
