@@ -16,11 +16,23 @@ bound against exact answers instead.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Row
+from pyspark.sql import Column, DataFrame, Row, Window
 from pyspark.sql import functions as F
 
 from ..numeric import pround, py_pround
-from .textstats import TOKEN_RE
+from .textstats import TOKEN_RE, lang_id
+
+
+def bpe_token_count(text_col: str) -> Column:
+    """THE per-doc BPE-ish token count (TOKEN_RE matches over the
+    lowercased text), shared by every card that budgets in tokens —
+    `token_length_quantiles`, `exact_corpus_stats`,
+    `length_histogram_card` — so the token convention cannot drift
+    between the sketch, the exact stats, and the histogram that claims
+    to be their certifiable companion."""
+    return F.size(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+    )
 
 def corpus_cardinality(
     docs: DataFrame, rsd: float = 0.02, text_col: str = "text"
@@ -50,9 +62,7 @@ def token_length_quantiles(
     mergeable sketch). Drives the sequence-length / truncation choice:
     seq_len below p99 wastes compute on splits, far above it wastes
     padding."""
-    n_tokens = F.size(
-        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
-    )
+    n_tokens = bpe_token_count(text_col)
     row = docs.select(n_tokens.alias("n")).agg(
         F.percentile_approx("n", list(probabilities), accuracy).alias("qs")
     ).head()
@@ -74,11 +84,7 @@ def exact_corpus_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     alone a corpus-sized one. Distinct texts hash-aggregate in one
     shuffle. This is the exact path; the HLL/GK sketches stay the
     one-pass answer when even one shuffle is too expensive."""
-    from .textstats import TOKEN_RE
-
-    n_tokens = F.size(
-        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
-    )
+    n_tokens = bpe_token_count(text_col)
     base = docs.select(F.sha2(F.col(text_col), 256).alias("h"), n_tokens.alias("n"))
     # two-level: a COUNT(*)+COUNT(DISTINCT) mix would plan an Expand
     # that duplicates every row; grouping by the text hash first makes
@@ -817,6 +823,28 @@ def source_novelty_card(
 LENGTH_BUCKET_MAX_POW = 24
 
 
+def length_bucket_lo(n: Column) -> Column:
+    """Bucket floor for a token count: 0 for zero-token docs, else the
+    largest power of two <= n, saturating at the open top bucket
+    (2^LENGTH_BUCKET_MAX_POW). Factored out of the card so the open
+    bucket — unreachable from any realistic test corpus — is unit-
+    testable on literal counts."""
+    lo = F.when(n == 0, F.lit(0))
+    for k in range(LENGTH_BUCKET_MAX_POW):
+        lo = lo.when(n < 2 ** (k + 1), F.lit(2**k))
+    return lo.otherwise(F.lit(2**LENGTH_BUCKET_MAX_POW))
+
+
+def length_bucket_hi(lo: Column) -> Column:
+    """Inclusive bucket ceiling from the floor: 0 for the zero bucket,
+    NULL for the open top bucket, else 2*lo - 1."""
+    return (
+        F.when(lo == 0, F.lit(0))
+        .when(lo == 2**LENGTH_BUCKET_MAX_POW, F.lit(None))
+        .otherwise(lo * 2 - 1)
+    )
+
+
 def length_histogram_card(
     docs: DataFrame,
     source_col: str = "source",
@@ -839,26 +867,14 @@ def length_histogram_card(
     combinable (source, bucket) aggregate; the share window runs over
     the BOUNDED histogram frame (#sources x <=26 buckets), never the
     corpus. No join, no Python."""
-    from pyspark.sql import Window
-
-    n = F.size(
-        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
-    )
-    lo = F.when(n == 0, F.lit(0))
-    for k in range(LENGTH_BUCKET_MAX_POW):
-        lo = lo.when(n < 2 ** (k + 1), F.lit(2**k))
-    lo = lo.otherwise(F.lit(2**LENGTH_BUCKET_MAX_POW))
+    lo = length_bucket_lo(bpe_token_count(text_col))
     hist = (
         docs.where(F.col(text_col).isNotNull())
         .select(F.col(source_col).alias("source"), lo.alias("lo_tokens"))
         .groupBy("source", "lo_tokens")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
-    hi = (
-        F.when(F.col("lo_tokens") == 0, F.lit(0))
-        .when(F.col("lo_tokens") == 2**LENGTH_BUCKET_MAX_POW, F.lit(None))
-        .otherwise(F.col("lo_tokens") * 2 - 1)
-    )
+    hi = length_bucket_hi(F.col("lo_tokens"))
     w = Window.partitionBy("source")
     return hist.select(
         "source",
@@ -933,10 +949,6 @@ def lang_source_matrix(
     map-side-combinable (source, lang) aggregate; the share window
     runs over the BOUNDED matrix (#sources x #profiles+1), never the
     corpus. No join, no Python."""
-    from pyspark.sql import Window
-
-    from .textstats import lang_id
-
     m = (
         lang_id(docs, keep=(source_col,))
         .groupBy(F.col(source_col).alias("source"), "pred_lang")

@@ -3229,6 +3229,22 @@ def mm_feature_hist(spark, sf_dir):
     return multimodal.feature_table(load(spark, sf_dir, "documents"), dim=16)
 
 
+def o_length_bucket_ladder() -> tuple[str, str]:
+    """The (lo-from-n, hi-from-lo) CASE ladders of
+    `o_length_histogram_card`, factored so the open top bucket —
+    unreachable from any realistic test corpus — is unit-testable on
+    literal counts against `stats.length_bucket_lo/hi` (both sides
+    generate from `stats.LENGTH_BUCKET_MAX_POW`)."""
+    from ..llmdata.stats import LENGTH_BUCKET_MAX_POW as MP
+
+    lo = "CASE WHEN n = 0 THEN 0 " + " ".join(
+        f"WHEN n < {2 ** (k + 1)} THEN {2**k}" for k in range(MP)
+    ) + f" ELSE {2**MP} END"
+    hi = (f"CASE WHEN lo = 0 THEN 0 WHEN lo = {2**MP} THEN NULL"
+          " ELSE lo * 2 - 1 END")
+    return lo, hi
+
+
 def o_length_histogram_card() -> str:
     """DuckDB oracle twin of `llmdata.stats.length_histogram_card`
     (r13/r14 registration queue — exercised by the dedicated
@@ -3239,11 +3255,7 @@ def o_length_histogram_card() -> str:
     disagree by an ulp at power-of-two boundaries), the share is one
     row-local CAST-to-DOUBLE division prounded to 6, and the share
     window runs over the bounded histogram frame."""
-    from ..llmdata.stats import LENGTH_BUCKET_MAX_POW as MP
-
-    ladder = "CASE WHEN n = 0 THEN 0 " + " ".join(
-        f"WHEN n < {2 ** (k + 1)} THEN {2**k}" for k in range(MP)
-    ) + f" ELSE {2**MP} END"
+    ladder, hi = o_length_bucket_ladder()
     return f"""
     WITH lhn AS (
       SELECT source,
@@ -3255,9 +3267,7 @@ def o_length_histogram_card() -> str:
       SELECT source, lo, COUNT(*) AS n_docs FROM lhb GROUP BY 1, 2
     )
     SELECT source, CAST(lo AS INT) AS lo_tokens,
-           CAST(CASE WHEN lo = 0 THEN 0
-                     WHEN lo = {2**MP} THEN NULL
-                     ELSE lo * 2 - 1 END AS INT) AS hi_tokens,
+           CAST({hi} AS INT) AS hi_tokens,
            n_docs,
            {o_pround("CAST(n_docs AS DOUBLE)"
                      " / SUM(n_docs) OVER (PARTITION BY source)", 6)} AS share

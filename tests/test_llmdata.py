@@ -4205,3 +4205,53 @@ def test_lang_id_keep_columns_pass_through(spark):
     assert textstats.lang_id(docs).columns == [
         "doc_id", "pred_lang", "best_score",
     ]
+
+
+def test_length_bucket_open_top_bucket_both_engines(spark):
+    """The open top bucket (lo = 2^24, hi = NULL) is unreachable from
+    any realistic test corpus, so exercise the ACTUAL ladder
+    expressions both cards deploy — `stats.length_bucket_lo/hi` and
+    the generated SQL from `o_length_bucket_ladder` — on literal
+    token counts spanning every branch class: zero, interior edges,
+    the last closed bucket's top, and counts at/above the saturation
+    point."""
+    import duckdb
+
+    from etl_staging_spark.llmdata.stats import (
+        LENGTH_BUCKET_MAX_POW,
+        length_bucket_hi,
+        length_bucket_lo,
+    )
+    from etl_staging_spark.queries.catalog_llm import o_length_bucket_ladder
+
+    top = 2 ** LENGTH_BUCKET_MAX_POW
+    ns = [0, 1, 2, 3, 7, top - 1, top, top + 12345]
+    want = [
+        (0, 0, 0),
+        (1, 1, 1),
+        (2, 2, 3),
+        (3, 2, 3),
+        (7, 4, 7),
+        (top - 1, top // 2, top - 1),
+        (top, top, None),
+        (top + 12345, top, None),
+    ]
+    frame = spark.createDataFrame([(n,) for n in ns], "n long")
+    lo = length_bucket_lo(F.col("n"))
+    got = sorted(
+        tuple(r)
+        for r in frame.select(
+            "n", lo.alias("lo"), length_bucket_hi(lo).alias("hi")
+        ).collect()
+    )
+    assert got == want
+    lo_sql, hi_sql = o_length_bucket_ladder()
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT n, lo, {hi_sql} AS hi FROM ("
+        f"  SELECT n, {lo_sql} AS lo FROM (VALUES "
+        + ", ".join(f"({n})" for n in ns)
+        + " ) t(n))"
+        " ORDER BY n"
+    ).fetchall()
+    assert [tuple(r) for r in rows] == want
