@@ -930,6 +930,28 @@ def ttr_card(
     )
 
 
+def _lang_matrix(
+    docs: DataFrame, group_col: str, out_name: str
+) -> DataFrame:
+    """Shared (group x predicted-language) distribution builder behind
+    `lang_source_matrix` (group = source) and `lang_confusion_card`
+    (group = the labeled language): lang-ID projection with the group
+    carried through (no doc_id re-join), ONE map-side-combinable
+    (group, lang) aggregate, share window over the bounded matrix."""
+    m = (
+        lang_id(docs, keep=(group_col,))
+        .groupBy(F.col(group_col).alias(out_name), "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.partitionBy(out_name)
+    return m.select(
+        out_name,
+        "pred_lang",
+        "n_docs",
+        pround(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias("share"),
+    )
+
+
 def lang_source_matrix(
     docs: DataFrame, source_col: str = "source"
 ) -> DataFrame:
@@ -949,15 +971,22 @@ def lang_source_matrix(
     map-side-combinable (source, lang) aggregate; the share window
     runs over the BOUNDED matrix (#sources x #profiles+1), never the
     corpus. No join, no Python."""
-    m = (
-        lang_id(docs, keep=(source_col,))
-        .groupBy(F.col(source_col).alias("source"), "pred_lang")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-    )
-    w = Window.partitionBy("source")
-    return m.select(
-        "source",
-        "pred_lang",
-        "n_docs",
-        pround(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias("share"),
-    )
+    return _lang_matrix(docs, source_col, "source")
+
+
+def lang_confusion_card(docs: DataFrame, label_col: str = "lang") -> DataFrame:
+    """Language-ID confusion matrix against the corpus's LABELED
+    language column: per (label, predicted) doc counts and the
+    within-label share — the diagonal is per-language recall, the
+    off-diagonal rows say WHERE the n-gram identifier leaks before a
+    language gate trusts it (the QA read `lang_source_matrix` cannot
+    give, since it has no ground truth). Zero-evidence and NULL-text
+    docs land in the NULL-prediction column of their label row; a NULL
+    label keeps its own audit row. Output: (label_lang, pred_lang,
+    n_docs, share), share prounded to 6.
+
+    Scale shape: identical to `lang_source_matrix` (the shared
+    `_lang_matrix` builder): row-local JVM lang-ID projection, ONE
+    (label, lang) aggregate, share window over the bounded matrix
+    (#labels x #profiles+1). No join, no Python."""
+    return _lang_matrix(docs, label_col, "label_lang")

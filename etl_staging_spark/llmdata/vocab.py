@@ -346,3 +346,99 @@ def bpe_encode_report(
             ),
         )
     )
+
+
+def vocab_coverage_by_source(
+    df: DataFrame, k: int = TOP_K, source_col: str = "source"
+) -> DataFrame:
+    """Per-source occurrence coverage of the GLOBAL top-``k`` vocab —
+    the OOV-rate-by-source read behind `vocab_coverage`'s single
+    corpus-wide number: a tokenizer whose vocabulary was induced on
+    the whole mixture can cover 99% of one crawl and gut another, and
+    this card is what surfaces it before training commits. Tokens are
+    the whitespace-lowercase convention the vocab inducers use;
+    NULL-text docs contribute nothing; a NULL source keeps its own
+    audit row. Output: (source, total_tokens, covered_tokens,
+    coverage, oov_rate), both rates prounded to 6 — the denominator
+    can never be zero (a source row exists only with >= 1 token).
+
+    Scale shape: ONE corpus-scale explode feeds a (source, token)
+    count that is persisted and read twice (bounded: per-source
+    vocabulary, the `vocab_topk` width) — once rolled up to the global
+    vocab and its TakeOrdered top-k cut (count desc, token asc — the
+    module's deterministic tie-break), once LEFT-joined against the
+    BROADCAST k-row vocab (token keys, never NULL) and rolled up per
+    source. No corpus re-scan, no window, no Python."""
+    toks = (
+        with_tokens(df)
+        .select(
+            F.col(source_col).alias("source"),
+            F.explode(F.col(TOKS)).alias("token"),
+        )
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    top = (
+        toks.groupBy("token")
+        .agg(F.sum("cnt").alias("gcnt"))
+        .orderBy(F.desc("gcnt"), F.asc("token"))
+        .limit(k)
+        .select("token", F.lit(1).alias("hit"))
+    )
+    out = (
+        toks.join(F.broadcast(top), "token", "left")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("total_tokens"),
+            F.sum(
+                F.when(F.col("hit").isNotNull(), F.col("cnt")).otherwise(0)
+            ).cast("bigint").alias("covered_tokens"),
+        )
+        .select(
+            "source",
+            "total_tokens",
+            "covered_tokens",
+            pround(F.col("covered_tokens") / F.col("total_tokens"), 6).alias(
+                "coverage"
+            ),
+            pround(
+                (F.col("total_tokens") - F.col("covered_tokens"))
+                / F.col("total_tokens"),
+                6,
+            ).alias("oov_rate"),
+        )
+    )
+    out._pinned_persisted = (toks,)
+    return out
+
+
+def o_vocab_coverage_by_source(
+    k: int = TOP_K, source_sql: str = "documents"
+) -> str:
+    """DuckDB oracle twin of :func:`vocab_coverage_by_source` (r14
+    registration queue — exercised by the dedicated Spark-vs-DuckDB
+    parity pytest at two SFs): the same deterministic (count desc,
+    token asc) top-k cut, a LEFT join against the k-row vocab, and
+    row-local CAST-to-DOUBLE divisions prounded to 6."""
+    cov = o_pround("CAST(covered AS DOUBLE) / total", 6)
+    oov = o_pround("CAST(total - covered AS DOUBLE) / total", 6)
+    return f"""
+    WITH vst AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS token
+      FROM {source_sql} WHERE text IS NOT NULL
+    ),
+    vsc AS (SELECT source, token, COUNT(*) AS cnt FROM vst GROUP BY 1, 2),
+    vsg AS (SELECT token, SUM(cnt) AS gcnt FROM vsc GROUP BY token),
+    vstop AS (SELECT token FROM vsg ORDER BY gcnt DESC, token LIMIT {k}),
+    vsp AS (
+      SELECT s.source, SUM(s.cnt) AS total,
+             SUM(CASE WHEN t.token IS NOT NULL THEN s.cnt ELSE 0 END) AS covered
+      FROM vsc s LEFT JOIN vstop t ON t.token = s.token
+      GROUP BY s.source
+    )
+    SELECT source, CAST(total AS BIGINT) AS total_tokens,
+           CAST(covered AS BIGINT) AS covered_tokens,
+           {cov} AS coverage,
+           {oov} AS oov_rate
+    FROM vsp"""

@@ -3297,6 +3297,41 @@ def o_ttr_card() -> str:
     FROM ttrc GROUP BY source"""
 
 
+def _o_lang_matrix(group_col: str, out_name: str) -> str:
+    """Shared SQL builder behind `o_lang_source_matrix` and
+    `o_lang_confusion_card` — the same generated _LSC/_LBEST/_LPRED
+    prediction fragments the certified `lang_id_ngram` entry
+    hash-matches with, grouped by an arbitrary carried column."""
+    return f"""
+    WITH lsb AS (
+      SELECT doc_id, {group_col} AS {out_name},
+             list_distinct(list_transform(generate_series(1, length(lower(text)) - 1),
+                           i -> substr(lower(text), CAST(i AS INT), 2))) AS bg
+      FROM documents
+    ), lss AS (
+      SELECT doc_id, {out_name},
+             {_LSC}
+      FROM lsb
+    ), lssb AS (
+      SELECT *, {_LBEST} AS best FROM lss
+    ), lsp AS (
+      SELECT {out_name}, {_LPRED} AS pred_lang FROM lssb
+    ), lsm AS (
+      SELECT {out_name}, pred_lang, COUNT(*) AS n_docs FROM lsp GROUP BY 1, 2
+    )
+    SELECT {out_name}, pred_lang, n_docs,
+           {o_pround("CAST(n_docs AS DOUBLE)"
+                     f" / SUM(n_docs) OVER (PARTITION BY {out_name})", 6)} AS share
+    FROM lsm"""
+
+
+def o_lang_confusion_card() -> str:
+    """DuckDB oracle twin of `llmdata.stats.lang_confusion_card`
+    (r14 registration queue — exercised by the dedicated
+    Spark-vs-DuckDB parity pytest at two SFs)."""
+    return _o_lang_matrix("lang", "label_lang")
+
+
 def o_lang_source_matrix() -> str:
     """DuckDB oracle twin of `llmdata.stats.lang_source_matrix`
     (r13/r14 registration queue — exercised by the dedicated
@@ -3306,24 +3341,4 @@ def o_lang_source_matrix() -> str:
     source carried through, then ONE (source, lang) count and a
     bounded-frame share window; zero-evidence and NULL-text docs land
     in the NULL-language row."""
-    return f"""
-    WITH lsb AS (
-      SELECT doc_id, source,
-             list_distinct(list_transform(generate_series(1, length(lower(text)) - 1),
-                           i -> substr(lower(text), CAST(i AS INT), 2))) AS bg
-      FROM documents
-    ), lss AS (
-      SELECT doc_id, source,
-             {_LSC}
-      FROM lsb
-    ), lssb AS (
-      SELECT *, {_LBEST} AS best FROM lss
-    ), lsp AS (
-      SELECT source, {_LPRED} AS pred_lang FROM lssb
-    ), lsm AS (
-      SELECT source, pred_lang, COUNT(*) AS n_docs FROM lsp GROUP BY 1, 2
-    )
-    SELECT source, pred_lang, n_docs,
-           {o_pround("CAST(n_docs AS DOUBLE)"
-                     " / SUM(n_docs) OVER (PARTITION BY source)", 6)} AS share
-    FROM lsm"""
+    return _o_lang_matrix("source", "source")

@@ -572,3 +572,101 @@ def test_lang_source_matrix_oracle_matches_python_reference(rows):
     con = _docs_con(rows)
     got = [tuple(r) for r in con.sql(o_lang_source_matrix()).fetchall()]
     assert _nsafe(got) == _nsafe(ref)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.lists(st.tuples(text_st, st.one_of(st.none(), source_st)),
+             max_size=12),
+    st.integers(1, 4),
+)
+def test_vocab_coverage_by_source_oracle_matches_python_reference(rows, k):
+    from etl_staging_spark.llmdata.vocab import o_vocab_coverage_by_source
+
+    sentinel = object()
+    per: dict = defaultdict(lambda: defaultdict(int))
+    glob: dict = defaultdict(int)
+    for text, src in rows:
+        if text is None:
+            continue
+        key = sentinel if src is None else src
+        for tok in text.lower().split(" "):
+            per[key][tok] += 1
+            glob[tok] += 1
+    top = {
+        t for t, _ in sorted(glob.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    }
+    ref = []
+    for key, toks in per.items():
+        total = sum(toks.values())
+        covered = sum(c for t, c in toks.items() if t in top)
+        ref.append(
+            (
+                None if key is sentinel else key,
+                total,
+                covered,
+                py_pround(covered / total, 6),
+                py_pround((total - covered) / total, 6),
+            )
+        )
+    con = _docs_con(rows)
+    got = [
+        tuple(r) for r in con.sql(o_vocab_coverage_by_source(k)).fetchall()
+    ]
+    assert _nsafe(got) == _nsafe(ref)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.lists(
+        st.tuples(lang_text_st, st.one_of(st.none(), st.sampled_from(
+            ["en", "de", "xx"]
+        ))),
+        max_size=12,
+    )
+)
+def test_lang_confusion_oracle_matches_python_reference(rows):
+    from etl_staging_spark.llmdata.textstats import LANG_PROFILES
+    from etl_staging_spark.queries.catalog_llm import o_lang_confusion_card
+
+    def pred_lang(text):
+        if text is None:
+            return None
+        lt = text.lower()
+        bg = {lt[i : i + 2] for i in range(len(lt) - 1)}
+        scores = {
+            lang: len(bg & set(prof)) for lang, prof in LANG_PROFILES.items()
+        }
+        best = max(scores.values()) if scores else 0
+        if best <= 0:
+            return None
+        return min(lang for lang, s in scores.items() if s == best)
+
+    sentinel = object()
+    m: dict = defaultdict(int)
+    totals: dict = defaultdict(int)
+    for text, label in rows:
+        key = sentinel if label is None else label
+        m[(key, pred_lang(text))] += 1
+        totals[key] += 1
+    ref = [
+        (
+            None if key is sentinel else key,
+            lang,
+            n,
+            py_pround(n / totals[key], 6),
+        )
+        for (key, lang), n in m.items()
+    ]
+    # the confusion card reads the documents.lang column as the label
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents(doc_id BIGINT, text VARCHAR, lang VARCHAR)"
+    )
+    if rows:
+        con.executemany(
+            "INSERT INTO documents VALUES (?, ?, ?)",
+            [(i, t, g) for i, (t, g) in enumerate(rows)],
+        )
+    got = [tuple(r) for r in con.sql(o_lang_confusion_card()).fetchall()]
+    assert _nsafe(got) == _nsafe(ref)

@@ -4255,3 +4255,111 @@ def test_length_bucket_open_top_bucket_both_engines(spark):
         " ORDER BY n"
     ).fetchall()
     assert [tuple(r) for r in rows] == want
+
+
+def test_vocab_coverage_by_source_planted(spark):
+    """Planted corpus with a hand-computed top-k cut: k=2 selects the
+    global max token plus the tie-break winner (count desc, token
+    asc), per-source coverage divides within the source, a NULL
+    source keeps its audit row, and NULL text contributes nothing."""
+    from etl_staging_spark.llmdata import vocab
+    from etl_staging_spark.tables import release_pinned
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a b c", "s1"),   # a:2 b:1 c:1
+            (2, "a d", "s2"),       # a:1 d:1
+            (3, "a", None),         # NULL-source audit row
+            (4, None, "s2"),        # excluded
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = vocab.vocab_coverage_by_source(docs, k=2)
+    rows = sorted(
+        (tuple(r) for r in out.collect()),
+        key=lambda t: tuple((v is not None, v) for v in t),
+    )
+    release_pinned(out)
+    # global: a:4, b:1, c:1, d:1 -> top-2 = {a, b} (tie-break token asc)
+    assert rows == [
+        (None, 1, 1, 1.0, 0.0),
+        ("s1", 4, 3, 0.75, 0.25),
+        ("s2", 2, 1, 0.5, 0.5),
+    ]
+
+
+def test_vocab_coverage_by_source_matches_duckdb_oracle(spark):
+    """Dry-run of the queued `vocab_coverage_by_source` entry at BOTH
+    parity scales, at a k that actually cuts (k=20 over the 31-token
+    fixture vocabulary: coverage ~0.64-0.71, never saturated)."""
+    import duckdb
+
+    from etl_staging_spark.llmdata import vocab
+    from etl_staging_spark.tables import release_pinned
+
+    for sf in ("sf0.001", "sf0.01"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        out = vocab.vocab_coverage_by_source(spark.read.parquet(path), k=20)
+        got = sorted(tuple(r) for r in out.collect())
+        release_pinned(out)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+        want = sorted(
+            tuple(r)
+            for r in con.sql(vocab.o_vocab_coverage_by_source(20)).fetchall()
+        )
+        assert got == want and got
+        assert any(r[3] < 1.0 for r in got)  # the cut binds
+
+
+def test_lang_confusion_card_planted(spark):
+    """Planted corpus with hand-checkable confusion cells: a correct
+    en prediction, a de-text mislabeled en (off-diagonal), a
+    zero-evidence doc in the NULL-prediction column, and a NULL label
+    as its own audit row."""
+    from etl_staging_spark.llmdata import stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "that there", "en"),    # pred en -> diagonal
+            (2, "schein unter", "en"),  # pred de -> off-diagonal
+            (3, "12345", "xx"),         # zero evidence -> NULL pred
+            (4, None, None),            # NULL label audit row
+        ],
+        "doc_id long, text string, lang string",
+    )
+    rows = sorted(
+        (tuple(r) for r in stats.lang_confusion_card(docs).collect()),
+        key=lambda t: tuple((v is not None, v) for v in t),
+    )
+    assert rows == [
+        (None, None, 1, 1.0),
+        ("en", "de", 1, 0.5),
+        ("en", "en", 1, 0.5),
+        ("xx", None, 1, 1.0),
+    ]
+
+
+def test_lang_confusion_card_matches_duckdb_oracle(spark):
+    """Dry-run of the queued `lang_confusion_card` entry at BOTH
+    parity scales (labeled lang vs the certified lang_id_ngram
+    prediction fragments)."""
+    import duckdb
+
+    from etl_staging_spark.llmdata import stats
+    from etl_staging_spark.queries.catalog_llm import o_lang_confusion_card
+
+    for sf in ("sf0.001", "sf0.01"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        got = sorted(
+            tuple(r)
+            for r in stats.lang_confusion_card(
+                spark.read.parquet(path)
+            ).collect()
+        )
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+        want = sorted(
+            tuple(r) for r in con.sql(o_lang_confusion_card()).fetchall()
+        )
+        assert got == want and got

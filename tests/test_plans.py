@@ -619,3 +619,40 @@ def test_lang_source_matrix_no_rejoin_bounded_window(spark):
     assert "CartesianProduct" not in p
     assert p.count("Window") == 1
     assert "HashAggregate" in p
+
+
+def test_vocab_coverage_by_source_broadcast_vocab_no_corpus_rescan(spark):
+    """vocab_coverage_by_source (r14 queue): the k-row vocab joins
+    back BROADCAST (token keys), the top-k cut is a TakeOrdered heap,
+    the (source, token) count is persisted (InMemory reuse — one
+    corpus explode, not two), and no Python/cartesian anywhere."""
+    from etl_staging_spark.llmdata.vocab import vocab_coverage_by_source
+    from etl_staging_spark.tables import release_pinned
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    out = vocab_coverage_by_source(docs, k=20)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    release_pinned(out)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+    assert "InMemoryTableScan" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_lang_confusion_card_no_rejoin_bounded_window(spark):
+    """lang_confusion_card (r14 queue): same shape as
+    lang_source_matrix via the shared _lang_matrix builder — no doc_id
+    re-join, one hash aggregate, share window only over the bounded
+    matrix frame."""
+    from etl_staging_spark.llmdata.stats import lang_confusion_card
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    out = lang_confusion_card(docs)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("Window") == 1
+    assert "HashAggregate" in p
