@@ -34,6 +34,7 @@ def bpe_token_count(text_col: str) -> Column:
         F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
     )
 
+
 def corpus_cardinality(
     docs: DataFrame, rsd: float = 0.02, text_col: str = "text"
 ) -> Row:
@@ -829,7 +830,10 @@ def length_bucket_lo(n: Column) -> Column:
     (2^LENGTH_BUCKET_MAX_POW). Factored out of the card so the open
     bucket — unreachable from any realistic test corpus — is unit-
     testable on literal counts."""
-    lo = F.when(n == 0, F.lit(0))
+    # NULL propagates (a NULL count is an unknown length, not a 16M-token
+    # doc): without this head the when() chain would fall through to the
+    # open-bucket otherwise() for NULL inputs
+    lo = F.when(n.isNull(), F.lit(None)).when(n == 0, F.lit(0))
     for k in range(LENGTH_BUCKET_MAX_POW):
         lo = lo.when(n < 2 ** (k + 1), F.lit(2**k))
     return lo.otherwise(F.lit(2**LENGTH_BUCKET_MAX_POW))
@@ -909,9 +913,11 @@ def ttr_card(
     `token_drift_card` moves) -> per-source rollup whose input is
     bounded by per-source vocabulary, not corpus size. No window, no
     join, no Python."""
-    toks = docs.where(F.col(text_col).isNotNull()).select(
+    from .shingles import TOKS, with_tokens
+
+    toks = with_tokens(docs, text_col).select(
         F.col(source_col).alias("source"),
-        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("token"),
+        F.explode(F.col(TOKS)).alias("token"),
     )
     per_tok = toks.groupBy("source", "token").agg(
         F.count(F.lit(1)).alias("cnt")

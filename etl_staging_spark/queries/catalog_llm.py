@@ -3237,7 +3237,7 @@ def o_length_bucket_ladder() -> tuple[str, str]:
     generate from `stats.LENGTH_BUCKET_MAX_POW`)."""
     from ..llmdata.stats import LENGTH_BUCKET_MAX_POW as MP
 
-    lo = "CASE WHEN n = 0 THEN 0 " + " ".join(
+    lo = "CASE WHEN n IS NULL THEN NULL WHEN n = 0 THEN 0 " + " ".join(
         f"WHEN n < {2 ** (k + 1)} THEN {2**k}" for k in range(MP)
     ) + f" ELSE {2**MP} END"
     hi = (f"CASE WHEN lo = 0 THEN 0 WHEN lo = {2**MP} THEN NULL"

@@ -4225,8 +4225,9 @@ def test_length_bucket_open_top_bucket_both_engines(spark):
     from etl_staging_spark.queries.catalog_llm import o_length_bucket_ladder
 
     top = 2 ** LENGTH_BUCKET_MAX_POW
-    ns = [0, 1, 2, 3, 7, top - 1, top, top + 12345]
+    ns = [None, 0, 1, 2, 3, 7, top - 1, top, top + 12345]
     want = [
+        (None, None, None),  # NULL count propagates, never the open bucket
         (0, 0, 0),
         (1, 1, 1),
         (2, 2, 3),
@@ -4239,10 +4240,11 @@ def test_length_bucket_open_top_bucket_both_engines(spark):
     frame = spark.createDataFrame([(n,) for n in ns], "n long")
     lo = length_bucket_lo(F.col("n"))
     got = sorted(
-        tuple(r)
-        for r in frame.select(
-            "n", lo.alias("lo"), length_bucket_hi(lo).alias("hi")
-        ).collect()
+        (tuple(r)
+         for r in frame.select(
+             "n", lo.alias("lo"), length_bucket_hi(lo).alias("hi")
+         ).collect()),
+        key=lambda t: (t[0] is not None, t[0] or 0),
     )
     assert got == want
     lo_sql, hi_sql = o_length_bucket_ladder()
@@ -4250,9 +4252,9 @@ def test_length_bucket_open_top_bucket_both_engines(spark):
     rows = con.sql(
         f"SELECT n, lo, {hi_sql} AS hi FROM ("
         f"  SELECT n, {lo_sql} AS lo FROM (VALUES "
-        + ", ".join(f"({n})" for n in ns)
+        + ", ".join("(NULL)" if n is None else f"({n})" for n in ns)
         + " ) t(n))"
-        " ORDER BY n"
+        " ORDER BY n NULLS FIRST"
     ).fetchall()
     assert [tuple(r) for r in rows] == want
 
