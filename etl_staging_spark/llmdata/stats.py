@@ -870,21 +870,47 @@ def length_histogram_card(
     Scale shape: one scan -> row-local CASE ladder -> ONE map-side-
     combinable (source, bucket) aggregate; the share window runs over
     the BOUNDED histogram frame (#sources x <=26 buckets), never the
-    corpus. No join, no Python."""
+    corpus. No join, no Python.
+
+    Split into :func:`length_hist_counts` (the additive delta) and
+    :func:`finish_length_card` (the presentation) so the streaming
+    twin (`streaming.ingest.length_card_stream`) maintains the same
+    card incrementally — counts merge by addition, the finish reruns
+    on the bounded merged frame."""
+    return finish_length_card(
+        length_hist_counts(docs, source_col=source_col, text_col=text_col)
+    )
+
+
+def length_hist_counts(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """The ADDITIVE half of `length_histogram_card`: (source,
+    lo_tokens, n_docs) bucket counts — two frames of these merge by
+    summing n_docs, which is what makes the card incrementally
+    maintainable over micro-batches."""
     lo = length_bucket_lo(bpe_token_count(text_col))
-    hist = (
+    return (
         docs.where(F.col(text_col).isNotNull())
         .select(F.col(source_col).alias("source"), lo.alias("lo_tokens"))
-        .groupBy("source", "lo_tokens")
+        .groupBy("source", F.col("lo_tokens").cast("int").alias("lo_tokens"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+def finish_length_card(hist: DataFrame) -> DataFrame:
+    """The presentation half of `length_histogram_card`: ceiling column
+    and within-source shares over an already-bounded (source,
+    lo_tokens, n_docs) frame."""
     hi = length_bucket_hi(F.col("lo_tokens"))
     w = Window.partitionBy("source")
     return hist.select(
         "source",
-        F.col("lo_tokens").cast("int").alias("lo_tokens"),
+        "lo_tokens",
         hi.cast("int").alias("hi_tokens"),
-        "n_docs",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
         pround(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias("share"),
     )
 
@@ -913,15 +939,35 @@ def ttr_card(
     `token_drift_card` moves) -> per-source rollup whose input is
     bounded by per-source vocabulary, not corpus size. No window, no
     join, no Python."""
+    return finish_ttr_card(
+        ttr_token_counts(docs, source_col=source_col, text_col=text_col)
+    )
+
+
+def ttr_token_counts(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """The ADDITIVE half of `ttr_card`: (source, token, cnt) occurrence
+    counts — the per-source vocabulary state, bounded by vocabulary
+    (not corpus) size, that merges by summing cnt. The streaming twin
+    maintains THIS and re-derives the card; types and hapax counts are
+    not additive, but the counts they derive from are."""
     from .shingles import TOKS, with_tokens
 
     toks = with_tokens(docs, text_col).select(
         F.col(source_col).alias("source"),
         F.explode(F.col(TOKS)).alias("token"),
     )
-    per_tok = toks.groupBy("source", "token").agg(
+    return toks.groupBy("source", "token").agg(
         F.count(F.lit(1)).alias("cnt")
     )
+
+
+def finish_ttr_card(per_tok: DataFrame) -> DataFrame:
+    """The presentation half of `ttr_card`: the per-source rollup and
+    rates over an already-aggregated (source, token, cnt) frame."""
     return per_tok.groupBy("source").agg(
         F.sum("cnt").cast("bigint").alias("n_tokens"),
         F.count(F.lit(1)).alias("n_types"),

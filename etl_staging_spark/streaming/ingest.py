@@ -494,3 +494,141 @@ def lm_score_stream(
         on_batch(batch_id, lm.score_with_model(batch_df, model_table))
 
     return _start(docs_stream.writeStream.foreachBatch(_process), query_name, checkpoint_dir)
+
+
+def additive_card_stream(
+    docs_stream: DataFrame,
+    state_dir: str,
+    delta_fn: Callable[[DataFrame], DataFrame],
+    key_cols: tuple[str, ...],
+    finish_fn: Callable[[DataFrame], DataFrame],
+    on_batch: Callable[[int, DataFrame], None],
+    count_cols: tuple[str, ...] = ("n_docs",),
+    query_name: str = "additive_card",
+    checkpoint_dir: str | None = None,
+):
+    """Incremental dataset-card maintenance: per micro-batch, compute
+    the batch's ADDITIVE counts (``delta_fn``), append them to a
+    batch_id-partitioned delta log, and hand the REFRESHED card
+    (``finish_fn`` over the re-merged log) to ``on_batch`` — the
+    dataset card stays current at ingest time without ever re-scanning
+    the corpus; each batch pays O(batch) + O(log).
+
+    Replay convergence: the delta partition is keyed by batch_id and
+    written with DYNAMIC partition overwrite (`etl.sinks.
+    write_partitioned_snapshot`), so a crash-redelivered batch
+    overwrites ITS OWN partition instead of double-counting — additive
+    state made idempotent the same way the maintenance jobs scope
+    their corrections. The log grows one bounded partition per batch
+    (the delta is post-aggregate: #keys rows, never the batch's docs);
+    `compact_card_state` folds it back to one base partition between
+    runs."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+        from pyspark.sql import functions as F
+
+        from ..etl.sinks import write_partitioned_snapshot
+
+        spark = batch_df.sparkSession
+        delta = delta_fn(batch_df).withColumn("batch_id", F.lit(batch_id))
+        if not delta.isEmpty():
+            write_partitioned_snapshot(delta, state_dir, ["batch_id"])
+        try:
+            log = spark.read.parquet(state_dir)
+        except AnalysisException:
+            # nothing ever written (every batch so far all-NULL text):
+            # the empty delta carries the correct schema
+            log = delta
+        merged = log.groupBy(*key_cols).agg(
+            *[F.sum(c).cast("bigint").alias(c) for c in count_cols]
+        )
+        _handoff(on_batch, batch_id, finish_fn(merged))
+
+    return _start(
+        docs_stream.writeStream.foreachBatch(_process), query_name, checkpoint_dir
+    )
+
+
+def length_card_stream(
+    docs_stream: DataFrame,
+    state_dir: str,
+    on_batch: Callable[[int, DataFrame], None],
+    source_col: str = "source",
+    query_name: str = "length_card",
+    checkpoint_dir: str | None = None,
+):
+    """`stats.length_histogram_card` maintained incrementally: the
+    (source, bucket) counts are the additive delta, the ceiling/share
+    presentation reruns on the bounded merged frame — after any batch,
+    the emitted card equals the batch card over every document seen so
+    far (the parity pytest pins it)."""
+    from ..llmdata import stats
+
+    return additive_card_stream(
+        docs_stream,
+        state_dir,
+        lambda b: stats.length_hist_counts(b, source_col=source_col),
+        ("source", "lo_tokens"),
+        stats.finish_length_card,
+        on_batch,
+        count_cols=("n_docs",),
+        query_name=query_name,
+        checkpoint_dir=checkpoint_dir,
+    )
+
+
+def ttr_card_stream(
+    docs_stream: DataFrame,
+    state_dir: str,
+    on_batch: Callable[[int, DataFrame], None],
+    source_col: str = "source",
+    query_name: str = "ttr_card",
+    checkpoint_dir: str | None = None,
+):
+    """`stats.ttr_card` maintained incrementally: the maintainable
+    state is the (source, token, cnt) occurrence table — bounded by
+    per-source VOCABULARY, not corpus size — because types and hapax
+    counts are not additive but the counts they derive from are. The
+    rollup/rates rerun on the merged state each batch."""
+    from ..llmdata import stats
+
+    return additive_card_stream(
+        docs_stream,
+        state_dir,
+        lambda b: stats.ttr_token_counts(b, source_col=source_col),
+        ("source", "token"),
+        stats.finish_ttr_card,
+        on_batch,
+        count_cols=("cnt",),
+        query_name=query_name,
+        checkpoint_dir=checkpoint_dir,
+    )
+
+
+def compact_card_state(
+    spark,
+    state_dir: str,
+    key_cols: tuple[str, ...],
+    count_cols: tuple[str, ...] = ("n_docs",),
+) -> None:
+    """Offline maintenance for an `additive_card_stream` delta log:
+    fold every batch partition into ONE base partition (batch_id = -1,
+    a value no stream batch ever uses). Run ONLY while the stream is
+    stopped — an availableNow stream that terminated cleanly has
+    committed every delivered batch, so no replay can race the static
+    rewrite; compacting under a live stream could double-count a batch
+    whose partition the rewrite folds in just before a crash-replay
+    rewrites it."""
+    from pyspark.sql import functions as F
+
+    from ..etl.sinks import write_partitioned_snapshot
+
+    log = spark.read.parquet(state_dir)
+    base = (
+        log.groupBy(*key_cols)
+        .agg(*[F.sum(c).cast("bigint").alias(c) for c in count_cols])
+        .withColumn("batch_id", F.lit(-1))
+    )
+    # static: replace the whole log, not just the partitions present
+    write_partitioned_snapshot(base, state_dir, ["batch_id"], mode="static")

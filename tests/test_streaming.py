@@ -1031,3 +1031,229 @@ def test_gated_ingest_rejects_bare_string_langs(spark):
         [(1, "hello", "web")], "doc_id long, text string, source string")
     with _pytest.raises(TypeError, match="bare string"):
         gated_ingest_stream(docs, lambda b, df: None, langs="en")
+
+
+def _nkey(rows):
+    return sorted(rows, key=lambda t: tuple((v is not None, v) for v in t))
+
+
+def test_length_card_stream_matches_batch(spark, tmp_path):
+    """Incremental card maintenance: after every micro-batch
+    (maxFilesPerTrigger=1 forces several), the emitted length card
+    equals the BATCH length_histogram_card over every document seen so
+    far — additive (source, bucket) deltas + the bounded finish
+    reproduce the one-shot card exactly, including a NULL-source audit
+    row and an all-NULL-text batch."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from etl_staging_spark.llmdata import stats
+    from etl_staging_spark.streaming.ingest import length_card_stream
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("source", StringType()),
+        ]
+    )
+    drops = [
+        [(1, "alpha beta", "s1"), (2, "x", "s2")],
+        [(3, None, "s1"), (4, None, None)],          # all-NULL-text batch
+        [(5, "a b c d e", "s1"), (6, "q", None)],    # NULL-source audit row
+    ]
+    drop_dir = tmp_path / "drops"
+    drop_dir.mkdir()
+    seen_rows: list[tuple] = []
+    for i, rows in enumerate(drops):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(drop_dir / f"f{i}")
+        )
+        seen_rows.extend(rows)
+
+    cards: dict[int, list] = {}
+
+    def sink(bid, card):
+        cards[bid] = [tuple(r) for r in card.collect()]
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop_dir) + "/*")
+    )
+    q = length_card_stream(stream, str(tmp_path / "state"), sink)
+    q.awaitTermination()
+
+    assert len(cards) == 3
+    # final card == batch card over the full corpus
+    full = spark.createDataFrame(seen_rows, schema)
+    want = [tuple(r) for r in stats.length_histogram_card(full).collect()]
+    assert _nkey(cards[max(cards)]) == _nkey(want)
+    # the all-NULL-text batch emits a card too (state so far, no crash)
+    assert all(len(c) > 0 for c in cards.values())
+
+
+def test_ttr_card_stream_matches_batch_and_compacts(spark, tmp_path):
+    """The TTR stream maintains the (source, token) occurrence state —
+    a type seen once per batch but twice across batches must NOT count
+    as hapax (the non-additive trap the state design avoids). After
+    the run, compact_card_state folds the delta log to one base
+    partition and the derived card is unchanged."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from etl_staging_spark.llmdata import stats
+    from etl_staging_spark.streaming.ingest import (
+        compact_card_state,
+        ttr_card_stream,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("source", StringType()),
+        ]
+    )
+    # 'beta' appears once in EACH batch for s1: per-batch hapax, but
+    # cnt=2 overall -> not hapax in the true card
+    drops = [
+        [(1, "alpha beta", "s1")],
+        [(2, "beta gamma", "s1"), (3, "x y", "s2")],
+    ]
+    drop_dir = tmp_path / "drops"
+    drop_dir.mkdir()
+    all_rows: list[tuple] = []
+    for i, rows in enumerate(drops):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(drop_dir / f"f{i}")
+        )
+        all_rows.extend(rows)
+
+    cards: dict[int, list] = {}
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop_dir) + "/*")
+    )
+    state = str(tmp_path / "state")
+    q = ttr_card_stream(
+        stream, state, lambda bid, c: cards.__setitem__(
+            bid, [tuple(r) for r in c.collect()]
+        )
+    )
+    q.awaitTermination()
+
+    full = spark.createDataFrame(all_rows, schema)
+    want = [tuple(r) for r in stats.ttr_card(full).collect()]
+    final = cards[max(cards)]
+    assert _nkey(final) == _nkey(want)
+    # s1: tokens=4 (alpha, beta x2, gamma), types=3, hapax=2 (alpha, gamma)
+    s1 = next(r for r in final if r[0] == "s1")
+    assert s1[1:4] == (4, 3, 2)
+
+    # compaction: one base partition, same derived card
+    compact_card_state(spark, state, ("source", "token"), count_cols=("cnt",))
+    log = spark.read.parquet(state)
+    assert [r.batch_id for r in log.select("batch_id").distinct().collect()] == [-1]
+    after = [
+        tuple(r)
+        for r in stats.finish_ttr_card(
+            log.groupBy("source", "token").agg(
+                F.sum("cnt").cast("bigint").alias("cnt")
+            )
+        ).collect()
+    ]
+    assert _nkey(after) == _nkey(want)
+
+
+def test_length_card_stream_checkpointed_replay_converges(spark, tmp_path):
+    """Restart + idempotency: with a checkpoint, a restarted card
+    stream processes only NEW drops, and the delta log holds exactly
+    one partition per batch — the dynamic-overwrite design that makes
+    a crash-redelivered batch overwrite its own partition instead of
+    double-counting."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from etl_staging_spark.llmdata import stats
+    from etl_staging_spark.streaming.ingest import length_card_stream
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("source", StringType()),
+        ]
+    )
+    drop_dir = tmp_path / "drops"
+    drop_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+    spark.createDataFrame(
+        [(1, "a b c", "s1")], schema
+    ).coalesce(1).write.parquet(str(drop_dir / "f1"))
+
+    cards: list[list] = []
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(drop_dir) + "/*")
+        q = length_card_stream(
+            stream, state,
+            lambda bid, c: cards.append([tuple(r) for r in c.collect()]),
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination()
+
+    run_once()
+    spark.createDataFrame(
+        [(2, "d e f g h", "s1")], schema
+    ).coalesce(1).write.parquet(str(drop_dir / "f2"))
+    run_once()
+
+    # second run appended exactly one new delta partition (batch 1)
+    log = spark.read.parquet(state)
+    assert sorted(
+        r.batch_id for r in log.select("batch_id").distinct().collect()
+    ) == [0, 1]
+    full = spark.createDataFrame(
+        [(1, "a b c", "s1"), (2, "d e f g h", "s1")], schema
+    )
+    want = [tuple(r) for r in stats.length_histogram_card(full).collect()]
+    assert _nkey(cards[-1]) == _nkey(want)
+
+
+def test_length_card_stream_first_batch_all_null_text(spark, tmp_path):
+    """The never-written-state fallback: if the FIRST batch carries no
+    text at all, no delta partition exists yet and the state read
+    fails — the stream must emit an empty (schema-correct) card for
+    that batch instead of crashing, then recover normally."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from etl_staging_spark.streaming.ingest import length_card_stream
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("source", StringType()),
+        ]
+    )
+    drop_dir = tmp_path / "drops"
+    drop_dir.mkdir()
+    spark.createDataFrame([(1, None, "s1")], schema).coalesce(1).write.parquet(
+        str(drop_dir / "f0")
+    )
+    spark.createDataFrame([(2, "a b", "s1")], schema).coalesce(1).write.parquet(
+        str(drop_dir / "f1")
+    )
+    cards: dict[int, list] = {}
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop_dir) + "/*")
+    )
+    q = length_card_stream(
+        stream, str(tmp_path / "state"),
+        lambda bid, c: cards.__setitem__(bid, [tuple(r) for r in c.collect()]),
+    )
+    q.awaitTermination()
+    assert cards[0] == []
+    assert cards[1] == [("s1", 2, 3, 1, 1.0)]
