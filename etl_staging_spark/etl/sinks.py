@@ -98,14 +98,19 @@ def write_partitioned_snapshot(
     (date, company) so a correction touches only its slice — at 100 TB
     a full-table rewrite per correction is the failure mode this sink
     exists to avoid."""
+    if mode not in ("dynamic", "static"):
+        raise ValueError(f"unknown overwrite mode {mode!r}")
     writer = df.write.format("parquet").partitionBy(*partition_cols)
-    if mode == "dynamic":
-        spark = df.sparkSession
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            writer.mode("overwrite").save(path)
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    else:
+    # BOTH branches pin the conf for the duration of the write: a
+    # session whose ambient default is 'dynamic' would otherwise
+    # execute a mode='static' compaction as a dynamic overwrite —
+    # replacing only the partitions present in df and silently leaving
+    # every other partition in place (double-counting, for the
+    # additive-card delta logs this sink compacts)
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", mode)
+    try:
         writer.mode("overwrite").save(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -522,7 +522,28 @@ def additive_card_stream(
     their corrections. The log grows one bounded partition per batch
     (the delta is post-aggregate: #keys rows, never the batch's docs);
     `compact_card_state` folds it back to one base partition between
-    runs."""
+    runs.
+
+    Replay convergence holds only when batch ids are stable, i.e. the
+    stream runs WITH a checkpoint: a fresh un-checkpointed run against
+    an existing delta log restarts batch numbering at 0 and would
+    overwrite partition 0 while stale higher-numbered partitions keep
+    double-counting the re-delivered documents — so reusing a
+    non-empty local ``state_dir`` without ``checkpoint_dir`` is
+    refused at start."""
+    import os
+
+    if checkpoint_dir is None and os.path.isdir(state_dir) and any(
+        e.startswith("batch_id=") for e in os.listdir(state_dir)
+    ):
+        # best-effort (local paths; a remote scheme skips the check):
+        # catches the real footgun — restarted batch numbering merging
+        # into a prior run's log
+        raise ValueError(
+            f"state_dir {state_dir!r} already holds a delta log; "
+            "pass checkpoint_dir so batch ids stay stable across runs "
+            "(or point at a fresh state_dir)"
+        )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.errors import AnalysisException
@@ -531,22 +552,43 @@ def additive_card_stream(
         from ..etl.sinks import write_partitioned_snapshot
 
         spark = batch_df.sparkSession
-        delta = delta_fn(batch_df).withColumn("batch_id", F.lit(batch_id))
-        if not delta.isEmpty():
-            write_partitioned_snapshot(delta, state_dir, ["batch_id"])
-        try:
-            log = spark.read.parquet(state_dir)
-        except AnalysisException:
-            # nothing ever written (every batch so far all-NULL text):
-            # the empty delta carries the correct schema
-            log = delta
-        merged = log.groupBy(*key_cols).agg(
-            *[F.sum(c).cast("bigint").alias(c) for c in count_cols]
+        delta = (
+            delta_fn(batch_df)
+            .withColumn("batch_id", F.lit(batch_id))
+            # the aggregated delta is read twice (emptiness probe +
+            # write); without the pin the whole delta_fn aggregation
+            # over the batch would run twice per micro-batch
+            .persist()
         )
-        _handoff(on_batch, batch_id, finish_fn(merged))
+        try:
+            if not delta.isEmpty():
+                write_partitioned_snapshot(delta, state_dir, ["batch_id"])
+            try:
+                log = spark.read.parquet(state_dir)
+            except AnalysisException:
+                # nothing ever written (every batch so far all-NULL
+                # text): the empty delta carries the correct schema
+                log = delta
+            _handoff(
+                on_batch, batch_id, finish_fn(_fold(log, key_cols, count_cols))
+            )
+        finally:
+            delta.unpersist()
 
     return _start(
         docs_stream.writeStream.foreachBatch(_process), query_name, checkpoint_dir
+    )
+
+
+def _fold(log: DataFrame, key_cols: tuple[str, ...],
+          count_cols: tuple[str, ...]) -> DataFrame:
+    """THE delta-log merge, shared by the per-batch refresh and the
+    offline compaction so the two can never diverge (key set, sum,
+    bigint cast)."""
+    from pyspark.sql import functions as F
+
+    return log.groupBy(*key_cols).agg(
+        *[F.sum(c).cast("bigint").alias(c) for c in count_cols]
     )
 
 
@@ -611,24 +653,45 @@ def compact_card_state(
     state_dir: str,
     key_cols: tuple[str, ...],
     count_cols: tuple[str, ...] = ("n_docs",),
+    checkpoint_dir: str | None = None,
 ) -> None:
     """Offline maintenance for an `additive_card_stream` delta log:
     fold every batch partition into ONE base partition (batch_id = -1,
-    a value no stream batch ever uses). Run ONLY while the stream is
-    stopped — an availableNow stream that terminated cleanly has
-    committed every delivered batch, so no replay can race the static
-    rewrite; compacting under a live stream could double-count a batch
-    whose partition the rewrite folds in just before a crash-replay
-    rewrites it."""
+    a value no stream batch ever uses). Run ONLY after the stream has
+    TERMINATED CLEANLY (an availableNow stream that finished has
+    committed every delivered batch) — "stopped" is not enough: after
+    a crash between a delta write and its checkpoint commit, folding
+    the uncommitted partition and then restarting would double-count
+    that batch (the restart rewrites its partition while its counts
+    already sit in the base). Pass the stream's ``checkpoint_dir`` to
+    enforce this: only batch partitions recorded in the checkpoint's
+    commits log are folded, uncommitted ones are left in place for the
+    replay to overwrite."""
     from pyspark.sql import functions as F
 
     from ..etl.sinks import write_partitioned_snapshot
 
     log = spark.read.parquet(state_dir)
-    base = (
-        log.groupBy(*key_cols)
-        .agg(*[F.sum(c).cast("bigint").alias(c) for c in count_cols])
-        .withColumn("batch_id", F.lit(-1))
-    )
+    keep = None
+    if checkpoint_dir is not None:
+        import os
+
+        commits = os.path.join(checkpoint_dir, "commits")
+        committed = {
+            int(e) for e in (
+                os.listdir(commits) if os.path.isdir(commits) else ()
+            ) if e.isdigit()
+        }
+        # -1 = a prior compaction's base partition: always committed
+        foldable = F.col("batch_id").isin([-1, *committed])
+        keep = log.where(~foldable)
+        log = log.where(foldable)
+    base = _fold(log, key_cols, count_cols).withColumn("batch_id", F.lit(-1))
+    if keep is not None:
+        base = base.unionByName(keep.select(*base.columns))
+    # the rewrite reads the very files the static overwrite deletes:
+    # materialize the folded rows (bounded: #keys + uncommitted
+    # partitions) and cut the lineage BEFORE the delete happens
+    base = base.localCheckpoint(eager=True)
     # static: replace the whole log, not just the partitions present
     write_partitioned_snapshot(base, state_dir, ["batch_id"], mode="static")

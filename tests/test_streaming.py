@@ -1257,3 +1257,217 @@ def test_length_card_stream_first_batch_all_null_text(spark, tmp_path):
     q.awaitTermination()
     assert cards[0] == []
     assert cards[1] == [("s1", 2, 3, 1, 1.0)]
+
+
+def test_length_card_stream_crash_replay_overwrites_own_partition(
+    spark, tmp_path
+):
+    """THE idempotency claim, exercised for real: deleting the latest
+    checkpoint commit (a crash between the delta write and the commit)
+    makes the restarted stream redeliver that batch with the SAME
+    batch_id — the dynamic partition overwrite replaces the batch's
+    own partition and the final card does NOT double-count."""
+    import os
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from etl_staging_spark.llmdata import stats
+    from etl_staging_spark.streaming.ingest import length_card_stream
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("source", StringType()),
+        ]
+    )
+    drop_dir = tmp_path / "drops"
+    drop_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+    rows = [[(1, "a b c", "s1")], [(2, "d e", "s1")]]
+    for i, r in enumerate(rows):
+        spark.createDataFrame(r, schema).coalesce(1).write.parquet(
+            str(drop_dir / f"f{i}")
+        )
+
+    cards: list[list] = []
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(drop_dir) + "/*")
+        )
+        q = length_card_stream(
+            stream, state,
+            lambda bid, c: cards.append([tuple(r) for r in c.collect()]),
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination()
+
+    run_once()
+    assert len(cards) == 2
+    # simulate the crash: batch 1's delta is on disk, its commit is not
+    # (the .crc checksum sidecar must go too, or the local Hadoop FS
+    # fails the commit rewrite as a concurrent-writer conflict)
+    os.remove(os.path.join(ckpt, "commits", "1"))
+    crc = os.path.join(ckpt, "commits", ".1.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run_once()  # redelivers batch 1 (same id, same file)
+
+    log = spark.read.parquet(state)
+    assert sorted(
+        r.batch_id for r in log.select("batch_id").distinct().collect()
+    ) == [0, 1]
+    full = spark.createDataFrame(rows[0] + rows[1], schema)
+    want = [tuple(r) for r in stats.length_histogram_card(full).collect()]
+    assert _nkey(cards[-1]) == _nkey(want)  # no double count
+
+
+def test_compact_card_state_respects_uncommitted_batches(spark, tmp_path):
+    """Compaction handed the checkpoint folds ONLY committed batch
+    partitions: after a simulated crash (delta written, commit
+    deleted), the uncommitted partition survives compaction intact, so
+    the subsequent replay overwrites it without double-counting; a
+    second compaction after the clean rerun folds everything."""
+    import os
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from etl_staging_spark.llmdata import stats
+    from etl_staging_spark.streaming.ingest import (
+        compact_card_state,
+        length_card_stream,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("source", StringType()),
+        ]
+    )
+    drop_dir = tmp_path / "drops"
+    drop_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+    rows = [[(1, "a b c", "s1")], [(2, "d e", "s1")]]
+    for i, r in enumerate(rows):
+        spark.createDataFrame(r, schema).coalesce(1).write.parquet(
+            str(drop_dir / f"f{i}")
+        )
+
+    cards: list[list] = []
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(drop_dir) + "/*")
+        )
+        q = length_card_stream(
+            stream, state,
+            lambda bid, c: cards.append([tuple(r) for r in c.collect()]),
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination()
+
+    run_once()
+    os.remove(os.path.join(ckpt, "commits", "1"))  # crash before commit
+    crc = os.path.join(ckpt, "commits", ".1.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    compact_card_state(
+        spark, state, ("source", "lo_tokens"), checkpoint_dir=ckpt
+    )
+    log = spark.read.parquet(state)
+    # committed batch 0 folded into the base; uncommitted batch 1 intact
+    assert sorted(
+        r.batch_id for r in log.select("batch_id").distinct().collect()
+    ) == [-1, 1]
+
+    run_once()  # replay rewrites partition 1
+    full = spark.createDataFrame(rows[0] + rows[1], schema)
+    want = [tuple(r) for r in stats.length_histogram_card(full).collect()]
+    assert _nkey(cards[-1]) == _nkey(want)
+
+    # clean termination: now everything is committed and foldable
+    compact_card_state(
+        spark, state, ("source", "lo_tokens"), checkpoint_dir=ckpt
+    )
+    log = spark.read.parquet(state)
+    assert [
+        r.batch_id for r in log.select("batch_id").distinct().collect()
+    ] == [-1]
+    got = [
+        tuple(r)
+        for r in stats.finish_length_card(
+            log.drop("batch_id")
+        ).collect()
+    ]
+    assert _nkey(got) == _nkey(want)
+
+
+def test_additive_card_stream_refuses_stale_state_without_checkpoint(
+    spark, tmp_path
+):
+    """A fresh un-checkpointed run against an existing delta log would
+    restart batch numbering at 0 and double-count — the starter
+    refuses it up front."""
+    import pytest as _pytest
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from etl_staging_spark.streaming.ingest import length_card_stream
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("source", StringType()),
+        ]
+    )
+    drop_dir = tmp_path / "drops"
+    drop_dir.mkdir()
+    state = str(tmp_path / "state")
+    spark.createDataFrame([(1, "a b", "s1")], schema).coalesce(1).write.parquet(
+        str(drop_dir / "f0")
+    )
+    q = length_card_stream(
+        spark.readStream.schema(schema).parquet(str(drop_dir) + "/*"),
+        state,
+        lambda bid, c: c.collect(),
+    )
+    q.awaitTermination()
+    with _pytest.raises(ValueError, match="already holds a delta log"):
+        length_card_stream(
+            spark.readStream.schema(schema).parquet(str(drop_dir) + "/*"),
+            state,
+            lambda bid, c: c.collect(),
+        )
+
+
+def test_write_partitioned_snapshot_static_pins_conf(spark, tmp_path):
+    """mode='static' must replace the WHOLE target even when the
+    session's ambient partitionOverwriteMode is 'dynamic' — the review
+    probe showed the old code executed static writes under the ambient
+    conf, leaving every absent partition in place (double-counting for
+    the delta logs the card streams compact)."""
+    from etl_staging_spark.etl.sinks import write_partitioned_snapshot
+
+    path = str(tmp_path / "snap")
+    df = spark.createDataFrame(
+        [(0, "a"), (1, "b")], "batch_id long, v string"
+    )
+    write_partitioned_snapshot(df, path, ["batch_id"])
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        base = spark.createDataFrame([(-1, "ab")], "batch_id long, v string")
+        write_partitioned_snapshot(base, path, ["batch_id"], mode="static")
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    left = spark.read.parquet(path)
+    assert [r.batch_id for r in left.select("batch_id").distinct().collect()] == [-1]
