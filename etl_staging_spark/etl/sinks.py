@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 
 from pyspark.sql import DataFrame
 
@@ -82,6 +83,9 @@ def single_file(path: str) -> str:
     return os.path.join(path, parts[0])
 
 
+_OVERWRITE_MODE_LOCK = threading.Lock()
+
+
 def write_partitioned_snapshot(
     df: DataFrame,
     path: str,
@@ -106,11 +110,18 @@ def write_partitioned_snapshot(
     # execute a mode='static' compaction as a dynamic overwrite —
     # replacing only the partitions present in df and silently leaving
     # every other partition in place (double-counting, for the
-    # additive-card delta logs this sink compacts)
+    # additive-card delta logs this sink compacts). The conf is
+    # session-global, so the flip-write-restore is serialized across
+    # this process's threads (foreachBatch handlers run on cloned
+    # sessions and don't contend; same-session concurrent maintenance
+    # jobs would otherwise execute under each other's mode).
     spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", mode)
-    try:
-        writer.mode("overwrite").save(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    with _OVERWRITE_MODE_LOCK:
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", mode)
+        try:
+            writer.mode("overwrite").save(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

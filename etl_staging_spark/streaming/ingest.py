@@ -533,17 +533,44 @@ def additive_card_stream(
     refused at start."""
     import os
 
-    if checkpoint_dir is None and os.path.isdir(state_dir) and any(
+    has_log = os.path.isdir(state_dir) and any(
         e.startswith("batch_id=") for e in os.listdir(state_dir)
-    ):
-        # best-effort (local paths; a remote scheme skips the check):
-        # catches the real footgun — restarted batch numbering merging
-        # into a prior run's log
+    )
+    # Best-effort guards (local paths; a remote scheme skips them),
+    # both catching the same footgun — batch numbering restarting at 0
+    # against an existing log, whose stale higher-numbered partitions
+    # would then double-count:
+    if checkpoint_dir is None and has_log:
         raise ValueError(
             f"state_dir {state_dir!r} already holds a delta log; "
             "pass checkpoint_dir so batch ids stay stable across runs "
             "(or point at a fresh state_dir)"
         )
+    if checkpoint_dir is not None:
+        # the log is married to ONE checkpoint: a fresh/rotated
+        # checkpoint against an old log restarts numbering just like
+        # no checkpoint at all, so the state dir records which
+        # checkpoint owns it
+        marker = os.path.join(state_dir, "_CARD_CHECKPOINT")
+        if os.path.exists(marker):
+            owner = open(marker).read()
+            if owner != checkpoint_dir:
+                raise ValueError(
+                    f"state_dir {state_dir!r} belongs to checkpoint "
+                    f"{owner!r}, not {checkpoint_dir!r}; reuse that "
+                    "checkpoint or start a fresh state_dir"
+                )
+        elif has_log:
+            raise ValueError(
+                f"state_dir {state_dir!r} holds an unowned delta log "
+                "(written without a checkpoint); a checkpointed run "
+                "restarts batch ids at 0 and would double-count — "
+                "start a fresh state_dir"
+            )
+        else:
+            os.makedirs(state_dir, exist_ok=True)
+            with open(marker, "w") as fh:
+                fh.write(checkpoint_dir)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.errors import AnalysisException
@@ -677,13 +704,30 @@ def compact_card_state(
         import os
 
         commits = os.path.join(checkpoint_dir, "commits")
+        if not os.path.isdir(commits):
+            # a remote scheme or a mistyped path would silently fold
+            # NOTHING (full rewrite, zero compaction) — fail loudly;
+            # pass checkpoint_dir=None to fold everything unguarded
+            raise ValueError(
+                f"no commits log at {commits!r}; compaction needs the "
+                "stream's LOCAL checkpoint_dir (or None to fold every "
+                "partition after a clean termination)"
+            )
         committed = {
-            int(e) for e in (
-                os.listdir(commits) if os.path.isdir(commits) else ()
-            ) if e.isdigit()
+            int(e) for e in os.listdir(commits) if e.isdigit()
         }
-        # -1 = a prior compaction's base partition: always committed
-        foldable = F.col("batch_id").isin([-1, *committed])
+        if not committed:
+            raise ValueError(
+                f"commits log at {commits!r} is empty; nothing is "
+                "provably committed — run the stream first or pass "
+                "checkpoint_dir=None"
+            )
+        # batches commit strictly in order and Spark PURGES old commit
+        # files (spark.sql.streaming.minBatchesToRetain, default 100):
+        # anything at or below the newest retained commit is committed
+        # even if its own file was purged. Only ids ABOVE the newest
+        # commit can be uncommitted. -1 = a prior compaction's base.
+        foldable = F.col("batch_id") <= max(committed)
         keep = log.where(~foldable)
         log = log.where(foldable)
     base = _fold(log, key_cols, count_cols).withColumn("batch_id", F.lit(-1))
@@ -695,3 +739,10 @@ def compact_card_state(
     base = base.localCheckpoint(eager=True)
     # static: replace the whole log, not just the partitions present
     write_partitioned_snapshot(base, state_dir, ["batch_id"], mode="static")
+    if checkpoint_dir is not None:
+        # the static rewrite wiped the ownership marker the stream
+        # starter checks — restore it so the stream can resume
+        import os
+
+        with open(os.path.join(state_dir, "_CARD_CHECKPOINT"), "w") as fh:
+            fh.write(checkpoint_dir)

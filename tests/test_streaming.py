@@ -1471,3 +1471,44 @@ def test_write_partitioned_snapshot_static_pins_conf(spark, tmp_path):
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     left = spark.read.parquet(path)
     assert [r.batch_id for r in left.select("batch_id").distinct().collect()] == [-1]
+
+
+def test_additive_card_stream_refuses_rotated_checkpoint(spark, tmp_path):
+    """The ownership marker closes the second variant of the
+    batch-numbering footgun: a FRESH checkpoint against an existing
+    delta log restarts batch ids at 0 exactly like no checkpoint at
+    all — the starter refuses a state_dir owned by another
+    checkpoint, and compaction preserves the marker."""
+    import pytest as _pytest
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from etl_staging_spark.streaming.ingest import length_card_stream
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("source", StringType()),
+        ]
+    )
+    drop_dir = tmp_path / "drops"
+    drop_dir.mkdir()
+    state = str(tmp_path / "state")
+    spark.createDataFrame([(1, "a b", "s1")], schema).coalesce(1).write.parquet(
+        str(drop_dir / "f0")
+    )
+
+    def run(ckpt):
+        q = length_card_stream(
+            spark.readStream.schema(schema).parquet(str(drop_dir) + "/*"),
+            state,
+            lambda bid, c: c.collect(),
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination()
+
+    run(str(tmp_path / "ckpt1"))
+    with _pytest.raises(ValueError, match="belongs to checkpoint"):
+        run(str(tmp_path / "ckpt2"))
+    run(str(tmp_path / "ckpt1"))  # the owning checkpoint still works
