@@ -11,6 +11,7 @@ from __future__ import annotations
 import json
 import os
 import threading
+import weakref
 
 from pyspark.sql import DataFrame
 
@@ -83,7 +84,20 @@ def single_file(path: str) -> str:
     return os.path.join(path, parts[0])
 
 
-_OVERWRITE_MODE_LOCK = threading.Lock()
+# one lock per SparkSession: the overwrite-mode conf is session-global,
+# so same-session writers must serialize, but cloned sessions (each
+# foreachBatch handler gets one) have isolated confs and must NOT queue
+# behind each other's distributed writes
+_OVERWRITE_MODE_LOCKS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+_LOCKS_GUARD = threading.Lock()
+
+
+def _overwrite_mode_lock(spark) -> threading.Lock:
+    with _LOCKS_GUARD:
+        lock = _OVERWRITE_MODE_LOCKS.get(spark)
+        if lock is None:
+            lock = _OVERWRITE_MODE_LOCKS[spark] = threading.Lock()
+        return lock
 
 
 def write_partitioned_snapshot(
@@ -111,12 +125,12 @@ def write_partitioned_snapshot(
     # replacing only the partitions present in df and silently leaving
     # every other partition in place (double-counting, for the
     # additive-card delta logs this sink compacts). The conf is
-    # session-global, so the flip-write-restore is serialized across
-    # this process's threads (foreachBatch handlers run on cloned
-    # sessions and don't contend; same-session concurrent maintenance
-    # jobs would otherwise execute under each other's mode).
+    # session-global, so the flip-write-restore is serialized PER
+    # SESSION (cloned foreachBatch sessions have isolated confs and
+    # run unserialized; same-session concurrent maintenance jobs would
+    # otherwise execute under each other's mode).
     spark = df.sparkSession
-    with _OVERWRITE_MODE_LOCK:
+    with _overwrite_mode_lock(spark):
         prev = spark.conf.get(
             "spark.sql.sources.partitionOverwriteMode", "static"
         )

@@ -496,6 +496,120 @@ def lm_score_stream(
     return _start(docs_stream.writeStream.foreachBatch(_process), query_name, checkpoint_dir)
 
 
+_CARD_MARKER = "_CARD_CHECKPOINT"
+
+
+def _is_remote(path: str) -> bool:
+    return "://" in path
+
+
+def _norm_path(path: str) -> str:
+    """One spelling per checkpoint: realpath for local paths (trailing
+    slashes, relative spellings, symlinks all collapse), URIs as-is."""
+    import os
+
+    return path if _is_remote(path) else os.path.realpath(path)
+
+
+def _read_card_owner(state_dir: str) -> str | None:
+    import os
+
+    marker = os.path.join(state_dir, _CARD_MARKER)
+    if not os.path.exists(marker):
+        return None
+    with open(marker) as fh:
+        return fh.read()
+
+
+def _write_card_owner(state_dir: str, checkpoint_dir: str) -> None:
+    import os
+
+    os.makedirs(state_dir, exist_ok=True)
+    with open(os.path.join(state_dir, _CARD_MARKER), "w") as fh:
+        fh.write(_norm_path(checkpoint_dir))
+
+
+def _checkpoint_has_commits(checkpoint_dir: str) -> bool:
+    """True when the LOCAL checkpoint has committed at least one batch."""
+    import os
+
+    commits = os.path.join(checkpoint_dir, "commits")
+    return os.path.isdir(commits) and any(
+        e.isdigit() for e in os.listdir(commits)
+    )
+
+
+def _guard_card_state(state_dir: str, checkpoint_dir: str | None) -> None:
+    """Start guard for `additive_card_stream` — best-effort (LOCAL
+    paths only; a remote state_dir skips it) but it closes every
+    batch-numbering restart that corrupts an existing delta log:
+
+    - no checkpoint over an existing log: numbering restarts at 0,
+      stale higher partitions double-count -> refused;
+    - a DIFFERENT checkpoint than the log's recorded owner: same
+      restart -> refused (rotation is fine while the log is empty);
+    - the owning checkpoint path with its contents WIPED: same restart
+      in disguise -> refused;
+    - an already-committed checkpoint over an EMPTY state_dir:
+      committed batches are never redelivered, the card permanently
+      undercounts -> refused."""
+    import os
+
+    if _is_remote(state_dir):
+        return
+    has_log = os.path.isdir(state_dir) and any(
+        e.startswith("batch_id=") for e in os.listdir(state_dir)
+    )
+    if checkpoint_dir is None:
+        if has_log:
+            raise ValueError(
+                f"state_dir {state_dir!r} already holds a delta log; "
+                "pass checkpoint_dir so batch ids stay stable across "
+                "runs (or point at a fresh state_dir)"
+            )
+        return
+    owner = _read_card_owner(state_dir)
+    ckpt = _norm_path(checkpoint_dir)
+    ckpt_local = not _is_remote(checkpoint_dir)
+    ckpt_committed = ckpt_local and _checkpoint_has_commits(checkpoint_dir)
+    if owner is None:
+        if has_log:
+            raise ValueError(
+                f"state_dir {state_dir!r} holds an unowned delta log "
+                "(written without a checkpoint); a checkpointed run "
+                "restarts batch ids at 0 and would double-count — "
+                "start a fresh state_dir"
+            )
+        if ckpt_committed:
+            raise ValueError(
+                f"checkpoint {checkpoint_dir!r} has already committed "
+                f"batches but state_dir {state_dir!r} is empty; "
+                "committed batches are never redelivered, so the card "
+                "would permanently undercount — start a fresh "
+                "checkpoint with the fresh state_dir"
+            )
+        _write_card_owner(state_dir, checkpoint_dir)
+        return
+    if owner != ckpt:
+        if has_log:
+            raise ValueError(
+                f"state_dir {state_dir!r} belongs to checkpoint "
+                f"{owner!r}, not {ckpt!r}; reuse that checkpoint or "
+                "start a fresh state_dir"
+            )
+        # empty log: nothing to double-count — allow rotation
+        _write_card_owner(state_dir, checkpoint_dir)
+        return
+    if has_log and ckpt_local and not ckpt_committed:
+        raise ValueError(
+            f"checkpoint {checkpoint_dir!r} owns state_dir "
+            f"{state_dir!r} but holds no committed batches (wiped and "
+            "recreated?); batch numbering would restart at 0 over the "
+            "existing log — restore the checkpoint or start a fresh "
+            "state_dir"
+        )
+
+
 def additive_card_stream(
     docs_stream: DataFrame,
     state_dir: str,
@@ -531,46 +645,7 @@ def additive_card_stream(
     double-counting the re-delivered documents — so reusing a
     non-empty local ``state_dir`` without ``checkpoint_dir`` is
     refused at start."""
-    import os
-
-    has_log = os.path.isdir(state_dir) and any(
-        e.startswith("batch_id=") for e in os.listdir(state_dir)
-    )
-    # Best-effort guards (local paths; a remote scheme skips them),
-    # both catching the same footgun — batch numbering restarting at 0
-    # against an existing log, whose stale higher-numbered partitions
-    # would then double-count:
-    if checkpoint_dir is None and has_log:
-        raise ValueError(
-            f"state_dir {state_dir!r} already holds a delta log; "
-            "pass checkpoint_dir so batch ids stay stable across runs "
-            "(or point at a fresh state_dir)"
-        )
-    if checkpoint_dir is not None:
-        # the log is married to ONE checkpoint: a fresh/rotated
-        # checkpoint against an old log restarts numbering just like
-        # no checkpoint at all, so the state dir records which
-        # checkpoint owns it
-        marker = os.path.join(state_dir, "_CARD_CHECKPOINT")
-        if os.path.exists(marker):
-            owner = open(marker).read()
-            if owner != checkpoint_dir:
-                raise ValueError(
-                    f"state_dir {state_dir!r} belongs to checkpoint "
-                    f"{owner!r}, not {checkpoint_dir!r}; reuse that "
-                    "checkpoint or start a fresh state_dir"
-                )
-        elif has_log:
-            raise ValueError(
-                f"state_dir {state_dir!r} holds an unowned delta log "
-                "(written without a checkpoint); a checkpointed run "
-                "restarts batch ids at 0 and would double-count — "
-                "start a fresh state_dir"
-            )
-        else:
-            os.makedirs(state_dir, exist_ok=True)
-            with open(marker, "w") as fh:
-                fh.write(checkpoint_dir)
+    _guard_card_state(state_dir, checkpoint_dir)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.errors import AnalysisException
@@ -694,15 +769,30 @@ def compact_card_state(
     enforce this: only batch partitions recorded in the checkpoint's
     commits log are folded, uncommitted ones are left in place for the
     replay to overwrite."""
+    import os
+
     from pyspark.sql import functions as F
 
     from ..etl.sinks import write_partitioned_snapshot
 
+    owner = None if _is_remote(state_dir) else _read_card_owner(state_dir)
+    if (
+        owner is not None
+        and checkpoint_dir is not None
+        and owner != _norm_path(checkpoint_dir)
+    ):
+        # folding by the WRONG checkpoint's commit horizon can fold a
+        # partition the owning stream has not committed — the very
+        # double-count this function guards against — and stamping the
+        # wrong owner would then refuse the real stream's resume
+        raise ValueError(
+            f"state_dir {state_dir!r} belongs to checkpoint {owner!r}, "
+            f"not {_norm_path(checkpoint_dir)!r}; compact with the "
+            "owning checkpoint"
+        )
     log = spark.read.parquet(state_dir)
     keep = None
     if checkpoint_dir is not None:
-        import os
-
         commits = os.path.join(checkpoint_dir, "commits")
         if not os.path.isdir(commits):
             # a remote scheme or a mistyped path would silently fold
@@ -739,10 +829,13 @@ def compact_card_state(
     base = base.localCheckpoint(eager=True)
     # static: replace the whole log, not just the partitions present
     write_partitioned_snapshot(base, state_dir, ["batch_id"], mode="static")
-    if checkpoint_dir is not None:
-        # the static rewrite wiped the ownership marker the stream
-        # starter checks — restore it so the stream can resume
-        import os
-
-        with open(os.path.join(state_dir, "_CARD_CHECKPOINT"), "w") as fh:
-            fh.write(checkpoint_dir)
+    # the static rewrite wiped the ownership marker the stream starter
+    # checks — restore the validated checkpoint, or whatever owned the
+    # log before a checkpoint_dir=None fold (a crash landing between
+    # the rewrite and this line leaves the marker missing; restore it
+    # by hand or re-run the compaction)
+    restore = (
+        checkpoint_dir if checkpoint_dir is not None else owner
+    )
+    if restore is not None and not _is_remote(state_dir):
+        _write_card_owner(state_dir, restore)

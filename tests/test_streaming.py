@@ -1512,3 +1512,57 @@ def test_additive_card_stream_refuses_rotated_checkpoint(spark, tmp_path):
     with _pytest.raises(ValueError, match="belongs to checkpoint"):
         run(str(tmp_path / "ckpt2"))
     run(str(tmp_path / "ckpt1"))  # the owning checkpoint still works
+
+
+def test_additive_card_stream_refuses_undercount_and_wiped_checkpoint(
+    spark, tmp_path
+):
+    """The two remaining numbering-restart variants: a checkpoint that
+    has already committed batches pointed at an EMPTY state_dir would
+    permanently undercount (committed batches are never redelivered);
+    the owning checkpoint path with its contents wiped restarts
+    numbering over the existing log. Both are refused at start, and a
+    rotated checkpoint over an EMPTY log is allowed (re-stamped)."""
+    import shutil
+
+    import pytest as _pytest
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from etl_staging_spark.streaming.ingest import length_card_stream
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("source", StringType()),
+        ]
+    )
+    drop_dir = tmp_path / "drops"
+    drop_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+    spark.createDataFrame([(1, "a b", "s1")], schema).coalesce(1).write.parquet(
+        str(drop_dir / "f0")
+    )
+
+    def run(ckpt_dir, state_dir):
+        q = length_card_stream(
+            spark.readStream.schema(schema).parquet(str(drop_dir) + "/*"),
+            state_dir,
+            lambda bid, c: c.collect(),
+            checkpoint_dir=ckpt_dir,
+        )
+        q.awaitTermination()
+
+    run(ckpt, state)
+    # committed checkpoint + fresh state: permanent undercount -> refused
+    with _pytest.raises(ValueError, match="permanently undercount"):
+        run(ckpt, str(tmp_path / "fresh_state"))
+    # wiped checkpoint at the owning path + existing log -> refused
+    shutil.rmtree(ckpt)
+    with _pytest.raises(ValueError, match="no committed batches"):
+        run(ckpt, state)
+    # rotation onto an EMPTY log is legitimate: marker-only state dir
+    state2 = str(tmp_path / "state2")
+    run(str(tmp_path / "ckpt_a"), state2)  # a no-new-files run is fine
