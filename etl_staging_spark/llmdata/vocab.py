@@ -369,25 +369,31 @@ def vocab_coverage_by_source(
     module's deterministic tie-break), once LEFT-joined against the
     BROADCAST k-row vocab (token keys, never NULL) and rolled up per
     source. No corpus re-scan, no window, no Python."""
-    toks = (
-        with_tokens(df)
-        .select(
-            F.col(source_col).alias("source"),
-            F.explode(F.col(TOKS)).alias("token"),
-        )
-        .groupBy("source", "token")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .persist()
-    )
+    from .stats import ttr_token_counts
+
+    toks = ttr_token_counts(df, source_col=source_col).persist()
+    out = vocab_coverage_from_counts(toks, k=k)
+    out._pinned_persisted = (toks,)
+    return out
+
+
+def vocab_coverage_from_counts(per_tok: DataFrame, k: int = TOP_K) -> DataFrame:
+    """The finish half of :func:`vocab_coverage_by_source`, over an
+    already-aggregated (source, token, cnt) frame — THE SAME state
+    `stats.ttr_token_counts` produces and the TTR card stream
+    maintains, so one maintained token table serves both cards (the
+    streaming test pins it). The input frame is read twice (vocab
+    induction + the join back); callers owning an unpersisted frame
+    should persist it as `vocab_coverage_by_source` does."""
     top = (
-        toks.groupBy("token")
+        per_tok.groupBy("token")
         .agg(F.sum("cnt").alias("gcnt"))
         .orderBy(F.desc("gcnt"), F.asc("token"))
         .limit(k)
         .select("token", F.lit(1).alias("hit"))
     )
-    out = (
-        toks.join(F.broadcast(top), "token", "left")
+    return (
+        per_tok.join(F.broadcast(top), "token", "left")
         .groupBy("source")
         .agg(
             F.sum("cnt").cast("bigint").alias("total_tokens"),
@@ -409,8 +415,6 @@ def vocab_coverage_by_source(
             ).alias("oov_rate"),
         )
     )
-    out._pinned_persisted = (toks,)
-    return out
 
 
 def o_vocab_coverage_by_source(

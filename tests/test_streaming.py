@@ -1566,3 +1566,59 @@ def test_additive_card_stream_refuses_undercount_and_wiped_checkpoint(
     # rotation onto an EMPTY log is legitimate: marker-only state dir
     state2 = str(tmp_path / "state2")
     run(str(tmp_path / "ckpt_a"), state2)  # a no-new-files run is fine
+
+
+def test_ttr_state_serves_vocab_coverage_card(spark, tmp_path):
+    """One maintained token table, two cards: the (source, token, cnt)
+    state the TTR stream keeps is the exact input of
+    vocab_coverage_from_counts, so the coverage card derived from the
+    stream's merged state equals the batch vocab_coverage_by_source
+    over the same documents — no second corpus scan, no second state."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from etl_staging_spark.llmdata import vocab
+    from etl_staging_spark.streaming.ingest import _fold, ttr_card_stream
+    from etl_staging_spark.tables import release_pinned
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("source", StringType()),
+        ]
+    )
+    drops = [
+        [(1, "a a b", "s1")],
+        [(2, "b c d", "s1"), (3, "a x", "s2")],
+    ]
+    drop_dir = tmp_path / "drops"
+    drop_dir.mkdir()
+    all_rows: list[tuple] = []
+    for i, rows in enumerate(drops):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(drop_dir / f"f{i}")
+        )
+        all_rows.extend(rows)
+
+    state = str(tmp_path / "state")
+    q = ttr_card_stream(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop_dir) + "/*"),
+        state,
+        lambda bid, c: c.collect(),
+    )
+    q.awaitTermination()
+
+    merged = _fold(
+        spark.read.parquet(state), ("source", "token"), ("cnt",)
+    )
+    got = sorted(
+        tuple(r)
+        for r in vocab.vocab_coverage_from_counts(merged, k=2).collect()
+    )
+    full = spark.createDataFrame(all_rows, schema)
+    ref = vocab.vocab_coverage_by_source(full, k=2)
+    want = sorted(tuple(r) for r in ref.collect())
+    release_pinned(ref)
+    assert got == want and got
