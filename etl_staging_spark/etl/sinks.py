@@ -11,7 +11,6 @@ from __future__ import annotations
 import json
 import os
 import threading
-import weakref
 
 from pyspark.sql import DataFrame
 
@@ -84,19 +83,24 @@ def single_file(path: str) -> str:
     return os.path.join(path, parts[0])
 
 
-# one lock per SparkSession: the overwrite-mode conf is session-global,
-# so same-session writers must serialize, but cloned sessions (each
-# foreachBatch handler gets one) have isolated confs and must NOT queue
-# behind each other's distributed writes
-_OVERWRITE_MODE_LOCKS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+# one lock per JVM session: the overwrite-mode conf is session-global
+# IN THE JVM, and PySpark freely mints new Python wrappers for the same
+# JVM session (foreachBatch builds one per batch), so the key must be
+# the JVM object's identity hash, not the wrapper. Cloned sessions
+# (each foreachBatch handler gets one) have isolated confs and get
+# their own locks, so they never queue behind each other's writes.
+# Entries are tiny (an int and a Lock) and sessions per process are
+# few, so the map is not weakly keyed.
+_OVERWRITE_MODE_LOCKS: dict[int, threading.Lock] = {}
 _LOCKS_GUARD = threading.Lock()
 
 
 def _overwrite_mode_lock(spark) -> threading.Lock:
+    key = spark._jsparkSession.hashCode()
     with _LOCKS_GUARD:
-        lock = _OVERWRITE_MODE_LOCKS.get(spark)
+        lock = _OVERWRITE_MODE_LOCKS.get(key)
         if lock is None:
-            lock = _OVERWRITE_MODE_LOCKS[spark] = threading.Lock()
+            lock = _OVERWRITE_MODE_LOCKS[key] = threading.Lock()
         return lock
 
 

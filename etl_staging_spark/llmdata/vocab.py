@@ -371,10 +371,9 @@ def vocab_coverage_by_source(
     source. No corpus re-scan, no window, no Python."""
     from .stats import ttr_token_counts
 
-    toks = ttr_token_counts(df, source_col=source_col).persist()
-    out = vocab_coverage_from_counts(toks, k=k)
-    out._pinned_persisted = (toks,)
-    return out
+    return vocab_coverage_from_counts(
+        ttr_token_counts(df, source_col=source_col), k=k
+    )
 
 
 def vocab_coverage_from_counts(per_tok: DataFrame, k: int = TOP_K) -> DataFrame:
@@ -382,9 +381,16 @@ def vocab_coverage_from_counts(per_tok: DataFrame, k: int = TOP_K) -> DataFrame:
     already-aggregated (source, token, cnt) frame — THE SAME state
     `stats.ttr_token_counts` produces and the TTR card stream
     maintains, so one maintained token table serves both cards (the
-    streaming test pins it). The input frame is read twice (vocab
-    induction + the join back); callers owning an unpersisted frame
-    should persist it as `vocab_coverage_by_source` does."""
+    streaming test pins it). The input is read twice (vocab induction
+    + the join back): an unpersisted input is persisted here and
+    attached via the `_pinned_persisted` contract for the caller to
+    release — passing a delta-log fold straight in does NOT re-run the
+    fold twice per card."""
+    sl = per_tok.storageLevel
+    pinned = ()
+    if not (sl.useMemory or sl.useDisk):
+        per_tok = per_tok.persist()
+        pinned = (per_tok,)
     top = (
         per_tok.groupBy("token")
         .agg(F.sum("cnt").alias("gcnt"))
@@ -392,7 +398,7 @@ def vocab_coverage_from_counts(per_tok: DataFrame, k: int = TOP_K) -> DataFrame:
         .limit(k)
         .select("token", F.lit(1).alias("hit"))
     )
-    return (
+    out = (
         per_tok.join(F.broadcast(top), "token", "left")
         .groupBy("source")
         .agg(
@@ -415,6 +421,9 @@ def vocab_coverage_from_counts(per_tok: DataFrame, k: int = TOP_K) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+    if pinned:
+        out._pinned_persisted = pinned
+    return out
 
 
 def o_vocab_coverage_by_source(

@@ -569,6 +569,10 @@ def _guard_card_state(state_dir: str, checkpoint_dir: str | None) -> None:
             )
         return
     owner = _read_card_owner(state_dir)
+    if owner is not None:
+        # normalize on read too: a marker written by an older format
+        # (or by hand) with a non-canonical spelling must still match
+        owner = _norm_path(owner)
     ckpt = _norm_path(checkpoint_dir)
     ckpt_local = not _is_remote(checkpoint_dir)
     ckpt_committed = ckpt_local and _checkpoint_has_commits(checkpoint_dir)
@@ -597,7 +601,18 @@ def _guard_card_state(state_dir: str, checkpoint_dir: str | None) -> None:
                 f"{owner!r}, not {ckpt!r}; reuse that checkpoint or "
                 "start a fresh state_dir"
             )
-        # empty log: nothing to double-count — allow rotation
+        if ckpt_committed:
+            # same undercount as the unowned case: the rotated-to
+            # checkpoint never redelivers its committed batches
+            raise ValueError(
+                f"checkpoint {checkpoint_dir!r} has already committed "
+                f"batches but state_dir {state_dir!r} is empty; "
+                "committed batches are never redelivered, so the card "
+                "would permanently undercount — start a fresh "
+                "checkpoint with the fresh state_dir"
+            )
+        # empty log, uncommitted checkpoint: nothing to double- or
+        # under-count — allow rotation
         _write_card_owner(state_dir, checkpoint_dir)
         return
     if has_log and ckpt_local and not ckpt_committed:
@@ -775,21 +790,32 @@ def compact_card_state(
 
     from ..etl.sinks import write_partitioned_snapshot
 
-    owner = None if _is_remote(state_dir) else _read_card_owner(state_dir)
-    if (
-        owner is not None
-        and checkpoint_dir is not None
-        and owner != _norm_path(checkpoint_dir)
-    ):
-        # folding by the WRONG checkpoint's commit horizon can fold a
-        # partition the owning stream has not committed — the very
-        # double-count this function guards against — and stamping the
-        # wrong owner would then refuse the real stream's resume
-        raise ValueError(
-            f"state_dir {state_dir!r} belongs to checkpoint {owner!r}, "
-            f"not {_norm_path(checkpoint_dir)!r}; compact with the "
-            "owning checkpoint"
-        )
+    state_local = not _is_remote(state_dir)
+    owner = _read_card_owner(state_dir) if state_local else None
+    if owner is not None:
+        owner = _norm_path(owner)
+    if checkpoint_dir is not None and state_local:
+        if owner is None:
+            # folding an UNOWNED log by an arbitrary checkpoint's
+            # commit horizon (and then stamping that checkpoint as
+            # owner) would launder a log the stream guard refuses into
+            # one it accepts — over someone else's batch numbering
+            raise ValueError(
+                f"state_dir {state_dir!r} has no ownership marker; "
+                "compact an un-checkpointed log with "
+                "checkpoint_dir=None after whatever wrote it "
+                "terminated cleanly"
+            )
+        if owner != _norm_path(checkpoint_dir):
+            # folding by the WRONG checkpoint's commit horizon can fold
+            # a partition the owning stream has not committed — the
+            # very double-count this function guards against — and
+            # stamping the wrong owner would refuse the real resume
+            raise ValueError(
+                f"state_dir {state_dir!r} belongs to checkpoint "
+                f"{owner!r}, not {_norm_path(checkpoint_dir)!r}; "
+                "compact with the owning checkpoint"
+            )
     log = spark.read.parquet(state_dir)
     keep = None
     if checkpoint_dir is not None:

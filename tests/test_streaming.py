@@ -1563,9 +1563,34 @@ def test_additive_card_stream_refuses_undercount_and_wiped_checkpoint(
     shutil.rmtree(ckpt)
     with _pytest.raises(ValueError, match="no committed batches"):
         run(ckpt, state)
-    # rotation onto an EMPTY log is legitimate: marker-only state dir
+    # rotation onto an EMPTY (marker-only) log: create one by starting
+    # a stream over a drops dir with no files — the marker is stamped
+    # at starter time, no batch ever writes a partition
+    empty_drops = tmp_path / "no_drops"
+    empty_drops.mkdir()
     state2 = str(tmp_path / "state2")
-    run(str(tmp_path / "ckpt_a"), state2)  # a no-new-files run is fine
+
+    def run_empty(ckpt_dir):
+        q = length_card_stream(
+            spark.readStream.schema(schema).parquet(str(empty_drops) + "/*"),
+            state2,
+            lambda bid, c: c.collect(),
+            checkpoint_dir=ckpt_dir,
+        )
+        q.awaitTermination()
+
+    run_empty(str(tmp_path / "ckpt_a"))
+    # rotating the marker-only state to a FRESH checkpoint: allowed,
+    # re-stamped
+    run_empty(str(tmp_path / "ckpt_b"))
+    # rotating it to a COMMITTED checkpoint: the committed batches are
+    # never redelivered -> refused (the rotation branch must apply the
+    # same undercount rule as the unowned branch). ckpt was wiped
+    # above, so commit a fresh one first.
+    ckpt_c = str(tmp_path / "ckpt_c")
+    run(ckpt_c, str(tmp_path / "state_c"))
+    with _pytest.raises(ValueError, match="permanently undercount"):
+        run(ckpt_c, state2)
 
 
 def test_ttr_state_serves_vocab_coverage_card(spark, tmp_path):
