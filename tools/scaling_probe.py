@@ -150,6 +150,16 @@ def run_probe(
         "ngram_freq_spectrum": lambda d: stats.ngram_freq_spectrum(d, n=2),
         "dup_rate_by_source": lambda d: stats.dup_rate_by_source(d),
         "feature_table": lambda d: multimodal.feature_table(d, dim=64),
+        # r12 queue cards (r13/r14 registrations): single-aggregate
+        # shapes with bounded share windows / a broadcast k-row join —
+        # all should grow ~linearly
+        "length_histogram_card": lambda d: stats.length_histogram_card(d),
+        "ttr_card": lambda d: stats.ttr_card(d),
+        "lang_source_matrix": lambda d: stats.lang_source_matrix(d),
+        "lang_confusion_card": lambda d: stats.lang_confusion_card(d),
+        "vocab_coverage_by_source": lambda d: vocab.vocab_coverage_by_source(
+            d, k=100
+        ),
     }
     lops = ledger_ops()
     results: dict[str, dict[int, float]] = {o: {} for o in (*ops, *lops)}
