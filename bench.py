@@ -171,6 +171,58 @@ def _prior_timings(here: str, sf: float | None = None) -> dict[str, float]:
     return ref
 
 
+def publish_line(
+    timings: dict[str, float],
+    total: float,
+    core_total: float,
+    reruns: list[str],
+    attempts: int,
+    sf: float | None,
+    budget: int = 1900,  # headroom under the observed 2000-char tail
+) -> str:
+    """The stdout publication, fitted to the driver's BOUNDED (~2000
+    char) stdout tail by construction — round 10's default-formatted
+    59-query line outgrew it and published "parsed": null. Compact
+    separators, 2-decimal timings (the outlier guard's 2x test needs
+    no more), the rerun list capped at 3 names + a count, and a
+    degrade that drops the SMALLEST-timED queries one at a time until
+    the line fits: their guard signal is the weakest (a trip needs
+    best > 0.4s ABSOLUTE, which a sub-0.2s steady state can barely
+    reach) and the min-of-two-rounds guard still covers a dropped
+    query via the previous round's published value. NO 1-decimal
+    rung: quantizing a 0.149s steady state to 0.1 would poison the
+    next round's references (false trips at 2x a halved ref, real 2x
+    regressions hidden). bench_last.json always carries the
+    full-precision record."""
+
+    def _line(drop: int = 0) -> str:
+        kept = dict(
+            sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
+            [: len(timings) - drop]
+        ) if drop else timings
+        return json.dumps({
+            "metric": "headline_queries_total_time",
+            "value": round(total, 2),
+            "unit": "sec",
+            "queries": {n: round(s, 2) for n, s in kept.items()},
+            "queries_dropped": drop,
+            "queries_omitted": drop >= len(timings),
+            "core_r1_subset_time": round(core_total, 2),
+            "n_queries": len(timings),
+            "reruns": reruns[:3],
+            "n_reruns": len(reruns),
+            "attempts": attempts,
+            "sf": sf,
+        }, separators=(",", ":"))
+
+    line = _line()
+    drop = 0
+    while len(line) > budget and drop < len(timings):
+        drop += 1
+        line = _line(drop)
+    return line
+
+
 def main() -> None:
     from etl_staging_spark.session import get_spark
     import __spark_entry__ as entrymod
@@ -293,46 +345,7 @@ def main() -> None:
     # full-precision record for the repo's own ledger / guard analysis
     with open(os.path.join(here, "bench_last.json"), "w") as f:
         json.dump(verbose, f)
-    # The stdout line is parsed by the driver from a BOUNDED (~2000
-    # char) stdout tail — round 10's default-formatted 59-query line
-    # outgrew it and the round published "parsed": null. Keep the line
-    # parseable BY CONSTRUCTION, not by hoping the headline set stops
-    # growing: compact separators, 2-decimal query timings (the
-    # outlier guard's 2x test doesn't need more), the rerun list
-    # capped at 3 names + a count (a 14-name contended list must not
-    # be what overflows the publication), and — should the line ever
-    # exceed the budget anyway — dropping the queries dict outright
-    # with an explicit flag (see the NO-1-decimal-rung note below);
-    # bench_last.json always carries the full-precision record.
-    def _line(ndigits: int, with_queries: bool = True) -> str:
-        return json.dumps({
-            "metric": "headline_queries_total_time",
-            "value": round(total, 2),
-            "unit": "sec",
-            "queries": (
-                {n: round(s, ndigits) for n, s in timings.items()}
-                if with_queries else {}
-            ),
-            "queries_omitted": not with_queries,
-            "core_r1_subset_time": round(core_total, 2),
-            "n_queries": len(timings),
-            "reruns": reruns[:3],
-            "n_reruns": len(reruns),
-            "attempts": attempts,
-            "sf": sf,
-        }, separators=(",", ":"))
-
-    # NO intermediate 1-decimal rung: quantizing a 0.149s steady state
-    # to 0.1 would poison the next round's guard references (false
-    # trips at 2x a halved ref; real 2x regressions hidden) — better
-    # to drop the per-query dict entirely (the guard then skips the
-    # round, falling back to earlier rounds' references, and
-    # bench_last.json keeps the full-precision record).
-    budget = 1900  # headroom under the observed 2000-char consumer tail
-    line = _line(2)
-    if len(line) > budget:
-        line = _line(2, with_queries=False)
-    print(line)
+    print(publish_line(timings, total, core_total, reruns, attempts, sf))
 
 
 if __name__ == "__main__":

@@ -103,3 +103,31 @@ def test_ledger_bench_history_tolerates_non_dict_payload(tmp_path):
     joined = "\n".join(lines)
     assert "| r9 |" in joined
     assert "| r8 |" not in joined
+
+
+def test_publish_line_sheds_smallest_queries_first():
+    """The stdout budget degrade must shed the SMALLEST-timed queries
+    (weakest guard signal: a trip needs best > 0.4s absolute) one at a
+    time — never the whole dict while partial publication fits — and
+    flag exactly what happened. The r12 motivation: 66 queries at
+    2-dec measured 1795 chars against the 1900 budget, so r13's three
+    registrations would have crossed into the old all-or-nothing
+    omission rung."""
+    from bench import publish_line
+
+    t = {f"q{i:03d}": 0.10 + i * 0.01 for i in range(100)}
+    line = publish_line(t, 50.0, 3.0, [], 1, 0.1, budget=900)
+    d = json.loads(line)
+    assert len(line) <= 900
+    assert 0 < d["queries_dropped"] < 100 and not d["queries_omitted"]
+    assert "q099" in d["queries"] and "q000" not in d["queries"]
+    assert d["n_queries"] == 100  # the true count survives the drop
+    # guard compatibility: a partially-dropped round still provides
+    # references for the kept queries
+    assert all(v > 0 for v in d["queries"].values())
+
+    full = json.loads(publish_line(t, 50.0, 3.0, [], 1, 0.1, budget=10_000))
+    assert full["queries_dropped"] == 0 and len(full["queries"]) == 100
+
+    tiny = json.loads(publish_line(t, 50.0, 3.0, [], 1, 0.1, budget=10))
+    assert tiny["queries_omitted"] and tiny["queries"] == {}
