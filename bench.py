@@ -163,12 +163,25 @@ def _prior_timings(here: str, sf: float | None = None) -> dict[str, float]:
             continue
         if isinstance(qs, dict) and qs:
             rounds[rnd] = qs
-    ref: dict[str, float] = {}
-    for rnd in sorted(rounds)[-2:]:
+    # PER-QUERY lookback: the min of the last two rounds CONTAINING the
+    # query, not the last two rounds overall — a query shed from recent
+    # publications (the stdout-budget degrade) keeps its reference from
+    # the most recent rounds that did publish it, instead of silently
+    # losing guard coverage after two shed rounds
+    seen: dict[str, list[float]] = {}
+    for rnd in sorted(rounds, reverse=True):
         for name, sec in rounds[rnd].items():
             if isinstance(sec, (int, float)) and sec > 0:
-                ref[name] = min(ref.get(name, float("inf")), float(sec))
-    return ref
+                vals = seen.setdefault(name, [])
+                if len(vals) < 2:
+                    vals.append(float(sec))
+    return {name: min(vals) for name, vals in seen.items()}
+
+
+# absolute floor on outlier-guard trips AND the shed ceiling below: a
+# query that can trip the guard (best > this) must never be shed from
+# the publication, or its reference would eventually vanish
+GUARD_FLOOR_SEC = 0.4
 
 
 def publish_line(
@@ -185,21 +198,31 @@ def publish_line(
     59-query line outgrew it and published "parsed": null. Compact
     separators, 2-decimal timings (the outlier guard's 2x test needs
     no more), the rerun list capped at 3 names + a count, and a
-    degrade that drops the SMALLEST-timED queries one at a time until
-    the line fits: their guard signal is the weakest (a trip needs
-    best > 0.4s ABSOLUTE, which a sub-0.2s steady state can barely
-    reach) and the min-of-two-rounds guard still covers a dropped
-    query via the previous round's published value. NO 1-decimal
+    degrade that drops the smallest-timed SUB-GUARD-FLOOR queries one
+    at a time until the line fits: they cannot trip the guard anyway
+    (a trip needs best > 0.4s absolute), and the guard's PER-QUERY
+    lookback keeps covering a shed query from the most recent rounds
+    that did publish it. Queries at or above the floor are never shed
+    — if the line still doesn't fit, the whole dict is omitted (the
+    old last resort) rather than erode guard coverage. NO 1-decimal
     rung: quantizing a 0.149s steady state to 0.1 would poison the
     next round's references (false trips at 2x a halved ref, real 2x
     regressions hidden). bench_last.json always carries the
     full-precision record."""
 
+    # sheddable = sub-floor queries only (smallest first): a query that
+    # can trip the guard must stay published or its reference vanishes.
+    # Sorted once; drop-invariant.
+    by_size_desc = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
+    n_sheddable = sum(1 for _, v in timings.items() if v < GUARD_FLOOR_SEC)
+
     def _line(drop: int = 0) -> str:
-        kept = dict(
-            sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
-            [: len(timings) - drop]
-        ) if drop else timings
+        if drop >= len(timings):
+            kept: dict[str, float] = {}
+        elif drop:
+            kept = dict(by_size_desc[: len(timings) - drop])
+        else:
+            kept = timings
         return json.dumps({
             "metric": "headline_queries_total_time",
             "value": round(total, 2),
@@ -217,9 +240,15 @@ def publish_line(
 
     line = _line()
     drop = 0
-    while len(line) > budget and drop < len(timings):
+    while len(line) > budget and drop < n_sheddable:
         drop += 1
         line = _line(drop)
+    if len(line) > budget:
+        # every sub-floor query is already shed and the line still
+        # doesn't fit: publish without the dict (the guard skips the
+        # round via the per-query lookback) rather than shed a
+        # guard-eligible query
+        line = _line(len(timings))
     return line
 
 
@@ -303,7 +332,7 @@ def main() -> None:
             # quantization (a 0.15s ref tripping at 0.31s is timer
             # noise, not contention) — they can neither signal a real
             # regression nor justify a rerun
-            if ref and best > 2 * ref and best > 0.4:
+            if ref and best > 2 * ref and best > GUARD_FLOOR_SEC:
                 spark.catalog.clearCache()
                 best = min(best, best_of_3(name))
                 # flagged on the TRIP, not on recovery: the rerun list

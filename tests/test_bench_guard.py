@@ -105,29 +105,51 @@ def test_ledger_bench_history_tolerates_non_dict_payload(tmp_path):
     assert "| r8 |" not in joined
 
 
-def test_publish_line_sheds_smallest_queries_first():
-    """The stdout budget degrade must shed the SMALLEST-timed queries
-    (weakest guard signal: a trip needs best > 0.4s absolute) one at a
-    time — never the whole dict while partial publication fits — and
-    flag exactly what happened. The r12 motivation: 66 queries at
+def test_publish_line_sheds_smallest_subfloor_queries_first():
+    """The stdout budget degrade sheds the SMALLEST-timed queries one
+    at a time, but ONLY those under the guard's 0.4s absolute floor —
+    they cannot trip the guard anyway, while shedding a guard-eligible
+    query would erode its reference. The r12 motivation: 66 queries at
     2-dec measured 1795 chars against the 1900 budget, so r13's three
     registrations would have crossed into the old all-or-nothing
     omission rung."""
     from bench import publish_line
 
-    t = {f"q{i:03d}": 0.10 + i * 0.01 for i in range(100)}
+    # 90 sheddable sub-floor queries + 10 guard-eligible heavies
+    t = {f"q{i:03d}": 0.05 + i * 0.003 for i in range(90)}
+    t.update({f"h{i}": 1.5 + i for i in range(10)})
     line = publish_line(t, 50.0, 3.0, [], 1, 0.1, budget=900)
     d = json.loads(line)
     assert len(line) <= 900
     assert 0 < d["queries_dropped"] < 100 and not d["queries_omitted"]
-    assert "q099" in d["queries"] and "q000" not in d["queries"]
+    # every guard-eligible query survives; the smallest sub-floor go
+    assert all(f"h{i}" in d["queries"] for i in range(10))
+    assert "q000" not in d["queries"] and "q089" in d["queries"]
     assert d["n_queries"] == 100  # the true count survives the drop
-    # guard compatibility: a partially-dropped round still provides
-    # references for the kept queries
-    assert all(v > 0 for v in d["queries"].values())
 
     full = json.loads(publish_line(t, 50.0, 3.0, [], 1, 0.1, budget=10_000))
     assert full["queries_dropped"] == 0 and len(full["queries"]) == 100
 
+    # budget unreachable even after shedding every sub-floor query:
+    # the whole dict is omitted rather than shedding a heavy
     tiny = json.loads(publish_line(t, 50.0, 3.0, [], 1, 0.1, budget=10))
     assert tiny["queries_omitted"] and tiny["queries"] == {}
+
+
+def test_prior_timings_per_query_lookback_survives_shedding(tmp_path):
+    """A query shed from recent publications keeps its guard reference
+    from the most recent rounds that DID publish it — persistent
+    shedding must not silently erase coverage (the min is still over
+    the last two rounds CONTAINING the query)."""
+    _write(tmp_path, "BENCH_r07.json",
+           {"parsed": {"queries": {"big": 1.0, "tiny": 0.10}}})
+    _write(tmp_path, "BENCH_r08.json",
+           {"parsed": {"queries": {"big": 1.2, "tiny": 0.12}}})
+    # two shed rounds in a row: tiny absent from both
+    _write(tmp_path, "BENCH_r09.json",
+           {"parsed": {"queries": {"big": 1.1}, "queries_dropped": 1}})
+    _write(tmp_path, "BENCH_r10.json",
+           {"parsed": {"queries": {"big": 0.9}, "queries_dropped": 1}})
+    ref = _prior_timings(str(tmp_path))
+    assert ref["big"] == 0.9  # min of the last two rounds containing it
+    assert ref["tiny"] == 0.10  # looked back past the shed rounds
