@@ -670,3 +670,103 @@ def test_lang_confusion_oracle_matches_python_reference(rows):
         )
     got = [tuple(r) for r in con.sql(o_lang_confusion_card()).fetchall()]
     assert _nsafe(got) == _nsafe(ref)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.lists(st.tuples(text_st, st.one_of(st.none(), source_st)),
+             max_size=14)
+)
+def test_dup_rate_oracle_matches_python_reference(rows):
+    from etl_staging_spark.queries.catalog_llm import o_dup_rate_by_source
+
+    sentinel = object()
+    per: dict = defaultdict(lambda: {"docs": 0, "texts": []})
+    for text, src in rows:
+        key = sentinel if src is None else src
+        per[key]["docs"] += 1
+        if text is not None:
+            per[key]["texts"].append(text)
+    ref = []
+    for key, d in per.items():
+        wt = len(d["texts"])
+        nt = len(set(d["texts"]))
+        ref.append(
+            (
+                None if key is sentinel else key,
+                d["docs"],
+                wt,
+                nt,
+                wt - nt,
+                py_pround((wt - nt) / wt, 6) if wt > 0 else None,
+            )
+        )
+    con = _docs_con(rows)
+    got = [tuple(r) for r in con.sql(o_dup_rate_by_source()).fetchall()]
+    assert _nsafe(got) == _nsafe(ref)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.lists(st.tuples(text_st, source_st), max_size=14),
+    st.integers(1, 3),
+)
+def test_ngram_spectrum_oracle_matches_python_reference(rows, n):
+    from etl_staging_spark.queries.catalog_llm import o_ngram_freq_spectrum
+
+    freq: dict = defaultdict(int)
+    for text, _ in rows:
+        if text is None:
+            continue
+        toks = text.lower().split(" ")
+        if len(toks) < n:
+            continue
+        for i in range(len(toks) - n + 1):
+            freq[" ".join(toks[i : i + n])] += 1
+    spectrum: dict = defaultdict(int)
+    for f in freq.values():
+        spectrum[f] += 1
+    ref = sorted(spectrum.items())
+    con = _docs_con(rows)
+    got = sorted(
+        tuple(r) for r in con.sql(o_ngram_freq_spectrum(n)).fetchall()
+    )
+    assert got == ref
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(st.tuples(text_st, source_st), max_size=14))
+def test_exact_corpus_stats_oracle_matches_python_reference(rows):
+    """The discrete-quantile oracle: p50/p90 = the smallest token count
+    whose CUMULATIVE frequency (over non-NULL-text docs, NULLs sorted
+    last) reaches rank floor((n_docs-1)*p)+1 where n_docs counts ALL
+    docs — a NULL-text-heavy corpus can leave a rank unreachable and
+    the quantile NULL. The python reference implements exactly that
+    spec; the hypothesis sweep covers the NULL-heavy corner the
+    certified entry's real data never exercises."""
+    import re as _re
+
+    from etl_staging_spark.llmdata.stats import o_exact_corpus_stats
+    from etl_staging_spark.llmdata.textstats import TOKEN_RE
+
+    n_docs = len(rows)
+    texts = [t for t, _ in rows if t is not None]
+    counts = sorted(len(_re.findall(TOKEN_RE, t.lower())) for t in texts)
+
+    def quantile(p):
+        rank = (n_docs - 1) * p // 1 + 1  # floor((n-1)p)+1
+        for cum, c in enumerate(counts, start=1):
+            if cum >= rank:
+                return c
+        return None
+
+    ref = (
+        (n_docs, len(set(texts)), quantile(0.5), quantile(0.9))
+        if n_docs else None
+    )
+    con = _docs_con(rows)
+    got = con.sql("WITH " + o_exact_corpus_stats()).fetchall()
+    if n_docs == 0:
+        assert got == [] or got == [(0, 0, None, None)]
+    else:
+        assert [tuple(r) for r in got] == [ref]
