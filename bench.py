@@ -144,18 +144,21 @@ def bench_rounds(here: str) -> dict[int, dict]:
 
 
 def _prior_timings(here: str, sf: float | None = None) -> dict[str, float]:
-    """Per-query reference for the outlier guard: the per-query MINIMUM
-    across the last TWO published BENCH_r{N}.json rounds. One contended
-    publication (r10 shipped with 14 rerun-flagged queries) must not
-    become the sole comparison base — a 7.6 s contention artifact as
-    the reference would let a genuine 3x regression pass unflagged the
-    next round; the min across two rounds keeps at least one clean
-    number per query in play. Rounds recorded at a DIFFERENT scale
-    factor are skipped when ``sf`` is given: an sf0.001 smoke run's
-    0.1 s timings as references would trip the guard on every sf0.1
-    query and spin the restart loop. A round without per-query
-    timings ({"parsed": null} crash artifacts, or a degraded
-    queries-omitted publication) is skipped, never adopted as {}."""
+    """Per-query reference for the outlier guard: for each query, the
+    MINIMUM over its appearances in the last TWO rounds CONTAINING it,
+    looking back at most FOUR published rounds. Two rounds per query:
+    one contended publication (r10 shipped with 14 rerun-flagged
+    queries) must not become the sole comparison base — a 7.6 s
+    contention artifact as the reference would let a genuine 3x
+    regression pass unflagged. Per-query (not last-two-overall): a
+    query shed from a publication by the stdout-budget degrade keeps
+    its reference from the most recent rounds that did publish it.
+    Bounded at four rounds: an ancient artifact (different machine
+    era, pre-sf-tagging) must age OUT, not resurrect as a reference
+    that trips the guard forever on a since-slowed query. Rounds at a
+    DIFFERENT scale factor are skipped when ``sf`` is given; a round
+    without per-query timings ({"parsed": null} crash artifacts, or a
+    fully-omitted publication) is skipped, never adopted as {}."""
     rounds: dict[int, dict[str, float]] = {}
     for rnd, parsed in bench_rounds(here).items():
         qs = parsed.get("queries", {})
@@ -163,13 +166,8 @@ def _prior_timings(here: str, sf: float | None = None) -> dict[str, float]:
             continue
         if isinstance(qs, dict) and qs:
             rounds[rnd] = qs
-    # PER-QUERY lookback: the min of the last two rounds CONTAINING the
-    # query, not the last two rounds overall — a query shed from recent
-    # publications (the stdout-budget degrade) keeps its reference from
-    # the most recent rounds that did publish it, instead of silently
-    # losing guard coverage after two shed rounds
     seen: dict[str, list[float]] = {}
-    for rnd in sorted(rounds, reverse=True):
+    for rnd in sorted(rounds, reverse=True)[:4]:
         for name, sec in rounds[rnd].items():
             if isinstance(sec, (int, float)) and sec > 0:
                 vals = seen.setdefault(name, [])

@@ -89,22 +89,26 @@ def exact_corpus_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     base = docs.select(F.sha2(F.col(text_col), 256).alias("h"), n_tokens.alias("n"))
     # two-level: a COUNT(*)+COUNT(DISTINCT) mix would plan an Expand
     # that duplicates every row; grouping by the text hash first makes
-    # both totals plain aggregates of the grouped frame
+    # both totals plain aggregates of the grouped frame. count("h")
+    # skips the NULL-text group (sha2(NULL) = NULL) exactly as the
+    # oracle's COUNT(DISTINCT h) does; sum(ch) still counts its docs.
     totals = (
         base.groupBy("h")
         .agg(F.count("*").alias("ch"))
         .agg(
             F.sum("ch").alias("n_docs"),
-            F.count("*").alias("n_distinct_texts"),
+            F.count("h").alias("n_distinct_texts"),
         )
     )
-    hist = sorted(
-        (r[0], r[1])
-        for r in base.groupBy("n").agg(F.count("*").alias("c")).collect()
-    )  # bounded: #distinct token lengths
-    n_docs = sum(c for _, c in hist)
+    groups = base.groupBy("n").agg(F.count("*").alias("c")).collect()
+    # bounded: #distinct token lengths. NULL-text docs (n = NULL) count
+    # toward n_docs — and therefore the quantile RANK — but are not
+    # quantile candidates, mirroring the oracle's NULLS-LAST cumulative
+    # sum; a rank past the text-bearing mass yields NULL, not the max.
+    hist = sorted((r[0], r[1]) for r in groups if r[0] is not None)
+    n_docs = sum(r[1] for r in groups)
 
-    def rank_element(p: float) -> int:
+    def rank_element(p: float) -> int | None:
         import math
 
         rank = math.floor((n_docs - 1) * p) + 1
@@ -113,7 +117,7 @@ def exact_corpus_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
             cum += c
             if cum >= rank:
                 return v
-        return hist[-1][0] if hist else 0
+        return None
 
     # NB: the histogram collects at CALL time while the totals evaluate
     # lazily — callers over mutable sources should snapshot first. The

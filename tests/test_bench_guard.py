@@ -19,11 +19,12 @@ def _write(d, name, payload):
 
 def test_prior_timings_min_of_last_two_rounds(tmp_path):
     """The guard reference is the per-query MINIMUM across the last
-    TWO published rounds (r11 hardening: one contended publication
-    must not become the sole comparison base), with older rounds
-    ignored and queries known to only one of the two still covered."""
+    two rounds CONTAINING the query (r11 hardening: one contended
+    publication must not become the sole comparison base; r12: shed
+    queries look back, bounded at four rounds), with queries known to
+    only one round still covered."""
     _write(tmp_path, "BENCH_r07.json",
-           {"parsed": {"queries": {"q": 0.1}}})  # older than window
+           {"parsed": {"queries": {"q": 0.1}}})  # 3rd-most-recent for q
     _write(tmp_path, "BENCH_r08.json",
            {"parsed": {"queries": {"q": 1.0, "only8": 3.0}}})
     _write(tmp_path, "BENCH_r09.json",
@@ -153,3 +154,14 @@ def test_prior_timings_per_query_lookback_survives_shedding(tmp_path):
     ref = _prior_timings(str(tmp_path))
     assert ref["big"] == 0.9  # min of the last two rounds containing it
     assert ref["tiny"] == 0.10  # looked back past the shed rounds
+    # the lookback is BOUNDED at four rounds: an ancient artifact must
+    # age out, not resurrect as a guard reference
+    _write(tmp_path, "BENCH_r11.json",
+           {"parsed": {"queries": {"big": 1.0}, "queries_dropped": 1}})
+    ref = _prior_timings(str(tmp_path))
+    assert ref["tiny"] == 0.12  # r8 is still inside the 4-round window
+    _write(tmp_path, "BENCH_r12.json",
+           {"parsed": {"queries": {"big": 1.0}, "queries_dropped": 1}})
+    ref = _prior_timings(str(tmp_path))
+    assert "tiny" not in ref  # r7/r8 fell off the window: aged out
+    assert ref["big"] == 1.0  # min of its two MOST RECENT rounds (r11, r12)

@@ -4365,3 +4365,38 @@ def test_lang_confusion_card_matches_duckdb_oracle(spark):
             tuple(r) for r in con.sql(o_lang_confusion_card()).fetchall()
         )
         assert got == want and got
+
+
+def test_exact_corpus_stats_null_text_matches_oracle(spark):
+    """NULL-text semantics of the certified exact-stats entry, which
+    the real fixture (zero NULL texts) never exercises: NULL texts
+    count toward n_docs and the quantile RANK but are not distinct
+    texts nor quantile candidates — a rank past the text-bearing mass
+    yields NULL, not the max (the pre-fix Spark twin crashed sorting a
+    None histogram key and over-counted distinct texts by one)."""
+    import duckdb
+
+    from etl_staging_spark.llmdata import stats
+
+    rows = [
+        (1, "a b c", "s"),
+        (2, "a b c", "s"),
+        (3, None, "s"),
+        (4, None, "s"),
+        (5, None, "s"),
+        (6, None, "s"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    got = [tuple(r) for r in stats.exact_corpus_stats(docs).collect()]
+    con = duckdb.connect()
+    con.sql("CREATE TABLE documents(doc_id BIGINT, text VARCHAR, source VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", rows)
+    want = [
+        tuple(r)
+        for r in con.sql("WITH " + stats.o_exact_corpus_stats()).fetchall()
+    ]
+    # n_docs 6, one distinct text, p50 rank 3 unreachable in the
+    # 2-doc text-bearing mass -> NULL
+    assert got == want == [(6, 1, None, None)]
