@@ -1433,21 +1433,15 @@ def mm_frame_sample(spark, sf_dir):
     return multimodal.sample_frames(load(spark, sf_dir, "documents"), fps_ms=1000)
 
 
-def o_feature_table(dim: int = 16) -> str:
-    """DuckDB oracle twin of `llmdata.multimodal.feature_table` — the
-    byte-histogram feature extractor (registered r12 as
-    `mm_feature_hist`, pulled forward from the r13 queue; also
-    exercised by the dedicated Spark-vs-DuckDB parity pytest at two
-    SFs): per payload, the L1-normalized histogram
-    of bytes folded to ``dim`` bins. Byte extraction goes through
-    hex(encode(text)) + a '0x'-prefixed 2-char cast (DuckDB has no
-    direct blob indexing); the zero-count bins come from an explicit
-    doc x bin grid so every vector is dense and ordered; NULL text
-    keeps a NULL embedding (left join from the full table) and an
-    empty payload the zero vector (the CASE n = 0 guard). The
-    normalization divides CAST(count AS DOUBLE) / n — the same single
-    IEEE division numpy's counts/len performs, so vectors hash-match
-    bit for bit."""
+def _feature_ctes(dim: int) -> str:
+    """The shared CTE ladder of the two feature-table oracles: per-doc
+    byte extraction (hex + 2-char '0x' cast — DuckDB has no direct blob
+    indexing), the dense doc x bin grid, and the L1-normalized per-bin
+    value `v(gid, bin, val)`. `o_feature_table` re-aggregates `v` into
+    the doc-keyed array the library emits; `o_feature_hist_rows` —
+    the driver-certified shape — stops at `v` (the driver's pandas
+    canonicalizer cannot sort list cells, CORRECTNESS_r12's one red
+    row)."""
     return f"""
     WITH fb AS (
       SELECT doc_id,
@@ -1475,12 +1469,39 @@ def o_feature_table(dim: int = 16) -> str:
              CASE WHEN g.n = 0 THEN 0.0
                   ELSE CAST(COALESCE(h.c, 0) AS DOUBLE) / g.n END AS val
       FROM grid g LEFT JOIN h ON h.eid = g.gid AND h.bin = g.bin
-    ),
+    )"""
+
+
+def o_feature_table(dim: int = 16) -> str:
+    """DuckDB oracle twin of `llmdata.multimodal.feature_table` — the
+    byte-histogram feature extractor (exercised by the dedicated
+    Spark-vs-DuckDB parity pytest at two SFs): per payload, the
+    L1-normalized histogram of bytes folded to ``dim`` bins, emitted in
+    the library's doc-keyed ``array<double>`` convention. NULL text
+    keeps a NULL embedding (left join from the full table) and an
+    empty payload the zero vector (the CASE n = 0 guard in the shared
+    `v` CTE). The normalization divides CAST(count AS DOUBLE) / n —
+    the same single IEEE division numpy's counts/len performs, so
+    vectors hash-match bit for bit."""
+    return _feature_ctes(dim) + """,
     vec AS (
       SELECT gid, list(val ORDER BY bin) AS embedding FROM v GROUP BY gid
     )
     SELECT fb.doc_id, fb.fmt, vec.embedding
     FROM fb LEFT JOIN vec ON vec.gid = fb.doc_id"""
+
+
+def o_feature_hist_rows(dim: int = 16) -> str:
+    """DuckDB oracle of the CERTIFIED `mm_feature_hist` shape (r13
+    reshape, VERDICT r12 item 1): the exploded (doc_id, fmt, bin, val)
+    rows — the same `v` CTE as `o_feature_table`, without the
+    list(...) re-aggregation the driver's pandas canonicalizer cannot
+    sort. NULL text keeps exactly one (bin NULL, val NULL) row via the
+    outer join (mirroring Spark's posexplode_outer on a NULL array);
+    an empty payload keeps its ``dim`` zero-valued rows."""
+    return _feature_ctes(dim) + """
+    SELECT fb.doc_id, fb.fmt, v.bin, v.val
+    FROM fb LEFT JOIN v ON v.gid = fb.doc_id"""
 
 
 # ---------------------------------------------------------------------------
@@ -3213,20 +3234,28 @@ def domain_token_budget_q(spark, sf_dir):
     )
 
 
-@query("mm_feature_hist", oracle=o_feature_table(16))
+@query("mm_feature_hist", oracle=o_feature_hist_rows(16))
 def mm_feature_hist(spark, sf_dir):
     """Byte-histogram feature extraction over the multimodal payload
-    table (registered r12, pulled forward from the r13 queue): per
-    payload, the L1-normalized histogram of bytes folded to 16 bins,
-    emitted in the embeddings-table convention (doc-keyed
-    array<double>) so the vectors flow straight into the embedding
-    dedup/ANN/QA operators — a model encoder drops into the same slot
-    unchanged. Completes the decode / feature-extract / resize /
-    frame-sample multimodal chain as driver-certified. Arrow-batched
-    mapInPandas (single-pass row-offset bincount kernel), partition-
-    preserving — no shuffle; NULL text keeps a NULL vector, an empty
-    payload the zero vector."""
-    return multimodal.feature_table(load(spark, sf_dir, "documents"), dim=16)
+    table (registered r12; CERTIFIED SHAPE reshaped r13): per payload,
+    the L1-normalized histogram of bytes folded to 16 bins. The
+    library operator (`multimodal.feature_table`, unchanged — its
+    doc-keyed array<double> feeds the embedding dedup/ANN/QA chain)
+    is exploded here to list-free (doc_id, fmt, bin, val) rows because
+    the driver's pandas canonicalizer cannot sort list cells
+    (CORRECTNESS_r12's one red row). posexplode_outer keeps the NULL
+    vector of a NULL text as one (bin NULL, val NULL) row and an empty
+    payload as 16 zero rows — mirrored by the oracle's outer join. bin
+    is cast to long to match DuckDB's BIGINT range() unnest. Arrow-
+    batched mapInPandas (single-pass row-offset bincount kernel),
+    partition-preserving; the explode is a JVM-side generator — still
+    no shuffle."""
+    feats = multimodal.feature_table(load(spark, sf_dir, "documents"), dim=16)
+    return feats.select(
+        "doc_id",
+        "fmt",
+        F.posexplode_outer("embedding").alias("bin", "val"),
+    ).withColumn("bin", F.col("bin").cast("long"))
 
 
 def o_length_bucket_ladder() -> tuple[str, str]:

@@ -338,6 +338,50 @@ def test_feature_table_matches_duckdb_oracle(spark):
         assert got == want and got
 
 
+def test_feature_hist_rows_matches_duckdb_oracle(spark):
+    """The CERTIFIED `mm_feature_hist` shape (r13 reshape — exploded
+    list-free rows, the form the driver's pandas canonicalizer can
+    hash): exact row-set equality with `o_feature_hist_rows` on the
+    real sf0.001 documents table AND on a planted frame carrying the
+    two degenerate payloads — NULL text (one bin-NULL/val-NULL row via
+    posexplode_outer, mirroring the oracle's outer join) and empty
+    text (16 zero rows)."""
+    import duckdb
+    import pandas as pd
+
+    from etl_staging_spark.queries.catalog_llm import o_feature_hist_rows
+
+    def spark_rows(docs):
+        feats = multimodal.feature_table(docs, dim=16)
+        return sorted(
+            tuple(r)
+            for r in feats.select(
+                "doc_id", "fmt",
+                F.posexplode_outer("embedding").alias("bin", "val"),
+            ).withColumn("bin", F.col("bin").cast("long")).collect()
+        )
+
+    # real table
+    path = "/root/testdata/sf0.001/documents.parquet"
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+    want = sorted(tuple(r) for r in con.sql(o_feature_hist_rows(16)).fetchall())
+    got = spark_rows(spark.read.parquet(path))
+    assert got == want and len(got) > 0
+
+    # planted degenerate payloads
+    planted = [(0, "normal payload"), (1, None), (2, "")]
+    con2 = duckdb.connect()
+    planted_pdf = pd.DataFrame(planted, columns=["doc_id", "text"])
+    con2.register("documents", planted_pdf)
+    want2 = sorted(tuple(r) for r in con2.sql(o_feature_hist_rows(16)).fetchall())
+    got2 = spark_rows(spark.createDataFrame(planted, "doc_id long, text string"))
+    assert got2 == want2
+    assert sum(1 for r in got2 if r[0] == 1) == 1          # NULL text: 1 row
+    assert [r[2:] for r in got2 if r[0] == 1] == [(None, None)]
+    assert [r[3] for r in got2 if r[0] == 2] == [0.0] * 16  # empty: zeros
+
+
 def test_feature_table_real_binary_payload_branch(spark):
     """The production pass-through branch is exercised with a REAL
     binary payload frame (not the with_payload text synthesis): same
