@@ -167,12 +167,32 @@ def _prior_timings(here: str, sf: float | None = None) -> dict[str, float]:
         if isinstance(qs, dict) and qs:
             rounds[rnd] = qs
     seen: dict[str, list[float]] = {}
-    for rnd in sorted(rounds, reverse=True)[:4]:
+    ordered = sorted(rounds, reverse=True)
+    for rnd in ordered[:4]:
         for name, sec in rounds[rnd].items():
             if isinstance(sec, (int, float)) and sec > 0:
                 vals = seen.setdefault(name, [])
                 if len(vals) < 2:
                     vals.append(float(sec))
+    # Shed-query carry: a sub-floor query shed from the publication for
+    # 4+ consecutive rounds ages out of the bounded lookback above; if
+    # it then regresses past the floor, its first regressed round would
+    # have no reference — the guard couldn't trip and the slow timing
+    # would become the future baseline. Carry the most recent SUB-FLOOR
+    # record from older rounds for queries with no reference at all:
+    # only sub-floor queries can be shed (publish_line's invariant), a
+    # sub-floor reference can only trip the guard on a genuine
+    # above-floor 2x regression, and one published recovery replaces it
+    # via the normal lookback — so the age-out rationale (ancient
+    # artifacts must not trip forever) is preserved for everything else.
+    for rnd in ordered[4:]:
+        for name, sec in rounds[rnd].items():
+            if (
+                name not in seen
+                and isinstance(sec, (int, float))
+                and 0 < sec < GUARD_FLOOR_SEC
+            ):
+                seen[name] = [float(sec)]
     return {name: min(vals) for name, vals in seen.items()}
 
 
@@ -210,9 +230,17 @@ def publish_line(
 
     # sheddable = sub-floor queries only (smallest first): a query that
     # can trip the guard must stay published or its reference vanishes.
-    # Sorted once; drop-invariant.
+    # Sheddability compares the ROUNDED value (what would actually
+    # publish): a raw 0.398 publishes as 0.40 — a reference exactly at
+    # the floor — so the publication and the shed rule must agree at
+    # the boundary. Rounding is monotone, so the rounded-sheddable
+    # queries are exactly the n_sheddable smallest raw timings and the
+    # tail-drop below can never reach a guard-eligible query. Sorted
+    # once; drop-invariant.
     by_size_desc = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
-    n_sheddable = sum(1 for _, v in timings.items() if v < GUARD_FLOOR_SEC)
+    n_sheddable = sum(
+        1 for _, v in timings.items() if round(v, 2) < GUARD_FLOOR_SEC
+    )
 
     def _line(drop: int = 0) -> str:
         if drop >= len(timings):

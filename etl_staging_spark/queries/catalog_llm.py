@@ -3371,3 +3371,93 @@ def o_lang_source_matrix() -> str:
     bounded-frame share window; zero-evidence and NULL-text docs land
     in the NULL-language row."""
     return _o_lang_matrix("source", "source")
+
+
+# ---------------------------------------------------------------------------
+# r13 registrations: the queued dataset-card surface (all
+# library-complete since r11/r12 with two-SF parity pytests; the r14
+# trio pulled forward per VERDICT r12 item 6 — the certification
+# window has 20 front slots free after the 13 r9-stale entries).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quality_calibration_by_domain",
+    oracle=o_quality_calibration_by_domain(0.7),
+)
+def quality_calibration_by_domain_q(spark, sf_dir):
+    """Per-domain calibrated quality cuts (registered r13 from the r10
+    queue): each source's own keep-the-best-70% threshold and what it
+    actually keeps — the per-source replay of
+    `quality_calibration_card`'s global CDF walk, because "keep the
+    best 70% of each source" at a global threshold over-keeps clean
+    domains and guts noisy ones. Quantized per-domain histogram ->
+    cumulative window PARTITIONed BY domain (bounded: #domains x
+    #buckets, never the corpus) -> bucket-lower-edge threshold (the
+    raw-score gate-floor convention)."""
+    return stats.quality_calibration_by_domain(
+        load(spark, sf_dir, "documents"), 0.7
+    )
+
+
+@query("length_histogram_card", oracle=o_length_histogram_card())
+def length_histogram_card_q(spark, sf_dir):
+    """Per-source token-length histogram on power-of-two buckets
+    (registered r13 from the r12 queue): the exact, certifiable
+    companion of the quantile sketch — picks sequence length /
+    truncation / packing mode per source. CASE ladder generated from
+    the shared LENGTH_BUCKET_MAX_POW constant (exact integer
+    comparisons, no log2 ulp hazard); ONE map-side-combinable
+    (source, bucket) aggregate; share window over the bounded
+    histogram frame."""
+    return stats.length_histogram_card(load(spark, sf_dir, "documents"))
+
+
+@query("ttr_card", oracle=o_ttr_card())
+def ttr_card_q(spark, sf_dir):
+    """Per-source lexical diversity card (registered r13 from the r12
+    queue): tokens, types, hapax legomena, TTR and hapax rate — the
+    read that separates template-stamped sources from natural text
+    BEFORE n-gram dedup spends a shuffle proving it. Explode -> ONE
+    (source, token)-keyed count (map-side combinable) -> per-source
+    rollup bounded by vocabulary size."""
+    return stats.ttr_card(load(spark, sf_dir, "documents"))
+
+
+@query("lang_source_matrix", oracle=o_lang_source_matrix())
+def lang_source_matrix_q(spark, sf_dir):
+    """Language x source distribution (registered r13, pulled forward
+    from the r14 queue): per (source, predicted language) counts and
+    within-source shares — the full distribution behind
+    `corpus_source_profile`'s modal-language column; decides which
+    language gates each source needs. Row-local JVM lang-ID
+    projection (keep= carries source, no re-join); ONE
+    map-side-combinable aggregate; share window over the bounded
+    matrix."""
+    return stats.lang_source_matrix(load(spark, sf_dir, "documents"))
+
+
+@query("lang_confusion_card", oracle=o_lang_confusion_card())
+def lang_confusion_card_q(spark, sf_dir):
+    """Language-ID confusion matrix against the corpus's labeled lang
+    column (registered r13, pulled forward from the r14 queue): the
+    diagonal is per-language recall, off-diagonals say where the
+    n-gram identifier leaks before a language gate trusts it. Same
+    bounded shape as `lang_source_matrix` via the shared _lang_matrix
+    builder."""
+    return stats.lang_confusion_card(load(spark, sf_dir, "documents"))
+
+
+@query("vocab_coverage_by_source", oracle=vocab.o_vocab_coverage_by_source(20))
+def vocab_coverage_by_source_q(spark, sf_dir):
+    """Per-source occurrence coverage of the global top-20 vocab
+    (registered r13, pulled forward from the r14 queue): the
+    OOV-rate-by-source read behind `vocab_coverage`'s single number —
+    a tokenizer induced on the whole mixture can cover 99% of one
+    crawl and gut another. k=20 so the cut binds even on the testdata
+    vocabulary (31 distinct tokens; k>=30 saturates). ONE explode into
+    a persisted (source, token) count read twice — global TakeOrdered
+    top-k, then a LEFT join against the BROADCAST k-row vocab."""
+    return vocab.vocab_coverage_by_source(
+        load(spark, sf_dir, "documents"), k=20
+    )

@@ -505,10 +505,15 @@ def _is_remote(path: str) -> bool:
 
 def _norm_path(path: str) -> str:
     """One spelling per checkpoint: realpath for local paths (trailing
-    slashes, relative spellings, symlinks all collapse), URIs as-is."""
+    slashes, relative spellings, symlinks all collapse); remote URIs
+    keep their spelling minus trailing slashes — the same checkpoint
+    written ``s3://b/ckpt`` and ``s3://b/ckpt/`` must compare equal or
+    the ownership check falsely refuses a legitimate resume (scheme/
+    authority case is NOT folded: two case-variant spellings of one
+    remote store stay distinct, a refusal, never a double-count)."""
     import os
 
-    return path if _is_remote(path) else os.path.realpath(path)
+    return path.rstrip("/") if _is_remote(path) else os.path.realpath(path)
 
 
 def _read_card_owner(state_dir: str) -> str | None:
@@ -529,20 +534,45 @@ def _write_card_owner(state_dir: str, checkpoint_dir: str) -> None:
         fh.write(_norm_path(checkpoint_dir))
 
 
-def _checkpoint_has_commits(checkpoint_dir: str) -> bool:
-    """True when the LOCAL checkpoint has committed at least one batch."""
+def _checkpoint_has_commits(checkpoint_dir: str, spark=None) -> bool:
+    """True when the checkpoint has committed at least one batch.
+    Local checkpoints list the directory; remote ones probe the
+    ``commits/`` listing through the Hadoop FS API when a session is
+    available (a remote checkpoint without a session is reported
+    uncommitted — callers must treat that as 'unknown', see
+    `_guard_card_state`'s probeable flag)."""
     import os
 
-    commits = os.path.join(checkpoint_dir, "commits")
-    return os.path.isdir(commits) and any(
-        e.isdigit() for e in os.listdir(commits)
+    if not _is_remote(checkpoint_dir):
+        commits = os.path.join(checkpoint_dir, "commits")
+        return os.path.isdir(commits) and any(
+            e.isdigit() for e in os.listdir(commits)
+        )
+    if spark is None:
+        return False
+    jvm = spark._jvm
+    commits_path = jvm.org.apache.hadoop.fs.Path(
+        _norm_path(checkpoint_dir) + "/commits"
+    )
+    fs = commits_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(commits_path):
+        return False
+    return any(
+        st.getPath().getName().isdigit()
+        for st in fs.listStatus(commits_path)
     )
 
 
-def _guard_card_state(state_dir: str, checkpoint_dir: str | None) -> None:
-    """Start guard for `additive_card_stream` — best-effort (LOCAL
-    paths only; a remote state_dir skips it) but it closes every
-    batch-numbering restart that corrupts an existing delta log:
+def _guard_card_state(
+    state_dir: str, checkpoint_dir: str | None, spark=None
+) -> None:
+    """Start guard for `additive_card_stream` — best-effort (a remote
+    state_dir skips it entirely; a remote checkpoint_dir's commits are
+    probed through the Hadoop FS API when ``spark`` is given and are
+    UNKNOWN otherwise, so the two committed-checkpoint refusals and
+    the wiped-owner refusal only fire when the checkpoint is
+    probeable) but it closes every batch-numbering restart that
+    corrupts an existing delta log:
 
     - no checkpoint over an existing log: numbering restarts at 0,
       stale higher partitions double-count -> refused;
@@ -574,8 +604,14 @@ def _guard_card_state(state_dir: str, checkpoint_dir: str | None) -> None:
         # (or by hand) with a non-canonical spelling must still match
         owner = _norm_path(owner)
     ckpt = _norm_path(checkpoint_dir)
-    ckpt_local = not _is_remote(checkpoint_dir)
-    ckpt_committed = ckpt_local and _checkpoint_has_commits(checkpoint_dir)
+    # local checkpoints are always probeable; remote ones only with a
+    # session to reach the Hadoop FS API — an unprobeable checkpoint's
+    # commit state is UNKNOWN, so the refusals that depend on it are
+    # skipped rather than fired on a guess
+    ckpt_probeable = not _is_remote(checkpoint_dir) or spark is not None
+    ckpt_committed = ckpt_probeable and _checkpoint_has_commits(
+        checkpoint_dir, spark
+    )
     if owner is None:
         if has_log:
             raise ValueError(
@@ -615,7 +651,7 @@ def _guard_card_state(state_dir: str, checkpoint_dir: str | None) -> None:
         # under-count — allow rotation
         _write_card_owner(state_dir, checkpoint_dir)
         return
-    if has_log and ckpt_local and not ckpt_committed:
+    if has_log and ckpt_probeable and not ckpt_committed:
         raise ValueError(
             f"checkpoint {checkpoint_dir!r} owns state_dir "
             f"{state_dir!r} but holds no committed batches (wiped and "
@@ -660,7 +696,7 @@ def additive_card_stream(
     double-counting the re-delivered documents — so reusing a
     non-empty local ``state_dir`` without ``checkpoint_dir`` is
     refused at start."""
-    _guard_card_state(state_dir, checkpoint_dir)
+    _guard_card_state(state_dir, checkpoint_dir, docs_stream.sparkSession)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.errors import AnalysisException

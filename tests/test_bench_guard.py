@@ -163,5 +163,50 @@ def test_prior_timings_per_query_lookback_survives_shedding(tmp_path):
     _write(tmp_path, "BENCH_r12.json",
            {"parsed": {"queries": {"big": 1.0}, "queries_dropped": 1}})
     ref = _prior_timings(str(tmp_path))
-    assert "tiny" not in ref  # r7/r8 fell off the window: aged out
+    # r13 ADVICE fix: tiny fell off the 4-round window, but a SUB-FLOOR
+    # query can be shed indefinitely — its last-known reference is
+    # carried from the most recent older round so a regression past the
+    # floor still trips the guard on its first regressed round
+    assert ref["tiny"] == 0.12
     assert ref["big"] == 1.0  # min of its two MOST RECENT rounds (r11, r12)
+
+
+def test_prior_timings_above_floor_queries_still_age_out(tmp_path):
+    """The shed-query carry is restricted to SUB-FLOOR records: an
+    above-floor query absent from the 4-round window (retired from the
+    headline set, or a different machine era) must still age out — a
+    stale heavy reference resurrected forever is exactly what the
+    bound exists to prevent, and an above-floor query can never have
+    been shed (publish_line's invariant)."""
+    _write(tmp_path, "BENCH_r07.json",
+           {"parsed": {"queries": {"heavy": 5.0, "tiny": 0.2}}})
+    for r in range(9, 13):
+        _write(tmp_path, f"BENCH_r{r:02d}.json",
+               {"parsed": {"queries": {"big": 1.0}, "queries_dropped": 1}})
+    ref = _prior_timings(str(tmp_path))
+    assert "heavy" not in ref  # above-floor: aged out with its round
+    assert ref["tiny"] == 0.2  # sub-floor: carried as last-known
+    assert ref["big"] == 1.0
+
+
+def test_publish_line_sheddability_agrees_with_published_rounding():
+    """r12 ADVICE boundary: sheddability is decided on the ROUNDED
+    value (what actually publishes) — a raw 0.398 publishes as 0.40, a
+    reference exactly at the guard floor, so it must NOT be shed as
+    sub-floor; a raw 0.394 publishes as 0.39 and may be."""
+    from bench import publish_line
+
+    t = {"edge": 0.398, "small": 0.394, "heavy": 5.0}
+    # budget forces shedding; only 'small' is eligible
+    line = publish_line(t, 6.0, 5.0, [], 1, 0.1, budget=len(
+        json.dumps({"metric": "headline_queries_total_time", "value": 6.0,
+                    "unit": "sec", "queries": {"heavy": 5.0, "edge": 0.4},
+                    "queries_dropped": 1, "queries_omitted": False,
+                    "core_r1_subset_time": 5.0, "n_queries": 3,
+                    "reruns": [], "n_reruns": 0, "attempts": 1, "sf": 0.1},
+                   separators=(",", ":"))))
+    d = json.loads(line)
+    if d["queries"]:  # fitted by shedding, not omitted
+        assert "edge" in d["queries"] and d["queries"]["edge"] == 0.4
+        assert "small" not in d["queries"]
+        assert d["queries_dropped"] == 1

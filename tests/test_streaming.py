@@ -1593,6 +1593,59 @@ def test_additive_card_stream_refuses_undercount_and_wiped_checkpoint(
         run(ckpt_c, state2)
 
 
+def test_card_guard_remote_checkpoint_spellings_and_commit_probe(
+    spark, tmp_path
+):
+    """r12 ADVICE pair on the remote-checkpoint branch, exercised with
+    file:// URIs (remote to `_is_remote`, reachable by the Hadoop FS):
+
+    - the ownership comparison must accept the SAME remote checkpoint
+      spelled with and without a trailing slash (`_norm_path` used to
+      be identity for URIs, so a legitimate resume was refused);
+    - a remote checkpoint that has ALREADY COMMITTED batches pointed
+      at an empty state_dir is the permanent-undercount case — with a
+      session the commits/ listing is probed through the Hadoop FS API
+      and refused exactly like a local checkpoint; without a session
+      the commit state is unknown and the guard (documented
+      best-effort) lets it pass."""
+    import pytest as _pytest
+
+    from etl_staging_spark.streaming.ingest import (
+        _guard_card_state,
+        _write_card_owner,
+    )
+
+    # trailing-slash spellings of one remote checkpoint
+    state = str(tmp_path / "state")
+    remote_ckpt = "file://" + str(tmp_path / "rckpt")
+    _guard_card_state(state, remote_ckpt, spark)  # stamps owner
+    _guard_card_state(state, remote_ckpt + "/", spark)  # same ckpt: ok
+    with _pytest.raises(ValueError, match="belongs to checkpoint"):
+        # a genuinely different remote checkpoint over a log-bearing
+        # state is still refused — build the log marker
+        (tmp_path / "state" / "batch_id=0").mkdir(parents=True)
+        _guard_card_state(state, "file://" + str(tmp_path / "other"), spark)
+
+    # committed remote checkpoint + empty state: probed and refused
+    committed = tmp_path / "committed_ckpt"
+    (committed / "commits").mkdir(parents=True)
+    (committed / "commits" / "0").write_text("v1")
+    fresh = str(tmp_path / "fresh_state")
+    with _pytest.raises(ValueError, match="permanently undercount"):
+        _guard_card_state(fresh, "file://" + str(committed), spark)
+    # without a session the commit state is unknown: documented pass
+    _guard_card_state(fresh, "file://" + str(committed), None)
+
+    # wiped-owner refusal now also covers probeable remote checkpoints:
+    # owner stamped, log present, remote checkpoint holds no commits
+    state3 = str(tmp_path / "state3")
+    wiped = "file://" + str(tmp_path / "wiped_ckpt")
+    _write_card_owner(state3, wiped)
+    (tmp_path / "state3" / "batch_id=0").mkdir()
+    with _pytest.raises(ValueError, match="no committed batches"):
+        _guard_card_state(state3, wiped, spark)
+
+
 def test_ttr_state_serves_vocab_coverage_card(spark, tmp_path):
     """One maintained token table, two cards: the (source, token, cnt)
     state the TTR stream keeps is the exact input of
