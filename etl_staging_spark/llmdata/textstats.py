@@ -75,14 +75,22 @@ def lang_id(df: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     through the projection so group-by consumers
     (`stats.lang_source_matrix`) need no doc_id re-join."""
     d = df.select("doc_id", *keep, F.lower(F.col("text")).alias("lt"))
-    d = d.withColumn(
-        "bigrams",
-        F.expr("array_distinct(transform(sequence(1, length(lt)-1), i -> substr(lt, i, 2)))"),
-    )
-    score_cols = {
-        lang: F.size(F.array_intersect(F.col("bigrams"), F.array(*[F.lit(b) for b in prof])))
-        for lang, prof in LANG_PROFILES.items()
-    }
+    # Profile scoring by substring containment: for a 2-char bigram b,
+    # contains(lt, b) <=> b appears at some window position <=> b is in
+    # the distinct-bigram array the original formulation materialized —
+    # including every edge (NULL lt -> NULL score; empty/1-char lt ->
+    # no full window -> 0). 40 JVM substring probes per row replace an
+    # O(len) array of 2-char strings + distinct + 5 intersects; same
+    # integer scores bit for bit (the DuckDB twins keep replaying the
+    # array formulation, and the certified lang_id_ngram hash is
+    # unchanged). Measured 2.5s -> sub-1s on the sf0.1 lang cards.
+    score_cols = {}
+    for lang, prof in LANG_PROFILES.items():
+        terms = [F.contains(F.col("lt"), F.lit(b)).cast("int") for b in prof]
+        s = terms[0]
+        for t in terms[1:]:
+            s = s + t
+        score_cols[lang] = s
     d = d.select(
         "doc_id", *keep, *[c.alias(f"s_{lang}") for lang, c in score_cols.items()]
     )
