@@ -17,6 +17,21 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # Representative heavy queries across the operator surface. Every name
 # MUST exist in queries() — a missing name is a hard error so the bench
 # can never silently measure less than it advertises.
+#
+# Curation rule (r13): entries whose steady-state is far below the
+# guard floor (<0.25 s at sf0.1 — job-scheduling constants, not
+# throughput) are retired when the publication line would otherwise
+# outgrow the driver's stdout budget and force the shed, PROVIDED the
+# operator family stays represented by a heavier benched entry; the
+# registry certification of a retired entry is unaffected. Retired
+# r13: mixture_epoch_upsample (0.04 s; mixture_weighted_sample stays),
+# shard_training_order + shard_manifest (0.09/0.14 s; seq_pack_chunks
+# and training_set_pack stay), c4_asof_reconstruction (0.11 s),
+# dup_rate_by_source + token_drift_card (0.15/0.24 s; the card family
+# keeps corpus_source_profile, source_overlap_matrix,
+# quality_calibration_card, embedding_stats_card, ngram_freq_spectrum,
+# source_novelty_card + the six r13 cards), text_quality_score
+# (0.16 s; text_repetition_gopher and boilerplate_flag stay).
 HEADLINE = [
     "a1_hash_agg",
     "j1_star_join_revenue",
@@ -28,13 +43,11 @@ HEADLINE = [
     "a9_ledger_netting",
     "o2_pagination",
     "e3_account_codes",
-    "c4_asof_reconstruction",
     "gl_report",
     "aged_report",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "sim_cosine_topk",
-    "text_quality_score",
     # round 3 additions
     "es_report",
     "br_report",
@@ -60,13 +73,10 @@ HEADLINE = [
     "boilerplate_flag",
     "dedup_semantic_ivf",
     "domain_quality_cap",
-    "mixture_epoch_upsample",
-    "shard_training_order",
     "corpus_assembly_full",
     "dedup_segments",
     "text_lm_bigram",
     "search_hybrid_rrf",
-    "shard_manifest",
     "events_sessionize",
     "bpe_pair_counts",
     "contrastive_pairs",
@@ -86,13 +96,18 @@ HEADLINE = [
     "embedding_stats_card",
     # round 11 additions
     "ngram_freq_spectrum",
-    "dup_rate_by_source",
     "decontaminate_semantic",
     # round 12 additions
-    "token_drift_card",
     "source_novelty_card",
     "domain_token_budget",
     "mm_feature_hist",
+    # round 13 additions
+    "quality_calibration_by_domain",
+    "length_histogram_card",
+    "ttr_card",
+    "lang_source_matrix",
+    "lang_confusion_card",
+    "vocab_coverage_by_source",
 ]
 
 
