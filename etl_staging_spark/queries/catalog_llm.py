@@ -3461,3 +3461,34 @@ def vocab_coverage_by_source_q(spark, sf_dir):
     return vocab.vocab_coverage_by_source(
         load(spark, sf_dir, "documents"), k=20
     )
+
+
+@query("length_card_stream_fold", oracle=o_length_histogram_card())
+def length_card_stream_fold_q(spark, sf_dir):
+    """Batch twin of the STREAMING card-maintenance path (registered
+    r13, VERDICT r12 item 7): the documents table is split into three
+    micro-batches (pmod(doc_id, 3) — the arrival order a stream might
+    deliver), each batch's ADDITIVE delta (`stats.length_hist_counts`)
+    is tagged with its batch_id exactly as `additive_card_stream`
+    writes its delta-log partitions, and the union is merged by THE
+    shared `streaming.ingest._fold` and presented by
+    `stats.finish_length_card` — the same two functions the live
+    stream and `compact_card_state` run. Hash-matching the batch
+    card's own DuckDB oracle certifies the fold/finish semantics
+    (additivity across batches) that the streaming pytests can only
+    pin Spark-vs-Spark. The log never touches disk here: the
+    partitioned-parquet round-trip, checkpoint ownership, and replay
+    idempotence are the streaming tests' subject
+    (tests/test_streaming.py)."""
+    from ..streaming.ingest import _fold
+
+    docs = load(spark, sf_dir, "documents")
+    batches = [
+        stats.length_hist_counts(
+            docs.where(F.pmod("doc_id", F.lit(3)) == b)
+        ).withColumn("batch_id", F.lit(b))
+        for b in range(3)
+    ]
+    log = batches[0].unionByName(batches[1]).unionByName(batches[2])
+    merged = _fold(log.drop("batch_id"), ("source", "lo_tokens"), ("n_docs",))
+    return stats.finish_length_card(merged)

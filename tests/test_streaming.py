@@ -1646,6 +1646,31 @@ def test_card_guard_remote_checkpoint_spellings_and_commit_probe(
         _guard_card_state(state3, wiped, spark)
 
 
+def test_length_card_fold_twin_equals_batch_card(spark):
+    """The certified `length_card_stream_fold` entry (the registry's
+    batch twin of the streaming card path) equals the direct batch
+    card on the real table: 3-way batch split -> per-batch additive
+    deltas -> shared `_fold` -> `finish_length_card` is exactly
+    `length_histogram_card` in one scan — additivity certified
+    Spark-vs-Spark here and against DuckDB by the registry oracle."""
+    from etl_staging_spark.llmdata import stats
+    from etl_staging_spark.queries.catalog_llm import (
+        length_card_stream_fold_q,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = sorted(
+        tuple(r) for r in length_card_stream_fold_q(spark, sf_dir).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in stats.length_histogram_card(
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+
 def test_ttr_state_serves_vocab_coverage_card(spark, tmp_path):
     """One maintained token table, two cards: the (source, token, cnt)
     state the TTR stream keeps is the exact input of
