@@ -1046,3 +1046,180 @@ def lang_confusion_card(docs: DataFrame, label_col: str = "lang") -> DataFrame:
     (label, lang) aggregate, share window over the bounded matrix
     (#labels x #profiles+1). No join, no Python."""
     return _lang_matrix(docs, label_col, "label_lang")
+
+
+def pii_rate_by_source(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source PII incidence — the "how dirty is each crawl" QA
+    read BEFORE `pii.mask_pii` spends a scan scrubbing it, and the
+    number a release review asks for after: per-category match totals
+    (emails / phones / long numeric ids, the module's certified regex
+    trio counted on the ORIGINAL text) plus how many docs carry ANY
+    match and that doc-level rate. NULL-text docs count in ``n_docs``
+    but contribute no matches (NULL counts never sum, the engine
+    convention); a NULL source keeps its own audit row. Output:
+    (source, n_docs, n_emails, n_phones, n_ids, n_pii_docs,
+    pii_doc_rate), rate prounded to 6 — n_docs is never zero for an
+    emitted row.
+
+    Scale shape: three codegen'd regexp_extract_all counts in ONE
+    row-local projection -> ONE map-side-combinable source aggregate.
+    No join, no window, no Python."""
+    from .pii import EMAIL_RE, LONG_ID_RE, PHONE_RE
+
+    c = F.col(text_col)
+
+    def _n(pat: str) -> Column:
+        return F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))).cast(
+            "bigint"
+        )
+
+    d = docs.select(
+        F.col(source_col).alias("source"),
+        _n(EMAIL_RE).alias("e"),
+        _n(PHONE_RE).alias("p"),
+        _n(LONG_ID_RE).alias("i"),
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("e").alias("n_emails"),
+            F.sum("p").alias("n_phones"),
+            F.sum("i").alias("n_ids"),
+            F.count_if(
+                F.col("e") + F.col("p") + F.col("i") > 0
+            ).alias("n_pii_docs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_emails",
+            "n_phones",
+            "n_ids",
+            "n_pii_docs",
+            pround(F.col("n_pii_docs") / F.col("n_docs"), 6).alias(
+                "pii_doc_rate"
+            ),
+        )
+    )
+
+
+def dup_token_rate_by_source(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source TOKEN-weighted exact duplication — the cost number
+    `dup_rate_by_source` (doc-weighted) cannot give: a source whose
+    few duplicated docs are its longest wastes far more training
+    tokens than its doc-level rate suggests, and mixture weights
+    budget in tokens. For every source: text-bearing docs, their total
+    tokens (the shared `bpe_token_count` convention), the tokens spent
+    on EXCESS copies ((copies - 1) x tokens per identity group), and
+    that fraction. Identity is per-source exact text (sha2 digest on
+    the Spark side, the `dup_rate_by_source` convention); NULL-text
+    docs carry no identity and no tokens; a NULL source keeps its own
+    audit row. Output: (source, n_with_text, total_tokens, dup_tokens,
+    dup_token_rate); the rate is NULL for an all-empty source (zero
+    total tokens).
+
+    Scale shape: TWO map-side-combinable aggregates — partial on
+    (source, digest) where the shuffle carries a 64-char digest plus
+    two ints (never the document body), final on source over a frame
+    bounded by per-source distinct texts. No join, no window, no
+    Python."""
+    t = F.col(text_col)
+    keyed = docs.where(t.isNotNull()).select(
+        F.col(source_col).alias("source"),
+        F.sha2(t, 256).alias("k"),
+        bpe_token_count(text_col).alias("tok"),
+    )
+    per_key = keyed.groupBy("source", "k").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        # identical text -> identical count; min() is the associative
+        # pick (merges across partials), not a semantic choice
+        F.min("tok").alias("tok"),
+    )
+    total = F.sum(F.col("cnt") * F.col("tok")).cast("bigint")
+    dup = F.sum((F.col("cnt") - 1) * F.col("tok")).cast("bigint")
+    return (
+        per_key.groupBy("source")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_with_text"),
+            total.alias("total_tokens"),
+            dup.alias("dup_tokens"),
+        )
+        .select(
+            "source",
+            "n_with_text",
+            "total_tokens",
+            "dup_tokens",
+            F.when(
+                F.col("total_tokens") > 0,
+                pround(F.col("dup_tokens") / F.col("total_tokens"), 6),
+            ).alias("dup_token_rate"),
+        )
+    )
+
+
+def charclass_profile_card(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source character-class composition — the encoding-health
+    read that catches a crawl gone wrong (mojibake, markup residue,
+    digit dumps, whitespace floods) from ONE scan before any
+    tokenizer sees it: alphabetic / digit / space fractions of all
+    characters, with everything else (punctuation, unicode, control)
+    as the reported remainder. Counts subtract the post-removal
+    length from the raw length (exact integer arithmetic on both
+    engines — no per-char explode); NULL-text docs are excluded (no
+    characters to profile; `corpus_stats_exact` reports them), an
+    all-empty source keeps its row with NULL fractions. Output:
+    (source, n_docs, n_chars, alpha_frac, digit_frac, space_frac,
+    other_frac), fractions prounded to 6.
+
+    Scale shape: one row-local codegen'd projection (two regex
+    removals + one literal replace) -> ONE map-side-combinable source
+    aggregate. No join, no window, no Python."""
+    t = F.col(text_col)
+    n = F.length(t)
+    d = docs.where(t.isNotNull()).select(
+        F.col(source_col).alias("source"),
+        n.alias("n"),
+        (n - F.length(F.regexp_replace(t, "[A-Za-z]", ""))).alias("al"),
+        (n - F.length(F.regexp_replace(t, "[0-9]", ""))).alias("dg"),
+        (n - F.length(F.replace(t, F.lit(" "), F.lit("")))).alias("sp"),
+    )
+    agg = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").cast("bigint").alias("n_chars"),
+        F.sum("al").cast("bigint").alias("n_alpha"),
+        F.sum("dg").cast("bigint").alias("n_digit"),
+        F.sum("sp").cast("bigint").alias("n_space"),
+    )
+
+    def _frac(c: Column) -> Column:
+        return F.when(
+            F.col("n_chars") > 0, pround(c / F.col("n_chars"), 6)
+        )
+
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_chars",
+        _frac(F.col("n_alpha")).alias("alpha_frac"),
+        _frac(F.col("n_digit")).alias("digit_frac"),
+        _frac(F.col("n_space")).alias("space_frac"),
+        _frac(
+            F.col("n_chars")
+            - F.col("n_alpha")
+            - F.col("n_digit")
+            - F.col("n_space")
+        ).alias("other_frac"),
+    )

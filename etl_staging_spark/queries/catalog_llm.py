@@ -3492,3 +3492,94 @@ def length_card_stream_fold_q(spark, sf_dir):
     log = batches[0].unionByName(batches[1]).unionByName(batches[2])
     merged = _fold(log.drop("batch_id"), ("source", "lo_tokens"), ("n_docs",))
     return stats.finish_length_card(merged)
+
+
+def o_pii_rate_by_source() -> str:
+    """DuckDB oracle twin of `llmdata.stats.pii_rate_by_source` (r14
+    registration queue — exercised by the dedicated Spark-vs-DuckDB
+    parity pytest at two SFs): the same three certified PII patterns
+    (`pii_mask_regex`'s regexes, common Java/RE2 dialect) counted per
+    doc, summed per source; NULL text yields NULL per-doc counts that
+    SUM skips and whose any-match predicate is never true on either
+    engine. Sums CAST to BIGINT (DuckDB SUM(BIGINT) is HUGEINT); the
+    rate is one CAST-to-DOUBLE division prounded to 6."""
+    return f"""
+    WITH prc AS (
+      SELECT source,
+             len(regexp_extract_all(text, '{pii.EMAIL_RE}')) AS e,
+             len(regexp_extract_all(text, '{pii.PHONE_RE}')) AS p,
+             len(regexp_extract_all(text, '{pii.LONG_ID_RE}')) AS i
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(e) AS BIGINT) AS n_emails,
+           CAST(SUM(p) AS BIGINT) AS n_phones,
+           CAST(SUM(i) AS BIGINT) AS n_ids,
+           COUNT(*) FILTER (e + p + i > 0) AS n_pii_docs,
+           {o_pround("CAST(COUNT(*) FILTER (e + p + i > 0) AS DOUBLE)"
+                     " / COUNT(*)", 6)} AS pii_doc_rate
+    FROM prc GROUP BY source"""
+
+
+def o_dup_token_rate_by_source() -> str:
+    """DuckDB oracle twin of `llmdata.stats.dup_token_rate_by_source`
+    (r14 registration queue — exercised by the dedicated
+    Spark-vs-DuckDB parity pytest at two SFs): groups identity on the
+    text itself where the Spark side keys on sha2(text) to keep the
+    shuffle digest-wide (the `dup_rate_by_source` convention —
+    identical answers absent a SHA-256 collision); tokens are the
+    shared TOKEN_RE count; the rate CASTs to DOUBLE before the pround
+    product (the DECIMAL knife-edge trap)."""
+    return f"""
+    WITH dtk AS (
+      SELECT source, text,
+             len(regexp_extract_all(lower(text), '{textstats.TOKEN_RE}'))
+               AS tok
+      FROM documents WHERE text IS NOT NULL
+    ),
+    dtg AS (
+      SELECT source, text, COUNT(*) AS cnt, MIN(tok) AS tok
+      FROM dtk GROUP BY source, text
+    )
+    SELECT source,
+           CAST(SUM(cnt) AS BIGINT) AS n_with_text,
+           CAST(SUM(cnt * tok) AS BIGINT) AS total_tokens,
+           CAST(SUM((cnt - 1) * tok) AS BIGINT) AS dup_tokens,
+           CASE WHEN SUM(cnt * tok) > 0 THEN
+             {o_pround("CAST(SUM((cnt - 1) * tok) AS DOUBLE)"
+                       " / SUM(cnt * tok)", 6)}
+           END AS dup_token_rate
+    FROM dtg GROUP BY source"""
+
+
+def o_charclass_profile_card() -> str:
+    """DuckDB oracle twin of `llmdata.stats.charclass_profile_card`
+    (r14 registration queue — exercised by the dedicated
+    Spark-vs-DuckDB parity pytest at two SFs): class counts as
+    raw-length minus post-removal length (DuckDB regexp_replace needs
+    the explicit 'g' flag Spark applies implicitly); both engines
+    count length() in unicode code points, pinned by the pytest's
+    accented fixture. Fractions are CAST-to-DOUBLE divisions prounded
+    to 6, NULL for an all-empty source."""
+    fr = lambda num: o_pround(f"CAST({num} AS DOUBLE) / SUM(n)", 6)  # noqa: E731
+    guard = "CASE WHEN SUM(n) > 0 THEN {} END"
+    return f"""
+    WITH ccp AS (
+      SELECT source, length(text) AS n,
+             length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+               AS al,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+               AS dg,
+             length(text) - length(replace(text, ' ', '')) AS sp
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS n_chars,
+           {guard.format(fr("SUM(al)"))} AS alpha_frac,
+           {guard.format(fr("SUM(dg)"))} AS digit_frac,
+           {guard.format(fr("SUM(sp)"))} AS space_frac,
+           {guard.format(fr("SUM(n) - SUM(al) - SUM(dg) - SUM(sp)"))}
+             AS other_frac
+    FROM ccp GROUP BY source"""

@@ -4444,3 +4444,144 @@ def test_exact_corpus_stats_null_text_matches_oracle(spark):
     # n_docs 6, one distinct text, p50 rank 3 unreachable in the
     # 2-doc text-bearing mass -> NULL
     assert got == want == [(6, 1, None, None)]
+
+
+def _nsafe_sorted(tuples):
+    """Sort row tuples that may carry NULLs (None sorts first within
+    its column, never compared against a value)."""
+    return sorted(
+        tuples,
+        key=lambda t: tuple(
+            (v is not None, "" if v is None else v) for v in t
+        ),
+    )
+
+
+def _duck_on(planted_rows, sql):
+    """Run a card oracle over a planted (doc_id, text, source) frame."""
+    import duckdb
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(planted_rows, columns=["doc_id", "text", "source"]),
+    )
+    return _nsafe_sorted(tuple(r) for r in con.sql(sql).fetchall())
+
+
+def test_pii_rate_by_source_planted_and_duckdb(spark):
+    """pii_rate_by_source (r14 queue): hand-computed incidence on a
+    planted corpus — email + phone in one doc, two long ids in
+    another, a clean doc, NULL text counted in n_docs but never in
+    matches, a NULL source keeping its own audit row — and exact
+    row-set parity with the DuckDB twin on the same frame."""
+    from etl_staging_spark.llmdata import stats
+    from etl_staging_spark.queries.catalog_llm import o_pii_rate_by_source
+
+    rows = [
+        (0, "contact me at bob@example.com or 555-123-4567", "a"),
+        (1, None, "a"),
+        (2, "ref 123456789 and 9876543210", "a"),
+        (3, "no personal info here", "b"),
+        (4, "a@b.co", None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.source: tuple(r)[1:] for r in stats.pii_rate_by_source(docs).collect()}
+    assert got["a"] == (3, 1, 1, 2, 2, 0.666667)
+    assert got["b"] == (1, 0, 0, 0, 0, 0.0)
+    assert got[None] == (1, 1, 0, 0, 1, 1.0)
+    want = _duck_on(rows, o_pii_rate_by_source())
+    assert _nsafe_sorted(
+        tuple(r) for r in stats.pii_rate_by_source(docs).collect()
+    ) == want
+
+
+def test_dup_token_rate_by_source_planted_and_duckdb(spark):
+    """dup_token_rate_by_source (r14 queue): token-weighted excess on
+    a planted corpus — a 3-token text duplicated within one source
+    (3 excess tokens of 8), the SAME text in another source NOT a dup
+    there (identity is per-source), an all-empty source with a NULL
+    rate, NULL text carrying no identity — and DuckDB parity."""
+    from etl_staging_spark.llmdata import stats
+    from etl_staging_spark.queries.catalog_llm import (
+        o_dup_token_rate_by_source,
+    )
+
+    rows = [
+        (0, "w x y", "a"),
+        (1, "w x y", "a"),
+        (2, "zz", "a"),
+        (3, "", "b"),
+        (4, None, "b"),
+        (5, "w x y", "c"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.source: tuple(r)[1:] for r in stats.dup_token_rate_by_source(docs).collect()}
+    assert got["a"] == (3, 7, 3, 0.428571)  # 3+3+1 tokens, 3 excess
+    assert got["b"] == (1, 0, 0, None)
+    assert got["c"] == (1, 3, 0, 0.0)
+    want = _duck_on(rows, o_dup_token_rate_by_source())
+    assert _nsafe_sorted(
+        tuple(r) for r in stats.dup_token_rate_by_source(docs).collect()
+    ) == want
+
+
+def test_charclass_profile_card_planted_and_duckdb(spark):
+    """charclass_profile_card (r14 queue): exact class arithmetic on a
+    planted corpus — mixed alpha/digit/space/punct doc, an accented
+    doc pinning that BOTH engines count length() in code points (the
+    oracle docstring's claim), an empty doc folded into its source's
+    totals, an all-empty source with NULL fractions, NULL text
+    excluded — and DuckDB parity."""
+    from etl_staging_spark.llmdata import stats
+    from etl_staging_spark.queries.catalog_llm import (
+        o_charclass_profile_card,
+    )
+
+    rows = [
+        (0, "ab 12!", "a"),
+        (1, "", "a"),
+        (2, "héé", "b"),
+        (3, None, "b"),
+        (4, "", "c"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.source: tuple(r)[1:] for r in stats.charclass_profile_card(docs).collect()}
+    assert got["a"] == (2, 6, 0.333333, 0.333333, 0.166667, 0.166667)
+    assert got["b"] == (1, 3, 0.333333, 0.0, 0.0, 0.666667)
+    assert got["c"] == (1, 0, None, None, None, None)
+    want = _duck_on(rows, o_charclass_profile_card())
+    assert _nsafe_sorted(
+        tuple(r) for r in stats.charclass_profile_card(docs).collect()
+    ) == want
+
+
+def test_r14_queue_cards_match_duckdb_on_real_tables(spark):
+    """The three r14-queue cards hash-match their DuckDB twins on the
+    REAL documents tables at BOTH parity scales — the registration
+    dry-run (each card's planted-fixture test pins the arithmetic;
+    this pins the engines against each other at corpus shape)."""
+    import duckdb
+
+    from etl_staging_spark.llmdata import stats
+    from etl_staging_spark.queries.catalog_llm import (
+        o_charclass_profile_card,
+        o_dup_token_rate_by_source,
+        o_pii_rate_by_source,
+    )
+
+    pairs = [
+        (stats.pii_rate_by_source, o_pii_rate_by_source()),
+        (stats.dup_token_rate_by_source, o_dup_token_rate_by_source()),
+        (stats.charclass_profile_card, o_charclass_profile_card()),
+    ]
+    for sf in ("sf0.001", "sf0.01"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        docs = spark.read.parquet(path)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+        for fn, sql in pairs:
+            got = sorted(tuple(r) for r in fn(docs).collect())
+            want = sorted(tuple(r) for r in con.sql(sql).fetchall())
+            assert got == want and len(got) > 0, (sf, fn.__name__)

@@ -656,3 +656,50 @@ def test_lang_confusion_card_no_rejoin_bounded_window(spark):
     assert "CartesianProduct" not in p
     assert p.count("Window") == 1
     assert "HashAggregate" in p
+
+
+def test_pii_rate_by_source_single_agg_no_python(spark):
+    """pii_rate_by_source (r14 queue): three codegen'd regex counts in
+    one row-local projection -> ONE map-side-combinable source hash
+    aggregate; no join, no window, no Python, no cartesian."""
+    from etl_staging_spark.llmdata.stats import pii_rate_by_source
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    p = pii_rate_by_source(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p and "CartesianProduct" not in p
+    assert "Window" not in p
+    assert "HashAggregate" in p
+
+
+def test_dup_token_rate_by_source_two_phase_digest_agg(spark):
+    """dup_token_rate_by_source (r14 queue): partial aggregate on
+    (source, sha2-digest) — the shuffle carries a 64-char digest plus
+    two ints, never the document body — then a source rollup; all hash
+    aggregates, no join, no window, no Python."""
+    from etl_staging_spark.llmdata.stats import dup_token_rate_by_source
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    out = dup_token_rate_by_source(docs)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p and "CartesianProduct" not in p
+    assert "Window" not in p
+    assert "HashAggregate" in p
+    # the post-shuffle side never projects the text column itself
+    assert "sha2" in p
+
+
+def test_charclass_profile_card_single_agg_no_python(spark):
+    """charclass_profile_card (r14 queue): one row-local projection
+    (two regex removals + one literal replace, all codegen) -> ONE
+    map-side-combinable source aggregate; no join, no window, no
+    Python, no cartesian."""
+    from etl_staging_spark.llmdata.stats import charclass_profile_card
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    p = charclass_profile_card(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p and "CartesianProduct" not in p
+    assert "Window" not in p
+    assert "HashAggregate" in p
