@@ -200,14 +200,23 @@ def _prior_timings(here: str, sf: float | None = None) -> dict[str, float]:
     # above-floor 2x regression, and one published recovery replaces it
     # via the normal lookback — so the age-out rationale (ancient
     # artifacts must not trip forever) is preserved for everything else.
+    # Only the MOST RECENT pre-window record counts: if a query's last
+    # published state before falling off the window was ABOVE the
+    # floor (it slowed legitimately and then retired — it cannot have
+    # been shed in that state), the age-out applies and nothing is
+    # carried; resurrecting an older sub-floor record would falsely
+    # trip the guard on a re-added query's genuine steady state.
+    aged_out: set[str] = set()
     for rnd in ordered[4:]:
         for name, sec in rounds[rnd].items():
-            if (
-                name not in seen
-                and isinstance(sec, (int, float))
-                and 0 < sec < GUARD_FLOOR_SEC
-            ):
+            if name in seen or name in aged_out:
+                continue
+            if not isinstance(sec, (int, float)) or sec <= 0:
+                continue
+            if sec < GUARD_FLOOR_SEC:
                 seen[name] = [float(sec)]
+            else:
+                aged_out.add(name)
     return {name: min(vals) for name, vals in seen.items()}
 
 

@@ -1068,20 +1068,17 @@ def pii_rate_by_source(
     Scale shape: three codegen'd regexp_extract_all counts in ONE
     row-local projection -> ONE map-side-combinable source aggregate.
     No join, no window, no Python."""
-    from .pii import EMAIL_RE, LONG_ID_RE, PHONE_RE
+    from .pii import EMAIL_RE, LONG_ID_RE, PHONE_RE, _count
 
     c = F.col(text_col)
-
-    def _n(pat: str) -> Column:
-        return F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))).cast(
-            "bigint"
-        )
-
+    # _count is THE counting convention the certified pii_mask_regex
+    # entry publishes — importing it keeps this card's totals from
+    # ever drifting from the masker's own numbers
     d = docs.select(
         F.col(source_col).alias("source"),
-        _n(EMAIL_RE).alias("e"),
-        _n(PHONE_RE).alias("p"),
-        _n(LONG_ID_RE).alias("i"),
+        _count(c, EMAIL_RE).alias("e"),
+        _count(c, PHONE_RE).alias("p"),
+        _count(c, LONG_ID_RE).alias("i"),
     )
     return (
         d.groupBy("source")
@@ -1180,13 +1177,16 @@ def charclass_profile_card(
     length from the raw length (exact integer arithmetic on both
     engines — no per-char explode); NULL-text docs are excluded (no
     characters to profile; `corpus_stats_exact` reports them), an
-    all-empty source keeps its row with NULL fractions. Output:
-    (source, n_docs, n_chars, alpha_frac, digit_frac, space_frac,
-    other_frac), fractions prounded to 6.
+    all-empty source keeps its row with NULL fractions. The space
+    class is ASCII whitespace [ \\t\\n\\r] — a newline-flooded crawl
+    must read as a whitespace flood, not dilute the punctuation/
+    mojibake signal ``other_frac`` isolates. Output: (source, n_docs,
+    n_chars, alpha_frac, digit_frac, space_frac, other_frac),
+    fractions prounded to 6.
 
-    Scale shape: one row-local codegen'd projection (two regex
-    removals + one literal replace) -> ONE map-side-combinable source
-    aggregate. No join, no window, no Python."""
+    Scale shape: one row-local codegen'd projection (three regex
+    removals) -> ONE map-side-combinable source aggregate. No join,
+    no window, no Python."""
     t = F.col(text_col)
     n = F.length(t)
     d = docs.where(t.isNotNull()).select(
@@ -1194,7 +1194,7 @@ def charclass_profile_card(
         n.alias("n"),
         (n - F.length(F.regexp_replace(t, "[A-Za-z]", ""))).alias("al"),
         (n - F.length(F.regexp_replace(t, "[0-9]", ""))).alias("dg"),
-        (n - F.length(F.replace(t, F.lit(" "), F.lit("")))).alias("sp"),
+        (n - F.length(F.regexp_replace(t, "[ \\t\\n\\r]", ""))).alias("sp"),
     )
     agg = d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),

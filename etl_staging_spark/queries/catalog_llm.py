@@ -3483,9 +3483,12 @@ def length_card_stream_fold_q(spark, sf_dir):
     from ..streaming.ingest import _fold
 
     docs = load(spark, sf_dir, "documents")
+    # NULL-safe split: pmod(NULL, 3) is NULL and would match no batch,
+    # silently dropping a NULL-doc_id doc the oracle counts
+    bucket = F.coalesce(F.pmod("doc_id", F.lit(3)), F.lit(0))
     batches = [
         stats.length_hist_counts(
-            docs.where(F.pmod("doc_id", F.lit(3)) == b)
+            docs.where(bucket == b)
         ).withColumn("batch_id", F.lit(b))
         for b in range(3)
     ]
@@ -3558,10 +3561,12 @@ def o_charclass_profile_card() -> str:
     (r14 registration queue — exercised by the dedicated
     Spark-vs-DuckDB parity pytest at two SFs): class counts as
     raw-length minus post-removal length (DuckDB regexp_replace needs
-    the explicit 'g' flag Spark applies implicitly); both engines
-    count length() in unicode code points, pinned by the pytest's
-    accented fixture. Fractions are CAST-to-DOUBLE divisions prounded
-    to 6, NULL for an all-empty source."""
+    the explicit 'g' flag Spark applies implicitly); the space class
+    is ASCII whitespace [ \\t\\n\\r] (Java regex and RE2 both parse
+    the escapes identically); both engines count length() in unicode
+    code points, pinned by the pytest's accented fixture. Fractions
+    are CAST-to-DOUBLE divisions prounded to 6, NULL for an all-empty
+    source."""
     fr = lambda num: o_pround(f"CAST({num} AS DOUBLE) / SUM(n)", 6)  # noqa: E731
     guard = "CASE WHEN SUM(n) > 0 THEN {} END"
     return f"""
@@ -3571,7 +3576,8 @@ def o_charclass_profile_card() -> str:
                AS al,
              length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
                AS dg,
-             length(text) - length(replace(text, ' ', '')) AS sp
+             length(text)
+               - length(regexp_replace(text, '[ \\t\\n\\r]', '', 'g')) AS sp
       FROM documents WHERE text IS NOT NULL
     )
     SELECT source,

@@ -534,13 +534,16 @@ def _write_card_owner(state_dir: str, checkpoint_dir: str) -> None:
         fh.write(_norm_path(checkpoint_dir))
 
 
-def _checkpoint_has_commits(checkpoint_dir: str, spark=None) -> bool:
-    """True when the checkpoint has committed at least one batch.
-    Local checkpoints list the directory; remote ones probe the
-    ``commits/`` listing through the Hadoop FS API when a session is
-    available (a remote checkpoint without a session is reported
-    uncommitted — callers must treat that as 'unknown', see
-    `_guard_card_state`'s probeable flag)."""
+def _checkpoint_has_commits(checkpoint_dir: str, spark=None) -> bool | None:
+    """Whether the checkpoint has committed at least one batch, or
+    ``None`` when that is UNKNOWN: local checkpoints list the
+    directory; remote ones probe the ``commits/`` listing through the
+    Hadoop FS API when a session is available. A remote checkpoint
+    without a session — or whose probe RAISES (transient FS error,
+    missing driver-side credentials, unconfigured scheme) — is
+    unknown, never a guess and never a crash: the guard is documented
+    best-effort, and a start must not hard-fail on an FS hiccup the
+    stream itself may be about to retry through."""
     import os
 
     if not _is_remote(checkpoint_dir):
@@ -549,18 +552,21 @@ def _checkpoint_has_commits(checkpoint_dir: str, spark=None) -> bool:
             e.isdigit() for e in os.listdir(commits)
         )
     if spark is None:
-        return False
-    jvm = spark._jvm
-    commits_path = jvm.org.apache.hadoop.fs.Path(
-        _norm_path(checkpoint_dir) + "/commits"
-    )
-    fs = commits_path.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(commits_path):
-        return False
-    return any(
-        st.getPath().getName().isdigit()
-        for st in fs.listStatus(commits_path)
-    )
+        return None
+    try:
+        jvm = spark._jvm
+        commits_path = jvm.org.apache.hadoop.fs.Path(
+            _norm_path(checkpoint_dir) + "/commits"
+        )
+        fs = commits_path.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(commits_path):
+            return False
+        return any(
+            st.getPath().getName().isdigit()
+            for st in fs.listStatus(commits_path)
+        )
+    except Exception:  # noqa: BLE001 — py4j surfaces opaque Java errors
+        return None
 
 
 def _guard_card_state(
@@ -604,14 +610,14 @@ def _guard_card_state(
         # (or by hand) with a non-canonical spelling must still match
         owner = _norm_path(owner)
     ckpt = _norm_path(checkpoint_dir)
-    # local checkpoints are always probeable; remote ones only with a
-    # session to reach the Hadoop FS API — an unprobeable checkpoint's
-    # commit state is UNKNOWN, so the refusals that depend on it are
-    # skipped rather than fired on a guess
-    ckpt_probeable = not _is_remote(checkpoint_dir) or spark is not None
-    ckpt_committed = ckpt_probeable and _checkpoint_has_commits(
-        checkpoint_dir, spark
-    )
+    # local checkpoints are always probeable; remote ones only when
+    # the Hadoop FS probe succeeds (session available AND no FS error)
+    # — an unprobeable checkpoint's commit state is UNKNOWN, so the
+    # refusals that depend on it are skipped rather than fired on a
+    # guess or crashed on a hiccup
+    probe = _checkpoint_has_commits(checkpoint_dir, spark)
+    ckpt_probeable = probe is not None
+    ckpt_committed = bool(probe)
     if owner is None:
         if has_log:
             raise ValueError(

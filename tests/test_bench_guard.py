@@ -189,6 +189,23 @@ def test_prior_timings_above_floor_queries_still_age_out(tmp_path):
     assert ref["big"] == 1.0
 
 
+def test_prior_timings_carry_respects_most_recent_pre_window_state(tmp_path):
+    """r13 review repro: a query whose MOST RECENT pre-window record
+    was above the floor (it slowed legitimately, published that, then
+    retired) must age out — resurrecting an older sub-floor record
+    from an earlier round would falsely trip the guard on the query's
+    genuine steady state if it is ever re-added."""
+    _write(tmp_path, "BENCH_r05.json",
+           {"parsed": {"queries": {"q": 0.2}}})   # ancient sub-floor
+    _write(tmp_path, "BENCH_r06.json",
+           {"parsed": {"queries": {"q": 0.6}}})   # newest pre-window: above
+    for r in range(7, 11):
+        _write(tmp_path, f"BENCH_r{r:02d}.json",
+               {"parsed": {"queries": {"big": 1.0}}})
+    ref = _prior_timings(str(tmp_path))
+    assert "q" not in ref  # the r5 0.2 must NOT resurrect past r6's 0.6
+
+
 def test_publish_line_sheddability_agrees_with_published_rounding():
     """r12 ADVICE boundary: sheddability is decided on the ROUNDED
     value (what actually publishes) — a raw 0.398 publishes as 0.40, a
@@ -206,7 +223,9 @@ def test_publish_line_sheddability_agrees_with_published_rounding():
                     "reruns": [], "n_reruns": 0, "attempts": 1, "sf": 0.1},
                    separators=(",", ":"))))
     d = json.loads(line)
-    if d["queries"]:  # fitted by shedding, not omitted
-        assert "edge" in d["queries"] and d["queries"]["edge"] == 0.4
-        assert "small" not in d["queries"]
-        assert d["queries_dropped"] == 1
+    # the line MUST fit by shedding (a vacuous omitted-dict pass would
+    # hide the boundary regression this test exists to pin)
+    assert d["queries"] and not d["queries_omitted"]
+    assert "edge" in d["queries"] and d["queries"]["edge"] == 0.4
+    assert "small" not in d["queries"]
+    assert d["queries_dropped"] == 1

@@ -421,8 +421,7 @@ def test_feature_table_oracle_matches_python_reference(texts, dim):
         assert got[i] == (fmt, ref), (i, t)
 
 
-def _nsafe(rows):
-    return sorted(rows, key=lambda t: tuple((v is not None, v) for v in t))
+from tests.conftest import nsafe_sorted as _nsafe  # noqa: E402
 
 
 @settings(max_examples=120, deadline=None)

@@ -4446,15 +4446,7 @@ def test_exact_corpus_stats_null_text_matches_oracle(spark):
     assert got == want == [(6, 1, None, None)]
 
 
-def _nsafe_sorted(tuples):
-    """Sort row tuples that may carry NULLs (None sorts first within
-    its column, never compared against a value)."""
-    return sorted(
-        tuples,
-        key=lambda t: tuple(
-            (v is not None, "" if v is None else v) for v in t
-        ),
-    )
+from tests.conftest import nsafe_sorted as _nsafe_sorted  # noqa: E402
 
 
 def _duck_on(planted_rows, sql):
@@ -4529,11 +4521,13 @@ def test_dup_token_rate_by_source_planted_and_duckdb(spark):
 
 def test_charclass_profile_card_planted_and_duckdb(spark):
     """charclass_profile_card (r14 queue): exact class arithmetic on a
-    planted corpus — mixed alpha/digit/space/punct doc, an accented
-    doc pinning that BOTH engines count length() in code points (the
-    oracle docstring's claim), an empty doc folded into its source's
-    totals, an all-empty source with NULL fractions, NULL text
-    excluded — and DuckDB parity."""
+    planted corpus — mixed alpha/digit/space/punct doc, a newline+tab
+    doc pinning that the space class is ASCII whitespace (a
+    newline-flooded crawl must read as a whitespace flood, not inflate
+    other_frac), an accented doc pinning that BOTH engines count
+    length() in code points (the oracle docstring's claim), an empty
+    doc folded into its source's totals, an all-empty source with NULL
+    fractions, NULL text excluded — and DuckDB parity."""
     from etl_staging_spark.llmdata import stats
     from etl_staging_spark.queries.catalog_llm import (
         o_charclass_profile_card,
@@ -4542,13 +4536,15 @@ def test_charclass_profile_card_planted_and_duckdb(spark):
     rows = [
         (0, "ab 12!", "a"),
         (1, "", "a"),
+        (5, "x\ny\tz", "a"),
         (2, "héé", "b"),
         (3, None, "b"),
         (4, "", "c"),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
     got = {r.source: tuple(r)[1:] for r in stats.charclass_profile_card(docs).collect()}
-    assert got["a"] == (2, 6, 0.333333, 0.333333, 0.166667, 0.166667)
+    # a: 11 chars = 5 alpha + 2 digit + 3 whitespace (space, \n, \t) + 1 punct
+    assert got["a"] == (3, 11, 0.454545, 0.181818, 0.272727, 0.090909)
     assert got["b"] == (1, 3, 0.333333, 0.0, 0.0, 0.666667)
     assert got["c"] == (1, 0, None, None, None, None)
     want = _duck_on(rows, o_charclass_profile_card())

@@ -1033,8 +1033,7 @@ def test_gated_ingest_rejects_bare_string_langs(spark):
         gated_ingest_stream(docs, lambda b, df: None, langs="en")
 
 
-def _nkey(rows):
-    return sorted(rows, key=lambda t: tuple((v is not None, v) for v in t))
+from tests.conftest import nsafe_sorted as _nkey  # noqa: E402
 
 
 def test_length_card_stream_matches_batch(spark, tmp_path):
@@ -1635,6 +1634,9 @@ def test_card_guard_remote_checkpoint_spellings_and_commit_probe(
         _guard_card_state(fresh, "file://" + str(committed), spark)
     # without a session the commit state is unknown: documented pass
     _guard_card_state(fresh, "file://" + str(committed), None)
+    # a probe that RAISES (unconfigured scheme) is also unknown — the
+    # best-effort guard skips the commit refusals instead of crashing
+    _guard_card_state(str(tmp_path / "s4"), "nosuchfs://host/ckpt", spark)
 
     # wiped-owner refusal now also covers probeable remote checkpoints:
     # owner stamped, log present, remote checkpoint holds no commits
