@@ -179,7 +179,7 @@ TOP_BIGRAM_MAX = 0.18
 DUP_TRIGRAM_MAX = 0.30
 
 
-def repetition_stats(df: DataFrame) -> DataFrame:
+def repetition_stats(df: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     """Per-doc repetition ratios + keep/drop flag:
 
     - ``top_bigram_frac``: occurrences of the modal word bigram over
@@ -201,9 +201,14 @@ def repetition_stats(df: DataFrame) -> DataFrame:
     predicate re-evaluates the n-gram fold interpreted per row
     (measured ~100x the projection). Materialize first
     (``.persist()``/write) and filter the materialized frame — the
-    production shape anyway."""
+    production shape anyway.
+
+    ``keep`` carries extra columns through the projection (e.g. the
+    source/quality a profile card computed upstream) so chained
+    callers (`corpus_source_profile`) need no doc_id re-join."""
     stats = with_tokens(df).select(
         "doc_id",
+        *keep,
         F.expr(_MODAL_RUN_SQL.format(arr=_ngram_all_sql(2))).alias("top_c"),
         F.size(_ngram_all(2)).alias("n_bigrams"),
         F.size(_ngram_all(3)).alias("n_trigrams"),
@@ -223,6 +228,7 @@ def repetition_stats(df: DataFrame) -> DataFrame:
     ).otherwise(F.lit(0.0))
     return stats.select(
         "doc_id",
+        *keep,
         F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
         top_frac.alias("top_bigram_frac"),
         dup_frac.alias("dup_trigram_frac"),

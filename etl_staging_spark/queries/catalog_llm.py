@@ -2679,18 +2679,24 @@ def corpus_source_profile(spark, sf_dir):
     """The corpus report card, per source: doc count, mean quality
     (exact-decimal sum of the pre-rounded per-doc scores), repetitive
     fraction, and modal predicted language (count-desc/lang-asc
-    tie-break). One doc-keyed join of three projection families, then
-    bounded per-source aggregates — the summary every pipeline run
-    prints before anyone trusts its corpus."""
+    tie-break). The three per-doc families CHAIN through one
+    projection pipeline (each `keep=` carries the upstream outputs +
+    text forward, r13) — one scan, zero joins, identical per-doc
+    values to the joined shape the oracle replays; then bounded
+    per-source aggregates — the summary every pipeline run prints
+    before anyone trusts its corpus."""
     docs = load(spark, sf_dir, "documents")
     from pyspark.sql import Window
 
-    q = textstats.quality_scores(docs, keep=("source",)).select(
-        "doc_id", "source", "quality"
+    q = textstats.quality_scores(
+        docs.select("doc_id", "source", "text"), keep=("source", "text")
+    ).select("doc_id", "source", "text", "quality")
+    r = textstats.repetition_stats(q, keep=("source", "text", "quality"))
+    j = (
+        textstats.lang_id(r, keep=("source", "quality", "repetitive"))
+        .select("doc_id", "source", "quality", "repetitive", "pred_lang")
+        .persist()
     )
-    r = textstats.repetition_stats(docs).select("doc_id", "repetitive")
-    lng = textstats.lang_id(docs).select("doc_id", "pred_lang")
-    j = q.join(r, "doc_id").join(lng, "doc_id").persist()
     agg = j.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         pround(

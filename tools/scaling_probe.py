@@ -160,6 +160,12 @@ def run_probe(
         "vocab_coverage_by_source": lambda d: vocab.vocab_coverage_by_source(
             d, k=100
         ),
+        # r13 queue cards (r14 registrations): one row-local projection
+        # -> one (or two digest-keyed) map-side-combinable aggregates —
+        # all should grow ~linearly
+        "pii_rate_by_source": lambda d: stats.pii_rate_by_source(d),
+        "dup_token_rate_by_source": lambda d: stats.dup_token_rate_by_source(d),
+        "charclass_profile_card": lambda d: stats.charclass_profile_card(d),
     }
     lops = ledger_ops()
     results: dict[str, dict[int, float]] = {o: {} for o in (*ops, *lops)}
