@@ -1223,3 +1223,100 @@ def charclass_profile_card(
             - F.col("n_space")
         ).alias("other_frac"),
     )
+
+
+def dup_similarity_histogram(
+    docs: DataFrame,
+    threshold: float = 0.2,
+    n: int = 3,
+) -> DataFrame:
+    """Near-dup similarity SPECTRUM: exact n-gram Jaccard pairs above a
+    low floor, bucketed into tenths — the threshold-tuning evidence
+    every dedup rollout needs before committing a cutoff (a bimodal
+    spectrum says 0.8 is safe; a fat 0.5-0.8 shoulder says the corpus
+    has paraphrase-grade redundancy a higher threshold would miss).
+    Pairs come from THE exact operator (`dedup.jaccard_pairs`, same
+    stop-shingle-filtered single-shuffle index as the certified
+    `dedup_ngram_jaccard`), so the spectrum is the ground truth the
+    MinHash estimate approximates. Binning is knife-edge-free: the
+    prounded jaccard is recovered to an exact micro-jaccard INTEGER
+    (floor(j*1e6+0.5)) and integer-divided — a 0.7 pair lands in bin 7
+    on both engines, no IEEE x10 boundary. Output: (jac_bin, bin_lo,
+    n_pairs); bin 10 is shingle-set-identical pairs.
+
+    Scale shape: the pair generation is the operator's own bounded
+    index join (fan-out <= max_df^2 per bucket); the histogram adds
+    ONE map-side-combinable aggregate over pairs and frees the
+    operator's pins. No new shuffle family, no Python."""
+    from .dedup import jaccard_pairs
+
+    pairs = jaccard_pairs(docs, threshold=threshold, n=n)
+    je6 = F.floor(F.col("jaccard") * F.lit(1000000.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    out = (
+        pairs.select(je6.alias("je6"))
+        .select(F.expr("je6 DIV 100000").alias("jac_bin"))
+        .groupBy("jac_bin")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            "jac_bin",
+            (F.col("jac_bin").cast("double") / 10).alias("bin_lo"),
+            "n_pairs",
+        )
+    )
+    out._pinned_persisted = getattr(pairs, "_pinned_persisted", ())
+    return out
+
+
+def sentence_stats_card(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source sentence-shape card: sentence counts (non-blank
+    [.!?]+ segments), sentences per doc, and tokens per sentence — the
+    structural read that separates prose from logs/tables/code dumps
+    (terminator-free walls of text average ONE giant 'sentence') and
+    sizes context windows in sentences where packing budgets in
+    tokens. A terminator-free non-empty doc is one sentence; an empty
+    doc has zero; NULL-text docs count in n_docs but contribute no
+    sentences; a NULL source keeps its own audit row. Output: (source,
+    n_docs, n_sentences, avg_sentences_per_doc, avg_tokens_per_sent),
+    averages prounded to 6 — tokens per sentence is NULL for a
+    sentence-free source.
+
+    Scale shape: one row-local projection (a split + lambda filter and
+    the shared token count, all JVM) -> ONE map-side-combinable source
+    aggregate. No join, no window, no Python."""
+    t = F.col(text_col)
+    # a segment is a sentence when it carries any non-whitespace char
+    # (plain trim() only strips spaces, so a '\n' tail after a period
+    # would count as a phantom sentence on both engines)
+    n_sent = F.size(
+        F.filter(
+            F.split(t, "[.!?]+"), lambda s: s.rlike("[^ \\t\\n\\r]")
+        )
+    )
+    d = docs.select(
+        F.col(source_col).alias("source"),
+        n_sent.alias("ns"),
+        bpe_token_count(text_col).alias("tok"),
+    )
+    agg = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ns").cast("bigint").alias("n_sentences"),
+        F.sum("tok").cast("bigint").alias("n_tokens"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        F.coalesce(F.col("n_sentences"), F.lit(0)).alias("n_sentences"),
+        pround(
+            F.coalesce(F.col("n_sentences"), F.lit(0)) / F.col("n_docs"), 6
+        ).alias("avg_sentences_per_doc"),
+        F.when(
+            F.col("n_sentences") > 0,
+            pround(F.col("n_tokens") / F.col("n_sentences"), 6),
+        ).alias("avg_tokens_per_sent"),
+    )

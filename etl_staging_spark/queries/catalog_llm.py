@@ -3595,3 +3595,68 @@ def o_charclass_profile_card() -> str:
            {guard.format(fr("SUM(n) - SUM(al) - SUM(dg) - SUM(sp)"))}
              AS other_frac
     FROM ccp GROUP BY source"""
+
+
+def o_dup_similarity_histogram(threshold: float = 0.2) -> str:
+    """DuckDB oracle twin of `llmdata.stats.dup_similarity_histogram`
+    (r15 registration queue — exercised by the dedicated
+    Spark-vs-DuckDB parity pytest at two SFs): the exact-Jaccard pair
+    CTEs of the certified `dedup_ngram_jaccard` oracle with the low
+    spectrum floor, then the knife-edge-free micro-jaccard integer
+    binning (FLOOR(ratio * 1e6 + 0.5) is the pround numerator —
+    recovering the exact integer both engines agree on — and // 100000
+    is integer division)."""
+    return f"""
+    WITH {O_TRIH},
+    dsf AS (
+      SELECT doc_id, h FROM trih
+      WHERE h IN (SELECT h FROM trih GROUP BY h
+                  HAVING COUNT(*) <= {dedup.MAX_SHINGLE_DF})
+    ),
+    dss AS (SELECT doc_id, COUNT(*) AS n FROM dsf GROUP BY doc_id),
+    dsi AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+      FROM dsf a JOIN dsf b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    dsj AS (
+      SELECT CAST(FLOOR((CAST(n_common AS DOUBLE)
+                         / (sa.n + sb.n - n_common)) * 1000000 + 0.5)
+                  AS BIGINT) AS je6
+      FROM dsi JOIN dss sa ON sa.doc_id = d1 JOIN dss sb ON sb.doc_id = d2
+      WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)
+            >= {threshold}
+    )
+    SELECT je6 // 100000 AS jac_bin,
+           CAST(je6 // 100000 AS DOUBLE) / CAST(10 AS DOUBLE) AS bin_lo,
+           COUNT(*) AS n_pairs
+    FROM dsj GROUP BY 1, 2"""
+
+
+def o_sentence_stats_card() -> str:
+    """DuckDB oracle twin of `llmdata.stats.sentence_stats_card` (r15
+    registration queue — exercised by the dedicated Spark-vs-DuckDB
+    parity pytest at two SFs): sentences are [.!?]+-split segments
+    carrying any non-whitespace char (regexp_matches, the same RE2/
+    Java-common class the Spark lambda rlikes); NULL text propagates
+    NULL segment counts that SUM skips; averages are CAST-to-DOUBLE
+    divisions prounded to 6."""
+    return f"""
+    WITH ssd AS (
+      SELECT source,
+             len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+                             s -> regexp_matches(s, '[^ \\t\\n\\r]')))
+               AS ns,
+             len(regexp_extract_all(lower(text), '{textstats.TOKEN_RE}'))
+               AS tok
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COALESCE(CAST(SUM(ns) AS BIGINT), 0) AS n_sentences,
+           {o_pround("CAST(COALESCE(SUM(ns), 0) AS DOUBLE) / COUNT(*)", 6)}
+             AS avg_sentences_per_doc,
+           CASE WHEN SUM(ns) > 0 THEN
+             {o_pround("CAST(SUM(tok) AS DOUBLE) / SUM(ns)", 6)}
+           END AS avg_tokens_per_sent
+    FROM ssd GROUP BY source"""

@@ -4581,3 +4581,97 @@ def test_r14_queue_cards_match_duckdb_on_real_tables(spark):
             got = sorted(tuple(r) for r in fn(docs).collect())
             want = sorted(tuple(r) for r in con.sql(sql).fetchall())
             assert got == want and len(got) > 0, (sf, fn.__name__)
+
+
+def test_sentence_stats_card_planted_and_duckdb(spark):
+    """sentence_stats_card (r15 queue): hand-computed sentence/token
+    arithmetic on a planted corpus — multi-terminator prose, a
+    terminator-free doc (one sentence), an empty doc (zero), NULL text
+    counted in n_docs only, a dots-only doc (zero sentences, NULL
+    tokens-per-sentence for its source unless another doc supplies
+    one), and the phantom-newline pin: a '\\n' tail after a period is
+    NOT a sentence (non-whitespace rule, not trim) — plus DuckDB
+    parity on the same frame."""
+    from etl_staging_spark.llmdata import stats
+    from etl_staging_spark.queries.catalog_llm import o_sentence_stats_card
+
+    rows = [
+        (0, "One fish. Two fish! Red fish?", "a"),
+        (1, "no terminator here", "a"),
+        (2, "", "a"),
+        (3, None, "a"),
+        (4, "...", "b"),
+        (5, "Hi.\n", "b"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.source: tuple(r)[1:] for r in stats.sentence_stats_card(docs).collect()}
+    # a: 4 docs, 3+1+0 sentences, 9+3+0 tokens -> 12/4 tokens/sentence
+    assert got["a"] == (4, 4, 1.0, 3.0)
+    # b: '...' is 0 sentences / 3 punct tokens; 'Hi.\n' is 1 sentence
+    # (the \n segment is whitespace-only) but 3 tokens — TOKEN_RE
+    # counts the newline as a symbol token -> (3+3)/1
+    assert got["b"] == (2, 1, 0.5, 6.0)
+    want = _duck_on(rows, o_sentence_stats_card())
+    assert _nsafe_sorted(
+        tuple(r) for r in stats.sentence_stats_card(docs).collect()
+    ) == want
+
+
+def test_dup_similarity_histogram_planted_and_duckdb(spark):
+    """dup_similarity_histogram (r15 queue): a planted spectrum — an
+    identical pair (bin 10), a high-overlap pair, and a ~0.3-overlap
+    pair (the 25+-token fixtures the 3-shingle geometry needs) — lands
+    in DISTINCT bins with the identical pair pinned to bin 10, total
+    pair count preserved, and exact DuckDB parity on the same frame."""
+    from etl_staging_spark.llmdata import stats
+    from etl_staging_spark.queries.catalog_llm import (
+        o_dup_similarity_histogram,
+    )
+    from etl_staging_spark.tables import release_pinned
+
+    w = [f"uniq{i}token" for i in range(60)]
+    rows = [
+        (0, " ".join(w[0:30]), "a"),       # base
+        (1, " ".join(w[0:30]), "a"),       # identical -> bin 10
+        (2, " ".join(w[0:28] + w[55:57]), "a"),  # high overlap with 0/1
+        (3, " ".join(w[15:45]), "a"),      # ~0.3 overlap with 0/1
+        (4, " ".join(w[30:60]), "b"),      # overlaps 3, disjoint from 0
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = stats.dup_similarity_histogram(docs, threshold=0.1)
+    got = sorted(tuple(r) for r in out.collect())
+    release_pinned(out)
+    bins = {r[0]: r[2] for r in got}
+    assert bins.get(10, 0) >= 1          # the identical pair
+    assert len(bins) >= 3                # a real spectrum, not one bucket
+    assert sum(bins.values()) >= 5       # every overlapping pair counted
+    want = _duck_on(rows, o_dup_similarity_histogram(0.1))
+    assert got == want
+
+
+def test_r15_queue_cards_match_duckdb_on_real_tables(spark):
+    """The two r15-queue cards hash-match their DuckDB twins on the
+    REAL documents tables at BOTH parity scales."""
+    import duckdb
+
+    from etl_staging_spark.llmdata import stats
+    from etl_staging_spark.queries.catalog_llm import (
+        o_dup_similarity_histogram,
+        o_sentence_stats_card,
+    )
+    from etl_staging_spark.tables import release_pinned
+
+    for sf in ("sf0.001", "sf0.01"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        docs = spark.read.parquet(path)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+        for fn, sql in (
+            (stats.dup_similarity_histogram, o_dup_similarity_histogram(0.2)),
+            (stats.sentence_stats_card, o_sentence_stats_card()),
+        ):
+            out = fn(docs)
+            got = _nsafe_sorted(tuple(r) for r in out.collect())
+            release_pinned(out)
+            want = _nsafe_sorted(tuple(r) for r in con.sql(sql).fetchall())
+            assert got == want and len(got) > 0, (sf, fn.__name__)

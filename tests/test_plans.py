@@ -703,3 +703,36 @@ def test_charclass_profile_card_single_agg_no_python(spark):
     assert "Join" not in p and "CartesianProduct" not in p
     assert "Window" not in p
     assert "HashAggregate" in p
+
+
+def test_sentence_stats_card_single_agg_no_python(spark):
+    """sentence_stats_card (r15 queue): one row-local projection
+    (split + lambda filter + token count, all JVM) -> ONE
+    map-side-combinable source aggregate; no join, no window, no
+    Python, no cartesian."""
+    from etl_staging_spark.llmdata.stats import sentence_stats_card
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    p = sentence_stats_card(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p and "CartesianProduct" not in p
+    assert "Window" not in p
+    assert "HashAggregate" in p
+
+
+def test_dup_similarity_histogram_reuses_bounded_pair_plan(spark):
+    """dup_similarity_histogram (r15 queue): the spectrum rides THE
+    exact-jaccard operator's bounded index join (stop-shingle cutoff
+    keeps per-bucket fan-out <= max_df^2) and adds one hash aggregate;
+    no cartesian, no Python, no window."""
+    from etl_staging_spark.llmdata.stats import dup_similarity_histogram
+    from etl_staging_spark.tables import release_pinned
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    out = dup_similarity_histogram(docs)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    release_pinned(out)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "Window" not in p
+    assert "HashAggregate" in p

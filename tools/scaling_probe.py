@@ -166,6 +166,10 @@ def run_probe(
         "pii_rate_by_source": lambda d: stats.pii_rate_by_source(d),
         "dup_token_rate_by_source": lambda d: stats.dup_token_rate_by_source(d),
         "charclass_profile_card": lambda d: stats.charclass_profile_card(d),
+        # r13-built r15 queue: the spectrum rides the bounded exact-
+        # jaccard index join; the sentence card is one projection + agg
+        "dup_similarity_histogram": lambda d: stats.dup_similarity_histogram(d),
+        "sentence_stats_card": lambda d: stats.sentence_stats_card(d),
     }
     lops = ledger_ops()
     results: dict[str, dict[int, float]] = {o: {} for o in (*ops, *lops)}
