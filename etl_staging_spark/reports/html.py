@@ -165,23 +165,27 @@ def write_report_html(path: str, *args, **kwargs) -> str:
 
 def export_pdf(path: str, title: str, column_headers: list[str],
                lines: list[dict], **kwargs) -> str:
-    """PDF export: render the print-mode HTML, then hand it to an
-    importable HTML->PDF backend. The container ships none, so absent a
-    backend this writes the print HTML next to ``path`` and raises —
-    clearly-marked environment gap, not silent fallback
-    (`account_report.py:4192-4245` shells out to wkhtmltopdf)."""
-    html = render_report_html(title, column_headers, lines,
-                              print_mode=True, **kwargs)
+    """PDF export (`account_report.py:4192-4245` shells out to
+    wkhtmltopdf over the print HTML): an importable HTML->PDF backend
+    gets full CSS fidelity; absent one — this container ships none —
+    the built-in dependency-free PDF 1.4 writer (`reports.pdf`)
+    renders the SAME assembled lines directly, so the export is a real
+    PDF either way, never a gap. The print-mode kwargs
+    (column_groups / figure_type / footnotes) pass through to both
+    backends; HTML-only kwargs are accepted for the weasyprint path
+    and ignored by the writer."""
     try:  # pragma: no cover - not installed in this container
         import weasyprint  # type: ignore
 
+        html = render_report_html(title, column_headers, lines,
+                                  print_mode=True, **kwargs)
         weasyprint.HTML(string=html).write_pdf(path)
         return path
     except ImportError:
-        side = path + ".html"
-        with open(side, "w", encoding="utf-8") as fh:
-            fh.write(html)
-        raise RuntimeError(
-            f"no HTML->PDF backend importable in this environment; "
-            f"print-mode HTML written to {side}"
+        from .pdf import write_report_pdf
+
+        accepted = {"column_groups", "figure_type", "footnotes"}
+        return write_report_pdf(
+            path, title, column_headers, lines,
+            **{k: v for k, v in kwargs.items() if k in accepted},
         )

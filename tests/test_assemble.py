@@ -275,15 +275,21 @@ def test_html_column_group_header_and_indent():
     assert 'padding-left:32px' in html
 
 
-def test_pdf_export_gates_on_missing_backend(tmp_path):
-    import pytest
+def test_pdf_export_uses_builtin_writer_without_backend(tmp_path):
+    """r13: export_pdf no longer raises in a backend-free container —
+    the built-in dependency-free PDF 1.4 writer (`reports/pdf.py`) is
+    the fallback, so the S5 export surface is complete without
+    wkhtmltopdf/weasyprint. HTML-only kwargs are accepted and ignored
+    by the writer (the weasyprint path would consume them)."""
+    import os
 
     from etl_staging_spark.reports.html import export_pdf
 
     target = str(tmp_path / "report.pdf")
-    with pytest.raises(RuntimeError, match="print-mode HTML written"):
-        export_pdf(target, "R", ["V"],
-                   [{"id": "l", "name": "n", "columns": [{"no_format": 1.0}]}])
-    side = target + ".html"
-    import os
-    assert os.path.exists(side)
+    out = export_pdf(target, "R", ["V"],
+                     [{"id": "l", "name": "n", "columns": [{"no_format": 1.0}]}],
+                     figure_type="monetary")
+    assert out == target and os.path.exists(target)
+    pdf = open(target, "rb").read()
+    assert pdf.startswith(b"%PDF-1.4") and b"%%EOF" in pdf
+    assert not os.path.exists(target + ".html")  # no side-file fallback
