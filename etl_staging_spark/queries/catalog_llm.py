@@ -41,7 +41,13 @@ inter AS (
 # labels (component-minimum doc_id). Transitive closure by label
 # propagation — MIN over reachable ids is the component minimum; the
 # recursive UNION deduplicates, so the fold terminates.
-O_CC_LBL = f"""ftri AS (
+# THE exact-jaccard pair chain (stop-shingle filter -> per-doc sizes
+# -> pair intersections), shared by every oracle that derives from
+# exact n-gram Jaccard (CC labels, the certified pair entry, the r15
+# similarity spectrum) so the cutoff / denominator definition can
+# never drift between siblings. Expects a `trih(doc_id, h)` CTE in
+# scope (O_TRIH).
+O_JPAIR = f"""ftri AS (
   SELECT doc_id, h FROM trih
   WHERE h IN (SELECT h FROM trih GROUP BY h
               HAVING COUNT(*) <= {dedup.MAX_SHINGLE_DF})
@@ -51,7 +57,9 @@ inter AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
   FROM ftri a JOIN ftri b ON a.h = b.h AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-),
+)"""
+
+O_CC_LBL = f"""{O_JPAIR},
 pairs AS (
   SELECT d1, d2 FROM inter
   JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
@@ -93,20 +101,7 @@ def dedup_exact(spark, sf_dir):
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH {O_TRIH},
-    -- stop-shingle removal, mirrored from dedup.MAX_SHINGLE_DF: shingles
-    -- in more docs than the cutoff leave the index globally (they would
-    -- be df^2 per bucket and carry no near-dup signal)
-    ftri AS (
-      SELECT doc_id, h FROM trih
-      WHERE h IN (SELECT h FROM trih GROUP BY h
-                  HAVING COUNT(*) <= {dedup.MAX_SHINGLE_DF})
-    ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ftri GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
-      FROM ftri a JOIN ftri b ON a.h = b.h AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    )
+    {O_JPAIR}
     SELECT d1, d2, n_common,
            FLOOR((CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)) * 1000000 + 0.5) / 1000000 AS jaccard
     FROM inter JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
@@ -2688,8 +2683,16 @@ def corpus_source_profile(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     from pyspark.sql import Window
 
+    # the oracle's three JOIN ... USING (doc_id) drop a NULL doc_id
+    # (null-unsafe equi-join), as did the pre-fusion joined shape —
+    # mirror that explicitly; doc_id is the table's PK by contract
+    # everywhere else (dup ids would have FANNED OUT in both old
+    # shapes, a pathology neither engine is asked to define)
     q = textstats.quality_scores(
-        docs.select("doc_id", "source", "text"), keep=("source", "text")
+        docs.where(F.col("doc_id").isNotNull()).select(
+            "doc_id", "source", "text"
+        ),
+        keep=("source", "text"),
     ).select("doc_id", "source", "text", "quality")
     r = textstats.repetition_stats(q, keep=("source", "text", "quality"))
     j = (
@@ -3608,22 +3611,13 @@ def o_dup_similarity_histogram(threshold: float = 0.2) -> str:
     is integer division)."""
     return f"""
     WITH {O_TRIH},
-    dsf AS (
-      SELECT doc_id, h FROM trih
-      WHERE h IN (SELECT h FROM trih GROUP BY h
-                  HAVING COUNT(*) <= {dedup.MAX_SHINGLE_DF})
-    ),
-    dss AS (SELECT doc_id, COUNT(*) AS n FROM dsf GROUP BY doc_id),
-    dsi AS (
-      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
-      FROM dsf a JOIN dsf b ON a.h = b.h AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ),
+    {O_JPAIR},
     dsj AS (
       SELECT CAST(FLOOR((CAST(n_common AS DOUBLE)
                          / (sa.n + sb.n - n_common)) * 1000000 + 0.5)
                   AS BIGINT) AS je6
-      FROM dsi JOIN dss sa ON sa.doc_id = d1 JOIN dss sb ON sb.doc_id = d2
+      FROM inter JOIN sizes sa ON sa.doc_id = d1
+                 JOIN sizes sb ON sb.doc_id = d2
       WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)
             >= {threshold}
     )

@@ -9,10 +9,11 @@ one <tr> per line with level/markup classes, which stdlib string
 assembly covers.
 
 PDF export in the reference shells out to wkhtmltopdf
-(`account_report.py:4192-4245`); this container ships no HTML->PDF
-renderer, so :func:`export_pdf` gates on an importable backend and
-raises with the rendered HTML path otherwise — the plumbing (same
-print-mode HTML, footnotes inlined) is real and tested.
+(`account_report.py:4192-4245`); :func:`export_pdf` uses an
+importable HTML->PDF backend when one exists (full CSS fidelity) and
+otherwise renders the same assembled lines through the built-in
+dependency-free PDF 1.4 writer (:mod:`.pdf`, r13) — a real PDF either
+way, never a gap.
 """
 
 from __future__ import annotations

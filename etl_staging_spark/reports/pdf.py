@@ -32,10 +32,32 @@ NAME_FRAC = 0.4   # name column share of the usable width
 INDENT_PT = 10.0  # per hierarchy level
 
 
+# WinAnsi 0x80-0x9F: the printable glyphs WinAnsiEncoding adds over
+# latin-1 (euro, curly quotes, dashes, ellipsis, bullet, ...) — mapped
+# to their byte so they RENDER instead of degrading to '?'
+_WINANSI_EXTRA = {
+    "€": 0x80, "‚": 0x82, "ƒ": 0x83, "„": 0x84,
+    "…": 0x85, "†": 0x86, "‡": 0x87, "ˆ": 0x88,
+    "‰": 0x89, "Š": 0x8a, "‹": 0x8b, "Œ": 0x8c,
+    "Ž": 0x8e, "‘": 0x91, "’": 0x92, "“": 0x93,
+    "”": 0x94, "•": 0x95, "–": 0x96, "—": 0x97,
+    "˜": 0x98, "™": 0x99, "š": 0x9a, "›": 0x9b,
+    "œ": 0x9c, "ž": 0x9e, "Ÿ": 0x9f,
+}
+_WINANSI_TABLE = {ord(ch): b for ch, b in _WINANSI_EXTRA.items()}
+
+
 def _esc(s: str) -> str:
-    """PDF literal-string escape; glyphs outside WinAnsi degrade to '?'
+    """PDF literal-string escape in WinAnsiEncoding: latin-1 plus the
+    0x80-0x9F glyph block (so an em-dash title or _clip's own '…'
+    marker renders, not '?'); glyphs outside WinAnsi degrade to '?'
     (the standard-14 fonts carry no wider encoding)."""
-    out = str(s).encode("latin-1", "replace").decode("latin-1")
+    out = (
+        str(s)
+        .translate(_WINANSI_TABLE)
+        .encode("latin-1", "replace")
+        .decode("latin-1")
+    )
     return out.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
@@ -131,12 +153,18 @@ def render_report_pdf(
             room = max(1, int((MARGIN + name_w - indent)
                               / (COURIER_EM * BODY_SIZE)))
             ops.append(_text_op(indent, row_y, _clip(name, room)))
+            # apply_colspans sliced the leading empty cells into the
+            # name span: the first remaining value belongs to column
+            # (colspan - 1), exactly where the HTML export renders it
+            offset = int(line.get("colspan", 1) or 1) - 1
             for i, col in enumerate(line.get("columns") or []):
                 shown = col.get("name")
                 if shown is None:
                     shown = format_value(col.get("no_format"), figure_type)
                 s = _clip(str(shown), val_chars)
-                ops.append(_text_op(_right(val_right_edge(i), s), row_y, s))
+                ops.append(
+                    _text_op(_right(val_right_edge(i + offset), s), row_y, s)
+                )
         emit_row(_emit)
     for note in notes:
         def _emit(row_y: float, note=note) -> None:

@@ -101,6 +101,34 @@ def test_pdf_footnotes_and_groups_match_html_numbering():
     assert b"hidden line skipped" not in pdf     # invisible line: no note
 
 
+def test_pdf_colspan_offsets_values_like_html():
+    """r13 review fix: apply_colspans slices leading empty cells into
+    the name span, so the first remaining value belongs to column
+    (colspan - 1) — a line whose only value is in the SECOND column
+    must right-align under the second header, exactly where the HTML
+    export renders it, not under the first."""
+    from etl_staging_spark.reports.pdf import (
+        BODY_SIZE, COURIER_EM, MARGIN, NAME_FRAC, PAGE_W,
+    )
+
+    lines = [
+        {"id": "full", "name": "Both",
+         "columns": [{"name": "1.00"}, {"name": "2.00"}]},
+        {"id": "late", "name": "SecondOnly",
+         "columns": [{"name": ""}, {"name": "9.99"}]},
+    ]
+    pdf = render_report_pdf("R", ["Budget", "Actual"], lines)
+    usable = PAGE_W - 2 * MARGIN
+    name_w = usable * NAME_FRAC
+    val_w = (usable - name_w) / 2
+    second_right = MARGIN + name_w + 2 * val_w
+    x999 = second_right - COURIER_EM * BODY_SIZE * len("9.99")
+    # the 9.99 draw op right-aligns at the SECOND column edge
+    assert f"{x999:.1f}".encode() in pdf
+    ops = [l for l in pdf.decode("latin-1").splitlines() if "(9.99)" in l]
+    assert ops and f"{x999:.1f}" in ops[0]
+
+
 def test_export_pdf_writes_real_pdf_without_backend(tmp_path):
     """export_pdf no longer raises in a backend-free container — the
     built-in writer is the fallback, so the export is a real PDF
