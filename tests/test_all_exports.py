@@ -86,3 +86,14 @@ def test_report_exports_all_formats(name, spark, tmp_path):
     for root, _, files in os.walk(csv_dir):
         produced += [f for f in files if f.endswith(".csv")]
     assert produced, name
+
+    # PDF leg (r13): every report also exports as a real PDF through
+    # the dependency-free writer — structurally valid (header/EOF) and
+    # carrying the title in its uncompressed stream
+    from etl_staging_spark.reports.html import export_pdf
+
+    pdf_path = str(tmp_path / f"{name}.pdf")
+    export_pdf(pdf_path, name, cols, lines, figure_type="monetary")
+    pdf = open(pdf_path, "rb").read()
+    assert pdf.startswith(b"%PDF-1.4") and pdf.rstrip().endswith(b"%%EOF")
+    assert f"({name}".encode() in pdf, name
