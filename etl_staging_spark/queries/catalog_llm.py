@@ -43,31 +43,38 @@ inter AS (
 # recursive UNION deduplicates, so the fold terminates.
 # THE exact-jaccard pair chain (stop-shingle filter -> per-doc sizes
 # -> pair intersections), shared by every oracle that derives from
-# exact n-gram Jaccard (CC labels, the certified pair entry, the r15
-# similarity spectrum) so the cutoff / denominator definition can
-# never drift between siblings. Expects a `trih(doc_id, h)` CTE in
-# scope (O_TRIH).
-O_JPAIR = f"""ftri AS (
+# exact n-gram Jaccard (CC labels, the certified pair entry, the
+# split-leakage audit, the r15 similarity spectrum) so the cutoff /
+# denominator definition can never drift between siblings. Expects a
+# `trih(doc_id, h)` CTE in scope (O_TRIH). CTE names carry the jp
+# prefix so the constant composes with O_JACCARD_TAIL (whose `sizes`/
+# `inter` run over the UNFILTERED index) without a duplicate-CTE
+# collision or a silent denominator swap.
+O_JPAIR = f"""jpf AS (
   SELECT doc_id, h FROM trih
   WHERE h IN (SELECT h FROM trih GROUP BY h
               HAVING COUNT(*) <= {dedup.MAX_SHINGLE_DF})
 ),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM ftri GROUP BY doc_id),
-inter AS (
+jpsz AS (SELECT doc_id, COUNT(*) AS n FROM jpf GROUP BY doc_id),
+jpi AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
-  FROM ftri a JOIN ftri b ON a.h = b.h AND a.doc_id < b.doc_id
+  FROM jpf a JOIN jpf b ON a.h = b.h AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )"""
 
-O_CC_LBL = f"""{O_JPAIR},
-pairs AS (
-  SELECT d1, d2 FROM inter
-  JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
+# ... and its thresholded tail: the verified >= 0.8 near-dup pairs the
+# CC fold and the split-leakage audit both consume
+O_JPAIRS_08 = f"""{O_JPAIR},
+jpairs AS (
+  SELECT d1, d2 FROM jpi
+  JOIN jpsz sa ON sa.doc_id = d1 JOIN jpsz sb ON sb.doc_id = d2
   WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
-),
-nodes AS (SELECT d1 AS doc_id FROM pairs UNION SELECT d2 FROM pairs),
-edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
-          UNION SELECT d2, d1 FROM pairs),
+)"""
+
+O_CC_LBL = f"""{O_JPAIRS_08},
+nodes AS (SELECT d1 AS doc_id FROM jpairs UNION SELECT d2 FROM jpairs),
+edges AS (SELECT d1 AS src, d2 AS dst FROM jpairs
+          UNION SELECT d2, d1 FROM jpairs),
 reach(doc_id, r) AS (
   SELECT doc_id, doc_id FROM nodes
   UNION
@@ -104,7 +111,7 @@ def dedup_exact(spark, sf_dir):
     {O_JPAIR}
     SELECT d1, d2, n_common,
            FLOOR((CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)) * 1000000 + 0.5) / 1000000 AS jaccard
-    FROM inter JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
+    FROM jpi JOIN jpsz sa ON sa.doc_id = d1 JOIN jpsz sb ON sb.doc_id = d2
     WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
     """,
 )
@@ -2256,28 +2263,13 @@ def corpus_assembly_full(spark, sf_dir):
     "split_leakage_audit",
     oracle=f"""
     WITH {O_TRIH},
-    ftri AS (
-      SELECT doc_id, h FROM trih
-      WHERE h IN (SELECT h FROM trih GROUP BY h
-                  HAVING COUNT(*) <= {dedup.MAX_SHINGLE_DF})
-    ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ftri GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
-      FROM ftri a JOIN ftri b ON a.h = b.h AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ),
-    pairs AS (
-      SELECT d1, d2 FROM inter
-      JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
-      WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
-    )
+    {O_JPAIRS_08}
     SELECT d1, d2,
            {sampling.o_hash_split(_SPLITS, key_expr="d1")} AS split_1,
            {sampling.o_hash_split(_SPLITS, key_expr="d2")} AS split_2,
            {sampling.o_hash_split(_SPLITS, key_expr="d1")}
              <> {sampling.o_hash_split(_SPLITS, key_expr="d2")} AS leaky
-    FROM pairs
+    FROM jpairs
     """,
 )
 def split_leakage_audit(spark, sf_dir):
@@ -3616,8 +3608,8 @@ def o_dup_similarity_histogram(threshold: float = 0.2) -> str:
       SELECT CAST(FLOOR((CAST(n_common AS DOUBLE)
                          / (sa.n + sb.n - n_common)) * 1000000 + 0.5)
                   AS BIGINT) AS je6
-      FROM inter JOIN sizes sa ON sa.doc_id = d1
-                 JOIN sizes sb ON sb.doc_id = d2
+      FROM jpi JOIN jpsz sa ON sa.doc_id = d1
+               JOIN jpsz sb ON sb.doc_id = d2
       WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)
             >= {threshold}
     )

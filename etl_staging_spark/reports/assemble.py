@@ -375,11 +375,24 @@ def format_value(value, figure_type: str | None = None, digits: int = 1,
     - 'integer' uses 0 digits; 'percentage' appends '%';
     - zeros render '' when ``blank_if_zero`` else without a sign
       (never '-0.0');
-    - thousands separators, fixed decimals otherwise."""
+    - thousands separators, fixed decimals otherwise;
+    - a NON-NUMERIC value (date, label, reference string) passes
+      through as its string — display formatting must degrade, not
+      raise, when a raw cell reaches a numeric figure_type (possible
+      since r13: apply_colspans keeps no_format-only cells, so string
+      cells survive to the formatter instead of being merged away).
+      Decimal (Spark's decimal columns collect as decimal.Decimal)
+      counts as numeric."""
+    import decimal
+
     if figure_type == "none":
         return value
     if value is None:
         return ""
+    if isinstance(value, decimal.Decimal):
+        value = float(value)
+    elif not isinstance(value, (int, float)) or isinstance(value, bool):
+        return str(value)
     if figure_type == "monetary":
         digits = 2
         value = value / ROUNDING_UNITS[rounding_unit]

@@ -52,10 +52,19 @@ def apply_colspans(lines: list[dict]) -> list[dict]:
     def key(line: dict) -> str:
         return f"{line.get('level')}_{'child' if line.get('parent_id') else 'root'}"
 
+    def has_value(column: dict) -> bool:
+        # the reference decides on the pre-rendered display string
+        # (`name`); this port also renders cells late from `no_format`
+        # (+ figure_type at export time), so a raw value — including a
+        # genuine 0.0 — must count as occupied or multi-column reports
+        # whose cells are no_format-only get their values silently
+        # merged away (the r13 review's empty-PDF finding)
+        return bool(column.get("name")) or column.get("no_format") is not None
+
     max_colspan_by_key: dict[str, float] = {}
     for line in lines:
         for index, column in enumerate(line.get("columns") or [], start=1):
-            if column.get("name") and index < max_colspan_by_key.get(key(line), math.inf):
+            if has_value(column) and index < max_colspan_by_key.get(key(line), math.inf):
                 max_colspan_by_key[key(line)] = index
                 break
     for line in lines:

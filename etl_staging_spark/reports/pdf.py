@@ -32,32 +32,15 @@ NAME_FRAC = 0.4   # name column share of the usable width
 INDENT_PT = 10.0  # per hierarchy level
 
 
-# WinAnsi 0x80-0x9F: the printable glyphs WinAnsiEncoding adds over
-# latin-1 (euro, curly quotes, dashes, ellipsis, bullet, ...) — mapped
-# to their byte so they RENDER instead of degrading to '?'
-_WINANSI_EXTRA = {
-    "€": 0x80, "‚": 0x82, "ƒ": 0x83, "„": 0x84,
-    "…": 0x85, "†": 0x86, "‡": 0x87, "ˆ": 0x88,
-    "‰": 0x89, "Š": 0x8a, "‹": 0x8b, "Œ": 0x8c,
-    "Ž": 0x8e, "‘": 0x91, "’": 0x92, "“": 0x93,
-    "”": 0x94, "•": 0x95, "–": 0x96, "—": 0x97,
-    "˜": 0x98, "™": 0x99, "š": 0x9a, "›": 0x9b,
-    "œ": 0x9c, "ž": 0x9e, "Ÿ": 0x9f,
-}
-_WINANSI_TABLE = {ord(ch): b for ch, b in _WINANSI_EXTRA.items()}
-
-
 def _esc(s: str) -> str:
-    """PDF literal-string escape in WinAnsiEncoding: latin-1 plus the
-    0x80-0x9F glyph block (so an em-dash title or _clip's own '…'
+    """PDF literal-string escape in WinAnsiEncoding. cp1252 IS
+    WinAnsi, so the stdlib codec does the whole mapping — latin-1 plus
+    the 0x80-0x9F glyph block (an em-dash title or _clip's own '…'
     marker renders, not '?'); glyphs outside WinAnsi degrade to '?'
-    (the standard-14 fonts carry no wider encoding)."""
-    out = (
-        str(s)
-        .translate(_WINANSI_TABLE)
-        .encode("latin-1", "replace")
-        .decode("latin-1")
-    )
+    (the standard-14 fonts carry no wider encoding). The cp1252 bytes
+    are re-read as latin-1 purely to get a str whose code points equal
+    the bytes the content stream will carry."""
+    out = str(s).encode("cp1252", "replace").decode("latin-1")
     return out.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 

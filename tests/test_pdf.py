@@ -111,9 +111,12 @@ def test_pdf_colspan_offsets_values_like_html():
         BODY_SIZE, COURIER_EM, MARGIN, NAME_FRAC, PAGE_W,
     )
 
+    # ONE line, first cell empty: no sibling pins the key's colspan to
+    # 1, so apply_colspans genuinely sets colspan=2 and slices the
+    # empty cell away — reverting the offset fix puts 9.99 under
+    # Budget and fails this test (the first fixture had a sibling
+    # whose column-1 value froze colspan at 1, exercising nothing)
     lines = [
-        {"id": "full", "name": "Both",
-         "columns": [{"name": "1.00"}, {"name": "2.00"}]},
         {"id": "late", "name": "SecondOnly",
          "columns": [{"name": ""}, {"name": "9.99"}]},
     ]
