@@ -13,6 +13,7 @@ Line dicts: ``{"id": "markup~model~value", "parent_id": str|None,
 from __future__ import annotations
 
 import datetime
+import decimal
 from collections import defaultdict
 from functools import cmp_to_key
 
@@ -383,8 +384,6 @@ def format_value(value, figure_type: str | None = None, digits: int = 1,
       cells survive to the formatter instead of being merged away).
       Decimal (Spark's decimal columns collect as decimal.Decimal)
       counts as numeric."""
-    import decimal
-
     if figure_type == "none":
         return value
     if value is None:

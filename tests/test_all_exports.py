@@ -98,10 +98,15 @@ def test_report_exports_all_formats(name, spark, tmp_path):
     assert pdf.startswith(b"%PDF-1.4") and pdf.rstrip().endswith(b"%%EOF")
     assert f"({name}".encode() in pdf, name
     # the DATA made it, not just the chrome: strictly more text ops
-    # than title + headers + one name op per row — i.e. at least one
-    # VALUE cell rendered. Guards the r13 review's empty-PDF
-    # regression (apply_colspans used to merge away no_format-only
-    # cells, leaving multi-column PDFs with zero value ops).
+    # than the PER-PAGE title+header chrome plus one name op per row —
+    # i.e. at least one VALUE cell rendered. Guards the r13 review's
+    # empty-PDF regression (apply_colspans used to merge away
+    # no_format-only cells); the chrome term is page-aware because the
+    # writer re-draws title and headers on every page, which would
+    # otherwise inflate a value-less multi-page PDF past a flat
+    # single-page threshold.
     n_value_cells = sum(len(l.get("columns") or []) for l in lines)
     if n_value_cells:
-        assert pdf.count(b" Tj ET") > 1 + len(cols) + len(lines), name
+        n_pages = pdf.count(b"/Type /Page ")
+        chrome = n_pages * (1 + len(cols))
+        assert pdf.count(b" Tj ET") > chrome + len(lines), name
