@@ -1067,7 +1067,27 @@ def pii_rate_by_source(
 
     Scale shape: three codegen'd regexp_extract_all counts in ONE
     row-local projection -> ONE map-side-combinable source aggregate.
-    No join, no window, no Python."""
+    No join, no window, no Python.
+
+    Split into :func:`pii_counts` (the additive delta) and
+    :func:`finish_pii_card` (the presentation) so the streaming twin
+    (`streaming.ingest.pii_card_stream`) maintains the counts
+    incrementally and re-derives the card per batch."""
+    return finish_pii_card(pii_counts(docs, source_col, text_col))
+
+
+PII_COUNT_COLS = ("n_docs", "n_emails", "n_phones", "n_ids", "n_pii_docs")
+
+
+def pii_counts(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """The ADDITIVE half of `pii_rate_by_source`: per-source doc and
+    per-category match counts — two frames of these merge by summing
+    every count column, which is what makes the card incrementally
+    maintainable over micro-batches."""
     from .pii import EMAIL_RE, LONG_ID_RE, PHONE_RE, _count
 
     c = F.col(text_col)
@@ -1080,28 +1100,30 @@ def pii_rate_by_source(
         _count(c, PHONE_RE).alias("p"),
         _count(c, LONG_ID_RE).alias("i"),
     )
-    return (
-        d.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("e").alias("n_emails"),
-            F.sum("p").alias("n_phones"),
-            F.sum("i").alias("n_ids"),
-            F.count_if(
-                F.col("e") + F.col("p") + F.col("i") > 0
-            ).alias("n_pii_docs"),
-        )
-        .select(
-            "source",
-            "n_docs",
-            "n_emails",
-            "n_phones",
-            "n_ids",
-            "n_pii_docs",
-            pround(F.col("n_pii_docs") / F.col("n_docs"), 6).alias(
-                "pii_doc_rate"
-            ),
-        )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("e").alias("n_emails"),
+        F.sum("p").alias("n_phones"),
+        F.sum("i").alias("n_ids"),
+        F.count_if(
+            F.col("e") + F.col("p") + F.col("i") > 0
+        ).alias("n_pii_docs"),
+    )
+
+
+def finish_pii_card(counts: DataFrame) -> DataFrame:
+    """The presentation half of `pii_rate_by_source`: the doc-level
+    rate over an already-bounded per-source counts frame."""
+    return counts.select(
+        "source",
+        "n_docs",
+        "n_emails",
+        "n_phones",
+        "n_ids",
+        "n_pii_docs",
+        pround(F.col("n_pii_docs") / F.col("n_docs"), 6).alias(
+            "pii_doc_rate"
+        ),
     )
 
 
@@ -1186,7 +1208,28 @@ def charclass_profile_card(
 
     Scale shape: one row-local codegen'd projection (three regex
     removals) -> ONE map-side-combinable source aggregate. No join,
-    no window, no Python."""
+    no window, no Python.
+
+    Split into :func:`charclass_counts` (the additive delta) and
+    :func:`finish_charclass_card` (the presentation) so the streaming
+    twin (`streaming.ingest.charclass_card_stream`) maintains the
+    counts incrementally and re-derives the card per batch."""
+    return finish_charclass_card(
+        charclass_counts(docs, source_col, text_col)
+    )
+
+
+CHARCLASS_COUNT_COLS = ("n_docs", "n_chars", "n_alpha", "n_digit", "n_space")
+
+
+def charclass_counts(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """The ADDITIVE half of `charclass_profile_card`: per-source
+    character-class sums — two frames of these merge by summing every
+    count column."""
     t = F.col(text_col)
     n = F.length(t)
     d = docs.where(t.isNotNull()).select(
@@ -1196,7 +1239,7 @@ def charclass_profile_card(
         (n - F.length(F.regexp_replace(t, "[0-9]", ""))).alias("dg"),
         (n - F.length(F.regexp_replace(t, "[ \\t\\n\\r]", ""))).alias("sp"),
     )
-    agg = d.groupBy("source").agg(
+    return d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n").cast("bigint").alias("n_chars"),
         F.sum("al").cast("bigint").alias("n_alpha"),
@@ -1204,12 +1247,17 @@ def charclass_profile_card(
         F.sum("sp").cast("bigint").alias("n_space"),
     )
 
+
+def finish_charclass_card(counts: DataFrame) -> DataFrame:
+    """The presentation half of `charclass_profile_card`: the class
+    fractions over an already-bounded per-source counts frame."""
+
     def _frac(c: Column) -> Column:
         return F.when(
             F.col("n_chars") > 0, pround(c / F.col("n_chars"), 6)
         )
 
-    return agg.select(
+    return counts.select(
         "source",
         "n_docs",
         "n_chars",

@@ -807,6 +807,64 @@ def ttr_card_stream(
     )
 
 
+def pii_card_stream(
+    docs_stream: DataFrame,
+    state_dir: str,
+    on_batch: Callable[[int, DataFrame], None],
+    source_col: str = "source",
+    query_name: str = "pii_card",
+    checkpoint_dir: str | None = None,
+):
+    """`stats.pii_rate_by_source` maintained incrementally: every
+    count column (docs, per-category matches, any-match docs) is
+    additive, so the per-source counts are the delta and the doc-rate
+    presentation reruns on the bounded merged frame — PII incidence
+    stays current at ingest time, the release-review read without a
+    corpus re-scan."""
+    from ..llmdata import stats
+
+    return additive_card_stream(
+        docs_stream,
+        state_dir,
+        lambda b: stats.pii_counts(b, source_col=source_col),
+        ("source",),
+        stats.finish_pii_card,
+        on_batch,
+        count_cols=stats.PII_COUNT_COLS,
+        query_name=query_name,
+        checkpoint_dir=checkpoint_dir,
+    )
+
+
+def charclass_card_stream(
+    docs_stream: DataFrame,
+    state_dir: str,
+    on_batch: Callable[[int, DataFrame], None],
+    source_col: str = "source",
+    query_name: str = "charclass_card",
+    checkpoint_dir: str | None = None,
+):
+    """`stats.charclass_profile_card` maintained incrementally: the
+    per-source character-class sums are the additive delta, the
+    fraction presentation reruns on the bounded merged frame — the
+    encoding-health read stays current as drops arrive (a mojibake
+    crawl surfaces on its FIRST batch, not at the next full-corpus
+    audit)."""
+    from ..llmdata import stats
+
+    return additive_card_stream(
+        docs_stream,
+        state_dir,
+        lambda b: stats.charclass_counts(b, source_col=source_col),
+        ("source",),
+        stats.finish_charclass_card,
+        on_batch,
+        count_cols=stats.CHARCLASS_COUNT_COLS,
+        query_name=query_name,
+        checkpoint_dir=checkpoint_dir,
+    )
+
+
 def compact_card_state(
     spark,
     state_dir: str,

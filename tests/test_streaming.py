@@ -1727,3 +1727,63 @@ def test_ttr_state_serves_vocab_coverage_card(spark, tmp_path):
     want = sorted(tuple(r) for r in ref.collect())
     release_pinned(ref)
     assert got == want and got
+
+
+def test_pii_and_charclass_card_streams_match_batch(spark, tmp_path):
+    """The two r13 additive-card instances: after every micro-batch
+    (maxFilesPerTrigger=1 forces several), the emitted PII-incidence
+    and char-class cards equal their BATCH twins over every document
+    seen so far — per-source count deltas + the bounded finish
+    reproduce the one-shot cards exactly, including a NULL-source
+    audit row, an all-NULL-text batch (NULL match sums on both paths),
+    and cross-batch any-match accumulation."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from etl_staging_spark.llmdata import stats
+    from etl_staging_spark.streaming.ingest import (
+        charclass_card_stream,
+        pii_card_stream,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("source", StringType()),
+        ]
+    )
+    drops = [
+        [(1, "mail bob@example.com now", "s1"), (2, "clean 12!", "s2")],
+        [(3, None, "s1"), (4, None, None)],           # all-NULL-text batch
+        [(5, "id 123456789 x\ny", "s1"), (6, "a@b.co", None)],
+    ]
+    drop_dir = tmp_path / "drops"
+    drop_dir.mkdir()
+    seen_rows: list[tuple] = []
+    for i, rows in enumerate(drops):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(drop_dir / f"f{i}")
+        )
+        seen_rows.extend(rows)
+    full = spark.createDataFrame(seen_rows, schema)
+
+    for starter, batch_fn, state in (
+        (pii_card_stream, stats.pii_rate_by_source, "pii_state"),
+        (charclass_card_stream, stats.charclass_profile_card, "cc_state"),
+    ):
+        cards: dict[int, list] = {}
+
+        def sink(bid, card):
+            cards[bid] = [tuple(r) for r in card.collect()]
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(drop_dir) + "/*")
+        )
+        q = starter(stream, str(tmp_path / state), sink)
+        q.awaitTermination()
+        assert len(cards) == 3, starter.__name__
+        want = [tuple(r) for r in batch_fn(full).collect()]
+        assert _nkey(cards[max(cards)]) == _nkey(want), starter.__name__
+        assert all(len(c) > 0 for c in cards.values()), starter.__name__
