@@ -766,7 +766,24 @@ def _probe_cells_expr(
     column) replace the inline decimal norm folds — without them each
     ROW re-derives every centroid's self-dot plus its own norm K+1
     times, which measured ~2x the whole assignment cost."""
-    scored = F.array(
+    scored = _cell_scores_expr(cent_arrs, vcol, cent_norms, nrm_col)
+    return F.transform(
+        F.slice(F.array_sort(scored), 1, probe), lambda s: s["cid"]
+    )
+
+
+def _cell_scores_expr(
+    cent_arrs: dict[int, list[float]],
+    vcol: Column,
+    cent_norms: dict[int, float] | None = None,
+    nrm_col: Column | None = None,
+) -> Column:
+    """The per-centroid (negated-cosine, cid) struct array behind
+    :func:`_probe_cells_expr`, factored so consumers that need the
+    SCORE as well as the cell (`cluster_profile`'s mean-cosine column)
+    share the exact expression the certified IVF entries assign with —
+    the assignment and the reported cosine can never drift."""
+    return F.array(
         *[
             F.struct(
                 (
@@ -789,9 +806,6 @@ def _probe_cells_expr(
             )
             for cid, cvec in sorted(cent_arrs.items())
         ]
-    )
-    return F.transform(
-        F.slice(F.array_sort(scored), 1, probe), lambda s: s["cid"]
     )
 
 
@@ -1213,3 +1227,80 @@ def incremental_embedding_matches(
     )
     out._pinned_persisted = (b_normed,)
     return out
+
+
+def cluster_profile(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Embedding-cluster composition card: assign every vector to its
+    nearest coarse centroid (the IVF assignment the certified
+    `sim_ann_ivf`/`dedup_semantic_ivf` entries run) and report, per
+    cell, its population, corpus share, mean cosine-to-centroid
+    (cluster COHERENCE — a low-cohesion cell is a grab-bag, not a
+    topic), the modal label and its within-cell share (PURITY against
+    whatever labeling the corpus carries). This is the topic-balance
+    read a curation pass takes before reweighting by cluster, and the
+    sanity check before trusting semantic dedup inside a cell.
+
+    Ties break toward the lower centroid id (the shared
+    `_cell_scores_expr` ordering) and toward the lower label; a NULL
+    label sorts last so it never wins a tie. Output: (cell, n_members,
+    share, avg_cos, modal_label, modal_share); avg_cos is the exact-
+    decimal mean of per-row cosines prounded to 6 (order-free
+    summation — doubles would make the mean partitioning-dependent).
+
+    Scale shape: assignment is ONE scan against broadcast centroid
+    literals (no join); both aggregates are map-side combinable onto a
+    bounded key (n_centroids cells, x #labels for the modal pass); the
+    share window and the modal row_number run over BOUNDED frames. The
+    only join is cell-keyed between two aggregated frames of
+    <= n_centroids (x labels) rows. No Python, no all-pairs."""
+    cent_arrs, cent_norms = _resolve_centroids(
+        emb, centroids, n_centroids, id_col, vec_col
+    )
+    normed = with_norm(_respread_narrow(emb), vec_col)
+    scored = _cell_scores_expr(
+        cent_arrs, F.col(vec_col), cent_norms, F.col("nrm")
+    )
+    per = normed.select(
+        F.array_sort(scored).getItem(0).alias("best"),
+        F.col(label_col).alias("label"),
+    ).select(
+        F.col("best.cid").alias("cell"),
+        pround(-F.col("best.negc"), 6).alias("c"),
+        "label",
+    )
+    base = per.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        pround(
+            F.sum(F.col("c").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_cos"),
+    )
+    lab = per.groupBy("cell", "label").agg(F.count(F.lit(1)).alias("n_lab"))
+    wl = W.partitionBy("cell").orderBy(
+        F.col("n_lab").desc(), F.col("label").asc_nulls_last()
+    )
+    modal = (
+        lab.withColumn("rn", F.row_number().over(wl))
+        .where(F.col("rn") == 1)
+        .select("cell", F.col("label").alias("modal_label"), "n_lab")
+    )
+    out = base.join(modal, "cell")
+    wt = W.partitionBy()  # bounded: one row per cell
+    return out.select(
+        F.col("cell").cast("int").alias("cell"),
+        "n_members",
+        pround(F.col("n_members") / F.sum("n_members").over(wt), 6).alias(
+            "share"
+        ),
+        "avg_cos",
+        "modal_label",
+        pround(F.col("n_lab") / F.col("n_members"), 6).alias("modal_share"),
+    )

@@ -1368,3 +1368,158 @@ def sentence_stats_card(
             pround(F.col("n_tokens") / F.col("n_sentences"), 6),
         ).alias("avg_tokens_per_sent"),
     )
+
+
+def token_fertility_by_lang(docs: DataFrame) -> DataFrame:
+    """Tokenizer fertility per predicted language: chars per token for
+    each language the n-gram identifier sees — the read that catches a
+    tokenizer trained on an English-dominant mixture fragmenting the
+    other languages (their chars-per-token collapses, so the same text
+    budget buys them fewer characters of signal, silently skewing any
+    token-denominated mixture weight). Predictions are
+    `textstats.lang_id` (the certified `lang_id_ngram` convention);
+    tokens are the shared `bpe_token_count`; chars are `length()` code
+    points. Zero-evidence and NULL-text docs land in the NULL-language
+    row (NULL text counts in n_docs but adds no chars/tokens). Output:
+    (pred_lang, n_docs, n_chars, n_tokens, chars_per_token), the ratio
+    prounded to 6 and NULL for a token-free language row.
+
+    Scale shape: one row-local JVM projection (lang-ID substring
+    probes + a regex token count, `keep=` carries the text — no
+    doc_id re-join) -> ONE map-side-combinable aggregate on a bounded
+    key (#profiles + 1). No join, no window, no Python."""
+    per = lang_id(docs, keep=("text",)).select(
+        "pred_lang",
+        F.length("text").alias("nc"),
+        bpe_token_count("text").alias("tok"),
+    )
+    agg = per.groupBy("pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nc").cast("bigint").alias("n_chars"),
+        F.sum("tok").cast("bigint").alias("n_tokens"),
+    )
+    return agg.select(
+        "pred_lang",
+        "n_docs",
+        F.coalesce(F.col("n_chars"), F.lit(0)).cast("bigint").alias("n_chars"),
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint").alias("n_tokens"),
+        F.when(
+            F.col("n_tokens") > 0,
+            pround(F.col("n_chars") / F.col("n_tokens"), 6),
+        ).alias("chars_per_token"),
+    )
+
+
+def length_quality_joint_card(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Joint length x quality distribution: doc counts per (power-of-
+    two token-length bucket, quality tenth) cell — the 2-D read the
+    marginal cards can't give: a fat long-but-junk corner says a
+    quality gate placed from the global histogram would still pack
+    low-grade long documents into every context window, while
+    short-but-clean mass says truncation, not filtering, is the
+    binding constraint. Length buckets are the shared
+    `length_bucket_lo` ladder over `bpe_token_count`; quality tenths
+    recover the prounded score's exact micro-integer (floor(q*1e6+0.5),
+    THE pround numerator both engines agree on) and integer-divide —
+    no IEEE x10 knife edge; bin 10 is exactly-1.0 quality. Docs with a
+    NULL quality (NULL text) are excluded — `corpus_stats_exact`
+    reports them. Output: (lo_tokens, q_bin, q_lo, n_docs, share),
+    share of all scored docs prounded to 6.
+
+    Scale shape: one row-local projection -> ONE map-side-combinable
+    aggregate on a bounded key (<=26 length buckets x 11 tenths); the
+    share window runs over that bounded frame, never the corpus. No
+    join, no Python."""
+    from .textstats import quality_scores
+
+    per = quality_scores(docs, keep=(text_col,)).select(
+        length_bucket_lo(bpe_token_count(text_col)).cast("int").alias("lo_tokens"),
+        F.floor(F.col("quality") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("qe6"),
+    ).where(F.col("qe6").isNotNull())
+    cells = (
+        per.select("lo_tokens", F.expr("qe6 DIV 100000").alias("q_bin"))
+        .groupBy("lo_tokens", "q_bin")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    # unpartitioned window over the BOUNDED cell frame (<= 26 x 11)
+    w = Window.partitionBy()
+    return cells.select(
+        "lo_tokens",
+        "q_bin",
+        (F.col("q_bin").cast("double") / 10).alias("q_lo"),
+        "n_docs",
+        pround(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias("share"),
+    )
+
+
+def dup_ngram_coverage(
+    docs: DataFrame,
+    n: int = 3,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Duplicated n-gram coverage per source — the substring-
+    granularity dedup signal (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): what fraction of each
+    source's n-gram OCCURRENCES is text that also appears in some
+    OTHER document. Document-level dedup cards (`dup_rate_by_source`)
+    miss partially-copied text — boilerplate headers, quoted threads,
+    syndicated paragraphs — which is exactly the mass this card
+    surfaces; a source can be 0% doc-duplicated and 60% span-
+    duplicated. Grams are the whitespace-split lowercased multiset
+    (the `ngram_freq_spectrum` convention, NOT the dedup path's
+    per-doc-distinct shingles); an occurrence counts as duplicated
+    when its gram occurs in >= 2 distinct docs (same-doc repetition
+    alone is `text_repetition_gopher`'s signal, not duplication).
+    Docs with fewer than ``n`` tokens (or NULL text) contribute
+    nothing; a source with no gram-bearing docs has no row. Output:
+    (source, n_grams, n_dup_grams, dup_coverage), ratio prounded to 6.
+
+    Scale shape: explode -> per-(doc, gram-hash) occurrence counts
+    (map-side combinable; the shuffle carries doc_id + a 56-bit gram
+    digest + a count, never the text) -> per-hash doc counts (one row
+    per distinct gram) -> an equi-join of two PRE-AGGREGATED frames
+    (hot grams are 1 row on the `nd` side and <=#docs rows on the
+    occurrence side — no skew amplification) -> ONE per-source
+    rollup. No window, no Python, no all-pairs anywhere."""
+    from .hashing import portable_hash56
+    from .shingles import TOKS, with_tokens
+
+    concat = ", ' ', ".join(f"{TOKS}[i+{k}]" for k in range(n))
+    grams = F.expr(
+        f"CASE WHEN size({TOKS}) >= {n} THEN "
+        f"transform(sequence(0, size({TOKS})-{n}), i -> concat({concat})) "
+        f"ELSE array() END"
+    )
+    occ = (
+        with_tokens(docs, text_col)
+        .select(
+            F.col(source_col).alias("source"),
+            "doc_id",
+            F.explode(grams).alias("gram"),
+        )
+        .select("source", "doc_id", portable_hash56("gram").alias("h"))
+    )
+    per = occ.groupBy("doc_id", "source", "h").agg(
+        F.count(F.lit(1)).alias("occ")
+    )
+    # docs-per-gram: `per` is (doc, source, h)-distinct by construction,
+    # so a plain count is the distinct-doc count
+    nd = per.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
+    j = per.join(nd, "h")
+    agg = j.groupBy("source").agg(
+        F.sum("occ").cast("bigint").alias("n_grams"),
+        F.sum(F.when(F.col("nd") > 1, F.col("occ")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_dup_grams"),
+    )
+    return agg.select(
+        "source",
+        "n_grams",
+        "n_dup_grams",
+        pround(F.col("n_dup_grams") / F.col("n_grams"), 6).alias(
+            "dup_coverage"
+        ),
+    )

@@ -3646,3 +3646,172 @@ def o_sentence_stats_card() -> str:
              {o_pround("CAST(SUM(tok) AS DOUBLE) / SUM(ns)", 6)}
            END AS avg_tokens_per_sent
     FROM ssd GROUP BY source"""
+
+
+def o_token_fertility_by_lang() -> str:
+    """DuckDB oracle twin of `llmdata.stats.token_fertility_by_lang`
+    (r15 registration queue — exercised by the dedicated
+    Spark-vs-DuckDB parity pytest at two SFs): replays the certified
+    `lang_id_ngram` prediction (the shared generated _LSC/_LBEST/
+    _LPRED fragments) with length(text) and the TOKEN_RE count carried
+    through the same projection, then ONE group on the predicted
+    language. NULL text rides the NULL-prediction row with NULL
+    chars/tokens that SUM skips; the ratio is a CAST-to-DOUBLE
+    division prounded to 6, NULL for a token-free language row."""
+    return f"""
+    WITH tfb AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, length(lower(text)) - 1),
+                           i -> substr(lower(text), CAST(i AS INT), 2))) AS bg,
+             length(text) AS nc,
+             len(regexp_extract_all(lower(text), '{textstats.TOKEN_RE}')) AS tok
+      FROM documents
+    ), tfs AS (
+      SELECT doc_id, nc, tok, {_LSC}
+      FROM tfb
+    ), tfsb AS (
+      SELECT *, {_LBEST} AS best FROM tfs
+    ), tfp AS (
+      SELECT {_LPRED} AS pred_lang, nc, tok FROM tfsb
+    )
+    SELECT pred_lang,
+           COUNT(*) AS n_docs,
+           CAST(COALESCE(SUM(nc), 0) AS BIGINT) AS n_chars,
+           CAST(COALESCE(SUM(tok), 0) AS BIGINT) AS n_tokens,
+           CASE WHEN SUM(tok) > 0 THEN
+             {o_pround("CAST(SUM(nc) AS DOUBLE) / SUM(tok)", 6)}
+           END AS chars_per_token
+    FROM tfp GROUP BY pred_lang"""
+
+
+def o_length_quality_joint_card() -> str:
+    """DuckDB oracle twin of `llmdata.stats.length_quality_joint_card`
+    (r15 registration queue — exercised by the dedicated
+    Spark-vs-DuckDB parity pytest at two SFs): the shared quality CTEs
+    (the certified `quality_histogram` score definition) joined back
+    to documents for the TOKEN_RE length count, the shared power-of-
+    two bucket ladder, and the knife-edge-free quality tenth
+    (FLOOR(q*1e6+0.5) recovers the pround numerator — the exact
+    integer both engines agree on — and // 100000 is integer
+    division). NULL-quality (NULL-text) docs are excluded; the share
+    is one division over the bounded cell frame prounded to 6."""
+    ladder, _ = o_length_bucket_ladder()
+    return f"""
+    WITH {_O_QUAL_CTES},
+    lqn AS (
+      SELECT q.doc_id, q.quality,
+             len(regexp_extract_all(lower(d.text), '{textstats.TOKEN_RE}'))
+               AS n
+      FROM qual q JOIN documents d ON d.doc_id = q.doc_id
+      WHERE q.quality IS NOT NULL
+    ), lqb AS (
+      SELECT CAST({ladder} AS INT) AS lo_tokens,
+             CAST(FLOOR(quality * 1000000 + 0.5) AS BIGINT) // 100000
+               AS q_bin
+      FROM lqn
+    ), lqc AS (
+      SELECT lo_tokens, q_bin, COUNT(*) AS n_docs
+      FROM lqb GROUP BY 1, 2
+    )
+    SELECT lo_tokens, q_bin,
+           CAST(q_bin AS DOUBLE) / CAST(10 AS DOUBLE) AS q_lo,
+           n_docs,
+           {o_pround("CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER ()", 6)}
+             AS share
+    FROM lqc"""
+
+
+def o_dup_ngram_coverage(n: int = 3) -> str:
+    """DuckDB oracle twin of `llmdata.stats.dup_ngram_coverage`
+    (r15 registration queue — exercised by the dedicated
+    Spark-vs-DuckDB parity pytest at two SFs): the multiset n-gram
+    extraction of `o_ngram_freq_spectrum` with doc_id/source carried,
+    hashed with the shared o_hash56 so the per-(doc, gram) and
+    per-gram counts key on exactly what the Spark side shuffles, then
+    the duplicated-occurrence rollup (duplicated = the gram occurs in
+    >= 2 distinct docs). Docs with fewer than n tokens (or NULL text)
+    contribute nothing; the coverage ratio is a CAST-to-DOUBLE
+    division prounded to 6."""
+    return f"""
+    WITH dct AS (
+      SELECT doc_id, source, string_split(lower(text), ' ') AS toks
+      FROM documents WHERE text IS NOT NULL
+    ), dcg AS (
+      SELECT doc_id, source,
+             unnest(list_transform(range(1, len(toks) - {n} + 2),
+                    i -> array_to_string(toks[i:i+{n - 1}], ' '))) AS gram
+      FROM dct WHERE len(toks) >= {n}
+    ), dch AS (
+      SELECT doc_id, source, {o_hash56('gram')} AS h FROM dcg
+    ), dcp AS (
+      SELECT doc_id, source, h, COUNT(*) AS occ FROM dch GROUP BY 1, 2, 3
+    ), dcn AS (
+      SELECT h, COUNT(*) AS nd FROM dcp GROUP BY h
+    )
+    SELECT source,
+           CAST(SUM(occ) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN nd > 1 THEN occ ELSE 0 END) AS BIGINT)
+             AS n_dup_grams,
+           {o_pround("CAST(SUM(CASE WHEN nd > 1 THEN occ ELSE 0 END)"
+                     " AS DOUBLE) / SUM(occ)", 6)} AS dup_coverage
+    FROM dcp JOIN dcn USING (h) GROUP BY source"""
+
+
+def o_cluster_profile(n_centroids: int = 8) -> str:
+    """DuckDB oracle twin of `llmdata.simsearch.cluster_profile`
+    (r15 registration queue — exercised by the dedicated
+    Spark-vs-DuckDB parity pytest at two SFs): the certified
+    `sim_ann_ivf` assignment CTEs (decimal-exact dots, first-K
+    centroids, ties toward the lower centroid id), the per-row cosine
+    prounded to 6 BEFORE the exact DECIMAL(18,6) mean (order-free
+    summation on both engines), the modal label by (count DESC, label
+    ASC NULLS LAST), and bounded-frame share divisions prounded to
+    6."""
+    return f"""
+    WITH {O_ELEMS},
+    cpd AS (
+      SELECT v.vec_id, c.vec_id AS ccid,
+             CAST(SUM(CAST(v.e * c.e AS DECIMAL(30,15))) AS DOUBLE) AS dot
+      FROM elems v JOIN elems c ON c.i = v.i AND c.vec_id < {n_centroids}
+      GROUP BY 1, 2
+    ),
+    cpc AS (
+      SELECT cpd.vec_id, ccid, dot / (nv.nrm * nc.nrm) AS c
+      FROM cpd JOIN norms nv ON nv.vec_id = cpd.vec_id
+               JOIN norms nc ON nc.vec_id = ccid
+    ),
+    cpr AS (
+      SELECT vec_id, ccid, c,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY c DESC, ccid) AS rn
+      FROM cpc
+    ),
+    cpa AS (
+      SELECT r.vec_id, CAST(r.ccid AS INT) AS cell,
+             FLOOR(r.c * 1000000 + 0.5) / 1000000 AS cr, e.label
+      FROM cpr r JOIN embeddings e ON e.vec_id = r.vec_id
+      WHERE r.rn = 1
+    ),
+    cpb AS (
+      SELECT cell, COUNT(*) AS n_members,
+             {o_pround("CAST(SUM(CAST(cr AS DECIMAL(18,6))) AS DOUBLE)"
+                       " / COUNT(*)", 6)} AS avg_cos
+      FROM cpa GROUP BY cell
+    ),
+    cpl AS (
+      SELECT cell, label, COUNT(*) AS n_lab FROM cpa GROUP BY 1, 2
+    ),
+    cpm AS (
+      SELECT cell, label AS modal_label, n_lab,
+             ROW_NUMBER() OVER (PARTITION BY cell
+                                ORDER BY n_lab DESC,
+                                         label ASC NULLS LAST) AS rn
+      FROM cpl
+    )
+    SELECT b.cell, b.n_members,
+           {o_pround("CAST(b.n_members AS DOUBLE)"
+                     " / SUM(b.n_members) OVER ()", 6)} AS share,
+           b.avg_cos, m.modal_label,
+           {o_pround("CAST(m.n_lab AS DOUBLE) / b.n_members", 6)}
+             AS modal_share
+    FROM cpb b JOIN cpm m ON m.cell = b.cell AND m.rn = 1"""

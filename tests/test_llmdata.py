@@ -4675,3 +4675,180 @@ def test_r15_queue_cards_match_duckdb_on_real_tables(spark):
             release_pinned(out)
             want = _nsafe_sorted(tuple(r) for r in con.sql(sql).fetchall())
             assert got == want and len(got) > 0, (sf, fn.__name__)
+
+
+def test_token_fertility_by_lang_planted_and_duckdb(spark):
+    """token_fertility_by_lang (r15 queue): hand-computed chars/token
+    arithmetic on a planted corpus — an en-profile doc, a de-profile
+    doc, a digit-only doc (zero bigram evidence -> NULL language but
+    REAL chars/tokens), NULL text riding the NULL row with no mass —
+    and DuckDB parity on the same frame."""
+    from etl_staging_spark.llmdata import stats
+    from etl_staging_spark.queries.catalog_llm import (
+        o_token_fertility_by_lang,
+    )
+
+    rows = [
+        (1, "that there", "x"),    # en; 10 chars / 2 tokens
+        (2, "schein unter", "x"),  # de; 12 chars / 2 tokens
+        (3, "12345", "x"),         # zero evidence -> NULL lang
+        (4, None, "x"),            # NULL text -> NULL lang, no mass
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.pred_lang: tuple(r)[1:] for r in stats.token_fertility_by_lang(docs).collect()}
+    assert got["en"] == (1, 10, 2, 5.0)
+    assert got["de"] == (1, 12, 2, 6.0)
+    assert got[None] == (2, 5, 1, 5.0)
+    want = _duck_on(rows, o_token_fertility_by_lang())
+    assert _nsafe_sorted(
+        tuple(r) for r in stats.token_fertility_by_lang(docs).collect()
+    ) == want
+
+
+def test_length_quality_joint_card_planted_and_duckdb(spark):
+    """length_quality_joint_card (r15 queue): a planted corpus pinning
+    the cell arithmetic — a 3-token mid-quality doc (quality 0.618 ->
+    tenth 6, length bucket 2), an empty doc (zero-ish quality mass in
+    bucket 0), a PERFECT doc (50 distinct long words -> quality
+    exactly 1.0 -> the bin-10 top cell the micro-integer binning
+    reserves), NULL text excluded — and DuckDB parity."""
+    from etl_staging_spark.llmdata import stats
+    from etl_staging_spark.queries.catalog_llm import (
+        o_length_quality_joint_card,
+    )
+
+    perfect = " ".join(f"w{i:04d}xx" for i in range(50))  # q = 1.0 exactly
+    rows = [
+        (0, "aa bb cc", "a"),   # q=0.3*0.06+0.4+0.15+0.15*(2/6)=0.618
+        (1, "", "a"),           # 1 empty space-token, 0 bpe tokens
+        (2, perfect, "a"),      # len/distinct/stop/shape all maxed
+        (3, None, "a"),         # NULL quality -> excluded
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {(r.lo_tokens, r.q_bin): tuple(r)[2:] for r in
+           stats.length_quality_joint_card(docs).collect()}
+    assert got[(2, 6)] == (0.6, 1, 0.333333)
+    assert got[(32, 10)] == (1.0, 1, 0.333333)
+    assert len(got) == 3 and sum(v[1] for v in got.values()) == 3
+    want = _duck_on(rows, o_length_quality_joint_card())
+    assert _nsafe_sorted(
+        tuple(r) for r in stats.length_quality_joint_card(docs).collect()
+    ) == want
+
+
+def test_dup_ngram_coverage_planted_and_duckdb(spark):
+    """dup_ngram_coverage (r15 queue): hand-computed duplicated-span
+    arithmetic on a planted corpus — a trigram shared across two docs
+    of one source (duplicated), a cross-SOURCE share (duplication is
+    corpus-wide, the source is just the reporting grain), same-doc
+    repetition NOT counted as duplication, sub-n docs and NULL text
+    contributing nothing — and DuckDB parity."""
+    from etl_staging_spark.llmdata import stats
+    from etl_staging_spark.queries.catalog_llm import o_dup_ngram_coverage
+
+    rows = [
+        (0, "a b c d", "s1"),        # grams: "a b c", "b c d"
+        (1, "a b c", "s1"),          # "a b c" -> dup with doc 0
+        (2, "x y z", "s2"),          # dup with doc 5 (cross-source)
+        (3, "a b", "s2"),            # < 3 tokens -> nothing
+        (4, None, "s2"),             # NULL text -> nothing
+        (5, "x y z w", "s3"),        # "x y z" dup, "y z w" unique
+        (6, "p q r p q r", "s4"),    # "p q r" x2 SAME doc -> not dup
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.source: tuple(r)[1:] for r in stats.dup_ngram_coverage(docs).collect()}
+    assert got["s1"] == (3, 2, 0.666667)
+    assert got["s2"] == (1, 1, 1.0)
+    assert got["s3"] == (2, 1, 0.5)
+    assert got["s4"] == (4, 0, 0.0)
+    want = _duck_on(rows, o_dup_ngram_coverage(3))
+    assert _nsafe_sorted(
+        tuple(r) for r in stats.dup_ngram_coverage(docs).collect()
+    ) == want
+
+
+def _duck_on_emb(planted_rows, sql):
+    """Run an embedding-card oracle over a planted (vec_id, embedding,
+    label) frame — float32-exact literals only, so the DOUBLE[] the
+    oracle sees equals the float the Spark side stores."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE embeddings(vec_id BIGINT, embedding DOUBLE[],"
+        " label INTEGER)"
+    )
+    con.executemany("INSERT INTO embeddings VALUES (?, ?, ?)", planted_rows)
+    return _nsafe_sorted(tuple(r) for r in con.sql(sql).fetchall())
+
+
+def test_cluster_profile_planted_and_duckdb(spark):
+    """cluster_profile (r15 queue): hand-checkable assignment on a
+    planted 2-centroid corpus — the equidistant vector ties to the
+    LOWER cell, the modal label ties toward the LOWER label with NULL
+    sorting last, avg_cos is the exact-decimal mean of prounded
+    cosines — and DuckDB parity on the same frame."""
+    from etl_staging_spark.llmdata import simsearch
+    from etl_staging_spark.queries.catalog_llm import o_cluster_profile
+
+    rows = [
+        (0, [1.0, 0.0], 7),      # centroid 0
+        (1, [0.0, 1.0], 1),      # centroid 1
+        (2, [0.75, 0.25], 3),    # cell 0, cos 0.948683
+        (3, [0.25, 0.75], None), # cell 1; NULL label loses the tie
+        (4, [0.5, 0.5], 3),      # EXACT tie -> lower cell (0)
+    ]
+    docs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = simsearch.cluster_profile(docs, n_centroids=2)
+    got = {r.cell: tuple(r)[1:] for r in out.collect()}
+    # cell 0: members {0, 2, 4}; labels {7, 3, 3} -> modal 3
+    # avg_cos = (1.0 + 0.948683 + 0.707107) / 3 -> 0.885263
+    assert got[0] == (3, 0.6, 0.885263, 3, 0.666667)
+    # cell 1: members {1, 3}; labels {1, NULL} tie -> 1 (NULLS LAST)
+    n1, share1, _avg1, modal1, mshare1 = got[1]
+    assert (n1, share1, modal1, mshare1) == (2, 0.4, 1, 0.5)
+    want = _duck_on_emb(rows, o_cluster_profile(2))
+    assert _nsafe_sorted(tuple(r) for r in out.collect()) == want
+
+
+def test_r15_wave2_cards_match_duckdb_on_real_tables(spark):
+    """The four r15-wave-2 cards hash-match their DuckDB twins on the
+    REAL tables at BOTH parity scales — the registration dry-run (the
+    planted tests pin the arithmetic; this pins the engines against
+    each other at corpus shape)."""
+    import duckdb
+
+    from etl_staging_spark.llmdata import simsearch, stats
+    from etl_staging_spark.queries.catalog_llm import (
+        o_cluster_profile,
+        o_dup_ngram_coverage,
+        o_length_quality_joint_card,
+        o_token_fertility_by_lang,
+    )
+
+    doc_pairs = [
+        (stats.token_fertility_by_lang, o_token_fertility_by_lang()),
+        (stats.length_quality_joint_card, o_length_quality_joint_card()),
+        (stats.dup_ngram_coverage, o_dup_ngram_coverage(3)),
+    ]
+    for sf in ("sf0.001", "sf0.01"):
+        dpath = f"/root/testdata/{sf}/documents.parquet"
+        epath = f"/root/testdata/{sf}/embeddings.parquet"
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM '{dpath}'")
+        con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{epath}'")
+        docs = spark.read.parquet(dpath)
+        for fn, sql in doc_pairs:
+            got = _nsafe_sorted(tuple(r) for r in fn(docs).collect())
+            want = _nsafe_sorted(tuple(r) for r in con.sql(sql).fetchall())
+            assert got == want and len(got) > 0, (sf, fn.__name__)
+        emb = spark.read.parquet(epath)
+        got = _nsafe_sorted(
+            tuple(r) for r in simsearch.cluster_profile(emb).collect()
+        )
+        want = _nsafe_sorted(
+            tuple(r) for r in con.sql(o_cluster_profile(8)).fetchall()
+        )
+        assert got == want and len(got) > 0, (sf, "cluster_profile")

@@ -736,3 +736,61 @@ def test_dup_similarity_histogram_reuses_bounded_pair_plan(spark):
     assert "CartesianProduct" not in p
     assert "Window" not in p
     assert "HashAggregate" in p
+
+
+def test_token_fertility_by_lang_single_agg_no_python(spark):
+    """token_fertility_by_lang (r15 queue): one row-local JVM lang-ID
+    + token-count projection -> ONE map-side-combinable aggregate on a
+    bounded key; no join, no window, no Python."""
+    from etl_staging_spark.llmdata.stats import token_fertility_by_lang
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    p = token_fertility_by_lang(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p and "CartesianProduct" not in p
+    assert "Window" not in p
+    assert "HashAggregate" in p
+
+
+def test_length_quality_joint_card_bounded_no_join(spark):
+    """length_quality_joint_card (r15 queue): one projection -> ONE
+    aggregate on a bounded (<= 26 x 11) cell key; the share window
+    runs over that bounded frame only. No join, no Python."""
+    from etl_staging_spark.llmdata.stats import length_quality_joint_card
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    p = length_quality_joint_card(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p and "CartesianProduct" not in p
+    assert "HashAggregate" in p
+    # the only window is the bounded-frame share (post-aggregate)
+    assert p.count("Window") <= 1
+
+
+def test_dup_ngram_coverage_preaggregated_join_no_python(spark):
+    """dup_ngram_coverage (r15 queue): the only join is equi on the
+    gram hash between two PRE-AGGREGATED frames (per-(doc, h) counts
+    and per-h doc counts) — no cartesian, no window, no Python; the
+    shuffle key is a 56-bit digest, never the text."""
+    from etl_staging_spark.llmdata.stats import dup_ngram_coverage
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    p = dup_ngram_coverage(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "Window" not in p
+    assert "HashAggregate" in p
+
+
+def test_cluster_profile_broadcast_assignment_no_python(spark):
+    """cluster_profile (r15 queue): assignment is one scan against
+    broadcast centroid LITERALS (no join on the corpus side); the only
+    join is cell-keyed between two bounded aggregated frames; windows
+    run over bounded frames. No cartesian, no Python."""
+    from etl_staging_spark.llmdata.simsearch import cluster_profile
+
+    emb = spark.read.parquet(SF_DIR + "/embeddings.parquet")
+    p = cluster_profile(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "HashAggregate" in p
