@@ -1523,3 +1523,81 @@ def dup_ngram_coverage(
             "dup_coverage"
         ),
     )
+
+
+def source_vocab_cosine_matrix(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise lexical similarity between sources: the cosine between
+    per-source token-count vectors — the distribution-level mirror
+    read that catches two sources that are essentially the same corpus
+    (two crawls of one site, a mirror, a re-release) even when no
+    individual document duplicates, which is exactly the case the
+    doc-level (`source_overlap_matrix`) and span-level
+    (`dup_ngram_coverage`) cards miss. Cosine on RAW counts is
+    scale-invariant (a source 10x the size of its mirror still scores
+    ~1), and every dot/norm numerator is EXACT integer arithmetic
+    (DECIMAL products/sums — no summation-order dependence), with the
+    single sqrt/division in correctly-rounded double on both engines.
+    Tokens are the whitespace-lowercase convention (`ttr_card`'s
+    identity unit, via the shared `ttr_token_counts` frame).
+    NULL-source docs carry no identity to correlate and are excluded;
+    a pair of sources sharing zero tokens has no row (cosine 0 by
+    absence). Output: (source_a < source_b, n_shared_types, cosine),
+    cosine prounded to 6.
+
+    Scale shape: ONE (source, token) count aggregate (vocabulary-
+    bounded, map-side combinable), an inverted-index equi-join of that
+    frame with itself on the token (per-token fan-out <= #sources^2 —
+    bounded by the reporting grain, never the corpus), one
+    (source, source) rollup, and two BROADCAST joins against the
+    #sources-row norms frame. No window, no Python, no all-pairs over
+    documents."""
+    per = ttr_token_counts(docs, source_col, text_col).where(
+        F.col("source").isNotNull()
+    )
+    # DECIMAL(19,0) counts: products land in DECIMAL(38,0) — exact at
+    # any corpus size (bigint products would overflow ~1e12 counts)
+    per = per.select(
+        "source", "token", F.col("cnt").cast("decimal(19,0)").alias("cnt")
+    )
+    norms = per.groupBy("source").agg(
+        F.sqrt(F.sum(F.col("cnt") * F.col("cnt")).cast("double")).alias(
+            "nrm"
+        )
+    )
+    a = per.select(
+        F.col("source").alias("source_a"), "token", F.col("cnt").alias("ca")
+    )
+    b = per.select(
+        F.col("source").alias("source_b"), "token", F.col("cnt").alias("cb")
+    )
+    dots = (
+        a.join(b, "token")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_types"),
+            F.sum(F.col("ca") * F.col("cb")).alias("dot"),
+        )
+    )
+    na = norms.select(
+        F.col("source").alias("source_a"), F.col("nrm").alias("na")
+    )
+    nb = norms.select(
+        F.col("source").alias("source_b"), F.col("nrm").alias("nb")
+    )
+    return (
+        dots.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared_types",
+            pround(
+                F.col("dot").cast("double") / (F.col("na") * F.col("nb")), 6
+            ).alias("cosine"),
+        )
+    )

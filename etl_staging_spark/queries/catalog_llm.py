@@ -3815,3 +3815,36 @@ def o_cluster_profile(n_centroids: int = 8) -> str:
            {o_pround("CAST(m.n_lab AS DOUBLE) / b.n_members", 6)}
              AS modal_share
     FROM cpb b JOIN cpm m ON m.cell = b.cell AND m.rn = 1"""
+
+
+def o_source_vocab_cosine_matrix() -> str:
+    """DuckDB oracle twin of `llmdata.stats.source_vocab_cosine_matrix`
+    (r15 registration queue — exercised by the dedicated
+    Spark-vs-DuckDB parity pytest at two SFs): whitespace-lowercase
+    token counts per source as DECIMAL(19,0) so the dot products and
+    squared norms are EXACT DECIMAL(38,0) integer sums on both
+    engines (order-free), with the sqrt and the final division in
+    correctly-rounded double, prounded to 6. NULL-source docs are
+    excluded; zero-overlap pairs have no row."""
+    return f"""
+    WITH svt AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+    ), svc AS (
+      SELECT source, token, CAST(COUNT(*) AS DECIMAL(19,0)) AS cnt
+      FROM svt GROUP BY 1, 2
+    ), svn AS (
+      SELECT source, sqrt(CAST(SUM(cnt * cnt) AS DOUBLE)) AS nrm
+      FROM svc GROUP BY source
+    ), svd AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             COUNT(*) AS n_shared_types,
+             SUM(a.cnt * b.cnt) AS dot
+      FROM svc a JOIN svc b ON b.token = a.token AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_shared_types,
+           {o_pround("CAST(dot AS DOUBLE) / (na.nrm * nb.nrm)", 6)}
+             AS cosine
+    FROM svd JOIN svn na ON na.source = svd.source_a
+             JOIN svn nb ON nb.source = svd.source_b"""

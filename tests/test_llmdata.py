@@ -4852,3 +4852,63 @@ def test_r15_wave2_cards_match_duckdb_on_real_tables(spark):
             tuple(r) for r in con.sql(o_cluster_profile(8)).fetchall()
         )
         assert got == want and len(got) > 0, (sf, "cluster_profile")
+
+
+def test_source_vocab_cosine_matrix_planted_and_duckdb(spark):
+    """source_vocab_cosine_matrix (r15 queue): hand-computed cosines on
+    a planted corpus — a 0.948683 partial overlap, a MIRROR pair
+    (same distribution at 3x the size) pinning scale-invariance at
+    exactly 1.0, a zero-overlap source with no row, NULL source/text
+    excluded — and DuckDB parity on the same frame."""
+    from etl_staging_spark.llmdata import stats
+    from etl_staging_spark.queries.catalog_llm import (
+        o_source_vocab_cosine_matrix,
+    )
+
+    rows = [
+        (0, "a b", "s1"),
+        (1, "a", "s1"),            # s1: a:2 b:1, norm sqrt(5)
+        (2, None, "s1"),           # NULL text -> nothing
+        (3, "a a b b", "s2"),      # s2: a:2 b:2, norm sqrt(8)
+        (4, "c", "s3"),            # zero overlap -> no pair rows
+        (5, "d e d e d e", "s4"),  # s4: d:3 e:3
+        (6, "d e", "s5"),          # s5 = s4 / 3 -> cosine exactly 1
+        (7, "a", None),            # NULL source -> excluded
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {(r.source_a, r.source_b): tuple(r)[2:] for r in
+           stats.source_vocab_cosine_matrix(docs).collect()}
+    # dot = 2*2 + 1*2 = 6; 6 / (sqrt(5)*sqrt(8)) = 0.948683
+    assert got[("s1", "s2")] == (2, 0.948683)
+    assert got[("s4", "s5")] == (2, 1.0)
+    assert len(got) == 2
+    want = _duck_on(rows, o_source_vocab_cosine_matrix())
+    assert _nsafe_sorted(
+        tuple(r) for r in stats.source_vocab_cosine_matrix(docs).collect()
+    ) == want
+
+
+def test_source_vocab_cosine_matrix_matches_duckdb_on_real_tables(spark):
+    """Registration dry-run of `source_vocab_cosine_matrix` at BOTH
+    parity scales on the real documents tables."""
+    import duckdb
+
+    from etl_staging_spark.llmdata import stats
+    from etl_staging_spark.queries.catalog_llm import (
+        o_source_vocab_cosine_matrix,
+    )
+
+    for sf in ("sf0.001", "sf0.01"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        docs = spark.read.parquet(path)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+        got = _nsafe_sorted(
+            tuple(r)
+            for r in stats.source_vocab_cosine_matrix(docs).collect()
+        )
+        want = _nsafe_sorted(
+            tuple(r)
+            for r in con.sql(o_source_vocab_cosine_matrix()).fetchall()
+        )
+        assert got == want and len(got) > 0, sf

@@ -794,3 +794,19 @@ def test_cluster_profile_broadcast_assignment_no_python(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "CartesianProduct" not in p
     assert "HashAggregate" in p
+
+
+def test_source_vocab_cosine_matrix_bounded_joins_no_python(spark):
+    """source_vocab_cosine_matrix (r15 queue): one vocabulary-bounded
+    (source, token) aggregate, an inverted-index self-join with
+    per-token fan-out <= #sources^2, and BROADCAST norm joins; no
+    cartesian, no window, no Python."""
+    from etl_staging_spark.llmdata.stats import source_vocab_cosine_matrix
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    p = source_vocab_cosine_matrix(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "Window" not in p
+    assert "BroadcastHashJoin" in p
+    assert "HashAggregate" in p
