@@ -1387,7 +1387,23 @@ def token_fertility_by_lang(docs: DataFrame) -> DataFrame:
     Scale shape: one row-local JVM projection (lang-ID substring
     probes + a regex token count, `keep=` carries the text — no
     doc_id re-join) -> ONE map-side-combinable aggregate on a bounded
-    key (#profiles + 1). No join, no window, no Python."""
+    key (#profiles + 1). No join, no window, no Python.
+
+    Split into :func:`fertility_counts` (the additive delta) and
+    :func:`finish_fertility_card` (the presentation) so the streaming
+    twin (`streaming.ingest.fertility_card_stream`) maintains the
+    per-language sums incrementally and re-derives the ratio per
+    batch."""
+    return finish_fertility_card(fertility_counts(docs))
+
+
+FERTILITY_COUNT_COLS = ("n_docs", "n_chars", "n_tokens")
+
+
+def fertility_counts(docs: DataFrame) -> DataFrame:
+    """The ADDITIVE half of `token_fertility_by_lang`: per-language
+    (n_docs, n_chars, n_tokens) sums — two frames of these merge by
+    summing every count column."""
     per = lang_id(docs, keep=("text",)).select(
         "pred_lang",
         F.length("text").alias("nc"),
@@ -1402,7 +1418,21 @@ def token_fertility_by_lang(docs: DataFrame) -> DataFrame:
         "pred_lang",
         "n_docs",
         F.coalesce(F.col("n_chars"), F.lit(0)).cast("bigint").alias("n_chars"),
-        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint").alias("n_tokens"),
+        F.coalesce(F.col("n_tokens"), F.lit(0))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+
+
+def finish_fertility_card(counts: DataFrame) -> DataFrame:
+    """The presentation half of `token_fertility_by_lang`: the
+    chars-per-token ratio over an already-bounded per-language counts
+    frame."""
+    return counts.select(
+        "pred_lang",
+        "n_docs",
+        "n_chars",
+        "n_tokens",
         F.when(
             F.col("n_tokens") > 0,
             pround(F.col("n_chars") / F.col("n_tokens"), 6),

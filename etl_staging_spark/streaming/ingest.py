@@ -865,6 +865,35 @@ def charclass_card_stream(
     )
 
 
+def fertility_card_stream(
+    docs_stream: DataFrame,
+    state_dir: str,
+    on_batch: Callable[[int, DataFrame], None],
+    query_name: str = "fertility_card",
+    checkpoint_dir: str | None = None,
+):
+    """`stats.token_fertility_by_lang` maintained incrementally: the
+    per-language (docs, chars, tokens) sums are the additive delta —
+    the lang-ID projection runs only over each batch's documents —
+    and the chars-per-token presentation reruns on the bounded merged
+    frame (#profiles + 1 rows). A tokenizer-bias drift (a new crawl
+    shifting a language's fertility) surfaces on its first batch, not
+    at the next full-corpus audit."""
+    from ..llmdata import stats
+
+    return additive_card_stream(
+        docs_stream,
+        state_dir,
+        stats.fertility_counts,
+        ("pred_lang",),
+        stats.finish_fertility_card,
+        on_batch,
+        count_cols=stats.FERTILITY_COUNT_COLS,
+        query_name=query_name,
+        checkpoint_dir=checkpoint_dir,
+    )
+
+
 def compact_card_state(
     spark,
     state_dir: str,

@@ -1787,3 +1787,59 @@ def test_pii_and_charclass_card_streams_match_batch(spark, tmp_path):
         want = [tuple(r) for r in batch_fn(full).collect()]
         assert _nkey(cards[max(cards)]) == _nkey(want), starter.__name__
         assert all(len(c) > 0 for c in cards.values()), starter.__name__
+
+
+def test_fertility_card_stream_matches_batch(spark, tmp_path):
+    """The r13 fertility additive-card instance: after every
+    micro-batch, the emitted chars-per-token card equals its batch
+    twin over every document seen so far — including a NULL-language
+    row accumulating across batches (zero-evidence digits in one
+    batch, NULL text in another) and a ratio that changes as a
+    language's mass grows."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from etl_staging_spark.llmdata import stats
+    from etl_staging_spark.streaming.ingest import fertility_card_stream
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("source", StringType()),
+        ]
+    )
+    drops = [
+        [(1, "that there", "s1"), (2, "schein unter", "s1")],
+        [(3, "12345", "s2"), (4, None, "s2")],      # both -> NULL lang
+        [(5, "that there that", "s1")],             # en fertility shifts
+    ]
+    drop_dir = tmp_path / "drops"
+    drop_dir.mkdir()
+    seen_rows: list[tuple] = []
+    for i, rows in enumerate(drops):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(drop_dir / f"f{i}")
+        )
+        seen_rows.extend(rows)
+    full = spark.createDataFrame(seen_rows, schema)
+
+    cards: dict[int, list] = {}
+
+    def sink(bid, card):
+        cards[bid] = [tuple(r) for r in card.collect()]
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop_dir) + "/*")
+    )
+    q = fertility_card_stream(stream, str(tmp_path / "fert_state"), sink)
+    q.awaitTermination()
+    assert len(cards) == 3
+    want = [tuple(r) for r in stats.token_fertility_by_lang(full).collect()]
+    assert _nkey(cards[max(cards)]) == _nkey(want)
+    # the en row after batch 2: 10+15 chars / 2+3 tokens = 5.0; and the
+    # NULL-language row carries batch-1's digit chars plus the NULL doc
+    final = {r[0]: r[1:] for r in cards[max(cards)]}
+    assert final["en"] == (2, 25, 5, 5.0)
+    assert final[None] == (2, 5, 1, 5.0)
