@@ -1584,10 +1584,21 @@ def source_vocab_cosine_matrix(
     bounded by the reporting grain, never the corpus), one
     (source, source) rollup, and two BROADCAST joins against the
     #sources-row norms frame. No window, no Python, no all-pairs over
-    documents."""
-    per = ttr_token_counts(docs, source_col, text_col).where(
-        F.col("source").isNotNull()
+    documents.
+
+    The matrix half is :func:`source_vocab_cosine_from_counts` so the
+    TTR stream's maintained (source, token, cnt) state serves this
+    card too — one maintained token table, three cards (TTR,
+    vocab-coverage, cosine matrix), no corpus re-scan."""
+    return source_vocab_cosine_from_counts(
+        ttr_token_counts(docs, source_col, text_col)
     )
+
+
+def source_vocab_cosine_from_counts(per_tok: DataFrame) -> DataFrame:
+    """`source_vocab_cosine_matrix` over a prebuilt (source, token,
+    cnt) frame — e.g. the TTR stream's merged delta-log state."""
+    per = per_tok.where(F.col("source").isNotNull())
     # DECIMAL(19,0) counts: products land in DECIMAL(38,0) — exact at
     # any corpus size (bigint products would overflow ~1e12 counts)
     per = per.select(

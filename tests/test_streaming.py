@@ -1843,3 +1843,63 @@ def test_fertility_card_stream_matches_batch(spark, tmp_path):
     final = {r[0]: r[1:] for r in cards[max(cards)]}
     assert final["en"] == (2, 25, 5, 5.0)
     assert final[None] == (2, 5, 1, 5.0)
+
+
+def test_ttr_state_serves_cosine_matrix_card(spark, tmp_path):
+    """One maintained token table, THREE cards: the (source, token,
+    cnt) state the TTR stream keeps is also the exact input of
+    source_vocab_cosine_from_counts, so the inter-source lexical
+    cosine derived from the stream's merged state equals the batch
+    card over the same documents — mirror detection stays current at
+    ingest time with no second state."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from etl_staging_spark.llmdata import stats
+    from etl_staging_spark.streaming.ingest import _fold, ttr_card_stream
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("source", StringType()),
+        ]
+    )
+    drops = [
+        [(1, "a b", "s1"), (2, "d e d e d e", "s4")],
+        [(3, "a", "s1"), (4, "a a b b", "s2")],
+        [(5, "d e", "s5")],
+    ]
+    drop_dir = tmp_path / "drops"
+    drop_dir.mkdir()
+    all_rows: list[tuple] = []
+    for i, rows in enumerate(drops):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(drop_dir / f"f{i}")
+        )
+        all_rows.extend(rows)
+
+    state = str(tmp_path / "state")
+    q = ttr_card_stream(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop_dir) + "/*"),
+        state,
+        lambda bid, c: c.collect(),
+    )
+    q.awaitTermination()
+
+    merged = _fold(
+        spark.read.parquet(state), ("source", "token"), ("cnt",)
+    )
+    got = sorted(
+        tuple(r)
+        for r in stats.source_vocab_cosine_from_counts(merged).collect()
+    )
+    full = spark.createDataFrame(all_rows, schema)
+    want = sorted(
+        tuple(r) for r in stats.source_vocab_cosine_matrix(full).collect()
+    )
+    assert got == want and len(got) > 0
+    # the mirror pair split ACROSS batches still lands at exactly 1.0
+    by_pair = {(r[0], r[1]): r[3] for r in got}
+    assert by_pair[("s4", "s5")] == 1.0

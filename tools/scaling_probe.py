@@ -49,6 +49,28 @@ def replicated(spark, sf_dir: str, r: int):
     return out.repartition(spark.sparkContext.defaultParallelism, "doc_id")
 
 
+def replicated_embeddings(spark, sf_dir: str, r: int):
+    """Replicate embeddings with offset ids. Exact vector copies are
+    fine here (unlike the salted documents): the embedding ops probed
+    are per-row assignments against broadcast centroids — no pair
+    generation to corrupt — and the deterministic first-K centroid
+    choice keeps reading replica 0's vectors."""
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = base.agg(F.max("vec_id")).collect()[0][0] + 1
+    parts = [
+        base.select(
+            (F.col("vec_id") + F.lit(k * n)).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+        for k in range(r)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+
+
 def replicated_lineitem(spark, sf_dir: str, r: int):
     """Replicate lineitem with SALTED keys: key cardinality grows
     linearly with r, per-key group size stays constant — modelling a
@@ -170,9 +192,26 @@ def run_probe(
         # jaccard index join; the sentence card is one projection + agg
         "dup_similarity_histogram": lambda d: stats.dup_similarity_histogram(d),
         "sentence_stats_card": lambda d: stats.sentence_stats_card(d),
+        # r13-built r15 wave 2: single-aggregate shapes (fertility,
+        # joint card), a digest-keyed pre-aggregated join (dup-span
+        # coverage), and a vocabulary-bounded inverted-index self-join
+        # (cosine matrix) — all should grow ~linearly
+        "token_fertility_by_lang": lambda d: stats.token_fertility_by_lang(d),
+        "length_quality_joint_card": lambda d: stats.length_quality_joint_card(d),
+        "dup_ngram_coverage": lambda d: stats.dup_ngram_coverage(d),
+        "source_vocab_cosine_matrix": lambda d: stats.source_vocab_cosine_matrix(d),
+    }
+    from etl_staging_spark.llmdata import simsearch
+
+    eops = {
+        # per-row broadcast-literal assignment + bounded aggregates —
+        # should grow ~linearly in the vector count
+        "cluster_profile": lambda e: simsearch.cluster_profile(e),
     }
     lops = ledger_ops()
-    results: dict[str, dict[int, float]] = {o: {} for o in (*ops, *lops)}
+    results: dict[str, dict[int, float]] = {
+        o: {} for o in (*ops, *eops, *lops)
+    }
     for r in replicas:
         docs = replicated(spark, sf_dir, r).persist()
         n_docs = docs.count()  # also materializes the cache
@@ -194,6 +233,22 @@ def run_probe(
         # the r11 combined run (isolated re-measures were 1.4-1.8x per
         # 4x step) — drop every cache and let the JVM reclaim before
         # the ledger shapes are timed
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        emb = replicated_embeddings(spark, sf_dir, r).persist()
+        n_emb = emb.count()
+        for name, fn in eops.items():
+            fn(emb).write.format("noop").mode("overwrite").save()
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                fn(emb).write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            results[name][r] = round(best, 3)
+            if not quiet:
+                print(json.dumps({"op": name, "replicas": r, "n_vecs": n_emb,
+                                  "sec": results[name][r]}), flush=True)
+        emb.unpersist()
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
         li = replicated_lineitem(spark, sf_dir, r).persist()
