@@ -1642,3 +1642,83 @@ def source_vocab_cosine_from_counts(per_tok: DataFrame) -> DataFrame:
             ).alias("cosine"),
         )
     )
+
+
+def truncation_loss_card(
+    docs: DataFrame,
+    max_len: int = 512,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Truncation-loss card: per source, the token mass a fixed
+    max-sequence-length cut would DISCARD — the number a training run
+    reads before committing to a context length (the length histogram
+    says how docs distribute; this says what the cut actually costs,
+    because one 100k-token doc loses more than a thousand 600-token
+    docs). Tokens are the shared `bpe_token_count` budgeting unit.
+    NULL-text docs carry no tokens to lose and are excluded
+    (`corpus_stats_exact` reports them); an all-empty source keeps its
+    row with a NULL loss rate; a NULL source keeps its own audit row.
+    Output: (source, n_docs, n_tokens, n_truncated, tokens_lost,
+    trunc_rate, loss_rate), rates prounded to 6.
+
+    Scale shape: one row-local projection -> ONE map-side-combinable
+    source aggregate. No join, no window, no Python.
+
+    Split into :func:`truncation_counts` (the additive delta) and
+    :func:`finish_truncation_card` (the presentation) so the streaming
+    twin (`streaming.ingest.truncation_card_stream`) maintains the
+    sums incrementally — the cost of a candidate context length stays
+    current as drops arrive."""
+    return finish_truncation_card(
+        truncation_counts(docs, max_len, source_col, text_col)
+    )
+
+
+TRUNCATION_COUNT_COLS = ("n_docs", "n_tokens", "n_truncated", "tokens_lost")
+
+
+def truncation_counts(
+    docs: DataFrame,
+    max_len: int = 512,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """The ADDITIVE half of `truncation_loss_card`: per-source token /
+    truncation sums at a FIXED max_len — two frames of these merge by
+    summing every count column (the max_len is part of the state's
+    identity; merging states cut at different lengths is meaningless)."""
+    tok = bpe_token_count(text_col)
+    d = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(source_col).alias("source"),
+        tok.alias("tok"),
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok").cast("bigint").alias("n_tokens"),
+        F.sum((F.col("tok") > max_len).cast("int"))
+        .cast("bigint")
+        .alias("n_truncated"),
+        F.sum(F.greatest(F.col("tok") - max_len, F.lit(0)))
+        .cast("bigint")
+        .alias("tokens_lost"),
+    )
+
+
+def finish_truncation_card(counts: DataFrame) -> DataFrame:
+    """The presentation half of `truncation_loss_card`: the truncation
+    and loss rates over an already-bounded per-source counts frame."""
+    return counts.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_truncated",
+        "tokens_lost",
+        pround(F.col("n_truncated") / F.col("n_docs"), 6).alias(
+            "trunc_rate"
+        ),
+        F.when(
+            F.col("n_tokens") > 0,
+            pround(F.col("tokens_lost") / F.col("n_tokens"), 6),
+        ).alias("loss_rate"),
+    )

@@ -3848,3 +3848,33 @@ def o_source_vocab_cosine_matrix() -> str:
              AS cosine
     FROM svd JOIN svn na ON na.source = svd.source_a
              JOIN svn nb ON nb.source = svd.source_b"""
+
+
+def o_truncation_loss_card(max_len: int = 512) -> str:
+    """DuckDB oracle twin of `llmdata.stats.truncation_loss_card`
+    (r15 registration queue — exercised by the dedicated
+    Spark-vs-DuckDB parity pytest at two SFs): the TOKEN_RE count per
+    text-bearing doc, per-source integer sums of the over-limit flag
+    and the clipped excess, and CAST-to-DOUBLE rate divisions prounded
+    to 6 (loss rate NULL for an all-empty source)."""
+    return f"""
+    WITH tlc AS (
+      SELECT source,
+             len(regexp_extract_all(lower(text), '{textstats.TOKEN_RE}'))
+               AS tok
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN tok > {max_len} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_truncated,
+           CAST(SUM(GREATEST(tok - {max_len}, 0)) AS BIGINT) AS tokens_lost,
+           {o_pround("CAST(SUM(CASE WHEN tok > " + str(max_len)
+                     + " THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)", 6)}
+             AS trunc_rate,
+           CASE WHEN SUM(tok) > 0 THEN
+             {o_pround("CAST(SUM(GREATEST(tok - " + str(max_len)
+                       + ", 0)) AS DOUBLE) / SUM(tok)", 6)}
+           END AS loss_rate
+    FROM tlc GROUP BY source"""

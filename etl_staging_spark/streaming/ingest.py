@@ -894,6 +894,39 @@ def fertility_card_stream(
     )
 
 
+def truncation_card_stream(
+    docs_stream: DataFrame,
+    state_dir: str,
+    on_batch: Callable[[int, DataFrame], None],
+    max_len: int = 512,
+    source_col: str = "source",
+    query_name: str = "truncation_card",
+    checkpoint_dir: str | None = None,
+):
+    """`stats.truncation_loss_card` maintained incrementally: the
+    per-source token/truncation sums at a FIXED max_len are the
+    additive delta (the max_len is part of the state's identity) and
+    the rate presentation reruns on the bounded merged frame — the
+    cost of a candidate context length stays current as drops arrive,
+    so a long-document crawl that would blow the truncation budget
+    surfaces on its first batch."""
+    from ..llmdata import stats
+
+    return additive_card_stream(
+        docs_stream,
+        state_dir,
+        lambda b: stats.truncation_counts(
+            b, max_len=max_len, source_col=source_col
+        ),
+        ("source",),
+        stats.finish_truncation_card,
+        on_batch,
+        count_cols=stats.TRUNCATION_COUNT_COLS,
+        query_name=query_name,
+        checkpoint_dir=checkpoint_dir,
+    )
+
+
 def compact_card_state(
     spark,
     state_dir: str,

@@ -4912,3 +4912,58 @@ def test_source_vocab_cosine_matrix_matches_duckdb_on_real_tables(spark):
             for r in con.sql(o_source_vocab_cosine_matrix()).fetchall()
         )
         assert got == want and len(got) > 0, sf
+
+
+def test_truncation_loss_card_planted_and_duckdb(spark):
+    """truncation_loss_card (r15 queue): hand-computed loss arithmetic
+    at max_len=4 on a planted corpus — a 6-token doc losing exactly 2,
+    an under-limit doc, an empty doc (a real zero-token doc), NULL
+    text excluded, an all-empty source with a NULL loss rate, a NULL
+    source keeping its audit row — and DuckDB parity."""
+    from etl_staging_spark.llmdata import stats
+    from etl_staging_spark.queries.catalog_llm import o_truncation_loss_card
+
+    rows = [
+        (0, "a b c d e f", "s1"),  # 6 tokens -> lost 2
+        (1, "a b", "s1"),
+        (2, "", "s1"),
+        (3, None, "s1"),           # excluded
+        (4, "", "s2"),             # all-empty source
+        (5, "x y z w v", None),    # NULL-source audit row, lost 1
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.source: tuple(r)[1:] for r in
+           stats.truncation_loss_card(docs, max_len=4).collect()}
+    assert got["s1"] == (3, 8, 1, 2, 0.333333, 0.25)
+    assert got["s2"] == (1, 0, 0, 0, 0.0, None)
+    assert got[None] == (1, 5, 1, 1, 1.0, 0.2)
+    want = _duck_on(rows, o_truncation_loss_card(4))
+    assert _nsafe_sorted(
+        tuple(r) for r in stats.truncation_loss_card(docs, max_len=4).collect()
+    ) == want
+
+
+def test_truncation_loss_card_matches_duckdb_on_real_tables(spark):
+    """Registration dry-run of `truncation_loss_card` at BOTH parity
+    scales — max_len=64 so the cut actually bites the fixture corpus
+    (the default 512 exceeds every testdata doc)."""
+    import duckdb
+
+    from etl_staging_spark.llmdata import stats
+    from etl_staging_spark.queries.catalog_llm import o_truncation_loss_card
+
+    for sf in ("sf0.001", "sf0.01"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        docs = spark.read.parquet(path)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+        got = _nsafe_sorted(
+            tuple(r)
+            for r in stats.truncation_loss_card(docs, max_len=64).collect()
+        )
+        want = _nsafe_sorted(
+            tuple(r) for r in con.sql(o_truncation_loss_card(64)).fetchall()
+        )
+        assert got == want and len(got) > 0, sf
+        # the cut must actually bite for the parity to mean anything
+        assert any(r[4] > 0 for r in got), sf

@@ -810,3 +810,17 @@ def test_source_vocab_cosine_matrix_bounded_joins_no_python(spark):
     assert "Window" not in p
     assert "BroadcastHashJoin" in p
     assert "HashAggregate" in p
+
+
+def test_truncation_loss_card_single_agg_no_python(spark):
+    """truncation_loss_card (r15 queue): one row-local token-count
+    projection -> ONE map-side-combinable source aggregate; no join,
+    no window, no Python."""
+    from etl_staging_spark.llmdata.stats import truncation_loss_card
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    p = truncation_loss_card(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p and "CartesianProduct" not in p
+    assert "Window" not in p
+    assert "HashAggregate" in p

@@ -1903,3 +1903,55 @@ def test_ttr_state_serves_cosine_matrix_card(spark, tmp_path):
     # the mirror pair split ACROSS batches still lands at exactly 1.0
     by_pair = {(r[0], r[1]): r[3] for r in got}
     assert by_pair[("s4", "s5")] == 1.0
+
+
+def test_truncation_card_stream_matches_batch(spark, tmp_path):
+    """The truncation additive-card instance: after every micro-batch
+    the emitted card equals its batch twin over every document seen so
+    far — a long doc arriving in a LATER batch flips its source's
+    truncation numbers, and the all-empty source keeps its NULL loss
+    rate across batches."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from etl_staging_spark.llmdata import stats
+    from etl_staging_spark.streaming.ingest import truncation_card_stream
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("source", StringType()),
+        ]
+    )
+    drops = [
+        [(1, "a b", "s1"), (2, "", "s2")],
+        [(3, "a b c d e f", "s1"), (4, None, "s2")],  # the late long doc
+    ]
+    drop_dir = tmp_path / "drops"
+    drop_dir.mkdir()
+    seen: list[tuple] = []
+    for i, rows in enumerate(drops):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(drop_dir / f"f{i}")
+        )
+        seen.extend(rows)
+    full = spark.createDataFrame(seen, schema)
+
+    cards: dict[int, list] = {}
+    q = truncation_card_stream(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop_dir) + "/*"),
+        str(tmp_path / "trunc_state"),
+        lambda bid, c: cards.__setitem__(bid, [tuple(r) for r in c.collect()]),
+        max_len=4,
+    )
+    q.awaitTermination()
+    assert len(cards) == 2
+    want = [tuple(r) for r in stats.truncation_loss_card(full, max_len=4).collect()]
+    assert _nkey(cards[max(cards)]) == _nkey(want)
+    by_src = {r[0]: r[1:] for r in cards[max(cards)]}
+    assert by_src["s1"] == (2, 8, 1, 2, 0.5, 0.25)
+    assert by_src["s2"] == (1, 0, 0, 0, 0.0, None)
+    # batch 0 saw no truncation anywhere
+    assert all(r[3] == 0 for r in cards[min(cards)])
