@@ -19,14 +19,37 @@ def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn(TOKS, F.split(F.lower(F.col(text_col)), " "))
 
 
+def _gram_transform_sql(n: int) -> str:
+    """The gram-window transform over the ``__toks`` column — THE one
+    copy of the token-window convention (0-based sequence over
+    size-n+1 starts, space-joined), shared by the distinct shingles,
+    the multiset cards and the repetition stats so a bounds fix can
+    never desynchronize them (or their DuckDB twins)."""
+    concat = ", ' ', ".join(f"{TOKS}[i+{k}]" for k in range(n))
+    return f"transform(sequence(0, size({TOKS})-{n}), i -> concat({concat}))"
+
+
+def ngram_multiset_sql(n: int) -> str:
+    """ALL n-gram occurrences (the multiset, NOT the dedup path's
+    per-doc-distinct shingles) as a SQL expression string; docs with
+    fewer than n tokens yield an empty array."""
+    return (
+        f"CASE WHEN size({TOKS}) >= {n} THEN {_gram_transform_sql(n)} "
+        f"ELSE array() END"
+    )
+
+
+def ngram_multiset_array(n: int = 3) -> Column:
+    """`ngram_multiset_sql` as a Column — for the frequency-spectrum /
+    duplicated-coverage cards that count occurrences."""
+    return F.expr(ngram_multiset_sql(n))
+
+
 def ngram_array(n: int = 3) -> Column:
     """Array of distinct word n-gram shingles from the ``__toks`` column."""
-    joined = " ".join(f"{TOKS}[i+{k}]" for k in range(n)).replace(" ", ", ")
-    concat = ", ' ', ".join(f"{TOKS}[i+{k}]" for k in range(n))
     return F.expr(
         f"CASE WHEN size({TOKS}) >= {n} THEN "
-        f"array_distinct(transform(sequence(0, size({TOKS})-{n}), "
-        f"i -> concat({concat}))) ELSE array() END"
+        f"array_distinct({_gram_transform_sql(n)}) ELSE array() END"
     )
 
 

@@ -523,14 +523,9 @@ def ngram_freq_spectrum(
     it is keyed on the gram string, the same width the decontamination
     join already shuffles, and needs no verify stage or window. No
     driver data, no Python."""
-    from .shingles import TOKS, with_tokens
+    from .shingles import ngram_multiset_array, with_tokens
 
-    concat = ", ' ', ".join(f"{TOKS}[i+{k}]" for k in range(n))
-    grams = F.expr(
-        f"CASE WHEN size({TOKS}) >= {n} THEN "
-        f"transform(sequence(0, size({TOKS})-{n}), i -> concat({concat})) "
-        f"ELSE array() END"
-    )
+    grams = ngram_multiset_array(n)
     freq = (
         with_tokens(docs, text_col)
         .select(F.explode(grams).alias("gram"))
@@ -1440,7 +1435,7 @@ def finish_fertility_card(counts: DataFrame) -> DataFrame:
     )
 
 
-def length_quality_joint_card(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def length_quality_joint_card(docs: DataFrame) -> DataFrame:
     """Joint length x quality distribution: doc counts per (power-of-
     two token-length bucket, quality tenth) cell — the 2-D read the
     marginal cards can't give: a fat long-but-junk corner says a
@@ -1462,8 +1457,11 @@ def length_quality_joint_card(docs: DataFrame, text_col: str = "text") -> DataFr
     join, no Python."""
     from .textstats import quality_scores
 
-    per = quality_scores(docs, keep=(text_col,)).select(
-        length_bucket_lo(bpe_token_count(text_col)).cast("int").alias("lo_tokens"),
+    # quality_scores reads the canonical `text` column (with_tokens'
+    # convention), so the length axis must too — a text_col parameter
+    # here would silently describe two different columns
+    per = quality_scores(docs, keep=("text",)).select(
+        length_bucket_lo(bpe_token_count("text")).cast("int").alias("lo_tokens"),
         F.floor(F.col("quality") * F.lit(1000000.0) + F.lit(0.5))
         .cast("long")
         .alias("qe6"),
@@ -1515,14 +1513,9 @@ def dup_ngram_coverage(
     occurrence side — no skew amplification) -> ONE per-source
     rollup. No window, no Python, no all-pairs anywhere."""
     from .hashing import portable_hash56
-    from .shingles import TOKS, with_tokens
+    from .shingles import ngram_multiset_array, with_tokens
 
-    concat = ", ' ', ".join(f"{TOKS}[i+{k}]" for k in range(n))
-    grams = F.expr(
-        f"CASE WHEN size({TOKS}) >= {n} THEN "
-        f"transform(sequence(0, size({TOKS})-{n}), i -> concat({concat})) "
-        f"ELSE array() END"
-    )
+    grams = ngram_multiset_array(n)
     occ = (
         with_tokens(docs, text_col)
         .select(

@@ -138,12 +138,9 @@ def fingerprints(df: DataFrame, k: int = 4) -> DataFrame:
 
 
 def _ngram_all_sql(n: int) -> str:
-    concat = ", ' ', ".join(f"{TOKS}[i+{k}]" for k in range(n))
-    return (
-        f"CASE WHEN size({TOKS}) >= {n} THEN "
-        f"transform(sequence(0, size({TOKS})-{n}), i -> concat({concat})) "
-        f"ELSE array() END"
-    )
+    from .shingles import ngram_multiset_sql
+
+    return ngram_multiset_sql(n)
 
 
 def _ngram_all(n: int):

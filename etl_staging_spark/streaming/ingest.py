@@ -667,6 +667,42 @@ def _guard_card_state(
         )
 
 
+_CARD_PARAMS_MARKER = "_CARD_PARAMS"
+
+
+def _guard_card_params(state_dir: str, params: dict | None) -> None:
+    """Parameter-identity guard for `additive_card_stream`: when the
+    delta counts are only meaningful at a FIXED parameter choice (the
+    truncation card's ``max_len``), the state_dir records it and a
+    restart with a DIFFERENT value is refused — otherwise the new
+    batches' counts silently merge with old partitions cut at the old
+    value and the finished card describes no parameter at all.
+    Best-effort like the ownership guard (a remote state_dir skips
+    it); a parameter-free stream (``params is None``) writes and
+    checks nothing."""
+    import json
+    import os
+
+    if params is None or _is_remote(state_dir):
+        return
+    want = json.dumps(params, sort_keys=True)
+    marker = os.path.join(state_dir, _CARD_PARAMS_MARKER)
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            have = fh.read()
+        if have != want:
+            raise ValueError(
+                f"state_dir {state_dir!r} holds counts built with "
+                f"params {have}, not {want}; merging them is "
+                "meaningless — start a fresh state_dir for the new "
+                "parameters"
+            )
+        return
+    os.makedirs(state_dir, exist_ok=True)
+    with open(marker, "w") as fh:
+        fh.write(want)
+
+
 def additive_card_stream(
     docs_stream: DataFrame,
     state_dir: str,
@@ -677,6 +713,7 @@ def additive_card_stream(
     count_cols: tuple[str, ...] = ("n_docs",),
     query_name: str = "additive_card",
     checkpoint_dir: str | None = None,
+    state_params: dict | None = None,
 ):
     """Incremental dataset-card maintenance: per micro-batch, compute
     the batch's ADDITIVE counts (``delta_fn``), append them to a
@@ -703,6 +740,7 @@ def additive_card_stream(
     non-empty local ``state_dir`` without ``checkpoint_dir`` is
     refused at start."""
     _guard_card_state(state_dir, checkpoint_dir, docs_stream.sparkSession)
+    _guard_card_params(state_dir, state_params)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.errors import AnalysisException
@@ -909,7 +947,10 @@ def truncation_card_stream(
     the rate presentation reruns on the bounded merged frame — the
     cost of a candidate context length stays current as drops arrive,
     so a long-document crawl that would blow the truncation budget
-    surfaces on its first batch."""
+    surfaces on its first batch. The state_dir records its max_len
+    (`_guard_card_params`): restarting an existing state with a
+    DIFFERENT cut is refused rather than silently merging counts that
+    correspond to no single context length."""
     from ..llmdata import stats
 
     return additive_card_stream(
@@ -924,6 +965,7 @@ def truncation_card_stream(
         count_cols=stats.TRUNCATION_COUNT_COLS,
         query_name=query_name,
         checkpoint_dir=checkpoint_dir,
+        state_params={"max_len": max_len},
     )
 
 

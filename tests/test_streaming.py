@@ -1955,3 +1955,44 @@ def test_truncation_card_stream_matches_batch(spark, tmp_path):
     assert by_src["s2"] == (1, 0, 0, 0, 0.0, None)
     # batch 0 saw no truncation anywhere
     assert all(r[3] == 0 for r in cards[min(cards)])
+
+
+def test_truncation_card_stream_refuses_max_len_change(spark, tmp_path):
+    """The parameter-identity guard: a truncation state built at one
+    max_len refuses a restart with a different one — counts cut at
+    different lengths must never merge (the finished card would
+    describe no single context length). Same max_len resumes fine."""
+    import pytest
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from etl_staging_spark.streaming.ingest import truncation_card_stream
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("source", StringType()),
+        ]
+    )
+    drop_dir = tmp_path / "drops"
+    drop_dir.mkdir()
+    spark.createDataFrame(
+        [(1, "a b c d e f", "s1")], schema
+    ).coalesce(1).write.parquet(str(drop_dir / "f0"))
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start(max_len):
+        return truncation_card_stream(
+            spark.readStream.schema(schema).parquet(str(drop_dir) + "/*"),
+            state,
+            lambda bid, c: c.collect(),
+            max_len=max_len,
+            checkpoint_dir=ckpt,
+        )
+
+    start(4).awaitTermination()
+    with pytest.raises(ValueError, match="params"):
+        start(8)
+    # the recorded cut resumes without complaint
+    start(4).awaitTermination()
