@@ -1715,3 +1715,79 @@ def finish_truncation_card(counts: DataFrame) -> DataFrame:
             pround(F.col("tokens_lost") / F.col("n_tokens"), 6),
         ).alias("loss_rate"),
     )
+
+
+def source_signature_terms(
+    docs: DataFrame,
+    k: int = 10,
+    min_cnt: int = 2,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Characteristic terms per source: the k tokens with the highest
+    relative-frequency LIFT (share within the source over share in the
+    whole corpus) — the "what is this source actually about" dataset-
+    card row, and the first read when a mixture weight misbehaves (a
+    crawl whose signature terms are casino spam does not deserve its
+    byte share). Lift instead of TF-IDF because it needs no logarithm:
+    score = (cnt_st * N) / (N_s * cnt_t) is two exact integer-valued
+    double products and one division — bit-identical on both engines,
+    no ln() rounding hazard. Ties break toward the lexicographically
+    smaller token; ``min_cnt`` suppresses hapax noise (a token seen
+    once in a small source otherwise tops every list). NULL-source
+    docs carry no population to characterize and are excluded; NULL
+    text contributes nothing. Output: (source, rank, token, cnt,
+    lift), lift prounded to 6.
+
+    Scale shape: ONE vocabulary-bounded (source, token) count (the
+    shared `ttr_token_counts` frame), a token-keyed join against the
+    per-token corpus counts (fan-out <= #sources per token), broadcast
+    joins for the bounded per-source totals and the 1-row corpus
+    total, and the salted two-phase per-source top-k (no partition
+    ever holds a source's full vocabulary). No Python, no all-pairs."""
+    per = ttr_token_counts(docs, source_col, text_col).where(
+        F.col("source").isNotNull()
+    )
+    tot_s = per.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("n_s")
+    )
+    tot_t = per.groupBy("token").agg(
+        F.sum("cnt").cast("bigint").alias("cnt_t")
+    )
+    n_total = tot_s.agg(F.sum("n_s").cast("bigint").alias("n_total"))
+    scored = (
+        per.where(F.col("cnt") >= min_cnt)
+        .join(tot_t, "token")
+        .join(F.broadcast(tot_s), "source")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "source",
+            "token",
+            "cnt",
+            (
+                (F.col("cnt").cast("double") * F.col("n_total"))
+                / (F.col("n_s").cast("double") * F.col("cnt_t"))
+            ).alias("lift_raw"),
+        )
+    )
+    n_salt = docs.sparkSession.sparkContext.defaultParallelism
+    w1 = Window.partitionBy(
+        "source", F.pmod(F.xxhash64("token"), F.lit(n_salt))
+    ).orderBy(F.desc("lift_raw"), F.asc("token"))
+    local = scored.withColumn("__r1", F.row_number().over(w1)).where(
+        F.col("__r1") <= k
+    )
+    w2 = Window.partitionBy("source").orderBy(
+        F.desc("lift_raw"), F.asc("token")
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(
+            "source",
+            "rank",
+            "token",
+            "cnt",
+            pround(F.col("lift_raw"), 6).alias("lift"),
+        )
+    )

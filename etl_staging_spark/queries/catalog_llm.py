@@ -3878,3 +3878,43 @@ def o_truncation_loss_card(max_len: int = 512) -> str:
                        + ", 0)) AS DOUBLE) / SUM(tok)", 6)}
            END AS loss_rate
     FROM tlc GROUP BY source"""
+
+
+def o_source_signature_terms(k: int = 10, min_cnt: int = 2) -> str:
+    """DuckDB oracle twin of `llmdata.stats.source_signature_terms`
+    (r15 registration queue — exercised by the dedicated
+    Spark-vs-DuckDB parity pytest at two SFs): the same whitespace-
+    lowercase (source, token) counts, the lift as two exact
+    integer-valued DOUBLE products and one division (bit-identical
+    IEEE ops — no logarithm), rank by (lift DESC, token ASC) per
+    source, prounded to 6 on the output edge only (ranking runs on the
+    raw double, identical on both engines)."""
+    return f"""
+    WITH sst AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+    ), ssc AS (
+      SELECT source, token, COUNT(*) AS cnt FROM sst GROUP BY 1, 2
+    ), ssn AS (
+      SELECT source, SUM(cnt) AS n_s FROM ssc GROUP BY source
+    ), ssv AS (
+      SELECT token, SUM(cnt) AS cnt_t FROM ssc GROUP BY token
+    ), ssg AS (SELECT SUM(cnt) AS n_total FROM ssc),
+    ssl AS (
+      SELECT c.source, c.token, c.cnt,
+             (CAST(c.cnt AS DOUBLE) * g.n_total)
+               / (CAST(n.n_s AS DOUBLE) * v.cnt_t) AS lift_raw
+      FROM ssc c
+      JOIN ssv v ON v.token = c.token
+      JOIN ssn n ON n.source = c.source
+      CROSS JOIN ssg g
+      WHERE c.cnt >= {min_cnt}
+    ), ssr AS (
+      SELECT source, token, cnt, lift_raw,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY lift_raw DESC, token ASC) AS rank
+      FROM ssl
+    )
+    SELECT source, CAST(rank AS INT) AS rank, token, CAST(cnt AS BIGINT) AS cnt,
+           {o_pround("lift_raw", 6)} AS lift
+    FROM ssr WHERE rank <= {k}"""

@@ -4967,3 +4967,67 @@ def test_truncation_loss_card_matches_duckdb_on_real_tables(spark):
         assert got == want and len(got) > 0, sf
         # the cut must actually bite for the parity to mean anything
         assert any(r[4] > 0 for r in got), sf
+
+
+def test_source_signature_terms_planted_and_duckdb(spark):
+    """source_signature_terms (r15 queue): hand-computed lifts on a
+    planted corpus — a source-dominant token tops its list, an
+    equal-lift pair pins the token-ASC tie-break, NULL text and NULL
+    source contribute nothing — and DuckDB parity on the same frame."""
+    from etl_staging_spark.llmdata import stats
+    from etl_staging_spark.queries.catalog_llm import (
+        o_source_signature_terms,
+    )
+
+    rows = [
+        (0, "apple apple banana", "s1"),
+        (1, "banana banana cherry banana", "s2"),
+        (2, None, "s1"),
+        (3, "x", None),      # NULL source -> excluded entirely
+        (4, "p q", "s3"),    # equal lifts -> tie to the smaller token
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = sorted(
+        tuple(r)
+        for r in stats.source_signature_terms(docs, k=2, min_cnt=1).collect()
+    )
+    # N=9; s1: apple 2*9/(3*2)=3.0, banana 9/12=0.75; s2: cherry
+    # 9/4=2.25, banana 27/16=1.6875; s3: p=q=9/2 -> tie -> p first
+    assert got == [
+        ("s1", 1, "apple", 2, 3.0),
+        ("s1", 2, "banana", 1, 0.75),
+        ("s2", 1, "cherry", 1, 2.25),
+        ("s2", 2, "banana", 3, 1.6875),
+        ("s3", 1, "p", 1, 4.5),
+        ("s3", 2, "q", 1, 4.5),
+    ]
+    want = _duck_on(rows, o_source_signature_terms(2, 1))
+    assert _nsafe_sorted(
+        tuple(r)
+        for r in stats.source_signature_terms(docs, k=2, min_cnt=1).collect()
+    ) == want
+
+
+def test_source_signature_terms_matches_duckdb_on_real_tables(spark):
+    """Registration dry-run of `source_signature_terms` at BOTH parity
+    scales with the default k/min_cnt."""
+    import duckdb
+
+    from etl_staging_spark.llmdata import stats
+    from etl_staging_spark.queries.catalog_llm import (
+        o_source_signature_terms,
+    )
+
+    for sf in ("sf0.001", "sf0.01"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        docs = spark.read.parquet(path)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+        got = _nsafe_sorted(
+            tuple(r) for r in stats.source_signature_terms(docs).collect()
+        )
+        want = _nsafe_sorted(
+            tuple(r)
+            for r in con.sql(o_source_signature_terms()).fetchall()
+        )
+        assert got == want and len(got) > 0, sf

@@ -824,3 +824,21 @@ def test_truncation_loss_card_single_agg_no_python(spark):
     assert "Join" not in p and "CartesianProduct" not in p
     assert "Window" not in p
     assert "HashAggregate" in p
+
+
+def test_source_signature_terms_salted_topk_no_python(spark):
+    """source_signature_terms (r15 queue): vocabulary-bounded counts,
+    a token-keyed join with fan-out <= #sources, broadcast totals (the
+    1-row corpus total rides the documented broadcast-NLJ totals
+    pattern), and the salted two-phase per-source top-k; no cartesian,
+    no Python."""
+    from etl_staging_spark.llmdata.stats import source_signature_terms
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    p = source_signature_terms(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    assert "HashAggregate" in p
+    # both window phases are present (salted local + per-source global)
+    assert p.count("Window") >= 2

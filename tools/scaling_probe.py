@@ -200,6 +200,8 @@ def run_probe(
         "length_quality_joint_card": lambda d: stats.length_quality_joint_card(d),
         "dup_ngram_coverage": lambda d: stats.dup_ngram_coverage(d),
         "source_vocab_cosine_matrix": lambda d: stats.source_vocab_cosine_matrix(d),
+        "truncation_loss_card": lambda d: stats.truncation_loss_card(d, 64),
+        "source_signature_terms": lambda d: stats.source_signature_terms(d),
     }
     from etl_staging_spark.llmdata import simsearch
 
