@@ -998,6 +998,14 @@ def compact_card_state(
     owner = _read_card_owner(state_dir) if state_local else None
     if owner is not None:
         owner = _norm_path(owner)
+    # the params-identity marker (`_guard_card_params`) must survive the
+    # static rewrite too, or a compacted truncation state forgets its
+    # max_len and a restart with a different cut is silently accepted
+    params_marker = os.path.join(state_dir, _CARD_PARAMS_MARKER)
+    params = None
+    if state_local and os.path.exists(params_marker):
+        with open(params_marker) as fh:
+            params = fh.read()
     if checkpoint_dir is not None and state_local:
         if owner is None:
             # folding an UNOWNED log by an arbitrary checkpoint's
@@ -1069,3 +1077,6 @@ def compact_card_state(
     )
     if restore is not None and not _is_remote(state_dir):
         _write_card_owner(state_dir, restore)
+    if params is not None:
+        with open(params_marker, "w") as fh:
+            fh.write(params)

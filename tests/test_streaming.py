@@ -1996,3 +1996,61 @@ def test_truncation_card_stream_refuses_max_len_change(spark, tmp_path):
         start(8)
     # the recorded cut resumes without complaint
     start(4).awaitTermination()
+
+
+def test_compaction_preserves_params_marker(spark, tmp_path):
+    """Compacting a parameterized card state must not forget its
+    parameters: after compact_card_state, a restart at a DIFFERENT
+    max_len is still refused and the same max_len still resumes (the
+    static rewrite wipes every marker; both the ownership and the
+    params marker must be restored)."""
+    import pytest
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from etl_staging_spark.streaming.ingest import (
+        compact_card_state,
+        truncation_card_stream,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("source", StringType()),
+        ]
+    )
+    drop_dir = tmp_path / "drops"
+    drop_dir.mkdir()
+    spark.createDataFrame(
+        [(1, "a b c d e f", "s1")], schema
+    ).coalesce(1).write.parquet(str(drop_dir / "f0"))
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    cards: dict[int, list] = {}
+
+    def start(max_len):
+        return truncation_card_stream(
+            spark.readStream.schema(schema).parquet(str(drop_dir) + "/*"),
+            state,
+            lambda bid, c: cards.__setitem__(bid, [tuple(r) for r in c.collect()]),
+            max_len=max_len,
+            checkpoint_dir=ckpt,
+        )
+
+    start(4).awaitTermination()
+    compact_card_state(
+        spark, state, ("source",),
+        count_cols=("n_docs", "n_tokens", "n_truncated", "tokens_lost"),
+        checkpoint_dir=ckpt,
+    )
+    with pytest.raises(ValueError, match="params"):
+        start(8)
+    before = dict(cards)
+    spark.createDataFrame(
+        [(2, "g h", "s1")], schema
+    ).coalesce(1).write.parquet(str(drop_dir / "f1"))
+    start(4).awaitTermination()
+    # the resumed stream folded the compacted base with the new batch
+    final = {r[0]: r[1:] for r in cards[max(cards)]}
+    assert final["s1"] == (2, 8, 1, 2, 0.5, 0.25)
+    assert before, "first run produced cards"
