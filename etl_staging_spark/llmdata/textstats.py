@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from ..numeric import pround
 
 from .hashing import portable_hash56
-from .shingles import TOKS, with_tokens
+from .shingles import TOKS, ngram_multiset_sql, with_tokens
 
 # Tiny per-language character-bigram profiles for the n-gram language-ID
 # heuristic. With real corpora these would be learned; the operator's
@@ -137,16 +137,12 @@ def fingerprints(df: DataFrame, k: int = 4) -> DataFrame:
     )
 
 
-def _ngram_all_sql(n: int) -> str:
-    from .shingles import ngram_multiset_sql
-
-    return ngram_multiset_sql(n)
 
 
 def _ngram_all(n: int):
     """NON-distinct word n-grams (repetition analysis needs the
     multiset, unlike the dedup shingles)."""
-    return F.expr(_ngram_all_sql(n))
+    return F.expr(ngram_multiset_sql(n))
 
 
 # Modal-count of an array without exploding it: longest equal-run of the
@@ -206,7 +202,7 @@ def repetition_stats(df: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     stats = with_tokens(df).select(
         "doc_id",
         *keep,
-        F.expr(_MODAL_RUN_SQL.format(arr=_ngram_all_sql(2))).alias("top_c"),
+        F.expr(_MODAL_RUN_SQL.format(arr=ngram_multiset_sql(2))).alias("top_c"),
         F.size(_ngram_all(2)).alias("n_bigrams"),
         F.size(_ngram_all(3)).alias("n_trigrams"),
         F.size(F.array_distinct(_ngram_all(3))).alias("n_distinct_tri"),

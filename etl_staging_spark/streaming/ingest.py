@@ -679,7 +679,10 @@ def _guard_card_params(state_dir: str, params: dict | None) -> None:
     value and the finished card describes no parameter at all.
     Best-effort like the ownership guard (a remote state_dir skips
     it); a parameter-free stream (``params is None``) writes and
-    checks nothing."""
+    checks nothing. A mismatch against an EMPTY log (a start that
+    failed before its first batch pinned the old params) rotates the
+    marker instead of refusing — the same while-the-log-is-empty
+    allowance the ownership guard gives checkpoint rotation."""
     import json
     import os
 
@@ -687,17 +690,22 @@ def _guard_card_params(state_dir: str, params: dict | None) -> None:
         return
     want = json.dumps(params, sort_keys=True)
     marker = os.path.join(state_dir, _CARD_PARAMS_MARKER)
+    has_log = os.path.isdir(state_dir) and any(
+        e.startswith("batch_id=") for e in os.listdir(state_dir)
+    )
     if os.path.exists(marker):
         with open(marker) as fh:
             have = fh.read()
-        if have != want:
+        if have == want:
+            return
+        if has_log:
             raise ValueError(
                 f"state_dir {state_dir!r} holds counts built with "
                 f"params {have}, not {want}; merging them is "
                 "meaningless — start a fresh state_dir for the new "
                 "parameters"
             )
-        return
+        # empty log: nothing was counted under the old params — rotate
     os.makedirs(state_dir, exist_ok=True)
     with open(marker, "w") as fh:
         fh.write(want)
@@ -814,6 +822,7 @@ def length_card_stream(
         count_cols=("n_docs",),
         query_name=query_name,
         checkpoint_dir=checkpoint_dir,
+        state_params={"source_col": source_col},
     )
 
 
@@ -842,6 +851,7 @@ def ttr_card_stream(
         count_cols=("cnt",),
         query_name=query_name,
         checkpoint_dir=checkpoint_dir,
+        state_params={"source_col": source_col},
     )
 
 
@@ -871,6 +881,7 @@ def pii_card_stream(
         count_cols=stats.PII_COUNT_COLS,
         query_name=query_name,
         checkpoint_dir=checkpoint_dir,
+        state_params={"source_col": source_col},
     )
 
 
@@ -900,6 +911,7 @@ def charclass_card_stream(
         count_cols=stats.CHARCLASS_COUNT_COLS,
         query_name=query_name,
         checkpoint_dir=checkpoint_dir,
+        state_params={"source_col": source_col},
     )
 
 
@@ -965,7 +977,7 @@ def truncation_card_stream(
         count_cols=stats.TRUNCATION_COUNT_COLS,
         query_name=query_name,
         checkpoint_dir=checkpoint_dir,
-        state_params={"max_len": max_len},
+        state_params={"max_len": max_len, "source_col": source_col},
     )
 
 

@@ -2054,3 +2054,33 @@ def test_compaction_preserves_params_marker(spark, tmp_path):
     final = {r[0]: r[1:] for r in cards[max(cards)]}
     assert final["s1"] == (2, 8, 1, 2, 0.5, 0.25)
     assert before, "first run produced cards"
+
+
+def test_params_guard_rotates_on_empty_log(spark, tmp_path):
+    """A params marker pinned by a start that never wrote a batch must
+    not wedge the state_dir: with an EMPTY log, different params rotate
+    the marker (the ownership guard's while-empty allowance); and the
+    guard's identity includes source_col, so regrouping an existing
+    counted state by a different column is refused."""
+    import pytest
+
+    from etl_staging_spark.streaming.ingest import (
+        _guard_card_params,
+        _read_card_owner,
+    )
+
+    state = str(tmp_path / "state")
+    _guard_card_params(state, {"max_len": 512, "source_col": "source"})
+    # empty log -> rotation allowed
+    _guard_card_params(state, {"max_len": 256, "source_col": "source"})
+    # fake a written batch partition -> now pinned
+    import os
+
+    os.makedirs(os.path.join(state, "batch_id=0"))
+    with pytest.raises(ValueError, match="params"):
+        _guard_card_params(state, {"max_len": 512, "source_col": "source"})
+    with pytest.raises(ValueError, match="params"):
+        _guard_card_params(state, {"max_len": 256, "source_col": "domain"})
+    # identical params still resume
+    _guard_card_params(state, {"max_len": 256, "source_col": "source"})
+    assert _read_card_owner(state) is None  # params marker is separate
