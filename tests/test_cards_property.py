@@ -769,3 +769,291 @@ def test_exact_corpus_stats_oracle_matches_python_reference(rows):
         assert got == [] or got == [(0, 0, None, None)]
     else:
         assert [tuple(r) for r in got] == [ref]
+
+
+# ---------------------------------------------------------------------------
+# r13 wave-2 queue cards: DuckDB oracle vs pure-python reference
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+from etl_staging_spark.llmdata.textstats import (
+    LANG_PROFILES,
+    STOPWORDS,
+    TOKEN_RE,
+)
+from etl_staging_spark.queries.catalog_llm import (
+    o_dup_ngram_coverage,
+    o_length_quality_joint_card,
+    o_source_signature_terms,
+    o_source_vocab_cosine_matrix,
+    o_token_fertility_by_lang,
+    o_truncation_loss_card,
+)
+
+# words that exercise the profile bigrams, stopwords, digits, punct
+word_st = st.sampled_from(
+    ["that", "there", "schein", "unter", "la", "qu", "123", "x!", "the", "zz"]
+)
+rich_text_st = st.one_of(
+    st.none(), st.lists(word_st, max_size=6).map(" ".join)
+)
+nullable_source_st = st.one_of(st.none(), source_st)
+
+
+def _bpe_count(text):
+    return len(_re.findall(TOKEN_RE, text.lower()))
+
+
+def _nsort(rows):
+    return sorted(
+        rows,
+        key=lambda t: tuple((v is not None, "" if v is None else v) for v in t),
+    )
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(st.tuples(rich_text_st, nullable_source_st), max_size=12))
+def test_token_fertility_oracle_matches_python_reference(rows):
+    groups: dict = defaultdict(lambda: [0, 0, 0])  # docs, chars, toks
+    for text, _src in rows:
+        if text is None:
+            pred = None
+            nc = tok = 0
+        else:
+            lt = text.lower()
+            scores = {
+                lang: sum(1 for b in prof if b in lt)
+                for lang, prof in LANG_PROFILES.items()
+            }
+            best = max(scores.values())
+            pred = (
+                min(l for l, s in scores.items() if s == best)
+                if best > 0
+                else None
+            )
+            nc, tok = len(text), _bpe_count(text)
+        g = groups[pred]
+        g[0] += 1
+        g[1] += nc
+        g[2] += tok
+    ref = []
+    for pred, (nd, nc, tok) in groups.items():
+        ref.append(
+            (
+                pred,
+                nd,
+                nc,
+                tok,
+                py_pround(nc / tok, 6) if tok > 0 else None,
+            )
+        )
+    con = _docs_con([(t, s) for t, s in rows])
+    got = [
+        tuple(r) for r in con.sql(o_token_fertility_by_lang()).fetchall()
+    ]
+    assert _nsort(got) == _nsort(ref)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.lists(st.tuples(rich_text_st, nullable_source_st), max_size=12),
+    st.integers(0, 6),
+)
+def test_truncation_loss_oracle_matches_python_reference(rows, max_len):
+    groups: dict = defaultdict(lambda: [0, 0, 0, 0])
+    for text, src in rows:
+        if text is None:
+            continue
+        tok = _bpe_count(text)
+        g = groups[src]
+        g[0] += 1
+        g[1] += tok
+        g[2] += 1 if tok > max_len else 0
+        g[3] += max(tok - max_len, 0)
+    ref = [
+        (
+            src,
+            nd,
+            tok,
+            tr,
+            lost,
+            py_pround(tr / nd, 6),
+            py_pround(lost / tok, 6) if tok > 0 else None,
+        )
+        for src, (nd, tok, tr, lost) in groups.items()
+    ]
+    con = _docs_con(rows)
+    got = [
+        tuple(r) for r in con.sql(o_truncation_loss_card(max_len)).fetchall()
+    ]
+    assert _nsort(got) == _nsort(ref)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.lists(st.tuples(rich_text_st, nullable_source_st), max_size=10),
+    st.integers(1, 3),
+)
+def test_dup_ngram_coverage_oracle_matches_python_reference(rows, n):
+    gram_docs: dict = defaultdict(set)
+    per_doc: list = []  # (source, {gram: occ})
+    for i, (text, src) in enumerate(rows):
+        if text is None:
+            continue
+        toks = text.lower().split(" ")
+        if len(toks) < n:
+            continue
+        occ: dict = defaultdict(int)
+        for j in range(len(toks) - n + 1):
+            g = " ".join(toks[j : j + n])
+            occ[g] += 1
+            gram_docs[g].add(i)
+        per_doc.append((src, occ))
+    groups: dict = defaultdict(lambda: [0, 0])
+    for src, occ in per_doc:
+        g = groups[src]
+        for gram, c in occ.items():
+            g[0] += c
+            if len(gram_docs[gram]) > 1:
+                g[1] += c
+    ref = [
+        (src, tot, dup, py_pround(dup / tot, 6))
+        for src, (tot, dup) in groups.items()
+    ]
+    con = _docs_con(rows)
+    got = [tuple(r) for r in con.sql(o_dup_ngram_coverage(n)).fetchall()]
+    assert _nsort(got) == _nsort(ref)
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(st.tuples(rich_text_st, nullable_source_st), max_size=12))
+def test_vocab_cosine_oracle_matches_python_reference(rows):
+    counts: dict = defaultdict(lambda: defaultdict(int))
+    for text, src in rows:
+        if text is None or src is None:
+            continue
+        for tok in text.lower().split(" "):
+            counts[src][tok] += 1
+    norms = {
+        s: math.sqrt(float(sum(c * c for c in toks.values())))
+        for s, toks in counts.items()
+    }
+    ref = []
+    srcs = sorted(counts)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            shared = set(counts[a]) & set(counts[b])
+            if not shared:
+                continue
+            dot = sum(counts[a][t] * counts[b][t] for t in shared)
+            ref.append(
+                (
+                    a,
+                    b,
+                    len(shared),
+                    py_pround(float(dot) / (norms[a] * norms[b]), 6),
+                )
+            )
+    con = _docs_con(rows)
+    got = [
+        tuple(r)
+        for r in con.sql(o_source_vocab_cosine_matrix()).fetchall()
+    ]
+    assert _nsort(got) == _nsort(ref)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.lists(st.tuples(rich_text_st, nullable_source_st), max_size=12),
+    st.integers(1, 3),
+    st.integers(1, 2),
+)
+def test_signature_terms_oracle_matches_python_reference(rows, k, min_cnt):
+    counts: dict = defaultdict(lambda: defaultdict(int))
+    for text, src in rows:
+        if text is None or src is None:
+            continue
+        for tok in text.lower().split(" "):
+            counts[src][tok] += 1
+    n_total = sum(sum(t.values()) for t in counts.values())
+    cnt_t: dict = defaultdict(int)
+    for toks in counts.values():
+        for t, c in toks.items():
+            cnt_t[t] += c
+    ref = []
+    for src, toks in counts.items():
+        n_s = sum(toks.values())
+        scored = [
+            (
+                (float(c) * n_total) / (float(n_s) * cnt_t[t]),
+                t,
+                c,
+            )
+            for t, c in toks.items()
+            if c >= min_cnt
+        ]
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        for rank, (lift, t, c) in enumerate(scored[:k], 1):
+            ref.append((src, rank, t, c, py_pround(lift, 6)))
+    con = _docs_con(rows)
+    got = [
+        tuple(r)
+        for r in con.sql(o_source_signature_terms(k, min_cnt)).fetchall()
+    ]
+    assert _nsort(got) == _nsort(ref)
+
+
+def _py_quality(text):
+    """Python replica of the shared quality CTEs (space tokens,
+    prounded ratios, the weighted sum's left-assoc double adds)."""
+    if text is None:
+        return None
+    toks = text.lower().split(" ")
+    n = len(toks)
+    nd = len(set(toks))
+    tot = sum(len(t) for t in toks)
+    sc = sum(1 for t in toks if t in STOPWORDS)
+    atl = py_pround(tot / n, 6)
+    dr = py_pround(nd / n, 6)
+    sr = py_pround(sc / n, 6)
+    return py_pround(
+        0.3 * min(1.0, n / 50.0)
+        + 0.4 * dr
+        + 0.15 * (1.0 - sr)
+        + 0.15 * min(1.0, atl / 6.0),
+        6,
+    )
+
+
+def _py_len_bucket(n):
+    if n == 0:
+        return 0
+    for kk in range(24):
+        if n < 2 ** (kk + 1):
+            return 2**kk
+    return 2**24
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(st.tuples(rich_text_st, nullable_source_st), max_size=12))
+def test_length_quality_joint_oracle_matches_python_reference(rows):
+    cells: dict = defaultdict(int)
+    for text, _src in rows:
+        q = _py_quality(text)
+        if q is None:
+            continue
+        lo = _py_len_bucket(_bpe_count(text))
+        qe6 = int(math.floor(q * 1000000 + 0.5))
+        cells[(lo, qe6 // 100000)] += 1
+    total = sum(cells.values())
+    ref = [
+        (lo, qb, float(qb) / 10.0, c, py_pround(c / total, 6))
+        for (lo, qb), c in cells.items()
+    ]
+    con = _docs_con(rows)
+    got = [
+        tuple(r)
+        for r in con.sql(o_length_quality_joint_card()).fetchall()
+    ]
+    assert _nsort(got) == _nsort(ref)
