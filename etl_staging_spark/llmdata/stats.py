@@ -1055,7 +1055,10 @@ def pii_rate_by_source(
     trio counted on the ORIGINAL text) plus how many docs carry ANY
     match and that doc-level rate. NULL-text docs count in ``n_docs``
     but contribute no matches (NULL counts never sum, the engine
-    convention); a NULL source keeps its own audit row. Output:
+    convention — so a source whose docs are ALL NULL-text reports NULL
+    category totals, not 0, on both engines; the hypothesis
+    triangulation pins this); a NULL source keeps its own audit row.
+    Output:
     (source, n_docs, n_emails, n_phones, n_ids, n_pii_docs,
     pii_doc_rate), rate prounded to 6 — n_docs is never zero for an
     emitted row.

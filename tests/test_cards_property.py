@@ -1057,3 +1057,153 @@ def test_length_quality_joint_oracle_matches_python_reference(rows):
         for r in con.sql(o_length_quality_joint_card()).fetchall()
     ]
     assert _nsort(got) == _nsort(ref)
+
+
+# ---------------------------------------------------------------------------
+# r14 queue trio + sentence card: DuckDB oracle vs pure-python reference
+# ---------------------------------------------------------------------------
+
+from etl_staging_spark.llmdata.pii import EMAIL_RE, LONG_ID_RE, PHONE_RE
+from etl_staging_spark.queries.catalog_llm import (
+    o_charclass_profile_card,
+    o_dup_token_rate_by_source,
+    o_pii_rate_by_source,
+    o_sentence_stats_card,
+)
+
+pii_word_st = st.sampled_from(
+    ["a@b.co", "555-123-4567", "123456789", "clean", "12", "x.y", "!"]
+)
+pii_text_st = st.one_of(
+    st.none(), st.lists(pii_word_st, max_size=5).map(" ".join)
+)
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(st.tuples(pii_text_st, nullable_source_st), max_size=12))
+def test_pii_rate_oracle_matches_python_reference(rows):
+    # e/p/i stay None for a source whose docs are ALL NULL-text (SUM
+    # over no non-NULL rows is NULL on both engines; the doc counts
+    # and the rate still report)
+    groups: dict = defaultdict(lambda: [0, None, None, None, 0])
+    for text, src in rows:
+        g = groups[src]
+        g[0] += 1
+        if text is None:
+            continue
+        e = len(_re.findall(EMAIL_RE, text))
+        p = len(_re.findall(PHONE_RE, text))
+        i = len(_re.findall(LONG_ID_RE, text))
+        g[1] = (g[1] or 0) + e
+        g[2] = (g[2] or 0) + p
+        g[3] = (g[3] or 0) + i
+        g[4] += 1 if e + p + i > 0 else 0
+    ref = [
+        (src, nd, e, p, i, pd, py_pround(pd / nd, 6))
+        for src, (nd, e, p, i, pd) in groups.items()
+    ]
+    con = _docs_con(rows)
+    got = [tuple(r) for r in con.sql(o_pii_rate_by_source()).fetchall()]
+    assert _nsort(got) == _nsort(ref)
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(st.tuples(rich_text_st, nullable_source_st), max_size=12))
+def test_dup_token_rate_oracle_matches_python_reference(rows):
+    groups: dict = defaultdict(lambda: defaultdict(list))
+    for text, src in rows:
+        if text is None:
+            continue
+        groups[src][text].append(_bpe_count(text))
+    ref = []
+    for src, by_text in groups.items():
+        nwt = sum(len(v) for v in by_text.values())
+        total = sum(sum(v) for v in by_text.values())
+        dup = sum((len(v) - 1) * v[0] for v in by_text.values())
+        ref.append(
+            (
+                src,
+                nwt,
+                total,
+                dup,
+                py_pround(dup / total, 6) if total > 0 else None,
+            )
+        )
+    con = _docs_con(rows)
+    got = [
+        tuple(r) for r in con.sql(o_dup_token_rate_by_source()).fetchall()
+    ]
+    assert _nsort(got) == _nsort(ref)
+
+
+cc_text_st = st.one_of(
+    st.none(),
+    st.text(
+        alphabet="aB3 !\t\n\ré.", max_size=12
+    ),
+)
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(st.tuples(cc_text_st, nullable_source_st), max_size=12))
+def test_charclass_oracle_matches_python_reference(rows):
+    groups: dict = defaultdict(lambda: [0, 0, 0, 0, 0])
+    for text, src in rows:
+        if text is None:
+            continue
+        g = groups[src]
+        g[0] += 1
+        g[1] += len(text)
+        g[2] += sum(1 for ch in text if ("a" <= ch <= "z") or ("A" <= ch <= "Z"))
+        g[3] += sum(1 for ch in text if "0" <= ch <= "9")
+        g[4] += sum(1 for ch in text if ch in " \t\n\r")
+    ref = []
+    for src, (nd, n, al, dg, sp) in groups.items():
+        fr = lambda x: py_pround(float(x) / n, 6) if n > 0 else None  # noqa: E731
+        ref.append(
+            (src, nd, n, fr(al), fr(dg), fr(sp), fr(n - al - dg - sp))
+        )
+    con = _docs_con(rows)
+    got = [
+        tuple(r) for r in con.sql(o_charclass_profile_card()).fetchall()
+    ]
+    assert _nsort(got) == _nsort(ref)
+
+
+sent_word_st = st.sampled_from(["that.", "x!", "y?", "...", "zz", "\n", "w.w"])
+sent_text_st = st.one_of(
+    st.none(), st.lists(sent_word_st, max_size=6).map(" ".join)
+)
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(st.tuples(sent_text_st, nullable_source_st), max_size=12))
+def test_sentence_stats_oracle_matches_python_reference(rows):
+    groups: dict = defaultdict(lambda: [0, None, 0])  # docs, ns, toks
+    for text, src in rows:
+        g = groups[src]
+        g[0] += 1
+        if text is None:
+            continue
+        ns = sum(
+            1
+            for seg in _re.split(r"[.!?]+", text)
+            if _re.search(r"[^ \t\n\r]", seg)
+        )
+        g[1] = (g[1] or 0) + ns
+        g[2] += _bpe_count(text)
+    ref = []
+    for src, (nd, ns, tok) in groups.items():
+        ns0 = ns or 0
+        ref.append(
+            (
+                src,
+                nd,
+                ns0,
+                py_pround(float(ns0) / nd, 6),
+                py_pround(float(tok) / ns, 6) if ns and ns > 0 else None,
+            )
+        )
+    con = _docs_con(rows)
+    got = [tuple(r) for r in con.sql(o_sentence_stats_card()).fetchall()]
+    assert _nsort(got) == _nsort(ref)
