@@ -1,0 +1,113 @@
+"""JSONL corpus IO — the interchange format training-data pipelines
+actually exchange (one JSON object per line, usually gzipped shards).
+
+Same contract as the CSV source (`csv_io`): schemas are DECLARED, never
+inferred (inference is a full extra pass over 100 TB and can silently
+widen types between drops), and malformed lines land in the shared
+``_corrupt_record`` channel instead of failing the job — at scale the
+failure channel must be a dataset, not an exception. On top of the raw
+scan, `validate_documents` turns the documents-table ingest rules
+(non-NULL unique doc_id) into a (valid, rejected-with-reason) split,
+the M1 pattern applied to corpus drops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from .csv_io import CORRUPT_COL
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """Schema-declared JSONL scan; malformed lines keep their raw text
+    in the corrupt-record column (PERMISSIVE mode). Handles .gz/.zst
+    shards transparently (Hadoop codec by extension)."""
+    full = StructType(
+        list(schema.fields) + [StructField(CORRUPT_COL, StringType())]
+    )
+    return spark.read.json(
+        path,
+        schema=full,
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord=CORRUPT_COL,
+    )
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    shards: int | None = None,
+    compression: str | None = None,
+    mode: str = "error",
+) -> None:
+    """Write a frame as JSONL shards. ``shards`` repartitions for a
+    target shard count (round-robin — size-balanced, no key skew);
+    ``compression`` is any Hadoop codec name ('gzip', 'zstd', ...).
+    Columns are written as-is: export the exact projection you mean to
+    publish."""
+    out = df.repartition(shards) if shards else df
+    w = out.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
+def validate_documents(
+    df: DataFrame, id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """The documents-ingest gate as data: (valid, rejected) where a row
+    is rejected for a NULL id (``null_id``) or a duplicated id
+    (``dup_id`` — ALL copies are rejected, because no deterministic
+    rule can bless one of two conflicting payloads; the upsert path is
+    `etl.upsert` if last-write-wins is actually wanted). The corrupt
+    channel, if present from `read_jsonl`, is a third reject reason
+    (``corrupt``).
+
+    Scale shape: one aggregate on the id (map-side combinable) and one
+    id-keyed join back — the same shuffle family as the exact-dedup
+    operator; no window over the corpus. Like `split_corrupt`, callers
+    that consume BOTH sides of a raw scan should cache the staged batch
+    first (Spark refuses plans whose only referenced file column is the
+    corrupt-record column)."""
+    has_corrupt = CORRUPT_COL in df.columns
+    base = df
+    reasons = []
+    if has_corrupt:
+        corrupt = base.where(F.col(CORRUPT_COL).isNotNull()).withColumn(
+            "reject_reason", F.lit("corrupt")
+        )
+        base = base.where(F.col(CORRUPT_COL).isNull())
+        reasons.append(corrupt)
+    null_id = base.where(F.col(id_col).isNull()).withColumn(
+        "reject_reason", F.lit("null_id")
+    )
+    keyed = base.where(F.col(id_col).isNotNull())
+    dup_keys = (
+        keyed.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > 1)
+        .select(id_col)
+    )
+    dups = keyed.join(dup_keys, id_col, "left_semi").withColumn(
+        "reject_reason", F.lit("dup_id")
+    )
+    valid = keyed.join(dup_keys, id_col, "left_anti")
+    rejected = null_id
+    for r in (*reasons, dups):
+        rejected = rejected.unionByName(r)
+    if has_corrupt:
+        valid = valid.drop(CORRUPT_COL)
+    return valid, rejected
+
+
+def jsonl_doc_stream(
+    spark: SparkSession, docs_dir: str, schema: StructType
+) -> DataFrame:
+    """File stream over a JSONL drop directory (declared schema —
+    streaming sources never infer). Drop-in replacement for
+    `streaming.ingest.doc_stream`'s parquet scan wherever the producer
+    ships JSONL shards; every foreachBatch consumer (dedup ingest,
+    gated ingest, the additive card streams) composes unchanged."""
+    return spark.readStream.schema(schema).json(docs_dir)

@@ -359,3 +359,109 @@ def test_drop_managed_table_managed_dir_cleaned(spark):
     drop_managed_table(spark, "mgd_probe")
     assert not spark.catalog.tableExists("mgd_probe")
     assert not os.path.exists(path)
+
+
+# ---------------------------------------------------------------------------
+# JSONL corpus IO (etl/jsonl_io.py)
+# ---------------------------------------------------------------------------
+
+
+def _doc_schema():
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    return StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("source", StringType()),
+        ]
+    )
+
+
+def test_jsonl_roundtrip_matches_parquet_source(spark, tmp_path):
+    """write_jsonl -> read_jsonl reproduces the real documents table
+    exactly (gzip shards, declared schema, no corrupt rows)."""
+    from etl_staging_spark.etl.jsonl_io import (
+        CORRUPT_COL,
+        read_jsonl,
+        write_jsonl,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, out, shards=3, compression="gzip")
+    # cache before touching the corrupt channel: Spark disallows plans
+    # whose only referenced file column is the corrupt-record column
+    # (the split_corrupt convention)
+    back = read_jsonl(spark, out, docs.schema).cache()
+    assert back.where(back[CORRUPT_COL].isNotNull()).count() == 0
+    got = sorted(tuple(r) for r in back.drop(CORRUPT_COL).collect())
+    want = sorted(tuple(r) for r in docs.collect())
+    assert got == want and len(got) > 0
+
+
+def test_jsonl_corrupt_channel_and_validation(spark, tmp_path):
+    """A malformed line lands in the corrupt channel (reason
+    ``corrupt``), a NULL id rejects as ``null_id``, BOTH copies of a
+    duplicated id reject as ``dup_id``, and the valid side keeps
+    exactly the clean unique rows without the channel column."""
+    from etl_staging_spark.etl.jsonl_io import read_jsonl, validate_documents
+
+    d = tmp_path / "drop"
+    d.mkdir()
+    (d / "part0.jsonl").write_text(
+        '{"doc_id": 1, "text": "a", "source": "s"}\n'
+        '{"doc_id": 2, "text": "b", "source": "s"}\n'
+        "{not json at all\n"
+        '{"doc_id": 2, "text": "b2", "source": "s"}\n'
+        '{"doc_id": null, "text": "c", "source": "s"}\n'
+    )
+    raw = read_jsonl(spark, str(d), _doc_schema())
+    valid, rejected = validate_documents(raw)
+    assert [tuple(r) for r in valid.collect()] == [(1, "a", "s")]
+    reasons = sorted(
+        ((r.doc_id is not None, r.doc_id or 0, r.reject_reason)
+         for r in rejected.collect()),
+    )
+    assert [(d if ok else None, why) for ok, d, why in reasons] == [
+        (None, "corrupt"),
+        (None, "null_id"),
+        (2, "dup_id"),
+        (2, "dup_id"),
+    ]
+
+
+def test_jsonl_doc_stream_feeds_card_streams(spark, tmp_path):
+    """The JSONL streaming source composes with the additive card
+    machinery unchanged: a length card maintained over JSONL drops
+    equals the batch card over the union of the drops."""
+    from etl_staging_spark.etl.jsonl_io import jsonl_doc_stream
+    from etl_staging_spark.llmdata import stats
+    from etl_staging_spark.streaming.ingest import length_card_stream
+
+    d = tmp_path / "drops"
+    d.mkdir()
+    (d / "f0.jsonl").write_text(
+        '{"doc_id": 1, "text": "a b c", "source": "s1"}\n'
+    )
+    (d / "f1.jsonl").write_text(
+        '{"doc_id": 2, "text": "d", "source": "s1"}\n'
+        '{"doc_id": 3, "text": "", "source": "s2"}\n'
+    )
+    cards: dict[int, list] = {}
+    q = length_card_stream(
+        jsonl_doc_stream(spark, str(d), _doc_schema()),
+        str(tmp_path / "state"),
+        lambda bid, c: cards.__setitem__(bid, [tuple(r) for r in c.collect()]),
+    )
+    q.awaitTermination()
+    full = spark.createDataFrame(
+        [(1, "a b c", "s1"), (2, "d", "s1"), (3, "", "s2")], _doc_schema()
+    )
+    want = sorted(tuple(r) for r in stats.length_histogram_card(full).collect())
+    assert sorted(cards[max(cards)]) == want
