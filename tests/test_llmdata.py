@@ -5031,3 +5031,23 @@ def test_source_signature_terms_matches_duckdb_on_real_tables(spark):
             for r in con.sql(o_source_signature_terms()).fetchall()
         )
         assert got == want and len(got) > 0, sf
+
+
+def test_cluster_profile_with_trained_centroids(spark):
+    """cluster_profile composes with train_ivf_centroids (the 100 TB
+    path: k-means on a bounded deterministic sample, centroid literals
+    broadcast): every vector lands in exactly one cell, shares sum to
+    1, purity is a valid share, and the trained partition is no worse
+    than a single-cell grab-bag (>= 2 populated cells on the real
+    embeddings)."""
+    from etl_staging_spark.llmdata import simsearch
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = simsearch.train_ivf_centroids(emb, n_centroids=4, n_iter=3)
+    out = simsearch.cluster_profile(emb, centroids=cents).collect()
+    assert sum(r.n_members for r in out) == emb.count()
+    assert abs(sum(r.share for r in out) - 1.0) < 1e-4
+    assert len(out) >= 2
+    for r in out:
+        assert 0.0 < r.modal_share <= 1.0
+        assert -1.000001 <= r.avg_cos <= 1.000001
