@@ -1207,3 +1207,81 @@ def test_sentence_stats_oracle_matches_python_reference(rows):
     con = _docs_con(rows)
     got = [tuple(r) for r in con.sql(o_sentence_stats_card()).fetchall()]
     assert _nsort(got) == _nsort(ref)
+
+
+# ---------------------------------------------------------------------------
+# cluster_profile oracle vs python reference (decimal-dot assignment,
+# modal ties, exact-decimal mean)
+# ---------------------------------------------------------------------------
+
+from etl_staging_spark.llmdata.simsearch import (
+    _py_decimal_dot,
+    _py_decimal_norm as _pdn,
+)
+from etl_staging_spark.queries.catalog_llm import o_cluster_profile
+
+# float32-exact, nonzero elements: the DOUBLE the oracle unnests equals
+# the float the python reference multiplies
+f32_elem_st = st.sampled_from([0.5, -0.5, 1.0, 0.25, -0.75, 1.5, 2.0])
+cl_vec_st = st.lists(f32_elem_st, min_size=3, max_size=3)
+cl_label_st = st.one_of(st.none(), st.integers(0, 2))
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.tuples(cl_vec_st, cl_label_st), min_size=1, max_size=10),
+    st.integers(1, 3),
+)
+def test_cluster_profile_oracle_matches_python_reference(rows, k):
+    cents = {i: v for i, (v, _) in enumerate(rows) if i < k}
+    norms = {i: _pdn(v) for i, (v, _) in enumerate(rows)}
+    assign = []
+    for i, (v, label) in enumerate(rows):
+        cands = [
+            (
+                _py_decimal_dot(v, cv) / (norms[i] * norms[cid]),
+                cid,
+            )
+            for cid, cv in cents.items()
+        ]
+        cands.sort(key=lambda t: (-t[0], t[1]))
+        c, cell = cands[0]
+        assign.append((cell, py_pround(c, 6), label))
+    total = len(assign)
+    q6 = Decimal(1).scaleb(-6)
+    ref = []
+    for cell in sorted({a[0] for a in assign}):
+        members = [a for a in assign if a[0] == cell]
+        n = len(members)
+        acc = sum(
+            Decimal(repr(cr)).quantize(q6, rounding=ROUND_HALF_UP)
+            for _, cr, _ in members
+        )
+        lab_counts: dict = defaultdict(int)
+        for _, _, label in members:
+            lab_counts[label] += 1
+        modal, n_lab = sorted(
+            lab_counts.items(),
+            key=lambda t: (-t[1], t[0] is None, t[0] if t[0] is not None else 0),
+        )[0]
+        ref.append(
+            (
+                cell,
+                n,
+                py_pround(n / total, 6),
+                py_pround(float(acc) / n, 6),
+                modal,
+                py_pround(n_lab / n, 6),
+            )
+        )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE embeddings(vec_id BIGINT, embedding FLOAT[],"
+        " label INTEGER)"
+    )
+    con.executemany(
+        "INSERT INTO embeddings VALUES (?, CAST(? AS FLOAT[]), ?)",
+        [(i, v, s) for i, (v, s) in enumerate(rows)],
+    )
+    got = [tuple(r) for r in con.sql(o_cluster_profile(k)).fetchall()]
+    assert sorted(got) == ref
