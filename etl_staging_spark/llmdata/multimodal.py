@@ -220,3 +220,48 @@ def sample_frames(df: DataFrame, fps_ms: int = 1000) -> DataFrame:
         (F.col("frame_idx").cast("bigint") * fps_ms).alias("frame_ts_ms"),
         (F.col("doc_id") * 1024 + F.col("frame_idx")).cast("bigint").alias("frame_key"),
     )
+
+
+def usability_card(
+    feats: DataFrame, fmt_col: str = "fmt", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-format payload-usability card over a `feature_table` output:
+    how much of each modality's corpus actually carries a usable
+    feature vector — NULL vectors (NULL payloads) and zero vectors
+    (empty payloads) broken out separately, because they need different
+    fixes (a NULL payload is an ingest defect, an empty one a producer
+    emitting placeholders). This is the go/no-go read BEFORE feeding
+    the vectors to the embedding dedup/ANN operators, whose
+    `usable_features` gate silently drops exactly these rows — the
+    card says how much is being dropped and where. Output: (fmt,
+    n_docs, n_null_vec, n_zero_vec, n_usable, usable_rate), rate
+    prounded to 6.
+
+    Scale shape: one row-local classification over the Arrow kernel's
+    output -> ONE map-side-combinable aggregate on the bounded format
+    key. No join, no window; the only Python is the feature kernel
+    itself (mapInPandas by design)."""
+    from ..numeric import pround
+
+    c = F.col(vec_col)
+    nonzero = F.exists(c, lambda x: x != 0)
+    d = feats.select(
+        F.col(fmt_col).alias("fmt"),
+        c.isNull().cast("int").alias("nl"),
+        (c.isNotNull() & ~nonzero).cast("int").alias("zz"),
+        (c.isNotNull() & nonzero).cast("int").alias("ok"),
+    )
+    agg = d.groupBy("fmt").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nl").cast("bigint").alias("n_null_vec"),
+        F.sum("zz").cast("bigint").alias("n_zero_vec"),
+        F.sum("ok").cast("bigint").alias("n_usable"),
+    )
+    return agg.select(
+        "fmt",
+        "n_docs",
+        "n_null_vec",
+        "n_zero_vec",
+        "n_usable",
+        pround(F.col("n_usable") / F.col("n_docs"), 6).alias("usable_rate"),
+    )

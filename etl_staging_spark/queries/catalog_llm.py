@@ -3918,3 +3918,28 @@ def o_source_signature_terms(k: int = 10, min_cnt: int = 2) -> str:
     SELECT source, CAST(rank AS INT) AS rank, token, CAST(cnt AS BIGINT) AS cnt,
            {o_pround("lift_raw", 6)} AS lift
     FROM ssr WHERE rank <= {k}"""
+
+
+def o_mm_usability_card(dim: int = 16) -> str:
+    """DuckDB oracle twin of `llmdata.multimodal.usability_card` over
+    `feature_table` (r16 registration queue — exercised by the
+    dedicated Spark-vs-DuckDB parity pytest at two SFs): the shared
+    feature CTEs classify each doc as NULL-vector (no grid row — NULL
+    payload), zero-vector (max normalized bin = 0 — empty payload) or
+    usable, then ONE rollup on the bounded format key; histogram
+    values are never negative, so nonzero <=> max > 0."""
+    return _feature_ctes(dim) + """,
+    mmu AS (SELECT gid, MAX(val) AS mx FROM v GROUP BY gid)
+    SELECT fb.fmt,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN mmu.gid IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_vec,
+           CAST(SUM(CASE WHEN mmu.mx = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_zero_vec,
+           CAST(SUM(CASE WHEN mmu.mx > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_usable,
+           FLOOR(CAST(SUM(CASE WHEN mmu.mx > 0 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*) * 1000000 + 0.5) / 1000000
+             AS usable_rate
+    FROM fb LEFT JOIN mmu ON mmu.gid = fb.doc_id
+    GROUP BY fb.fmt"""

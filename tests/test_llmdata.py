@@ -5051,3 +5051,53 @@ def test_cluster_profile_with_trained_centroids(spark):
     for r in out:
         assert 0.0 < r.modal_share <= 1.0
         assert -1.000001 <= r.avg_cos <= 1.000001
+
+
+def test_mm_usability_card_planted_and_duckdb(spark):
+    """mm_usability_card (r16 queue): a planted corpus splitting the
+    three populations — a normal payload (usable), an empty payload
+    (zero vector), a NULL payload (NULL vector) — lands each in its own
+    counter with the right format, and the card matches its DuckDB twin
+    on the same frame."""
+    from etl_staging_spark.llmdata import multimodal
+    from etl_staging_spark.queries.catalog_llm import o_mm_usability_card
+
+    rows = [
+        (0, "abc", "s"),    # 3 bytes  -> img, usable
+        (1, "", "s"),       # 0 bytes  -> img, ZERO vector
+        (2, "abcd", "s"),   # 4 bytes  -> audio, usable
+        (3, None, "s"),     # NULL payload -> NULL vector
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    feats = multimodal.feature_table(docs, dim=16)
+    got = {r.fmt: tuple(r)[1:] for r in multimodal.usability_card(feats).collect()}
+    assert got["img"] == (2, 0, 1, 1, 0.5)
+    assert got["audio"] == (1, 0, 0, 1, 1.0)
+    want = _duck_on(rows, o_mm_usability_card(16))
+    assert _nsafe_sorted(
+        tuple(r) for r in multimodal.usability_card(feats).collect()
+    ) == want
+
+
+def test_mm_usability_card_matches_duckdb_on_real_tables(spark):
+    """Registration dry-run of `mm_usability_card` at BOTH parity
+    scales over the real documents tables (dim=16, the certified
+    mm_feature_hist configuration)."""
+    import duckdb
+
+    from etl_staging_spark.llmdata import multimodal
+    from etl_staging_spark.queries.catalog_llm import o_mm_usability_card
+
+    for sf in ("sf0.001", "sf0.01"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        docs = spark.read.parquet(path)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+        feats = multimodal.feature_table(docs, dim=16)
+        got = _nsafe_sorted(
+            tuple(r) for r in multimodal.usability_card(feats).collect()
+        )
+        want = _nsafe_sorted(
+            tuple(r) for r in con.sql(o_mm_usability_card(16)).fetchall()
+        )
+        assert got == want and len(got) > 0, sf

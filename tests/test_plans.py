@@ -842,3 +842,22 @@ def test_source_signature_terms_salted_topk_no_python(spark):
     assert "HashAggregate" in p
     # both window phases are present (salted local + per-source global)
     assert p.count("Window") >= 2
+
+
+def test_mm_usability_card_single_agg_over_arrow_kernel(spark):
+    """mm_usability_card (r16 queue): one row-local classification over
+    the Arrow feature kernel's output -> ONE aggregate on the bounded
+    format key; the only Python boundary is the mapInPandas kernel
+    itself (by design); no join, no window, no cartesian."""
+    from etl_staging_spark.llmdata.multimodal import (
+        feature_table,
+        usability_card,
+    )
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    p = usability_card(feature_table(docs, dim=16))._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in p
+    assert "BatchEvalPython" not in p
+    assert "Join" not in p and "CartesianProduct" not in p
+    assert "Window" not in p
+    assert "HashAggregate" in p
