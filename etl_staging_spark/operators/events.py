@@ -640,3 +640,56 @@ def o_active_users(source_sql: str = "events") -> str:
     SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, wau.wau,
            {stick} AS stickiness
     FROM dau JOIN wau ON wau.day = dau.day"""
+
+
+def volume_counts(events: DataFrame) -> DataFrame:
+    """The ADDITIVE half of :func:`volume_card`: per-type event / value
+    counts plus the value mass in exact integer CENTS (each value
+    HALF_UP-rounded to 2 dp via the module's DECIMAL(18,2) convention,
+    then scaled — integers merge across micro-batches with no
+    summation-order dependence, which is what lets the bigint-only
+    additive-card fold maintain a money total)."""
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("value").alias("n_value"),
+        F.coalesce(F.sum(cents), F.lit(0)).cast("bigint").alias("value_cents"),
+    )
+
+
+def finish_volume_card(counts: DataFrame) -> DataFrame:
+    """The presentation half of :func:`volume_card`: the cents back to
+    a double total over an already-bounded per-type frame."""
+    return counts.select(
+        "event_type",
+        "n_events",
+        "n_value",
+        (F.col("value_cents").cast("double") / 100).alias("total_value"),
+    )
+
+
+def volume_card(events: DataFrame) -> DataFrame:
+    """Per-event-type volume card: event count, non-NULL value count
+    and the exact-decimal value total — the ops-dashboard rollup that
+    says what the event stream is made of, maintained incrementally by
+    `streaming.ingest.events_volume_stream` (the additive-card
+    machinery applied to a non-documents table: the delta is typed
+    integer counts, so the same `_fold` merges it).
+
+    Scale shape: ONE map-side-combinable aggregate on the bounded
+    event-type key. No join, no window, no Python."""
+    return finish_volume_card(volume_counts(events))
+
+
+def o_volume_card(source_sql: str = "events") -> str:
+    """DuckDB oracle twin of :func:`volume_card`: the same per-element
+    DECIMAL(18,2) rounding, integer cents sum, and one double division
+    on the output edge."""
+    return f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(value) AS n_value,
+           CAST(COALESCE(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                  AS BIGINT)), 0) AS DOUBLE) / 100
+             AS total_value
+    FROM {source_sql} GROUP BY event_type"""

@@ -981,6 +981,35 @@ def truncation_card_stream(
     )
 
 
+def events_volume_stream(
+    events_stream: DataFrame,
+    state_dir: str,
+    on_batch: Callable[[int, DataFrame], None],
+    query_name: str = "events_volume",
+    checkpoint_dir: str | None = None,
+):
+    """`operators.events.volume_card` maintained incrementally — the
+    additive-card machinery applied to a NON-documents table: the
+    per-type (events, values, integer cents) sums are the delta, the
+    double total re-derives per batch. Money stays exact across
+    replay/compaction because the maintained state is integer cents
+    (each value DECIMAL(18,2)-rounded once, at first sight), never a
+    running double."""
+    from ..operators import events as ev
+
+    return additive_card_stream(
+        events_stream,
+        state_dir,
+        ev.volume_counts,
+        ("event_type",),
+        ev.finish_volume_card,
+        on_batch,
+        count_cols=("n_events", "n_value", "value_cents"),
+        query_name=query_name,
+        checkpoint_dir=checkpoint_dir,
+    )
+
+
 def compact_card_state(
     spark,
     state_dir: str,

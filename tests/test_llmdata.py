@@ -5101,3 +5101,57 @@ def test_mm_usability_card_matches_duckdb_on_real_tables(spark):
             tuple(r) for r in con.sql(o_mm_usability_card(16)).fetchall()
         )
         assert got == want and len(got) > 0, sf
+
+
+def test_events_volume_card_planted_and_duckdb(spark):
+    """events volume card (r16 queue): exact-cents arithmetic on a
+    planted stream — a half-up 2-dp rounding pin (1.005 -> 1.01), a
+    NULL value counted in n_events but not n_value, a NULL event_type
+    audit row — and DuckDB parity on the same frame."""
+    import duckdb
+    from datetime import datetime
+
+    from etl_staging_spark.operators import events as ev
+
+    rows = [
+        (1, datetime(2024, 1, 1, 10), 1, "view", 1.005, None),
+        (2, datetime(2024, 1, 1, 11), 1, "view", 2.0, None),
+        (3, datetime(2024, 1, 1, 12), 2, "click", None, None),
+        (4, datetime(2024, 1, 1, 13), 2, None, 0.4, None),
+    ]
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    events = spark.createDataFrame(rows, schema)
+    got = {r.event_type: tuple(r)[1:] for r in ev.volume_card(events).collect()}
+    assert got["view"] == (2, 2, 3.01)
+    assert got["click"] == (1, 0, 0.0)
+    assert got[None] == (1, 1, 0.4)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events(event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+        " event_type VARCHAR, value DOUBLE, props VARCHAR)"
+    )
+    con.executemany("INSERT INTO events VALUES (?, ?, ?, ?, ?, ?)", rows)
+    want = _nsafe_sorted(tuple(r) for r in con.sql(ev.o_volume_card()).fetchall())
+    assert _nsafe_sorted(
+        tuple(r) for r in ev.volume_card(events).collect()
+    ) == want
+
+
+def test_events_volume_card_matches_duckdb_on_real_tables(spark):
+    """Registration dry-run of the events volume card at BOTH parity
+    scales on the real events tables."""
+    import duckdb
+
+    from etl_staging_spark.operators import events as ev
+
+    for sf in ("sf0.001", "sf0.01"):
+        path = f"/root/testdata/{sf}/events.parquet"
+        events = spark.read.parquet(path)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW events AS SELECT * FROM '{path}'")
+        got = _nsafe_sorted(tuple(r) for r in ev.volume_card(events).collect())
+        want = _nsafe_sorted(
+            tuple(r) for r in con.sql(ev.o_volume_card()).fetchall()
+        )
+        assert got == want and len(got) > 0, sf

@@ -2084,3 +2084,63 @@ def test_params_guard_rotates_on_empty_log(spark, tmp_path):
     # identical params still resume
     _guard_card_params(state, {"max_len": 256, "source_col": "source"})
     assert _read_card_owner(state) is None  # params marker is separate
+
+
+def test_events_volume_stream_matches_batch(spark, tmp_path):
+    """The additive-card machinery on a NON-documents table: the
+    events volume card maintained over micro-batches equals the batch
+    card, with the money total exact across batches because the state
+    is integer cents (a 1.005 value in one batch and 2.0 in another
+    land at exactly 3.01)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+    from datetime import datetime
+
+    from etl_staging_spark.operators import events as ev
+    from etl_staging_spark.streaming.ingest import events_volume_stream
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    drops = [
+        [(1, datetime(2024, 1, 1, 10), 1, "view", 1.005, None)],
+        [
+            (2, datetime(2024, 1, 1, 11), 1, "view", 2.0, None),
+            (3, datetime(2024, 1, 1, 12), 2, "click", None, None),
+        ],
+    ]
+    d = tmp_path / "drops"
+    d.mkdir()
+    seen: list[tuple] = []
+    for i, rows in enumerate(drops):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(d / f"f{i}")
+        )
+        seen.extend(rows)
+    cards: dict[int, list] = {}
+    q = events_volume_stream(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*"),
+        str(tmp_path / "state"),
+        lambda bid, c: cards.__setitem__(bid, [tuple(r) for r in c.collect()]),
+    )
+    q.awaitTermination()
+    assert len(cards) == 2
+    full = spark.createDataFrame(seen, schema)
+    want = _nkey([tuple(r) for r in ev.volume_card(full).collect()])
+    assert _nkey(cards[max(cards)]) == want
+    final = {r[0]: r[1:] for r in cards[max(cards)]}
+    assert final["view"] == (2, 2, 3.01)
