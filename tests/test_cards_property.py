@@ -1285,3 +1285,88 @@ def test_cluster_profile_oracle_matches_python_reference(rows, k):
     )
     got = [tuple(r) for r in con.sql(o_cluster_profile(k)).fetchall()]
     assert sorted(got) == ref
+
+
+# ---------------------------------------------------------------------------
+# r16 queue: mm usability + events volume oracles vs python references
+# ---------------------------------------------------------------------------
+
+from etl_staging_spark.operators.events import o_volume_card
+from etl_staging_spark.queries.catalog_llm import o_mm_usability_card
+
+mm_text_st = st.one_of(
+    st.none(), st.text(alphabet="abcé ", max_size=7)
+)
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(st.tuples(mm_text_st, source_st), max_size=10))
+def test_mm_usability_oracle_matches_python_reference(rows):
+    groups: dict = defaultdict(lambda: [0, 0, 0, 0])
+    for text, _src in rows:
+        if text is None:
+            nb = None
+        else:
+            nb = len(text.encode("utf-8"))
+        fmt = (
+            "video"
+            if nb is None
+            else ("img", "audio", "video")[nb % 3]
+        )
+        g = groups[fmt]
+        g[0] += 1
+        if nb is None:
+            g[1] += 1      # NULL payload -> NULL vector
+        elif nb == 0:
+            g[2] += 1      # empty payload -> zero vector
+        else:
+            g[3] += 1
+    ref = [
+        (fmt, nd, nl, zz, ok, py_pround(ok / nd, 6))
+        for fmt, (nd, nl, zz, ok) in groups.items()
+    ]
+    con = _docs_con(rows)
+    got = [tuple(r) for r in con.sql(o_mm_usability_card(16)).fetchall()]
+    assert _nsort(got) == _nsort(ref)
+
+
+ev_value_st = st.one_of(
+    st.none(),
+    st.floats(allow_nan=False, allow_infinity=False,
+              min_value=-100, max_value=100),
+)
+ev_type_st = st.one_of(st.none(), st.sampled_from(["view", "click"]))
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(st.tuples(ev_type_st, ev_value_st), max_size=12))
+def test_events_volume_oracle_matches_python_reference(rows):
+    q2 = Decimal(1).scaleb(-2)
+    groups: dict = defaultdict(lambda: [0, 0, 0])
+    for etype, value in rows:
+        g = groups[etype]
+        g[0] += 1
+        if value is None:
+            continue
+        g[1] += 1
+        # DECIMAL(18,2) cast: shortest-repr parse + HALF_UP (the
+        # BigDecimal convention both engines implement)
+        g[2] += int(
+            Decimal(repr(value)).quantize(q2, rounding=ROUND_HALF_UP) * 100
+        )
+    ref = [
+        (etype, nd, nv, float(cents) / 100)
+        for etype, (nd, nv, cents) in groups.items()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events(event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+        " event_type VARCHAR, value DOUBLE, props VARCHAR)"
+    )
+    if rows:
+        con.executemany(
+            "INSERT INTO events VALUES (?, NULL, 1, ?, ?, NULL)",
+            [(i, t, v) for i, (t, v) in enumerate(rows)],
+        )
+    got = [tuple(r) for r in con.sql(o_volume_card()).fetchall()]
+    assert _nsort(got) == _nsort(ref)
