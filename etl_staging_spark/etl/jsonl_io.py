@@ -47,7 +47,7 @@ def write_jsonl(
     ``compression`` is any Hadoop codec name ('gzip', 'zstd', ...).
     Columns are written as-is: export the exact projection you mean to
     publish."""
-    out = df.repartition(shards) if shards else df
+    out = df.repartition(shards) if shards is not None else df
     w = out.write.mode(mode)
     if compression:
         w = w.option("compression", compression)
@@ -106,8 +106,24 @@ def jsonl_doc_stream(
     spark: SparkSession, docs_dir: str, schema: StructType
 ) -> DataFrame:
     """File stream over a JSONL drop directory (declared schema —
-    streaming sources never infer). Drop-in replacement for
-    `streaming.ingest.doc_stream`'s parquet scan wherever the producer
-    ships JSONL shards; every foreachBatch consumer (dedup ingest,
-    gated ingest, the additive card streams) composes unchanged."""
-    return spark.readStream.schema(schema).json(docs_dir)
+    streaming sources never infer), with the SAME corrupt-record
+    channel as `read_jsonl`: a malformed line arrives as a row whose
+    ``_corrupt_record`` holds the raw text (without the channel it
+    would arrive as an all-NULL row and silently inflate every
+    downstream count). Callers split it per batch before the doc-shaped
+    consumers:
+
+        stream.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+
+    (route the other side to a reject sink); after the split every
+    foreachBatch consumer (dedup ingest, gated ingest, the additive
+    card streams) composes unchanged."""
+    full = StructType(
+        list(schema.fields) + [StructField(CORRUPT_COL, StringType())]
+    )
+    return (
+        spark.readStream.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(docs_dir)
+    )

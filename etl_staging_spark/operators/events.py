@@ -648,11 +648,22 @@ def volume_counts(events: DataFrame) -> DataFrame:
     HALF_UP-rounded to 2 dp via the module's DECIMAL(18,2) convention,
     then scaled — integers merge across micro-batches with no
     summation-order dependence, which is what lets the bigint-only
-    additive-card fold maintain a money total)."""
-    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    additive-card fold maintain a money total).
+
+    ACCOUNTABLE values only: NaN and |value| >= 1e15 are excluded from
+    BOTH ``n_value`` and the cents mass (one policy, so the two can
+    never disagree about what was summed) — under ANSI mode an
+    unguarded DECIMAL(18,2) cast of an out-of-range double would crash
+    the job, and a crash inside the streaming twin's foreachBatch
+    poisons the replay permanently (the same batch re-delivers and
+    crashes on every restart)."""
+    v = F.col("value")
+    sane = v.isNotNull() & ~F.isnan(v) & (F.abs(v) < F.lit(1.0e15))
+    sv = F.when(sane, v)
+    cents = (sv.cast("decimal(18,2)") * 100).cast("bigint")
     return events.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.count("value").alias("n_value"),
+        F.count(sv).alias("n_value"),
         F.coalesce(F.sum(cents), F.lit(0)).cast("bigint").alias("value_cents"),
     )
 
@@ -688,8 +699,12 @@ def o_volume_card(source_sql: str = "events") -> str:
     return f"""
     SELECT event_type,
            COUNT(*) AS n_events,
-           COUNT(value) AS n_value,
-           CAST(COALESCE(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+           COUNT(sv) AS n_value,
+           CAST(COALESCE(SUM(CAST(CAST(sv AS DECIMAL(18,2)) * 100
                                   AS BIGINT)), 0) AS DOUBLE) / 100
              AS total_value
-    FROM {source_sql} GROUP BY event_type"""
+    FROM (SELECT event_type,
+                 CASE WHEN value IS NOT NULL AND NOT isnan(value)
+                           AND abs(value) < 1e15 THEN value END AS sv
+          FROM {source_sql})
+    GROUP BY event_type"""

@@ -3928,7 +3928,7 @@ def o_mm_usability_card(dim: int = 16) -> str:
     payload), zero-vector (max normalized bin = 0 — empty payload) or
     usable, then ONE rollup on the bounded format key; histogram
     values are never negative, so nonzero <=> max > 0."""
-    return _feature_ctes(dim) + """,
+    return _feature_ctes(dim) + f""",
     mmu AS (SELECT gid, MAX(val) AS mx FROM v GROUP BY gid)
     SELECT fb.fmt,
            COUNT(*) AS n_docs,
@@ -3938,8 +3938,7 @@ def o_mm_usability_card(dim: int = 16) -> str:
                 AS BIGINT) AS n_zero_vec,
            CAST(SUM(CASE WHEN mmu.mx > 0 THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_usable,
-           FLOOR(CAST(SUM(CASE WHEN mmu.mx > 0 THEN 1 ELSE 0 END)
-                      AS DOUBLE) / COUNT(*) * 1000000 + 0.5) / 1000000
-             AS usable_rate
+           {o_pround("CAST(SUM(CASE WHEN mmu.mx > 0 THEN 1 ELSE 0 END)"
+                     " AS DOUBLE) / COUNT(*)", 6)} AS usable_rate
     FROM fb LEFT JOIN mmu ON mmu.gid = fb.doc_id
     GROUP BY fb.fmt"""

@@ -1334,6 +1334,8 @@ ev_value_st = st.one_of(
     st.none(),
     st.floats(allow_nan=False, allow_infinity=False,
               min_value=-100, max_value=100),
+    # the unaccountable populations the sane-value policy excludes
+    st.sampled_from([float("nan"), 1e16, -3e17]),
 )
 ev_type_st = st.one_of(st.none(), st.sampled_from(["view", "click"]))
 
@@ -1346,7 +1348,9 @@ def test_events_volume_oracle_matches_python_reference(rows):
     for etype, value in rows:
         g = groups[etype]
         g[0] += 1
-        if value is None:
+        # the sane-value policy: NaN / |v| >= 1e15 are unaccountable —
+        # excluded from BOTH n_value and the cents mass
+        if value is None or math.isnan(value) or abs(value) >= 1e15:
             continue
         g[1] += 1
         # DECIMAL(18,2) cast: shortest-repr parse + HALF_UP (the

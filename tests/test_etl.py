@@ -438,9 +438,13 @@ def test_jsonl_corrupt_channel_and_validation(spark, tmp_path):
 
 def test_jsonl_doc_stream_feeds_card_streams(spark, tmp_path):
     """The JSONL streaming source composes with the additive card
-    machinery unchanged: a length card maintained over JSONL drops
-    equals the batch card over the union of the drops."""
-    from etl_staging_spark.etl.jsonl_io import jsonl_doc_stream
+    machinery: after the documented corrupt-channel split, a length
+    card maintained over JSONL drops equals the batch card over the
+    union of the CLEAN rows — the planted malformed line lands in the
+    channel instead of inflating the card as a phantom all-NULL doc."""
+    from pyspark.sql import functions as F
+
+    from etl_staging_spark.etl.jsonl_io import CORRUPT_COL, jsonl_doc_stream
     from etl_staging_spark.llmdata import stats
     from etl_staging_spark.streaming.ingest import length_card_stream
 
@@ -451,11 +455,14 @@ def test_jsonl_doc_stream_feeds_card_streams(spark, tmp_path):
     )
     (d / "f1.jsonl").write_text(
         '{"doc_id": 2, "text": "d", "source": "s1"}\n'
+        "{broken line\n"
         '{"doc_id": 3, "text": "", "source": "s2"}\n'
     )
+    stream = jsonl_doc_stream(spark, str(d), _doc_schema())
+    clean = stream.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     cards: dict[int, list] = {}
     q = length_card_stream(
-        jsonl_doc_stream(spark, str(d), _doc_schema()),
+        clean,
         str(tmp_path / "state"),
         lambda bid, c: cards.__setitem__(bid, [tuple(r) for r in c.collect()]),
     )

@@ -5070,13 +5070,12 @@ def test_mm_usability_card_planted_and_duckdb(spark):
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
     feats = multimodal.feature_table(docs, dim=16)
-    got = {r.fmt: tuple(r)[1:] for r in multimodal.usability_card(feats).collect()}
+    out = [tuple(r) for r in multimodal.usability_card(feats).collect()]
+    got = {r[0]: r[1:] for r in out}
     assert got["img"] == (2, 0, 1, 1, 0.5)
     assert got["audio"] == (1, 0, 0, 1, 1.0)
     want = _duck_on(rows, o_mm_usability_card(16))
-    assert _nsafe_sorted(
-        tuple(r) for r in multimodal.usability_card(feats).collect()
-    ) == want
+    assert _nsafe_sorted(out) == want
 
 
 def test_mm_usability_card_matches_duckdb_on_real_tables(spark):
