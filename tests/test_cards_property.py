@@ -1374,3 +1374,72 @@ def test_events_volume_oracle_matches_python_reference(rows):
         )
     got = [tuple(r) for r in con.sql(o_volume_card()).fetchall()]
     assert _nsort(got) == _nsort(ref)
+
+
+# ---------------------------------------------------------------------------
+# dup_similarity_histogram oracle vs python reference (the exact-jaccard
+# pair chain incl. the stop-shingle df cutoff, plus the micro binning)
+# ---------------------------------------------------------------------------
+
+from etl_staging_spark.llmdata.dedup import MAX_SHINGLE_DF
+from etl_staging_spark.queries.catalog_llm import o_dup_similarity_histogram
+
+ds_word_st = st.sampled_from(["x", "y", "z", "w"])
+ds_text_st = st.one_of(
+    st.none(), st.lists(ds_word_st, max_size=6).map(" ".join)
+)
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.lists(st.tuples(ds_text_st, source_st), max_size=10),
+    st.sampled_from([0.2, 0.5]),
+    st.booleans(),
+)
+def test_dup_similarity_histogram_oracle_matches_python_reference(
+    rows, threshold, flood
+):
+    if flood:
+        # a shingle in > MAX_SHINGLE_DF docs must be STOP-FILTERED: the
+        # flooded docs then carry zero shingles and form no pairs —
+        # without the cutoff they would add C(67,2) bin-10 pairs
+        rows = rows + [("c1 c2 c3", "z")] * (MAX_SHINGLE_DF + 3)
+    shingles: dict = {}
+    for i, (text, _src) in enumerate(rows):
+        if text is None:
+            continue
+        toks = text.lower().split(" ")
+        if len(toks) < 3:
+            continue
+        shingles[i] = {
+            " ".join(toks[j : j + 3]) for j in range(len(toks) - 2)
+        }
+    df_count: dict = defaultdict(int)
+    for sh in shingles.values():
+        for g in sh:
+            df_count[g] += 1
+    kept = {
+        i: {g for g in sh if df_count[g] <= MAX_SHINGLE_DF}
+        for i, sh in shingles.items()
+    }
+    sizes = {i: len(sh) for i, sh in kept.items() if sh}
+    bins: dict = defaultdict(int)
+    ids = sorted(sizes)
+    for a_i, d1 in enumerate(ids):
+        for d2 in ids[a_i + 1 :]:
+            common = len(kept[d1] & kept[d2])
+            if common == 0:
+                continue
+            j = float(common) / (sizes[d1] + sizes[d2] - common)
+            if j >= threshold:
+                je6 = int(math.floor(j * 1000000 + 0.5))
+                bins[je6 // 100000] += 1
+    ref = [
+        (b, float(b) / 10.0, n) for b, n in bins.items()
+    ]
+    con = _docs_con(rows)
+    got = [
+        tuple(r)
+        for r in con.sql(o_dup_similarity_histogram(threshold)).fetchall()
+    ]
+    assert _nsort(got) == _nsort(ref)
