@@ -71,6 +71,21 @@ def replicated_embeddings(spark, sf_dir: str, r: int):
     return out.repartition(spark.sparkContext.defaultParallelism, "vec_id")
 
 
+def replicated_events(spark, sf_dir: str, r: int):
+    """Replicate events with offset ids — the volume card groups on the
+    bounded event_type key, so exact copies model pure volume growth."""
+    base = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n = base.agg(F.max("event_id")).collect()[0][0] + 1
+    parts = [
+        base.withColumn("event_id", F.col("event_id") + F.lit(k * n))
+        for k in range(r)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.repartition(spark.sparkContext.defaultParallelism, "event_id")
+
+
 def replicated_lineitem(spark, sf_dir: str, r: int):
     """Replicate lineitem with SALTED keys: key cardinality grows
     linearly with r, per-key group size stays constant — modelling a
@@ -202,6 +217,9 @@ def run_probe(
         "source_vocab_cosine_matrix": lambda d: stats.source_vocab_cosine_matrix(d),
         "truncation_loss_card": lambda d: stats.truncation_loss_card(d, 64),
         "source_signature_terms": lambda d: stats.source_signature_terms(d),
+        "mm_usability_card": lambda d: multimodal.usability_card(
+            multimodal.feature_table(d, dim=16)
+        ),
     }
     from etl_staging_spark.llmdata import simsearch
 
@@ -210,9 +228,15 @@ def run_probe(
         # should grow ~linearly in the vector count
         "cluster_profile": lambda e: simsearch.cluster_profile(e),
     }
+    from etl_staging_spark.operators import events as _ev
+
+    vops = {
+        # one bounded-key aggregate over offset-replicated events
+        "events_volume_card": lambda v: _ev.volume_card(v),
+    }
     lops = ledger_ops()
     results: dict[str, dict[int, float]] = {
-        o: {} for o in (*ops, *eops, *lops)
+        o: {} for o in (*ops, *eops, *vops, *lops)
     }
     for r in replicas:
         docs = replicated(spark, sf_dir, r).persist()
@@ -251,6 +275,22 @@ def run_probe(
                 print(json.dumps({"op": name, "replicas": r, "n_vecs": n_emb,
                                   "sec": results[name][r]}), flush=True)
         emb.unpersist()
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        evd = replicated_events(spark, sf_dir, r).persist()
+        n_ev = evd.count()
+        for name, fn in vops.items():
+            fn(evd).write.format("noop").mode("overwrite").save()
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                fn(evd).write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            results[name][r] = round(best, 3)
+            if not quiet:
+                print(json.dumps({"op": name, "replicas": r, "n_rows": n_ev,
+                                  "sec": results[name][r]}), flush=True)
+        evd.unpersist()
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
         li = replicated_lineitem(spark, sf_dir, r).persist()
