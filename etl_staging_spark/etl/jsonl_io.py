@@ -23,8 +23,12 @@ from .csv_io import CORRUPT_COL
 def read_jsonl(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
     """Schema-declared JSONL scan; malformed lines keep their raw text
     in the corrupt-record column (PERMISSIVE mode). Handles .gz/.zst
-    shards transparently (Hadoop codec by extension)."""
-    full = StructType(
+    shards transparently (Hadoop codec by extension). A schema that
+    already declares the corrupt column (re-reading a staged reject
+    dataset) is passed through unchanged — appending a second copy
+    would be an AnalysisException at scan time."""
+    has_corrupt = any(f.name == CORRUPT_COL for f in schema.fields)
+    full = schema if has_corrupt else StructType(
         list(schema.fields) + [StructField(CORRUPT_COL, StringType())]
     )
     return spark.read.json(
@@ -117,8 +121,10 @@ def jsonl_doc_stream(
 
     (route the other side to a reject sink); after the split every
     foreachBatch consumer (dedup ingest, gated ingest, the additive
-    card streams) composes unchanged."""
-    full = StructType(
+    card streams) composes unchanged. A schema already declaring the
+    corrupt column passes through, same as `read_jsonl`."""
+    has_corrupt = any(f.name == CORRUPT_COL for f in schema.fields)
+    full = schema if has_corrupt else StructType(
         list(schema.fields) + [StructField(CORRUPT_COL, StringType())]
     )
     return (

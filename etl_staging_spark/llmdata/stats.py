@@ -1595,8 +1595,14 @@ def source_vocab_cosine_from_counts(per_tok: DataFrame) -> DataFrame:
     """`source_vocab_cosine_matrix` over a prebuilt (source, token,
     cnt) frame — e.g. the TTR stream's merged delta-log state."""
     per = per_tok.where(F.col("source").isNotNull())
-    # DECIMAL(19,0) counts: products land in DECIMAL(38,0) — exact at
-    # any corpus size (bigint products would overflow ~1e12 counts)
+    # DECIMAL(19,0) counts: products land in DECIMAL(38,0) — exact
+    # per-product up to ~1e12 counts where bigint products would
+    # already overflow. The SUM stays precision 38, so a dot product
+    # can in principle exceed 1e38 (vocabulary size x 1e12^2 worst
+    # case) and fail loudly under ANSI rather than round — acceptable:
+    # the failure is an error, never a silently drifted cosine, and
+    # real per-(source, token) counts sit orders of magnitude below
+    # the bound
     per = per.select(
         "source", "token", F.col("cnt").cast("decimal(19,0)").alias("cnt")
     )

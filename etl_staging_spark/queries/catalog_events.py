@@ -94,3 +94,15 @@ def events_active_users(spark, sf_dir):
     the user active — a projection, never a range self-join over raw
     events (`operators/events.py`)."""
     return ev.active_users(load(spark, sf_dir, "events"))
+
+
+@query("events_volume_card", oracle=ev.o_volume_card())
+def events_volume_card(spark, sf_dir):
+    """Per-event-type volume card (registered r14, pulled forward from
+    the r16 queue): event count, non-NULL value count, exact-decimal
+    value total — the ops-dashboard rollup `streaming.ingest.
+    events_volume_stream` maintains incrementally (same additive
+    counts + `_fold` machinery as the documents cards). ONE
+    map-side-combinable aggregate on the bounded event-type key; no
+    join, no window, no Python (`operators/events.py:682`)."""
+    return ev.volume_card(load(spark, sf_dir, "events"))

@@ -3942,3 +3942,178 @@ def o_mm_usability_card(dim: int = 16) -> str:
                      " AS DOUBLE) / COUNT(*)", 6)} AS usable_rate
     FROM fb LEFT JOIN mmu ON mmu.gid = fb.doc_id
     GROUP BY fb.fmt"""
+
+
+# ---------------------------------------------------------------------------
+# r14 registrations: the corpus-QA / dedup-evidence card queue built r13.
+# Every entry below was library-complete with a planted-fixture pytest, a
+# two-SF real-table parity dry-run, a plan audit, and a hypothesis
+# python-reference oracle triangulation BEFORE registration — these
+# wrappers only convert finished capability into driver-certified rows.
+# ---------------------------------------------------------------------------
+
+
+@query("pii_rate_by_source", oracle=o_pii_rate_by_source())
+def pii_rate_by_source_q(spark, sf_dir):
+    """Per-source PII incidence (registered r14 from the r13 queue):
+    per-category match totals for the certified `pii_mask_regex` trio
+    counted on the ORIGINAL text, plus any-match doc counts and rate —
+    the pre-scrub dirtiness read and the post-release audit number.
+    One codegen'd projection -> ONE map-side-combinable aggregate on
+    the bounded source key; no join, no window, no Python."""
+    return stats.pii_rate_by_source(load(spark, sf_dir, "documents"))
+
+
+@query("dup_token_rate_by_source", oracle=o_dup_token_rate_by_source())
+def dup_token_rate_by_source_q(spark, sf_dir):
+    """Token-weighted exact-duplication cost per source (registered
+    r14 from the r13 queue): tokens spent on EXCESS copies — the
+    budget number the doc-weighted `dup_rate_by_source` cannot give,
+    because mixture weights budget in tokens and a source's longest
+    docs duplicating wastes more than its doc rate suggests.
+    Two-phase (source, sha2-digest) aggregate; the shuffle carries a
+    digest + two ints, never the document body."""
+    return stats.dup_token_rate_by_source(load(spark, sf_dir, "documents"))
+
+
+@query("charclass_profile_card", oracle=o_charclass_profile_card())
+def charclass_profile_card_q(spark, sf_dir):
+    """Character-class composition per source (registered r14 from the
+    r13 queue): alpha/digit/space/other fractions from ONE scan — the
+    encoding-health read that catches mojibake, markup residue and
+    digit dumps before any tokenizer sees them. Counts are raw-length
+    minus post-removal length (exact integer arithmetic, no per-char
+    explode); ONE map-side-combinable aggregate."""
+    return stats.charclass_profile_card(load(spark, sf_dir, "documents"))
+
+
+@query("dup_similarity_histogram", oracle=o_dup_similarity_histogram(0.2))
+def dup_similarity_histogram_q(spark, sf_dir):
+    """Near-dup similarity spectrum (registered r14, pulled forward
+    from the r15 queue): exact 3-gram Jaccard pairs above a low floor
+    bucketed into tenths — the threshold-tuning evidence a dedup
+    rollout reads before committing a cutoff. Rides the certified
+    exact-Jaccard operator's stop-shingle-filtered single-shuffle
+    index (pairs from shared surviving shingles only, fan-out bounded
+    by the df cutoff) + ONE bounded aggregate; binning is
+    knife-edge-free integer micro-jaccard."""
+    return stats.dup_similarity_histogram(
+        load(spark, sf_dir, "documents"), threshold=0.2
+    )
+
+
+@query("sentence_stats_card", oracle=o_sentence_stats_card())
+def sentence_stats_card_q(spark, sf_dir):
+    """Per-source sentence-shape card (registered r14, pulled forward
+    from the r15 queue): sentence counts ([.!?]+ segments carrying
+    non-whitespace), sentences/doc, tokens/sentence — separates prose
+    from logs/tables/code walls and sizes context windows in
+    sentences. One projection -> ONE map-side-combinable aggregate."""
+    return stats.sentence_stats_card(load(spark, sf_dir, "documents"))
+
+
+@query("token_fertility_by_lang", oracle=o_token_fertility_by_lang())
+def token_fertility_by_lang_q(spark, sf_dir):
+    """Tokenizer fertility (chars/token) per predicted language
+    (registered r14, pulled forward from the r15 queue): the read that
+    catches an English-trained tokenizer fragmenting other languages,
+    silently skewing token-denominated mixture weights. Lang-ID keep=
+    carries text through (no re-join); ONE aggregate on the bounded
+    #profiles+1 key."""
+    return stats.token_fertility_by_lang(load(spark, sf_dir, "documents"))
+
+
+@query("length_quality_joint_card", oracle=o_length_quality_joint_card())
+def length_quality_joint_card_q(spark, sf_dir):
+    """Joint length x quality distribution (registered r14, pulled
+    forward from the r15 queue): doc counts per (pow-2 length bucket,
+    quality tenth) cell — the 2-D read the marginal cards can't give
+    (a fat long-but-junk corner means a global gate still packs junk
+    into every context window). ONE aggregate on a bounded <=26x11
+    key; share window over that bounded frame only."""
+    return stats.length_quality_joint_card(load(spark, sf_dir, "documents"))
+
+
+@query("dup_ngram_coverage", oracle=o_dup_ngram_coverage(3))
+def dup_ngram_coverage_q(spark, sf_dir):
+    """Duplicated n-gram coverage per source (registered r14, pulled
+    forward from the r15 queue): the fraction of each source's 3-gram
+    OCCURRENCES also appearing in some OTHER doc — the
+    span-granularity dedup signal (Lee et al. 2022) doc-level cards
+    miss; same-doc repetition excluded (the gopher card's signal).
+    Explode -> per-(doc, 56-bit digest) counts -> per-digest doc
+    counts -> equi-join of two PRE-AGGREGATED frames (hot grams are
+    one row on the count side — no skew amplification) -> one source
+    rollup."""
+    return stats.dup_ngram_coverage(load(spark, sf_dir, "documents"), n=3)
+
+
+@query("source_vocab_cosine_matrix", oracle=o_source_vocab_cosine_matrix())
+def source_vocab_cosine_matrix_q(spark, sf_dir):
+    """Inter-source lexical cosine (registered r14, pulled forward
+    from the r15 queue): pairwise cosine between per-source
+    token-count vectors — catches two sources that are the SAME corpus
+    (mirror, re-crawl) when no individual document duplicates.
+    Raw-count cosine is scale-invariant; dot/norm numerators are exact
+    DECIMAL(38,0) integer sums (order-free); vocabulary-bounded counts
+    + inverted-index join with per-token fan-out <= #sources^2 +
+    broadcast norm joins."""
+    return stats.source_vocab_cosine_matrix(load(spark, sf_dir, "documents"))
+
+
+@query("truncation_loss_card", oracle=o_truncation_loss_card(64))
+def truncation_loss_card_q(spark, sf_dir):
+    """Truncation-loss card (registered r14, pulled forward from the
+    r15 queue): per source, the token mass a fixed max-sequence-length
+    cut would DISCARD — what a candidate context length actually
+    costs, because one 100k-token doc loses more than a thousand
+    600-token docs. max_len=64 here so the cut bites the fixture
+    corpus (the production default 512 exceeds every testdata doc —
+    the two-SF dry-run pytest pins the same choice). One projection ->
+    ONE map-side-combinable aggregate."""
+    return stats.truncation_loss_card(
+        load(spark, sf_dir, "documents"), max_len=64
+    )
+
+
+@query("source_signature_terms", oracle=o_source_signature_terms())
+def source_signature_terms_q(spark, sf_dir):
+    """Characteristic terms per source (registered r14, pulled forward
+    from the r15 queue): top-k tokens by relative-frequency LIFT
+    (share in source / share in corpus) — the 'what is this source
+    about' dataset-card row. Lift, not TF-IDF: two exact
+    integer-valued double products + one division, bit-identical IEEE
+    on both engines, no ln() rounding hazard. Vocabulary-bounded
+    counts, token-keyed join with fan-out <= #sources, broadcast
+    totals, salted two-phase per-source top-k (no partition holds a
+    source's full vocabulary); equal-lift ties break token-ASC."""
+    return stats.source_signature_terms(load(spark, sf_dir, "documents"))
+
+
+@query("cluster_profile", oracle=o_cluster_profile(8))
+def cluster_profile_q(spark, sf_dir):
+    """Embedding-cluster composition card (registered r14, pulled
+    forward from the r15 queue): per IVF cell — population, share,
+    mean cosine-to-centroid (coherence) and modal-label purity — the
+    topic-balance read before cluster reweighting and the sanity check
+    before trusting semantic dedup inside a cell. Shares
+    `_cell_scores_expr` with the certified IVF assignment (reported
+    cosine can never drift from the assignment); exact-decimal mean of
+    prounded cosines (order-free); broadcast centroid literals;
+    bounded aggregates/windows only."""
+    return simsearch.cluster_profile(load(spark, sf_dir, "embeddings"))
+
+
+@query("mm_usability_card", oracle=o_mm_usability_card(16))
+def mm_usability_card_q(spark, sf_dir):
+    """Multimodal payload-usability card (registered r14, pulled
+    forward from the r16 queue): per format, how much of the corpus
+    carries a usable feature vector — NULL vectors (NULL payloads:
+    ingest defects) and zero vectors (empty payloads: placeholder
+    producers) broken out separately; the go/no-go read before the
+    embedding dedup/ANN operators whose usable_features gate silently
+    drops exactly these rows. One classification over the Arrow kernel
+    (mapInPandas, the only Python boundary) -> ONE aggregate on the
+    bounded format key."""
+    feats = multimodal.feature_table(load(spark, sf_dir, "documents"), dim=16)
+    return multimodal.usability_card(feats)

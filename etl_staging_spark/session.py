@@ -33,6 +33,12 @@ def get_spark(app_name: str = "etl_staging_spark", cpus: int | None = None) -> S
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # The engine's NULL conventions assume ANSI semantics (Spark 4
+        # default, but a cluster can disable it): size(NULL array) must
+        # be NULL — not -1 — for the token-count cards' NULL-text docs
+        # to carry no mass, and volume_counts' decimal-cast guard
+        # expects ANSI overflow errors, not silent NULLs. Pin it.
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")

@@ -682,7 +682,13 @@ def _guard_card_params(state_dir: str, params: dict | None) -> None:
     checks nothing. A mismatch against an EMPTY log (a start that
     failed before its first batch pinned the old params) rotates the
     marker instead of refusing — the same while-the-log-is-empty
-    allowance the ownership guard gives checkpoint rotation."""
+    allowance the ownership guard gives checkpoint rotation. A COUNTED
+    log with NO marker is refused rather than silently re-pinned to
+    whatever the restarting stream passes (the marker-loss windows —
+    a crash inside `compact_card_state` between its static rewrite and
+    the marker restore, or a hand-deleted marker — must not defeat the
+    identity guard; recovery is writing the marker back with the
+    params the counts were actually built at)."""
     import json
     import os
 
@@ -706,6 +712,18 @@ def _guard_card_params(state_dir: str, params: dict | None) -> None:
                 "parameters"
             )
         # empty log: nothing was counted under the old params — rotate
+    elif has_log:
+        # counted log, marker gone: adopting `want` would merge new
+        # batches into counts whose parameters nobody can prove match
+        raise ValueError(
+            f"state_dir {state_dir!r} holds batch partitions but no "
+            f"{_CARD_PARAMS_MARKER} marker (crash inside "
+            "compact_card_state before the marker restore, or a "
+            "deleted marker?); re-pinning it to the restart's params "
+            "would defeat the identity guard — restore the marker "
+            "with the params the counts were built at (JSON, "
+            "sort_keys=True) or start a fresh state_dir"
+        )
     os.makedirs(state_dir, exist_ok=True)
     with open(marker, "w") as fh:
         fh.write(want)
@@ -1108,16 +1126,18 @@ def compact_card_state(
     base = base.localCheckpoint(eager=True)
     # static: replace the whole log, not just the partitions present
     write_partitioned_snapshot(base, state_dir, ["batch_id"], mode="static")
-    # the static rewrite wiped the ownership marker the stream starter
-    # checks — restore the validated checkpoint, or whatever owned the
-    # log before a checkpoint_dir=None fold (a crash landing between
-    # the rewrite and this line leaves the marker missing; restore it
-    # by hand or re-run the compaction)
+    # the static rewrite wiped both markers the stream starter checks.
+    # Params FIRST: its content exists only in this process (a crash
+    # before it lands leaves a counted, marker-less log that
+    # `_guard_card_params` now REFUSES rather than silently re-pins,
+    # and the content could not be rederived), whereas the owner is
+    # recoverable by re-running the compaction with the same
+    # validated checkpoint_dir.
+    if params is not None:
+        with open(params_marker, "w") as fh:
+            fh.write(params)
     restore = (
         checkpoint_dir if checkpoint_dir is not None else owner
     )
     if restore is not None and not _is_remote(state_dir):
         _write_card_owner(state_dir, restore)
-    if params is not None:
-        with open(params_marker, "w") as fh:
-            fh.write(params)

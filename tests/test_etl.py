@@ -436,6 +436,39 @@ def test_jsonl_corrupt_channel_and_validation(spark, tmp_path):
     ]
 
 
+def test_jsonl_reread_with_corrupt_col_in_schema(spark, tmp_path):
+    """Re-reading a staged reject dataset whose DECLARED schema already
+    carries the corrupt column must not append a duplicate field (an
+    AnalysisException at scan time): read_jsonl passes such a schema
+    through and the staged corrupt payload round-trips."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from etl_staging_spark.etl.jsonl_io import (
+        CORRUPT_COL,
+        read_jsonl,
+        write_jsonl,
+    )
+
+    d = tmp_path / "drop"
+    d.mkdir()
+    (d / "p.jsonl").write_text(
+        '{"doc_id": 1, "text": "a", "source": "s"}\n'
+        "{broken line\n"
+    )
+    first = read_jsonl(spark, str(d), _doc_schema()).cache()
+    staged = str(tmp_path / "rejects")
+    write_jsonl(first.where(first[CORRUPT_COL].isNotNull()), staged)
+    again = read_jsonl(spark, staged, first.schema).cache()
+    assert CORRUPT_COL in again.columns
+    assert again.columns.count(CORRUPT_COL) == 1
+    assert again.count() == 1
+    # the stream source takes the same pass-through
+    from etl_staging_spark.etl.jsonl_io import jsonl_doc_stream
+
+    stream = jsonl_doc_stream(spark, staged, first.schema)
+    assert stream.columns.count(CORRUPT_COL) == 1
+
+
 def test_jsonl_doc_stream_feeds_card_streams(spark, tmp_path):
     """The JSONL streaming source composes with the additive card
     machinery: after the documented corrupt-channel split, a length

@@ -2086,6 +2086,38 @@ def test_params_guard_rotates_on_empty_log(spark, tmp_path):
     assert _read_card_owner(state) is None  # params marker is separate
 
 
+def test_params_guard_refuses_counted_log_without_marker(spark, tmp_path):
+    """A COUNTED state_dir with NO params marker (the marker-loss
+    window: a crash inside compact_card_state between the static
+    rewrite and the marker restore, or a hand-deleted marker) must be
+    REFUSED, not silently re-pinned to whatever params the restarting
+    stream passes — and writing the marker back with the original
+    params resumes."""
+    import json
+    import os
+
+    import pytest
+
+    from etl_staging_spark.streaming.ingest import (
+        _CARD_PARAMS_MARKER,
+        _guard_card_params,
+    )
+
+    state = str(tmp_path / "state")
+    os.makedirs(os.path.join(state, "batch_id=0"))
+    with pytest.raises(ValueError, match="no _CARD_PARAMS"):
+        _guard_card_params(state, {"max_len": 512})
+    # recovery: restore the marker with the params the counts were
+    # actually built at -> identical params resume, different refuse
+    with open(os.path.join(state, _CARD_PARAMS_MARKER), "w") as fh:
+        fh.write(json.dumps({"max_len": 512}, sort_keys=True))
+    _guard_card_params(state, {"max_len": 512})
+    with pytest.raises(ValueError, match="params"):
+        _guard_card_params(state, {"max_len": 256})
+    # a param-free stream on the same dir still checks nothing
+    _guard_card_params(state, None)
+
+
 def test_events_volume_stream_matches_batch(spark, tmp_path):
     """The additive-card machinery on a NON-documents table: the
     events volume card maintained over micro-batches equals the batch
