@@ -108,6 +108,16 @@ HEADLINE = [
     "lang_source_matrix",
     "lang_confusion_card",
     "vocab_coverage_by_source",
+    # round 14 additions — one per NEW plan family; the other eight r14
+    # card registrations (charclass/sentence/fertility/joint/truncation/
+    # dup_token_rate/events_volume/mm_usability) share pii_rate's
+    # single-map-combinable-aggregate shape and would only re-measure it
+    "pii_rate_by_source",
+    "dup_similarity_histogram",
+    "dup_ngram_coverage",
+    "source_vocab_cosine_matrix",
+    "source_signature_terms",
+    "cluster_profile",
 ]
 
 

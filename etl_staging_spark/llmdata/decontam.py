@@ -353,3 +353,63 @@ def decontamination_report(
         tuple(getattr(fz, "_pinned_persisted", ())) + sem_pins
     )
     return result
+
+
+def decontam_rate_by_source(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n_exact: int = 5,
+    min_hits: int = 1,
+    fuzzy_threshold: float = 0.8,
+    fuzzy_n: int = 3,
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source contamination rates — the release-audit rollup of the
+    per-doc decontamination evidence: for every corpus source, how many
+    docs the exact n-gram rung flags, how many the fuzzy (MinHash-LSH
+    near-dup) rung flags, the any-rung total, and its rate. The number
+    a dataset card publishes ("0.4% of crawl X overlapped the eval
+    suite and was dropped") and the skew check a mixture review runs —
+    contamination concentrated in one source is a different problem
+    from a uniform sprinkle. A NULL source keeps its own audit row.
+
+    Scale shape: pure composition of the two certified per-doc
+    operators (each eval-broadcast, candidate-verified, never
+    all-pairs) + two doc_id-keyed joins of one-row-per-doc frames +
+    ONE bounded (source) aggregate. The fuzzy rung's pinned shingle
+    caches ride the output's ``_pinned_persisted`` contract."""
+    from ..numeric import pround
+    from . import dedup
+
+    ex = ngram_overlap(corpus, benchmark, n=n_exact, min_hits=min_hits).select(
+        "doc_id", F.col("contaminated").alias("__ex")
+    )
+    fz = fuzzy_contamination(
+        corpus, benchmark, threshold=fuzzy_threshold, n=fuzzy_n
+    )
+    j = (
+        corpus.select("doc_id", F.col(source_col).alias("source"))
+        .join(ex, "doc_id")
+        .join(fz.select("doc_id", F.col("contaminated").alias("__fz")), "doc_id")
+    )
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    out = (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            flag(F.col("__ex")).alias("n_exact_hit"),
+            flag(F.col("__fz")).alias("n_fuzzy_hit"),
+            flag(F.col("__ex") | F.col("__fz")).alias("n_flagged"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_exact_hit",
+            "n_fuzzy_hit",
+            "n_flagged",
+            pround(
+                F.col("n_flagged").cast("double") / F.col("n_docs"), 6
+            ).alias("contamination_rate"),
+        )
+    )
+    return dedup._pin(out, *getattr(fz, "_pinned_persisted", ()))

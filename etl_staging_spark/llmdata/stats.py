@@ -1531,10 +1531,22 @@ def dup_ngram_coverage(
     per = occ.groupBy("doc_id", "source", "h").agg(
         F.count(F.lit(1)).alias("occ")
     )
-    # docs-per-gram: `per` is (doc, source, h)-distinct by construction,
-    # so a plain count is the distinct-doc count
-    nd = per.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
-    j = per.join(nd, "h")
+    # collapse to the (source, gram) grain BEFORE the docs-per-gram
+    # join: a doc has exactly one source, so distinct docs per gram is
+    # the sum of the per-source distinct-doc counts (`per` is
+    # (doc, source, h)-distinct by construction), and the join input
+    # shrinks from docs x vocab to #sources x vocab rows. At test SF
+    # this is a measured wash (nd broadcasts either way: r14 A/B
+    # best-of-5 {2.49, 2.96} doc-grain vs {2.73, 2.74} source-grain,
+    # identical 20-row output) — the grain cut is for the 100 TB
+    # posture, where the per-gram count side is vocabulary-scale, the
+    # join goes sort-merge, and the doc-grain side would be the
+    # corpus's full (doc, gram) incidence instead of a bounded matrix.
+    per2 = per.groupBy("source", "h").agg(
+        F.sum("occ").alias("occ"), F.count(F.lit(1)).alias("nd_s")
+    )
+    nd = per2.groupBy("h").agg(F.sum("nd_s").alias("nd"))
+    j = per2.join(nd, "h")
     agg = j.groupBy("source").agg(
         F.sum("occ").cast("bigint").alias("n_grams"),
         F.sum(F.when(F.col("nd") > 1, F.col("occ")).otherwise(F.lit(0)))
@@ -1799,4 +1811,154 @@ def source_signature_terms(
             "cnt",
             pround(F.col("lift_raw"), 6).alias("lift"),
         )
+    )
+
+
+def source_concentration_card(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Mixture-concentration card: ONE row saying how lopsided the
+    corpus is across sources — bucket count, doc/token totals,
+    Herfindahl-Hirschman concentration of the doc and token shares,
+    and the dominant source with both its shares. The first read when
+    a mixture is proposed: a token HHI far above the doc HHI means one
+    source's long documents dominate the actual training signal even
+    though the doc mix looks balanced, and every downstream weighting
+    decision (temperature, caps, budgets) starts from that fact.
+    HHI instead of entropy deliberately: sum(share^2) needs NO
+    logarithm — sum(cnt^2) is an exact order-free DECIMAL(38,0)
+    integer on both engines and the share normalization is one double
+    division, so the card hash-certifies where an ln()-based entropy
+    could drift in the last ulp.
+
+    A NULL source is its own bucket (audit convention); NULL-text docs
+    count in docs but carry zero tokens. The dominant source is by
+    token count, ties to more docs then lexicographically smaller
+    source with NULL last. ``token_hhi``/``top_token_share`` are NULL
+    for a token-free corpus.
+
+    Scale shape: one map-side-combinable (source) aggregate over one
+    projection, then a #sources-bounded reduce: a 1-row totals
+    aggregate, a TakeOrdered(1) for the dominant source, and one
+    broadcast cross of the two 1-row frames. No corpus-scale window,
+    no Python. Split as additive counts + finish so
+    `streaming.ingest.concentration_card_stream` maintains the same
+    card incrementally."""
+    return finish_concentration_card(
+        concentration_counts(docs, source_col, text_col)
+    )
+
+
+CONCENTRATION_COUNT_COLS = ("n_docs_s", "n_tok_s")
+
+
+def concentration_counts(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """The ADDITIVE half of `source_concentration_card`: per-source doc
+    and token counts (integers — `_fold` merges them across batches).
+    NULL-text docs count with zero tokens (COALESCE at the delta level
+    keeps the column additive)."""
+    return docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs_s"),
+        F.coalesce(
+            F.sum(bpe_token_count(text_col)), F.lit(0)
+        ).cast("bigint").alias("n_tok_s"),
+    )
+
+
+def finish_concentration_card(per: DataFrame) -> DataFrame:
+    """The presentation half of `source_concentration_card` over a
+    (source, n_docs_s, n_tok_s) frame — a batch aggregate or the card
+    stream's merged delta-log state."""
+    d19 = "decimal(19,0)"
+    tot = per.agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.sum("n_docs_s").cast("bigint").alias("n_docs"),
+        F.sum("n_tok_s").cast("bigint").alias("n_tokens"),
+        F.sum(F.col("n_docs_s").cast(d19) * F.col("n_docs_s").cast(d19))
+        .alias("__d2"),
+        F.sum(F.col("n_tok_s").cast(d19) * F.col("n_tok_s").cast(d19))
+        .alias("__t2"),
+    )
+    top = (
+        per.orderBy(
+            F.desc("n_tok_s"), F.desc("n_docs_s"), F.asc_nulls_last("source")
+        )
+        .limit(1)
+        .select(
+            F.col("source").alias("top_source"),
+            F.col("n_docs_s").alias("__top_d"),
+            F.col("n_tok_s").alias("__top_t"),
+        )
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (
+        tot.crossJoin(F.broadcast(top))
+        .select(
+            "n_sources",
+            "n_docs",
+            "n_tokens",
+            pround(
+                dd("__d2") / (dd("n_docs") * dd("n_docs")), 6
+            ).alias("doc_hhi"),
+            F.when(
+                F.col("n_tokens") > 0,
+                pround(dd("__t2") / (dd("n_tokens") * dd("n_tokens")), 6),
+            ).alias("token_hhi"),
+            "top_source",
+            pround(dd("__top_d") / dd("n_docs"), 6).alias("top_doc_share"),
+            F.when(
+                F.col("n_tokens") > 0,
+                pround(dd("__top_t") / dd("n_tokens"), 6),
+            ).alias("top_token_share"),
+        )
+    )
+
+
+def boilerplate_ngrams_topk(
+    docs: DataFrame,
+    k: int = 20,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """The k most WIDESPREAD word n-grams — ranked by how many distinct
+    documents carry them — with their total occurrence counts: the
+    card that says WHAT the boilerplate actually is (nav chrome,
+    license banners, template headers), where `dup_ngram_coverage`
+    says only how much of each source is span-duplicated and
+    `ngram_freq_spectrum` only how fat the head is. The shortlist a
+    cleaning pass hand-reviews before committing a removal rule.
+    Grams are the shared multiset convention (`shingles`); ranking is
+    docs desc, occurrences desc, gram ASC — a total order, so the
+    top-k cut is deterministic on both engines.
+
+    Scale shape: explode -> per-(doc, gram) pre-aggregate (skew-safe:
+    a hot gram is one row per carrying doc, counts combined map-side)
+    -> vocabulary-bounded per-gram rollup -> global TakeOrdered(k) ->
+    rank window over the k-row frame only (the events_paths_topk
+    post-limit pattern). The gram string is the shuffle key — the
+    same width the decontamination join shuffles. No Python."""
+    from .shingles import ngram_multiset_array, with_tokens
+
+    per = (
+        with_tokens(docs, text_col)
+        .select("doc_id", F.explode(ngram_multiset_array(n)).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+    grams = per.groupBy("gram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("occ").cast("bigint").alias("n_occurrences"),
+    )
+    cut = grams.orderBy(
+        F.desc("n_docs"), F.desc("n_occurrences"), F.asc("gram")
+    ).limit(k)
+    w = Window.orderBy(F.desc("n_docs"), F.desc("n_occurrences"), F.asc("gram"))
+    return cut.select(
+        F.row_number().over(w).alias("rank"), "gram", "n_docs", "n_occurrences"
     )

@@ -648,3 +648,128 @@ def sa_stock_ageing(spark, sf_dir):
     from ..etl.registers import stock_ageing
 
     return stock_ageing(load(spark, sf_dir, "lineitem"), _SA_ASOF)
+
+
+# ---------------------------------------------------------------------------
+# S2/JSONL: the JSONL file source's corrupt channel + validation split,
+# certified end-to-end (registered r14, VERDICT r13 item 5). The CSV
+# twin (S2/M1) certifies validate_against_master; this row certifies
+# the jsonl_io path the corpus drops actually take: a REAL shard is
+# written (valid lines + planted malformed/null-id/dup-id lines), read
+# back through `read_jsonl`'s PERMISSIVE corrupt channel, split by
+# `validate_documents`, and summarized — while the DuckDB oracle
+# derives the same split from the `documents` view directly, so the
+# hash certifies that file-write -> scan -> corrupt-channel ->
+# validation reproduces exactly what the table implies, at any sf.
+# ---------------------------------------------------------------------------
+
+
+def _o_jsonl_corrupt_split() -> str:
+    """Oracle twin of `jsonl_corrupt_split`: the shard content is a
+    deterministic function of `documents` (docs with doc_id % 97 = 0
+    are written mangled; three planted lines exercise null_id and
+    dup_id), so the expected (valid, rejected-by-reason) summary is
+    derivable from the view — no file read, no execution-order
+    coupling between the Spark run and the oracle run."""
+    return """
+    WITH jl AS (
+      SELECT doc_id, text, source FROM documents
+      WHERE doc_id IS NULL OR doc_id % 97 <> 0
+      UNION ALL SELECT NULL, 'planted-null', 'planted'
+      UNION ALL SELECT -1, 'planted-dup-a', 'planted'
+      UNION ALL SELECT -1, 'planted-dup-b', 'planted'
+    ),
+    keyed AS (SELECT * FROM jl WHERE doc_id IS NOT NULL),
+    dupk AS (
+      SELECT doc_id FROM keyed GROUP BY doc_id HAVING COUNT(*) > 1
+    )
+    SELECT 'valid' AS status, source, COUNT(*) AS n_rows,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_id
+    FROM keyed WHERE doc_id NOT IN (SELECT doc_id FROM dupk)
+    GROUP BY source
+    UNION ALL
+    SELECT 'corrupt', CAST(NULL AS VARCHAR), COUNT(*),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    FROM documents WHERE doc_id % 97 = 0 GROUP BY 1, 2
+    UNION ALL
+    SELECT 'null_id', source, COUNT(*),
+           CAST(SUM(length(text)) AS BIGINT), CAST(NULL AS BIGINT)
+    FROM jl WHERE doc_id IS NULL GROUP BY source
+    UNION ALL
+    SELECT 'dup_id', source, COUNT(*),
+           CAST(SUM(length(text)) AS BIGINT), CAST(SUM(doc_id) AS BIGINT)
+    FROM keyed WHERE doc_id IN (SELECT doc_id FROM dupk)
+    GROUP BY source"""
+
+
+@query("jsonl_corrupt_split", oracle=_o_jsonl_corrupt_split())
+def jsonl_corrupt_split(spark, sf_dir):
+    """Write a JSONL shard of the documents table with deterministic
+    planted defects (docs with pmod(doc_id, 97) = 0 mangled to
+    malformed JSON; one null-id line; one duplicated-id pair), read it
+    back through `etl.jsonl_io.read_jsonl` (declared schema, PERMISSIVE
+    corrupt channel), split with `validate_documents`, and summarize
+    each side per (status, source) with exact char/id sums — the
+    corrupt-channel hash row the CSV source got via M1. The shard lands
+    under the system temp dir keyed by the sf basename and is rewritten
+    per call (deterministic content, overwrite mode), so the entry is
+    self-staging at every scale the driver runs."""
+    import os
+    import tempfile
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..etl.jsonl_io import read_jsonl, validate_documents
+    from ..llmdata.dedup import _pin
+
+    docs = load(spark, sf_dir, "documents")
+    payload = F.to_json(F.struct("doc_id", "text", "source"))
+    line = F.when(
+        F.pmod("doc_id", F.lit(97)) == 0,
+        F.concat(F.lit("{corrupt "), payload),
+    ).otherwise(payload)
+    planted = spark.createDataFrame(
+        [
+            ('{"doc_id": null, "text": "planted-null", "source": "planted"}',),
+            ('{"doc_id": -1, "text": "planted-dup-a", "source": "planted"}',),
+            ('{"doc_id": -1, "text": "planted-dup-b", "source": "planted"}',),
+        ],
+        "line string",
+    )
+    shard = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_jsonl_cert",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    docs.select(line.alias("line")).unionByName(planted).write.mode(
+        "overwrite"
+    ).text(shard)
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("source", StringType()),
+        ]
+    )
+    # both sides of one scan are consumed: cache first (the corrupt-
+    # record-only plan restriction, see validate_documents)
+    raw = read_jsonl(spark, shard, schema).cache()
+    valid, rejected = validate_documents(raw)
+
+    def summarize(df, status_col):
+        return df.groupBy(status_col.alias("status"), "source").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+            F.sum("doc_id").cast("bigint").alias("sum_id"),
+        )
+
+    out = summarize(valid, F.lit("valid")).unionByName(
+        summarize(rejected, F.col("reject_reason"))
+    )
+    return _pin(out, raw)

@@ -4117,3 +4117,183 @@ def mm_usability_card_q(spark, sf_dir):
     bounded format key."""
     feats = multimodal.feature_table(load(spark, sf_dir, "documents"), dim=16)
     return multimodal.usability_card(feats)
+
+
+# ---------------------------------------------------------------------------
+# r14 new builds (beyond the drained queue): mixture concentration,
+# boilerplate identification, and the decontamination release audit.
+# ---------------------------------------------------------------------------
+
+
+def o_source_concentration_card() -> str:
+    """DuckDB oracle twin of `llmdata.stats.source_concentration_card`:
+    per-source doc/token counts (the shared TOKEN_RE convention,
+    NULL-text SUM-skipped then COALESCEd to 0), HHI numerators as exact
+    DECIMAL(19,0)xDECIMAL(19,0) -> DECIMAL(38,0) sums (order-free), the
+    normalizations as double products/divisions expressed identically
+    on both engines (bit-identical IEEE), and the dominant source cut
+    by the same (tokens desc, docs desc, source ASC NULLS LAST) total
+    order."""
+    return f"""
+    WITH scp AS (
+      SELECT source, COUNT(*) AS nd,
+             CAST(COALESCE(SUM(len(regexp_extract_all(lower(text),
+                  '{textstats.TOKEN_RE}'))), 0) AS BIGINT) AS nt
+      FROM documents GROUP BY source
+    ),
+    sct AS (
+      SELECT COUNT(*) AS n_sources,
+             CAST(SUM(nd) AS BIGINT) AS n_docs,
+             CAST(SUM(nt) AS BIGINT) AS n_tokens,
+             SUM(CAST(nd AS DECIMAL(19,0)) * CAST(nd AS DECIMAL(19,0)))
+               AS d2,
+             SUM(CAST(nt AS DECIMAL(19,0)) * CAST(nt AS DECIMAL(19,0)))
+               AS t2
+      FROM scp
+    ),
+    sck AS (
+      SELECT source AS top_source, nd AS top_d, nt AS top_t FROM scp
+      ORDER BY nt DESC, nd DESC, source ASC NULLS LAST LIMIT 1
+    )
+    SELECT n_sources, n_docs, n_tokens,
+           {o_pround("CAST(d2 AS DOUBLE) / (CAST(n_docs AS DOUBLE)"
+                     " * CAST(n_docs AS DOUBLE))", 6)} AS doc_hhi,
+           CASE WHEN n_tokens > 0 THEN
+             {o_pround("CAST(t2 AS DOUBLE) / (CAST(n_tokens AS DOUBLE)"
+                       " * CAST(n_tokens AS DOUBLE))", 6)}
+           END AS token_hhi,
+           top_source,
+           {o_pround("CAST(top_d AS DOUBLE) / CAST(n_docs AS DOUBLE)", 6)}
+             AS top_doc_share,
+           CASE WHEN n_tokens > 0 THEN
+             {o_pround("CAST(top_t AS DOUBLE) / CAST(n_tokens AS DOUBLE)", 6)}
+           END AS top_token_share
+    FROM sct CROSS JOIN sck"""
+
+
+def o_boilerplate_ngrams_topk(k: int = 20, n: int = 3) -> str:
+    """DuckDB oracle twin of `llmdata.stats.boilerplate_ngrams_topk`:
+    the multiset gram CTEs of `o_dup_ngram_coverage` WITHOUT the hash
+    (the gram STRING is the deliverable here), the same skew-safe
+    per-(doc, gram) pre-aggregate, and the (docs desc, occurrences
+    desc, gram ASC) total-order top-k cut."""
+    return f"""
+    WITH bct AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks
+      FROM documents WHERE text IS NOT NULL
+    ), bcg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks) - {n} + 2),
+                    i -> array_to_string(toks[i:i+{n - 1}], ' '))) AS gram
+      FROM bct WHERE len(toks) >= {n}
+    ), bcp AS (
+      SELECT doc_id, gram, COUNT(*) AS occ FROM bcg GROUP BY 1, 2
+    ), bcr AS (
+      SELECT gram, COUNT(*) AS n_docs, SUM(occ) AS n_occ
+      FROM bcp GROUP BY gram
+    ), bck AS (
+      SELECT gram, n_docs, n_occ,
+             ROW_NUMBER() OVER (ORDER BY n_docs DESC, n_occ DESC,
+                                gram ASC) AS rank
+      FROM bcr
+    )
+    SELECT CAST(rank AS INT) AS rank, gram,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_occ AS BIGINT) AS n_occurrences
+    FROM bck WHERE rank <= {k}"""
+
+
+def o_decontam_rate_by_source() -> str:
+    """DuckDB oracle twin of `llmdata.decontam.decontam_rate_by_source`
+    at the registry split (eval = every 20th doc): the exact-rung CTEs
+    of `decontaminate_ngram` + the fuzzy-rung CTEs of
+    `decontaminate_fuzzy` verbatim, rolled up per corpus source."""
+    anyflag = ("CASE WHEN COALESCE(h.n_overlap, 0) >= 1"
+               " OR COALESCE(f.n_matches, 0) >= 1 THEN 1 ELSE 0 END")
+    return f"""
+    WITH {O_TRIH}, {O_FIVE},
+    bench AS (SELECT DISTINCT shingle FROM five WHERE doc_id % 20 = 0),
+    hits AS (
+      SELECT doc_id, COUNT(*) AS n_overlap
+      FROM five JOIN bench USING (shingle)
+      WHERE doc_id % 20 != 0 GROUP BY doc_id
+    ),
+    {_o_minhash_sigs("cand0")},
+    fcand AS (
+      SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+      FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig
+      WHERE x.doc_id % 20 != 0 AND y.doc_id % 20 = 0
+    ),
+    fsizes AS (SELECT doc_id, COUNT(*) AS n FROM trih GROUP BY doc_id),
+    finter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+      FROM trih a JOIN trih b ON a.h = b.h
+      WHERE a.doc_id % 20 != 0 AND b.doc_id % 20 = 0
+      GROUP BY 1, 2
+    ),
+    fver AS (
+      SELECT d1 FROM finter JOIN fcand USING (d1, d2)
+      JOIN fsizes sa ON sa.doc_id = d1 JOIN fsizes sb ON sb.doc_id = d2
+      WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
+    ),
+    fagg AS (SELECT d1, COUNT(*) AS n_matches FROM fver GROUP BY d1)
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN COALESCE(h.n_overlap, 0) >= 1
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_hit,
+           CAST(SUM(CASE WHEN COALESCE(f.n_matches, 0) >= 1
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_fuzzy_hit,
+           CAST(SUM({anyflag}) AS BIGINT) AS n_flagged,
+           {o_pround(f"CAST(SUM({anyflag}) AS DOUBLE) / COUNT(*)", 6)}
+             AS contamination_rate
+    FROM documents d
+    LEFT JOIN hits h ON h.doc_id = d.doc_id
+    LEFT JOIN fagg f ON f.d1 = d.doc_id
+    WHERE d.doc_id % 20 != 0
+    GROUP BY d.source"""
+
+
+@query("source_concentration_card", oracle=o_source_concentration_card())
+def source_concentration_card_q(spark, sf_dir):
+    """Mixture-concentration card (new r14): one row — source-bucket
+    count, doc/token totals, doc- and token-share HHI, and the
+    dominant source with both shares. The first read on any proposed
+    mixture: token HHI far above doc HHI means long documents
+    concentrate the actual training signal. HHI, not entropy, so every
+    numerator is an exact order-free DECIMAL(38,0) integer and the
+    card hash-certifies (no ln() ulp hazard). One map-side-combinable
+    (source) aggregate -> #sources-bounded reduce + TakeOrdered(1) +
+    one broadcast cross of 1-row frames."""
+    return stats.source_concentration_card(load(spark, sf_dir, "documents"))
+
+
+@query("boilerplate_ngrams_topk", oracle=o_boilerplate_ngrams_topk(20, 3))
+def boilerplate_ngrams_topk_q(spark, sf_dir):
+    """Top-20 most widespread 3-grams (new r14): the card that says
+    WHAT the boilerplate is — the shortlist a cleaning pass
+    hand-reviews before committing a removal rule, complementing
+    `dup_ngram_coverage` (how much) and `ngram_freq_spectrum` (how
+    fat the head). Skew-safe per-(doc, gram) pre-aggregate ->
+    vocabulary-bounded rollup -> global TakeOrdered(20) -> rank window
+    over the 20-row frame only."""
+    return stats.boilerplate_ngrams_topk(
+        load(spark, sf_dir, "documents"), k=20, n=3
+    )
+
+
+@query("decontam_rate_by_source", oracle=o_decontam_rate_by_source())
+def decontam_rate_by_source_q(spark, sf_dir):
+    """Per-source contamination rates (new r14): the release-audit
+    rollup of the certified exact (`decontaminate_ngram`) and fuzzy
+    (`decontaminate_fuzzy`) per-doc evidence at the same registry
+    split (eval = every 20th doc) — the number a dataset card
+    publishes and the skew check a mixture review runs. Composition of
+    the two certified operators + two doc_id-keyed joins + ONE bounded
+    (source) aggregate (`llmdata/decontam.py:decontam_rate_by_source`)."""
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    corpus = docs.where(F.col("doc_id") % 20 != 0)
+    return decontam.decontam_rate_by_source(
+        corpus, bench, n_exact=5, min_hits=1,
+        fuzzy_threshold=0.8, fuzzy_n=3,
+    )

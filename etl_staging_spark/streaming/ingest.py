@@ -1141,3 +1141,34 @@ def compact_card_state(
     )
     if restore is not None and not _is_remote(state_dir):
         _write_card_owner(state_dir, restore)
+
+
+def concentration_card_stream(
+    docs_stream: DataFrame,
+    state_dir: str,
+    on_batch: Callable[[int, DataFrame], None],
+    source_col: str = "source",
+    query_name: str = "concentration_card",
+    checkpoint_dir: str | None = None,
+):
+    """`stats.source_concentration_card` maintained incrementally: the
+    per-source doc/token counts are the additive delta and the
+    HHI/dominant-source reduce reruns on the bounded merged frame —
+    mixture concentration stays current as drops arrive, so one crawl
+    silently taking over the token mass surfaces on the batch where it
+    happens, not at the next full-corpus audit. The source_col is part
+    of the state's identity (`_guard_card_params`)."""
+    from ..llmdata import stats
+
+    return additive_card_stream(
+        docs_stream,
+        state_dir,
+        lambda b: stats.concentration_counts(b, source_col=source_col),
+        ("source",),
+        stats.finish_concentration_card,
+        on_batch,
+        count_cols=stats.CONCENTRATION_COUNT_COLS,
+        query_name=query_name,
+        checkpoint_dir=checkpoint_dir,
+        state_params={"source_col": source_col},
+    )

@@ -1443,3 +1443,177 @@ def test_dup_similarity_histogram_oracle_matches_python_reference(
         for r in con.sql(o_dup_similarity_histogram(threshold)).fetchall()
     ]
     assert _nsort(got) == _nsort(ref)
+
+
+# ---------------------------------------------------------------------------
+# r14 new builds: concentration / boilerplate-topk / decontam-rate oracles
+# vs pure-python references
+# ---------------------------------------------------------------------------
+
+from etl_staging_spark.llmdata.hashing import (  # noqa: E402
+    BAND_ROWS,
+    MERSENNE31,
+    MINHASH_SEEDS,
+    N_BANDS,
+    py_hash56,
+)
+from etl_staging_spark.queries.catalog_llm import (  # noqa: E402
+    o_boilerplate_ngrams_topk,
+    o_decontam_rate_by_source,
+    o_source_concentration_card,
+)
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(st.tuples(rich_text_st, nullable_source_st), max_size=12))
+def test_source_concentration_oracle_matches_python_reference(rows):
+    groups: dict = defaultdict(lambda: [0, 0])
+    for text, src in rows:
+        g = groups[src]
+        g[0] += 1
+        if text is not None:
+            g[1] += _bpe_count(text)
+    con = _docs_con(rows)
+    got = [
+        tuple(r) for r in con.sql(o_source_concentration_card()).fetchall()
+    ]
+    if not rows:
+        assert got == []
+        return
+    n_docs = sum(g[0] for g in groups.values())
+    n_tok = sum(g[1] for g in groups.values())
+    d2 = sum(g[0] * g[0] for g in groups.values())
+    t2 = sum(g[1] * g[1] for g in groups.values())
+    # dominant source: tokens desc, docs desc, source ASC NULLS LAST
+    top_src = sorted(
+        groups.items(),
+        key=lambda kv: (
+            -kv[1][1], -kv[1][0], kv[0] is None, kv[0] or ""
+        ),
+    )[0]
+    ref = [(
+        len(groups), n_docs, n_tok,
+        py_pround(float(d2) / (float(n_docs) * float(n_docs)), 6),
+        py_pround(float(t2) / (float(n_tok) * float(n_tok)), 6)
+        if n_tok > 0 else None,
+        top_src[0],
+        py_pround(float(top_src[1][0]) / float(n_docs), 6),
+        py_pround(float(top_src[1][1]) / float(n_tok), 6)
+        if n_tok > 0 else None,
+    )]
+    assert _nsort(got) == _nsort(ref)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.tuples(rich_text_st, nullable_source_st), max_size=12),
+    st.integers(1, 5),
+    st.integers(2, 3),
+)
+def test_boilerplate_topk_oracle_matches_python_reference(rows, k, n):
+    per: dict = defaultdict(int)
+    for i, (text, _src) in enumerate(rows):
+        if text is None:
+            continue
+        toks = text.lower().split(" ")
+        for j in range(len(toks) - n + 1):
+            per[(i, " ".join(toks[j:j + n]))] += 1
+    grams: dict = defaultdict(lambda: [0, 0])
+    for (_doc, gram), occ in per.items():
+        grams[gram][0] += 1
+        grams[gram][1] += occ
+    ranked = sorted(
+        grams.items(), key=lambda kv: (-kv[1][0], -kv[1][1], kv[0])
+    )[:k]
+    ref = [
+        (r + 1, gram, nd, occ)
+        for r, (gram, (nd, occ)) in enumerate(ranked)
+    ]
+    con = _docs_con(rows)
+    got = [
+        tuple(r)
+        for r in con.sql(o_boilerplate_ngrams_topk(k, n)).fetchall()
+    ]
+    assert _nsort(got) == _nsort(ref)
+
+
+def _py_shingle_hashes(text, n=3):
+    toks = text.lower().split(" ")
+    return {
+        py_hash56(" ".join(toks[j:j + n]))
+        for j in range(len(toks) - n + 1)
+    }
+
+
+def _py_bands(hs):
+    mins = [
+        min((a * (h % MERSENNE31) + b) % MERSENNE31 for h in hs)
+        for a, b in MINHASH_SEEDS
+    ]
+    return [
+        (band, ",".join(str(mins[band * BAND_ROWS + r])
+                        for r in range(BAND_ROWS)))
+        for band in range(N_BANDS)
+    ]
+
+
+# word pool small enough that near-dups of the eval doc actually occur
+decon_word_st = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"])
+decon_text_st = st.one_of(
+    st.none(), st.lists(decon_word_st, min_size=0, max_size=8).map(" ".join)
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(decon_text_st, nullable_source_st), max_size=12))
+def test_decontam_rate_oracle_matches_python_reference(rows):
+    """Full-ladder python reference: exact 5-gram set collision AND the
+    real MinHash-LSH candidate gate + exact 3-gram-Jaccard >= 0.8
+    verify (an LSH miss must count as clean in the reference too),
+    rolled up per source at the %20 split."""
+    bench5: set = set()
+    bench_sh: dict = {}
+    for i, (text, _src) in enumerate(rows):
+        if i % 20 == 0 and text is not None:
+            toks = text.lower().split(" ")
+            bench5 |= {
+                " ".join(toks[j:j + 5]) for j in range(len(toks) - 4)
+            }
+            sh = _py_shingle_hashes(text)
+            if sh:
+                bench_sh[i] = (sh, set(_py_bands(sh)))
+    groups: dict = defaultdict(lambda: [0, 0, 0, 0])
+    for i, (text, src) in enumerate(rows):
+        if i % 20 == 0:
+            continue
+        g = groups[src]
+        g[0] += 1
+        ex = fz = False
+        if text is not None:
+            toks = text.lower().split(" ")
+            ex = any(
+                " ".join(toks[j:j + 5]) in bench5
+                for j in range(len(toks) - 4)
+            )
+            sh = _py_shingle_hashes(text)
+            if sh:
+                bands = set(_py_bands(sh))
+                for bsh, bbands in bench_sh.values():
+                    if not (bands & bbands):
+                        continue  # LSH gate: no band collision, no pair
+                    inter = len(sh & bsh)
+                    if inter / (len(sh) + len(bsh) - inter) >= 0.8:
+                        fz = True
+                        break
+        g[1] += 1 if ex else 0
+        g[2] += 1 if fz else 0
+        g[3] += 1 if (ex or fz) else 0
+    ref = [
+        (src, nd, ex, fz, fl, py_pround(fl / nd, 6))
+        for src, (nd, ex, fz, fl) in groups.items()
+    ]
+    con = _docs_con(rows)
+    got = [
+        tuple(r) for r in con.sql(o_decontam_rate_by_source()).fetchall()
+    ]
+    assert _nsort(got) == _nsort(ref)

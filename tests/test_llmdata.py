@@ -5154,3 +5154,160 @@ def test_events_volume_card_matches_duckdb_on_real_tables(spark):
             tuple(r) for r in con.sql(ev.o_volume_card()).fetchall()
         )
         assert got == want and len(got) > 0, sf
+
+
+# ---------------------------------------------------------------------------
+# r14 new builds: concentration card, boilerplate top-k, decontam rates
+# ---------------------------------------------------------------------------
+
+
+def test_source_concentration_card_planted_and_duckdb(spark):
+    """source_concentration_card (new r14): hand-computed HHIs on a
+    planted corpus — two sources with 3:1 docs and 9:1 tokens (token
+    HHI far above doc HHI, the long-docs-dominate signal), a NULL
+    source bucket, NULL text carrying zero tokens — the dominant
+    source pinned by the token tie-break, and DuckDB parity."""
+    from etl_staging_spark.llmdata import stats
+    from etl_staging_spark.queries.catalog_llm import (
+        o_source_concentration_card,
+    )
+
+    rows = [
+        (0, "a b c d e f g h i", "big"),    # 9 tokens
+        (1, "x", "small"),                   # 1 token
+        (2, None, "big"),                    # NULL text: doc, no tokens
+        (3, "y z", None),                    # NULL-source bucket, 2 tokens
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = [tuple(r) for r in stats.source_concentration_card(docs).collect()]
+    assert len(got) == 1
+    (n_sources, n_docs, n_tokens, doc_hhi, token_hhi,
+     top_source, top_doc_share, top_token_share) = got[0]
+    assert (n_sources, n_docs, n_tokens) == (3, 4, 12)
+    # doc shares 2/4, 1/4, 1/4 -> HHI = (4+1+1)/16 = 0.375
+    assert doc_hhi == 0.375
+    # token shares 9/12, 1/12, 2/12 -> (81+1+4)/144 = 0.597222
+    assert token_hhi == 0.597222
+    assert (top_source, top_doc_share, top_token_share) == ("big", 0.5, 0.75)
+    want = _duck_on(rows, o_source_concentration_card())
+    assert _nsafe_sorted(tuple(r) for r in
+                         stats.source_concentration_card(docs).collect()) == want
+
+
+def test_source_concentration_token_free_corpus(spark):
+    """A token-free corpus keeps the doc-side numbers and reports NULL
+    token HHI / top token share (never a division by zero)."""
+    from etl_staging_spark.llmdata import stats
+    from etl_staging_spark.queries.catalog_llm import (
+        o_source_concentration_card,
+    )
+
+    rows = [(0, None, "a"), (1, "", "a"), (2, None, "b")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = [tuple(r) for r in stats.source_concentration_card(docs).collect()]
+    assert got[0][2] == 0 and got[0][4] is None and got[0][7] is None
+    assert got[0][3] == 0.555556  # (4+1)/9
+    assert _nsafe_sorted(got) == _duck_on(rows, o_source_concentration_card())
+
+
+def test_boilerplate_ngrams_topk_planted_and_duckdb(spark):
+    """boilerplate_ngrams_topk (new r14): a 3-gram stamped across three
+    docs (twice in one of them) tops the list over a 2-doc gram and
+    single-doc grams; rank ties break (docs desc, occurrences desc,
+    gram ASC); the k cut binds; DuckDB parity on the same frame."""
+    from etl_staging_spark.llmdata import stats
+    from etl_staging_spark.queries.catalog_llm import (
+        o_boilerplate_ngrams_topk,
+    )
+
+    boiler = "all rights reserved"
+    rows = [
+        (0, f"{boiler} alpha beta gamma", "a"),
+        (1, f"{boiler} delta {boiler}", "a"),
+        (2, f"epsilon {boiler}", "b"),
+        (3, "zeta eta theta", "b"),
+        (4, None, "b"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = stats.boilerplate_ngrams_topk(docs, k=3, n=3)
+    got = sorted(tuple(r) for r in out.collect())
+    assert got[0] == (1, boiler, 3, 4)
+    assert len(got) == 3
+    want = _duck_on(rows, o_boilerplate_ngrams_topk(3, 3))
+    assert _nsafe_sorted(tuple(r) for r in out.collect()) == want
+
+
+def test_decontam_rate_by_source_planted_and_duckdb(spark):
+    """decontam_rate_by_source (new r14): a corpus doc sharing an exact
+    5-gram with the eval set flags the exact rung; a near-identical
+    (3-gram Jaccard >= 0.8) corpus doc flags the fuzzy rung; a clean
+    source reports rate 0; any-rung never double-counts a doc flagged
+    by both; per-source rates hand-checked and DuckDB parity at the
+    registry's %20 split."""
+    from etl_staging_spark.llmdata import decontam
+    from etl_staging_spark.queries.catalog_llm import (
+        o_decontam_rate_by_source,
+    )
+    from etl_staging_spark.tables import release_pinned
+
+    w = [f"tok{i}" for i in range(40)]
+    eval_text = " ".join(w[0:30])
+    near_dup = " ".join(w[0:29] + ["zzz"])   # jaccard ~0.9 on 3-grams
+    rows = [
+        (20, eval_text, "eval"),             # doc_id % 20 == 0 -> eval side
+        (1, eval_text, "dirty"),             # exact + fuzzy hit
+        (2, near_dup, "dirty"),              # fuzzy hit (and exact: shares 5-grams)
+        (3, " ".join(w[30:40]), "clean"),    # disjoint
+        (4, None, "clean"),                  # NULL text: counted, never flagged
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    corpus = docs.where(F.col("doc_id") % 20 != 0)
+    out = decontam.decontam_rate_by_source(corpus, bench)
+    got = {r.source: tuple(r)[1:] for r in out.collect()}
+    release_pinned(out)
+    assert got["dirty"][0] == 2 and got["dirty"][3] == 2      # both flagged
+    assert got["dirty"][4] == 1.0
+    assert got["clean"] == (2, 0, 0, 0, 0.0)
+    want = _duck_on(rows, o_decontam_rate_by_source())
+    out2 = decontam.decontam_rate_by_source(corpus, bench)
+    assert _nsafe_sorted(tuple(r) for r in out2.collect()) == want
+    release_pinned(out2)
+
+
+def test_r14_new_cards_match_duckdb_on_real_tables(spark):
+    """The three r14 new-build cards hash-match their DuckDB twins on
+    the REAL documents tables at BOTH parity scales (the registration
+    dry-run)."""
+    import duckdb
+
+    from etl_staging_spark.llmdata import decontam, stats
+    from etl_staging_spark.queries.catalog_llm import (
+        o_boilerplate_ngrams_topk,
+        o_decontam_rate_by_source,
+        o_source_concentration_card,
+    )
+    from etl_staging_spark.tables import release_pinned
+
+    for sf in ("sf0.001", "sf0.01"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        docs = spark.read.parquet(path)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+        for fn, sql in (
+            (stats.source_concentration_card, o_source_concentration_card()),
+            (lambda d: stats.boilerplate_ngrams_topk(d, k=20, n=3),
+             o_boilerplate_ngrams_topk(20, 3)),
+        ):
+            got = _nsafe_sorted(tuple(r) for r in fn(docs).collect())
+            want = _nsafe_sorted(tuple(r) for r in con.sql(sql).fetchall())
+            assert got == want and len(got) > 0, (sf, sql[:40])
+        bench = docs.where(F.col("doc_id") % 20 == 0)
+        corpus = docs.where(F.col("doc_id") % 20 != 0)
+        out = decontam.decontam_rate_by_source(corpus, bench)
+        got = _nsafe_sorted(tuple(r) for r in out.collect())
+        release_pinned(out)
+        want = _nsafe_sorted(
+            tuple(r) for r in con.sql(o_decontam_rate_by_source()).fetchall()
+        )
+        assert got == want and len(got) > 0, sf

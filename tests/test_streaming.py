@@ -2176,3 +2176,60 @@ def test_events_volume_stream_matches_batch(spark, tmp_path):
     assert _nkey(cards[max(cards)]) == want
     final = {r[0]: r[1:] for r in cards[max(cards)]}
     assert final["view"] == (2, 2, 3.01)
+
+
+def test_concentration_card_stream_matches_batch(spark, tmp_path):
+    """Incremental mixture-concentration maintenance: after every
+    micro-batch the emitted 1-row card equals the BATCH
+    source_concentration_card over every document seen so far — the
+    per-source doc/token deltas are additive and the HHI/dominant
+    reduce reruns on the bounded merged state. A late heavy source
+    must flip the dominant source and push the token HHI up on ITS
+    batch, not at the next full audit."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from etl_staging_spark.llmdata import stats
+    from etl_staging_spark.streaming.ingest import concentration_card_stream
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("source", StringType()),
+        ]
+    )
+    drops = [
+        [(1, "a b", "s1"), (2, "x", "s2")],
+        [(3, None, "s1"), (4, "q r s", None)],       # NULL source/text
+        [(5, " ".join(["w"] * 40), "whale")],        # late heavy source
+    ]
+    drop_dir = tmp_path / "drops"
+    drop_dir.mkdir()
+    seen_rows: list[tuple] = []
+    for i, rows in enumerate(drops):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(drop_dir / f"f{i}")
+        )
+        seen_rows.extend(rows)
+
+    cards: dict[int, list] = {}
+
+    def sink(bid, card):
+        cards[bid] = [tuple(r) for r in card.collect()]
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop_dir) + "/*")
+    )
+    q = concentration_card_stream(stream, str(tmp_path / "state"), sink)
+    q.awaitTermination()
+
+    assert len(cards) == 3
+    full = spark.createDataFrame(seen_rows, schema)
+    want = [tuple(r) for r in stats.source_concentration_card(full).collect()]
+    assert cards[max(cards)] == want
+    # the whale batch flipped dominance the moment it arrived
+    assert cards[max(cards)][0][5] == "whale"
+    earlier = cards[sorted(cards)[-2]][0]
+    assert earlier[5] != "whale"
