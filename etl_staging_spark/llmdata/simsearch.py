@@ -1304,3 +1304,55 @@ def cluster_profile(
         "modal_label",
         pround(F.col("n_lab") / F.col("n_members"), 6).alias("modal_share"),
     )
+
+
+def embedding_dim_stats(
+    emb: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-DIMENSION embedding statistics — the quantization-planning
+    card: for every vector position, the population, exact min/max,
+    exact-decimal mean, and the symmetric int8 scale
+    (max(|min|, |max|) / 127) an index build would ship. The read
+    before quantizing an ANN index or shipping embeddings as int8
+    shards: a dimension whose range dwarfs the others ruins a
+    per-tensor scale (use per-dim), and a near-constant dimension is
+    dead weight a projection should drop. Complements
+    `embedding_stats_card` (norm-level, per label): this is the
+    element-level view. Vectors that are NULL or carry a NULL element
+    contribute nothing (the stats card is where those surface);
+    ragged dimensions fall out naturally as differing ``n``.
+
+    Numeric determinism: min/max are exact float values published as
+    double (float->double promotion is exact); the mean sums
+    DECIMAL(30,15)-quantized elements (the `_dot` convention's
+    certified double->decimal edge, order-free) before one IEEE
+    division; published ratios pround-6.
+
+    Scale shape: ONE posexplode -> ONE map-side-combinable aggregate
+    on the bounded dimension key (#dims rows out). No join, no
+    window, no Python."""
+    from ..numeric import pround
+
+    v = F.col(vec_col)
+    ok = emb.where(
+        v.isNotNull() & ~F.exists(v, lambda x: x.isNull())
+    )
+    el = ok.select(F.posexplode(v).alias("dim", "e"))
+    agg = el.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.col("e").cast("double")).alias("vmin"),
+        F.max(F.col("e").cast("double")).alias("vmax"),
+        F.sum(F.col("e").cast("double").cast(DEC)).alias("__s"),
+    )
+    return agg.select(
+        F.col("dim").cast("long").alias("dim"),
+        "n",
+        "vmin",
+        "vmax",
+        pround(F.col("__s").cast("double") / F.col("n"), 6).alias("mean"),
+        pround(
+            F.greatest(F.abs(F.col("vmin")), F.abs(F.col("vmax")))
+            / F.lit(127.0),
+            6,
+        ).alias("int8_scale"),
+    )

@@ -708,3 +708,109 @@ def o_volume_card(source_sql: str = "events") -> str:
                            AND abs(value) < 1e15 THEN value END AS sv
           FROM {source_sql})
     GROUP BY event_type"""
+
+
+def interarrival_card(events: DataFrame) -> DataFrame:
+    """Per-event-type inter-arrival card: gap statistics between
+    consecutive events of the SAME type for the SAME user — mean and
+    max gap plus the Fano factor (gap variance over gap mean), the
+    burstiness read an ops review wants next to `volume_card`: Fano
+    ~1 is Poisson-like traffic, >>1 is bursty (sessions, batch
+    replays, retry storms), <<1 is metronome traffic (schedulers,
+    heartbeats) — each implies a different capacity/alerting posture
+    and `anomaly_zscore` window choice.
+
+    Numeric determinism: gaps are exact INTEGER seconds (the
+    `sessionize` epoch-floor convention); per-type Σg is a bigint,
+    Σg² an exact DECIMAL(38,0) (order-free); mean and Fano are then
+    single identically-shaped double expressions on those exact
+    integers (Fano = (nΣg² − (Σg)²)/(nΣg) — variance/mean without a
+    subtraction-per-row), prounded to 6. The decimal→double edge is
+    bit-identical while the sums sit under 2^53 — astronomically true
+    for second-granularity gaps at test SFs. A type's first event per
+    user has no gap (NULL, not 0); a type with no gaps reports NULL
+    mean/max/Fano; an all-zero-gap type (same-second events) reports
+    mean 0 and NULL Fano (0/0). NULL event_type keeps its audit row.
+
+    Scale shape: ONE window (lag) over the (user_id, event_type)
+    partition — the `sessionize` shuffle family, hash-balanced across
+    users, never a global window — then ONE map-side-combinable
+    aggregate on the bounded event-type key. No join, no Python."""
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    secs = F.floor(
+        F.expr("unix_micros(cast(ts as timestamp))") / F.lit(1_000_000)
+    )
+    d = events.select(
+        "event_type", (secs - F.lag(secs).over(w)).alias("g")
+    )
+    d19 = "decimal(19,0)"
+    agg = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("g").alias("n_gaps"),
+        F.sum("g").cast("bigint").alias("__sg"),
+        F.sum(F.col("g").cast(d19) * F.col("g").cast(d19)).alias("__sg2"),
+        F.max("g").cast("bigint").alias("max_gap_s"),
+    )
+    from ..numeric import pround
+
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    return agg.select(
+        "event_type",
+        "n_events",
+        "n_gaps",
+        F.when(
+            F.col("n_gaps") > 0, pround(dd("__sg") / dd("n_gaps"), 6)
+        ).alias("mean_gap_s"),
+        "max_gap_s",
+        F.when(
+            F.col("__sg") > 0,
+            pround(
+                (dd("n_gaps") * dd("__sg2") - dd("__sg") * dd("__sg"))
+                / (dd("n_gaps") * dd("__sg")),
+                6,
+            ),
+        ).alias("fano_gap"),
+    )
+
+
+def o_interarrival_card(source_sql: str = "events") -> str:
+    """DuckDB oracle twin of :func:`interarrival_card`: the same
+    epoch-floor integer gaps, HUGEINT/DECIMAL exact sums CAST out, and
+    identically-shaped double expressions for mean and Fano."""
+    from ..numeric import o_pround
+
+    return f"""
+    WITH iap AS (
+      SELECT event_type, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS prev
+      FROM {source_sql}
+    ),
+    iag AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               - CAST(floor(epoch(prev)) AS BIGINT) AS g
+      FROM iap
+    ),
+    iaa AS (
+      SELECT event_type,
+             COUNT(*) AS n_events,
+             COUNT(g) AS n_gaps,
+             CAST(SUM(g) AS BIGINT) AS sg,
+             SUM(CAST(g AS DECIMAL(19,0)) * CAST(g AS DECIMAL(19,0)))
+               AS sg2,
+             CAST(MAX(g) AS BIGINT) AS max_gap_s
+      FROM iag GROUP BY event_type
+    )
+    SELECT event_type, n_events, n_gaps,
+           CASE WHEN n_gaps > 0 THEN
+             {o_pround("CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)", 6)}
+           END AS mean_gap_s,
+           max_gap_s,
+           CASE WHEN sg > 0 THEN
+             {o_pround("(CAST(n_gaps AS DOUBLE) * CAST(sg2 AS DOUBLE)"
+                       " - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))"
+                       " / (CAST(n_gaps AS DOUBLE) * CAST(sg AS DOUBLE))",
+                       6)}
+           END AS fano_gap
+    FROM iaa"""

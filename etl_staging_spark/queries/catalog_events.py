@@ -106,3 +106,15 @@ def events_volume_card(spark, sf_dir):
     map-side-combinable aggregate on the bounded event-type key; no
     join, no window, no Python (`operators/events.py:682`)."""
     return ev.volume_card(load(spark, sf_dir, "events"))
+
+
+@query("events_interarrival_card", oracle=ev.o_interarrival_card())
+def events_interarrival_card(spark, sf_dir):
+    """Per-event-type inter-arrival/burstiness card (new r14): mean and
+    max gap between consecutive same-type events per user, plus the
+    Fano factor (gap variance over mean — Poisson ~1, bursty >>1,
+    metronome <<1) from exact integer-second gap sums. ONE lag window
+    over the (user_id, event_type) partition (the sessionize shuffle
+    family) -> ONE bounded aggregate (`operators/events.py:
+    interarrival_card`)."""
+    return ev.interarrival_card(load(spark, sf_dir, "events"))

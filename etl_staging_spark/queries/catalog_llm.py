@@ -4297,3 +4297,44 @@ def decontam_rate_by_source_q(spark, sf_dir):
         corpus, bench, n_exact=5, min_hits=1,
         fuzzy_threshold=0.8, fuzzy_n=3,
     )
+
+
+def o_embedding_dim_stats() -> str:
+    """DuckDB oracle twin of `llmdata.simsearch.embedding_dim_stats`:
+    0-based dims via generate_subscripts - 1, the same NULL-vector /
+    NULL-element exclusion, exact float min/max published as double,
+    and the `_dot` convention's DECIMAL(30,15) element quantization
+    (through an explicit double promotion) for the order-free mean."""
+    return f"""
+    WITH edv AS (
+      SELECT embedding FROM embeddings
+      WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0
+    ),
+    eds AS (
+      SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+             unnest(embedding) AS e
+      FROM edv
+    )
+    SELECT CAST(dim AS BIGINT) AS dim,
+           COUNT(*) AS n,
+           CAST(MIN(e) AS DOUBLE) AS vmin,
+           CAST(MAX(e) AS DOUBLE) AS vmax,
+           {o_pround("CAST(SUM(CAST(CAST(e AS DOUBLE) AS DECIMAL(30,15)))"
+                     " AS DOUBLE) / COUNT(*)", 6)} AS mean,
+           {o_pround("GREATEST(ABS(CAST(MIN(e) AS DOUBLE)),"
+                     " ABS(CAST(MAX(e) AS DOUBLE))) / 127.0", 6)}
+             AS int8_scale
+    FROM eds GROUP BY dim"""
+
+
+@query("embedding_dim_stats", oracle=o_embedding_dim_stats())
+def embedding_dim_stats_q(spark, sf_dir):
+    """Per-dimension embedding statistics (new r14): population, exact
+    min/max, exact-decimal mean and the symmetric int8 scale per
+    vector position — the quantization-planning read before shipping
+    an ANN index or int8 embedding shards, and the dead-dimension
+    detector. ONE posexplode -> ONE map-side-combinable aggregate on
+    the bounded dimension key (`llmdata/simsearch.py:
+    embedding_dim_stats`)."""
+    return simsearch.embedding_dim_stats(load(spark, sf_dir, "embeddings"))

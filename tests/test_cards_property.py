@@ -1617,3 +1617,60 @@ def test_decontam_rate_oracle_matches_python_reference(rows):
         tuple(r) for r in con.sql(o_decontam_rate_by_source()).fetchall()
     ]
     assert _nsort(got) == _nsort(ref)
+
+
+# ---------------------------------------------------------------------------
+# embedding_dim_stats oracle vs python reference (decimal-quantized mean,
+# NULL-vector / NULL-element exclusion, ragged dims)
+# ---------------------------------------------------------------------------
+
+from decimal import ROUND_HALF_UP, Decimal  # noqa: E402
+
+from etl_staging_spark.queries.catalog_llm import (  # noqa: E402
+    o_embedding_dim_stats,
+)
+
+f32_exact_st = st.sampled_from(
+    [-3.0, -1.5, -0.75, -0.25, 0.0, 0.25, 0.5, 1.0, 2.5]
+)
+vec_st = st.one_of(
+    st.none(),
+    st.lists(st.one_of(st.none(), f32_exact_st), min_size=0, max_size=4),
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(vec_st, max_size=10))
+def test_embedding_dim_stats_oracle_matches_python_reference(vecs):
+    import duckdb
+
+    dims: dict = defaultdict(list)
+    for v in vecs:
+        if v is None or any(x is None for x in v):
+            continue
+        for d, x in enumerate(v):
+            dims[d].append(x)
+    ref = []
+    for d, xs in dims.items():
+        q = sum(
+            Decimal(str(x)).quantize(Decimal("1e-15"), ROUND_HALF_UP)
+            for x in xs
+        )
+        mean = py_pround(float(q) / len(xs), 6)
+        lo, hi = min(xs), max(xs)
+        ref.append(
+            (d, len(xs), lo, hi, mean,
+             py_pround(max(abs(lo), abs(hi)) / 127.0, 6))
+        )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE embeddings(vec_id BIGINT, embedding DOUBLE[],"
+        " label INTEGER)"
+    )
+    if vecs:
+        con.executemany(
+            "INSERT INTO embeddings VALUES (?, ?, ?)",
+            [(i, v, 0) for i, v in enumerate(vecs)],
+        )
+    got = [tuple(r) for r in con.sql(o_embedding_dim_stats()).fetchall()]
+    assert _nsort(got) == _nsort(ref)

@@ -5311,3 +5311,139 @@ def test_r14_new_cards_match_duckdb_on_real_tables(spark):
             tuple(r) for r in con.sql(o_decontam_rate_by_source()).fetchall()
         )
         assert got == want and len(got) > 0, sf
+
+
+def test_embedding_dim_stats_planted_and_duckdb(spark):
+    """embedding_dim_stats (new r14): hand-computed per-dim min/max/
+    mean/int8-scale on a planted frame — a NULL vector and a
+    NULL-element vector contribute nothing, a ragged short vector
+    shows up as a smaller n on the missing dim, the scale is the
+    symmetric max(|min|, |max|)/127 — and DuckDB parity."""
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from etl_staging_spark.llmdata import simsearch
+    from etl_staging_spark.queries.catalog_llm import o_embedding_dim_stats
+
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("label", IntegerType()),
+    ])
+    rows = [
+        (0, [1.0, -2.0], 1),
+        (1, [3.0, 0.5], 1),
+        (2, [0.25], 2),          # ragged: dim 1 missing here
+        (3, None, 2),            # NULL vector: excluded
+        (4, [1.0, None], 2),     # NULL element: whole vector excluded
+    ]
+    docs = spark.createDataFrame(rows, schema)
+    got = {r.dim: tuple(r)[1:] for r in
+           simsearch.embedding_dim_stats(docs).collect()}
+    # dim 0: n=3 over {1.0, 3.0, 0.25} -> mean 4.25/3, scale 3/127
+    assert got[0] == (3, 0.25, 3.0, 1.416667, 0.023622)
+    # dim 1: n=2 over {-2.0, 0.5} -> mean -0.75, scale 2/127
+    assert got[1] == (2, -2.0, 0.5, -0.75, 0.015748)
+    want = _duck_on_emb(rows, o_embedding_dim_stats())
+    assert _nsafe_sorted(
+        tuple(r) for r in simsearch.embedding_dim_stats(docs).collect()
+    ) == want
+
+
+def test_embedding_dim_stats_matches_duckdb_on_real_tables(spark):
+    """Registration dry-run of `embedding_dim_stats` at BOTH parity
+    scales on the real embeddings tables."""
+    import duckdb
+
+    from etl_staging_spark.llmdata import simsearch
+    from etl_staging_spark.queries.catalog_llm import o_embedding_dim_stats
+
+    for sf in ("sf0.001", "sf0.01"):
+        path = f"/root/testdata/{sf}/embeddings.parquet"
+        emb = spark.read.parquet(path)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{path}'")
+        got = _nsafe_sorted(
+            tuple(r) for r in simsearch.embedding_dim_stats(emb).collect()
+        )
+        want = _nsafe_sorted(
+            tuple(r) for r in con.sql(o_embedding_dim_stats()).fetchall()
+        )
+        assert got == want and len(got) > 0, sf
+
+
+def test_events_interarrival_card_planted_and_duckdb(spark):
+    """events interarrival card (new r14): hand-computed gap stats on a
+    planted stream — a metronome user (gaps 10, 10: Fano 0), a bursty
+    type (gaps 1 and 599 -> Fano = variance/mean >> 1), a single-event
+    type with no gaps (NULL mean/max/Fano), a NULL event_type audit
+    row, same-type gaps never crossing users — and DuckDB parity."""
+    import duckdb
+    from datetime import datetime, timedelta
+
+    from etl_staging_spark.operators import events as ev
+
+    t0 = datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        # user 1, 'tick': gaps 10, 10 -> mean 10, fano 0
+        (1, t0, 1, "tick", None, None),
+        (2, t0 + timedelta(seconds=10), 1, "tick", None, None),
+        (3, t0 + timedelta(seconds=20), 1, "tick", None, None),
+        # user 2, 'burst': gaps 1, 599 -> mean 300, var 89401, fano 298.003333
+        (4, t0, 2, "burst", None, None),
+        (5, t0 + timedelta(seconds=1), 2, "burst", None, None),
+        (6, t0 + timedelta(seconds=600), 2, "burst", None, None),
+        # user 3, 'tick': single event -> no gap; must NOT chain to user 1
+        (7, t0 + timedelta(seconds=5), 3, "tick", None, None),
+        # NULL event_type audit row
+        (8, t0, 1, None, None, None),
+        (9, t0 + timedelta(seconds=7), 1, None, None, None),
+    ]
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    events = spark.createDataFrame(rows, schema)
+    got = {r.event_type: tuple(r)[1:] for r in
+           ev.interarrival_card(events).collect()}
+    assert got["tick"] == (4, 2, 10.0, 10, 0.0)
+    # burst: n*sg2 - sg^2 = 2*(1+358801) - 600^2 = 357604; /(2*600)
+    assert got["burst"] == (3, 2, 300.0, 599, 298.003333)
+    assert got[None] == (2, 1, 7.0, 7, 0.0)  # one gap: population var 0
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events(event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+        " event_type VARCHAR, value DOUBLE, props VARCHAR)"
+    )
+    con.executemany("INSERT INTO events VALUES (?, ?, ?, ?, ?, ?)", rows)
+    want = _nsafe_sorted(
+        tuple(r) for r in con.sql(ev.o_interarrival_card()).fetchall()
+    )
+    assert _nsafe_sorted(
+        tuple(r) for r in ev.interarrival_card(events).collect()
+    ) == want
+
+
+def test_events_interarrival_card_matches_duckdb_on_real_tables(spark):
+    """Registration dry-run of the interarrival card at BOTH parity
+    scales on the real events tables."""
+    import duckdb
+
+    from etl_staging_spark.operators import events as ev
+
+    for sf in ("sf0.001", "sf0.01"):
+        path = f"/root/testdata/{sf}/events.parquet"
+        events = spark.read.parquet(path)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW events AS SELECT * FROM '{path}'")
+        got = _nsafe_sorted(
+            tuple(r) for r in ev.interarrival_card(events).collect()
+        )
+        want = _nsafe_sorted(
+            tuple(r) for r in con.sql(ev.o_interarrival_card()).fetchall()
+        )
+        assert got == want and len(got) > 0, sf
