@@ -413,3 +413,68 @@ def decontam_rate_by_source(
         )
     )
     return dedup._pin(out, *getattr(fz, "_pinned_persisted", ()))
+
+
+def decontam_matrix(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    set_col: str = "eval_set",
+    n: int = 5,
+    min_hits: int = 1,
+    source_col: str = "source",
+) -> DataFrame:
+    """Contamination MATRIX: for every (corpus source, eval set) cell,
+    how many of the source's docs collide (exact n-gram rule) with
+    THAT eval set and at what rate — `decontam_rate_by_source` answers
+    "how dirty is each source overall", this answers "which benchmark
+    leaks into which crawl", which is what decides whether an eval
+    number is still trustworthy after a data refresh. Zero cells are
+    REPORTED (a "no leakage" row is the affirmative audit result, not
+    an absence); a NULL corpus source keeps its audit row via a
+    null-safe grid join.
+
+    Scale shape: the eval side folds to DISTINCT (set, shingle) —
+    bounded by definition (eval suites, not corpora) and
+    AQE-broadcast against the one-shuffle corpus shingle index; the
+    matrix itself is #sources x #sets rows built from a broadcast
+    cross of two bounded frames. No corpus x corpus work."""
+    from ..numeric import pround
+
+    bsh = (
+        shingle_index(benchmark, n=n)
+        .join(
+            benchmark.select("doc_id", F.col(set_col).alias("eval_set")),
+            "doc_id",
+        )
+        .select("eval_set", "shingle")
+        .distinct()
+    )
+    hits = (
+        shingle_index(corpus, n=n)
+        .join(bsh, "shingle")
+        .groupBy("doc_id", "eval_set")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .where(F.col("n_overlap") >= min_hits)
+    )
+    src = corpus.select("doc_id", F.col(source_col).alias("source"))
+    per_src = src.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    sets = benchmark.select(F.col(set_col).alias("eval_set")).distinct()
+    flagged = (
+        src.join(hits, "doc_id")
+        .groupBy("source", "eval_set")
+        .agg(F.count(F.lit(1)).alias("n_flagged"))
+    )
+    grid = per_src.crossJoin(F.broadcast(sets))
+    cond = grid["source"].eqNullSafe(flagged["source"]) & (
+        grid["eval_set"] == flagged["eval_set"]
+    )
+    nf = F.coalesce(flagged["n_flagged"], F.lit(0)).cast("bigint")
+    return grid.join(flagged, cond, "left").select(
+        grid["source"],
+        grid["eval_set"],
+        grid["n_docs"],
+        nf.alias("n_flagged"),
+        pround(nf.cast("double") / grid["n_docs"], 6).alias(
+            "contamination_rate"
+        ),
+    )

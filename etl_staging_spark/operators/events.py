@@ -736,23 +736,47 @@ def interarrival_card(events: DataFrame) -> DataFrame:
     partition — the `sessionize` shuffle family, hash-balanced across
     users, never a global window — then ONE map-side-combinable
     aggregate on the bounded event-type key. No join, no Python."""
+    return finish_interarrival_card(interarrival_group_stats(events))
+
+
+def interarrival_group_stats(events: DataFrame) -> DataFrame:
+    """The per-(user, type) half of :func:`interarrival_card`: event
+    and gap counts, exact gap sums (Σg bigint, Σg² DECIMAL(38,0)) and
+    the max gap — THE state shape `streaming.events.
+    interarrival_stream` maintains incrementally, so the live stream
+    and the batch card share one presentation (`finish_interarrival_
+    card`) and provably converge."""
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     secs = F.floor(
         F.expr("unix_micros(cast(ts as timestamp))") / F.lit(1_000_000)
     )
     d = events.select(
-        "event_type", (secs - F.lag(secs).over(w)).alias("g")
+        "user_id", "event_type", (secs - F.lag(secs).over(w)).alias("g")
     )
     d19 = "decimal(19,0)"
-    agg = d.groupBy("event_type").agg(
+    return d.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.count("g").alias("n_gaps"),
-        F.sum("g").cast("bigint").alias("__sg"),
-        F.sum(F.col("g").cast(d19) * F.col("g").cast(d19)).alias("__sg2"),
+        F.sum("g").cast("bigint").alias("sg"),
+        F.sum(F.col("g").cast(d19) * F.col("g").cast(d19)).alias("sg2"),
         F.max("g").cast("bigint").alias("max_gap_s"),
     )
+
+
+def finish_interarrival_card(groups: DataFrame) -> DataFrame:
+    """Presentation half of :func:`interarrival_card` over per-(user,
+    type) gap-sum rows — a batch aggregate or the stateful stream's
+    latest state. Integer partial sums re-aggregate associatively, so
+    the two-level rollup equals the direct per-type aggregate."""
     from ..numeric import pround
 
+    agg = groups.groupBy("event_type").agg(
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.sum("n_gaps").cast("bigint").alias("n_gaps"),
+        F.sum("sg").cast("bigint").alias("__sg"),
+        F.sum(F.col("sg2").cast("decimal(38,0)")).alias("__sg2"),
+        F.max("max_gap_s").cast("bigint").alias("max_gap_s"),
+    )
     dd = lambda c: F.col(c).cast("double")  # noqa: E731
     return agg.select(
         "event_type",

@@ -4338,3 +4338,68 @@ def embedding_dim_stats_q(spark, sf_dir):
     the bounded dimension key (`llmdata/simsearch.py:
     embedding_dim_stats`)."""
     return simsearch.embedding_dim_stats(load(spark, sf_dir, "embeddings"))
+
+
+def o_decontam_matrix() -> str:
+    """DuckDB oracle twin of `llmdata.decontam.decontam_matrix` at the
+    registry split (two disjoint eval sets: doc_id % 40 = 0 ->
+    holdout_a, = 20 -> holdout_b; corpus = everything else): the
+    exact-rung shingle CTEs, the distinct (set, shingle) fold, the
+    complete sources x sets grid with zero cells reported, and an
+    IS NOT DISTINCT FROM join keeping the NULL-source audit row."""
+    bench_case = ("CASE WHEN doc_id % 40 = 0 THEN 'holdout_a'"
+                  " ELSE 'holdout_b' END")
+    return f"""
+    WITH {O_TOKS}, {O_FIVE},
+    dmbs AS (
+      SELECT DISTINCT {bench_case} AS eval_set, shingle
+      FROM five WHERE doc_id % 40 = 0 OR doc_id % 40 = 20
+    ),
+    dmh AS (
+      SELECT f.doc_id, b.eval_set, COUNT(*) AS n_overlap
+      FROM five f JOIN dmbs b USING (shingle)
+      WHERE f.doc_id % 40 <> 0 AND f.doc_id % 40 <> 20
+      GROUP BY 1, 2
+    ),
+    dmc AS (
+      SELECT doc_id, source FROM documents
+      WHERE doc_id % 40 <> 0 AND doc_id % 40 <> 20
+    ),
+    dms AS (SELECT source, COUNT(*) AS n_docs FROM dmc GROUP BY source),
+    dme AS (
+      SELECT DISTINCT {bench_case} AS eval_set
+      FROM documents WHERE doc_id % 40 = 0 OR doc_id % 40 = 20
+    ),
+    dmf AS (
+      SELECT c.source, h.eval_set, COUNT(*) AS n_flagged
+      FROM dmc c JOIN dmh h ON h.doc_id = c.doc_id
+      WHERE h.n_overlap >= 1
+      GROUP BY 1, 2
+    )
+    SELECT s.source, e.eval_set, s.n_docs,
+           CAST(COALESCE(f.n_flagged, 0) AS BIGINT) AS n_flagged,
+           {o_pround("CAST(COALESCE(f.n_flagged, 0) AS DOUBLE) / s.n_docs",
+                     6)} AS contamination_rate
+    FROM dms s CROSS JOIN dme e
+    LEFT JOIN dmf f ON s.source IS NOT DISTINCT FROM f.source
+                   AND e.eval_set = f.eval_set"""
+
+
+@query("decontam_matrix", oracle=o_decontam_matrix())
+def decontam_matrix_q(spark, sf_dir):
+    """Contamination matrix (new r14): per (corpus source, eval set)
+    cell, exact 5-gram-collision doc counts and rate against TWO
+    disjoint planted holdout sets — the "which benchmark leaks into
+    which crawl" audit deciding whether an eval number survives a data
+    refresh; zero cells reported affirmatively. Eval shingles fold to
+    a bounded DISTINCT (set, shingle) frame broadcast against the
+    one-shuffle corpus index; the matrix is a broadcast cross of
+    bounded frames (`llmdata/decontam.py:decontam_matrix`)."""
+    docs = load(spark, sf_dir, "documents")
+    m40 = F.pmod("doc_id", F.lit(40))
+    bench = docs.where((m40 == 0) | (m40 == 20)).withColumn(
+        "eval_set",
+        F.when(m40 == 0, F.lit("holdout_a")).otherwise(F.lit("holdout_b")),
+    )
+    corpus = docs.where((m40 != 0) & (m40 != 20))
+    return decontam.decontam_matrix(corpus, bench, n=5, min_hits=1)

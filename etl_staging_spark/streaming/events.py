@@ -239,3 +239,80 @@ def purchase_attribution(
         "purchase_id", F.col("p_user").alias("user_id"), "purchase_ts",
         "click_id", "click_ts", "amount",
     )
+
+
+# Inter-arrival state: the boundary problem additive deltas cannot
+# solve (a batch's first gap depends on the PREVIOUS batch's last
+# event) is exactly what keyed state is for — last-seen second plus
+# cumulative gap sums per (user_id, event_type).
+IA_STATE_SCHEMA = (
+    "last_secs long, n_events long, n_gaps long, sg long, sg2 long,"
+    " mx long"
+)
+IA_OUT_SCHEMA = (
+    "user_id long, event_type string, n_events long, n_gaps long,"
+    " sg long, sg2 long, max_gap_s long"
+)
+
+
+def _track_interarrival(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Stateful worker: per (user, type), fold this batch's epoch
+    seconds (batch-internally sorted by ts, event_id — the batch card's
+    total order) into cumulative gap sums, bridging the batch boundary
+    through the stored last-seen second. Assumes batches arrive in
+    event-time order across triggers (a file-drop feed; an out-of-order
+    source needs a watermarked reorder upstream). Sums are int64:
+    exact while Σg² < 2^63 (~3e9 same-type events at day-long gaps) —
+    the batch card's DECIMAL(38,0) is the unbounded-scale audit."""
+    user_id, event_type = key
+    if state.exists:
+        last, ne, ng, sg, sg2, mx = state.get
+    else:
+        last, ne, ng, sg, sg2, mx = -1, 0, 0, 0, 0, -1
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for t in pdf["ts"]:
+            secs = int(pd.Timestamp(t).value // 1_000_000_000)
+            if last >= 0:
+                g = secs - last
+                ng += 1
+                sg += g
+                sg2 += g * g
+                mx = max(mx, g)
+            last = secs
+            ne += 1
+    state.update((last, ne, ng, sg, sg2, mx))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "event_type": [event_type],
+            "n_events": [ne],
+            "n_gaps": [ng],
+            "sg": [sg],
+            "sg2": [sg2],
+            "max_gap_s": [None if mx < 0 else mx],
+        }
+    )
+
+
+def interarrival_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch inter-arrival card's group stats
+    (`operators.events.interarrival_group_stats`): cumulative per
+    (user_id, event_type) gap sums maintained via Arrow-batched keyed
+    state, updated rows emitted per micro-batch. Feed the LATEST row
+    per group to `operators.events.finish_interarrival_card` for the
+    per-type burstiness card — the same presentation the batch card
+    uses, so live and batch provably converge (pytest parity).
+
+    Scale shape: state is O(active (user, type) pairs) — the
+    `stateful_user_totals` posture; add a timeout for unbounded key
+    spaces in production."""
+    return events.groupBy("user_id", "event_type").applyInPandasWithState(
+        _track_interarrival,
+        outputStructType=IA_OUT_SCHEMA,
+        stateStructType=IA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

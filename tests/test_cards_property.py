@@ -1633,14 +1633,15 @@ from etl_staging_spark.queries.catalog_llm import (  # noqa: E402
 f32_exact_st = st.sampled_from(
     [-3.0, -1.5, -0.75, -0.25, 0.0, 0.25, 0.5, 1.0, 2.5]
 )
-vec_st = st.one_of(
+# NOT vec_st: that name is the embedding_stats strategy above
+dim_vec_st = st.one_of(
     st.none(),
     st.lists(st.one_of(st.none(), f32_exact_st), min_size=0, max_size=4),
 )
 
 
 @settings(max_examples=100, deadline=None)
-@given(st.lists(vec_st, max_size=10))
+@given(st.lists(dim_vec_st, max_size=10))
 def test_embedding_dim_stats_oracle_matches_python_reference(vecs):
     import duckdb
 
@@ -1673,4 +1674,59 @@ def test_embedding_dim_stats_oracle_matches_python_reference(vecs):
             [(i, v, 0) for i, v in enumerate(vecs)],
         )
     got = [tuple(r) for r in con.sql(o_embedding_dim_stats()).fetchall()]
+    assert _nsort(got) == _nsort(ref)
+
+
+# ---------------------------------------------------------------------------
+# decontam_matrix oracle vs python reference (exact rung, %40 split,
+# zero cells reported, NULL-source audit row)
+# ---------------------------------------------------------------------------
+
+from etl_staging_spark.queries.catalog_llm import o_decontam_matrix  # noqa: E402
+
+dm_word_st = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg"])
+dm_text_st = st.one_of(
+    st.none(), st.lists(dm_word_st, min_size=0, max_size=8).map(" ".join)
+)
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.lists(st.tuples(dm_text_st, nullable_source_st), max_size=25)
+)
+def test_decontam_matrix_oracle_matches_python_reference(rows):
+    def fives(text):
+        toks = text.lower().split(" ")
+        return {
+            " ".join(toks[j:j + 5]) for j in range(len(toks) - 4)
+        }
+
+    bench_sets: dict = {}
+    for i, (text, _src) in enumerate(rows):
+        m = i % 40
+        if m in (0, 20):
+            label = "holdout_a" if m == 0 else "holdout_b"
+            if text is not None:
+                bench_sets.setdefault(label, set()).update(fives(text))
+            else:
+                bench_sets.setdefault(label, set())
+    srcs: dict = defaultdict(lambda: [0, defaultdict(int)])
+    for i, (text, src) in enumerate(rows):
+        if i % 40 in (0, 20):
+            continue
+        g = srcs[src]
+        g[0] += 1
+        if text is not None:
+            sh = fives(text)
+            for label, bs in bench_sets.items():
+                if sh & bs:
+                    g[1][label] += 1
+    ref = [
+        (src, label, nd, fl.get(label, 0),
+         py_pround(fl.get(label, 0) / nd, 6))
+        for src, (nd, fl) in srcs.items()
+        for label in bench_sets
+    ]
+    con = _docs_con(rows)
+    got = [tuple(r) for r in con.sql(o_decontam_matrix()).fetchall()]
     assert _nsort(got) == _nsort(ref)

@@ -5447,3 +5447,71 @@ def test_events_interarrival_card_matches_duckdb_on_real_tables(spark):
             tuple(r) for r in con.sql(ev.o_interarrival_card()).fetchall()
         )
         assert got == want and len(got) > 0, sf
+
+
+def test_decontam_matrix_planted_and_duckdb(spark):
+    """decontam_matrix (new r14): a corpus doc colliding with eval set
+    A only flags the (source, A) cell; the (source, B) zero cell is
+    REPORTED; a clean source reports two zero cells; a NULL-source doc
+    keeps its audit row through the null-safe grid join — and DuckDB
+    parity at the registry's %40 split."""
+    from etl_staging_spark.llmdata import decontam
+    from etl_staging_spark.queries.catalog_llm import o_decontam_matrix
+
+    w = [f"tok{i}" for i in range(30)]
+    rows = [
+        (0, " ".join(w[0:10]), "eval"),     # %40=0  -> holdout_a
+        (20, " ".join(w[10:20]), "eval"),   # %40=20 -> holdout_b
+        (1, " ".join(w[0:10]), "dirty"),    # collides with A only
+        (2, " ".join(w[20:30]), "clean"),   # disjoint
+        (3, " ".join(w[10:20]), None),      # NULL source, collides with B
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    m40 = F.pmod("doc_id", F.lit(40))
+    bench = docs.where((m40 == 0) | (m40 == 20)).withColumn(
+        "eval_set",
+        F.when(m40 == 0, F.lit("holdout_a")).otherwise(F.lit("holdout_b")),
+    )
+    corpus = docs.where((m40 != 0) & (m40 != 20))
+    got = {(r.source, r.eval_set): tuple(r)[2:] for r in
+           decontam.decontam_matrix(corpus, bench).collect()}
+    assert len(got) == 6  # 3 sources x 2 sets, zero cells present
+    assert got[("dirty", "holdout_a")] == (1, 1, 1.0)
+    assert got[("dirty", "holdout_b")] == (1, 0, 0.0)
+    assert got[("clean", "holdout_a")] == (1, 0, 0.0)
+    assert got[(None, "holdout_b")] == (1, 1, 1.0)
+    assert got[(None, "holdout_a")] == (1, 0, 0.0)
+    want = _duck_on(rows, o_decontam_matrix())
+    assert _nsafe_sorted(
+        tuple(r) for r in decontam.decontam_matrix(corpus, bench).collect()
+    ) == want
+
+
+def test_decontam_matrix_matches_duckdb_on_real_tables(spark):
+    """Registration dry-run of `decontam_matrix` at BOTH parity scales."""
+    import duckdb
+
+    from etl_staging_spark.llmdata import decontam
+    from etl_staging_spark.queries.catalog_llm import o_decontam_matrix
+
+    for sf in ("sf0.001", "sf0.01"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        docs = spark.read.parquet(path)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+        m40 = F.pmod("doc_id", F.lit(40))
+        bench = docs.where((m40 == 0) | (m40 == 20)).withColumn(
+            "eval_set",
+            F.when(m40 == 0, F.lit("holdout_a")).otherwise(
+                F.lit("holdout_b")
+            ),
+        )
+        corpus = docs.where((m40 != 0) & (m40 != 20))
+        got = _nsafe_sorted(
+            tuple(r)
+            for r in decontam.decontam_matrix(corpus, bench).collect()
+        )
+        want = _nsafe_sorted(
+            tuple(r) for r in con.sql(o_decontam_matrix()).fetchall()
+        )
+        assert got == want and len(got) > 0, sf

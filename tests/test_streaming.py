@@ -2233,3 +2233,70 @@ def test_concentration_card_stream_matches_batch(spark, tmp_path):
     assert cards[max(cards)][0][5] == "whale"
     earlier = cards[sorted(cards)[-2]][0]
     assert earlier[5] != "whale"
+
+
+def test_interarrival_stream_matches_batch_across_boundary(spark, tmp_path):
+    """Stateful inter-arrival maintenance: the gap that SPANS two
+    micro-batches — the case additive deltas cannot express — is
+    bridged through the stored last-seen second, and the finished card
+    over the latest per-(user, type) state equals the batch
+    `interarrival_card` over the full feed."""
+    from datetime import datetime, timedelta
+
+    from etl_staging_spark.operators import events as ev
+    from etl_staging_spark.streaming.events import (
+        EVENT_SCHEMA,
+        interarrival_stream,
+        run_available_now,
+    )
+
+    t0 = datetime(2024, 1, 1, 10, 0, 0)
+    f0 = [
+        (1, t0, 1, "tick", None, None),
+        (2, t0 + timedelta(seconds=10), 1, "tick", None, None),
+        (5, t0, 2, "burst", 1.0, None),
+    ]
+    f1 = [
+        # boundary gap for user 1 'tick': 20s from event 2 (batch 0)
+        (3, t0 + timedelta(seconds=30), 1, "tick", None, None),
+        (4, t0 + timedelta(seconds=40), 1, "tick", None, None),
+        (6, t0 + timedelta(seconds=601), 2, "burst", None, None),
+    ]
+    drop = tmp_path / "feed"
+    drop.mkdir()
+    for i, rows in enumerate((f0, f1)):
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.parquet(
+            str(drop / f"f{i}")
+        )
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop) + "/*")
+    )
+    run_available_now(interarrival_stream(stream), "ia_sink", "update")
+    rows = spark.sql("SELECT * FROM ia_sink").collect()
+    # update-mode memory sink: the LAST emitted row per group is the
+    # current state (cumulative counts are monotone — keep max n_events)
+    latest: dict = {}
+    for r in rows:
+        k = (r.user_id, r.event_type)
+        if k not in latest or r.n_events > latest[k].n_events:
+            latest[k] = r
+    groups = spark.createDataFrame(
+        list(latest.values()),
+        "user_id long, event_type string, n_events long, n_gaps long,"
+        " sg long, sg2 long, max_gap_s long",
+    )
+    got = sorted(
+        tuple(r) for r in ev.finish_interarrival_card(groups).collect()
+    )
+    full = spark.createDataFrame(
+        f0 + f1,
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string",
+    )
+    want = sorted(tuple(r) for r in ev.interarrival_card(full).collect())
+    assert got == want
+    # the boundary gap was really counted: user 1 has 3 gaps of 10/20/10
+    tick = {r.event_type: r for r in ev.finish_interarrival_card(groups).collect()}
+    assert tick["tick"].n_gaps == 3 and tick["tick"].max_gap_s == 20

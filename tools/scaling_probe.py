@@ -28,6 +28,23 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import functions as F  # noqa: E402
 
 
+
+def _stats_conc(d):
+    from etl_staging_spark.llmdata import stats as _st
+
+    return _st.source_concentration_card(d)
+
+
+def _decontam_rate(d):
+    from pyspark.sql import functions as _F
+
+    from etl_staging_spark.llmdata import decontam as _dc
+
+    bench = d.where(_F.col("doc_id") % 20 == 0)
+    corpus = d.where(_F.col("doc_id") % 20 != 0)
+    return _dc.decontam_rate_by_source(corpus, bench)
+
+
 def replicated(spark, sf_dir: str, r: int):
     base = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n = base.agg(F.max("doc_id")).collect()[0][0] + 1
@@ -220,6 +237,13 @@ def run_probe(
         "mm_usability_card": lambda d: multimodal.usability_card(
             multimodal.feature_table(d, dim=16)
         ),
+        # r14 new builds: one (source) aggregate + bounded reduce
+        # (concentration), a per-(doc, gram) pre-aggregate + top-k cut
+        # (boilerplate), and the certified decontam ladder + bounded
+        # rollup (rate card) — all should grow ~linearly
+        "source_concentration_card": lambda d: _stats_conc(d),
+        "boilerplate_ngrams_topk": lambda d: stats.boilerplate_ngrams_topk(d),
+        "decontam_rate_by_source": lambda d: _decontam_rate(d),
     }
     from etl_staging_spark.llmdata import simsearch
 
@@ -227,12 +251,16 @@ def run_probe(
         # per-row broadcast-literal assignment + bounded aggregates —
         # should grow ~linearly in the vector count
         "cluster_profile": lambda e: simsearch.cluster_profile(e),
+        # ONE posexplode -> bounded-dim aggregate: ~linear
+        "embedding_dim_stats": lambda e: simsearch.embedding_dim_stats(e),
     }
     from etl_staging_spark.operators import events as _ev
 
     vops = {
         # one bounded-key aggregate over offset-replicated events
         "events_volume_card": lambda v: _ev.volume_card(v),
+        # one user-partitioned lag window + bounded aggregate: ~linear
+        "events_interarrival_card": lambda v: _ev.interarrival_card(v),
     }
     lops = ledger_ops()
     results: dict[str, dict[int, float]] = {
