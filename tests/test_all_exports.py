@@ -110,3 +110,52 @@ def test_report_exports_all_formats(name, spark, tmp_path):
         n_pages = pdf.count(b"/Type /Page ")
         chrome = n_pages * (1 + len(cols))
         assert pdf.count(b" Tj ET") > chrome + len(lines), name
+
+
+def test_dataset_card_assembles_and_exports(spark, tmp_path):
+    """The assembled DATASET CARD: every section present, the corpus
+    totals equal the concentration card's certified numbers, the
+    per-source doc counts sum to the corpus, and both HTML and PDF
+    exports render non-trivially (the PDF through the dependency-free
+    writer)."""
+    import os
+
+    from etl_staging_spark.llmdata import stats
+    from etl_staging_spark.reports.dataset_card import (
+        HEADERS,
+        dataset_card_lines,
+        export_dataset_card,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    lines = dataset_card_lines(spark, sf)
+    sections = [l["name"] for l in lines if l["level"] == 0]
+    assert sections[0] == "Corpus"
+    for want in ("Sources", "Duplication", "PII incidence",
+                 "Boilerplate (most widespread 3-grams)"):
+        assert want in sections, sections
+    assert any(s.startswith("Quality") for s in sections)
+    assert any(s.startswith("Truncation loss") for s in sections)
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    conc = stats.source_concentration_card(docs).collect()[0]
+    corpus_line = lines[0]
+    assert corpus_line["columns"][0]["no_format"] == conc.n_docs
+    assert corpus_line["columns"][1]["no_format"] == conc.n_tokens
+    # per-source docs sum to the corpus
+    i = sections.index("Sources")
+    start = [j for j, l in enumerate(lines) if l["level"] == 0][i] + 1
+    src_docs = 0
+    for l in lines[start:]:
+        if l["level"] == 0:
+            break
+        src_docs += l["columns"][0]["no_format"]
+    assert src_docs == conc.n_docs
+
+    out = export_dataset_card(spark, sf, str(tmp_path / "card"))
+    html = open(out["html"], encoding="utf-8").read()
+    assert "Dataset card" in html and "Duplication" in html
+    for h in HEADERS:
+        assert h in html
+    assert os.path.getsize(out["pdf"]) > 2000
+    assert open(out["pdf"], "rb").read(5) == b"%PDF-"
