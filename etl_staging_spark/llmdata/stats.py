@@ -1962,3 +1962,112 @@ def boilerplate_ngrams_topk(
     return cut.select(
         F.row_number().over(w).alias("rank"), "gram", "n_docs", "n_occurrences"
     )
+
+
+def snapshot_drift_card(
+    old: DataFrame,
+    new: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot-to-snapshot drift card: per source, how the NEW corpus
+    drop differs from the OLD one on the health metrics that break
+    silently — doc volume, NULL-text rate, mean doc length (tokens),
+    mean quality — each as (old, new, delta). The "did the refreshed
+    crawl change under us" read a pipeline runs BEFORE retraining on a
+    new drop: a source whose NULL rate jumped means a broken extractor
+    upstream, a length collapse means truncation snuck in, a quality
+    shift moves every downstream gate. `token_drift_card` answers the
+    vocabulary-level version of this question; this is the
+    table-health level. Sources present in only one snapshot report
+    NULL on the missing side (appearing/disappearing sources are
+    themselves the headline finding).
+
+    Numeric determinism: rates and means are exact-integer or
+    exact-DECIMAL sums divided once in double and prounded to 6;
+    deltas are one IEEE subtraction of two prounded doubles, prounded
+    again (both engines see identical inputs, so identical deltas).
+
+    Scale shape: ONE map-side-combinable (source) aggregate per
+    snapshot + ONE full-outer join on the bounded source key. No
+    window, no corpus-side join, no Python."""
+    from ..numeric import pround
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        q = quality_scores_or_none(df, text_col)
+        return q.groupBy(F.col(source_col).alias("source")).agg(
+            F.count(F.lit(1)).alias(f"{tag}_docs"),
+            F.sum(
+                F.when(F.col(text_col).isNull(), 1).otherwise(0)
+            ).cast("bigint").alias(f"{tag}_nulls"),
+            F.coalesce(
+                F.sum(bpe_token_count(text_col)), F.lit(0)
+            ).cast("bigint").alias(f"{tag}_tokens"),
+            F.sum(F.col("quality").cast("decimal(18,6)")).alias(
+                f"__{tag}_q"
+            ),
+            F.count("quality").alias(f"__{tag}_qn"),
+        )
+
+    # null-safe full outer: the NULL-source bucket must land on ONE row
+    # with both sides' numbers, not split into two half-NULL rows
+    o = side(old, "old").withColumnRenamed("source", "__so")
+    n = side(new, "new").withColumnRenamed("source", "__sn")
+    j = o.join(
+        n, F.col("__so").eqNullSafe(F.col("__sn")), "full_outer"
+    ).withColumn("source", F.coalesce("__so", "__sn"))
+
+    def rate(tag: str):
+        return F.when(
+            F.col(f"{tag}_docs") > 0,
+            pround(
+                F.col(f"{tag}_nulls").cast("double")
+                / F.col(f"{tag}_docs"),
+                6,
+            ),
+        )
+
+    def mean_len(tag: str):
+        nn = F.col(f"{tag}_docs") - F.col(f"{tag}_nulls")
+        return F.when(
+            nn > 0,
+            pround(F.col(f"{tag}_tokens").cast("double") / nn, 6),
+        )
+
+    def mean_q(tag: str):
+        return F.when(
+            F.col(f"__{tag}_qn") > 0,
+            pround(
+                F.col(f"__{tag}_q").cast("double") / F.col(f"__{tag}_qn"),
+                6,
+            ),
+        )
+
+    def delta(a, b):
+        return pround(b - a, 6)
+
+    return j.select(
+        "source",
+        "old_docs",
+        "new_docs",
+        rate("old").alias("old_null_rate"),
+        rate("new").alias("new_null_rate"),
+        delta(rate("old"), rate("new")).alias("null_rate_delta"),
+        mean_len("old").alias("old_mean_tokens"),
+        mean_len("new").alias("new_mean_tokens"),
+        delta(mean_len("old"), mean_len("new")).alias("mean_tokens_delta"),
+        mean_q("old").alias("old_mean_quality"),
+        mean_q("new").alias("new_mean_quality"),
+        delta(mean_q("old"), mean_q("new")).alias("mean_quality_delta"),
+    )
+
+
+def quality_scores_or_none(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """`textstats.quality_scores` joined back so every input row
+    survives with a nullable quality — NULL-text docs carry NULL
+    quality (the score operator drops them; this card must count
+    them)."""
+    from .textstats import quality_scores
+
+    q = quality_scores(df.where(F.col(text_col).isNotNull()))
+    return df.join(q.select("doc_id", "quality"), "doc_id", "left")

@@ -4403,3 +4403,84 @@ def decontam_matrix_q(spark, sf_dir):
     )
     corpus = docs.where((m40 != 0) & (m40 != 20))
     return decontam.decontam_matrix(corpus, bench, n=5, min_hits=1)
+
+
+def o_snapshot_drift_card() -> str:
+    """DuckDB oracle twin of `llmdata.stats.snapshot_drift_card` at the
+    registry split (old = even doc_id, new = odd — two deterministic
+    interleaved snapshots of the fixture corpus): the shared quality
+    CTEs LEFT-joined back so NULL-text docs count with NULL quality,
+    per-side bounded (source) aggregates, and an IS NOT DISTINCT FROM
+    full join keeping the NULL-source bucket on one row."""
+    def side(par: str, tag: str) -> str:
+        return f"""
+    sd{tag} AS (
+      SELECT source,
+             COUNT(*) AS {tag}_docs,
+             CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS {tag}_nulls,
+             CAST(COALESCE(SUM(tok), 0) AS BIGINT) AS {tag}_tokens,
+             SUM(CAST(quality AS DECIMAL(18,6))) AS {tag}_q,
+             COUNT(quality) AS {tag}_qn
+      FROM sdd WHERE doc_id % 2 = {par} GROUP BY source
+    )"""
+
+    def rate(t: str) -> str:
+        return (f"CASE WHEN {t}_docs > 0 THEN "
+                + o_pround(f"CAST({t}_nulls AS DOUBLE) / {t}_docs", 6)
+                + " END")
+
+    def mlen(t: str) -> str:
+        return (f"CASE WHEN {t}_docs - {t}_nulls > 0 THEN "
+                + o_pround(f"CAST({t}_tokens AS DOUBLE)"
+                           f" / ({t}_docs - {t}_nulls)", 6)
+                + " END")
+
+    def mq(t: str) -> str:
+        return (f"CASE WHEN {t}_qn > 0 THEN "
+                + o_pround(f"CAST({t}_q AS DOUBLE) / {t}_qn", 6)
+                + " END")
+
+    def delta(a: str, b: str) -> str:
+        return o_pround(f"({b}) - ({a})", 6)
+
+    return f"""
+    WITH {_O_QUAL_CTES},
+    sdd AS (
+      SELECT d.doc_id, d.source, d.text,
+             len(regexp_extract_all(lower(d.text), '{textstats.TOKEN_RE}'))
+               AS tok,
+             q.quality
+      FROM documents d LEFT JOIN qual q ON q.doc_id = d.doc_id
+    ),
+    {side('0', 'old')},
+    {side('1', 'new')}
+    SELECT COALESCE(o.source, n.source) AS source,
+           old_docs, new_docs,
+           {rate('old')} AS old_null_rate,
+           {rate('new')} AS new_null_rate,
+           {delta(rate('old'), rate('new'))} AS null_rate_delta,
+           {mlen('old')} AS old_mean_tokens,
+           {mlen('new')} AS new_mean_tokens,
+           {delta(mlen('old'), mlen('new'))} AS mean_tokens_delta,
+           {mq('old')} AS old_mean_quality,
+           {mq('new')} AS new_mean_quality,
+           {delta(mq('old'), mq('new'))} AS mean_quality_delta
+    FROM sdold o FULL JOIN sdnew n
+      ON o.source IS NOT DISTINCT FROM n.source"""
+
+
+@query("snapshot_drift_card", oracle=o_snapshot_drift_card())
+def snapshot_drift_card_q(spark, sf_dir):
+    """Snapshot-to-snapshot drift card (new r14): per source, doc
+    volume, NULL-text rate, mean token length and mean quality as
+    (old, new, delta) between two corpus drops — the table-health
+    "did the refreshed crawl change under us" read a pipeline runs
+    before retraining (`token_drift_card` is the vocabulary-level
+    sibling). Registry split: old = even doc_id, new = odd. ONE
+    bounded (source) aggregate per side + ONE null-safe full join on
+    the bounded source key (`llmdata/stats.py:snapshot_drift_card`)."""
+    docs = load(spark, sf_dir, "documents")
+    old = docs.where(F.pmod("doc_id", F.lit(2)) == 0)
+    new = docs.where(F.pmod("doc_id", F.lit(2)) == 1)
+    return stats.snapshot_drift_card(old, new)

@@ -1730,3 +1730,52 @@ def test_decontam_matrix_oracle_matches_python_reference(rows):
     con = _docs_con(rows)
     got = [tuple(r) for r in con.sql(o_decontam_matrix()).fetchall()]
     assert _nsort(got) == _nsort(ref)
+
+
+# ---------------------------------------------------------------------------
+# snapshot_drift_card oracle vs python reference (even/odd split, NULL
+# quality for NULL text, appearing/disappearing sources, NULL bucket)
+# ---------------------------------------------------------------------------
+
+from etl_staging_spark.queries.catalog_llm import (  # noqa: E402
+    o_snapshot_drift_card,
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.tuples(rich_text_st, nullable_source_st), max_size=14))
+def test_snapshot_drift_oracle_matches_python_reference(rows):
+    sides: dict = {0: defaultdict(lambda: [0, 0, 0, [], 0]), 1: defaultdict(lambda: [0, 0, 0, [], 0])}
+    for i, (text, src) in enumerate(rows):
+        g = sides[i % 2][src]
+        g[0] += 1
+        if text is None:
+            g[1] += 1
+        else:
+            g[2] += _bpe_count(text)
+            g[3].append(_py_quality(text))
+    def stats_of(g):
+        if g is None:
+            return (None,) * 5
+        nd, nulls, tok, qs, _ = g
+        rate = py_pround(nulls / nd, 6) if nd > 0 else None
+        ml = py_pround(tok / (nd - nulls), 6) if nd - nulls > 0 else None
+        mq = None
+        if qs:
+            q6 = Decimal("1e-6")
+            acc = sum(Decimal(repr(q)).quantize(q6, ROUND_HALF_UP) for q in qs)
+            mq = py_pround(float(acc) / len(qs), 6)
+        return (nd, rate, ml, mq, len(qs))
+    def delta(a, b):
+        return py_pround(b - a, 6) if a is not None and b is not None else None
+    ref = []
+    for src in set(sides[0]) | set(sides[1]):
+        od, orate, oml, omq, _ = stats_of(sides[0].get(src))
+        nd, nrate, nml, nmq, _ = stats_of(sides[1].get(src))
+        ref.append((
+            src, od, nd, orate, nrate, delta(orate, nrate),
+            oml, nml, delta(oml, nml), omq, nmq, delta(omq, nmq),
+        ))
+    con = _docs_con(rows)
+    got = [tuple(r) for r in con.sql(o_snapshot_drift_card()).fetchall()]
+    assert _nsort(got) == _nsort(ref)

@@ -5515,3 +5515,69 @@ def test_decontam_matrix_matches_duckdb_on_real_tables(spark):
             tuple(r) for r in con.sql(o_decontam_matrix()).fetchall()
         )
         assert got == want and len(got) > 0, sf
+
+
+def test_snapshot_drift_card_planted_and_duckdb(spark):
+    """snapshot_drift_card (new r14): hand-computed drift on planted
+    snapshots — a NULL-rate jump, a token-length collapse, a source
+    present only in the NEW drop (old side NULL — the appearing-source
+    finding), the NULL-source bucket landing on ONE row with both
+    sides — and DuckDB parity at the registry's even/odd split."""
+    from etl_staging_spark.llmdata import stats
+    from etl_staging_spark.queries.catalog_llm import o_snapshot_drift_card
+
+    rows = [
+        # even doc_id = old snapshot, odd = new
+        (0, "a b c d", "s1"),     # old s1: 4 tokens
+        (2, "e f g h", "s1"),     # old s1: 4 tokens, 0 nulls
+        (1, "a b", "s1"),         # new s1: 2 tokens
+        (3, None, "s1"),          # new s1: null-rate 0 -> 0.5
+        (5, "x y z", "fresh"),    # appears only in new
+        (4, "q", None),           # old NULL-source bucket
+        (7, "q r", None),         # new NULL-source bucket
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    old = docs.where(F.pmod("doc_id", F.lit(2)) == 0)
+    new = docs.where(F.pmod("doc_id", F.lit(2)) == 1)
+    got = {r.source: r for r in stats.snapshot_drift_card(old, new).collect()}
+    assert len(got) == 3
+    s1 = got["s1"]
+    assert (s1.old_docs, s1.new_docs) == (2, 2)
+    assert (s1.old_null_rate, s1.new_null_rate, s1.null_rate_delta) == (
+        0.0, 0.5, 0.5)
+    assert (s1.old_mean_tokens, s1.new_mean_tokens,
+            s1.mean_tokens_delta) == (4.0, 2.0, -2.0)
+    fresh = got["fresh"]
+    assert fresh.old_docs is None and fresh.new_docs == 1
+    assert fresh.old_mean_tokens is None and fresh.mean_tokens_delta is None
+    nul = got[None]
+    assert (nul.old_docs, nul.new_docs) == (1, 1)
+    assert (nul.old_mean_tokens, nul.new_mean_tokens) == (1.0, 2.0)
+    want = _duck_on(rows, o_snapshot_drift_card())
+    assert _nsafe_sorted(
+        tuple(r) for r in stats.snapshot_drift_card(old, new).collect()
+    ) == want
+
+
+def test_snapshot_drift_card_matches_duckdb_on_real_tables(spark):
+    """Registration dry-run of `snapshot_drift_card` at BOTH parity
+    scales (even/odd doc_id snapshots of the real documents tables)."""
+    import duckdb
+
+    from etl_staging_spark.llmdata import stats
+    from etl_staging_spark.queries.catalog_llm import o_snapshot_drift_card
+
+    for sf in ("sf0.001", "sf0.01"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        docs = spark.read.parquet(path)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+        old = docs.where(F.pmod("doc_id", F.lit(2)) == 0)
+        new = docs.where(F.pmod("doc_id", F.lit(2)) == 1)
+        got = _nsafe_sorted(
+            tuple(r) for r in stats.snapshot_drift_card(old, new).collect()
+        )
+        want = _nsafe_sorted(
+            tuple(r) for r in con.sql(o_snapshot_drift_card()).fetchall()
+        )
+        assert got == want and len(got) > 0, sf
