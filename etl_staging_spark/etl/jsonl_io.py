@@ -20,17 +20,25 @@ from pyspark.sql.types import StringType, StructField, StructType
 from .csv_io import CORRUPT_COL
 
 
+def _full_schema(schema: StructType) -> StructType:
+    """THE corrupt-channel schema rule, shared by the batch and stream
+    readers: append the corrupt-record column unless the declared
+    schema already carries it (re-reading a staged reject dataset —
+    a duplicate field would be an AnalysisException at scan time)."""
+    if any(f.name == CORRUPT_COL for f in schema.fields):
+        return schema
+    return StructType(
+        list(schema.fields) + [StructField(CORRUPT_COL, StringType())]
+    )
+
+
 def read_jsonl(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
     """Schema-declared JSONL scan; malformed lines keep their raw text
     in the corrupt-record column (PERMISSIVE mode). Handles .gz/.zst
     shards transparently (Hadoop codec by extension). A schema that
     already declares the corrupt column (re-reading a staged reject
-    dataset) is passed through unchanged — appending a second copy
-    would be an AnalysisException at scan time."""
-    has_corrupt = any(f.name == CORRUPT_COL for f in schema.fields)
-    full = schema if has_corrupt else StructType(
-        list(schema.fields) + [StructField(CORRUPT_COL, StringType())]
-    )
+    dataset) is passed through unchanged (`_full_schema`)."""
+    full = _full_schema(schema)
     return spark.read.json(
         path,
         schema=full,
@@ -122,11 +130,9 @@ def jsonl_doc_stream(
     (route the other side to a reject sink); after the split every
     foreachBatch consumer (dedup ingest, gated ingest, the additive
     card streams) composes unchanged. A schema already declaring the
-    corrupt column passes through, same as `read_jsonl`."""
-    has_corrupt = any(f.name == CORRUPT_COL for f in schema.fields)
-    full = schema if has_corrupt else StructType(
-        list(schema.fields) + [StructField(CORRUPT_COL, StringType())]
-    )
+    corrupt column passes through, same as `read_jsonl`
+    (`_full_schema`)."""
+    full = _full_schema(schema)
     return (
         spark.readStream.schema(full)
         .option("mode", "PERMISSIVE")

@@ -742,10 +742,18 @@ def jsonl_corrupt_split(spark, sf_dir):
         ],
         "line string",
     )
+    import hashlib
+
+    # key by the FULL normalized path (digest + basename for
+    # readability) AND the process id: two sf dirs sharing a basename,
+    # or the same dir driven by two concurrent harnesses, must not
+    # overwrite each other's shard mid-scan
+    norm = os.path.normpath(os.path.abspath(sf_dir))
     shard = os.path.join(
         tempfile.gettempdir(),
         "spark_graft_jsonl_cert",
-        os.path.basename(os.path.normpath(sf_dir)),
+        f"{os.path.basename(norm)}"
+        f"-{hashlib.md5(norm.encode()).hexdigest()[:12]}-p{os.getpid()}",
     )
     docs.select(line.alias("line")).unionByName(planted).write.mode(
         "overwrite"

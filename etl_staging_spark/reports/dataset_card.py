@@ -57,8 +57,20 @@ def dataset_card_lines(
     docs = load(spark, sf_dir, "documents")
     lines: list[dict] = []
 
-    # -- corpus & concentration (1 row) ---------------------------------
-    conc = stats.source_concentration_card(docs).collect()[0]
+    # -- corpus & concentration ------------------------------------------
+    # ONE corpus scan: collect the bounded per-source counts, then feed
+    # the finish half from the collected frame — re-running the full
+    # card here would pay a second corpus aggregate for numbers already
+    # in hand
+    per = stats.concentration_counts(docs).collect()
+    if not per:
+        # an empty (or fully-filtered) drop gets a placeholder card,
+        # not an IndexError from the report entry point
+        return [_line("Corpus", 0, [
+            _num(0), _num(0), _txt(None), _txt("EMPTY CORPUS"),
+        ])]
+    per_df = spark.createDataFrame(per)
+    conc = stats.finish_concentration_card(per_df).collect()[0]
     lines.append(_line("Corpus", 0, [
         _num(conc.n_docs), _num(conc.n_tokens), _txt(None),
         _txt(f"{conc.n_sources} sources"),
@@ -73,13 +85,11 @@ def dataset_card_lines(
              f"(docs {conc.top_doc_share}, tokens {conc.top_token_share})"),
     ]))
 
-    # -- per-source volume (bounded: #sources) --------------------------
+    # -- per-source volume (bounded: #sources; reuses the ONE collect) --
     lines.append(_line("Sources", 0, [_txt(None)] * 4))
-    per = sorted(
-        stats.concentration_counts(docs).collect(),
-        key=lambda r: (-(r.n_tok_s or 0), _src_label(r.source)),
-    )
-    for r in per:
+    for r in sorted(
+        per, key=lambda r: (-(r.n_tok_s or 0), _src_label(r.source))
+    ):
         lines.append(_line(_src_label(r.source), 1, [
             _num(r.n_docs_s), _num(r.n_tok_s), _txt(None), _txt(None),
         ]))

@@ -259,23 +259,31 @@ def _track_interarrival(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     """Stateful worker: per (user, type), fold this batch's epoch
-    seconds (batch-internally sorted by ts, event_id — the batch card's
-    total order) into cumulative gap sums, bridging the batch boundary
-    through the stored last-seen second. Assumes batches arrive in
-    event-time order across triggers (a file-drop feed; an out-of-order
-    source needs a watermarked reorder upstream). Sums are int64:
-    exact while Σg² < 2^63 (~3e9 same-type events at day-long gaps) —
-    the batch card's DECIMAL(38,0) is the unbounded-scale audit."""
+    seconds into cumulative gap sums, bridging the batch boundary
+    through the stored last-seen second. The group can arrive as
+    SEVERAL Arrow chunks in arbitrary order (maxRecordsPerBatch
+    splits), so the whole batch is concatenated BEFORE the one sort by
+    (ts, event_id) — sorting chunks independently would fold gaps
+    across an unordered chunk boundary. The no-previous-event sentinel
+    is None, never a magic epoch value: a pre-1970 timestamp (negative
+    seconds — zero-default clocks are exactly what a burstiness card
+    surfaces) is a real predecessor and its gap counts, matching the
+    batch card. Assumes batches arrive in event-time order across
+    triggers (a file-drop feed; an out-of-order source needs a
+    watermarked reorder upstream). Sums are int64: exact while
+    Σg² < 2^63 (~3e9 same-type events at day-long gaps) — the batch
+    card's DECIMAL(38,0) is the unbounded-scale audit."""
     user_id, event_type = key
     if state.exists:
         last, ne, ng, sg, sg2, mx = state.get
     else:
-        last, ne, ng, sg, sg2, mx = -1, 0, 0, 0, 0, -1
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        for t in pdf["ts"]:
+        last, ne, ng, sg, sg2, mx = None, 0, 0, 0, 0, 0
+    chunks = list(pdfs)
+    if chunks:
+        batch = pd.concat(chunks).sort_values(["ts", "event_id"])
+        for t in batch["ts"]:
             secs = int(pd.Timestamp(t).value // 1_000_000_000)
-            if last >= 0:
+            if last is not None:
                 g = secs - last
                 ng += 1
                 sg += g
@@ -292,7 +300,7 @@ def _track_interarrival(
             "n_gaps": [ng],
             "sg": [sg],
             "sg2": [sg2],
-            "max_gap_s": [None if mx < 0 else mx],
+            "max_gap_s": [mx if ng > 0 else None],
         }
     )
 

@@ -159,3 +159,20 @@ def test_dataset_card_assembles_and_exports(spark, tmp_path):
         assert h in html
     assert os.path.getsize(out["pdf"]) > 2000
     assert open(out["pdf"], "rb").read(5) == b"%PDF-"
+
+
+def test_dataset_card_empty_corpus_placeholder(spark, tmp_path):
+    """An empty documents drop renders a placeholder card, not an
+    IndexError from the report entry point (review finding)."""
+    import os
+
+    from etl_staging_spark.reports.dataset_card import export_dataset_card
+
+    empty_dir = tmp_path / "sfempty"
+    empty_dir.mkdir()
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.limit(0).write.parquet(str(empty_dir / "documents.parquet"))
+    out = export_dataset_card(spark, str(empty_dir), str(tmp_path / "card"))
+    html = open(out["html"], encoding="utf-8").read()
+    assert "EMPTY CORPUS" in html
+    assert os.path.getsize(out["pdf"]) > 500

@@ -2300,3 +2300,62 @@ def test_interarrival_stream_matches_batch_across_boundary(spark, tmp_path):
     # the boundary gap was really counted: user 1 has 3 gaps of 10/20/10
     tick = {r.event_type: r for r in ev.finish_interarrival_card(groups).collect()}
     assert tick["tick"].n_gaps == 3 and tick["tick"].max_gap_s == 20
+
+
+def test_interarrival_stream_multichunk_and_pre1970(spark, tmp_path):
+    """The review's two stateful-worker edges: (1) a group delivered as
+    SEVERAL Arrow chunks in one micro-batch (maxRecordsPerBatch=2)
+    must sort the WHOLE batch once — per-chunk sorting would fold gaps
+    across an unordered chunk boundary; (2) a pre-1970 timestamp
+    (negative epoch seconds) is a real predecessor whose gap counts —
+    the old -1 sentinel silently dropped it. Parity against the batch
+    card pins both."""
+    from datetime import datetime, timedelta
+
+    from etl_staging_spark.operators import events as ev
+    from etl_staging_spark.streaming.events import (
+        EVENT_SCHEMA,
+        interarrival_stream,
+        run_available_now,
+    )
+
+    t0 = datetime(1969, 12, 31, 23, 59, 50)  # pre-epoch start
+    rows = [
+        (i, t0 + timedelta(seconds=7 * i), 1, "tick", None, None)
+        for i in range(9)  # one group, 9 events -> 5 chunks at size 2
+    ]
+    drop = tmp_path / "feed"
+    drop.mkdir()
+    spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.parquet(
+        str(drop / "f0")
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        stream = spark.readStream.schema(EVENT_SCHEMA).parquet(str(drop) + "/*")
+        run_available_now(interarrival_stream(stream), "ia_mc_sink", "update")
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    latest = {}
+    for r in spark.sql("SELECT * FROM ia_mc_sink").collect():
+        k = (r.user_id, r.event_type)
+        if k not in latest or r.n_events > latest[k].n_events:
+            latest[k] = r
+    groups = spark.createDataFrame(
+        list(latest.values()),
+        "user_id long, event_type string, n_events long, n_gaps long,"
+        " sg long, sg2 long, max_gap_s long",
+    )
+    got = sorted(
+        tuple(r) for r in ev.finish_interarrival_card(groups).collect()
+    )
+    full = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string",
+    )
+    want = sorted(tuple(r) for r in ev.interarrival_card(full).collect())
+    assert got == want
+    # all 8 gaps counted (incl. the ones straddling the epoch), each 7s
+    row = got[0]
+    assert row[2] == 8 and row[3] == 7.0 and row[5] == 0.0
