@@ -4484,3 +4484,33 @@ def snapshot_drift_card_q(spark, sf_dir):
     old = docs.where(F.pmod("doc_id", F.lit(2)) == 0)
     new = docs.where(F.pmod("doc_id", F.lit(2)) == 1)
     return stats.snapshot_drift_card(old, new)
+
+
+@query(
+    "concentration_card_stream_fold", oracle=o_source_concentration_card()
+)
+def concentration_card_stream_fold_q(spark, sf_dir):
+    """Batch twin of the concentration STREAM's maintenance path (new
+    r14, the `length_card_stream_fold` pattern): the documents table
+    splits into three micro-batches (pmod(doc_id, 3)), each batch's
+    additive per-source delta (`stats.concentration_counts`) is tagged
+    like the delta log's partitions, and the union is merged by THE
+    shared `streaming.ingest._fold` and presented by
+    `stats.finish_concentration_card` — hash-matching the batch card's
+    own DuckDB oracle certifies the fold/finish additivity the
+    streaming pytests can only pin Spark-vs-Spark."""
+    from ..streaming.ingest import _fold
+
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.coalesce(F.pmod("doc_id", F.lit(3)), F.lit(0))
+    batches = [
+        stats.concentration_counts(docs.where(bucket == b)).withColumn(
+            "batch_id", F.lit(b)
+        )
+        for b in range(3)
+    ]
+    log = batches[0].unionByName(batches[1]).unionByName(batches[2])
+    merged = _fold(
+        log.drop("batch_id"), ("source",), stats.CONCENTRATION_COUNT_COLS
+    )
+    return stats.finish_concentration_card(merged)
