@@ -2071,3 +2071,62 @@ def quality_scores_or_none(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     q = quality_scores(df.where(F.col(text_col).isNotNull()))
     return df.join(q.select("doc_id", "quality"), "doc_id", "left")
+
+
+def quality_by_lang(
+    docs: DataFrame, low_cut: float = 0.5, text_col: str = "text"
+) -> DataFrame:
+    """Quality-score distribution per PREDICTED language — the gate-
+    fairness read taken before trusting one global quality cutoff: the
+    score's stopword and token-length components are English-tuned, so
+    a threshold placed on the global histogram can silently gut the
+    other languages; this card says whether each language's mass sits
+    below the candidate cutoff BEFORE the gate ships. Predictions are
+    `textstats.lang_id` (the certified convention — zero-evidence and
+    NULL-text docs land on the NULL-language row, where quality is
+    NULL and only n_docs counts). Output: (pred_lang, n_docs,
+    mean_quality, low_q_docs, low_q_rate); mean and rate NULL for a
+    quality-free row.
+
+    Numeric determinism: mean quality is the exact DECIMAL(18,6) sum
+    of the prounded per-doc scores divided once in double; the low
+    cut compares prounded scores against an exact literal (no
+    recomputation drift). Scale shape: two row-local projections
+    chained on doc_id (one doc-keyed join of one-row-per-doc frames)
+    -> ONE map-side-combinable aggregate on the bounded
+    #profiles+1 key."""
+    from .textstats import lang_id
+
+    lang = lang_id(docs).select("doc_id", "pred_lang")
+    q = quality_scores_or_none(docs, text_col).select("doc_id", "quality")
+    j = lang.join(q, "doc_id")
+    return (
+        j.groupBy("pred_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("quality").cast("decimal(18,6)")).alias("__q"),
+            F.count("quality").alias("__qn"),
+            F.sum(
+                F.when(F.col("quality") < low_cut, 1).otherwise(
+                    F.when(F.col("quality").isNotNull(), 0)
+                )
+            ).cast("bigint").alias("low_q_docs"),
+        )
+        .select(
+            "pred_lang",
+            "n_docs",
+            F.when(
+                F.col("__qn") > 0,
+                pround(F.col("__q").cast("double") / F.col("__qn"), 6),
+            ).alias("mean_quality"),
+            F.coalesce("low_q_docs", F.lit(0)).alias("low_q_docs"),
+            F.when(
+                F.col("__qn") > 0,
+                pround(
+                    F.coalesce("low_q_docs", F.lit(0)).cast("double")
+                    / F.col("__qn"),
+                    6,
+                ),
+            ).alias("low_q_rate"),
+        )
+    )

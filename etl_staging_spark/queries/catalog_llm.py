@@ -4514,3 +4514,57 @@ def concentration_card_stream_fold_q(spark, sf_dir):
         log.drop("batch_id"), ("source",), stats.CONCENTRATION_COUNT_COLS
     )
     return stats.finish_concentration_card(merged)
+
+
+def o_quality_by_lang(low_cut: float = 0.5) -> str:
+    """DuckDB oracle twin of `llmdata.stats.quality_by_lang`: the
+    certified lang-ID fragments (per-doc prediction) LEFT-joined to
+    the shared quality CTEs on doc_id, one bounded rollup; the NULL
+    pred_lang row carries NULL-text and zero-evidence docs whose
+    quality is NULL (the join is on doc_id so NULL-text docs — absent
+    from qual's divisions — surface as NULL quality, the
+    `quality_scores_or_none` convention)."""
+    return f"""
+    WITH {_O_QUAL_CTES},
+    qlb AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, length(lower(text)) - 1),
+                           i -> substr(lower(text), CAST(i AS INT), 2))) AS bg
+      FROM documents
+    ), qls AS (
+      SELECT doc_id, {_LSC} FROM qlb
+    ), qlsb AS (
+      SELECT *, {_LBEST} AS best FROM qls
+    ), qlp AS (
+      SELECT doc_id, {_LPRED} AS pred_lang FROM qlsb
+    ), qlj AS (
+      SELECT p.pred_lang,
+             CASE WHEN d.text IS NOT NULL THEN q.quality END AS quality
+      FROM qlp p
+      JOIN documents d ON d.doc_id = p.doc_id
+      LEFT JOIN qual q ON q.doc_id = p.doc_id
+    )
+    SELECT pred_lang,
+           COUNT(*) AS n_docs,
+           CASE WHEN COUNT(quality) > 0 THEN
+             {o_pround("CAST(SUM(CAST(quality AS DECIMAL(18,6)))"
+                       " AS DOUBLE) / COUNT(quality)", 6)}
+           END AS mean_quality,
+           CAST(COALESCE(COUNT(*) FILTER (quality < {low_cut}), 0)
+                AS BIGINT) AS low_q_docs,
+           CASE WHEN COUNT(quality) > 0 THEN
+             {o_pround(f"CAST(COUNT(*) FILTER (quality < {low_cut})"
+                       " AS DOUBLE) / COUNT(quality)", 6)}
+           END AS low_q_rate
+    FROM qlj GROUP BY pred_lang"""
+
+
+@query("quality_by_lang", oracle=o_quality_by_lang(0.5))
+def quality_by_lang_q(spark, sf_dir):
+    """Quality distribution per predicted language (new r14): mean
+    quality and below-cutoff share per language — the gate-fairness
+    read that catches an English-tuned quality score gutting the other
+    languages before one global threshold ships. Two row-local
+    projections joined on doc_id -> ONE aggregate on the bounded
+    #profiles+1 key (`llmdata/stats.py:quality_by_lang`)."""
+    return stats.quality_by_lang(load(spark, sf_dir, "documents"), 0.5)

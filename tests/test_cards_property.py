@@ -1779,3 +1779,60 @@ def test_snapshot_drift_oracle_matches_python_reference(rows):
     con = _docs_con(rows)
     got = [tuple(r) for r in con.sql(o_snapshot_drift_card()).fetchall()]
     assert _nsort(got) == _nsort(ref)
+
+
+# ---------------------------------------------------------------------------
+# quality_by_lang oracle vs python reference (lang-ID + quality join,
+# NULL-lang row carries NULL-text docs without quality mass)
+# ---------------------------------------------------------------------------
+
+from etl_staging_spark.llmdata.textstats import LANG_PROFILES  # noqa: E402
+from etl_staging_spark.queries.catalog_llm import o_quality_by_lang  # noqa: E402
+
+
+def _py_lang(text):
+    if text is None:
+        return None
+    lt = text.lower()
+    bg = {lt[i:i + 2] for i in range(len(lt) - 1)}
+    scores = {
+        lang: len(bg & set(prof)) for lang, prof in LANG_PROFILES.items()
+    }
+    best = max(scores.values(), default=0)
+    if best == 0:
+        return None
+    return min(l for l, s in scores.items() if s == best)
+
+
+ql_word_st = st.sampled_from(
+    ["the", "der", "und", "and", "le", "la", "99", "x"]
+)
+ql_text_st = st.one_of(
+    st.none(), st.lists(ql_word_st, max_size=6).map(" ".join)
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.tuples(ql_text_st, source_st), max_size=12))
+def test_quality_by_lang_oracle_matches_python_reference(rows):
+    groups: dict = defaultdict(lambda: [0, [], 0])
+    for text, _src in rows:
+        lang = _py_lang(text)
+        g = groups[lang]
+        g[0] += 1
+        if text is not None:
+            q = _py_quality(text)
+            g[1].append(q)
+            g[2] += 1 if q < 0.5 else 0
+    q6 = Decimal("1e-6")
+    ref = []
+    for lang, (nd, qs, low) in groups.items():
+        mq = lowr = None
+        if qs:
+            acc = sum(Decimal(repr(q)).quantize(q6, ROUND_HALF_UP) for q in qs)
+            mq = py_pround(float(acc) / len(qs), 6)
+            lowr = py_pround(low / len(qs), 6)
+        ref.append((lang, nd, mq, low, lowr))
+    con = _docs_con(rows)
+    got = [tuple(r) for r in con.sql(o_quality_by_lang(0.5)).fetchall()]
+    assert _nsort(got) == _nsort(ref)

@@ -5581,3 +5581,59 @@ def test_snapshot_drift_card_matches_duckdb_on_real_tables(spark):
             tuple(r) for r in con.sql(o_snapshot_drift_card()).fetchall()
         )
         assert got == want and len(got) > 0, sf
+
+
+def test_quality_by_lang_planted_and_duckdb(spark):
+    """quality_by_lang (new r14): a clearly-English doc and a
+    clearly-German doc land on their language rows with their exact
+    prounded scores; a digit-only doc (zero bigram evidence) and a
+    NULL-text doc share the NULL-language row with NULL quality mass;
+    the low cut counts prounded scores strictly below it — and DuckDB
+    parity."""
+    from etl_staging_spark.llmdata import stats
+    from etl_staging_spark.queries.catalog_llm import o_quality_by_lang
+
+    rows = [
+        (0, "the quick brown fox and the lazy dog were here", "a"),
+        (1, "der schnelle braune fuchs und der faule hund", "a"),
+        (2, "12345", "b"),
+        (3, None, "b"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.pred_lang: tuple(r)[1:] for r in
+           stats.quality_by_lang(docs).collect()}
+    assert got[None][0] == 2           # digit-only + NULL text
+    # the digit doc DOES carry a quality (unidentified != unscored);
+    # the NULL-text doc contributes no quality mass
+    assert got[None][1] is not None
+    langs = [k for k in got if k is not None]
+    assert len(langs) >= 2             # en and de rows both present
+    for k in langs:
+        n, mq, lowd, lowr = got[k]
+        assert n >= 1 and mq is not None and 0.0 <= lowr <= 1.0
+    want = _duck_on(rows, o_quality_by_lang(0.5))
+    assert _nsafe_sorted(
+        tuple(r) for r in stats.quality_by_lang(docs).collect()
+    ) == want
+
+
+def test_quality_by_lang_matches_duckdb_on_real_tables(spark):
+    """Registration dry-run of `quality_by_lang` at BOTH parity
+    scales."""
+    import duckdb
+
+    from etl_staging_spark.llmdata import stats
+    from etl_staging_spark.queries.catalog_llm import o_quality_by_lang
+
+    for sf in ("sf0.001", "sf0.01"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        docs = spark.read.parquet(path)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+        got = _nsafe_sorted(
+            tuple(r) for r in stats.quality_by_lang(docs).collect()
+        )
+        want = _nsafe_sorted(
+            tuple(r) for r in con.sql(o_quality_by_lang(0.5)).fetchall()
+        )
+        assert got == want and len(got) > 0, sf
