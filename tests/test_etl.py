@@ -505,3 +505,47 @@ def test_jsonl_doc_stream_feeds_card_streams(spark, tmp_path):
     )
     want = sorted(tuple(r) for r in stats.length_histogram_card(full).collect())
     assert sorted(cards[max(cards)]) == want
+
+
+def test_compact_partitions_scoped_and_idempotent(spark, tmp_path):
+    """Small-file compaction: a fragmented partitioned snapshot
+    compacts the SCOPED partition to the target file count with
+    byte-identical content, leaves the unscoped partition's files
+    untouched (dynamic overwrite — the 100 TB argument), and
+    re-running converges (idempotent layout)."""
+    import os
+
+    from etl_staging_spark.etl.compaction import (
+        _leaf_files,
+        compact_partitions,
+    )
+
+    path = str(tmp_path / "snap")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    frag = docs.withColumn(
+        "part", (F.col("doc_id") % 2).cast("int")
+    ).repartition(16)
+    frag.write.partitionBy("part").parquet(path)
+    want = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    files0 = {f for f in _leaf_files(path) if "part=0" in f}
+    files1 = {f for f in _leaf_files(path) if "part=1" in f}
+    assert len(files0) > 2 and len(files1) > 2  # genuinely fragmented
+
+    res = compact_partitions(
+        spark, path, ["part"], scope="part = 0", files_per_partition=2
+    )
+    after0 = {f for f in _leaf_files(path) if "part=0" in f}
+    after1 = {f for f in _leaf_files(path) if "part=1" in f}
+    assert len(after0) <= 2 and not (after0 & files0)  # rewritten
+    assert after1 == files1                            # untouched
+    assert res["files_after"] < res["files_before"]
+    got = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert got == want                                 # content stable
+    # idempotent: a second run converges without changing row content
+    compact_partitions(
+        spark, path, ["part"], scope="part = 0", files_per_partition=2
+    )
+    assert len({f for f in _leaf_files(path) if "part=0" in f}) <= 2
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(path).collect()
+    ) == want
