@@ -20,16 +20,45 @@ from pyspark.sql.types import StringType, StructField, StructType
 from .csv_io import CORRUPT_COL
 
 
-def _full_schema(schema: StructType) -> StructType:
+def _scan_plan(schema: StructType) -> tuple[StructType, str]:
     """THE corrupt-channel schema rule, shared by the batch and stream
-    readers: append the corrupt-record column unless the declared
-    schema already carries it (re-reading a staged reject dataset —
-    a duplicate field would be an AnalysisException at scan time)."""
-    if any(f.name == CORRUPT_COL for f in schema.fields):
-        return schema
-    return StructType(
-        list(schema.fields) + [StructField(CORRUPT_COL, StringType())]
+    readers: (scan schema, corrupt column name to hand the parser).
+
+    Fresh read: append ``_corrupt_record`` and parse into it. Re-read
+    of a staged reject dataset (the declared schema ALREADY carries
+    ``_corrupt_record``): the staged field must parse as plain data —
+    Spark excludes whatever column ``columnNameOfCorruptRecord`` names
+    from the parsed data schema, so pointing the parser at the staged
+    column reads it back NULL on every well-formed line (silent payload
+    loss). Instead the parser gets a fresh sentinel column appended to
+    the schema; `_fold_sentinel` coalesces it back into the staged
+    column after the scan, so a line that is ITSELF malformed in the
+    staged dataset still lands in the channel."""
+    names = {f.name for f in schema.fields}
+    if CORRUPT_COL not in names:
+        return (
+            StructType(list(schema.fields) + [StructField(CORRUPT_COL, StringType())]),
+            CORRUPT_COL,
+        )
+    sentinel = CORRUPT_COL + "_reread"
+    while sentinel in names:  # staged-of-staged: keep the name fresh
+        sentinel += "_"
+    return (
+        StructType(list(schema.fields) + [StructField(sentinel, StringType())]),
+        sentinel,
     )
+
+
+def _fold_sentinel(df: DataFrame, corrupt_name: str) -> DataFrame:
+    """Collapse a re-read's sentinel corrupt column into the staged
+    ``_corrupt_record`` (staged payload wins; a malformed STAGED line
+    has the staged column NULL, so the sentinel fills it). No-op on a
+    fresh read."""
+    if corrupt_name == CORRUPT_COL:
+        return df
+    return df.withColumn(
+        CORRUPT_COL, F.coalesce(F.col(CORRUPT_COL), F.col(corrupt_name))
+    ).drop(corrupt_name)
 
 
 def read_jsonl(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
@@ -37,14 +66,18 @@ def read_jsonl(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
     in the corrupt-record column (PERMISSIVE mode). Handles .gz/.zst
     shards transparently (Hadoop codec by extension). A schema that
     already declares the corrupt column (re-reading a staged reject
-    dataset) is passed through unchanged (`_full_schema`)."""
-    full = _full_schema(schema)
-    return spark.read.json(
+    dataset) parses the staged field as DATA via a sentinel corrupt
+    column folded back after the scan (`_scan_plan`/`_fold_sentinel`)
+    — pointing the parser at the staged column itself would silently
+    read the payload back NULL."""
+    scan_schema, corrupt_name = _scan_plan(schema)
+    df = spark.read.json(
         path,
-        schema=full,
+        schema=scan_schema,
         mode="PERMISSIVE",
-        columnNameOfCorruptRecord=CORRUPT_COL,
+        columnNameOfCorruptRecord=corrupt_name,
     )
+    return _fold_sentinel(df, corrupt_name)
 
 
 def write_jsonl(
@@ -130,12 +163,14 @@ def jsonl_doc_stream(
     (route the other side to a reject sink); after the split every
     foreachBatch consumer (dedup ingest, gated ingest, the additive
     card streams) composes unchanged. A schema already declaring the
-    corrupt column passes through, same as `read_jsonl`
-    (`_full_schema`)."""
-    full = _full_schema(schema)
-    return (
-        spark.readStream.schema(full)
+    corrupt column takes the same sentinel-and-fold path as
+    `read_jsonl` (`_scan_plan`/`_fold_sentinel`), so staged payloads
+    survive a streaming re-read too."""
+    scan_schema, corrupt_name = _scan_plan(schema)
+    stream = (
+        spark.readStream.schema(scan_schema)
         .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .option("columnNameOfCorruptRecord", corrupt_name)
         .json(docs_dir)
     )
+    return _fold_sentinel(stream, corrupt_name)

@@ -69,7 +69,12 @@ def dataset_card_lines(
         return [_line("Corpus", 0, [
             _num(0), _num(0), _txt(None), _txt("EMPTY CORPUS"),
         ])]
-    per_df = spark.createDataFrame(per)
+    # explicit schema: inference over collected Rows fails ("Some of
+    # types cannot be determined") when every row's source is None — a
+    # fully-NULL-source corpus is a bucket the card deliberately keeps
+    per_df = spark.createDataFrame(
+        per, "source string, n_docs_s bigint, n_tok_s bigint"
+    )
     conc = stats.finish_concentration_card(per_df).collect()[0]
     lines.append(_line("Corpus", 0, [
         _num(conc.n_docs), _num(conc.n_tokens), _txt(None),

@@ -176,3 +176,23 @@ def test_dataset_card_empty_corpus_placeholder(spark, tmp_path):
     html = open(out["html"], encoding="utf-8").read()
     assert "EMPTY CORPUS" in html
     assert os.path.getsize(out["pdf"]) > 500
+
+
+def test_dataset_card_all_null_source_corpus(spark, tmp_path):
+    """A corpus whose source column is entirely NULL still assembles:
+    createDataFrame over the collected per-source rows needs the
+    explicit schema or type inference fails on the all-None source
+    (review finding). The NULL bucket renders under its card label."""
+    from pyspark.sql import functions as F
+
+    from etl_staging_spark.reports.dataset_card import dataset_card_lines
+
+    null_dir = tmp_path / "sfnull"
+    null_dir.mkdir()
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.limit(50).withColumn("source", F.lit(None).cast("string")).write.parquet(
+        str(null_dir / "documents.parquet")
+    )
+    lines = dataset_card_lines(spark, str(null_dir))
+    corpus = [ln for ln in lines if ln["name"] == "Corpus"]
+    assert corpus and corpus[0]["columns"][0]["no_format"] == 50

@@ -439,8 +439,11 @@ def test_jsonl_corrupt_channel_and_validation(spark, tmp_path):
 def test_jsonl_reread_with_corrupt_col_in_schema(spark, tmp_path):
     """Re-reading a staged reject dataset whose DECLARED schema already
     carries the corrupt column must not append a duplicate field (an
-    AnalysisException at scan time): read_jsonl passes such a schema
-    through and the staged corrupt payload round-trips."""
+    AnalysisException at scan time) AND must parse the staged field as
+    data: Spark excludes the ``columnNameOfCorruptRecord`` column from
+    the parsed schema, so without the sentinel-and-fold path the staged
+    payload reads back NULL on every well-formed line — assert the
+    payload VALUE survives, not just the count."""
     from pyspark.sql.types import StringType, StructField, StructType
 
     from etl_staging_spark.etl.jsonl_io import (
@@ -462,11 +465,27 @@ def test_jsonl_reread_with_corrupt_col_in_schema(spark, tmp_path):
     assert CORRUPT_COL in again.columns
     assert again.columns.count(CORRUPT_COL) == 1
     assert again.count() == 1
-    # the stream source takes the same pass-through
+    # the staged payload round-trips as a VALUE, not just a row count
+    [row] = again.collect()
+    assert row[CORRUPT_COL] == "{broken line"
+    # a line malformed IN the staged dataset still lands in the channel
+    (tmp_path / "rejects2").mkdir()
+    (tmp_path / "rejects2" / "p.jsonl").write_text(
+        '{"doc_id": 7, "text": "t", "source": "s", "_corrupt_record": "{orig"}\n'
+        "{staged-broken\n"
+    )
+    twice = read_jsonl(spark, str(tmp_path / "rejects2"), first.schema).cache()
+    got = sorted(
+        ((r.doc_id, r[CORRUPT_COL]) for r in twice.collect()),
+        key=lambda t: (t[0] is not None, t[0] or 0),
+    )
+    assert got == [(None, "{staged-broken"), (7, "{orig")]
+    # the stream source takes the same sentinel-and-fold path
     from etl_staging_spark.etl.jsonl_io import jsonl_doc_stream
 
     stream = jsonl_doc_stream(spark, staged, first.schema)
     assert stream.columns.count(CORRUPT_COL) == 1
+    assert stream.columns == again.columns
 
 
 def test_jsonl_doc_stream_feeds_card_streams(spark, tmp_path):
@@ -509,16 +528,26 @@ def test_jsonl_doc_stream_feeds_card_streams(spark, tmp_path):
 
 def test_compact_partitions_scoped_and_idempotent(spark, tmp_path):
     """Small-file compaction: a fragmented partitioned snapshot
-    compacts the SCOPED partition to the target file count with
-    byte-identical content, leaves the unscoped partition's files
-    untouched (dynamic overwrite — the 100 TB argument), and
-    re-running converges (idempotent layout)."""
+    compacts the SCOPED partition to AT MOST the target file count
+    (an upper bound — (partition, salt) hash collisions can merge two
+    writer groups) with byte-identical content, leaves the unscoped
+    partition's files untouched (dynamic overwrite — the 100 TB
+    argument), reports files_before/after over the SCOPED slice only,
+    refuses a data-column scope (destructive under dynamic overwrite),
+    and re-running converges (idempotent layout)."""
     import os
 
-    from etl_staging_spark.etl.compaction import (
-        _leaf_files,
-        compact_partitions,
-    )
+    import pytest as _pytest
+
+    from etl_staging_spark.etl.compaction import compact_partitions
+
+    def _leaf_files(p):
+        return [
+            os.path.join(root, f)
+            for root, _dirs, files in os.walk(p)
+            for f in files
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        ]
 
     path = str(tmp_path / "snap")
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -531,6 +560,15 @@ def test_compact_partitions_scoped_and_idempotent(spark, tmp_path):
     files1 = {f for f in _leaf_files(path) if "part=1" in f}
     assert len(files0) > 2 and len(files1) > 2  # genuinely fragmented
 
+    # a scope touching a DATA column is refused before any write:
+    # under dynamic overwrite it would silently delete the
+    # non-matching rows of every touched partition
+    with _pytest.raises(ValueError, match="partition columns"):
+        compact_partitions(
+            spark, path, ["part"], scope="n_chars > 10", files_per_partition=2
+        )
+    assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == want
+
     res = compact_partitions(
         spark, path, ["part"], scope="part = 0", files_per_partition=2
     )
@@ -538,6 +576,9 @@ def test_compact_partitions_scoped_and_idempotent(spark, tmp_path):
     after1 = {f for f in _leaf_files(path) if "part=1" in f}
     assert len(after0) <= 2 and not (after0 & files0)  # rewritten
     assert after1 == files1                            # untouched
+    # counts are SCOPED to part=0, not table-wide
+    assert res["files_before"] == len(files0)
+    assert res["files_after"] == len(after0)
     assert res["files_after"] < res["files_before"]
     got = sorted(tuple(r) for r in spark.read.parquet(path).collect())
     assert got == want                                 # content stable
