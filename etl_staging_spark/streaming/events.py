@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -279,18 +280,25 @@ def _track_interarrival(
     else:
         last, ne, ng, sg, sg2, mx = None, 0, 0, 0, 0, 0
     chunks = list(pdfs)
-    if chunks:
-        batch = pd.concat(chunks).sort_values(["ts", "event_id"])
-        for t in batch["ts"]:
-            secs = int(pd.Timestamp(t).value // 1_000_000_000)
-            if last is not None:
-                g = secs - last
-                ng += 1
-                sg += g
-                sg2 += g * g
-                mx = max(mx, g)
-            last = secs
-            ne += 1
+    batch = pd.concat(chunks).sort_values(["ts", "event_id"]) if chunks else None
+    if batch is not None and len(batch):
+        # vectorized gap fold: numpy.diff over the sorted epoch array
+        # with the stored last-seen prepended bridges the batch
+        # boundary without a per-row Python loop. Python-int (object)
+        # accumulation for the sums — int64 intermediates could wrap
+        # on adversarial gap magnitudes the scalar loop handled via
+        # Python's unbounded ints.
+        secs = (batch["ts"].to_numpy("datetime64[ns]").astype("int64")
+                // 1_000_000_000)
+        prior = secs if last is None else np.concatenate(([last], secs))
+        gaps = [int(g) for g in np.diff(prior)]
+        if gaps:
+            ng += len(gaps)
+            sg += sum(gaps)
+            sg2 += sum(g * g for g in gaps)
+            mx = max(mx, max(gaps))
+        last = int(secs[-1])
+        ne += len(secs)
     state.update((last, ne, ng, sg, sg2, mx))
     yield pd.DataFrame(
         {

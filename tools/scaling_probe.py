@@ -45,6 +45,53 @@ def _decontam_rate(d):
     return _dc.decontam_rate_by_source(corpus, bench)
 
 
+def _jsonl_split(d):
+    """Probe twin of the `jsonl_corrupt_split` registry entry: write
+    the (replicated) docs as a JSONL shard with the same deterministic
+    pmod-97 corrupt mangling, read it back through the declared-schema
+    PERMISSIVE channel, validate-split, summarize per (status, source).
+    Write + read + split are all inside the timed call — every stage is
+    row-linear, so the growth factor checks the whole source path. The
+    read is localCheckpoint-ed (not cached) so repeated timed calls
+    never serve a prior call's cache entry for the rewritten shard."""
+    import os
+    import tempfile
+
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from etl_staging_spark.etl.jsonl_io import read_jsonl, validate_documents
+
+    spark = d.sparkSession
+    payload = F.to_json(F.struct("doc_id", "text", "source"))
+    line = F.when(
+        F.pmod("doc_id", F.lit(97)) == 0,
+        F.concat(F.lit("{corrupt "), payload),
+    ).otherwise(payload)
+    shard = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_probe_jsonl_p{os.getpid()}"
+    )
+    d.select(line.alias("line")).write.mode("overwrite").text(shard)
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("source", StringType()),
+    ])
+    raw = read_jsonl(spark, shard, schema).localCheckpoint(eager=True)
+    valid, rejected = validate_documents(raw)
+
+    def summarize(df, status_col):
+        return df.groupBy(status_col.alias("status"), "source").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        )
+
+    return summarize(valid, F.lit("valid")).unionByName(
+        summarize(rejected, F.col("reject_reason"))
+    )
+
+
 def replicated(spark, sf_dir: str, r: int):
     base = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n = base.agg(F.max("doc_id")).collect()[0][0] + 1
