@@ -1306,6 +1306,64 @@ def cluster_profile(
     )
 
 
+def cluster_balanced_sample(
+    emb: DataFrame,
+    target_total: int,
+    n_centroids: int = 8,
+    alpha: float | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "cellmix-v1",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Cluster-balanced reweighting — the WRITE to `cluster_profile`'s
+    read: downsample the corpus to ≈``target_total`` vectors with the
+    per-CELL distribution flattened, so one over-crawled topic cluster
+    stops dominating the mixture. ``alpha=None`` targets a UNIFORM
+    quota per occupied cell (each cell gets target/n_cells docs,
+    capped at its population — no upsampling); ``alpha`` in (0, 1]
+    uses the temperature rule instead (w_c ∝ share_c^alpha, the
+    multilingual-balancing curve applied to topic cells). Returns the
+    kept rows with their ``cell`` column, ready for
+    `sampling.mixture_weighted_sample`-style composition downstream.
+
+    Determinism: cell assignment is the certified IVF rule (decimal-
+    exact cosine, ties toward the lower centroid id — the exact
+    `cluster_profile` assignment); the keep decision is the shared
+    salted-md5 bucket threshold (`sampling.bucket_col`), so an oracle
+    replays every decision bit-for-bit.
+
+    Scale shape: ONE scan against broadcast centroid literals computes
+    the cell; per-cell counts are a bounded (n_centroids) aggregate
+    collected driver-side; the filter is a literal CASE over the cell
+    — no join, no window, the `mixture_sample` plan family."""
+    from .sampling import (
+        _threshold_filter, mixture_rates, temperature_weights,
+    )
+
+    cent_arrs, cent_norms = _resolve_centroids(
+        emb, centroids, n_centroids, id_col, vec_col
+    )
+    normed = with_norm(_respread_narrow(emb), vec_col)
+    scored = _cell_scores_expr(
+        cent_arrs, F.col(vec_col), cent_norms, F.col("nrm")
+    )
+    assigned = normed.withColumn(
+        "cell", F.array_sort(scored).getItem(0)["cid"].cast("int")
+    ).drop("nrm")
+    counts = {
+        r[0]: r[1]
+        for r in assigned.groupBy("cell").count().collect()  # bounded
+    }
+    weights = (
+        {c: 1 for c in counts}
+        if alpha is None
+        else temperature_weights(counts, alpha)
+    )
+    thr = mixture_rates(counts, weights, target_total)
+    return _threshold_filter(assigned, thr, "cell", id_col, salt)
+
+
 def embedding_dim_stats(
     emb: DataFrame, vec_col: str = "embedding"
 ) -> DataFrame:

@@ -3757,19 +3757,14 @@ def o_dup_ngram_coverage(n: int = 3) -> str:
     FROM dcp JOIN dcn USING (h) GROUP BY source"""
 
 
-def o_cluster_profile(n_centroids: int = 8) -> str:
-    """DuckDB oracle twin of `llmdata.simsearch.cluster_profile`
-    (r15 registration queue — exercised by the dedicated
-    Spark-vs-DuckDB parity pytest at two SFs): the certified
-    `sim_ann_ivf` assignment CTEs (decimal-exact dots, first-K
-    centroids, ties toward the lower centroid id), the per-row cosine
-    prounded to 6 BEFORE the exact DECIMAL(18,6) mean (order-free
-    summation on both engines), the modal label by (count DESC, label
-    ASC NULLS LAST), and bounded-frame share divisions prounded to
-    6."""
-    return f"""
-    WITH {O_ELEMS},
-    cpd AS (
+def _o_cell_assign(n_centroids: int) -> str:
+    """Shared oracle CTE chain for the IVF cell-assignment family
+    (`cluster_profile` and the r15 `cluster_balanced_sample`
+    actuator): decimal-exact dots against the first-K centroids,
+    cosine via the shared norms, ties toward the lower centroid id.
+    Yields `cpa(vec_id, cell, cr, label)`. One definition so the
+    assignment rule can never drift between the read and the write."""
+    return f"""cpd AS (
       SELECT v.vec_id, c.vec_id AS ccid,
              CAST(SUM(CAST(v.e * c.e AS DECIMAL(30,15))) AS DOUBLE) AS dot
       FROM elems v JOIN elems c ON c.i = v.i AND c.vec_id < {n_centroids}
@@ -3791,7 +3786,22 @@ def o_cluster_profile(n_centroids: int = 8) -> str:
              FLOOR(r.c * 1000000 + 0.5) / 1000000 AS cr, e.label
       FROM cpr r JOIN embeddings e ON e.vec_id = r.vec_id
       WHERE r.rn = 1
-    ),
+    )"""
+
+
+def o_cluster_profile(n_centroids: int = 8) -> str:
+    """DuckDB oracle twin of `llmdata.simsearch.cluster_profile`
+    (r15 registration queue — exercised by the dedicated
+    Spark-vs-DuckDB parity pytest at two SFs): the certified
+    `sim_ann_ivf` assignment CTEs (decimal-exact dots, first-K
+    centroids, ties toward the lower centroid id), the per-row cosine
+    prounded to 6 BEFORE the exact DECIMAL(18,6) mean (order-free
+    summation on both engines), the modal label by (count DESC, label
+    ASC NULLS LAST), and bounded-frame share divisions prounded to
+    6."""
+    return f"""
+    WITH {O_ELEMS},
+    {_o_cell_assign(n_centroids)},
     cpb AS (
       SELECT cell, COUNT(*) AS n_members,
              {o_pround("CAST(SUM(CAST(cr AS DECIMAL(18,6))) AS DOUBLE)"
@@ -4104,6 +4114,59 @@ def cluster_profile_q(spark, sf_dir):
     return simsearch.cluster_profile(load(spark, sf_dir, "embeddings"))
 
 
+_CELLMIX_TARGET = 120
+
+
+def o_cluster_balanced_sample(
+    n_centroids: int = 8, target_total: int = _CELLMIX_TARGET
+) -> str:
+    """DuckDB oracle twin of `simsearch.cluster_balanced_sample` with
+    the uniform (alpha=None) target: the shared cell-assignment CTEs
+    (`_o_cell_assign` — identical to `cluster_profile`'s), per-cell
+    counts, the exact `mixture_rates` integer/IEEE chain with weight 1
+    per occupied cell ((target * 1) / n_cells quota, LEAST-capped
+    rate, FLOOR to buckets), and the shared salted-md5 bucket keep
+    rule — every decision bit-reproduced."""
+    return f"""
+    WITH {O_ELEMS},
+    {_o_cell_assign(n_centroids)},
+    ccc AS (SELECT cell, COUNT(*) AS n,
+                   COUNT(*) OVER () AS n_cells FROM cpa GROUP BY cell),
+    cthr AS (
+      SELECT cell,
+             CAST(FLOOR(LEAST(1.0,
+                    (CAST({target_total} AS DOUBLE) * 1 / n_cells) / n)
+                  * {sampling.BUCKETS}) AS BIGINT) AS t
+      FROM ccc
+    ),
+    ckept AS (
+      SELECT a.cell FROM cpa a JOIN cthr ON cthr.cell = a.cell
+      WHERE {sampling.o_bucket("a.vec_id", "cellmix-v1")} < cthr.t
+    )
+    SELECT cell, COUNT(*) AS n_kept FROM ckept GROUP BY cell"""
+
+
+@query(
+    "cluster_balanced_sample",
+    oracle=o_cluster_balanced_sample(8, _CELLMIX_TARGET),
+)
+def cluster_balanced_sample_q(spark, sf_dir):
+    """Cluster-balanced reweighting (new r15 — the actuator
+    `cluster_profile` reads for): downsample the embeddings corpus to
+    ~120 vectors with a UNIFORM per-cell quota, flattening topic-
+    cluster skew before mixture assembly. Assignment is the certified
+    IVF rule (shared `_cell_scores_expr`); the keep decision is the
+    shared salted-bucket threshold, so the whole chain is
+    deterministic. ONE broadcast-literal scan + bounded count collect
+    + literal-CASE filter — no join, the `mixture_sample` plan family
+    (`llmdata/simsearch.py:cluster_balanced_sample`). Output: kept
+    docs per cell."""
+    kept = simsearch.cluster_balanced_sample(
+        load(spark, sf_dir, "embeddings"), target_total=_CELLMIX_TARGET
+    )
+    return kept.groupBy("cell").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
 @query("mm_usability_card", oracle=o_mm_usability_card(16))
 def mm_usability_card_q(spark, sf_dir):
     """Multimodal payload-usability card (registered r14, pulled
@@ -4125,17 +4188,14 @@ def mm_usability_card_q(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def o_source_concentration_card() -> str:
-    """DuckDB oracle twin of `llmdata.stats.source_concentration_card`:
-    per-source doc/token counts (the shared TOKEN_RE convention,
-    NULL-text SUM-skipped then COALESCEd to 0), HHI numerators as exact
-    DECIMAL(19,0)xDECIMAL(19,0) -> DECIMAL(38,0) sums (order-free), the
-    normalizations as double products/divisions expressed identically
-    on both engines (bit-identical IEEE), and the dominant source cut
-    by the same (tokens desc, docs desc, source ASC NULLS LAST) total
-    order."""
-    return f"""
-    WITH scp AS (
+# Shared oracle CTE chain for the source-concentration family
+# (`source_concentration_card`, the stream-fold twin, and the dataset
+# card's certified totals): per-source doc/token counts (scp), exact
+# DECIMAL HHI numerators (sct), the dominant source by the (tokens
+# desc, docs desc, source ASC NULLS LAST) total order (sck). One
+# definition so the token convention / tie-break can never drift
+# between the card and its presentation twins.
+O_CONC_CTES = f"""scp AS (
       SELECT source, COUNT(*) AS nd,
              CAST(COALESCE(SUM(len(regexp_extract_all(lower(text),
                   '{textstats.TOKEN_RE}'))), 0) AS BIGINT) AS nt
@@ -4154,7 +4214,20 @@ def o_source_concentration_card() -> str:
     sck AS (
       SELECT source AS top_source, nd AS top_d, nt AS top_t FROM scp
       ORDER BY nt DESC, nd DESC, source ASC NULLS LAST LIMIT 1
-    )
+    )"""
+
+
+def o_source_concentration_card() -> str:
+    """DuckDB oracle twin of `llmdata.stats.source_concentration_card`:
+    per-source doc/token counts (the shared TOKEN_RE convention,
+    NULL-text SUM-skipped then COALESCEd to 0), HHI numerators as exact
+    DECIMAL(19,0)xDECIMAL(19,0) -> DECIMAL(38,0) sums (order-free), the
+    normalizations as double products/divisions expressed identically
+    on both engines (bit-identical IEEE), and the dominant source cut
+    by the same (tokens desc, docs desc, source ASC NULLS LAST) total
+    order."""
+    return f"""
+    WITH {O_CONC_CTES}
     SELECT n_sources, n_docs, n_tokens,
            {o_pround("CAST(d2 AS DOUBLE) / (CAST(n_docs AS DOUBLE)"
                      " * CAST(n_docs AS DOUBLE))", 6)} AS doc_hhi,
@@ -4265,6 +4338,58 @@ def source_concentration_card_q(spark, sf_dir):
     (source) aggregate -> #sources-bounded reduce + TakeOrdered(1) +
     one broadcast cross of 1-row frames."""
     return stats.source_concentration_card(load(spark, sf_dir, "documents"))
+
+
+def o_dataset_card_totals() -> str:
+    """DuckDB oracle twin of the dataset card's corpus-totals section
+    (`reports.dataset_card.card_totals_frame`): the shared
+    concentration CTEs (`O_CONC_CTES` — same token convention and
+    dominant-source tie-break as `source_concentration_card`), a
+    'total' row with the HHI/dominant cells, and one 'source' row per
+    source at the card's print order (tokens desc, label asc, the NULL
+    source rendered as its '(no source)' audit label)."""
+    hhi_d = o_pround(
+        "CAST(d2 AS DOUBLE) / (CAST(n_docs AS DOUBLE)"
+        " * CAST(n_docs AS DOUBLE))", 6)
+    hhi_t = o_pround(
+        "CAST(t2 AS DOUBLE) / (CAST(n_tokens AS DOUBLE)"
+        " * CAST(n_tokens AS DOUBLE))", 6)
+    share_d = o_pround("CAST(top_d AS DOUBLE) / CAST(n_docs AS DOUBLE)", 6)
+    share_t = o_pround("CAST(top_t AS DOUBLE) / CAST(n_tokens AS DOUBLE)", 6)
+    return f"""
+    WITH {O_CONC_CTES}
+    SELECT 'total' AS row_kind, CAST(0 AS BIGINT) AS pos,
+           CAST(NULL AS VARCHAR) AS label,
+           n_docs, n_tokens,
+           {hhi_d} AS doc_hhi,
+           CASE WHEN n_tokens > 0 THEN {hhi_t} END AS token_hhi,
+           top_source,
+           {share_d} AS top_doc_share,
+           CASE WHEN n_tokens > 0 THEN {share_t} END AS top_token_share
+    FROM sct CROSS JOIN sck
+    UNION ALL
+    SELECT 'source', ROW_NUMBER() OVER (
+             ORDER BY nt DESC, COALESCE(source, '(no source)') ASC),
+           COALESCE(source, '(no source)'), nd, nt,
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE)
+    FROM scp"""
+
+
+@query("dataset_card_totals", oracle=o_dataset_card_totals())
+def dataset_card_totals_q(spark, sf_dir):
+    """The dataset card's corpus-totals section as a certified frame
+    (r14 verdict item 7): the card's Corpus / HHI / dominant-source /
+    per-source-volume numbers produced by the card's EXACT assembly
+    path — additive per-source collect, explicit-schema createDataFrame
+    round-trip, finish half — so the driver hash-certifies the card's
+    re-derivation, not just its certified inputs
+    (`reports/dataset_card.py:card_totals_frame`). Bounded end to end:
+    one corpus aggregate, then O(#sources) driver rows."""
+    from ..reports.dataset_card import card_totals_frame
+
+    return card_totals_frame(spark, sf_dir)
 
 
 @query("boilerplate_ngrams_topk", oracle=o_boilerplate_ngrams_topk(20, 3))

@@ -46,6 +46,62 @@ def _src_label(s) -> str:
     return "(no source)" if s is None else str(s)
 
 
+def _collect_totals(spark: SparkSession, docs: DataFrame):
+    """The card's corpus-totals path, shared with the registry entry
+    that certifies it (`card_totals_frame`): ONE corpus scan collects
+    the bounded per-source counts, then the finish half runs over the
+    collected frame — re-running the full card would pay a second
+    corpus aggregate for numbers already in hand. Returns (per_rows,
+    conc_row); (None, None) on an empty drop."""
+    per = stats.concentration_counts(docs).collect()
+    if not per:
+        return None, None
+    # explicit schema: inference over collected Rows fails ("Some of
+    # types cannot be determined") when every row's source is None — a
+    # fully-NULL-source corpus is a bucket the card deliberately keeps
+    per_df = spark.createDataFrame(
+        per, "source string, n_docs_s bigint, n_tok_s bigint"
+    )
+    return per, stats.finish_concentration_card(per_df).collect()[0]
+
+
+TOTALS_SCHEMA = (
+    "row_kind string, pos bigint, label string, n_docs bigint,"
+    " n_tokens bigint, doc_hhi double, token_hhi double,"
+    " top_source string, top_doc_share double, top_token_share double"
+)
+
+
+def card_totals_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-totals section of the dataset card AS A FRAME — the
+    registry-certified twin of the numbers the Corpus / concentration /
+    dominant-source / Sources lines print. Runs the card's EXACT
+    assembly path (`_collect_totals`: additive collect ->
+    explicit-schema createDataFrame round-trip -> finish half), so the
+    driver's hash gate certifies the card's re-derivation, not just
+    its certified inputs. One 'total' row (pos 0) carries the corpus
+    totals + HHI + dominant source; 'source' rows carry the per-source
+    volumes at the card's print order (tokens desc, label asc)."""
+    docs = load(spark, sf_dir, "documents")
+    per, conc = _collect_totals(spark, docs)
+    if per is None:
+        return spark.createDataFrame([], TOTALS_SCHEMA)
+    rows = [(
+        "total", 0, None, conc.n_docs, conc.n_tokens,
+        conc.doc_hhi, conc.token_hhi, conc.top_source,
+        conc.top_doc_share, conc.top_token_share,
+    )]
+    for i, r in enumerate(
+        sorted(per, key=lambda r: (-(r.n_tok_s or 0), _src_label(r.source))),
+        start=1,
+    ):
+        rows.append((
+            "source", i, _src_label(r.source), r.n_docs_s, r.n_tok_s,
+            None, None, None, None, None,
+        ))
+    return spark.createDataFrame(rows, TOTALS_SCHEMA)
+
+
 def dataset_card_lines(
     spark: SparkSession, sf_dir: str, max_len: int = 64, top_grams: int = 10
 ) -> list[dict]:
@@ -57,25 +113,13 @@ def dataset_card_lines(
     docs = load(spark, sf_dir, "documents")
     lines: list[dict] = []
 
-    # -- corpus & concentration ------------------------------------------
-    # ONE corpus scan: collect the bounded per-source counts, then feed
-    # the finish half from the collected frame — re-running the full
-    # card here would pay a second corpus aggregate for numbers already
-    # in hand
-    per = stats.concentration_counts(docs).collect()
-    if not per:
+    per, conc = _collect_totals(spark, docs)
+    if per is None:
         # an empty (or fully-filtered) drop gets a placeholder card,
         # not an IndexError from the report entry point
         return [_line("Corpus", 0, [
             _num(0), _num(0), _txt(None), _txt("EMPTY CORPUS"),
         ])]
-    # explicit schema: inference over collected Rows fails ("Some of
-    # types cannot be determined") when every row's source is None — a
-    # fully-NULL-source corpus is a bucket the card deliberately keeps
-    per_df = spark.createDataFrame(
-        per, "source string, n_docs_s bigint, n_tok_s bigint"
-    )
-    conc = stats.finish_concentration_card(per_df).collect()[0]
     lines.append(_line("Corpus", 0, [
         _num(conc.n_docs), _num(conc.n_tokens), _txt(None),
         _txt(f"{conc.n_sources} sources"),

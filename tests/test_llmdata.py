@@ -5637,3 +5637,78 @@ def test_quality_by_lang_matches_duckdb_on_real_tables(spark):
             tuple(r) for r in con.sql(o_quality_by_lang(0.5)).fetchall()
         )
         assert got == want and len(got) > 0, sf
+
+
+def test_cluster_balanced_sample_flattens_and_matches_duckdb(spark):
+    """cluster_balanced_sample (r15 — the actuator cluster_profile
+    reads for): on the real embeddings table, the uniform-target
+    sample (1) keeps at most ceil(target/n_cells) per cell up to each
+    cell's population, (2) flattens the cell distribution (max/min
+    kept ratio <= the unsampled ratio), (3) never exceeds the target
+    by more than bucket-rounding slack, and (4) per-cell kept counts
+    hash-match the DuckDB oracle chain; temperature alpha composes via
+    the shared integer-weight rule."""
+    import duckdb
+
+    from etl_staging_spark.llmdata import simsearch
+    from etl_staging_spark.queries.catalog_llm import (
+        o_cluster_balanced_sample,
+    )
+
+    path = "/root/testdata/sf0.01/embeddings.parquet"
+    emb = spark.read.parquet(path)
+    target = 120
+    kept = simsearch.cluster_balanced_sample(emb, target_total=target)
+    per = {r.cell: r.n for r in kept.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    pop = {
+        r.cell: r.n
+        for r in simsearch.cluster_profile(emb)
+        .select(F.col("cell"), F.col("n_members").alias("n"))
+        .collect()
+    }
+    n_cells = len(pop)
+    assert sum(per.values()) <= target + n_cells  # bucket rounding slack
+    # every cell lands near its uniform quota (bucket-hash sampling
+    # noise is binomial around rate*n; +-40% covers it at n~15)
+    quota = target / n_cells
+    for c, n in per.items():
+        assert n <= min(pop[c], quota * 1.4 + 2)
+        if pop[c] >= quota:
+            assert n >= quota * 0.6 - 2
+    # DuckDB parity on the registered per-cell counts
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{path}')")
+    want = sorted(tuple(r) for r in con.sql(
+        o_cluster_balanced_sample(8, target)).fetchall())
+    got = sorted((r.cell, r.n) for r in kept.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n")).collect())
+    assert got == want
+    # alpha path: temperature weights change quotas deterministically
+    kept_t = simsearch.cluster_balanced_sample(
+        emb, target_total=target, alpha=0.5
+    )
+    assert kept_t.count() <= target + n_cells
+    # FLATTENING, on a corpus that is actually skewed: 120 vectors in
+    # cell 0's neighbourhood vs 12 near cell 1 (10:1). Uniform target
+    # 40 -> quota 20 each: the kept ratio must collapse toward 1:1.
+    import random
+
+    rng = random.Random(7)
+    planted = [(0, [1.0, 0.0], 0), (1, [0.0, 1.0], 0)]  # the centroids
+    for i in range(2, 122):
+        planted.append((i, [1.0, rng.uniform(0.0, 0.2)], 0))
+    for i in range(122, 134):
+        planted.append((i, [rng.uniform(0.0, 0.2), 1.0], 0))
+    skewed = spark.createDataFrame(
+        planted, "vec_id long, embedding array<float>, label int"
+    )
+    kept_s = simsearch.cluster_balanced_sample(
+        skewed, target_total=40, n_centroids=2
+    )
+    per_s = {r.cell: r.n for r in kept_s.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    # cell 1 keeps (nearly) all 12; cell 0 is cut to ~20 of 122
+    assert per_s[1] >= 10
+    assert per_s[0] <= 30
+    assert per_s[0] / per_s[1] < 4  # was >10:1 before reweighting

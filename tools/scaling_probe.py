@@ -221,11 +221,17 @@ def ledger_ops():
 
 
 def run_probe(
-    spark, sf_dir: str, replicas: tuple[int, ...] = (1, 4, 16), quiet: bool = False
+    spark,
+    sf_dir: str,
+    replicas: tuple[int, ...] = (1, 4, 16),
+    quiet: bool = False,
+    only: set[str] | None = None,
 ) -> dict:
     """The probe body, callable from the CLI or the opt-in pytest
     marker (tests/test_scaling.py): returns {op: {r: sec}} so callers
-    can assert growth bounds instead of eyeballing stdout."""
+    can assert growth bounds instead of eyeballing stdout. ``only``
+    scopes the sweep to the named ops (incremental re-measure after a
+    round adds cards — the committed evidence for the rest stands)."""
     from etl_staging_spark.llmdata import (
         dedup, lexsearch, linedup, lm, multimodal, sampling, stats,
         textclean, textstats, vocab,
@@ -292,6 +298,44 @@ def run_probe(
         "boilerplate_ngrams_topk": lambda d: stats.boilerplate_ngrams_topk(d),
         "decontam_rate_by_source": lambda d: _decontam_rate(d),
     }
+    # r14-late registrations (r14 verdict item 3): the four cards that
+    # shipped after the r13-close probe ran. quality_by_lang is two
+    # row-local projections + one bounded-key aggregate; the drift card
+    # is one bounded (source) aggregate per side + a bounded full join;
+    # the matrix's eval side is REPLICA-0 ONLY (doc_id <= base_max) so
+    # the probe models the claimed shape — bounded eval suites against
+    # a growing corpus — instead of growing both sides; the JSONL split
+    # times the whole source path (write + declared-schema PERMISSIVE
+    # read + validate split + summary), every stage row-linear.
+    base_max = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .agg(F.max("doc_id")).collect()[0][0]
+    )
+
+    def _decontam_matrix_op(d):
+        from etl_staging_spark.llmdata import decontam as _dc
+
+        m40 = F.pmod("doc_id", F.lit(40))
+        bench = d.where(
+            (F.col("doc_id") <= base_max) & ((m40 == 0) | (m40 == 20))
+        ).withColumn(
+            "eval_set",
+            F.when(m40 == 0, F.lit("holdout_a")).otherwise(F.lit("holdout_b")),
+        )
+        corpus = d.where(
+            (F.col("doc_id") > base_max) | ((m40 != 0) & (m40 != 20))
+        )
+        return _dc.decontam_matrix(corpus, bench, n=5, min_hits=1)
+
+    ops.update({
+        "quality_by_lang": lambda d: stats.quality_by_lang(d, 0.5),
+        "snapshot_drift_card": lambda d: stats.snapshot_drift_card(
+            d.where(F.pmod("doc_id", F.lit(2)) == 0),
+            d.where(F.pmod("doc_id", F.lit(2)) == 1),
+        ),
+        "decontam_matrix": _decontam_matrix_op,
+        "jsonl_corrupt_split": _jsonl_split,
+    })
     from etl_staging_spark.llmdata import simsearch
 
     eops = {
@@ -310,91 +354,78 @@ def run_probe(
         "events_interarrival_card": lambda v: _ev.interarrival_card(v),
     }
     lops = ledger_ops()
+    if only is not None:
+        unknown = only - {*ops, *eops, *vops, *lops}
+        if unknown:
+            raise ValueError(f"unknown probe ops: {sorted(unknown)}")
+        ops = {k: v for k, v in ops.items() if k in only}
+        eops = {k: v for k, v in eops.items() if k in only}
+        vops = {k: v for k, v in vops.items() if k in only}
+        lops = {k: v for k, v in lops.items() if k in only}
     results: dict[str, dict[int, float]] = {
         o: {} for o in (*ops, *eops, *vops, *lops)
     }
-    for r in replicas:
-        docs = replicated(spark, sf_dir, r).persist()
-        n_docs = docs.count()  # also materializes the cache
-        for name, fn in ops.items():
+    def _time_leg(frame, fns, r, count_key, quiet):
+        n = frame.count()  # also materializes the cache
+        for name, fn in fns.items():
             # warm the shape once, then best-of-2
-            fn(docs).write.format("noop").mode("overwrite").save()
+            fn(frame).write.format("noop").mode("overwrite").save()
             best = float("inf")
             for _ in range(2):
                 t0 = time.time()
-                fn(docs).write.format("noop").mode("overwrite").save()
+                fn(frame).write.format("noop").mode("overwrite").save()
                 best = min(best, time.time() - t0)
             results[name][r] = round(best, 3)
             if not quiet:
-                print(json.dumps({"op": name, "replicas": r, "n_docs": n_docs,
+                print(json.dumps({"op": name, "replicas": r, count_key: n,
                                   "sec": results[name][r]}), flush=True)
-        docs.unpersist()
+
+    def _settle():
         # settle between legs: at 16x the documents leg leaves heap /
         # page-cache pressure that inflated the lineitem leg 3-5x in
         # the r11 combined run (isolated re-measures were 1.4-1.8x per
         # 4x step) — drop every cache and let the JVM reclaim before
-        # the ledger shapes are timed
+        # the next leg is timed
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
-        emb = replicated_embeddings(spark, sf_dir, r).persist()
-        n_emb = emb.count()
-        for name, fn in eops.items():
-            fn(emb).write.format("noop").mode("overwrite").save()
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.time()
-                fn(emb).write.format("noop").mode("overwrite").save()
-                best = min(best, time.time() - t0)
-            results[name][r] = round(best, 3)
-            if not quiet:
-                print(json.dumps({"op": name, "replicas": r, "n_vecs": n_emb,
-                                  "sec": results[name][r]}), flush=True)
-        emb.unpersist()
-        spark.catalog.clearCache()
-        spark.sparkContext._jvm.System.gc()
-        evd = replicated_events(spark, sf_dir, r).persist()
-        n_ev = evd.count()
-        for name, fn in vops.items():
-            fn(evd).write.format("noop").mode("overwrite").save()
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.time()
-                fn(evd).write.format("noop").mode("overwrite").save()
-                best = min(best, time.time() - t0)
-            results[name][r] = round(best, 3)
-            if not quiet:
-                print(json.dumps({"op": name, "replicas": r, "n_rows": n_ev,
-                                  "sec": results[name][r]}), flush=True)
-        evd.unpersist()
-        spark.catalog.clearCache()
-        spark.sparkContext._jvm.System.gc()
-        li = replicated_lineitem(spark, sf_dir, r).persist()
-        n_li = li.count()
-        for name, fn in lops.items():
-            fn(li).write.format("noop").mode("overwrite").save()
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.time()
-                fn(li).write.format("noop").mode("overwrite").save()
-                best = min(best, time.time() - t0)
-            results[name][r] = round(best, 3)
-            if not quiet:
-                print(json.dumps({"op": name, "replicas": r, "n_rows": n_li,
-                                  "sec": results[name][r]}), flush=True)
-        li.unpersist()
-        # symmetric settle: the NEXT replica's documents leg must not
-        # inherit this lineitem leg's pressure either
-        spark.catalog.clearCache()
-        spark.sparkContext._jvm.System.gc()
+
+    for r in replicas:
+        if ops:
+            docs = replicated(spark, sf_dir, r).persist()
+            _time_leg(docs, ops, r, "n_docs", quiet)
+            docs.unpersist()
+            _settle()
+        if eops:
+            emb = replicated_embeddings(spark, sf_dir, r).persist()
+            _time_leg(emb, eops, r, "n_vecs", quiet)
+            emb.unpersist()
+            _settle()
+        if vops:
+            evd = replicated_events(spark, sf_dir, r).persist()
+            _time_leg(evd, vops, r, "n_rows", quiet)
+            evd.unpersist()
+            _settle()
+        if lops:
+            li = replicated_lineitem(spark, sf_dir, r).persist()
+            _time_leg(li, lops, r, "n_rows", quiet)
+            li.unpersist()
+            # symmetric settle: the NEXT replica's documents leg must
+            # not inherit this lineitem leg's pressure either
+            _settle()
     return results
 
 
 def main() -> None:
     from etl_staging_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    args = [a for a in sys.argv[1:] if not a.startswith("--only")]
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
     spark = get_spark("scaling-probe")
-    results = run_probe(spark, sf_dir, replicas=(1, 4, 16))
+    results = run_probe(spark, sf_dir, replicas=(1, 4, 16), only=only)
     summary = {
         name: {
             "t1": ts[1], "t4": ts[4], "t16": ts[16],
