@@ -118,6 +118,11 @@ HEADLINE = [
     "source_vocab_cosine_matrix",
     "source_signature_terms",
     "cluster_profile",
+    # round 15 addition — the one NEW plan family this round
+    # (broadcast-literal cell assignment + bounded count collect +
+    # literal-CASE hash-threshold filter); dataset_card_totals is a
+    # bounded driver-assembly entry far below the guard floor
+    "cluster_balanced_sample",
 ]
 
 

@@ -14,18 +14,31 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StringType, StructField, StructType
+from pyspark.sql.types import StructType
 
 CORRUPT_COL = "_corrupt_record"
 
 
 def read_csv(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
     """Schema-declared CSV scan (never inferred — SURVEY §1.1). Malformed
-    rows land in the corrupt-record column instead of failing the job."""
-    full = StructType(list(schema.fields) + [StructField(CORRUPT_COL, StringType())])
-    return spark.read.csv(
-        path, header=True, schema=full, mode="PERMISSIVE", columnNameOfCorruptRecord=CORRUPT_COL
+    rows land in the corrupt-record column instead of failing the job.
+    A schema already declaring the corrupt column (re-reading a staged
+    reject dataset) takes the JSONL source's sentinel-and-fold path —
+    appending it again would be a duplicate-field AnalysisException,
+    and pointing the parser at the staged column would silently read
+    the payload back NULL (Spark excludes the
+    ``columnNameOfCorruptRecord`` column from the parsed schema)."""
+    from .jsonl_io import _fold_sentinel, _scan_plan
+
+    scan_schema, corrupt_name = _scan_plan(schema)
+    df = spark.read.csv(
+        path,
+        header=True,
+        schema=scan_schema,
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord=corrupt_name,
     )
+    return _fold_sentinel(df, corrupt_name)
 
 
 def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -1315,6 +1315,7 @@ def cluster_balanced_sample(
     vec_col: str = "embedding",
     salt: str = "cellmix-v1",
     centroids: list[list[float]] | None = None,
+    keep: DataFrame | None = None,
 ) -> DataFrame:
     """Cluster-balanced reweighting — the WRITE to `cluster_profile`'s
     read: downsample the corpus to ≈``target_total`` vectors with the
@@ -1333,10 +1334,18 @@ def cluster_balanced_sample(
     salted-md5 bucket threshold (`sampling.bucket_col`), so an oracle
     replays every decision bit-for-bit.
 
+    ``keep`` (a frame carrying ``id_col``) scopes the sample to a
+    pre-gated subset — the corpus-assembly composition: centroids stay
+    resolved from the FULL ``emb`` (so the cell geometry — and the
+    oracle's ``vec_id < K`` centroid rule — is independent of what the
+    gates removed this run), assignment is semi-joined to ``keep``
+    BEFORE the counts, and quotas balance the survivors.
+
     Scale shape: ONE scan against broadcast centroid literals computes
     the cell; per-cell counts are a bounded (n_centroids) aggregate
     collected driver-side; the filter is a literal CASE over the cell
-    — no join, no window, the `mixture_sample` plan family."""
+    — no join, no window, the `mixture_sample` plan family (plus one
+    id-keyed semi-join when ``keep`` is given)."""
     from .sampling import (
         _threshold_filter, mixture_rates, temperature_weights,
     )
@@ -1351,6 +1360,10 @@ def cluster_balanced_sample(
     assigned = normed.withColumn(
         "cell", F.array_sort(scored).getItem(0)["cid"].cast("int")
     ).drop("nrm")
+    if keep is not None:
+        assigned = assigned.join(
+            keep.select(id_col), id_col, "left_semi"
+        )
     counts = {
         r[0]: r[1]
         for r in assigned.groupBy("cell").count().collect()  # bounded

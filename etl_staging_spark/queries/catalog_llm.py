@@ -4167,6 +4167,93 @@ def cluster_balanced_sample_q(spark, sf_dir):
     return kept.groupBy("cell").agg(F.count(F.lit(1)).alias("n_kept"))
 
 
+_BALANCED_TARGET = 150
+
+
+def o_corpus_assembly_balanced(
+    n_centroids: int = 8, target_total: int = _BALANCED_TARGET
+) -> str:
+    """DuckDB oracle twin of `corpus_assembly_balanced`: the certified
+    exact-dedup canon + quality-gate CTEs (the `corpus_assembly_full`
+    fragments), the shared cell-assignment CTEs over the FULL
+    embeddings (centroid rule independent of the gates), counts and
+    the `mixture_rates` uniform-quota chain over the SURVIVORS, the
+    shared salted-bucket keep rule, and a (cell, source) rollup."""
+    return f"""
+    WITH {_O_QUAL_CTES},
+    canon AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents
+      GROUP BY {dedup.o_exact_group_key()}
+    ),
+    kept AS (
+      SELECT d.doc_id FROM documents d
+      JOIN canon USING (doc_id)
+      JOIN qual q ON q.doc_id = d.doc_id
+      WHERE q.quality >= {QUALITY_MIN}
+    ),
+    {O_ELEMS},
+    {_o_cell_assign(n_centroids)},
+    fcp AS (
+      SELECT a.vec_id, a.cell FROM cpa a JOIN kept k ON k.doc_id = a.vec_id
+    ),
+    ccc AS (SELECT cell, COUNT(*) AS n,
+                   COUNT(*) OVER () AS n_cells FROM fcp GROUP BY cell),
+    cthr AS (
+      SELECT cell,
+             CAST(FLOOR(LEAST(1.0,
+                    (CAST({target_total} AS DOUBLE) * 1 / n_cells) / n)
+                  * {sampling.BUCKETS}) AS BIGINT) AS t
+      FROM ccc
+    ),
+    ckept AS (
+      SELECT f.vec_id, f.cell FROM fcp f JOIN cthr USING (cell)
+      WHERE {sampling.o_bucket("f.vec_id", "cellmix-v1")} < cthr.t
+    )
+    SELECT k2.cell, d.source, COUNT(*) AS n_kept
+    FROM ckept k2 JOIN documents d ON d.doc_id = k2.vec_id
+    GROUP BY 1, 2"""
+
+
+@query(
+    "corpus_assembly_balanced",
+    oracle=o_corpus_assembly_balanced(8, _BALANCED_TARGET),
+)
+def corpus_assembly_balanced(spark, sf_dir):
+    """Topic-balanced corpus assembly (new r15): the curation loop
+    closed end-to-end — canonical exact-dedup + quality gate select
+    the survivors, then `cluster_balanced_sample` flattens their
+    topic-cell distribution to a uniform per-cell quota (centroids
+    resolved from the FULL embeddings so the cell geometry is stable
+    run-over-run), reported as the (cell, source) mixture the balanced
+    corpus actually ships. Composition of three certified stages:
+    gate joins are doc-keyed semi-joins, assignment one
+    broadcast-literal scan, quotas a bounded collect + literal-CASE
+    filter (`llmdata/simsearch.py:cluster_balanced_sample` keep=)."""
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    canon = dedup.exact_dup_groups(docs).select(
+        F.col("canonical_doc_id").alias("doc_id")
+    )
+    qual = textstats.quality_scores(docs).select("doc_id", "quality")
+    kept = (
+        docs.select("doc_id")
+        .join(canon, "doc_id", "left_semi")
+        .join(qual, "doc_id")
+        .where(F.col("quality") >= QUALITY_MIN)
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    balanced = simsearch.cluster_balanced_sample(
+        emb, target_total=_BALANCED_TARGET, keep=kept
+    )
+    return (
+        balanced.join(
+            docs.select(F.col("doc_id").alias("vec_id"), "source"), "vec_id"
+        )
+        .groupBy("cell", "source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+
+
 @query("mm_usability_card", oracle=o_mm_usability_card(16))
 def mm_usability_card_q(spark, sf_dir):
     """Multimodal payload-usability card (registered r14, pulled

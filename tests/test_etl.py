@@ -590,3 +590,36 @@ def test_compact_partitions_scoped_and_idempotent(spark, tmp_path):
     assert sorted(
         tuple(r) for r in spark.read.parquet(path).collect()
     ) == want
+
+
+def test_csv_reread_with_corrupt_col_in_schema(spark, tmp_path):
+    """The CSV source takes the same sentinel-and-fold staged-reject
+    re-read path as JSONL: a declared schema already carrying the
+    corrupt column must not duplicate the field, and the staged
+    payload must parse as DATA (value asserted, not just count)."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from etl_staging_spark.etl.csv_io import CORRUPT_COL, read_csv
+
+    d = tmp_path / "drop"
+    d.mkdir()
+    (d / "p.csv").write_text(
+        "id,name\n"
+        "1,alpha\n"
+        "notanumber,beta\n"
+    )
+    schema = StructType([
+        StructField("id", LongType()), StructField("name", StringType()),
+    ])
+    first = read_csv(spark, str(d), schema).cache()
+    bad = first.where(first[CORRUPT_COL].isNotNull())
+    assert bad.count() == 1
+    # stage the rejects as CSV WITH the corrupt column as a data field
+    staged = tmp_path / "rejects"
+    bad.write.option("header", True).csv(str(staged))
+    again = read_csv(spark, str(staged), first.schema).cache()
+    assert again.columns.count(CORRUPT_COL) == 1
+    [row] = again.collect()
+    assert row[CORRUPT_COL] is not None and "notanumber" in row[CORRUPT_COL]
