@@ -344,6 +344,12 @@ def run_probe(
         "cluster_profile": lambda e: simsearch.cluster_profile(e),
         # ONE posexplode -> bounded-dim aggregate: ~linear
         "embedding_dim_stats": lambda e: simsearch.embedding_dim_stats(e),
+        # r15: two assignment scans (counts pass + threshold pass) vs
+        # broadcast centroid literals + a bounded collect — ~linear,
+        # constant-dominated at fixture sizes like cluster_profile
+        "cluster_balanced_sample": lambda e: simsearch.cluster_balanced_sample(
+            e, target_total=150
+        ),
     }
     from etl_staging_spark.operators import events as _ev
 
