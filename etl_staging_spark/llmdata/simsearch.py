@@ -1267,6 +1267,13 @@ def cluster_profile(
     scored = _cell_scores_expr(
         cent_arrs, F.col(vec_col), cent_norms, F.col("nrm")
     )
+    # the narrow per-row frame feeds TWO aggregates (cell stats and the
+    # modal-label pass); materialize it once with an eager
+    # localCheckpoint so the broadcast-centroid fold runs ONE scan, not
+    # two (interleaved A/B at sf0.1: 3.07 s -> 1.23 s, output
+    # bit-identical; ~20 bytes/row checkpointed vs re-scanning the
+    # vectors — the same narrow-checkpoint argument as
+    # `cluster_balanced_sample`)
     per = normed.select(
         F.array_sort(scored).getItem(0).alias("best"),
         F.col(label_col).alias("label"),
@@ -1274,7 +1281,7 @@ def cluster_profile(
         F.col("best.cid").alias("cell"),
         pround(-F.col("best.negc"), 6).alias("c"),
         "label",
-    )
+    ).localCheckpoint(eager=True)
     base = per.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_members"),
         pround(
