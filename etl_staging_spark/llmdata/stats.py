@@ -2095,38 +2095,75 @@ def quality_by_lang(
     chained on doc_id (one doc-keyed join of one-row-per-doc frames)
     -> ONE map-side-combinable aggregate on the bounded
     #profiles+1 key."""
+    return finish_quality_by_lang(quality_lang_counts(docs, low_cut, text_col))
+
+
+QUALITY_LANG_COUNT_COLS = ("n_docs", "q_micro", "qn", "low_q_docs")
+
+
+def quality_lang_counts(
+    docs: DataFrame, low_cut: float = 0.5, text_col: str = "text"
+) -> DataFrame:
+    """The ADDITIVE half of `quality_by_lang` — per predicted language:
+    doc count, the quality sum as EXACT micro-units (the per-doc score
+    is prounded to 6 decimals, so floor(q*1e6 + 0.5) recovers its
+    integer numerator exactly and the sum is a foldable BIGINT — the
+    delta-log `_fold` sums bigints, where a DECIMAL column would be
+    truncated), the quality-carrying doc count, and the below-cutoff
+    count (the cut compares the prounded score inside the row-local
+    delta, so folding never re-decides it)."""
     from .textstats import lang_id
 
     lang = lang_id(docs).select("doc_id", "pred_lang")
     q = quality_scores_or_none(docs, text_col).select("doc_id", "quality")
     j = lang.join(q, "doc_id")
-    return (
-        j.groupBy("pred_lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.col("quality").cast("decimal(18,6)")).alias("__q"),
-            F.count("quality").alias("__qn"),
+    return j.groupBy("pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(
+            F.sum(
+                F.floor(F.col("quality") * 1000000 + F.lit(0.5)).cast("bigint")
+            ),
+            F.lit(0),
+        ).cast("bigint").alias("q_micro"),
+        F.count("quality").alias("qn"),
+        F.coalesce(
             F.sum(
                 F.when(F.col("quality") < low_cut, 1).otherwise(
                     F.when(F.col("quality").isNotNull(), 0)
                 )
-            ).cast("bigint").alias("low_q_docs"),
-        )
-        .select(
-            "pred_lang",
-            "n_docs",
-            F.when(
-                F.col("__qn") > 0,
-                pround(F.col("__q").cast("double") / F.col("__qn"), 6),
-            ).alias("mean_quality"),
-            F.coalesce("low_q_docs", F.lit(0)).alias("low_q_docs"),
-            F.when(
-                F.col("__qn") > 0,
-                pround(
-                    F.coalesce("low_q_docs", F.lit(0)).cast("double")
-                    / F.col("__qn"),
-                    6,
-                ),
-            ).alias("low_q_rate"),
-        )
+            ),
+            F.lit(0),
+        ).cast("bigint").alias("low_q_docs"),
+    )
+
+
+def finish_quality_by_lang(per: DataFrame) -> DataFrame:
+    """The presentation half of `quality_by_lang` over a (pred_lang,
+    n_docs, q_micro, qn, low_q_docs) frame — a batch aggregate or the
+    card stream's merged delta-log state. Numeric parity with the
+    original one-shot card: q_micro < 2^53 casts to double EXACTLY
+    (scores are <= 1, so that bound is ~9e9 quality-carrying docs per
+    language — past it the cast is 1-ulp-correct, far inside the
+    pround-6 grain), and one IEEE division by 1e6 yields the
+    correctly-rounded double of the rational sum — the same value the
+    DECIMAL(18,6)-sum-then-cast path produced — so the final mean
+    division is bit-identical on both construction paths (and to the
+    DuckDB oracle, whose DECIMAL sum remains the unbounded-scale
+    audit)."""
+    return per.select(
+        "pred_lang",
+        "n_docs",
+        F.when(
+            F.col("qn") > 0,
+            pround(
+                (F.col("q_micro").cast("double") / F.lit(1000000.0))
+                / F.col("qn"),
+                6,
+            ),
+        ).alias("mean_quality"),
+        F.col("low_q_docs"),
+        F.when(
+            F.col("qn") > 0,
+            pround(F.col("low_q_docs").cast("double") / F.col("qn"), 6),
+        ).alias("low_q_rate"),
     )

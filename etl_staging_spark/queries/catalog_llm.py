@@ -4780,3 +4780,30 @@ def quality_by_lang_q(spark, sf_dir):
     projections joined on doc_id -> ONE aggregate on the bounded
     #profiles+1 key (`llmdata/stats.py:quality_by_lang`)."""
     return stats.quality_by_lang(load(spark, sf_dir, "documents"), 0.5)
+
+
+@query("quality_by_lang_stream_fold", oracle=o_quality_by_lang(0.5))
+def quality_by_lang_stream_fold_q(spark, sf_dir):
+    """Batch twin of the quality-by-language STREAM's maintenance path
+    (new r15, the `concentration_card_stream_fold` pattern): three
+    pmod(doc_id, 3) micro-batches, each batch's additive per-language
+    delta (`stats.quality_lang_counts` — micro-unit BIGINT quality
+    sums), merged by THE shared `streaming.ingest._fold` and presented
+    by `stats.finish_quality_by_lang` — hash-matching the batch card's
+    own DuckDB oracle certifies the fold/finish additivity (including
+    the exact-integer quality-sum representation) with a driver row."""
+    from ..streaming.ingest import _fold
+
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.coalesce(F.pmod("doc_id", F.lit(3)), F.lit(0))
+    batches = [
+        stats.quality_lang_counts(docs.where(bucket == b)).withColumn(
+            "batch_id", F.lit(b)
+        )
+        for b in range(3)
+    ]
+    log = batches[0].unionByName(batches[1]).unionByName(batches[2])
+    merged = _fold(
+        log.drop("batch_id"), ("pred_lang",), stats.QUALITY_LANG_COUNT_COLS
+    )
+    return stats.finish_quality_by_lang(merged)

@@ -1143,6 +1143,41 @@ def compact_card_state(
         _write_card_owner(state_dir, restore)
 
 
+def quality_lang_card_stream(
+    docs_stream: DataFrame,
+    state_dir: str,
+    on_batch: Callable[[int, DataFrame], None],
+    low_cut: float = 0.5,
+    query_name: str = "quality_lang_card",
+    checkpoint_dir: str | None = None,
+):
+    """`stats.quality_by_lang` maintained incrementally: the per-
+    predicted-language (docs, micro-unit quality sum, quality-carrying
+    docs, below-cutoff docs) counts are the additive delta — the
+    quality sum folds as an exact BIGINT because the per-doc score is
+    prounded to 6 decimals (`stats.quality_lang_counts`) — and the
+    mean/rate presentation reruns on the bounded merged frame. The
+    gate-fairness read stays current as drops arrive: a new crawl
+    whose language mix would be gutted by the shipped cutoff surfaces
+    on the batch where it lands. ``low_cut`` is part of the state's
+    identity (`_guard_card_params`): folding deltas taken at different
+    cutoffs would silently mix two different below-cut definitions."""
+    from ..llmdata import stats
+
+    return additive_card_stream(
+        docs_stream,
+        state_dir,
+        lambda b: stats.quality_lang_counts(b, low_cut=low_cut),
+        ("pred_lang",),
+        stats.finish_quality_by_lang,
+        on_batch,
+        count_cols=stats.QUALITY_LANG_COUNT_COLS,
+        query_name=query_name,
+        checkpoint_dir=checkpoint_dir,
+        state_params={"low_cut": low_cut},
+    )
+
+
 def concentration_card_stream(
     docs_stream: DataFrame,
     state_dir: str,

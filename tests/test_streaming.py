@@ -2359,3 +2359,68 @@ def test_interarrival_stream_multichunk_and_pre1970(spark, tmp_path):
     # all 8 gaps counted (incl. the ones straddling the epoch), each 7s
     row = got[0]
     assert row[2] == 8 and row[3] == 7.0 and row[5] == 0.0
+
+
+def test_quality_lang_card_stream_matches_batch(spark, tmp_path):
+    """The quality-by-language stream (r15): after every micro-batch
+    the emitted gate-fairness card equals the BATCH quality_by_lang
+    over every document seen so far — the micro-unit BIGINT quality
+    sums fold additively (the decimal-sum trap the representation
+    avoids), including a NULL-language batch (NULL-text + zero-
+    evidence docs) and cross-batch mean updates. A different low_cut
+    against the same state dir is refused (params identity)."""
+    import pytest as _pytest
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from etl_staging_spark.llmdata import stats
+    from etl_staging_spark.streaming.ingest import quality_lang_card_stream
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("source", StringType()),
+        ]
+    )
+    en = ("the of and to in it is was for on " * 8).strip()
+    de = ("der die und das ist ein nicht mit sich auf " * 8).strip()
+    drops = [
+        [(1, en, "s1"), (2, de, "s1")],
+        [(3, None, "s2"), (4, "zz qq xx", "s2")],   # NULL-lang bucket
+        [(5, en + " extra tokens here", "s1")],      # moves the en mean
+    ]
+    drop_dir = tmp_path / "drops"
+    drop_dir.mkdir()
+    seen_rows: list[tuple] = []
+    for i, rows in enumerate(drops):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(drop_dir / f"f{i}")
+        )
+        seen_rows.extend(rows)
+
+    cards: dict[int, list] = {}
+
+    def sink(bid, card):
+        cards[bid] = [tuple(r) for r in card.collect()]
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop_dir) + "/*")
+    )
+    q = quality_lang_card_stream(stream, str(tmp_path / "state"), sink)
+    q.awaitTermination()
+
+    assert len(cards) == 3
+    full = spark.createDataFrame(seen_rows, schema)
+    want = [tuple(r) for r in stats.quality_by_lang(full).collect()]
+    assert _nkey(cards[max(cards)]) == _nkey(want)
+    # intermediate cards equal the batch card over their prefix
+    prefix = spark.createDataFrame(drops[0], schema)
+    want0 = [tuple(r) for r in stats.quality_by_lang(prefix).collect()]
+    assert _nkey(cards[min(cards)]) == _nkey(want0)
+    # a different cutoff against the same state is a different card
+    with _pytest.raises(ValueError):
+        quality_lang_card_stream(
+            stream, str(tmp_path / "state"), sink, low_cut=0.9
+        )
