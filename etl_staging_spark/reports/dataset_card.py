@@ -205,6 +205,28 @@ def dataset_card_lines(
         lines.append(_line(f"#{r.rank} “{r.gram}”", 1, [
             _num(r.n_docs), _num(r.n_occurrences), _txt(None), _txt(None),
         ]))
+
+    # -- topic balance (bounded: n_centroids cells) ----------------------
+    # the certified cluster_profile read, when the release ships an
+    # embeddings table alongside the documents; an embedding-less
+    # corpus simply has no topic section (the card must not fail over
+    # an optional table)
+    try:
+        emb = load(spark, sf_dir, "embeddings")
+    except Exception:
+        emb = None
+    if emb is not None:
+        from ..llmdata import simsearch
+
+        lines.append(_line("Topic cells (IVF)", 0, [_txt(None)] * 4))
+        for r in sorted(
+            simsearch.cluster_profile(emb).collect(), key=lambda r: r.cell
+        ):
+            lines.append(_line(f"cell {r.cell}", 1, [
+                _num(r.n_members), _txt(None), _num(r.share),
+                _txt(f"coherence {r.avg_cos}, modal label "
+                     f"{r.modal_label} ({r.modal_share})"),
+            ]))
     return lines
 
 

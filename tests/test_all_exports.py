@@ -132,10 +132,29 @@ def test_dataset_card_assembles_and_exports(spark, tmp_path):
     sections = [l["name"] for l in lines if l["level"] == 0]
     assert sections[0] == "Corpus"
     for want in ("Sources", "Duplication", "PII incidence",
-                 "Boilerplate (most widespread 3-grams)"):
+                 "Boilerplate (most widespread 3-grams)",
+                 "Topic cells (IVF)"):
         assert want in sections, sections
     assert any(s.startswith("Quality") for s in sections)
     assert any(s.startswith("Truncation loss") for s in sections)
+
+    # topic cells mirror the certified cluster_profile numbers
+    from etl_staging_spark.llmdata import simsearch
+
+    prof = sorted(
+        simsearch.cluster_profile(
+            spark.read.parquet(f"{sf}/embeddings.parquet")
+        ).collect(),
+        key=lambda r: r.cell,
+    )
+    ti = sections.index("Topic cells (IVF)")
+    tstart = [j for j, l in enumerate(lines) if l["level"] == 0][ti] + 1
+    cells = [l for l in lines[tstart:] if l["level"] == 1]
+    assert len(cells) == len(prof)
+    for line, r in zip(cells, prof):
+        assert line["name"] == f"cell {r.cell}"
+        assert line["columns"][0]["no_format"] == r.n_members
+        assert line["columns"][2]["no_format"] == r.share
 
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     conc = stats.source_concentration_card(docs).collect()[0]
