@@ -3425,6 +3425,34 @@ def ttr_card_q(spark, sf_dir):
     return stats.ttr_card(load(spark, sf_dir, "documents"))
 
 
+@query("ttr_card_stream_fold", oracle=o_ttr_card())
+def ttr_card_stream_fold_q(spark, sf_dir):
+    """Batch twin of the TTR STREAM's maintenance path (new r15 — the
+    last DISTINCT fold shape in the additive-card family without a
+    driver row): where the other card streams fold bounded-key COUNT
+    deltas, the TTR stream folds the per-source VOCABULARY state
+    (source, token, cnt), because types and hapax counts are not
+    additive but the occurrence counts they derive from are. Three
+    pmod(doc_id, 3) micro-batch deltas (`stats.ttr_token_counts`),
+    merged by THE shared `streaming.ingest._fold` — a token hapax in
+    two different batches must come out cnt=2, NOT hapax — and
+    presented by `stats.finish_ttr_card`, hash-matched against the
+    batch card's own DuckDB oracle."""
+    from ..streaming.ingest import _fold
+
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.coalesce(F.pmod("doc_id", F.lit(3)), F.lit(0))
+    batches = [
+        stats.ttr_token_counts(docs.where(bucket == b)).withColumn(
+            "batch_id", F.lit(b)
+        )
+        for b in range(3)
+    ]
+    log = batches[0].unionByName(batches[1]).unionByName(batches[2])
+    merged = _fold(log.drop("batch_id"), ("source", "token"), ("cnt",))
+    return stats.finish_ttr_card(merged)
+
+
 @query("lang_source_matrix", oracle=o_lang_source_matrix())
 def lang_source_matrix_q(spark, sf_dir):
     """Language x source distribution (registered r13, pulled forward
