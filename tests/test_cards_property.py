@@ -1836,3 +1836,63 @@ def test_quality_by_lang_oracle_matches_python_reference(rows):
     con = _docs_con(rows)
     got = [tuple(r) for r in con.sql(o_quality_by_lang(0.5)).fetchall()]
     assert _nsort(got) == _nsort(ref)
+
+
+# ---------------------------------------------------------------------------
+# cluster_balanced_sample oracle vs python reference (assignment chain +
+# uniform mixture_rates integer chain + md5 bucket keep rule)
+# ---------------------------------------------------------------------------
+
+from etl_staging_spark.queries.catalog_llm import o_cluster_balanced_sample
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.tuples(cl_vec_st, cl_label_st), min_size=1, max_size=12),
+    st.integers(1, 3),
+    st.integers(1, 8),
+)
+def test_cluster_balanced_sample_oracle_matches_python_reference(
+    rows, k, target
+):
+    """Replays the full keep decision in python: decimal-dot cell
+    assignment (ties to the lower centroid id), per-cell counts, the
+    uniform mixture_rates chain ((target * 1) / n_cells quota,
+    min-capped rate, int-truncated bucket threshold), and the salted
+    md5 bucket rule — per-cell kept counts must equal the DuckDB
+    oracle's."""
+    from etl_staging_spark.llmdata.hashing import py_hash56
+    from etl_staging_spark.llmdata.sampling import BUCKETS, mixture_rates
+
+    cents = {i: v for i, (v, _) in enumerate(rows) if i < k}
+    norms = {i: _pdn(v) for i, (v, _) in enumerate(rows)}
+    assign = {}
+    for i, (v, _label) in enumerate(rows):
+        cands = [
+            (_py_decimal_dot(v, cv) / (norms[i] * norms[cid]), cid)
+            for cid, cv in cents.items()
+        ]
+        cands.sort(key=lambda t: (-t[0], t[1]))
+        assign[i] = cands[0][1]
+    counts: dict = defaultdict(int)
+    for cell in assign.values():
+        counts[cell] += 1
+    thr = mixture_rates(dict(counts), {c: 1 for c in counts}, target)
+    kept: dict = defaultdict(int)
+    for i, cell in assign.items():
+        if py_hash56(f"cellmix-v1:{i}") % BUCKETS < thr[cell]:
+            kept[cell] += 1
+    ref = sorted((cell, n) for cell, n in kept.items())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE embeddings(vec_id BIGINT, embedding FLOAT[],"
+        " label INTEGER)"
+    )
+    con.executemany(
+        "INSERT INTO embeddings VALUES (?, CAST(? AS FLOAT[]), ?)",
+        [(i, v, s) for i, (v, s) in enumerate(rows)],
+    )
+    got = sorted(
+        tuple(r) for r in con.sql(o_cluster_balanced_sample(k, target)).fetchall()
+    )
+    assert got == ref
