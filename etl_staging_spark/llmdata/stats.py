@@ -1542,9 +1542,17 @@ def dup_ngram_coverage(
     # posture, where the per-gram count side is vocabulary-scale, the
     # join goes sort-merge, and the doc-grain side would be the
     # corpus's full (doc, gram) incidence instead of a bounded matrix.
+    # per2 feeds BOTH the docs-per-gram aggregate and the join back —
+    # materialize the bounded (#sources x vocab) frame once with an
+    # eager localCheckpoint so the corpus explode+hash runs ONE scan,
+    # not two (interleaved A/B at sf0.1: 2.46 s -> 1.49 s, 20-row
+    # output bit-identical; at 100 TB the re-run side is the full
+    # corpus n-gram explode, the checkpoint side a vocabulary-bounded
+    # matrix — the `cluster_balanced_sample` narrow-checkpoint
+    # argument at the gram grain)
     per2 = per.groupBy("source", "h").agg(
         F.sum("occ").alias("occ"), F.count(F.lit(1)).alias("nd_s")
-    )
+    ).localCheckpoint(eager=True)
     nd = per2.groupBy("h").agg(F.sum("nd_s").alias("nd"))
     j = per2.join(nd, "h")
     agg = j.groupBy("source").agg(
@@ -1618,6 +1626,17 @@ def source_vocab_cosine_from_counts(per_tok: DataFrame) -> DataFrame:
     per = per.select(
         "source", "token", F.col("cnt").cast("decimal(19,0)").alias("cnt")
     )
+    # `per` feeds the norms aggregate AND both sides of the self-join
+    # — three evaluations of the upstream (corpus tokenize for the
+    # batch card; delta-log fold for the stream state). Materialize
+    # the vocabulary-bounded frame once (eager localCheckpoint;
+    # interleaved A/B at sf0.1: 0.57 s -> 0.44 s, 190-row output
+    # bit-identical — the narrow-checkpoint rule: bounded frame,
+    # multiple consumers). Contrast `decontam.boilerplate_flags`,
+    # where the same A/B REJECTED checkpointing the corpus-sized
+    # shingle index (0.99 -> 1.28 s): the rule cuts on the frame
+    # being bounded, not on consumer count alone.
+    per = per.localCheckpoint(eager=True)
     norms = per.groupBy("source").agg(
         F.sqrt(F.sum(F.col("cnt") * F.col("cnt")).cast("double")).alias(
             "nrm"
