@@ -44,10 +44,27 @@ def _certification_order(names: list[str]) -> list[str]:
     """Order queries so the driver's bounded correctness snapshot (first
     ~50 entries) always lands on the least-RECENTLY-certified tail:
     entries never present in any past CORRECTNESS_r*.json come first,
-    then by oldest last-certified round (so with a 50-entry window over
-    ~100 entries, every entry re-certifies at least every other round),
-    then by certification count. Ties keep registration order, so the
-    ordering is deterministic."""
+    then by oldest last-certified round, then by certification count.
+    Ties keep registration order, so the ordering is deterministic.
+
+    Family adjacency (the 200+-entry cadence policy, COVERAGE.md
+    "POLICY for registry growth" item 3): entries sharing an
+    oracle family — the first ``_``-separated token of the name, e.g.
+    every ``dedup_*`` entry — are kept ADJACENT, with the whole family
+    scheduled at the staleness of its MOST-stale member. A family then
+    re-certifies as a unit instead of straddling a window boundary and
+    aging unevenly; a regression in shared family machinery shows up in
+    ONE round's snapshot, not smeared across two. The largest family
+    (13 entries) is far inside the 50-slot window, and because a
+    family's priority is at most the priority of any member, the
+    globally stalest entry still sorts first — the bounded-rotation
+    guarantee is preserved (tests/test_certification_order.py).
+
+    At 200+ registry entries the driver window cycle is ceil(N/50) >= 5
+    rounds, so the window is the spot-check-of-record only; the
+    documented freshness guarantee is the committed per-round FULL
+    ``tools/check.py`` run (every entry vs its oracle at sf0.01),
+    recorded in COVERAGE.md each round."""
     counts: dict[str, int] = {}
     last_round: dict[str, int] = {}
     here = os.path.dirname(os.path.abspath(__file__))
@@ -77,7 +94,16 @@ def _certification_order(names: list[str]) -> list[str]:
                 last_round[name] = 0
                 counts[name] = 0
     idx = {n: i for i, n in enumerate(names)}
-    return sorted(names, key=lambda n: (last_round.get(n, 0), counts.get(n, 0), idx[n]))
+    entry_key = {
+        n: (last_round.get(n, 0), counts.get(n, 0), idx[n]) for n in names
+    }
+    fam_key: dict[str, tuple[int, int, int]] = {}
+    for n in names:
+        fam = n.split("_", 1)[0]
+        k = entry_key[n]
+        if fam not in fam_key or k < fam_key[fam]:
+            fam_key[fam] = k
+    return sorted(names, key=lambda n: (fam_key[n.split("_", 1)[0]], entry_key[n]))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
