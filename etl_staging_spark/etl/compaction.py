@@ -38,13 +38,24 @@ def _validate_scope(df: DataFrame, scope: str, partition_cols: list[str]) -> Non
     fails resolution before a single byte is rewritten. The probe is a
     LINEAGE-FREE empty relation (not a select over the scan — Spark's
     ResolveMissingReferences would resolve a filter's data columns
-    straight through a projection back to the scan)."""
+    straight through a projection back to the scan).
+
+    Column references are not the only hazard: a column-free
+    NON-DETERMINISTIC predicate (``"part = 0 AND rand() < 0.5"``,
+    ``"input_file_name() LIKE ..."``) resolves cleanly against the
+    partition-only probe yet is not row-constant within a partition —
+    under dynamic overwrite it would still silently delete the
+    non-matching rows of every touched partition. So after resolution
+    the ANALYZED filter condition must also report deterministic
+    (Catalyst marks ``rand``/``uuid``/``input_file_name``/monotonic id
+    non-deterministic; the check walks the whole expression tree)."""
     spark = df.sparkSession
     probe = spark.createDataFrame(
         [], df.select(*[F.col(c) for c in partition_cols]).schema
     )
     try:
-        probe.where(scope).schema  # force analysis, no execution
+        filtered = probe.where(scope)
+        filtered.schema  # force analysis, no execution
     except Exception as exc:  # AnalysisException: unresolved column
         raise ValueError(
             f"compaction scope must reference only partition columns "
@@ -52,6 +63,18 @@ def _validate_scope(df: DataFrame, scope: str, partition_cols: list[str]) -> Non
             f"under dynamic partition overwrite would silently drop the "
             f"non-matching rows of every touched partition ({exc})"
         ) from None
+    plan = filtered._jdf.queryExecution().analyzed()
+    # the probe.where() plan is Filter(condition, LocalRelation) — walk
+    # the condition for any non-deterministic subexpression
+    if plan.getClass().getSimpleName() == "Filter" and not (
+        plan.condition().deterministic()
+    ):
+        raise ValueError(
+            f"compaction scope must be deterministic; got {scope!r} — a "
+            f"non-deterministic predicate is not row-constant within a "
+            f"partition, so dynamic partition overwrite would silently "
+            f"drop an arbitrary subset of every touched partition"
+        )
 
 
 def _scoped_file_count(df: DataFrame) -> int:

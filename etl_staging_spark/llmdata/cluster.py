@@ -73,10 +73,17 @@ def _fingerprint(edges: DataFrame) -> tuple:
     return (row["n"], row["h"])
 
 
-# Below this edge count the component fold runs driver-side: 1M edges is
-# ~16 MB of longs — the same bounded-collect budget as the skew-join
-# hot-key probe — and replaces ~1 s/round of distributed star scheduling
-# with a microsecond union-find. Above it, the O(log n) star rounds run.
+# Below this edge count the component fold runs driver-side, replacing
+# ~1 s/round of distributed star scheduling with a sub-second
+# union-find. Above it, the O(log n) star rounds run. Budget: the raw
+# payload is ~16 MB of longs, but what the driver actually
+# materializes is Python objects — MEASURED at the threshold (1M
+# random edges over ~1.4M nodes, ru_maxrss delta): ~130 MB for the
+# collected edge list, ~315 MB peak once the dict-based union-find
+# builds parent/root maps; Row objects from a real collect() add ~2x
+# on the list. Size a driver for ~0.5-1 GB of headroom at this
+# threshold — trivial for a 100 TB-job driver, but NOT the "16 MB"
+# the raw-long arithmetic suggests.
 LOCAL_CC_MAX_EDGES = 1_000_000
 
 

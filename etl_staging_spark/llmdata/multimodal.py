@@ -1,22 +1,36 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Real image/audio decode libraries are not in this container, so the
-decode step is a STUB — but a *deterministic* one (md5-derived fake
-dimensions), so the full Arrow round-trip is testable end-to-end and
-even oracle-checkable. What is real and load-bearing here:
+Full codec libraries are not in this container, so decode runs in two
+tiers:
+
+- **Real container-header parse** (:func:`parse_media_header`): pure
+  stdlib ``struct`` over the payload's magic bytes — PNG IHDR
+  width/height, GIF logical-screen dimensions, canonical WAV fmt/data
+  chunks (sample rate, channels, frame count). Real bytes exercise the
+  mapInPandas seam end-to-end with zero dependencies.
+- **Deterministic stub fallback** (:func:`_fake_decode`, md5-derived
+  fake dimensions) for payloads with no recognized magic — e.g. the
+  synthetic utf-8 payloads the test corpus uses — so the Arrow
+  round-trip stays executable and oracle-checkable everywhere.
+
+What is real and load-bearing throughout:
 
 - the schema convention: ``payload binary`` + typed metadata columns;
 - the ``mapInPandas`` plumbing: Arrow-batched, schema-declared,
-  partition-preserving — exactly the shape a real decoder (PIL,
+  partition-preserving — exactly the shape a full decoder (PIL,
   torchaudio, pyav frame sampling) drops into;
 - the batch discipline: decode cost is per-row Python, so batches
   arrive as pandas DataFrames and the UDF vectorizes over them.
 
-Swap ``_fake_decode`` for a real decoder and nothing else changes.
+Swap :func:`_decode_one`'s fallback for a full decoder and nothing
+else changes — the header-parse tier demonstrates that seam with real
+byte formats (tests/test_llmdata.py builds genuine PNG/GIF/WAV files
+from stdlib and round-trips them through `decode_table`).
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -48,9 +62,51 @@ def with_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def parse_media_header(payload: bytes) -> tuple[int, int, int] | None:
+    """REAL decode of the container header — pure stdlib ``struct``
+    over magic bytes, no codec libraries. Returns (width, height,
+    n_frames) or None when no container magic matches (the caller
+    falls back to the deterministic stub). Strictness is deliberate:
+    every branch requires the FULL magic plus the named sub-chunk at
+    its canonical offset, so arbitrary text/binary payloads (the
+    synthetic test corpus) can never false-positive and perturb the
+    certified stub outputs.
+
+    - PNG: 8-byte signature then the IHDR chunk — width/height are
+      big-endian uint32 at offsets 16/20 (PNG spec §11.2.2).
+    - GIF87a/89a: logical-screen width/height, little-endian uint16
+      at offsets 6/8.
+    - Canonical WAV (RIFF/WAVE with 16-byte PCM ``fmt `` then
+      ``data``): mapped as width=sample rate, height=channels,
+      n_frames=data bytes / block align (sample frames)."""
+    if (
+        payload[:8] == b"\x89PNG\r\n\x1a\n"
+        and len(payload) >= 24
+        and payload[12:16] == b"IHDR"
+    ):
+        w, h = struct.unpack(">II", payload[16:24])
+        return int(w), int(h), 1
+    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+        w, h = struct.unpack("<HH", payload[6:10])
+        return int(w), int(h), 1
+    if (
+        payload[:4] == b"RIFF"
+        and len(payload) >= 44
+        and payload[8:12] == b"WAVE"
+        and payload[12:16] == b"fmt "
+        and payload[36:40] == b"data"
+    ):
+        channels, rate = struct.unpack("<HI", payload[22:28])
+        (block_align,) = struct.unpack("<H", payload[32:34])
+        (data_size,) = struct.unpack("<I", payload[40:44])
+        frames = data_size // block_align if block_align else 0
+        return int(rate), int(channels), int(frames)
+    return None
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, int]:
-    """Deterministic stand-in for a real decoder. A real implementation
-    would do e.g. ``PIL.Image.open(io.BytesIO(payload)).size``; raise
+    """Deterministic stand-in for a full decoder, used when no
+    container magic matches (`parse_media_header`); raise
     NotImplementedError paths are deliberately avoided so the plumbing
     stays executable in CI."""
     h = py_hash64(payload.decode("utf-8", errors="surrogateescape"))
@@ -60,11 +116,19 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     return width, height, n_frames
 
 
+def _decode_one(payload: bytes) -> tuple[int, int, int]:
+    """Two-tier decode: real header parse when the bytes carry a
+    recognized container magic, deterministic stub otherwise. A full
+    codec decoder replaces the FALLBACK only — recognized real bytes
+    already take the real path."""
+    return parse_media_header(payload) or _fake_decode(payload)
+
+
 def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas worker: one pandas DataFrame per Arrow batch in, one
     out. Vectorized over the batch; never row-at-a-time across batches."""
     for pdf in batches:
-        decoded = [_fake_decode(bytes(p)) for p in pdf["payload"]]
+        decoded = [_decode_one(bytes(p)) for p in pdf["payload"]]
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"].astype("int64"),
@@ -79,8 +143,17 @@ def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def decode_table(df: DataFrame) -> DataFrame:
     """payload table -> decoded metadata table via Arrow-batched
-    mapInPandas. Partitioning is preserved; no shuffle."""
-    return with_payload(df).mapInPandas(decode_batches, schema=DECODED_SCHEMA)
+    mapInPandas. Partitioning is preserved; no shuffle. A frame that
+    already carries a real ``payload`` binary column (plus ``fmt``) is
+    consumed as-is — the production contract, same pass-through rule
+    as :func:`feature_table`; a text-only frame goes through
+    :func:`with_payload`'s synthetic payloads."""
+    src = (
+        df.select("doc_id", "payload", "fmt")
+        if "payload" in df.columns
+        else with_payload(df)
+    )
+    return src.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
 
 
 RESIZED_SCHEMA = DECODED_SCHEMA + ", out_width int, out_height int"

@@ -59,6 +59,36 @@ def with_norm(df: DataFrame, vec_col: str = "embedding", out: str = "nrm") -> Da
 from ..tables import respread_narrow as _respread_narrow  # noqa: E402
 
 
+# Deployment knob for the narrow-checkpoint pattern (cluster_profile,
+# cluster_balanced_sample): True materializes the narrow per-row frame
+# once with an eager localCheckpoint so the broadcast-centroid fold
+# runs ONE scan instead of one per downstream pass (measured 2.5-2.6x
+# at sf0.1; at 100 TB the gap is the corpus width).
+NARROW_EAGER_CHECKPOINT = True
+
+
+def _narrow_checkpoint(df: DataFrame) -> DataFrame:
+    """Eager localCheckpoint of a NARROW (~16-20 bytes/row) frame —
+    with two deployment caveats the speedup buys:
+
+    - localCheckpoint blocks live in EXECUTOR-LOCAL storage and are
+      not fault-tolerant: on a real cluster, losing an executor (or a
+      dynamic-allocation decommission) fails the job instead of
+      recomputing lineage.
+    - ``eager=True`` makes frame CONSTRUCTION side-effecting: the full
+      assignment scan runs even if the caller never executes the
+      result.
+
+    Cluster deployments that prefer reliable recompute (or lazy
+    construction) over the single-scan speedup set
+    ``NARROW_EAGER_CHECKPOINT = False`` — output is bit-identical;
+    each downstream pass then re-runs the broadcast-centroid fold
+    through normal lineage (tested both ways)."""
+    if NARROW_EAGER_CHECKPOINT:
+        return df.localCheckpoint(eager=True)
+    return df
+
+
 def _sign_nonneg(a: Column, b: Column) -> Column:
     """``_dot(a, b) >= 0`` decided cheaply: ONE double fold accumulates
     the dot AND the absolute mass Σ|x·y|; the double sign is trusted
@@ -1268,20 +1298,21 @@ def cluster_profile(
         cent_arrs, F.col(vec_col), cent_norms, F.col("nrm")
     )
     # the narrow per-row frame feeds TWO aggregates (cell stats and the
-    # modal-label pass); materialize it once with an eager
-    # localCheckpoint so the broadcast-centroid fold runs ONE scan, not
-    # two (interleaved A/B at sf0.1: 3.07 s -> 1.23 s, output
-    # bit-identical; ~20 bytes/row checkpointed vs re-scanning the
-    # vectors — the same narrow-checkpoint argument as
-    # `cluster_balanced_sample`)
-    per = normed.select(
+    # modal-label pass); materialize it once so the broadcast-centroid
+    # fold runs ONE scan, not two (interleaved A/B at sf0.1:
+    # 3.07 s -> 1.23 s, output bit-identical; ~20 bytes/row
+    # checkpointed vs re-scanning the vectors — the same
+    # narrow-checkpoint argument as `cluster_balanced_sample`; see
+    # `_narrow_checkpoint` for the executor-loss caveat and the
+    # NARROW_EAGER_CHECKPOINT opt-out)
+    per = _narrow_checkpoint(normed.select(
         F.array_sort(scored).getItem(0).alias("best"),
         F.col(label_col).alias("label"),
     ).select(
         F.col("best.cid").alias("cell"),
         pround(-F.col("best.negc"), 6).alias("c"),
         "label",
-    ).localCheckpoint(eager=True)
+    ))
     base = per.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_members"),
         pround(
@@ -1362,7 +1393,8 @@ def cluster_balanced_sample(
     — no join, no window, the `mixture_sample` plan family (plus one
     id-keyed semi-join when ``keep`` is given). Checkpoint blocks are
     freed when the returned frame's references drop (no CacheManager
-    entry pinning them across calls)."""
+    entry pinning them across calls); see `_narrow_checkpoint` for the
+    executor-loss caveat and the NARROW_EAGER_CHECKPOINT opt-out."""
     from .sampling import (
         _threshold_filter, mixture_rates, temperature_weights,
     )
@@ -1382,7 +1414,7 @@ def cluster_balanced_sample(
         assigned = assigned.join(
             keep.select(id_col), id_col, "left_semi"
         )
-    assigned = assigned.localCheckpoint(eager=True)
+    assigned = _narrow_checkpoint(assigned)
     counts = {
         r[0]: r[1]
         for r in assigned.groupBy("cell").count().collect()  # bounded

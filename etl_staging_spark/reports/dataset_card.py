@@ -20,6 +20,7 @@ as `reports.general_ledger`.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 
 from ..llmdata import stats
@@ -209,11 +210,14 @@ def dataset_card_lines(
     # -- topic balance (bounded: n_centroids cells) ----------------------
     # the certified cluster_profile read, when the release ships an
     # embeddings table alongside the documents; an embedding-less
-    # corpus simply has no topic section (the card must not fail over
-    # an optional table)
+    # corpus simply has no topic section. ONLY the missing-table case
+    # is optional — a present-but-unreadable embeddings table must
+    # surface its real error, not silently drop the topic section
     try:
         emb = load(spark, sf_dir, "embeddings")
-    except Exception:
+    except AnalysisException as exc:
+        if (exc.getCondition() or "") != "PATH_NOT_FOUND":
+            raise
         emb = None
     if emb is not None:
         from ..llmdata import simsearch

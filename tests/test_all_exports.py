@@ -197,6 +197,36 @@ def test_dataset_card_empty_corpus_placeholder(spark, tmp_path):
     assert os.path.getsize(out["pdf"]) > 500
 
 
+def test_dataset_card_embeddings_optional_but_not_swallowed(spark, tmp_path):
+    """A release WITHOUT an embeddings table renders the card minus the
+    topic section (optional table), but a PRESENT-but-unreadable
+    embeddings table must surface its real error — the missing-table
+    fallback catches only PATH_NOT_FOUND (review finding)."""
+    import pytest as _pytest
+
+    from etl_staging_spark.reports.dataset_card import dataset_card_lines
+    from etl_staging_spark.tables import _FRAME_CACHE
+
+    sf_dir = tmp_path / "sfdocsonly"
+    sf_dir.mkdir()
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.parquet(str(sf_dir / "documents.parquet"))
+    lines = dataset_card_lines(spark, str(sf_dir))
+    names = [ln["name"] for ln in lines]
+    assert len(lines) > 5                       # the card did assemble
+    assert not any("Topic cells" in n for n in names)
+
+    # now plant a corrupt embeddings table: the error must PROPAGATE
+    emb_dir = sf_dir / "embeddings.parquet"
+    emb_dir.mkdir()
+    (emb_dir / "part-00000.parquet").write_bytes(b"this is not parquet")
+    _FRAME_CACHE.clear()                        # drop the memoized miss
+    with _pytest.raises(Exception) as excinfo:
+        dataset_card_lines(spark, str(sf_dir))
+    assert "PATH_NOT_FOUND" not in str(excinfo.value)
+    _FRAME_CACHE.clear()
+
+
 def test_dataset_card_all_null_source_corpus(spark, tmp_path):
     """A corpus whose source column is entirely NULL still assembles:
     createDataFrame over the collected per-source rows needs the

@@ -567,6 +567,14 @@ def test_compact_partitions_scoped_and_idempotent(spark, tmp_path):
         compact_partitions(
             spark, path, ["part"], scope="n_chars > 10", files_per_partition=2
         )
+    # a column-free NON-DETERMINISTIC scope resolves against the
+    # partition-only probe but is not row-constant per partition —
+    # refused by the determinism walk, again before any write
+    for bad in ("part = 0 AND rand() < 0.5", "input_file_name() LIKE 'x%'"):
+        with _pytest.raises(ValueError, match="deterministic"):
+            compact_partitions(
+                spark, path, ["part"], scope=bad, files_per_partition=2
+            )
     assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == want
 
     res = compact_partitions(
