@@ -2295,6 +2295,67 @@ def split_leakage_audit(spark, sf_dir):
     )
 
 
+@query("split_by_cluster", oracle=o_split_by_cluster(_SPLITS))
+def split_by_cluster_q(spark, sf_dir):
+    """The FIX operator paired with `split_leakage_audit` (driver row
+    registered r16; the op itself is r10): every near-dup cluster
+    draws its train/val/test split from ONE key — the component-
+    minimum label — so the audit's ``leaky`` count is zero by
+    construction, while unclustered docs keep their per-doc assignment
+    under the same salt/thresholds. CC labels from the audited
+    O(log n) star fold over the PAIRS only; the label attach is one
+    doc-keyed left join; the split stamp a pure hash projection
+    (`llmdata/cluster.py:split_by_cluster`)."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, threshold=0.8).select("d1", "d2")
+    return cluster.split_by_cluster(docs.select("doc_id"), pairs, _SPLITS)
+
+
+@query(
+    "dedup_canonicals_by_score",
+    oracle=f"""
+    WITH RECURSIVE {O_TRIH},
+    {O_CC_LBL},
+    sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lbl
+           GROUP BY cluster_id),
+    {_O_QUAL_CTES},
+    cbs AS (
+      SELECT l.doc_id, l.cluster_id, s.cluster_size, q.quality
+      FROM lbl l JOIN sz s USING (cluster_id)
+      LEFT JOIN qual q ON q.doc_id = l.doc_id
+    ),
+    cbw AS (
+      SELECT doc_id, cluster_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY cluster_id
+               ORDER BY COALESCE(quality, CAST('-infinity' AS DOUBLE)) DESC,
+                        doc_id ASC) AS rn
+      FROM cbs
+    )
+    SELECT m.doc_id, m.cluster_id, m.cluster_size,
+           m.doc_id = w.doc_id AS is_canonical
+    FROM cbs m JOIN cbw w ON w.cluster_id = m.cluster_id AND w.rn = 1
+    """,
+)
+def dedup_canonicals_by_score(spark, sf_dir):
+    """Quality-elected canonicals (driver row registered r16; the op is
+    r10): re-elect each near-dup cluster's survivor as its HIGHEST-
+    quality member (ties to the smallest doc_id; unscored members lose
+    to any scored one) — "among near-dups, keep the best copy", the
+    production replacement for the structural component-minimum
+    default. One left join to attach scores, a map-side-combinable
+    struct-max election per cluster (the comparator IS the rule — no
+    window, no per-cluster sort), and a skinny join back
+    (`llmdata/cluster.py:canonicals_by_score`)."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, threshold=0.8).select("d1", "d2")
+    clusters = cluster.near_dup_clusters(pairs)
+    scores = textstats.quality_scores(respread_narrow(docs)).select(
+        "doc_id", "quality"
+    )
+    return cluster.canonicals_by_score(clusters, scores)
+
+
 @query(
     "corpus_stats_exact",
     oracle=f"WITH {stats.o_exact_corpus_stats()}",
