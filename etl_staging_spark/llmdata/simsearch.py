@@ -1428,6 +1428,115 @@ def cluster_balanced_sample(
     return _threshold_filter(assigned, thr, "cell", id_col, salt)
 
 
+def cluster_share_mixture(
+    docs: DataFrame,
+    emb: DataFrame,
+    target_total: int,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    doc_id_col: str = "doc_id",
+    domain_col: str = "source",
+    salt: str = "cellsrc-v1",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Close the reweight->mixture loop at the SOURCE grain (r16 plan:
+    "weights from cluster shares"): a source concentrated in
+    OVER-REPRESENTED topic cells gets a LOW mixture weight, a source
+    living in rare cells a high one — the corpus-curation move that
+    `cluster_balanced_sample` makes per cell, lifted to the source
+    mixture that training-corpus configs are actually written in.
+
+    Rule: per-cell shares from the certified IVF assignment; each
+    source's topic concentration = the exact-decimal mean of its docs'
+    cell shares (pround 6); weight_s = pround(1/avg_share_s, 6) in
+    integer micro-units; per-source keep thresholds follow the
+    `mixture_rates` quota rule (target * w/Σw, capped at population)
+    applied through the shared salted-bucket filter. Output card:
+    (source, n_docs, avg_cell_share, n_kept).
+
+    Determinism (oracle-hash-exact): shares and means go through the
+    pround/decimal conventions; weights are integer micro-units so Σw
+    is exact; the threshold chain is the same IEEE expression tree in
+    both engines (int-exact doubles, two correctly-rounded divisions,
+    LEAST, FLOOR — no order-dependent float accumulation anywhere).
+
+    Scale shape: ONE broadcast-centroid scan reduced to the narrow
+    (id, cell) frame (`_narrow_checkpoint` — it feeds the per-source
+    mean AND nothing else rescans the vectors); cell shares are a
+    bounded collect; the share attach is a literal CASE (no join); the
+    per-source mean is one map-side-combinable aggregate after a
+    doc-keyed join to the corpus; weights/thresholds are O(#sources)
+    driver math; the keep filter is a literal CASE over the domain —
+    the `mixture_sample` plan family end to end."""
+    import math
+
+    from .sampling import BUCKETS, _threshold_filter, domain_case
+
+    cent_arrs, cent_norms = _resolve_centroids(
+        emb, centroids, n_centroids, id_col, vec_col
+    )
+    normed = with_norm(_respread_narrow(emb), vec_col)
+    scored = _cell_scores_expr(
+        cent_arrs, F.col(vec_col), cent_norms, F.col("nrm")
+    )
+    assigned = _narrow_checkpoint(normed.select(
+        F.col(id_col),
+        F.array_sort(scored).getItem(0)["cid"].cast("int").alias("cell"),
+    ))
+    counts = {
+        r[0]: r[1]
+        for r in assigned.groupBy("cell").count().collect()  # bounded
+    }
+    total = sum(counts.values())
+    # share_c mirrors o_pround(CAST(n AS DOUBLE) / total, 6) exactly
+    shares = {
+        c: math.floor((n / total) * 1_000_000 + 0.5) / 1_000_000
+        for c, n in counts.items()
+    }
+    per_src = (
+        docs.select(F.col(doc_id_col).alias(id_col), domain_col)
+        .join(assigned, id_col)
+        .select(
+            domain_col,
+            domain_case(shares, "cell").alias("__share"),
+        )
+        .groupBy(domain_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            pround(
+                F.sum(F.col("__share").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_cell_share"),
+        )
+    )
+    src_stats = {
+        r[0]: (r[1], r[2]) for r in per_src.collect()  # bounded: #sources
+    }
+    w_micro = {
+        s: math.floor((1.0 / avg) * 1_000_000 + 0.5)
+        for s, (_n, avg) in src_stats.items()
+    }
+    wsum = sum(w_micro.values())  # exact: integer micro-units
+    thr = {
+        s: int(min(1.0, (target_total * w_micro[s]) / wsum / n) * BUCKETS)
+        for s, (n, _avg) in src_stats.items()
+    }
+    kept = _threshold_filter(
+        docs.select(domain_col, doc_id_col), thr, domain_col, doc_id_col, salt
+    ).groupBy(domain_col).agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"))
+    return (
+        per_src.join(kept, domain_col, "left")
+        .select(
+            domain_col,
+            "n_docs",
+            "avg_cell_share",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        )
+    )
+
+
 def embedding_dim_stats(
     emb: DataFrame, vec_col: str = "embedding"
 ) -> DataFrame:

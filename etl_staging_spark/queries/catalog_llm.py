@@ -4063,6 +4063,30 @@ def pii_rate_by_source_q(spark, sf_dir):
     return stats.pii_rate_by_source(load(spark, sf_dir, "documents"))
 
 
+@query("pii_card_stream_fold", oracle=o_pii_rate_by_source())
+def pii_card_stream_fold_q(spark, sf_dir):
+    """Batch twin of the PII STREAM's maintenance path (new r16, the
+    `concentration_card_stream_fold` pattern): three pmod(doc_id, 3)
+    micro-batches, each batch's additive per-source delta
+    (`stats.pii_counts`), merged by THE shared `streaming.ingest._fold`
+    and presented by `stats.finish_pii_card` — hash-matching the batch
+    card's own DuckDB oracle certifies the fold/finish additivity with
+    a driver row."""
+    from ..streaming.ingest import _fold
+
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.coalesce(F.pmod("doc_id", F.lit(3)), F.lit(0))
+    batches = [
+        stats.pii_counts(docs.where(bucket == b)).withColumn(
+            "batch_id", F.lit(b)
+        )
+        for b in range(3)
+    ]
+    log = batches[0].unionByName(batches[1]).unionByName(batches[2])
+    merged = _fold(log.drop("batch_id"), ("source",), stats.PII_COUNT_COLS)
+    return stats.finish_pii_card(merged)
+
+
 @query("dup_token_rate_by_source", oracle=o_dup_token_rate_by_source())
 def dup_token_rate_by_source_q(spark, sf_dir):
     """Token-weighted exact-duplication cost per source (registered
@@ -4111,6 +4135,32 @@ def sentence_stats_card_q(spark, sf_dir):
     return stats.sentence_stats_card(load(spark, sf_dir, "documents"))
 
 
+@query("charclass_card_stream_fold", oracle=o_charclass_profile_card())
+def charclass_card_stream_fold_q(spark, sf_dir):
+    """Batch twin of the charclass STREAM's maintenance path (new r16,
+    the `concentration_card_stream_fold` pattern): three
+    pmod(doc_id, 3) micro-batches, each batch's additive per-source
+    character-class sums (`stats.charclass_counts`), merged by THE
+    shared `streaming.ingest._fold` and presented by
+    `stats.finish_charclass_card` — hash-matched against the batch
+    card's own DuckDB oracle."""
+    from ..streaming.ingest import _fold
+
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.coalesce(F.pmod("doc_id", F.lit(3)), F.lit(0))
+    batches = [
+        stats.charclass_counts(docs.where(bucket == b)).withColumn(
+            "batch_id", F.lit(b)
+        )
+        for b in range(3)
+    ]
+    log = batches[0].unionByName(batches[1]).unionByName(batches[2])
+    merged = _fold(
+        log.drop("batch_id"), ("source",), stats.CHARCLASS_COUNT_COLS
+    )
+    return stats.finish_charclass_card(merged)
+
+
 @query("token_fertility_by_lang", oracle=o_token_fertility_by_lang())
 def token_fertility_by_lang_q(spark, sf_dir):
     """Tokenizer fertility (chars/token) per predicted language
@@ -4120,6 +4170,33 @@ def token_fertility_by_lang_q(spark, sf_dir):
     carries text through (no re-join); ONE aggregate on the bounded
     #profiles+1 key."""
     return stats.token_fertility_by_lang(load(spark, sf_dir, "documents"))
+
+
+@query("token_fertility_stream_fold", oracle=o_token_fertility_by_lang())
+def token_fertility_stream_fold_q(spark, sf_dir):
+    """Batch twin of the fertility STREAM's maintenance path (new r16,
+    the `concentration_card_stream_fold` pattern): three
+    pmod(doc_id, 3) micro-batches, each batch's additive per-language
+    (docs, chars, tokens) delta (`stats.fertility_counts` — the
+    lang-ID projection runs per batch, as the stream's does), merged
+    by THE shared `streaming.ingest._fold` and presented by
+    `stats.finish_fertility_card` — hash-matched against the batch
+    card's own DuckDB oracle."""
+    from ..streaming.ingest import _fold
+
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.coalesce(F.pmod("doc_id", F.lit(3)), F.lit(0))
+    batches = [
+        stats.fertility_counts(docs.where(bucket == b)).withColumn(
+            "batch_id", F.lit(b)
+        )
+        for b in range(3)
+    ]
+    log = batches[0].unionByName(batches[1]).unionByName(batches[2])
+    merged = _fold(
+        log.drop("batch_id"), ("pred_lang",), stats.FERTILITY_COUNT_COLS
+    )
+    return stats.finish_fertility_card(merged)
 
 
 @query("length_quality_joint_card", oracle=o_length_quality_joint_card())
@@ -4173,6 +4250,33 @@ def truncation_loss_card_q(spark, sf_dir):
     return stats.truncation_loss_card(
         load(spark, sf_dir, "documents"), max_len=64
     )
+
+
+@query("truncation_card_stream_fold", oracle=o_truncation_loss_card(64))
+def truncation_card_stream_fold_q(spark, sf_dir):
+    """Batch twin of the truncation STREAM's maintenance path (new
+    r16, the `concentration_card_stream_fold` pattern): three
+    pmod(doc_id, 3) micro-batches, each batch's additive per-source
+    token/truncation sums at the FIXED max_len=64 the batch card pins
+    (`stats.truncation_counts` — max_len is part of the state's
+    identity, matching the stream's `_guard_card_params` contract),
+    merged by THE shared `streaming.ingest._fold` and presented by
+    `stats.finish_truncation_card` — hash-matched against the batch
+    card's own DuckDB oracle."""
+    from ..streaming.ingest import _fold
+
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.coalesce(F.pmod("doc_id", F.lit(3)), F.lit(0))
+    batches = [
+        stats.truncation_counts(docs.where(bucket == b), max_len=64)
+        .withColumn("batch_id", F.lit(b))
+        for b in range(3)
+    ]
+    log = batches[0].unionByName(batches[1]).unionByName(batches[2])
+    merged = _fold(
+        log.drop("batch_id"), ("source",), stats.TRUNCATION_COUNT_COLS
+    )
+    return stats.finish_truncation_card(merged)
 
 
 @query("source_signature_terms", oracle=o_source_signature_terms())
@@ -4340,6 +4444,81 @@ def corpus_assembly_balanced(spark, sf_dir):
         )
         .groupBy("cell", "source")
         .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+
+
+def o_mixture_cluster_share(target: int, n_centroids: int = 8,
+                            salt: str = "cellsrc-v1") -> str:
+    """DuckDB oracle twin of `llmdata.simsearch.cluster_share_mixture`:
+    the certified `_o_cell_assign` CTEs, per-cell shares prounded to 6,
+    the per-source exact-decimal mean of member cell shares, integer
+    micro-unit weights (Σw exact), the `mixture_rates` threshold chain
+    as the same IEEE expression tree, and the shared salted-bucket
+    keep filter."""
+    return f"""
+    WITH {O_ELEMS},
+    {_o_cell_assign(n_centroids)},
+    msn AS (SELECT cell, COUNT(*) AS n FROM cpa GROUP BY cell),
+    mst AS (SELECT SUM(n) AS total FROM msn),
+    mss AS (
+      SELECT cell,
+             FLOOR(CAST(n AS DOUBLE) / (SELECT total FROM mst)
+                   * 1000000 + 0.5) / 1000000 AS share
+      FROM msn
+    ),
+    msa AS (
+      SELECT d.source, d.doc_id, s.share
+      FROM documents d
+      JOIN cpa a ON a.vec_id = d.doc_id
+      JOIN mss s ON s.cell = a.cell
+    ),
+    msrc AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             {o_pround("CAST(SUM(CAST(share AS DECIMAL(18,6))) AS DOUBLE)"
+                       " / COUNT(*)", 6)} AS avg_cell_share
+      FROM msa GROUP BY source
+    ),
+    msw AS (
+      SELECT source, n_docs, avg_cell_share,
+             CAST(FLOOR((1.0 / avg_cell_share) * 1000000 + 0.5) AS BIGINT)
+               AS w
+      FROM msrc
+    ),
+    mswt AS (SELECT SUM(w) AS wsum FROM msw),
+    msthr AS (
+      SELECT source, n_docs, avg_cell_share,
+             CAST(FLOOR(LEAST(1.0,
+                 CAST({target} * w AS DOUBLE)
+                   / (SELECT wsum FROM mswt) / n_docs)
+               * {sampling.BUCKETS}) AS BIGINT) AS t
+      FROM msw
+    ),
+    mskept AS (
+      SELECT d.source FROM documents d
+      JOIN msthr t ON t.source = d.source
+      WHERE {sampling.o_bucket('d.doc_id', salt)} < t.t
+    ),
+    msk AS (SELECT source, COUNT(*) AS n_kept FROM mskept GROUP BY source)
+    SELECT c.source, c.n_docs, c.avg_cell_share,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+    FROM msthr c LEFT JOIN msk k ON k.source = c.source"""
+
+
+@query("mixture_cluster_share", oracle=o_mixture_cluster_share(_MIX_TARGET))
+def mixture_cluster_share(spark, sf_dir):
+    """Reweight -> mixture closed at the SOURCE grain (new r16, the
+    r15 plan's candidate): per-source mixture weights DERIVED from
+    topic-cell shares — a source concentrated in over-represented
+    cells is downweighted, one living in rare cells upweighted — then
+    the standard quota/bucket-threshold sample, reported as the
+    (source, n_docs, avg_cell_share, n_kept) mixture card. One
+    broadcast-centroid scan reduced to the narrow (id, cell) frame,
+    bounded collects, literal-CASE share attach and keep filter
+    (`llmdata/simsearch.py:cluster_share_mixture`)."""
+    return simsearch.cluster_share_mixture(
+        load(spark, sf_dir, "documents"),
+        load(spark, sf_dir, "embeddings"),
+        target_total=_MIX_TARGET,
     )
 
 

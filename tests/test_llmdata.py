@@ -4857,6 +4857,43 @@ def _duck_on_emb(planted_rows, sql):
     return _nsafe_sorted(tuple(r) for r in con.sql(sql).fetchall())
 
 
+def test_cluster_share_mixture_planted_semantics(spark):
+    """cluster_share_mixture (r16): a source living in the DOMINANT
+    topic cell is downweighted relative to one living in the rare cell
+    — the rare-cell source keeps a strictly larger fraction — and the
+    card's avg_cell_share is the exact mean of member cell shares."""
+    from etl_staging_spark.llmdata import simsearch
+
+    # centroids = first 2 vec_ids: [1,0] and [0,1]; cell 0 gets
+    # {0, 2..7} (share .7), cell 1 gets {1, 8, 9} (share .3)
+    emb_rows = ([(0, [1.0, 0.0], None), (1, [0.0, 1.0], None)]
+                + [(i, [1.0, 0.0], None) for i in range(2, 8)]
+                + [(8, [0.0, 1.0], None), (9, [0.0, 1.0], None)])
+    emb = spark.createDataFrame(
+        emb_rows, "vec_id long, embedding array<float>, label int"
+    )
+    # src_big: docs 2-7 all in the dominant cell; src_rare: docs 8-9
+    # in the rare cell; the centroid docs (0, 1) get their own source
+    docs = spark.createDataFrame(
+        [(i, "src_seed" if i < 2 else ("src_big" if i < 8 else "src_rare"))
+         for i in range(10)],
+        "doc_id long, source string",
+    )
+    out = {r.source: r for r in simsearch.cluster_share_mixture(
+        docs, emb, target_total=6, n_centroids=2
+    ).collect()}
+    assert out["src_big"].n_docs == 6 and out["src_rare"].n_docs == 2
+    assert out["src_big"].avg_cell_share == 0.7
+    assert out["src_rare"].avg_cell_share == 0.3
+    # rare-cell source keeps a strictly larger FRACTION of its docs
+    frac_big = out["src_big"].n_kept / out["src_big"].n_docs
+    frac_rare = out["src_rare"].n_kept / out["src_rare"].n_docs
+    assert frac_rare > frac_big
+    # quotas never upsample
+    for r in out.values():
+        assert 0 <= r.n_kept <= r.n_docs
+
+
 def test_narrow_checkpoint_optout_bit_identical(spark):
     """NARROW_EAGER_CHECKPOINT=False (the cluster-deployment opt-out
     for localCheckpoint's executor-loss caveat) must yield bit-
