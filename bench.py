@@ -123,6 +123,13 @@ HEADLINE = [
     # literal-CASE hash-threshold filter); dataset_card_totals is a
     # bounded driver-assembly entry far below the guard floor
     "cluster_balanced_sample",
+    # round 16 addition — the one NEW plan family this round (cell
+    # shares -> per-source exact-decimal mean -> micro-unit weight
+    # thresholds); the four new stream-fold rows re-measure the
+    # certified fold family, and split_by_cluster /
+    # dedup_canonicals_by_score compose the already-benched CC fold
+    # with hash-split / quality-aggregate joins
+    "mixture_cluster_share",
 ]
 
 

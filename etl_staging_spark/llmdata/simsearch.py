@@ -1526,8 +1526,19 @@ def cluster_share_mixture(
     kept = _threshold_filter(
         docs.select(domain_col, doc_id_col), thr, domain_col, doc_id_col, salt
     ).groupBy(domain_col).agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"))
+    # the per-source stats are already collected (bounded): rebuild the
+    # card spine as a LITERAL frame instead of re-executing per_src's
+    # docs-join lineage for the output join (explicit schema — the
+    # createDataFrame-inference trap from the r14 card fix)
+    spine = docs.sparkSession.createDataFrame(
+        sorted(
+            ((s, n, avg) for s, (n, avg) in src_stats.items()),
+            key=lambda t: (t[0] is None, t[0] or ""),
+        ),
+        f"{domain_col} string, n_docs bigint, avg_cell_share double",
+    )
     return (
-        per_src.join(kept, domain_col, "left")
+        spine.join(F.broadcast(kept), domain_col, "left")
         .select(
             domain_col,
             "n_docs",

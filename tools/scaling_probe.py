@@ -350,6 +350,22 @@ def run_probe(
         "cluster_balanced_sample": lambda e: simsearch.cluster_balanced_sample(
             e, target_total=150
         ),
+        # r16: one assignment scan + per-source mean (docs side derived
+        # from the replicated vectors so both sides grow together) +
+        # threshold pass — ~linear; split_by_cluster /
+        # dedup_canonicals_by_score are compositions of probed
+        # primitives (pair discovery dominates; CC rounds are O(log n)
+        # bounded-shuffle; the election/stamp passes are row-linear)
+        "cluster_share_mixture": lambda e: simsearch.cluster_share_mixture(
+            e.select(
+                F.col("vec_id").alias("doc_id"),
+                F.concat(
+                    F.lit("src"), F.pmod("vec_id", F.lit(20)).cast("string")
+                ).alias("source"),
+            ),
+            e,
+            target_total=150,
+        ),
     }
     from etl_staging_spark.operators import events as _ev
 
