@@ -1428,6 +1428,34 @@ def cluster_balanced_sample(
     return _threshold_filter(assigned, thr, "cell", id_col, salt)
 
 
+def share_mixture_thresholds(
+    src_stats: dict, target_total: int
+) -> dict:
+    """Pure driver math of :func:`cluster_share_mixture` — kept free of
+    Spark so hypothesis can law-check it (tests/test_sampling_property).
+    ``src_stats`` maps source -> (n_docs, avg_cell_share); returns the
+    per-source bucket thresholds.
+
+    Cross-engine determinism contract (must stay the EXACT IEEE
+    expression tree of `o_mixture_cluster_share`): weights are integer
+    micro-units w = floor(1e6/avg + 0.5) so Σw is exact; the rate is
+    target*w (int, exact in double) / Σw / n — two correctly-rounded
+    divisions — capped at 1.0, then floor(rate * BUCKETS)."""
+    import math
+
+    from .sampling import BUCKETS
+
+    w_micro = {
+        s: math.floor((1.0 / avg) * 1_000_000 + 0.5)
+        for s, (_n, avg) in src_stats.items()
+    }
+    wsum = sum(w_micro.values())  # exact: integer micro-units
+    return {
+        s: int(min(1.0, (target_total * w_micro[s]) / wsum / n) * BUCKETS)
+        for s, (n, _avg) in src_stats.items()
+    }
+
+
 def cluster_share_mixture(
     docs: DataFrame,
     emb: DataFrame,
@@ -1471,7 +1499,7 @@ def cluster_share_mixture(
     the `mixture_sample` plan family end to end."""
     import math
 
-    from .sampling import BUCKETS, _threshold_filter, domain_case
+    from .sampling import _threshold_filter, domain_case
 
     cent_arrs, cent_norms = _resolve_centroids(
         emb, centroids, n_centroids, id_col, vec_col
@@ -1514,15 +1542,7 @@ def cluster_share_mixture(
     src_stats = {
         r[0]: (r[1], r[2]) for r in per_src.collect()  # bounded: #sources
     }
-    w_micro = {
-        s: math.floor((1.0 / avg) * 1_000_000 + 0.5)
-        for s, (_n, avg) in src_stats.items()
-    }
-    wsum = sum(w_micro.values())  # exact: integer micro-units
-    thr = {
-        s: int(min(1.0, (target_total * w_micro[s]) / wsum / n) * BUCKETS)
-        for s, (n, _avg) in src_stats.items()
-    }
+    thr = share_mixture_thresholds(src_stats, target_total)
     kept = _threshold_filter(
         docs.select(domain_col, doc_id_col), thr, domain_col, doc_id_col, salt
     ).groupBy(domain_col).agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"))

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import math
 
-from hypothesis import given
+from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from etl_staging_spark.llmdata.sampling import (
@@ -108,3 +108,53 @@ def test_bucket_edge_membership_law(bucket_milli, raw_micro):
     edge = _bucket_edge(bucket, 3)
     assert edge < bucket
     assert (py_pround(x, 3) >= bucket) == (x >= edge), (bucket, x, edge)
+
+
+# avg_cell_share values are pround-6 doubles in (0, 1]; model them as
+# integer micro-units to generate EXACTLY the representable inputs
+src_stats = st.dictionaries(
+    st.sampled_from([f"src{i}" for i in range(8)]),
+    st.tuples(
+        st.integers(min_value=1, max_value=10_000_000),       # n_docs
+        st.integers(min_value=1, max_value=1_000_000),        # share*1e6
+    ),
+    min_size=1,
+    max_size=8,
+).map(lambda d: {s: (n, m / 1_000_000) for s, (n, m) in d.items()})
+
+
+@settings(deadline=None)  # first call pays the simsearch import
+@given(src_stats, st.integers(0, 10_000_000))
+def test_share_mixture_thresholds_bounds_and_caps(stats_, target):
+    """cluster_share_mixture's driver chain: every threshold lies in
+    [0, BUCKETS] (the 1.0 rate cap == never upsample), a zero target
+    keeps nothing, and weights are the pround-6 integer micro-units
+    the oracle replays (Σw exact — no float accumulation)."""
+    from etl_staging_spark.llmdata.simsearch import share_mixture_thresholds
+
+    thr = share_mixture_thresholds(stats_, target)
+    assert set(thr) == set(stats_)
+    for s, t in thr.items():
+        assert 0 <= t <= BUCKETS
+    if target == 0:
+        assert all(t == 0 for t in thr.values())
+
+
+@given(
+    st.integers(min_value=1, max_value=1_000_000),
+    st.integers(min_value=1, max_value=999_999),
+    st.integers(min_value=1, max_value=10_000_000),
+)
+@settings(deadline=None)
+def test_share_mixture_rarer_topics_keep_no_less(n, share_micro_lo, target):
+    """With equal populations, the source living in RARER cells (lower
+    avg share) never gets a lower keep threshold — the monotonicity
+    that makes the reweight a reweight."""
+    from etl_staging_spark.llmdata.simsearch import share_mixture_thresholds
+
+    lo = share_micro_lo / 1_000_000
+    hi = min(1.0, (share_micro_lo + 1) / 1_000_000 * 2)
+    thr = share_mixture_thresholds(
+        {"rare": (n, lo), "common": (n, hi)}, target
+    )
+    assert thr["rare"] >= thr["common"]
