@@ -861,6 +861,16 @@ def _resolve_centroids(
         )
         cent_arrs = {int(r[0]): [float(v) for v in r[1]] for r in cents}
         cent_norms = {int(r[0]): float(r[2]) for r in cents}
+    if not cent_arrs:
+        # an empty centroid set would otherwise surface as an opaque
+        # INVALID_EXTRACT_BASE_FIELD_TYPE from the empty scores array —
+        # fail loudly at the seam instead (domain_case's convention)
+        raise ValueError(
+            "no centroids: the embeddings frame has no rows with "
+            f"{id_col} < {n_centroids} and no explicit centroids= were "
+            "given — an empty/degenerate corpus cannot define a cell "
+            "geometry; pass trained centroids explicitly"
+        )
     return cent_arrs, cent_norms
 
 

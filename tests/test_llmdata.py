@@ -4857,6 +4857,29 @@ def _duck_on_emb(planted_rows, sql):
     return _nsafe_sorted(tuple(r) for r in con.sql(sql).fetchall())
 
 
+def test_cluster_ops_empty_embeddings_fail_loudly(spark):
+    """An empty embeddings table cannot define a cell geometry: every
+    centroid-family operator must raise the clear no-centroids
+    ValueError, not the opaque INVALID_EXTRACT_BASE_FIELD_TYPE the
+    empty scores array used to surface; explicit centroids= still
+    work on the same (empty) frame."""
+    import pytest as _pytest
+
+    from etl_staging_spark.llmdata import simsearch
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>, label int")
+    docs = spark.createDataFrame([], "doc_id long, source string")
+    with _pytest.raises(ValueError, match="no centroids"):
+        simsearch.cluster_profile(emb)
+    with _pytest.raises(ValueError, match="no centroids"):
+        simsearch.cluster_balanced_sample(emb, target_total=10)
+    with _pytest.raises(ValueError, match="no centroids"):
+        simsearch.cluster_share_mixture(docs, emb, target_total=10)
+    # explicit centroids define the geometry even over an empty corpus
+    out = simsearch.cluster_profile(emb, centroids=[[1.0, 0.0], [0.0, 1.0]])
+    assert out.collect() == []
+
+
 def test_cluster_share_mixture_planted_semantics(spark):
     """cluster_share_mixture (r16): a source living in the DOMINANT
     topic cell is downweighted relative to one living in the rare cell
