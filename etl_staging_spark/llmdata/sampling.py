@@ -439,6 +439,66 @@ def shard_training_order(
     )
 
 
+def curriculum_order(
+    scored: DataFrame,
+    n_shards: int,
+    stages: int = 4,
+    salt: str = "shard-v1",
+    key_col: str = "doc_id",
+    score_col: str = "quality",
+) -> DataFrame:
+    """Quality-curriculum training order: `shard_training_order`'s
+    deterministic shard + position, with the within-shard order keyed
+    FIRST by a coarse quality stage (descending — cleanest data warms
+    the model up, the curriculum-learning schedule) and only then by
+    the reproducible hash. ``scored`` carries (``key_col``,
+    ``score_col``); stage = min(stages-1, floor(score * stages)) on
+    the pround-6 score, and an unscored row (NULL quality — e.g. NULL
+    text) gets stage -1 so it sorts LAST deterministically instead of
+    wherever NULL ordering falls. Output: (key, shard, stage,
+    position).
+
+    Determinism: the stage cut is one multiply + floor on an exact
+    pround-6 double — the same IEEE expression the oracle evaluates —
+    so engines can never disagree on a boundary; ties inside a stage
+    fall back to the hash-then-key total order.
+
+    Scale shape: identical to `shard_training_order` — stage and
+    shard are pure projections, position is a window partitioned BY
+    SHARD (hash-balanced, full parallelism at production shard
+    counts), nothing global."""
+    from pyspark.sql import Window
+
+    h = portable_hash56(
+        F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))
+    )
+    stage = (
+        F.when(F.col(score_col).isNull(), F.lit(-1))
+        .otherwise(
+            F.least(
+                F.lit(stages - 1).cast("bigint"),
+                F.floor(F.col(score_col) * stages),
+            )
+        )
+        .cast("int")
+    )
+    d = scored.select(
+        key_col,
+        h.alias("__h"),
+        F.pmod(h, F.lit(n_shards)).alias("shard"),
+        stage.alias("stage"),
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.col("stage").desc(), "__h", key_col
+    )
+    return d.select(
+        key_col,
+        F.col("shard").cast("int").alias("shard"),
+        "stage",
+        F.row_number().over(w).alias("position"),
+    )
+
+
 def o_shard_training_order(
     n_shards: int,
     salt: str = "shard-v1",
@@ -454,6 +514,33 @@ def o_shard_training_order(
                                    ORDER BY __h, doc_id) AS INT) AS position
     FROM (SELECT {key_expr} AS doc_id, {h} AS __h, ({h}) % {n_shards} AS shard
           FROM {source_sql})"""
+
+
+def o_curriculum_order(
+    n_shards: int,
+    stages: int = 4,
+    salt: str = "shard-v1",
+    qual_rel: str = "qual",
+) -> str:
+    """DuckDB oracle twin of :func:`curriculum_order`: LEFT-joins the
+    shared quality CTE chain (``qual_rel`` — the caller supplies the
+    CTEs) so unscored docs take the deterministic stage -1, then the
+    same stage/hash/key window. Same IEEE stage cut (one multiply +
+    FLOOR on the pround-6 score)."""
+    h = o_hash56(f"'{salt}:' || CAST(d.doc_id AS VARCHAR)")
+    return f"""
+    SELECT doc_id, CAST(shard AS INT) AS shard, CAST(stage AS INT) AS stage,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                                   ORDER BY stage DESC, __h, doc_id)
+                AS INT) AS position
+    FROM (
+      SELECT d.doc_id, {h} AS __h, ({h}) % {n_shards} AS shard,
+             CASE WHEN q.quality IS NULL THEN -1
+                  ELSE LEAST({stages - 1},
+                             CAST(FLOOR(q.quality * {stages}) AS BIGINT))
+             END AS stage
+      FROM documents d LEFT JOIN {qual_rel} q ON q.doc_id = d.doc_id
+    )"""
 
 
 def write_training_shards(

@@ -2127,6 +2127,28 @@ def shard_training_order(spark, sf_dir):
     )
 
 
+@query(
+    "training_order_curriculum",
+    oracle=f"WITH {_O_QUAL_CTES}\n"
+    + sampling.o_curriculum_order(_N_SHARDS),
+)
+def training_order_curriculum(spark, sf_dir):
+    """Quality-curriculum dataloader order (new r16): the certified
+    shard assignment with the within-shard order keyed FIRST by a
+    coarse quality stage (cleanest data first — the curriculum-
+    learning schedule), then the reproducible hash; unscored docs
+    (NULL text) take stage -1 and sort last deterministically. Stage
+    and shard are projections over the certified quality score;
+    position is the same shard-partitioned window as
+    `shard_training_order` — nothing global
+    (`llmdata/sampling.py:curriculum_order`)."""
+    docs = load(spark, sf_dir, "documents")
+    scored = textstats.quality_scores(respread_narrow(docs)).select(
+        "doc_id", "quality"
+    )
+    return sampling.curriculum_order(scored, n_shards=_N_SHARDS)
+
+
 _FULL_CAP = 8
 _FULL_SHARDS = 16
 

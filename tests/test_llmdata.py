@@ -4857,6 +4857,38 @@ def _duck_on_emb(planted_rows, sql):
     return _nsafe_sorted(tuple(r) for r in con.sql(sql).fetchall())
 
 
+def test_curriculum_order_planted_semantics(spark):
+    """curriculum_order (r16): within every shard, higher quality
+    stages strictly precede lower ones, NULL-quality rows take stage
+    -1 and sort last, positions are contiguous from 1, and the stage
+    cut uses the exact floor(q * stages) boundary (q=0.25 -> stage 1,
+    q=0.249999 -> stage 0, q=1.0 caps at stages-1)."""
+    from etl_staging_spark.llmdata import sampling
+
+    rows = [
+        (1, 0.9), (2, 0.1), (3, None), (4, 0.25), (5, 0.249999),
+        (6, 1.0), (7, 0.5), (8, 0.75),
+    ]
+    scored = spark.createDataFrame(rows, "doc_id long, quality double")
+    out = sampling.curriculum_order(scored, n_shards=2, stages=4).collect()
+    stage = {r.doc_id: r.stage for r in out}
+    assert stage[4] == 1 and stage[5] == 0          # exact boundary
+    assert stage[6] == 3 and stage[1] == 3          # cap at stages-1
+    assert stage[3] == -1                           # unscored last
+    by_shard: dict = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, members in by_shard.items():
+        members.sort(key=lambda r: r.position)
+        assert [m.position for m in members] == list(
+            range(1, len(members) + 1)
+        )
+        stages_seq = [m.stage for m in members]
+        assert stages_seq == sorted(stages_seq, reverse=True), (
+            shard, stages_seq,
+        )
+
+
 def test_cluster_ops_empty_embeddings_fail_loudly(spark):
     """An empty embeddings table cannot define a cell geometry: every
     centroid-family operator must raise the clear no-centroids
