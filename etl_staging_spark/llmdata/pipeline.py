@@ -632,6 +632,44 @@ class CorpusPipeline:
 
     # -- terminal -----------------------------------------------------
 
+    def mixture_by_cluster_share(
+        self, emb: DataFrame, target_total: int, n_centroids: int = 8
+    ) -> "CorpusPipeline":
+        """Topic-driven source reweighting (`simsearch.
+        cluster_share_mixture` — the `mixture_cluster_share` entry):
+        derive per-source mixture weights FROM the surviving corpus's
+        topic-cell shares (sources concentrated in over-represented
+        cells downweighted) and apply the same quota/bucket-threshold
+        sample. EAGER bounded collects at build time, like
+        :meth:`mixture`; the keep filter stays a single-scan
+        literal-CASE hash threshold."""
+        from . import simsearch as _ss
+
+        # centroids resolve from the FULL emb (stable cell geometry,
+        # the corpus_assembly_balanced convention); the per-source
+        # stats and the keep filter see only the SURVIVING corpus
+        kept = _ss.cluster_share_kept(
+            self._df.select("doc_id", "source"),
+            emb,
+            target_total,
+            n_centroids=n_centroids,
+        ).select("doc_id")
+        return self._keep(kept, "mixture_by_cluster_share")
+
+    def curriculum(self, n_shards: int, stages: int = 4) -> DataFrame:
+        """Quality-curriculum dataloader order for the SURVIVING corpus
+        (`sampling.curriculum_order` — the `training_order_curriculum`
+        entry): shard + within-shard position keyed first by the
+        coarse quality stage (cleanest data first), then the
+        reproducible hash. Returns the (doc_id, shard, stage,
+        position) frame; join back to the corpus to materialize."""
+        scored = textstats.quality_scores(self._df).select(
+            "doc_id", "quality"
+        )
+        return sampling.curriculum_order(
+            scored, n_shards=n_shards, stages=stages
+        )
+
     def to_training_set(
         self,
         path: str,

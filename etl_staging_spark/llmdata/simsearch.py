@@ -1466,6 +1466,99 @@ def share_mixture_thresholds(
     }
 
 
+def _cluster_share_stats(
+    docs: DataFrame,
+    emb: DataFrame,
+    n_centroids: int,
+    id_col: str,
+    vec_col: str,
+    doc_id_col: str,
+    domain_col: str,
+    centroids: list[list[float]] | None,
+) -> dict:
+    """Shared planning pass of the cluster-share mixture family:
+    assignment scan -> bounded cell shares (pround 6) -> per-source
+    exact-decimal mean of member cell shares. Returns the bounded
+    {source: (n_docs, avg_cell_share)} dict both the card
+    (:func:`cluster_share_mixture`) and the actuator
+    (:func:`cluster_share_kept`) plan from."""
+    import math
+
+    from .sampling import domain_case
+
+    cent_arrs, cent_norms = _resolve_centroids(
+        emb, centroids, n_centroids, id_col, vec_col
+    )
+    normed = with_norm(_respread_narrow(emb), vec_col)
+    scored = _cell_scores_expr(
+        cent_arrs, F.col(vec_col), cent_norms, F.col("nrm")
+    )
+    assigned = _narrow_checkpoint(normed.select(
+        F.col(id_col),
+        F.array_sort(scored).getItem(0)["cid"].cast("int").alias("cell"),
+    ))
+    counts = {
+        r[0]: r[1]
+        for r in assigned.groupBy("cell").count().collect()  # bounded
+    }
+    total = sum(counts.values())
+    # share_c mirrors o_pround(CAST(n AS DOUBLE) / total, 6) exactly
+    shares = {
+        c: math.floor((n / total) * 1_000_000 + 0.5) / 1_000_000
+        for c, n in counts.items()
+    }
+    per_src = (
+        docs.select(F.col(doc_id_col).alias(id_col), domain_col)
+        .join(assigned, id_col)
+        .select(
+            domain_col,
+            domain_case(shares, "cell").alias("__share"),
+        )
+        .groupBy(domain_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            pround(
+                F.sum(F.col("__share").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_cell_share"),
+        )
+    )
+    return {
+        r[0]: (r[1], r[2]) for r in per_src.collect()  # bounded: #sources
+    }
+
+
+def cluster_share_kept(
+    docs: DataFrame,
+    emb: DataFrame,
+    target_total: int,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    doc_id_col: str = "doc_id",
+    domain_col: str = "source",
+    salt: str = "cellsrc-v1",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """The ACTUATOR for :func:`cluster_share_mixture`'s card: the kept
+    (``domain_col``, ``doc_id_col``) rows under the same cluster-share
+    thresholds — bit-identical keep decisions (shared
+    `_cluster_share_stats` planning pass + `share_mixture_thresholds`
+    chain + salted-bucket filter), without building the card or its
+    spine join. `CorpusPipeline.mixture_by_cluster_share` chains it."""
+    from .sampling import _threshold_filter
+
+    src_stats = _cluster_share_stats(
+        docs, emb, n_centroids, id_col, vec_col, doc_id_col, domain_col,
+        centroids,
+    )
+    thr = share_mixture_thresholds(src_stats, target_total)
+    return _threshold_filter(
+        docs.select(domain_col, doc_id_col), thr, domain_col, doc_id_col, salt
+    )
+
+
 def cluster_share_mixture(
     docs: DataFrame,
     emb: DataFrame,
@@ -1507,51 +1600,12 @@ def cluster_share_mixture(
     doc-keyed join to the corpus; weights/thresholds are O(#sources)
     driver math; the keep filter is a literal CASE over the domain —
     the `mixture_sample` plan family end to end."""
-    import math
+    from .sampling import _threshold_filter
 
-    from .sampling import _threshold_filter, domain_case
-
-    cent_arrs, cent_norms = _resolve_centroids(
-        emb, centroids, n_centroids, id_col, vec_col
+    src_stats = _cluster_share_stats(
+        docs, emb, n_centroids, id_col, vec_col, doc_id_col, domain_col,
+        centroids,
     )
-    normed = with_norm(_respread_narrow(emb), vec_col)
-    scored = _cell_scores_expr(
-        cent_arrs, F.col(vec_col), cent_norms, F.col("nrm")
-    )
-    assigned = _narrow_checkpoint(normed.select(
-        F.col(id_col),
-        F.array_sort(scored).getItem(0)["cid"].cast("int").alias("cell"),
-    ))
-    counts = {
-        r[0]: r[1]
-        for r in assigned.groupBy("cell").count().collect()  # bounded
-    }
-    total = sum(counts.values())
-    # share_c mirrors o_pround(CAST(n AS DOUBLE) / total, 6) exactly
-    shares = {
-        c: math.floor((n / total) * 1_000_000 + 0.5) / 1_000_000
-        for c, n in counts.items()
-    }
-    per_src = (
-        docs.select(F.col(doc_id_col).alias(id_col), domain_col)
-        .join(assigned, id_col)
-        .select(
-            domain_col,
-            domain_case(shares, "cell").alias("__share"),
-        )
-        .groupBy(domain_col)
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            pround(
-                F.sum(F.col("__share").cast("decimal(18,6)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("avg_cell_share"),
-        )
-    )
-    src_stats = {
-        r[0]: (r[1], r[2]) for r in per_src.collect()  # bounded: #sources
-    }
     thr = share_mixture_thresholds(src_stats, target_total)
     kept = _threshold_filter(
         docs.select(domain_col, doc_id_col), thr, domain_col, doc_id_col, salt

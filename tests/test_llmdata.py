@@ -2474,6 +2474,45 @@ def test_corpus_pipeline_mixture_stages(spark):
     assert got_t == want_t and got_t
 
 
+def test_corpus_pipeline_cluster_share_and_curriculum(spark):
+    """The r16 pipeline rungs delegate to the certified operators:
+    mixture_by_cluster_share keeps EXACTLY the ids the
+    cluster_share_mixture card counts (the actuator and the card share
+    one planning pass), and curriculum() equals curriculum_order over
+    the surviving corpus's quality scores."""
+    from etl_staging_spark.llmdata import sampling as sp
+    from etl_staging_spark.llmdata import simsearch, textstats
+    from etl_staging_spark.llmdata.pipeline import CorpusPipeline
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    pipe = CorpusPipeline(docs).mixture_by_cluster_share(emb, 200)
+    got = {r.doc_id for r in pipe.frame().select("doc_id").collect()}
+    want = {r.doc_id for r in simsearch.cluster_share_kept(
+        docs.select("doc_id", "source"), emb, 200
+    ).collect()}
+    assert got == want and got
+    # the card's per-source n_kept counts the same decision
+    card = {r.source: r.n_kept for r in simsearch.cluster_share_mixture(
+        docs.select("doc_id", "source"), emb, 200
+    ).collect()}
+    per_src = {s: 0 for s in card}
+    for r in pipe.frame().select("source").collect():
+        per_src[r.source] += 1
+    assert per_src == card
+
+    cur = {(r.doc_id, r.shard, r.stage, r.position)
+           for r in pipe.curriculum(n_shards=4).collect()}
+    scored = textstats.quality_scores(pipe.frame()).select(
+        "doc_id", "quality"
+    )
+    want_cur = {(r.doc_id, r.shard, r.stage, r.position)
+                for r in sp.curriculum_order(scored, n_shards=4).collect()}
+    assert cur == want_cur and cur
+    assert {d for d, *_ in cur} == got  # survivors only
+
+
 def test_corpus_pipeline_epochs_rekeys_uniquely(spark):
     """The epochs stage repeats docs per source with UNIQUE new ids
     (doc_id * E + epoch-1, E = max repeat factor): pack join keys and
