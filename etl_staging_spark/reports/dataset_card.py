@@ -231,6 +231,29 @@ def dataset_card_lines(
                 _txt(f"coherence {r.avg_cos}, modal label "
                      f"{r.modal_label} ({r.modal_share})"),
             ]))
+
+        # -- suggested reweight (bounded: #sources) -----------------------
+        # the card not only DIAGNOSES topic concentration, it prints the
+        # fix: the certified cluster-share mixture at a nominal
+        # half-corpus target — what each source's keep count becomes
+        # when topic-cell shares drive the mixture weights
+        # (`mixture_cluster_share`; actuator:
+        # `CorpusPipeline.mixture_by_cluster_share`)
+        half = max(1, int(conc.n_docs) // 2)
+        lines.append(_line(
+            f"Suggested reweight (cluster-share mixture, target {half})",
+            0, [_txt(None)] * 4,
+        ))
+        for r in sorted(
+            simsearch.cluster_share_mixture(
+                docs.select("doc_id", "source"), emb, half
+            ).collect(),
+            key=lambda r: (r.source is None, r.source or ""),
+        ):
+            lines.append(_line(_src_label(r.source), 1, [
+                _num(r.n_docs), _num(r.n_kept), _num(r.avg_cell_share),
+                _txt(f"avg cell share {r.avg_cell_share}"),
+            ]))
     return lines
 
 

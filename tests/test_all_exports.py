@@ -147,14 +147,42 @@ def test_dataset_card_assembles_and_exports(spark, tmp_path):
         ).collect(),
         key=lambda r: r.cell,
     )
-    ti = sections.index("Topic cells (IVF)")
-    tstart = [j for j, l in enumerate(lines) if l["level"] == 0][ti] + 1
-    cells = [l for l in lines[tstart:] if l["level"] == 1]
+    def _section_rows(title_prefix):
+        tops = [j for j, l in enumerate(lines) if l["level"] == 0]
+        (ti,) = [
+            k for k, j in enumerate(tops)
+            if lines[j]["name"].startswith(title_prefix)
+        ]
+        lo = tops[ti] + 1
+        hi = tops[ti + 1] if ti + 1 < len(tops) else len(lines)
+        return [l for l in lines[lo:hi] if l["level"] == 1]
+
+    cells = _section_rows("Topic cells (IVF)")
     assert len(cells) == len(prof)
     for line, r in zip(cells, prof):
         assert line["name"] == f"cell {r.cell}"
         assert line["columns"][0]["no_format"] == r.n_members
         assert line["columns"][2]["no_format"] == r.share
+
+    # the suggested-reweight section mirrors the certified
+    # cluster-share mixture card at the half-corpus target
+    n_docs_total = lines[0]["columns"][0]["no_format"]
+    mix = sorted(
+        simsearch.cluster_share_mixture(
+            spark.read.parquet(f"{sf}/documents.parquet").select(
+                "doc_id", "source"
+            ),
+            spark.read.parquet(f"{sf}/embeddings.parquet"),
+            max(1, n_docs_total // 2),
+        ).collect(),
+        key=lambda r: (r.source is None, r.source or ""),
+    )
+    rew = _section_rows("Suggested reweight")
+    assert len(rew) == len(mix) and rew
+    for line, r in zip(rew, mix):
+        assert line["columns"][0]["no_format"] == r.n_docs
+        assert line["columns"][1]["no_format"] == r.n_kept
+        assert line["columns"][2]["no_format"] == r.avg_cell_share
 
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     conc = stats.source_concentration_card(docs).collect()[0]
