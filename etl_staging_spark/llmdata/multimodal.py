@@ -62,6 +62,59 @@ def with_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def encode_png(width: int, height: int) -> bytes:
+    """A GENUINE minimal PNG from stdlib (zlib + crc32): valid
+    signature, IHDR, one zlib-compressed 8-bit-grayscale IDAT, IEND.
+    The encoder half of the real-bytes decode seam — what a real image
+    encoder would hand the pipeline, at zero dependency cost."""
+    import binascii
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", binascii.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(width) for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_payload_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker building a REAL PNG payload per row with
+    dimensions that are a pure function of the id (width = 16 +
+    id % 32, height = 16 + (id // 7) % 32) — so a SQL oracle can state
+    the expected decode output without replaying zlib."""
+    for pdf in batches:
+        ids = pdf["doc_id"].astype("int64")
+        yield pd.DataFrame(
+            {
+                "doc_id": ids,
+                "payload": [
+                    encode_png(16 + int(i) % 32, 16 + (int(i) // 7) % 32)
+                    for i in ids
+                ],
+                "fmt": ["img"] * len(ids),
+            }
+        )
+
+
+def png_payload_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """id frame -> (doc_id, payload, fmt) with genuine PNG bytes, via
+    the same Arrow seam a real encoder would occupy. Feeds
+    :func:`decode_table`'s pass-through branch, closing a real-bytes
+    encode -> scan -> header-parse loop with zero codec deps."""
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        png_payload_batches, schema="doc_id bigint, payload binary, fmt string"
+    )
+
+
 def parse_media_header(payload: bytes) -> tuple[int, int, int] | None:
     """REAL decode of the container header — pure stdlib ``struct``
     over magic bytes, no codec libraries. Returns (width, height,

@@ -1396,6 +1396,34 @@ def mm_decode_meta(spark, sf_dir):
 
 
 @query(
+    "mm_header_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(16 + doc_id % 32 AS INT) AS width,
+           CAST(16 + (doc_id // 7) % 32 AS INT) AS height,
+           CAST(1 AS INT) AS n_frames
+    FROM documents""",
+)
+def mm_header_decode(spark, sf_dir):
+    """REAL-bytes decode certification (new r16, r15 verdict item 2's
+    driver-row completion): genuine PNG payloads are BUILT per doc
+    (stdlib zlib/crc32, dims a pure function of the id) inside the
+    same Arrow mapInPandas seam a real encoder occupies, scanned back
+    through `decode_table`'s pass-through branch, and the pure-Python
+    container-header parse recovers the true dimensions — the oracle
+    states the planted dims, so the hash certifies
+    encode -> Arrow -> header-parse end to end on real byte formats,
+    not the md5 stub (`llmdata/multimodal.py:png_payload_table,
+    parse_media_header`)."""
+    payloads = multimodal.png_payload_table(
+        load(spark, sf_dir, "documents").select("doc_id")
+    )
+    return multimodal.decode_table(payloads).select(
+        "doc_id", "width", "height", "n_frames"
+    )
+
+
+@query(
     "mm_resize_plan",
     oracle=f"""
     WITH dec AS ({O_MM_DECODE})
