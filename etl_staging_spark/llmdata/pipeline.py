@@ -670,6 +670,23 @@ class CorpusPipeline:
             scored, n_shards=n_shards, stages=stages
         )
 
+    def to_curriculum_shards(
+        self, path: str, n_shards: int, stages: int = 4
+    ) -> None:
+        """TERMINAL action: materialize the surviving corpus as
+        ``path/shard=K/`` parquet in quality-curriculum read order
+        (`sampling.write_curriculum_shards` — cleanest data first
+        within every shard, unscored rows last). The quality score is
+        computed on the surviving frame and written alongside (stage,
+        position)."""
+        scored = self._df.drop("quality").join(
+            textstats.quality_scores(self._df).select("doc_id", "quality"),
+            "doc_id",
+        )
+        sampling.write_curriculum_shards(
+            scored, path, n_shards, stages=stages
+        )
+
     def to_training_set(
         self,
         path: str,

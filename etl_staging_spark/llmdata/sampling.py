@@ -587,6 +587,61 @@ def write_training_shards(
     )
 
 
+def write_curriculum_shards(
+    scored: DataFrame,
+    path: str,
+    n_shards: int,
+    stages: int = 4,
+    salt: str = "shard-v1",
+    key_col: str = "doc_id",
+    score_col: str = "quality",
+) -> None:
+    """:func:`write_training_shards` with :func:`curriculum_order`'s
+    schedule: ``path/shard=K/`` parquet where each shard reads in
+    quality-curriculum order (stage DESC — cleanest data first — then
+    the reproducible hash, unscored rows last). ``scored`` carries the
+    corpus columns PLUS ``score_col``; the written rows keep every
+    input column plus (stage, position).
+
+    Same physical story as the hash writer: stage/shard are
+    projections, ONE shuffle lands each shard on one task, rows sort
+    WITHIN partitions only, and the sort leads with the partitionBy
+    key so V1Writes executes exactly this sort (see
+    `write_training_shards` for why)."""
+    h = portable_hash56(
+        F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))
+    )
+    stage = (
+        F.when(F.col(score_col).isNull(), F.lit(-1))
+        .otherwise(
+            F.least(
+                F.lit(stages - 1).cast("bigint"),
+                F.floor(F.col(score_col) * stages),
+            )
+        )
+        .cast("int")
+    )
+    assigned = (
+        scored.withColumn("__h", h)
+        .withColumn("shard", F.pmod(F.col("__h"), F.lit(n_shards)).cast("int"))
+        .withColumn("stage", stage)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy(
+        F.col("stage").desc(), "__h", key_col
+    )
+    (
+        assigned.withColumn("position", F.row_number().over(w))
+        .drop("__h")
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "position")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
 def shard_manifest(
     docs: DataFrame,
     n_shards: int,

@@ -1303,6 +1303,50 @@ def test_write_training_shards_layout_and_order(spark, tmp_path):
         assert pq.read_table(f1).column("doc_id").to_pylist() == again[k]
 
 
+def test_write_curriculum_shards_order(spark, tmp_path):
+    """write_curriculum_shards (r16): the physical row order inside
+    each shard file is the CURRICULUM order — stage non-increasing
+    (cleanest data first), positions contiguous, unscored rows last —
+    and the assignment matches curriculum_order exactly (verified by
+    reading the parquet bytes directly)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    rows = [
+        (i, f"text {i}", None if i % 50 == 7 else (i % 10) / 10.0)
+        for i in range(300)
+    ]
+    scored = spark.createDataFrame(
+        rows, "doc_id long, text string, quality double"
+    )
+    out = str(tmp_path / "cur_shards")
+    sampling.write_curriculum_shards(scored, out, n_shards=4)
+    want = {
+        r.doc_id: (r.shard, r.stage, r.position)
+        for r in sampling.curriculum_order(
+            scored.select("doc_id", "quality"), n_shards=4
+        ).collect()
+    }
+    seen = []
+    for k in range(4):
+        files = glob.glob(f"{out}/shard={k}/*.parquet")
+        assert len(files) == 1, f"shard {k}: one task -> one file"
+        t = pq.read_table(files[0])
+        pos = t.column("position").to_pylist()
+        assert pos == list(range(1, len(pos) + 1))
+        stages_seq = t.column("stage").to_pylist()
+        assert stages_seq == sorted(stages_seq, reverse=True)
+        for d, st, p in zip(
+            t.column("doc_id").to_pylist(), stages_seq, pos
+        ):
+            assert want[d] == (k, st, p)
+        # every input column survives alongside (stage, position)
+        assert {"doc_id", "text", "quality"} <= set(t.column_names)
+        seen.extend(t.column("doc_id").to_pylist())
+    assert sorted(seen) == list(range(300))
+
+
 def test_write_training_set_end_to_end_with_manifest(spark, tmp_path):
     """The composed back end: corpus -> shard + training order ->
     greedy packing -> shard=K parquet -> manifest, with the manifest's
@@ -2517,6 +2561,37 @@ def test_corpus_pipeline_cluster_share_and_curriculum(spark):
                 for r in sp.curriculum_order(scored, n_shards=4).collect()}
     assert cur == want_cur and cur
     assert {d for d, *_ in cur} == got  # survivors only
+
+
+def test_corpus_pipeline_to_curriculum_shards(spark, tmp_path):
+    """The terminal curriculum writer materializes exactly the
+    surviving corpus, in the same (shard, stage, position) assignment
+    `curriculum()` reports."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from etl_staging_spark.llmdata.pipeline import CorpusPipeline
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pipe = CorpusPipeline(docs).dedup_exact()
+    out = str(tmp_path / "cur")
+    pipe.to_curriculum_shards(out, n_shards=2)
+    want = {
+        (r.doc_id, r.shard, r.stage, r.position)
+        for r in pipe.curriculum(n_shards=2).collect()
+    }
+    got = set()
+    for k in range(2):
+        for f in glob.glob(f"{out}/shard={k}/*.parquet"):
+            t = pq.read_table(f)
+            got |= set(zip(
+                t.column("doc_id").to_pylist(),
+                [k] * t.num_rows,
+                t.column("stage").to_pylist(),
+                t.column("position").to_pylist(),
+            ))
+    assert got == want and got
 
 
 def test_corpus_pipeline_epochs_rekeys_uniquely(spark):
