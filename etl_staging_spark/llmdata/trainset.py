@@ -58,6 +58,95 @@ def training_set_rows(
     )
 
 
+def curriculum_training_set_rows(
+    docs: DataFrame,
+    scores: DataFrame,
+    n_shards: int,
+    seq_len: int,
+    stages: int = 4,
+    salt: str = "shard-v1",
+) -> DataFrame:
+    """:func:`training_set_rows` with `sampling.curriculum_order`'s
+    schedule: within every shard the greedy boundary-preserving pack
+    consumes docs in quality-curriculum order (stage DESC — cleanest
+    data first, unscored last), so EARLY chunk ids are the clean
+    warm-up sequences and late ones the tail. ``docs`` is the corpus;
+    ``scores`` carries (doc_id, quality) — kept as a SEPARATE narrow
+    input so the quality column never rides the wide corpus join: the
+    assignment branch is (doc_id, quality) end to end, and the corpus
+    joins only the skinny (doc_id, shard, stage, position) frame,
+    giving the hash variant's exact join count. Output: (doc_id,
+    shard, stage, position, n_tokens, chunk_id, text)."""
+    assigned = sampling.curriculum_order(
+        scores.select("doc_id", "quality"), n_shards, stages=stages,
+        salt=salt,
+    )
+    with_pos = docs.join(assigned, "doc_id")
+    packed = packing.pack_greedy_docs(
+        with_pos, seq_len=seq_len, shard_col="shard", order_col="position"
+    ).select(
+        F.col("doc_id").cast("int").alias("position"),
+        "shard",
+        "n_tokens",
+        "chunk_id",
+    )
+    return with_pos.join(packed, ["shard", "position"]).select(
+        "doc_id", "shard", "stage", "position", "n_tokens", "chunk_id",
+        "text",
+    )
+
+
+def o_curriculum_training_set_rows(
+    n_shards: int,
+    seq_len: int,
+    stages: int = 4,
+    salt: str = "shard-v1",
+    qual_rel: str = "qual",
+) -> str:
+    """DuckDB oracle twin of :func:`curriculum_training_set_rows`
+    (minus the text payload): the curriculum stage/order CTEs (the
+    caller supplies the quality chain as ``qual_rel``), then the same
+    greedy recursive fold as the hash variant stepping one ordered doc
+    per shard per iteration. Callers must prefix WITH RECURSIVE."""
+    from .hashing import o_hash56
+    from .textstats import TOKEN_RE
+
+    h = o_hash56(f"'{salt}:' || CAST(d.doc_id AS VARCHAR)")
+    n = f"len(regexp_extract_all(lower(d.text), '{TOKEN_RE}'))"
+    return f"""
+    cts_base AS (
+      SELECT d.doc_id, CAST({n} AS INT) AS n, {h} AS __h,
+             ({h}) % {n_shards} AS shard,
+             CASE WHEN q.quality IS NULL THEN -1
+                  ELSE LEAST({stages - 1},
+                             CAST(FLOOR(q.quality * {stages}) AS BIGINT))
+             END AS stage
+      FROM documents d LEFT JOIN {qual_rel} q ON q.doc_id = d.doc_id
+    ),
+    cts_ordered AS (
+      SELECT doc_id, shard, stage, n,
+             CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                                     ORDER BY stage DESC, __h, doc_id)
+                  AS INT) AS pos
+      FROM cts_base
+    ),
+    cts_fold AS (
+      SELECT shard, doc_id, stage, n, pos, 0 AS chunk, n AS used
+      FROM cts_ordered WHERE pos = 1
+      UNION ALL
+      SELECT o.shard, o.doc_id, o.stage, o.n, o.pos,
+             CASE WHEN f.used > 0 AND f.used + o.n > {seq_len}
+                  THEN f.chunk + 1 ELSE f.chunk END,
+             CASE WHEN f.used > 0 AND f.used + o.n > {seq_len}
+                  THEN o.n ELSE f.used + o.n END
+      FROM cts_fold f JOIN cts_ordered o
+        ON o.shard = f.shard AND o.pos = f.pos + 1
+    )
+    SELECT doc_id, CAST(shard AS INT) AS shard, CAST(stage AS INT) AS stage,
+           pos AS position, n AS n_tokens, CAST(chunk AS INT) AS chunk_id
+    FROM cts_fold"""
+
+
 def write_training_set(
     docs: DataFrame,
     path: str,

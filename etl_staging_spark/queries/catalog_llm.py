@@ -2603,6 +2603,29 @@ def training_set_pack(spark, sf_dir):
     ).drop("text")
 
 
+@query(
+    "training_set_curriculum",
+    oracle=f"WITH RECURSIVE {_O_QUAL_CTES},\n"
+    + trainset.o_curriculum_training_set_rows(4, 256),
+)
+def training_set_curriculum(spark, sf_dir):
+    """The packed training set under the CURRICULUM schedule (new r16):
+    shard assignment unchanged, but within every shard the greedy
+    boundary-preserving pack consumes docs in quality-stage order
+    (cleanest first, unscored last) — early chunk ids are the warm-up
+    sequences a curriculum dataloader reads first. Composition of
+    three certified pieces: the quality score, `curriculum_order`'s
+    stage/position, and the per-shard greedy fold
+    (`llmdata/trainset.py:curriculum_training_set_rows`)."""
+    docs = load(spark, sf_dir, "documents")
+    scores = textstats.quality_scores(respread_narrow(docs)).select(
+        "doc_id", "quality"
+    )
+    return trainset.curriculum_training_set_rows(
+        docs, scores, n_shards=4, seq_len=256
+    ).drop("text")
+
+
 _STRAT_N = 25
 
 

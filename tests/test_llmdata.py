@@ -1347,6 +1347,44 @@ def test_write_curriculum_shards_order(spark, tmp_path):
     assert sorted(seen) == list(range(300))
 
 
+def test_curriculum_training_set_rows_semantics(spark):
+    """curriculum_training_set_rows (r16): within every shard the
+    chunk sequence follows the curriculum — positions ascend with
+    non-increasing stage, chunk_id is non-decreasing in position, and
+    no chunk exceeds seq_len unless it holds a single over-long doc."""
+    from etl_staging_spark.llmdata import trainset
+
+    rows = [
+        (i, "w " * (5 + i % 7), None if i % 11 == 3 else (i % 10) / 10.0)
+        for i in range(120)
+    ]
+    scored = spark.createDataFrame(
+        rows, "doc_id long, text string, quality double"
+    )
+    out = trainset.curriculum_training_set_rows(
+        scored.select("doc_id", "text"),
+        scored.select("doc_id", "quality"),
+        n_shards=3,
+        seq_len=16,
+    ).collect()
+    by_shard: dict = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert len(out) == 120 and len(by_shard) == 3
+    for shard, members in by_shard.items():
+        members.sort(key=lambda r: r.position)
+        stages_seq = [m.stage for m in members]
+        assert stages_seq == sorted(stages_seq, reverse=True), shard
+        chunks = [m.chunk_id for m in members]
+        assert chunks == sorted(chunks), shard       # pack follows order
+        fill: dict = {}
+        for m in members:
+            fill[m.chunk_id] = fill.get(m.chunk_id, 0) + m.n_tokens
+        for cid, tot in fill.items():
+            n_in = sum(1 for m in members if m.chunk_id == cid)
+            assert tot <= 16 or n_in == 1, (shard, cid, tot)
+
+
 def test_write_training_set_end_to_end_with_manifest(spark, tmp_path):
     """The composed back end: corpus -> shard + training order ->
     greedy packing -> shard=K parquet -> manifest, with the manifest's
