@@ -169,6 +169,36 @@ def write_training_set(
     return sampling.shard_manifest(docs, n_shards, salt=salt)
 
 
+def write_curriculum_training_set(
+    docs: DataFrame,
+    scores: DataFrame,
+    path: str,
+    n_shards: int,
+    seq_len: int,
+    stages: int = 4,
+    salt: str = "shard-v1",
+) -> DataFrame:
+    """:func:`write_training_set` under the curriculum schedule:
+    materialize :func:`curriculum_training_set_rows` as
+    ``path/shard=K/`` parquet in (position) order — each shard reads
+    cleanest-first — and return the shard manifest computed from the
+    input corpus. The manifest is ORDER-FREE (count / token total /
+    XOR of content hashes), so the unchanged
+    :func:`verify_training_set` proves the written bytes match
+    regardless of which schedule ordered them."""
+    rows = curriculum_training_set_rows(
+        docs, scores, n_shards, seq_len, stages=stages, salt=salt
+    )
+    (
+        rows.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "position")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    return sampling.shard_manifest(docs, n_shards, salt=salt)
+
+
 def verify_training_set(
     spark: SparkSession,
     path: str,

@@ -1347,6 +1347,57 @@ def test_write_curriculum_shards_order(spark, tmp_path):
     assert sorted(seen) == list(range(300))
 
 
+def test_write_curriculum_training_set_verifies(spark, tmp_path):
+    """The curriculum-written training set passes the UNCHANGED
+    manifest verification (the manifest is order-free, so one verify
+    loop covers both schedules), the written shard files read in
+    curriculum order, and a tampered shard fails its own checksum."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from etl_staging_spark.llmdata import trainset
+
+    rows = [
+        (i, ("tok%d " % i) * (5 + i % 17),
+         None if i % 29 == 5 else (i % 10) / 10.0)
+        for i in range(200)
+    ]
+    frame = spark.createDataFrame(
+        rows, "doc_id long, text string, quality double"
+    )
+    docs = frame.select("doc_id", "text")
+    scores = frame.select("doc_id", "quality")
+    out = str(tmp_path / "cur_trainset")
+    manifest = trainset.write_curriculum_training_set(
+        docs, scores, out, n_shards=3, seq_len=64
+    )
+    check = trainset.verify_training_set(spark, out, manifest, n_shards=3)
+    assert all(r.ok for r in check.collect())
+    # written physical order IS the curriculum: stage non-increasing,
+    # positions contiguous, chunk ids non-decreasing
+    for k in range(3):
+        files = glob.glob(f"{out}/shard={k}/*.parquet")
+        assert len(files) == 1
+        t = pq.read_table(files[0])
+        pos = t.column("position").to_pylist()
+        assert pos == list(range(1, len(pos) + 1))
+        st = t.column("stage").to_pylist()
+        assert st == sorted(st, reverse=True)
+        ch = t.column("chunk_id").to_pylist()
+        assert ch == sorted(ch)
+    # tamper one shard (re-write minus a row, the CRC-safe route the
+    # hash-variant test uses): its own checksum flips, others stay ok
+    sub = spark.read.parquet(out).where("shard = 0 AND position > 1")
+    rest = spark.read.parquet(out).where("shard != 0")
+    tampered = str(tmp_path / "tampered")
+    rest.unionByName(sub).write.partitionBy("shard").parquet(tampered)
+    redo = {r.shard: r.ok for r in trainset.verify_training_set(
+        spark, tampered, manifest, n_shards=3
+    ).collect()}
+    assert redo[0] is False and redo[1] and redo[2]
+
+
 def test_curriculum_training_set_rows_semantics(spark):
     """curriculum_training_set_rows (r16): within every shard the
     chunk sequence follows the curriculum — positions ascend with
