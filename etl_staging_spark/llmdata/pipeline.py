@@ -693,15 +693,31 @@ class CorpusPipeline:
         n_shards: int,
         seq_len: int,
         salt: str = "shard-v1",
+        schedule: str = "hash",
     ) -> DataFrame:
         """TERMINAL action: materialize the surviving corpus as packed
-        ``path/shard=K/`` parquet (`trainset.write_training_set` — the
-        `training_set_pack` entry: salted shard + hash training order +
-        boundary-preserving greedy pack) and return the shard manifest
-        computed from the input rows. Executes the whole chained plan
-        once; pair with `trainset.verify_training_set(spark, path,
-        manifest, n_shards)` to prove the written bytes match, and call
-        :meth:`release` afterwards in long-lived sessions."""
+        ``path/shard=K/`` parquet and return the shard manifest
+        computed from the input rows. ``schedule="hash"`` is the
+        content-independent pseudo-shuffle (`trainset.
+        write_training_set` — the `training_set_pack` entry);
+        ``schedule="curriculum"`` packs each shard cleanest-first over
+        the quality score (`trainset.write_curriculum_training_set` —
+        the `training_set_curriculum` entry's write leg). The manifest
+        is order-free, so `trainset.verify_training_set(spark, path,
+        manifest, n_shards)` proves the written bytes match under
+        either schedule; call :meth:`release` afterwards in
+        long-lived sessions."""
+        if schedule == "curriculum":
+            scores = textstats.quality_scores(self._df).select(
+                "doc_id", "quality"
+            )
+            return trainset.write_curriculum_training_set(
+                self._df, scores, path, n_shards, seq_len, salt=salt
+            )
+        if schedule != "hash":
+            raise ValueError(
+                f"unknown schedule {schedule!r}; use 'hash' or 'curriculum'"
+            )
         return trainset.write_training_set(
             self._df, path, n_shards, seq_len, salt=salt
         )

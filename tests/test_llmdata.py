@@ -2727,6 +2727,20 @@ def test_corpus_pipeline_to_training_set_verifies(spark, tmp_path):
     written = spark.read.parquet(path)
     assert written.count() == survivors == 80
     assert written.select("doc_id").distinct().count() == 80
+    # curriculum schedule: same survivors, same manifest verify loop,
+    # stage column present and non-increasing per shard
+    path_c = str(tmp_path / "ts_cur")
+    manifest_c = pipe.to_training_set(
+        path_c, n_shards=4, seq_len=64, schedule="curriculum"
+    )
+    ver_c = trainset.verify_training_set(spark, path_c, manifest_c, 4)
+    assert all(r.ok for r in ver_c.collect())
+    wc = spark.read.parquet(path_c)
+    assert wc.count() == 80 and "stage" in wc.columns
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown schedule"):
+        pipe.to_training_set(path_c, 4, 64, schedule="random")
     pipe.release()
 
 
