@@ -158,3 +158,29 @@ def test_share_mixture_rarer_topics_keep_no_less(n, share_micro_lo, target):
         {"rare": (n, lo), "common": (n, hi)}, target
     )
     assert thr["rare"] >= thr["common"]
+
+
+@given(
+    st.integers(min_value=0, max_value=2_000_000),  # pround-6 quality*1e6
+    st.integers(min_value=2, max_value=16),
+)
+@settings(deadline=None)
+def test_curriculum_stage_cut_matches_exact_arithmetic(q_micro, stages):
+    """The curriculum stage cut — min(stages-1, floor(q * stages)) on a
+    pround-6 double — must agree with EXACT rational arithmetic for
+    every representable score: the guarantee that the one-multiply
+    IEEE expression both engines evaluate can never straddle a bucket
+    boundary differently from the mathematical definition."""
+    import math
+    from fractions import Fraction
+
+    q = q_micro / 1_000_000  # any pround-6 score (incl. > 1 headroom)
+    ieee = min(stages - 1, math.floor(q * stages))
+    # q*stages in IEEE vs exact: q_micro/1e6*stages. The IEEE product
+    # can land on either side of an integer ONLY if the exact value is
+    # within 1 ulp of it; for 6-decimal scores and stages <= 16 the
+    # exact product q_micro*stages/1e6 is never that close to an
+    # integer unless it IS one (denominator 1e6 bounds the gap away
+    # from the ulp scale) — so the floor agrees exactly.
+    exact = min(stages - 1, Fraction(q_micro, 1_000_000) * stages)
+    assert ieee == min(stages - 1, math.floor(exact))
