@@ -1438,6 +1438,30 @@ def cluster_balanced_sample(
     return _threshold_filter(assigned, thr, "cell", id_col, salt)
 
 
+def _assign_cells(
+    emb: DataFrame,
+    n_centroids: int,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]] | None,
+) -> DataFrame:
+    """The certified IVF cell assignment reduced to the NARROW
+    (id, cell) frame and eagerly materialized (`_narrow_checkpoint`):
+    one broadcast-centroid scan, the shared decimal argmax with ties
+    toward the lower centroid id — the exact `cluster_profile` rule."""
+    cent_arrs, cent_norms = _resolve_centroids(
+        emb, centroids, n_centroids, id_col, vec_col
+    )
+    normed = with_norm(_respread_narrow(emb), vec_col)
+    scored = _cell_scores_expr(
+        cent_arrs, F.col(vec_col), cent_norms, F.col("nrm")
+    )
+    return _narrow_checkpoint(normed.select(
+        F.col(id_col),
+        F.array_sort(scored).getItem(0)["cid"].cast("int").alias("cell"),
+    ))
+
+
 def share_mixture_thresholds(
     src_stats: dict, target_total: int
 ) -> dict:
@@ -1486,17 +1510,7 @@ def _cluster_share_stats(
 
     from .sampling import domain_case
 
-    cent_arrs, cent_norms = _resolve_centroids(
-        emb, centroids, n_centroids, id_col, vec_col
-    )
-    normed = with_norm(_respread_narrow(emb), vec_col)
-    scored = _cell_scores_expr(
-        cent_arrs, F.col(vec_col), cent_norms, F.col("nrm")
-    )
-    assigned = _narrow_checkpoint(normed.select(
-        F.col(id_col),
-        F.array_sort(scored).getItem(0)["cid"].cast("int").alias("cell"),
-    ))
+    assigned = _assign_cells(emb, n_centroids, id_col, vec_col, centroids)
     counts = {
         r[0]: r[1]
         for r in assigned.groupBy("cell").count().collect()  # bounded
@@ -1556,6 +1570,113 @@ def cluster_share_kept(
     thr = share_mixture_thresholds(src_stats, target_total)
     return _threshold_filter(
         docs.select(domain_col, doc_id_col), thr, domain_col, doc_id_col, salt
+    )
+
+
+def cluster_cell_counts(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """ADDITIVE state, part 1 of the incremental cluster-share mixture:
+    per-cell vector counts (cell, n_vecs). Two batches' frames fold by
+    summing n_vecs (`streaming.ingest._fold`) PROVIDED both were
+    assigned under the SAME centroids — pass trained/pinned
+    ``centroids=`` for incremental drops, exactly like the persisted
+    embedding index pins its hyperplanes."""
+    return (
+        _assign_cells(emb, n_centroids, id_col, vec_col, centroids)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+    )
+
+
+def cluster_source_cell_matrix(
+    docs: DataFrame,
+    emb: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    doc_id_col: str = "doc_id",
+    domain_col: str = "source",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """ADDITIVE state, part 2: the (source, cell, n_docs) occupancy
+    matrix — bounded #sources x #cells. Folds by summing n_docs under
+    the same fixed-centroid contract as :func:`cluster_cell_counts`."""
+    assigned = _assign_cells(emb, n_centroids, id_col, vec_col, centroids)
+    return (
+        docs.select(F.col(doc_id_col).alias(id_col), domain_col)
+        .join(assigned, id_col)
+        .groupBy(domain_col, "cell")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+
+
+def cluster_share_mixture_from_state(
+    docs: DataFrame,
+    cell_counts: DataFrame,
+    matrix: DataFrame,
+    target_total: int,
+    doc_id_col: str = "doc_id",
+    domain_col: str = "source",
+    salt: str = "cellsrc-v1",
+) -> DataFrame:
+    """Finish the cluster-share mixture card from the FOLDED state —
+    the incremental-drop path: no vector is re-scanned; the only
+    corpus touch is the keep filter. Emits the exact
+    `cluster_share_mixture` card, bit-for-bit: shares from the folded
+    cell totals through the same pround chain; each source's mean cell
+    share rebuilt EXACTLY as Σ_c share_c x n_sc in integer micro-units
+    (the same value the row-based decimal sum produces, since a decimal
+    sum of n identical 6-decimal addends IS share x n), then the same
+    two correctly-rounded divisions and pround; thresholds and the
+    salted-bucket filter through the shared chain. Everything except
+    the keep filter is O(#sources x #cells) driver math over the
+    bounded collected state."""
+    import math
+
+    from ..numeric import py_pround
+    from .sampling import _threshold_filter
+
+    counts = {r[0]: int(r[1]) for r in cell_counts.collect()}  # bounded
+    total = sum(counts.values())
+    share_micro = {
+        c: math.floor((n / total) * 1_000_000 + 0.5)
+        for c, n in counts.items()
+    }
+    per_src: dict = {}
+    for r in matrix.collect():  # bounded: #sources x #cells
+        s, c, n = r[0], r[1], int(r[2])
+        tot_micro, n_s = per_src.get(s, (0, 0))
+        per_src[s] = (tot_micro + share_micro[c] * n, n_s + n)
+    src_stats = {
+        # decimal(Σ)->double cast == one correctly-rounded /1e6, then
+        # the same /n division and pround the row-based agg performs
+        s: (n_s, py_pround((tot_micro / 1_000_000) / n_s, 6))
+        for s, (tot_micro, n_s) in per_src.items()
+    }
+    thr = share_mixture_thresholds(src_stats, target_total)
+    kept = _threshold_filter(
+        docs.select(domain_col, doc_id_col), thr, domain_col, doc_id_col, salt
+    ).groupBy(domain_col).agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"))
+    spine = docs.sparkSession.createDataFrame(
+        sorted(
+            ((s, n, avg) for s, (n, avg) in src_stats.items()),
+            key=lambda t: (t[0] is None, t[0] or ""),
+        ),
+        f"{domain_col} string, n_docs bigint, avg_cell_share double",
+    )
+    return (
+        spine.join(F.broadcast(kept), domain_col, "left")
+        .select(
+            domain_col,
+            "n_docs",
+            "avg_cell_share",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        )
     )
 
 

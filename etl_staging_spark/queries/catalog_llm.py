@@ -4595,6 +4595,64 @@ def mixture_cluster_share(spark, sf_dir):
     )
 
 
+@query(
+    "mixture_cluster_share_fold", oracle=o_mixture_cluster_share(_MIX_TARGET)
+)
+def mixture_cluster_share_fold(spark, sf_dir):
+    """Incremental twin of `mixture_cluster_share` (new r16 — the
+    card-stream fold pattern applied to the mixture family): docs AND
+    vectors split into three pmod(id, 3) micro-batches, each batch
+    assigned under centroids PINNED from the full embeddings (the
+    fixed-geometry contract incremental drops require — pinned
+    literals are bit-identical to the data-derived rule, the decimal-
+    norm replica), the two ADDITIVE states — per-cell vector counts
+    and the (source, cell) occupancy matrix — merged by THE shared
+    `streaming.ingest._fold`, and the card finished from the folded
+    state alone (`cluster_share_mixture_from_state`: O(#sources x
+    #cells) driver math + the keep filter; no vector re-scan).
+    Hash-matching the batch card's own oracle certifies the
+    state/finish additivity with a driver row."""
+    from ..streaming.ingest import _fold
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    cent_arrs, _ = simsearch._resolve_centroids(
+        emb, None, 8, "vec_id", "embedding"
+    )
+    cents = [cent_arrs[i] for i in sorted(cent_arrs)]
+    dbucket = F.coalesce(F.pmod("doc_id", F.lit(3)), F.lit(0))
+    vbucket = F.coalesce(F.pmod("vec_id", F.lit(3)), F.lit(0))
+    cell_batches, mat_batches = [], []
+    for b in range(3):
+        emb_b = emb.where(vbucket == b)
+        docs_b = docs.where(dbucket == b)
+        cell_batches.append(
+            simsearch.cluster_cell_counts(emb_b, centroids=cents)
+        )
+        mat_batches.append(
+            simsearch.cluster_source_cell_matrix(
+                docs_b, emb_b, centroids=cents
+            )
+        )
+    cells = _fold(
+        cell_batches[0].unionByName(cell_batches[1]).unionByName(
+            cell_batches[2]
+        ),
+        ("cell",),
+        ("n_vecs",),
+    )
+    matrix = _fold(
+        mat_batches[0].unionByName(mat_batches[1]).unionByName(
+            mat_batches[2]
+        ),
+        ("source", "cell"),
+        ("n_docs",),
+    )
+    return simsearch.cluster_share_mixture_from_state(
+        docs, cells, matrix, _MIX_TARGET
+    )
+
+
 @query("mm_usability_card", oracle=o_mm_usability_card(16))
 def mm_usability_card_q(spark, sf_dir):
     """Multimodal payload-usability card (registered r14, pulled

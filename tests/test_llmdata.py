@@ -5112,6 +5112,55 @@ def test_curriculum_order_planted_semantics(spark):
         )
 
 
+def test_cluster_share_state_fold_matches_batch_card(spark):
+    """The incremental cluster-share path: states built from arbitrary
+    batch splits (including an EMPTY batch) fold to the batch card
+    bit-for-bit — pinned centroids keep the geometry, the additive
+    (cell, n_vecs) + (source, cell, n_docs) states carry everything
+    the finish needs, and no vector is re-scanned at finish time."""
+    from etl_staging_spark.llmdata import simsearch
+    from etl_staging_spark.streaming.ingest import _fold
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    want = sorted(tuple(r) for r in simsearch.cluster_share_mixture(
+        docs.select("doc_id", "source"), emb, 200
+    ).collect())
+
+    cent_arrs, _ = simsearch._resolve_centroids(
+        emb, None, 8, "vec_id", "embedding"
+    )
+    cents = [cent_arrs[i] for i in sorted(cent_arrs)]
+    # lopsided split incl. an empty third batch
+    splits = [
+        (F.col("doc_id") < 100, F.col("vec_id") < 100),
+        (F.col("doc_id") >= 100, F.col("vec_id") >= 100),
+        (F.lit(False), F.lit(False)),
+    ]
+    cell_parts, mat_parts = [], []
+    for dp, vp in splits:
+        cell_parts.append(simsearch.cluster_cell_counts(
+            emb.where(vp), centroids=cents
+        ))
+        mat_parts.append(simsearch.cluster_source_cell_matrix(
+            docs.where(dp).select("doc_id", "source"),
+            emb.where(vp),
+            centroids=cents,
+        ))
+    cells = _fold(
+        cell_parts[0].unionByName(cell_parts[1]).unionByName(cell_parts[2]),
+        ("cell",), ("n_vecs",),
+    )
+    matrix = _fold(
+        mat_parts[0].unionByName(mat_parts[1]).unionByName(mat_parts[2]),
+        ("source", "cell"), ("n_docs",),
+    )
+    got = sorted(tuple(r) for r in simsearch.cluster_share_mixture_from_state(
+        docs.select("doc_id", "source"), cells, matrix, 200
+    ).collect())
+    assert got == want and got
+
+
 def test_cluster_ops_empty_embeddings_fail_loudly(spark):
     """An empty embeddings table cannot define a cell geometry: every
     centroid-family operator must raise the clear no-centroids
