@@ -86,6 +86,53 @@ def encode_png(width: int, height: int) -> bytes:
     )
 
 
+def encode_wav(rate: int, channels: int, n_frames: int) -> bytes:
+    """A GENUINE canonical PCM WAV from stdlib: RIFF/WAVE header with a
+    16-byte ``fmt `` chunk, 16-bit samples, silent ``data`` payload —
+    the audio twin of :func:`encode_png`."""
+    block = channels * 2
+    data = bytes(n_frames * block)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack(
+            "<IHHIIHH", 16, 1, channels, rate, rate * block, block, 16
+        )
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def wav_payload_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker building a REAL WAV payload per row with
+    header fields that are a pure function of the id (rate = 8000 +
+    (id % 8) x 1000, channels = 1 + id % 2, frames = 50 + id % 100) —
+    the oracle states the expected decode output directly."""
+    for pdf in batches:
+        ids = pdf["doc_id"].astype("int64")
+        yield pd.DataFrame(
+            {
+                "doc_id": ids,
+                "payload": [
+                    encode_wav(
+                        8000 + (int(i) % 8) * 1000,
+                        1 + int(i) % 2,
+                        50 + int(i) % 100,
+                    )
+                    for i in ids
+                ],
+                "fmt": ["audio"] * len(ids),
+            }
+        )
+
+
+def wav_payload_table(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """id frame -> (doc_id, payload, fmt) with genuine canonical WAV
+    bytes — the audio leg of the real-bytes encode -> scan ->
+    header-parse loop."""
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        wav_payload_batches, schema="doc_id bigint, payload binary, fmt string"
+    )
+
+
 def png_payload_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas worker building a REAL PNG payload per row with
     dimensions that are a pure function of the id (width = 16 +

@@ -1424,6 +1424,32 @@ def mm_header_decode(spark, sf_dir):
 
 
 @query(
+    "mm_wav_header_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(8000 + (doc_id % 8) * 1000 AS INT) AS width,
+           CAST(1 + doc_id % 2 AS INT) AS height,
+           CAST(50 + doc_id % 100 AS INT) AS n_frames
+    FROM documents""",
+)
+def mm_wav_header_decode(spark, sf_dir):
+    """The audio twin of `mm_header_decode` (new r16): genuine
+    canonical PCM WAV payloads built per doc (stdlib struct, header
+    fields a pure function of the id), scanned back through
+    `decode_table`, dimensions recovered by the WAV branch of the
+    pure-Python container-header parse (width=sample rate,
+    height=channels, n_frames=sample frames — the documented audio
+    mapping). Certifies the second real byte format end to end with a
+    driver hash row (`llmdata/multimodal.py:wav_payload_table`)."""
+    payloads = multimodal.wav_payload_table(
+        load(spark, sf_dir, "documents").select("doc_id")
+    )
+    return multimodal.decode_table(payloads).select(
+        "doc_id", "width", "height", "n_frames"
+    )
+
+
+@query(
     "mm_resize_plan",
     oracle=f"""
     WITH dec AS ({O_MM_DECODE})

@@ -251,12 +251,15 @@ def test_multimodal_real_bytes_header_decode(spark):
     # strictness: truncated magic must NOT false-positive
     assert multimodal.parse_media_header(b"\x89PNG\r\n\x1a\nXXXXIHDR") is None
     assert multimodal.parse_media_header(b"RIFFxxxxWAVE") is None
-    # the module's own encoder round-trips through the parser, and the
-    # test's INDEPENDENT construction above already validated the
-    # parser — two builders, one grammar
+    # the module's own encoders round-trip through the parser, and the
+    # test's INDEPENDENT constructions above already validated the
+    # parser — two builders per format, one grammar
     assert multimodal.parse_media_header(multimodal.encode_png(33, 21)) == (
         33, 21, 1,
     )
+    assert multimodal.parse_media_header(
+        multimodal.encode_wav(22050, 2, 777)
+    ) == (22050, 2, 777)
     # the real-bytes table feeds the rest of the chain unchanged
     feats = {r.doc_id: r for r in multimodal.feature_table(df).collect()}
     assert len(feats) == 4 and all(
