@@ -1615,6 +1615,218 @@ def cluster_source_cell_matrix(
     )
 
 
+# Grain tags of the single-log additive state for the cluster-share
+# mixture card (`cluster_share_state_delta`): per-cell vector counts,
+# (source, cell) doc occupancy, (source, keep-bucket) doc histogram.
+GRAIN_VEC, GRAIN_OCC, GRAIN_BKT = "vec", "occ", "bkt"
+
+
+def centroid_fingerprint(centroids: list[list[float]]) -> str:
+    """Stable identity of a pinned cell geometry for state-parameter
+    guards (`streaming.ingest._guard_card_params`): md5 over the exact
+    float reprs — repr round-trips doubles bit-for-bit, so equal
+    fingerprints mean equal geometry, and a restart that pins
+    different centroids over an existing delta log is refused instead
+    of silently merging assignments from two geometries."""
+    import hashlib
+
+    payload = "|".join(
+        ",".join(repr(float(x)) for x in c) for c in centroids
+    )
+    return hashlib.md5(payload.encode()).hexdigest()
+
+
+def cluster_share_state_delta(
+    docs_b: DataFrame,
+    emb_b: DataFrame,
+    *,
+    centroids: list[list[float]],
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    doc_id_col: str = "doc_id",
+    domain_col: str = "source",
+    salt: str = "cellsrc-v1",
+) -> DataFrame:
+    """ONE batch's additive state for the cluster-share mixture card —
+    all three grains in a single (grain, source, cell, n) log frame,
+    sharing ONE assignment pass over the batch's vectors:
+
+    - ``'vec'``: per-cell vector counts (domain NULL) — the share
+      denominators (`cluster_cell_counts`'s grain);
+    - ``'occ'``: (source, cell) occupancy of the batch's docs that
+      carry a vector (`cluster_source_cell_matrix`'s grain);
+    - ``'bkt'``: (source, salted-keep-bucket) counts over ALL batch
+      docs — the keep-filter histogram. ``cell`` holds the bucket id
+      (the exact `sampling.bucket_col` the threshold filter tests), so
+      n_kept finishes from folded state alone: Σ_{b<t_s} hist(s, b)
+      IS the filter's count, bit-for-bit.
+
+    Folding two batches' deltas by summing ``n`` (the shared
+    `streaming.ingest._fold`) is exact PROVIDED the cell geometry is
+    fixed, so ``centroids`` is REQUIRED here — incremental deltas are
+    not additive across geometries (the same pinned-literal contract
+    as the persisted embedding index's hyperplanes); the stream
+    wrapper records the fingerprint + salt as state identity."""
+    if centroids is None:
+        raise ValueError(
+            "cluster_share_state_delta requires pinned centroids=: "
+            "incremental deltas fold additively only under a fixed "
+            "cell geometry"
+        )
+    from .sampling import bucket_col
+
+    assigned = _assign_cells(emb_b, n_centroids, id_col, vec_col, centroids)
+    vec = (
+        assigned.groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            F.lit(GRAIN_VEC).alias("grain"),
+            F.lit(None).cast("string").alias(domain_col),
+            F.col("cell").cast("int").alias("cell"),
+            "n",
+        )
+    )
+    occ = (
+        docs_b.select(F.col(doc_id_col).alias(id_col), domain_col)
+        .join(assigned, id_col)
+        .groupBy(domain_col, "cell")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            F.lit(GRAIN_OCC).alias("grain"),
+            F.col(domain_col).cast("string").alias(domain_col),
+            F.col("cell").cast("int").alias("cell"),
+            "n",
+        )
+    )
+    bkt = (
+        docs_b.select(
+            domain_col,
+            bucket_col(doc_id_col, salt).cast("int").alias("cell"),
+        )
+        .groupBy(domain_col, "cell")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            F.lit(GRAIN_BKT).alias("grain"),
+            F.col(domain_col).cast("string").alias(domain_col),
+            "cell",
+            "n",
+        )
+    )
+    return vec.unionByName(occ).unionByName(bkt)
+
+
+def cluster_share_card_from_state_log(
+    log: DataFrame,
+    target_total: int,
+    domain_col: str = "source",
+) -> DataFrame:
+    """Finish the cluster-share mixture card ENTIRELY from the folded
+    delta log — zero corpus touch: where `cluster_share_mixture_from_
+    state` still scans the docs for its keep filter, here even n_kept
+    comes from the state's (source, bucket) histogram grain, as
+    Σ_{b<t_s} hist(s, b) — bit-identical to the salted-bucket filter
+    because the histogram was built from the SAME `bucket_col`
+    expression the filter tests. The finish is O(#cells +
+    #sources x #cells) driver math plus one literal-CASE aggregate
+    over the bounded state frame (#sources x 10k rows at most) — the
+    cost of refreshing the card after a batch is independent of
+    corpus size, which is what makes the card maintainable at ingest
+    time on a 100 TB corpus. ``target_total`` is a finish-time knob,
+    not state identity: the same log re-finishes at any target."""
+    from .sampling import domain_case
+
+    counts = {
+        r[0]: int(r[1])
+        for r in log.where(F.col("grain") == GRAIN_VEC)
+        .select("cell", "n")
+        .collect()  # bounded: #cells
+    }
+    src_stats = _state_src_stats(
+        counts,
+        (
+            (r[0], r[1], r[2])
+            for r in log.where(F.col("grain") == GRAIN_OCC)
+            .select(domain_col, "cell", "n")
+            .collect()  # bounded: #sources x #cells
+        ),
+    )
+    thr = share_mixture_thresholds(src_stats, target_total)
+    hist = log.where(F.col("grain") == GRAIN_BKT)
+    if thr:
+        kept_rows = hist.where(
+            F.col("cell") < domain_case(thr, domain_col).otherwise(F.lit(0))
+        )
+    else:
+        kept_rows = hist.where(F.lit(False))
+    kept = kept_rows.groupBy(domain_col).agg(
+        F.sum("n").cast("bigint").alias("n_kept")
+    )
+    return _mixture_card(log.sparkSession, src_stats, kept, domain_col)
+
+
+def _state_src_stats(counts: dict, matrix_rows) -> dict:
+    """Shared driver math finishing the per-source stats from folded
+    additive state: per-cell shares from the cell totals through the
+    micro-unit pround chain, then each source's mean cell share
+    rebuilt EXACTLY as Σ_c share_c x n_sc in integer micro-units (a
+    decimal sum of n identical 6-decimal addends IS share x n), then
+    the same two correctly-rounded divisions and pround the row-based
+    aggregate performs. ``counts`` maps cell -> n_vecs; ``matrix_rows``
+    yields (source, cell, n_docs). Returns the
+    {source: (n_docs, avg_cell_share)} dict `share_mixture_thresholds`
+    consumes. O(#sources x #cells), no Spark."""
+    import math
+
+    from ..numeric import py_pround
+
+    if not counts:
+        raise ValueError(
+            "empty cell-count state: no vectors were ever assigned — "
+            "a cell geometry with no population defines no shares"
+        )
+    total = sum(counts.values())
+    share_micro = {
+        c: math.floor((n / total) * 1_000_000 + 0.5)
+        for c, n in counts.items()
+    }
+    per_src: dict = {}
+    for s, c, n in matrix_rows:
+        n = int(n)
+        tot_micro, n_s = per_src.get(s, (0, 0))
+        per_src[s] = (tot_micro + share_micro[c] * n, n_s + n)
+    return {
+        # decimal(Σ)->double cast == one correctly-rounded /1e6, then
+        # the same /n division and pround the row-based agg performs
+        s: (n_s, py_pround((tot_micro / 1_000_000) / n_s, 6))
+        for s, (tot_micro, n_s) in per_src.items()
+    }
+
+
+def _mixture_card(spark, src_stats: dict, kept: DataFrame,
+                  domain_col: str) -> DataFrame:
+    """Shared card assembly of the cluster-share mixture family: the
+    bounded per-source stats become a LITERAL spine (explicit schema —
+    the createDataFrame-inference trap from the r14 card fix) left-
+    joined to the broadcast kept counts."""
+    spine = spark.createDataFrame(
+        sorted(
+            ((s, n, avg) for s, (n, avg) in src_stats.items()),
+            key=lambda t: (t[0] is None, t[0] or ""),
+        ),
+        f"{domain_col} string, n_docs bigint, avg_cell_share double",
+    )
+    return (
+        spine.join(F.broadcast(kept), domain_col, "left")
+        .select(
+            domain_col,
+            "n_docs",
+            "avg_cell_share",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        )
+    )
+
+
 def cluster_share_mixture_from_state(
     docs: DataFrame,
     cell_counts: DataFrame,
@@ -1636,48 +1848,18 @@ def cluster_share_mixture_from_state(
     salted-bucket filter through the shared chain. Everything except
     the keep filter is O(#sources x #cells) driver math over the
     bounded collected state."""
-    import math
-
-    from ..numeric import py_pround
     from .sampling import _threshold_filter
 
     counts = {r[0]: int(r[1]) for r in cell_counts.collect()}  # bounded
-    total = sum(counts.values())
-    share_micro = {
-        c: math.floor((n / total) * 1_000_000 + 0.5)
-        for c, n in counts.items()
-    }
-    per_src: dict = {}
-    for r in matrix.collect():  # bounded: #sources x #cells
-        s, c, n = r[0], r[1], int(r[2])
-        tot_micro, n_s = per_src.get(s, (0, 0))
-        per_src[s] = (tot_micro + share_micro[c] * n, n_s + n)
-    src_stats = {
-        # decimal(Σ)->double cast == one correctly-rounded /1e6, then
-        # the same /n division and pround the row-based agg performs
-        s: (n_s, py_pround((tot_micro / 1_000_000) / n_s, 6))
-        for s, (tot_micro, n_s) in per_src.items()
-    }
+    src_stats = _state_src_stats(
+        counts,
+        ((r[0], r[1], r[2]) for r in matrix.collect()),  # bounded
+    )
     thr = share_mixture_thresholds(src_stats, target_total)
     kept = _threshold_filter(
         docs.select(domain_col, doc_id_col), thr, domain_col, doc_id_col, salt
     ).groupBy(domain_col).agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"))
-    spine = docs.sparkSession.createDataFrame(
-        sorted(
-            ((s, n, avg) for s, (n, avg) in src_stats.items()),
-            key=lambda t: (t[0] is None, t[0] or ""),
-        ),
-        f"{domain_col} string, n_docs bigint, avg_cell_share double",
-    )
-    return (
-        spine.join(F.broadcast(kept), domain_col, "left")
-        .select(
-            domain_col,
-            "n_docs",
-            "avg_cell_share",
-            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
-        )
-    )
+    return _mixture_card(docs.sparkSession, src_stats, kept, domain_col)
 
 
 def cluster_share_mixture(
@@ -1731,26 +1913,10 @@ def cluster_share_mixture(
     kept = _threshold_filter(
         docs.select(domain_col, doc_id_col), thr, domain_col, doc_id_col, salt
     ).groupBy(domain_col).agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"))
-    # the per-source stats are already collected (bounded): rebuild the
-    # card spine as a LITERAL frame instead of re-executing per_src's
-    # docs-join lineage for the output join (explicit schema — the
-    # createDataFrame-inference trap from the r14 card fix)
-    spine = docs.sparkSession.createDataFrame(
-        sorted(
-            ((s, n, avg) for s, (n, avg) in src_stats.items()),
-            key=lambda t: (t[0] is None, t[0] or ""),
-        ),
-        f"{domain_col} string, n_docs bigint, avg_cell_share double",
-    )
-    return (
-        spine.join(F.broadcast(kept), domain_col, "left")
-        .select(
-            domain_col,
-            "n_docs",
-            "avg_cell_share",
-            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
-        )
-    )
+    # the per-source stats are already collected (bounded): _mixture_card
+    # rebuilds the spine as a LITERAL frame instead of re-executing
+    # per_src's docs-join lineage for the output join
+    return _mixture_card(docs.sparkSession, src_stats, kept, domain_col)
 
 
 def embedding_dim_stats(

@@ -4679,6 +4679,53 @@ def mixture_cluster_share_fold(spark, sf_dir):
     )
 
 
+@query(
+    "mixture_cluster_share_state_card",
+    oracle=o_mixture_cluster_share(_MIX_TARGET),
+)
+def mixture_cluster_share_state_card(spark, sf_dir):
+    """The card-stream state lifecycle of the mixture family (the r17
+    plan's remaining on-disk item, certified batch-side): docs and
+    vectors split into three pmod micro-batches, each batch reduced to
+    the single-log three-grain additive delta
+    (`simsearch.cluster_share_state_delta`: per-cell vector counts +
+    (source, cell) occupancy + the (source, keep-bucket) histogram,
+    ONE shared assignment pass under centroids pinned from the full
+    embeddings), the deltas merged by THE shared
+    `streaming.ingest._fold`, and the card finished from the folded
+    state ALONE (`cluster_share_card_from_state_log`). Unlike
+    `mixture_cluster_share_fold`, even n_kept comes from the folded
+    bucket histogram — Σ_{b<t_s} hist(s, b) — so the finish touches
+    zero corpus rows; hash-matching the batch card's unchanged oracle
+    certifies that the histogram IS the keep filter, bit-for-bit.
+    This is exactly the state `cluster_share_card_stream` maintains
+    on disk per micro-batch."""
+    from ..streaming.ingest import _fold
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    cent_arrs, _ = simsearch._resolve_centroids(
+        emb, None, 8, "vec_id", "embedding"
+    )
+    cents = [cent_arrs[i] for i in sorted(cent_arrs)]
+    dbucket = F.coalesce(F.pmod("doc_id", F.lit(3)), F.lit(0))
+    vbucket = F.coalesce(F.pmod("vec_id", F.lit(3)), F.lit(0))
+    deltas = [
+        simsearch.cluster_share_state_delta(
+            docs.where(dbucket == b),
+            emb.where(vbucket == b),
+            centroids=cents,
+        )
+        for b in range(3)
+    ]
+    log = _fold(
+        deltas[0].unionByName(deltas[1]).unionByName(deltas[2]),
+        ("grain", "source", "cell"),
+        ("n",),
+    )
+    return simsearch.cluster_share_card_from_state_log(log, _MIX_TARGET)
+
+
 @query("mm_usability_card", oracle=o_mm_usability_card(16))
 def mm_usability_card_q(spark, sf_dir):
     """Multimodal payload-usability card (registered r14, pulled

@@ -1028,6 +1028,82 @@ def events_volume_stream(
     )
 
 
+def cluster_share_card_stream(
+    drops_stream: DataFrame,
+    state_dir: str,
+    on_batch: Callable[[int, DataFrame], None],
+    target_total: int,
+    centroids: list[list[float]],
+    n_centroids: int = 8,
+    doc_id_col: str = "doc_id",
+    domain_col: str = "source",
+    vec_col: str = "embedding",
+    salt: str = "cellsrc-v1",
+    query_name: str = "cluster_share_card",
+    checkpoint_dir: str | None = None,
+):
+    """`simsearch.cluster_share_mixture` maintained incrementally over
+    joined ingest drops (doc_id, source, embedding): each micro-batch
+    contributes the three additive grains of
+    `simsearch.cluster_share_state_delta` — per-cell vector counts,
+    (source, cell) occupancy, and the (source, keep-bucket) histogram
+    — and the card finishes from the folded state ALONE
+    (`cluster_share_card_from_state_log`): unlike the other card
+    streams, not even the finish touches the batch's rows again, so
+    the per-batch cost is O(batch) + O(bounded state) regardless of
+    how much corpus the log has absorbed.
+
+    Centroids are REQUIRED (pinned geometry — the additivity
+    contract) and part of the state's identity via
+    `_guard_card_params` (fingerprint + salt + cell count + column
+    names): a restart pinning a different geometry or salt over an
+    existing log is refused instead of silently merging assignments
+    that correspond to no single geometry. ``target_total`` is
+    deliberately NOT state identity — it is a finish-time knob, and
+    the same state_dir re-finishes at any target (rerun with a new
+    target, or call `cluster_share_card_from_state_log` offline on
+    the folded log)."""
+    from ..llmdata import simsearch
+    from pyspark.sql import functions as F
+
+    def _delta(b: DataFrame) -> DataFrame:
+        emb_b = b.where(F.col(vec_col).isNotNull()).select(
+            F.col(doc_id_col).alias("vec_id"), F.col(vec_col)
+        )
+        return simsearch.cluster_share_state_delta(
+            b,
+            emb_b,
+            centroids=centroids,
+            n_centroids=n_centroids,
+            id_col="vec_id",
+            vec_col=vec_col,
+            doc_id_col=doc_id_col,
+            domain_col=domain_col,
+            salt=salt,
+        )
+
+    return additive_card_stream(
+        drops_stream,
+        state_dir,
+        _delta,
+        ("grain", domain_col, "cell"),
+        lambda folded: simsearch.cluster_share_card_from_state_log(
+            folded, target_total, domain_col=domain_col
+        ),
+        on_batch,
+        count_cols=("n",),
+        query_name=query_name,
+        checkpoint_dir=checkpoint_dir,
+        state_params={
+            "centroids_fp": simsearch.centroid_fingerprint(centroids),
+            "n_centroids": n_centroids,
+            "salt": salt,
+            "domain_col": domain_col,
+            "vec_col": vec_col,
+        },
+    )
+
+
 def compact_card_state(
     spark,
     state_dir: str,

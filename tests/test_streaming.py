@@ -2424,3 +2424,143 @@ def test_quality_lang_card_stream_matches_batch(spark, tmp_path):
         quality_lang_card_stream(
             stream, str(tmp_path / "state"), sink, low_cut=0.9
         )
+
+
+def test_cluster_share_card_stream_matches_batch_and_refinishes(
+    spark, tmp_path
+):
+    """The cluster-share mixture card maintained from the on-disk
+    three-grain state alone: after every micro-batch the emitted card
+    equals the BATCH `cluster_share_mixture` over every doc/vector
+    seen so far (pinned centroids — the fixed-geometry contract), a
+    vector-less doc counts in the keep universe but not in n_docs,
+    compaction leaves the finished card unchanged, the same state
+    re-finishes at a DIFFERENT target (target is a finish-time knob,
+    not state identity), and a restart pinning a different salt or
+    geometry against the counted state is refused."""
+    import pytest as _pytest
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from etl_staging_spark.llmdata import simsearch
+    from etl_staging_spark.streaming.ingest import (
+        cluster_share_card_stream,
+        compact_card_state,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("source", StringType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    e0 = [0.9, 0.1, 0.0, 0.0]
+    e1 = [0.1, 0.8, 0.1, 0.0]
+    drops = [
+        [(1, "s1", e0), (2, "s1", e0), (3, "s2", e1)],
+        [(4, "s2", e1), (5, "s1", e1), (6, "s2", None)],  # 6: no vector
+        [(7, "s1", e0), (8, "s2", e0), (9, "s1", e1), (10, "s2", e1)],
+    ]
+    drop_dir = tmp_path / "drops"
+    drop_dir.mkdir()
+    seen: list[tuple] = []
+    for i, rows in enumerate(drops):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(drop_dir / f"f{i}")
+        )
+        seen.extend(rows)
+
+    cards: dict[int, list] = {}
+
+    def sink(bid, card):
+        cards[bid] = [tuple(r) for r in card.collect()]
+
+    def start(salt="cellsrc-v1", centroids=cents, target=6):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(drop_dir) + "/*")
+        )
+        return cluster_share_card_stream(
+            stream,
+            str(tmp_path / "state"),
+            sink,
+            target_total=target,
+            centroids=centroids,
+            n_centroids=2,
+            salt=salt,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+
+    start().awaitTermination()
+    assert len(cards) == 3
+
+    def batch_card(rows, target):
+        docs = spark.createDataFrame(rows, schema).select("doc_id", "source")
+        emb = (
+            spark.createDataFrame(rows, schema)
+            .where(F.col("embedding").isNotNull())
+            .select(F.col("doc_id").alias("vec_id"), "embedding")
+        )
+        return [
+            tuple(r)
+            for r in simsearch.cluster_share_mixture(
+                docs, emb, target, n_centroids=2, centroids=cents
+            ).collect()
+        ]
+
+    # every emitted card == the batch card over its prefix
+    assert _nkey(cards[0]) == _nkey(batch_card(drops[0], 6))
+    assert _nkey(cards[2]) == _nkey(batch_card(seen, 6))
+    # the vector-less doc 6 is in s2's keep universe but not n_docs:
+    # s2 has 4 embedded docs out of 5 total
+    s2 = next(r for r in cards[2] if r[0] == "s2")
+    assert s2[1] == 4
+
+    # compaction folds the log to one base partition, same card
+    state = str(tmp_path / "state")
+    compact_card_state(
+        spark,
+        state,
+        ("grain", "source", "cell"),
+        count_cols=("n",),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    log = spark.read.parquet(state)
+    assert [
+        r.batch_id for r in log.select("batch_id").distinct().collect()
+    ] == [-1]
+    from etl_staging_spark.streaming.ingest import _fold
+
+    folded = _fold(log, ("grain", "source", "cell"), ("n",))
+    after = [
+        tuple(r)
+        for r in simsearch.cluster_share_card_from_state_log(
+            folded, 6
+        ).collect()
+    ]
+    assert _nkey(after) == _nkey(cards[2])
+    # target is a finish-time knob: the SAME folded state re-finishes
+    # at another target and matches that target's batch card
+    retarget = [
+        tuple(r)
+        for r in simsearch.cluster_share_card_from_state_log(
+            folded, 3
+        ).collect()
+    ]
+    assert _nkey(retarget) == _nkey(batch_card(seen, 3))
+
+    # identity guards: a different salt or geometry over the counted
+    # state is refused (the counts correspond to no single config)
+    with _pytest.raises(ValueError):
+        start(salt="other-salt")
+    with _pytest.raises(ValueError):
+        start(centroids=[[0.5, 0.5, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]])
