@@ -130,6 +130,16 @@ HEADLINE = [
     # dedup_canonicals_by_score compose the already-benched CC fold
     # with hash-split / quality-aggregate joins
     "mixture_cluster_share",
+    # round 16 late additions — the PQ family is NEW plan territory:
+    # the balance card (m per-subspace literal-codebook decimal folds
+    # in one projection -> bounded m x K aggregate + window) and the
+    # routed IVF-PQ search (narrow-checkpoint cell+code encode +
+    # literal-LUT explode + two-phase top-k — the production shape;
+    # pq_adc_topk is its unrouted subset and would re-measure the
+    # same plan minus the cell filter); the state-card mixture row
+    # re-measures the benched mixture_cluster_share family
+    "pq_code_balance",
+    "pq_ivf_topk",
 ]
 
 

@@ -1919,6 +1919,384 @@ def cluster_share_mixture(
     return _mixture_card(docs.sparkSession, src_stats, kept, domain_col)
 
 
+def pq_codebooks(
+    emb: DataFrame,
+    m: int = 4,
+    n_codes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[int, dict[int, dict[int, list[float]]]]:
+    """Deterministic product-quantization codebooks: subspace j's
+    codebook is the j-th contiguous slice of the first-K vectors —
+    the IVF family's first-K centroid convention applied per
+    subspace, so the oracle reproduces the books without a training
+    loop. Returns (sub_dim, {sub: {code: slice}}); the vector dim
+    must divide evenly into ``m`` subspaces, and all ``n_codes``
+    seed vectors must exist (fail loudly, `_resolve_centroids`'s
+    convention)."""
+    rows = (
+        emb.where(F.col(id_col) < n_codes)
+        .select(id_col, vec_col)
+        .collect()  # bounded: n_codes vectors
+    )
+    books = {int(r[0]): [float(x) for x in r[1]] for r in rows}
+    if len(books) < n_codes:
+        raise ValueError(
+            f"pq_codebooks needs the first {n_codes} vectors as code "
+            f"seeds but only {len(books)} exist — a degenerate corpus "
+            "cannot define a codebook"
+        )
+    dim = len(books[0])
+    if dim % m:
+        raise ValueError(
+            f"vector dim {dim} does not split into {m} equal "
+            "subspaces — pick m dividing the dim"
+        )
+    d = dim // m
+    return d, {
+        j: {cid: v[j * d:(j + 1) * d] for cid, v in books.items()}
+        for j in range(m)
+    }
+
+
+def _pq_best(book_j: dict[int, list[float]], sub_vec: Column) -> Column:
+    """Best (negated-dot, code) struct of one subvector against one
+    subspace codebook — the PQ argmax with ties toward the lower code
+    id, shared by the balance card, the encoder and the ADC scorer so
+    the assignment rule can never drift between them. Exact-decimal
+    dots (`_dot`), the `_cell_scores_expr` sort convention."""
+    return F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    (-_dot(F.array(*[F.lit(w) for w in cvec]), sub_vec))
+                    .alias("negd"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, cvec in sorted(book_j.items())
+            ]
+        )
+    ).getItem(0)
+
+
+def pq_code_balance(
+    emb: DataFrame,
+    m: int = 4,
+    n_codes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization code-balance card — the capacity-planning
+    read for an IVF-PQ index layout (the standard compressed-ANN
+    shape at 100 TB: cells route, codes compress): every vector
+    splits into ``m`` contiguous subvectors; subspace j assigns its
+    subvector the argmax exact-decimal DOT against subspace j's
+    codebook (`pq_codebooks`), ties toward the lower code id. Output
+    (sub, code, n_vecs, share, avg_dot): a skewed share column means
+    the codebook wastes bits (usage entropy below log2 K — re-seed
+    before building the index); avg_dot is the fit read per code.
+
+    Determinism (oracle-hash-exact): dots are decimal folds cast to
+    double (order-free), the per-row dot prounds to 6 BEFORE the
+    exact DECIMAL(18,6) mean (`cluster_profile`'s convention), the
+    share division is one correctly-rounded double divide of exact
+    integers, and the tie rule is the same (dot DESC, code ASC) pair
+    in both engines.
+
+    Scale shape: ONE narrow scan of (id, vector); all m assignments
+    are literal-codebook folds inside the same projection (no join,
+    no shuffle until the final aggregate); the aggregate is map-side
+    combinable onto m x K keys, and the share window runs over that
+    bounded m x K frame — output size is independent of corpus
+    size."""
+    from pyspark.sql import Window
+
+    d, books = pq_codebooks(emb, m, n_codes, id_col, vec_col)
+    spread = _respread_narrow(emb.select(id_col, vec_col))
+    per_sub = []
+    for j in range(m):
+        best = _pq_best(books[j], F.slice(F.col(vec_col), j * d + 1, d))
+        per_sub.append(
+            F.struct(
+                F.lit(j).cast("int").alias("sub"),
+                best["cid"].cast("int").alias("code"),
+                pround(-best["negd"], 6).alias("dr"),
+            )
+        )
+    assigned = spread.select(
+        F.explode(F.array(*per_sub)).alias("s")
+    ).select("s.sub", "s.code", "s.dr")
+    agg = assigned.groupBy("sub", "code").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        pround(
+            F.sum(F.col("dr").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_dot"),
+    )
+    w = Window.partitionBy("sub")
+    return agg.select(
+        "sub",
+        "code",
+        "n_vecs",
+        pround(
+            F.col("n_vecs").cast("double")
+            / F.sum("n_vecs").over(w).cast("double"),
+            6,
+        ).alias("share"),
+        "avg_dot",
+    )
+
+
+def pq_encode(
+    emb: DataFrame,
+    m: int = 4,
+    n_codes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    books: dict[int, dict[int, list[float]]] | None = None,
+    sub_dim: int | None = None,
+) -> DataFrame:
+    """Encode every vector as its m PQ codes — the compressed
+    representation an IVF-PQ index stores instead of raw floats
+    (m bytes per vector at K<=256 vs 4*dim): one narrow scan, all m
+    argmax folds (`_pq_best`) in a single projection, eagerly reduced
+    to the (id, codes array<int>) frame (`_narrow_checkpoint` — the
+    ADC scorer fans this frame out per query and must not re-run the
+    assignment per fan-out)."""
+    if books is None or sub_dim is None:
+        sub_dim, books = pq_codebooks(emb, m, n_codes, id_col, vec_col)
+    spread = _respread_narrow(emb.select(id_col, vec_col))
+    return _narrow_checkpoint(
+        spread.select(
+            F.col(id_col),
+            F.array(
+                *[
+                    _pq_best(
+                        books[j],
+                        F.slice(F.col(vec_col), j * sub_dim + 1, sub_dim),
+                    )["cid"].cast("int")
+                    for j in range(m)
+                ]
+            ).alias("codes"),
+        )
+    )
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_queries: int = 10,
+    m: int = 4,
+    n_codes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes — the QUERY side of an
+    IVF-PQ index: each query pre-computes its m x K lookup table of
+    subvector-vs-codebook dots ONCE, and every candidate then scores
+    as m table lookups over its stored codes instead of a dim-wide
+    float fold — the classic ADC trick that makes compressed ANN
+    ~dim/m times cheaper per candidate. Approximation of the exact
+    dot whose error is the quantization residual; `sim_ann_recall`'s
+    methodology applies unchanged if a recall read is wanted.
+
+    Determinism (oracle-hash-exact): the LUT is computed by the SAME
+    Spark decimal fold the corpus dots use (collected — bounded
+    n_queries x m x K doubles — and re-embedded as literals), so both
+    engines derive bit-equal tables; the candidate score re-sums the
+    m looked-up doubles in DECIMAL(30,15) (order-free in both
+    engines); ranking ties break toward the lower candidate id.
+
+    Scale shape: codes come from the eagerly-narrowed `pq_encode`
+    frame (m ints per row — the index read, not the corpus read); the
+    per-query scores are literal-array lookups in one projection
+    fanned out by `explode` (no join); the cut is the shared
+    salted two-phase top-k, so no partition ever holds a full query's
+    candidate list."""
+    d, books = pq_codebooks(emb, m, n_codes, id_col, vec_col)
+    codes = pq_encode(
+        emb, m, n_codes, id_col, vec_col, books=books, sub_dim=d
+    )
+    lut_rows = (
+        emb.where(F.col(id_col) < n_queries)
+        .select(
+            F.col(id_col),
+            *[
+                _dot(
+                    F.array(*[F.lit(w) for w in books[j][c]]),
+                    F.slice(F.col(vec_col), j * d + 1, d),
+                ).alias(f"l{j}_{c}")
+                for j in range(m)
+                for c in sorted(books[j])
+            ],
+        )
+        .collect()  # bounded: n_queries rows of m x K doubles
+    )
+    lut = {
+        int(r[0]): {
+            (j, c): float(r[f"l{j}_{c}"])
+            for j in range(m)
+            for c in sorted(books[j])
+        }
+        for r in lut_rows
+    }
+
+    def _score(qid: int) -> Column:
+        acc = None
+        for j in range(m):
+            term = F.element_at(
+                F.array(
+                    *[
+                        F.lit(lut[qid][(j, c)]).cast(DEC)
+                        for c in range(n_codes)
+                    ]
+                ),
+                F.col("codes").getItem(j) + F.lit(1),
+            )
+            acc = term if acc is None else (acc + term).cast(DEC)
+        return acc.cast("double")
+
+    scored = (
+        codes.select(
+            F.col(id_col).alias("cid"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(q).cast("bigint").alias("qid"),
+                            _score(q).alias("cos_raw"),
+                        )
+                        for q in sorted(lut)
+                    ]
+                )
+            ).alias("s"),
+        )
+        .select(F.col("s.qid").alias("qid"), "cid", F.col("s.cos_raw"))
+        .where(F.col("cid") != F.col("qid"))
+    )
+    return _two_phase_topk(scored, k).withColumnRenamed("cosine", "adc")
+
+
+def pq_ivf_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_queries: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    n_codes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """The COMPLETE IVF-PQ search — the production compressed-ANN
+    shape at 100 TB: IVF cells ROUTE (each query probes its
+    ``n_probe`` nearest inverted lists, expected candidate work
+    n_probe/n_centroids of the corpus) and PQ codes COMPRESS (each
+    surviving candidate scores as m LUT lookups over its stored
+    codes, never touching the raw vector). Combines the certified
+    IVF assignment (`_probe_cells_expr`, ties toward the lower
+    centroid id) with the certified ADC scorer (`pq_adc_topk`'s
+    LUT-literal chain) — both halves reuse their family's exact
+    expression, so this entry certifies only the COMPOSITION.
+
+    Scale shape: ONE assignment+encode scan reduced to the narrow
+    (id, cell, codes) frame (`_narrow_checkpoint` — 1-probe cell +
+    m int codes per row; at K<=256 that is m+4 bytes of index per
+    vector); the query side is one bounded collect (probe cells +
+    LUT per query); candidate selection and scoring are a literal
+    `isin` + literal-array lookups fanned by `explode` (no join);
+    the cut is the shared salted two-phase top-k."""
+    cent_arrs, cent_norms = _resolve_centroids(
+        emb, centroids, n_centroids, id_col, vec_col
+    )
+    d, books = pq_codebooks(emb, m, n_codes, id_col, vec_col)
+    normed = with_norm(_respread_narrow(emb), vec_col)
+    narrow = _narrow_checkpoint(
+        normed.select(
+            F.col(id_col),
+            _probe_cells_expr(
+                cent_arrs, F.col(vec_col), 1,
+                cent_norms=cent_norms, nrm_col=F.col("nrm"),
+            )[0].cast("int").alias("cell"),
+            F.array(
+                *[
+                    _pq_best(
+                        books[j],
+                        F.slice(F.col(vec_col), j * d + 1, d),
+                    )["cid"].cast("int")
+                    for j in range(m)
+                ]
+            ).alias("codes"),
+        )
+    )
+    q_rows = (
+        normed.where(F.col(id_col) < n_queries)
+        .select(
+            F.col(id_col),
+            _probe_cells_expr(
+                cent_arrs, F.col(vec_col), n_probe,
+                cent_norms=cent_norms, nrm_col=F.col("nrm"),
+            ).alias("probe"),
+            *[
+                _dot(
+                    F.array(*[F.lit(w) for w in books[j][c]]),
+                    F.slice(F.col(vec_col), j * d + 1, d),
+                ).alias(f"l{j}_{c}")
+                for j in range(m)
+                for c in sorted(books[j])
+            ],
+        )
+        .collect()  # bounded: n_queries rows
+    )
+    queries = {
+        int(r[0]): (
+            [int(c) for c in r["probe"]],
+            {
+                (j, c): float(r[f"l{j}_{c}"])
+                for j in range(m)
+                for c in sorted(books[j])
+            },
+        )
+        for r in q_rows
+    }
+
+    def _score(lut: dict) -> Column:
+        acc = None
+        for j in range(m):
+            term = F.element_at(
+                F.array(
+                    *[F.lit(lut[(j, c)]).cast(DEC) for c in range(n_codes)]
+                ),
+                F.col("codes").getItem(j) + F.lit(1),
+            )
+            acc = term if acc is None else (acc + term).cast(DEC)
+        return acc.cast("double")
+
+    scored = (
+        narrow.select(
+            F.col(id_col).alias("cid"),
+            "cell",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(qid).cast("bigint").alias("qid"),
+                            _score(lut).alias("cos_raw"),
+                            F.col("cell").isin(*cells).alias("probed"),
+                        )
+                        for qid, (cells, lut) in sorted(queries.items())
+                    ]
+                )
+            ).alias("s"),
+        )
+        .where(F.col("s.probed") & (F.col("cid") != F.col("s.qid")))
+        .select(F.col("s.qid").alias("qid"), "cid", F.col("s.cos_raw"))
+    )
+    return _two_phase_topk(scored, k).withColumnRenamed("cosine", "adc")
+
+
 def embedding_dim_stats(
     emb: DataFrame, vec_col: str = "embedding"
 ) -> DataFrame:

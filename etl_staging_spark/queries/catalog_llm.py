@@ -5279,3 +5279,205 @@ def quality_by_lang_stream_fold_q(spark, sf_dir):
         log.drop("batch_id"), ("pred_lang",), stats.QUALITY_LANG_COUNT_COLS
     )
     return stats.finish_quality_by_lang(merged)
+
+
+# ---------------------------------------------------------------------------
+# r16 late addition: product-quantization code balance — the compression
+# half of the IVF-PQ index layout (cells route, codes compress).
+# ---------------------------------------------------------------------------
+
+
+def o_pq_code_balance(m: int = 4, n_codes: int = 8) -> str:
+    """DuckDB oracle twin of `llmdata.simsearch.pq_code_balance`:
+    subspaces from 1-based element subscripts ((i-1) // (dim/m)),
+    decimal-exact subvector dots against the first-K seed slices, the
+    (dot DESC, code ASC) argmax, per-row dots prounded to 6 before the
+    exact DECIMAL(18,6) mean, and one correctly-rounded double divide
+    for the share."""
+    return f"""
+    WITH {O_ELEMS},
+    pqdim AS (SELECT CAST(MAX(i) AS BIGINT) // {m} AS d FROM elems),
+    pqd AS (
+      SELECT v.vec_id, c.vec_id AS code,
+             CAST(FLOOR((v.i - 1) / (SELECT d FROM pqdim)) AS INT) AS sub,
+             CAST(SUM(CAST(v.e * c.e AS DECIMAL(30,15))) AS DOUBLE) AS dot
+      FROM elems v JOIN elems c ON c.i = v.i AND c.vec_id < {n_codes}
+      GROUP BY 1, 2, 3
+    ),
+    pqr AS (
+      SELECT vec_id, sub, code, dot,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                ORDER BY dot DESC, code) AS rn
+      FROM pqd
+    ),
+    pqa AS (
+      SELECT vec_id, sub, CAST(code AS INT) AS code,
+             {o_pround('dot', 6)} AS dr
+      FROM pqr WHERE rn = 1
+    ),
+    pqc AS (
+      SELECT sub, code, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             {o_pround("CAST(SUM(CAST(dr AS DECIMAL(18,6))) AS DOUBLE)"
+                       " / COUNT(*)", 6)} AS avg_dot
+      FROM pqa GROUP BY 1, 2
+    )
+    SELECT sub, code, n_vecs,
+           {o_pround("CAST(n_vecs AS DOUBLE) / CAST(SUM(n_vecs)"
+                     " OVER (PARTITION BY sub) AS DOUBLE)", 6)} AS share,
+           avg_dot
+    FROM pqc"""
+
+
+@query("pq_code_balance", oracle=o_pq_code_balance(4, 8))
+def pq_code_balance_q(spark, sf_dir):
+    """Product-quantization code-balance card (new r16): the
+    compression half of an IVF-PQ index layout — every vector splits
+    into 4 contiguous subvectors, each assigned its argmax
+    exact-decimal-dot code against the deterministic first-8-slices
+    codebook (`llmdata/simsearch.py:pq_code_balance`). The card
+    (sub, code, n_vecs, share, avg_dot) is the pre-build read for a
+    compressed ANN index: skewed shares mean the codebook wastes
+    bits; avg_dot reads the per-code fit. One narrow scan, all
+    assignments as literal-codebook folds in a single projection, a
+    map-side-combinable aggregate onto the bounded 4 x 8 key space,
+    and a share window over that bounded frame — output size
+    independent of corpus size."""
+    return simsearch.pq_code_balance(
+        load(spark, sf_dir, "embeddings"), m=4, n_codes=8
+    )
+
+
+def o_pq_adc_topk(k: int = 5, n_queries: int = 10, m: int = 4,
+                  n_codes: int = 8) -> str:
+    """DuckDB oracle twin of `llmdata.simsearch.pq_adc_topk`: the
+    shared PQ assignment CTE shape (codes per (vec, sub)), the
+    query-side m x K lookup table from the SAME decimal-dot chain,
+    and the candidate score as the DECIMAL(30,15) re-sum of the m
+    looked-up doubles — ties toward the lower candidate id."""
+    return f"""
+    WITH {O_ELEMS},
+    pqdim AS (SELECT CAST(MAX(i) AS BIGINT) // {m} AS d FROM elems),
+    pqd AS (
+      SELECT v.vec_id, c.vec_id AS code,
+             CAST(FLOOR((v.i - 1) / (SELECT d FROM pqdim)) AS INT) AS sub,
+             CAST(SUM(CAST(v.e * c.e AS DECIMAL(30,15))) AS DOUBLE) AS dot
+      FROM elems v JOIN elems c ON c.i = v.i AND c.vec_id < {n_codes}
+      GROUP BY 1, 2, 3
+    ),
+    pqr AS (
+      SELECT vec_id, sub, code, dot,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                ORDER BY dot DESC, code) AS rn
+      FROM pqd
+    ),
+    pqa AS (SELECT vec_id, sub, code FROM pqr WHERE rn = 1),
+    plut AS (
+      SELECT vec_id AS qid, sub, code, dot AS lv
+      FROM pqd WHERE vec_id < {n_queries}
+    ),
+    pscore AS (
+      SELECT l.qid, a.vec_id AS cid,
+             CAST(SUM(CAST(l.lv AS DECIMAL(30,15))) AS DOUBLE) AS s
+      FROM pqa a JOIN plut l ON l.sub = a.sub AND l.code = a.code
+      WHERE a.vec_id <> l.qid
+      GROUP BY 1, 2
+    ),
+    pranked AS (
+      SELECT qid, cid, s,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY s DESC, cid) AS rnk
+      FROM pscore
+    )
+    SELECT qid, cid, {o_pround('s', 6)} AS adc, CAST(rnk AS INT) AS rank
+    FROM pranked WHERE rnk <= {k}"""
+
+
+@query("pq_adc_topk", oracle=o_pq_adc_topk(5, 10, 4, 8))
+def pq_adc_topk_q(spark, sf_dir):
+    """PQ asymmetric-distance top-5 for query vectors (vec_id < 10) —
+    the query side of the IVF-PQ layout (new r16, completing the
+    `pq_code_balance` family): each query pre-computes its 4 x 8
+    lookup table once (the same Spark decimal fold the corpus dots
+    use, collected and re-embedded as literals), every candidate
+    scores as 4 table lookups over its `pq_encode` codes (m ints, not
+    the raw vector), scores re-sum in DECIMAL(30,15), and the shared
+    salted two-phase top-k cuts per query
+    (`llmdata/simsearch.py:pq_adc_topk`)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return simsearch.pq_adc_topk(emb, k=5, n_queries=10).withColumn(
+        "rank", F.col("rank").cast("int")
+    )
+
+
+def o_pq_ivf_topk(k: int = 5, n_queries: int = 10, n_centroids: int = 8,
+                  n_probe: int = 2, m: int = 4, n_codes: int = 8) -> str:
+    """DuckDB oracle twin of `llmdata.simsearch.pq_ivf_topk`: the
+    certified `_o_cell_assign` chain routes (corpus cell = rn 1;
+    query probes = rn <= n_probe over the SAME ranking), the
+    certified PQ chain scores (codes + LUT + DECIMAL(30,15) re-sum),
+    composed by a cell-membership join."""
+    return f"""
+    WITH {O_ELEMS},
+    {_o_cell_assign(n_centroids)},
+    pqdim AS (SELECT CAST(MAX(i) AS BIGINT) // {m} AS d FROM elems),
+    pqd AS (
+      SELECT v.vec_id, c.vec_id AS code,
+             CAST(FLOOR((v.i - 1) / (SELECT d FROM pqdim)) AS INT) AS sub,
+             CAST(SUM(CAST(v.e * c.e AS DECIMAL(30,15))) AS DOUBLE) AS dot
+      FROM elems v JOIN elems c ON c.i = v.i AND c.vec_id < {n_codes}
+      GROUP BY 1, 2, 3
+    ),
+    pqr2 AS (
+      SELECT vec_id, sub, code, dot,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                ORDER BY dot DESC, code) AS rn
+      FROM pqd
+    ),
+    pqa AS (SELECT vec_id, sub, code FROM pqr2 WHERE rn = 1),
+    plut AS (
+      SELECT vec_id AS qid, sub, code, dot AS lv
+      FROM pqd WHERE vec_id < {n_queries}
+    ),
+    qprobe AS (
+      SELECT vec_id AS qid, CAST(ccid AS INT) AS cell
+      FROM cpr WHERE vec_id < {n_queries} AND rn <= {n_probe}
+    ),
+    cand AS (
+      SELECT p.qid, a.vec_id AS cid
+      FROM cpa a JOIN qprobe p ON p.cell = a.cell
+      WHERE a.vec_id <> p.qid
+    ),
+    pscore AS (
+      SELECT cand.qid, cand.cid,
+             CAST(SUM(CAST(l.lv AS DECIMAL(30,15))) AS DOUBLE) AS s
+      FROM cand
+      JOIN pqa a ON a.vec_id = cand.cid
+      JOIN plut l ON l.qid = cand.qid AND l.sub = a.sub
+                 AND l.code = a.code
+      GROUP BY 1, 2
+    ),
+    pranked AS (
+      SELECT qid, cid, s,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY s DESC, cid) AS rnk
+      FROM pscore
+    )
+    SELECT qid, cid, {o_pround('s', 6)} AS adc, CAST(rnk AS INT) AS rank
+    FROM pranked WHERE rnk <= {k}"""
+
+
+@query("pq_ivf_topk", oracle=o_pq_ivf_topk(5, 10, 8, 2, 4, 8))
+def pq_ivf_topk_q(spark, sf_dir):
+    """The complete IVF-PQ search (new r16, the family capstone):
+    queries route to their 2 nearest of 8 inverted lists (the
+    certified IVF probe ranking), candidates in those cells score as
+    4 LUT lookups over their stored PQ codes (the certified ADC
+    chain) — expected per-query candidate work n_probe/n_centroids
+    of the corpus, at m+4 bytes of index per vector
+    (`llmdata/simsearch.py:pq_ivf_topk`). Both halves reuse their
+    family's exact expressions; this entry certifies the
+    composition."""
+    emb = load(spark, sf_dir, "embeddings")
+    return simsearch.pq_ivf_topk(
+        emb, k=5, n_queries=10, n_centroids=8, n_probe=2
+    ).withColumn("rank", F.col("rank").cast("int"))

@@ -6184,3 +6184,134 @@ def test_cluster_balanced_sample_flattens_and_matches_duckdb(spark):
     assert per_s[1] >= 10
     assert per_s[0] <= 30
     assert per_s[0] / per_s[1] < 4  # was >10:1 before reweighting
+
+
+def test_pq_code_balance_planted_semantics(spark):
+    """pq_code_balance (r16 late): hand-computable codebook — seed
+    vectors 0/1 give subspace books {0: axis-a, 1: axis-b}; every
+    planted vector's per-subspace argmax-dot code is known, an exact
+    dot TIE resolves to the lower code id, shares per subspace sum to
+    1 and count the full vector population."""
+    from etl_staging_spark.llmdata import simsearch
+
+    # dim 4, m=2 -> sub_dim 2. Books: sub0 {0:[1,0], 1:[0,1]},
+    # sub1 {0:[0,1], 1:[1,0]}.
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 1.0]),
+            (1, [0.0, 1.0, 1.0, 0.0]),
+            # sub0 leans code0 (0.9 vs 0.1); sub1 leans code0 (0.8)
+            (2, [0.9, 0.1, 0.2, 0.8]),
+            # sub0 leans code1; sub1 leans code1
+            (3, [0.1, 0.9, 0.7, 0.3]),
+            # exact tie in BOTH subspaces -> lower code id 0
+            (4, [0.5, 0.5, 0.5, 0.5]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = simsearch.pq_code_balance(emb, m=2, n_codes=2)
+    rows = {(r.sub, r.code): r for r in out.collect()}
+    # seeds assign to themselves: vec0 -> (sub0 c0, sub1 c0),
+    # vec1 -> (sub0 c1, sub1 c1); vec2 -> c0/c0, vec3 -> c1/c1,
+    # vec4 tie -> c0/c0
+    assert rows[(0, 0)].n_vecs == 3 and rows[(0, 1)].n_vecs == 2
+    assert rows[(1, 0)].n_vecs == 3 and rows[(1, 1)].n_vecs == 2
+    assert rows[(0, 0)].share == 0.6 and rows[(0, 1)].share == 0.4
+    # avg_dot of (sub0, code0): dots 1.0 (vec0), 0.9 (vec2), 0.5
+    # (vec4) -> mean 0.8
+    assert rows[(0, 0)].avg_dot == 0.8
+    # population/share invariants per subspace
+    for s in (0, 1):
+        assert sum(r.n_vecs for k, r in rows.items() if k[0] == s) == 5
+    # dim not divisible by m fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        simsearch.pq_codebooks(emb, m=3, n_codes=2)
+    # missing seed vectors fail loudly
+    with _pytest.raises(ValueError):
+        simsearch.pq_codebooks(emb.where("vec_id >= 4"), m=2, n_codes=2)
+
+
+def test_pq_adc_topk_planted_semantics(spark):
+    """pq_adc_topk (r16 late): with the same planted codebook as the
+    balance test, every candidate's ADC score is the hand-computed
+    sum of its codes' LUT entries — exact-tie candidates rank by
+    lower id, the query never returns itself, and the quantized score
+    of an off-codebook vector differs from its exact dot (the
+    quantization residual is real, not hidden)."""
+    from etl_staging_spark.llmdata import simsearch
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 1.0]),   # query 0; codes (0, 0)
+            (1, [0.0, 1.0, 1.0, 0.0]),   # query 1; codes (1, 1)
+            (2, [0.9, 0.1, 0.2, 0.8]),   # codes (0, 0)
+            (3, [0.1, 0.9, 0.7, 0.3]),   # codes (1, 1)
+            (4, [0.5, 0.5, 0.5, 0.5]),   # exact ties -> codes (0, 0)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = simsearch.pq_adc_topk(emb, k=5, n_queries=2, m=2, n_codes=2)
+    rows = [
+        (r.qid, r.cid, r.adc, r.rank)
+        for r in out.orderBy("qid", "rank").collect()
+    ]
+    # q0 LUT: sub0 {c0:1, c1:0}, sub1 {c0:1, c1:0} -> code-(0,0)
+    # candidates score 2.0, code-(1,1) candidates 0.0; ties by cid
+    assert rows[:4] == [
+        (0, 2, 2.0, 1),
+        (0, 4, 2.0, 2),
+        (0, 1, 0.0, 3),
+        (0, 3, 0.0, 4),
+    ]
+    # q1 mirrors: code-(1,1) candidates score 2.0
+    assert rows[4:] == [
+        (1, 3, 2.0, 1),
+        (1, 0, 0.0, 2),
+        (1, 2, 0.0, 3),
+        (1, 4, 0.0, 4),
+    ]
+    # no self-matches anywhere
+    assert all(q != c for q, c, _, _ in rows)
+    # the ADC score is the QUANTIZED dot: vec2's exact dot with q0 is
+    # 0.9 + 0.8 = 1.7, its ADC score 2.0 — the residual is visible
+    assert rows[0][2] != 1.7
+
+
+def test_pq_ivf_topk_planted_routing(spark):
+    """pq_ivf_topk (r16 late): with the planted geometry, 1-probe
+    routing returns ONLY same-cell candidates (the out-of-cell
+    candidates ADC would rank are gone), full-probe routing equals
+    the unrouted ADC result exactly, and an exact centroid-cosine tie
+    assigns the lower cell id."""
+    from etl_staging_spark.llmdata import simsearch
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 1.0]),   # centroid/query 0 -> cell 0
+            (1, [0.0, 1.0, 1.0, 0.0]),   # centroid/query 1 -> cell 1
+            (2, [0.9, 0.1, 0.2, 0.8]),   # cell 0
+            (3, [0.1, 0.9, 0.7, 0.3]),   # cell 1
+            (4, [0.5, 0.5, 0.5, 0.5]),   # centroid-cosine tie -> cell 0
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    kw = dict(k=5, n_queries=2, n_centroids=2, m=2, n_codes=2)
+    routed = simsearch.pq_ivf_topk(emb, n_probe=1, **kw)
+    got = [
+        (r.qid, r.cid, r.adc, r.rank)
+        for r in routed.orderBy("qid", "rank").collect()
+    ]
+    # q0 (cell 0) sees only {2, 4}; q1 (cell 1) only {3} — candidates
+    # 1/3 (scored 0.0 by ADC but in the other cell) are ROUTED OUT
+    assert got == [
+        (0, 2, 2.0, 1),
+        (0, 4, 2.0, 2),
+        (1, 3, 2.0, 1),
+    ]
+    # probing every cell recovers the unrouted ADC result exactly
+    full = simsearch.pq_ivf_topk(emb, n_probe=2, **kw)
+    adc = simsearch.pq_adc_topk(emb, k=5, n_queries=2, m=2, n_codes=2)
+    key = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    assert key(full) == key(adc)

@@ -366,6 +366,18 @@ def run_probe(
             e,
             target_total=150,
         ),
+        # r16 late: m literal-codebook folds in ONE projection -> a
+        # map-side-combinable aggregate onto m x K keys + a window over
+        # that bounded frame — ~linear, no join, no per-row Python
+        "pq_code_balance": lambda e: simsearch.pq_code_balance(e),
+        # r16 late: narrow-checkpoint encode + per-query literal-LUT
+        # lookups fanned by explode + the salted two-phase top-k —
+        # ~linear in candidates (the LUT is O(1) per query)
+        "pq_adc_topk": lambda e: simsearch.pq_adc_topk(e),
+        # r16 late: the routed composition — same encode/LUT shapes
+        # with the 1-probe cell filter ahead of scoring; candidate
+        # work should track n_probe/n_centroids of the corpus
+        "pq_ivf_topk": lambda e: simsearch.pq_ivf_topk(e),
     }
     from etl_staging_spark.operators import events as _ev
 
