@@ -28,6 +28,8 @@ convention, applied element-wise).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window as W
@@ -37,6 +39,56 @@ from ..numeric import pround
 from .hashing import hyperplanes
 
 DEC = "decimal(30,15)"
+
+
+def _lit_vec(vals, cast: str | None = None) -> Column:
+    """Literal double array built as ONE parsed SQL expression instead
+    of ``len(vals)`` per-element ``F.lit()`` py4j roundtrips. Python's
+    ``repr`` of a float is a shortest round-trip decimal, so
+    ``<repr>D`` parses to the bit-identical double Literal that
+    ``F.lit`` would create — the resulting expression tree
+    (CreateArray of double Literals, optionally a CAST per element) is
+    unchanged, only the driver-side construction path differs.
+    Measured (r16): the centroid/codebook folds spent 2-4 s PER QUERY
+    BUILD in py4j chatter at 8x64 centroid + 32x16 codebook literals
+    (``pq_ivf_topk``); one ``expr()`` per array removes ~96% of the
+    roundtrips. Non-finite components (no certified path produces
+    them) fall back to the per-element form rather than emit
+    unparseable ``inf``/``nan`` tokens."""
+    vs = [float(v) for v in vals]
+    if not all(math.isfinite(v) for v in vs):
+        elems = [F.lit(v) for v in vs]
+        if cast:
+            elems = [e.cast(cast) for e in elems]
+        return F.array(*elems)
+    if cast:
+        body = ",".join(f"CAST({v!r}D AS {cast})" for v in vs)
+    else:
+        body = ",".join(f"{v!r}D" for v in vs)
+    return F.expr(f"array({body})")
+
+
+def _vec_sql(vals) -> str | None:
+    """SQL text of a literal double array (``_lit_vec``'s string twin),
+    or None when a component is non-finite (no parseable literal)."""
+    vs = [float(v) for v in vals]
+    if not all(math.isfinite(v) for v in vs):
+        return None
+    return "array(" + ",".join(f"{v!r}D" for v in vs) + ")"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """SQL text of :func:`_dot` over two SQL array fragments — the
+    bit-identical exact-decimal fold, built with zero py4j lambda
+    construction (measured ~20 ms per ``zip_with``/``aggregate``
+    lambda pair through py4j; a literal-centroid scorer builds dozens
+    per query)."""
+    return (
+        f"CAST(aggregate(zip_with({a},{b},"
+        "(x,y)->CAST(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(30,15))),"
+        "CAST(0 AS DECIMAL(30,15)),"
+        "(acc,x)->CAST(acc+x AS DECIMAL(30,15))) AS DOUBLE)"
+    )
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -215,7 +267,7 @@ def _bucket(vec_col: Column, dim: int) -> Column:
     planes = hyperplanes(N_PLANES, dim)
     bits = []
     for w_p in planes:
-        lits = F.array(*[F.lit(w) for w in w_p])
+        lits = _lit_vec(w_p)
         bits.append(F.when(_sign_nonneg(lits, vec_col), F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
 
@@ -616,7 +668,7 @@ def cosine_dup_pairs(
     for b in range(bands):
         bits = []
         for w_p in planes[b * per_band : (b + 1) * per_band]:
-            lits = F.array(*[F.lit(w) for w in w_p])
+            lits = _lit_vec(w_p)
             bits.append(
                 F.when(_sign_nonneg(lits, F.col(vec_col)), F.lit("1")).otherwise(F.lit("0"))
             )
@@ -781,10 +833,10 @@ def _py_decimal_norm(vec: list[float]) -> float:
 
 def _probe_cells_expr(
     cent_arrs: dict[int, list[float]],
-    vcol: Column,
+    vcol: Column | str,
     probe: int,
     cent_norms: dict[int, float] | None = None,
-    nrm_col: Column | None = None,
+    nrm_col: Column | str | None = None,
 ) -> Column:
     """The ``probe`` nearest centroid ids for a vector, as one array
     expression over broadcast centroid literals — no join, one scan.
@@ -795,35 +847,86 @@ def _probe_cells_expr(
     :func:`_py_decimal_norm`) and ``nrm_col`` (the frame's with_norm
     column) replace the inline decimal norm folds — without them each
     ROW re-derives every centroid's self-dot plus its own norm K+1
-    times, which measured ~2x the whole assignment cost."""
-    scored = _cell_scores_expr(cent_arrs, vcol, cent_norms, nrm_col)
+    times, which measured ~2x the whole assignment cost.
+
+    Pass ``vcol``/``nrm_col`` as SQL fragments (strings) to build the
+    whole expression through ONE parsed ``expr()`` — see
+    :func:`_cell_scores_expr` for why."""
+    scored = _cell_scores_sql(cent_arrs, vcol, cent_norms, nrm_col)
+    if scored is not None:
+        return F.expr(f"transform(slice(array_sort({scored}), 1, {probe}), s -> s.cid)")
+    scored_col = _cell_scores_expr(cent_arrs, vcol, cent_norms, nrm_col)
     return F.transform(
-        F.slice(F.array_sort(scored), 1, probe), lambda s: s["cid"]
+        F.slice(F.array_sort(scored_col), 1, probe), lambda s: s["cid"]
     )
+
+
+def _cell_scores_sql(
+    cent_arrs: dict[int, list[float]],
+    vexpr: Column | str,
+    cent_norms: dict[int, float] | None = None,
+    nrm_expr: Column | str | None = None,
+) -> str | None:
+    """SQL-text form of :func:`_cell_scores_expr`, or None when the
+    inputs are Columns (legacy path) or a literal is non-finite. One
+    parsed string replaces ~K x (dim + lambda) py4j roundtrips —
+    measured (r16) at 2 s per build for K=8 x dim=64 — while producing
+    the IDENTICAL expression tree (same literals via shortest-repr
+    round-trip, same zip_with/aggregate decimal fold, same struct
+    names), so results and plans are unchanged."""
+    if not isinstance(vexpr, str):
+        return None
+    if nrm_expr is not None and not isinstance(nrm_expr, str):
+        return None
+    parts = []
+    for cid, cvec in sorted(cent_arrs.items()):
+        varr = _vec_sql(cvec)
+        if varr is None:
+            return None
+        if cent_norms is not None:
+            cn = repr(float(cent_norms[cid])) + "D"
+            if not math.isfinite(cent_norms[cid]):
+                return None
+        else:
+            cn = f"SQRT({_dot_sql(varr, varr)})"
+        vn = nrm_expr if nrm_expr is not None else f"SQRT({_dot_sql(vexpr, vexpr)})"
+        parts.append(
+            f"named_struct('negc', (- {_dot_sql(varr, vexpr)}) / ({cn} * {vn}),"
+            f" 'cid', {int(cid)})"
+        )
+    return "array(" + ",".join(parts) + ")"
 
 
 def _cell_scores_expr(
     cent_arrs: dict[int, list[float]],
-    vcol: Column,
+    vcol: Column | str,
     cent_norms: dict[int, float] | None = None,
-    nrm_col: Column | None = None,
+    nrm_col: Column | str | None = None,
 ) -> Column:
     """The per-centroid (negated-cosine, cid) struct array behind
     :func:`_probe_cells_expr`, factored so consumers that need the
     SCORE as well as the cell (`cluster_profile`'s mean-cosine column)
     share the exact expression the certified IVF entries assign with —
-    the assignment and the reported cosine can never drift."""
+    the assignment and the reported cosine can never drift. String
+    ``vcol``/``nrm_col`` take the one-parse SQL path
+    (:func:`_cell_scores_sql`); Columns keep the per-element build."""
+    sql = _cell_scores_sql(cent_arrs, vcol, cent_norms, nrm_col)
+    if sql is not None:
+        return F.expr(sql)
+    if isinstance(vcol, str):
+        vcol = F.expr(vcol)
+    if isinstance(nrm_col, str):
+        nrm_col = F.expr(nrm_col)
     return F.array(
         *[
             F.struct(
                 (
-                    -_dot(F.array(*[F.lit(w) for w in cvec]), vcol)
+                    -_dot(_lit_vec(cvec), vcol)
                     / (
                         (
                             F.lit(cent_norms[cid])
                             if cent_norms is not None
-                            else F.sqrt(_dot(F.array(*[F.lit(w) for w in cvec]),
-                                             F.array(*[F.lit(w) for w in cvec])))
+                            else F.sqrt(_dot(_lit_vec(cvec), _lit_vec(cvec)))
                         )
                         * (
                             nrm_col
@@ -898,13 +1001,13 @@ def ivf_topk(
         emb, centroids, n_centroids, id_col, vec_col
     )
 
-    def probe_cells(vcol: Column, probe: int) -> Column:
+    def probe_cells(vcol: Column | str, probe: int) -> Column:
         return _probe_cells_expr(
-            cent_arrs, vcol, probe, cent_norms=cent_norms, nrm_col=F.col("nrm")
+            cent_arrs, vcol, probe, cent_norms=cent_norms, nrm_col="nrm"
         )
 
     normed = with_norm(_respread_narrow(emb), vec_col).withColumn(
-        "cell", probe_cells(F.col(vec_col), 1)[0]
+        "cell", probe_cells(vec_col, 1)[0]
     ).persist()
     q = normed.where(query_pred).select(
         F.col(id_col).alias("qid"),
@@ -1012,8 +1115,8 @@ def semantic_dup_pairs(
         normed = with_norm(_respread_narrow(emb), vec_col).withColumn(
             "cells",
             _probe_cells_expr(
-                cent_arrs, F.col(vec_col), n_probe,
-                cent_norms=cent_norms, nrm_col=F.col("nrm"),
+                cent_arrs, vec_col, n_probe,
+                cent_norms=cent_norms, nrm_col="nrm",
             ),
         ).withColumn("cell", F.col("cells")[0]).persist()
     # candidate pairs stay SKINNY (ids + probed cell) through the cell
@@ -1305,7 +1408,7 @@ def cluster_profile(
     )
     normed = with_norm(_respread_narrow(emb), vec_col)
     scored = _cell_scores_expr(
-        cent_arrs, F.col(vec_col), cent_norms, F.col("nrm")
+        cent_arrs, vec_col, cent_norms, "nrm"
     )
     # the narrow per-row frame feeds TWO aggregates (cell stats and the
     # modal-label pass); materialize it once so the broadcast-centroid
@@ -1414,7 +1517,7 @@ def cluster_balanced_sample(
     )
     normed = with_norm(_respread_narrow(emb), vec_col)
     scored = _cell_scores_expr(
-        cent_arrs, F.col(vec_col), cent_norms, F.col("nrm")
+        cent_arrs, vec_col, cent_norms, "nrm"
     )
     assigned = normed.select(
         F.col(id_col),
@@ -1454,7 +1557,7 @@ def _assign_cells(
     )
     normed = with_norm(_respread_narrow(emb), vec_col)
     scored = _cell_scores_expr(
-        cent_arrs, F.col(vec_col), cent_norms, F.col("nrm")
+        cent_arrs, vec_col, cent_norms, "nrm"
     )
     return _narrow_checkpoint(normed.select(
         F.col(id_col),
@@ -1959,17 +2062,42 @@ def pq_codebooks(
     }
 
 
-def _pq_best(book_j: dict[int, list[float]], sub_vec: Column) -> Column:
+def _adc_score_sql(lut: dict, m: int, n_codes: int) -> str:
+    """SQL text of one query's ADC score over the ``codes`` column —
+    the same element_at(literal-DECIMAL array, codes[j] + 1) chain
+    re-summed in DECIMAL(30,15) that the Column-API ``_score`` built,
+    emitted as one parseable string so a scorer over Q queries costs
+    Q parses instead of Q x m x K py4j literal/lambda roundtrips."""
+    acc = None
+    for j in range(m):
+        arr = "array(" + ",".join(
+            f"CAST({float(lut[(j, c)])!r}D AS DECIMAL(30,15))"
+            for c in range(n_codes)
+        ) + ")"
+        term = f"element_at({arr}, codes[{j}] + 1)"
+        acc = term if acc is None else f"CAST({acc} + {term} AS DECIMAL(30,15))"
+    return f"CAST({acc} AS DOUBLE)"
+
+
+def _pq_best(book_j: dict[int, list[float]], sub_vec: Column | str) -> Column:
     """Best (negated-dot, code) struct of one subvector against one
     subspace codebook — the PQ argmax with ties toward the lower code
     id, shared by the balance card, the encoder and the ADC scorer so
     the assignment rule can never drift between them. Exact-decimal
-    dots (`_dot`), the `_cell_scores_expr` sort convention."""
+    dots (`_dot`), the `_cell_scores_expr` sort convention. A string
+    ``sub_vec`` (SQL fragment) takes the one-parse path
+    (`_cell_scores_sql`'s rationale); a Column keeps the per-element
+    build."""
+    sql = _pq_best_sql(book_j, sub_vec) if isinstance(sub_vec, str) else None
+    if sql is not None:
+        return F.expr(sql)
+    if isinstance(sub_vec, str):
+        sub_vec = F.expr(sub_vec)
     return F.array_sort(
         F.array(
             *[
                 F.struct(
-                    (-_dot(F.array(*[F.lit(w) for w in cvec]), sub_vec))
+                    (-_dot(_lit_vec(cvec), sub_vec))
                     .alias("negd"),
                     F.lit(cid).alias("cid"),
                 )
@@ -1977,6 +2105,21 @@ def _pq_best(book_j: dict[int, list[float]], sub_vec: Column) -> Column:
             ]
         )
     ).getItem(0)
+
+
+def _pq_best_sql(book_j: dict[int, list[float]], sub_expr: str) -> str | None:
+    """SQL text of :func:`_pq_best` over a SQL subvector fragment, or
+    None when a codebook entry is non-finite."""
+    parts = []
+    for cid, cvec in sorted(book_j.items()):
+        varr = _vec_sql(cvec)
+        if varr is None:
+            return None
+        parts.append(
+            f"named_struct('negd', (- {_dot_sql(varr, sub_expr)}),"
+            f" 'cid', {int(cid)})"
+        )
+    return "array_sort(array(" + ",".join(parts) + "))[0]"
 
 
 def pq_code_balance(
@@ -2015,7 +2158,7 @@ def pq_code_balance(
     spread = _respread_narrow(emb.select(id_col, vec_col))
     per_sub = []
     for j in range(m):
-        best = _pq_best(books[j], F.slice(F.col(vec_col), j * d + 1, d))
+        best = _pq_best(books[j], f"slice(`{vec_col}`, {j * d + 1}, {d})")
         per_sub.append(
             F.struct(
                 F.lit(j).cast("int").alias("sub"),
@@ -2074,7 +2217,7 @@ def pq_encode(
                 *[
                     _pq_best(
                         books[j],
-                        F.slice(F.col(vec_col), j * sub_dim + 1, sub_dim),
+                        f"slice(`{vec_col}`, {j * sub_dim + 1}, {sub_dim})",
                     )["cid"].cast("int")
                     for j in range(m)
                 ]
@@ -2123,9 +2266,11 @@ def pq_adc_topk(
         .select(
             F.col(id_col),
             *[
-                _dot(
-                    F.array(*[F.lit(w) for w in books[j][c]]),
-                    F.slice(F.col(vec_col), j * d + 1, d),
+                F.expr(
+                    _dot_sql(
+                        _vec_sql(books[j][c]),
+                        f"slice(`{vec_col}`, {j * d + 1}, {d})",
+                    )
                 ).alias(f"l{j}_{c}")
                 for j in range(m)
                 for c in sorted(books[j])
@@ -2142,35 +2287,15 @@ def pq_adc_topk(
         for r in lut_rows
     }
 
-    def _score(qid: int) -> Column:
-        acc = None
-        for j in range(m):
-            term = F.element_at(
-                F.array(
-                    *[
-                        F.lit(lut[qid][(j, c)]).cast(DEC)
-                        for c in range(n_codes)
-                    ]
-                ),
-                F.col("codes").getItem(j) + F.lit(1),
-            )
-            acc = term if acc is None else (acc + term).cast(DEC)
-        return acc.cast("double")
-
+    qarr = "array(" + ",".join(
+        f"named_struct('qid', CAST({q} AS BIGINT),"
+        f" 'cos_raw', {_adc_score_sql(lut[q], m, n_codes)})"
+        for q in sorted(lut)
+    ) + ")"
     scored = (
         codes.select(
             F.col(id_col).alias("cid"),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(q).cast("bigint").alias("qid"),
-                            _score(q).alias("cos_raw"),
-                        )
-                        for q in sorted(lut)
-                    ]
-                )
-            ).alias("s"),
+            F.explode(F.expr(qarr)).alias("s"),
         )
         .select(F.col("s.qid").alias("qid"), "cid", F.col("s.cos_raw"))
         .where(F.col("cid") != F.col("qid"))
@@ -2217,14 +2342,14 @@ def pq_ivf_topk(
         normed.select(
             F.col(id_col),
             _probe_cells_expr(
-                cent_arrs, F.col(vec_col), 1,
-                cent_norms=cent_norms, nrm_col=F.col("nrm"),
+                cent_arrs, vec_col, 1,
+                cent_norms=cent_norms, nrm_col="nrm",
             )[0].cast("int").alias("cell"),
             F.array(
                 *[
                     _pq_best(
                         books[j],
-                        F.slice(F.col(vec_col), j * d + 1, d),
+                        f"slice(`{vec_col}`, {j * d + 1}, {d})",
                     )["cid"].cast("int")
                     for j in range(m)
                 ]
@@ -2236,13 +2361,15 @@ def pq_ivf_topk(
         .select(
             F.col(id_col),
             _probe_cells_expr(
-                cent_arrs, F.col(vec_col), n_probe,
-                cent_norms=cent_norms, nrm_col=F.col("nrm"),
+                cent_arrs, vec_col, n_probe,
+                cent_norms=cent_norms, nrm_col="nrm",
             ).alias("probe"),
             *[
-                _dot(
-                    F.array(*[F.lit(w) for w in books[j][c]]),
-                    F.slice(F.col(vec_col), j * d + 1, d),
+                F.expr(
+                    _dot_sql(
+                        _vec_sql(books[j][c]),
+                        f"slice(`{vec_col}`, {j * d + 1}, {d})",
+                    )
                 ).alias(f"l{j}_{c}")
                 for j in range(m)
                 for c in sorted(books[j])
@@ -2262,37 +2389,36 @@ def pq_ivf_topk(
         for r in q_rows
     }
 
-    def _score(lut: dict) -> Column:
-        acc = None
-        for j in range(m):
-            term = F.element_at(
-                F.array(
-                    *[F.lit(lut[(j, c)]).cast(DEC) for c in range(n_codes)]
-                ),
-                F.col("codes").getItem(j) + F.lit(1),
-            )
-            acc = term if acc is None else (acc + term).cast(DEC)
-        return acc.cast("double")
-
+    # Filter BEFORE scoring (r16): the old shape computed every
+    # query's ADC score on every candidate row and only then dropped
+    # the ~(1 - n_probe/n_centroids) unprobed pairs — paying the
+    # decimal re-sum for rows it threw away. Explode only the tiny
+    # (qid, probed) routing structs, filter, then evaluate the score
+    # through a CASE keyed on qid so each surviving pair computes
+    # exactly ONE query's chain. Same pairs, same per-pair expression,
+    # same output — just never scored where it never mattered.
+    qarr = "array(" + ",".join(
+        f"named_struct('qid', CAST({qid} AS BIGINT),"
+        f" 'probed', cell IN ({','.join(str(int(c)) for c in cells)}))"
+        for qid, (cells, _lut) in sorted(queries.items())
+    ) + ")"
+    case_sql = "CASE s.qid " + " ".join(
+        f"WHEN {qid} THEN {_adc_score_sql(lut, m, n_codes)}"
+        for qid, (_cells, lut) in sorted(queries.items())
+    ) + " END"
     scored = (
         narrow.select(
             F.col(id_col).alias("cid"),
             "cell",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(qid).cast("bigint").alias("qid"),
-                            _score(lut).alias("cos_raw"),
-                            F.col("cell").isin(*cells).alias("probed"),
-                        )
-                        for qid, (cells, lut) in sorted(queries.items())
-                    ]
-                )
-            ).alias("s"),
+            "codes",
+            F.explode(F.expr(qarr)).alias("s"),
         )
         .where(F.col("s.probed") & (F.col("cid") != F.col("s.qid")))
-        .select(F.col("s.qid").alias("qid"), "cid", F.col("s.cos_raw"))
+        .select(
+            F.col("s.qid").alias("qid"),
+            "cid",
+            F.expr(case_sql).alias("cos_raw"),
+        )
     )
     return _two_phase_topk(scored, k).withColumnRenamed("cosine", "adc")
 
