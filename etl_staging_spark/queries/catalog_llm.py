@@ -1727,14 +1727,11 @@ def corpus_assembly(spark, sf_dir):
     bench = docs.where(F.col("doc_id") % 20 == 0)
     # the corpus fans out into five per-row-heavy branches (tokenize,
     # n-gram, shingle); a single-file table would otherwise run them all
-    # on ONE scan partition — spread by doc_id first (at real scale the
-    # scan is already many splits and this shuffle is dwarfed by the
-    # branch work it parallelizes)
-    corpus = (
+    # on ONE scan partition — respread when (and only when) the scan is
+    # narrower than the cluster (see the corpus_assembly_full note).
+    corpus = respread_narrow(
         docs.where(F.col("doc_id") % 20 != 0)
-        .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
-        .persist()  # five branches read it; one scan+shuffle, not five
-    )
+    ).persist()  # five branches read it; one scan, not five
     canon = dedup.exact_dup_groups(corpus).select(
         F.col("canonical_doc_id").alias("doc_id")
     )
@@ -2287,11 +2284,15 @@ def corpus_assembly_full(spark, sf_dir):
     composition inherits them."""
     docs = load(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") % 20 == 0)
-    corpus = (
-        docs.where(F.col("doc_id") % 20 != 0)
-        .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
-        .persist()
-    )
+    # respread_narrow, not an unconditional keyed repartition (r16):
+    # at test SF both spread the 1-2 file splits across the cluster
+    # (interleaved A/B on the full-gate pipeline: 4.85 vs 4.94 s
+    # best-of-5, identical output), but at corpus scale the scan
+    # already has >= parallelism splits and the old repartition was a
+    # full shuffle of the TEXT corpus bought for nothing — the doc_id
+    # hash partitioning it created was never reused (every gate's
+    # doc-keyed attach broadcasts the bounded aggregate side instead).
+    corpus = respread_narrow(docs.where(F.col("doc_id") % 20 != 0)).persist()
     canon = dedup.exact_dup_groups(corpus).select(
         F.col("canonical_doc_id").alias("doc_id")
     )
@@ -3038,11 +3039,8 @@ def corpus_assembly_v2(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") % 20 == 0)
-    corpus = (
-        docs.where(F.col("doc_id") % 20 != 0)
-        .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
-        .persist()
-    )
+    # respread, not keyed repartition — see corpus_assembly_full's note
+    corpus = respread_narrow(docs.where(F.col("doc_id") % 20 != 0)).persist()
     canon = dedup.exact_dup_groups(corpus).select(
         F.col("canonical_doc_id").alias("doc_id"), F.lit(True).alias("g1")
     )
