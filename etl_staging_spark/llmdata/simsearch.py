@@ -837,6 +837,7 @@ def _probe_cells_expr(
     probe: int,
     cent_norms: dict[int, float] | None = None,
     nrm_col: Column | str | None = None,
+    fast: bool = False,
 ) -> Column:
     """The ``probe`` nearest centroid ids for a vector, as one array
     expression over broadcast centroid literals — no join, one scan.
@@ -851,13 +852,103 @@ def _probe_cells_expr(
 
     Pass ``vcol``/``nrm_col`` as SQL fragments (strings) to build the
     whole expression through ONE parsed ``expr()`` — see
-    :func:`_cell_scores_expr` for why."""
+    :func:`_cell_scores_expr` for why.
+
+    ``fast=True`` (cid-only consumers — assignment scans that never
+    publish the score) routes through the certified double-prefilter
+    argmax (:func:`_probe_cells_fast_sql`): plain-double scores decide
+    the ranking when every adjacent top-(probe+1) margin exceeds the
+    proven double-vs-decimal error envelope, and knife-edge rows fall
+    back (lazily, per row) to this exact-decimal expression — output
+    identical by construction, ~2.5x cheaper on the corpus-wide
+    scans."""
+    if fast:
+        sql = _probe_cells_fast_sql(cent_arrs, vcol, probe, cent_norms, nrm_col)
+        if sql is not None:
+            return F.expr(sql)
     scored = _cell_scores_sql(cent_arrs, vcol, cent_norms, nrm_col)
     if scored is not None:
         return F.expr(f"transform(slice(array_sort({scored}), 1, {probe}), s -> s.cid)")
     scored_col = _cell_scores_expr(cent_arrs, vcol, cent_norms, nrm_col)
     return F.transform(
         F.slice(F.array_sort(scored_col), 1, probe), lambda s: s["cid"]
+    )
+
+
+def _ddot_mass_struct_sql(
+    arr_sql: str, vexpr: str, cid: int, div_sql: str | None
+) -> str:
+    """One double fold producing named_struct('neg', 'env', 'cid') for
+    the fast-argmax prefilter: ``neg`` is the negated plain-double
+    score, ``env`` a PROVEN upper bound on |double score − exact
+    decimal score| for that candidate. The `_sign_nonneg` error
+    budget, applied per candidate: the decimal path quantizes each
+    product to scale 15 (≤ 0.5e-15/element) and the double path's
+    summation error is ≤ (n−1)·eps·Σ|x·y|, so
+    |Δdot| ≤ 1e-12·(mass + 1) holds with >30x margin at any vector
+    magnitude; dividing score and bound by the same positive norm
+    product preserves it. ``env`` uses 1e-11·(mass+1) — another 10x
+    slack on top; a loose envelope only sends more rows to the exact
+    fallback, never changes a result."""
+    div = div_sql or ""
+    return (
+        f"aggregate(zip_with({arr_sql},{vexpr},"
+        "(x,y)->CAST(x AS DOUBLE)*CAST(y AS DOUBLE)),"
+        "named_struct('s',0.0D,'m',0.0D),"
+        "(acc,x)->named_struct('s',acc.s+x,'m',acc.m+abs(x)),"
+        f"acc -> named_struct('neg', (- acc.s){div},"
+        f" 'env', (1e-11D * (acc.m + 1.0D)){div}, 'cid', {int(cid)}))"
+    )
+
+
+def _probe_cells_fast_sql(
+    cent_arrs: dict[int, list[float]],
+    vexpr: Column | str,
+    probe: int,
+    cent_norms: dict[int, float] | None = None,
+    nrm_expr: Column | str | None = None,
+) -> str | None:
+    """Double-prefilter form of :func:`_probe_cells_expr` for
+    cid-only consumers. The fast ranking is trusted only when every
+    adjacent margin among the top probe+1 candidates exceeds the two
+    candidates' summed error envelopes — then the exact-decimal
+    ranking provably agrees (including the ties-toward-lower-cid rule:
+    a certified margin excludes decimal equality). Otherwise the
+    CASE yields NULL and COALESCE falls through to the canonical
+    decimal expression for that row only. NULL vectors/elements make
+    every margin NULL, which also falls through — anomalies can only
+    widen the fallback, never flip the fast path."""
+    if not isinstance(vexpr, str):
+        return None
+    if nrm_expr is not None and not isinstance(nrm_expr, str):
+        return None
+    if cent_norms is None or probe >= len(cent_arrs):
+        # no precomputed norms (inline decimal norm folds dominate
+        # either way) or probe covers every cell (no certifying margin
+        # below the cut exists) — the fast path cannot help
+        return None
+    structs = []
+    for cid, cvec in sorted(cent_arrs.items()):
+        varr = _vec_sql(cvec)
+        if varr is None or not math.isfinite(cent_norms[cid]):
+            return None
+        div = f" / ({cent_norms[cid]!r}D * {nrm_expr})"
+        structs.append(_ddot_mass_struct_sql(varr, vexpr, cid, div))
+    cond = " AND ".join(
+        f"((s[{i + 1}].neg - s[{i}].neg) > (s[{i}].env + s[{i + 1}].env))"
+        for i in range(probe)
+    )
+    fast = (
+        f"transform(array(array_sort(array({','.join(structs)}))),"
+        f" s -> CASE WHEN {cond}"
+        f" THEN transform(slice(s, 1, {probe}), t -> t.cid) END)[0]"
+    )
+    exact = _cell_scores_sql(cent_arrs, vexpr, cent_norms, nrm_expr)
+    if exact is None:
+        return None
+    return (
+        f"coalesce({fast},"
+        f" transform(slice(array_sort({exact}), 1, {probe}), s -> s.cid))"
     )
 
 
@@ -1001,13 +1092,17 @@ def ivf_topk(
         emb, centroids, n_centroids, id_col, vec_col
     )
 
-    def probe_cells(vcol: Column | str, probe: int) -> Column:
+    def probe_cells(vcol: Column | str, probe: int, fast: bool = False) -> Column:
         return _probe_cells_expr(
-            cent_arrs, vcol, probe, cent_norms=cent_norms, nrm_col="nrm"
+            cent_arrs, vcol, probe, cent_norms=cent_norms, nrm_col="nrm",
+            fast=fast,
         )
 
+    # the CORPUS-wide assignment takes the certified double-prefilter
+    # argmax (cid-only consumer); the bounded query side stays on the
+    # exact expression
     normed = with_norm(_respread_narrow(emb), vec_col).withColumn(
-        "cell", probe_cells(vec_col, 1)[0]
+        "cell", probe_cells(vec_col, 1, fast=True)[0]
     ).persist()
     q = normed.where(query_pred).select(
         F.col(id_col).alias("qid"),
@@ -1116,7 +1211,7 @@ def semantic_dup_pairs(
             "cells",
             _probe_cells_expr(
                 cent_arrs, vec_col, n_probe,
-                cent_norms=cent_norms, nrm_col="nrm",
+                cent_norms=cent_norms, nrm_col="nrm", fast=True,
             ),
         ).withColumn("cell", F.col("cells")[0]).persist()
     # candidate pairs stay SKINNY (ids + probed cell) through the cell
@@ -1516,12 +1611,11 @@ def cluster_balanced_sample(
         emb, centroids, n_centroids, id_col, vec_col
     )
     normed = with_norm(_respread_narrow(emb), vec_col)
-    scored = _cell_scores_expr(
-        cent_arrs, vec_col, cent_norms, "nrm"
-    )
     assigned = normed.select(
         F.col(id_col),
-        F.array_sort(scored).getItem(0)["cid"].cast("int").alias("cell"),
+        _probe_cells_expr(
+            cent_arrs, vec_col, 1, cent_norms, "nrm", fast=True
+        )[0].cast("int").alias("cell"),
     )
     if keep is not None:
         assigned = assigned.join(
@@ -1556,12 +1650,11 @@ def _assign_cells(
         emb, centroids, n_centroids, id_col, vec_col
     )
     normed = with_norm(_respread_narrow(emb), vec_col)
-    scored = _cell_scores_expr(
-        cent_arrs, vec_col, cent_norms, "nrm"
-    )
     return _narrow_checkpoint(normed.select(
         F.col(id_col),
-        F.array_sort(scored).getItem(0)["cid"].cast("int").alias("cell"),
+        _probe_cells_expr(
+            cent_arrs, vec_col, 1, cent_norms, "nrm", fast=True
+        )[0].cast("int").alias("cell"),
     ))
 
 
@@ -2122,6 +2215,45 @@ def _pq_best_sql(book_j: dict[int, list[float]], sub_expr: str) -> str | None:
     return "array_sort(array(" + ",".join(parts) + "))[0]"
 
 
+def _pq_code_expr(book_j: dict[int, list[float]], sub_expr: str) -> Column:
+    """The PQ code id for ENCODERS: the certified double-prefilter
+    argmax when available, else the exact `_pq_best` cid. Shares the
+    assignment rule with the balance card through `_pq_best_sql` (the
+    fallback branch IS that expression)."""
+    sql = _pq_best_cid_fast_sql(book_j, sub_expr)
+    if sql is not None:
+        return F.expr(sql)
+    return _pq_best(book_j, sub_expr)["cid"]
+
+
+def _pq_best_cid_fast_sql(
+    book_j: dict[int, list[float]], sub_expr: str
+) -> str | None:
+    """Code id of :func:`_pq_best` through the certified
+    double-prefilter argmax (`_probe_cells_fast_sql`'s machinery with
+    no norm division — PQ scores are raw dots): the plain-double
+    ranking is trusted only when the top-2 margin exceeds both
+    candidates' proven error envelopes; knife-edge rows fall back
+    (lazily) to the exact-decimal argmax. For ENCODERS only — the
+    balance card publishes the dot value and keeps the exact
+    expression."""
+    structs = []
+    for cid, cvec in sorted(book_j.items()):
+        varr = _vec_sql(cvec)
+        if varr is None:
+            return None
+        structs.append(_ddot_mass_struct_sql(varr, sub_expr, cid, None))
+    exact = _pq_best_sql(book_j, sub_expr)
+    if exact is None or len(book_j) < 2:
+        return None
+    fast = (
+        f"transform(array(array_sort(array({','.join(structs)}))),"
+        " s -> CASE WHEN ((s[1].neg - s[0].neg) > (s[0].env + s[1].env))"
+        " THEN s[0].cid END)[0]"
+    )
+    return f"coalesce({fast}, {exact}.cid)"
+
+
 def pq_code_balance(
     emb: DataFrame,
     m: int = 4,
@@ -2215,10 +2347,10 @@ def pq_encode(
             F.col(id_col),
             F.array(
                 *[
-                    _pq_best(
+                    _pq_code_expr(
                         books[j],
                         f"slice(`{vec_col}`, {j * sub_dim + 1}, {sub_dim})",
-                    )["cid"].cast("int")
+                    ).cast("int")
                     for j in range(m)
                 ]
             ).alias("codes"),
@@ -2343,14 +2475,14 @@ def pq_ivf_topk(
             F.col(id_col),
             _probe_cells_expr(
                 cent_arrs, vec_col, 1,
-                cent_norms=cent_norms, nrm_col="nrm",
+                cent_norms=cent_norms, nrm_col="nrm", fast=True,
             )[0].cast("int").alias("cell"),
             F.array(
                 *[
-                    _pq_best(
+                    _pq_code_expr(
                         books[j],
                         f"slice(`{vec_col}`, {j * d + 1}, {d})",
-                    )["cid"].cast("int")
+                    ).cast("int")
                     for j in range(m)
                 ]
             ).alias("codes"),
