@@ -52,6 +52,20 @@ def rate_table(spark: SparkSession) -> DataFrame:
 
 _LEDGER_CACHE: dict = {}
 
+# Parallelism posture of heavy SINGLE-PASS fact aggregates (r16, guide
+# §2.5 "input skew — one huge unsplittable file"): the test parquet
+# files are ONE row group, so a scan-stage map side runs on one core no
+# matter the cluster width. Spreading the scan rows helps ONLY when the
+# per-row map work dominates the extra full-width exchange — measured
+# true for a1_hash_agg's 4-decimal-sum pass (−27%), and measured FALSE
+# for the move_lines consumers (tools/ab_respread.py interleaved A/B:
+# +19% net — their partial aggregates already collapse rows before any
+# exchange, and the engine reports re-pay the respread shuffle on every
+# per-scope collect job). So the flag gates the few single-pass heavy
+# consumers (a1), NOT the shared ledger frame. Module flag (not a conf)
+# so tools/ab_respread.py can interleave both arms in one session.
+SPREAD_FACT = True
+
 
 def move_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ledger fact. Filters applied by engines push down through

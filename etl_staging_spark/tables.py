@@ -69,7 +69,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def respread_narrow(df: DataFrame) -> DataFrame:
+def respread_narrow(df: DataFrame, key_cols: tuple[str, ...] = ()) -> DataFrame:
     """Parallelism guard for compute-heavy projections/joins: a small
     table arrives as 1-2 file splits, and narrow transformations (and
     broadcast-join outputs, which inherit the stream side's
@@ -78,9 +78,25 @@ def respread_narrow(df: DataFrame) -> DataFrame:
     the cluster; at real corpus scale the scan already has >=
     parallelism splits and this adds NO shuffle. Use only in front of
     genuinely expensive per-row work — for cheap projections the
-    round-robin exchange costs more than it saves."""
+    round-robin exchange costs more than it saves.
+
+    ``key_cols``: optional columns for a DETERMINISTIC hash spread —
+    ``pmod(xxhash64(keys), 50 * parallelism)`` (the guide's synthetic-
+    key recipe: retry-safe, and 50x more key values than partitions so
+    the hash spreads evenly). A keyed spread skips the local
+    sort-before-repartition that round-robin pays for retry
+    determinism (SPARK-23207) — measured −25% on a1's 600k-row spread
+    — so prefer it when high-cardinality columns are already in the
+    projection (keys OUTSIDE it would widen the scan and the
+    exchange)."""
+    from pyspark.sql import functions as F
+
     p = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < p:
+        if key_cols:
+            return df.repartition(
+                p, F.pmod(F.xxhash64(*key_cols), F.lit(50 * p))
+            )
         return df.repartition(p)
     return df
 

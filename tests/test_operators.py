@@ -491,3 +491,36 @@ def test_paths_topk_length_one_twin_parity_and_guard(spark):
         ev.paths_topk(df, length=0)
     with _pytest.raises(ValueError, match="path length"):
         ev.o_paths_topk(length=0)
+
+
+def test_respread_narrow_keyed(spark):
+    """The r16 keyed respread variant: identical rows, deterministic
+    hash routing (retry-safe, SPARK-38388), spread to cluster width on
+    a narrow input, and a no-op on an already-wide frame."""
+    from pyspark.sql import functions as F
+
+    from etl_staging_spark.tables import respread_narrow
+
+    df = spark.range(0, 10_000, 1, 1).select(
+        F.col("id"), (F.col("id") * 3 % 97).alias("v")
+    )
+    p = spark.sparkContext.defaultParallelism
+    out = respread_narrow(df, ("id", "v"))
+    assert out.rdd.getNumPartitions() == p
+    assert sorted(r.id for r in out.collect()) == list(range(10_000))
+    # deterministic routing: the same row lands in the same partition
+    # across two independent executions of the plan
+    def pid_map(frame):
+        return dict(
+            frame.select("id", F.spark_partition_id().alias("pid")).collect()
+        )
+
+    assert pid_map(out) == pid_map(respread_narrow(df, ("id", "v")))
+    # routing is even: no partition holds a wildly outsized share
+    sizes = (
+        out.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+    )
+    assert max(r["count"] for r in sizes) < 5 * (10_000 / p)
+    # already-wide frames pass through without a new exchange
+    wide = spark.range(0, 1000, 1, p)
+    assert respread_narrow(wide, ("id",)) is wide
