@@ -67,16 +67,31 @@ _LEDGER_CACHE: dict = {}
 SPREAD_FACT = True
 
 
-def move_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+def move_lines(
+    spark: SparkSession, sf_dir: str, spread: bool = False
+) -> DataFrame:
     """The ledger fact. Filters applied by engines push down through
     this projection into both parquet scans (verified via .explain).
     Memoized per (session, dir) like tables.load — the frame is lazy and
-    immutable, and every engine entry starts from it."""
-    key = (spark, sf_dir)
+    immutable, and every engine entry starts from it.
+
+    ``spread=True`` (opt-in per consumer): keyed respread of the
+    lineitem side BELOW the broadcast join, so the join + decimal conv
+    + the consumer's predicate/aggregate map side run cluster-wide
+    instead of on the single task a one-row-group scan yields. Keys are
+    two columns every consumer already scans, so the spread widens
+    nothing; no-op at real scale (respread_narrow's split guard). Only
+    for SINGLE-JOB heavy-map consumers — multi-collect engines re-pay
+    the exchange per job and measured slower (tools/ab_respread.py)."""
+    key = (spark, sf_dir, spread)
     cached = _LEDGER_CACHE.get(key)
     if cached is not None:
         return cached
     li = load(spark, sf_dir, "lineitem")
+    if spread and SPREAD_FACT:
+        from ..tables import respread_narrow
+
+        li = respread_narrow(li, ("l_orderkey", "l_partkey"))
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate", "o_custkey", "o_orderpriority"
     )

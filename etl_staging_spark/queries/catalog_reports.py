@@ -116,8 +116,12 @@ def hg_column_groups(spark, sf_dir):
     pushed-down scan predicate as its date scope. Drives the SAME
     gl_sums pipeline as gl_report, so the variant required by the
     reference's comparison x groups filter matrix shares one code
-    path."""
-    return gl_sums(move_lines(spark, sf_dir), HG_OPTS)
+    path. spread=True: with 6 column groups the per-row predicate +
+    24-conditional-aggregate map side dominates, and the keyed spread
+    below the broadcast join parallelizes it (interleaved A/B −13 to
+    −24%; the 2-group gl_report measured SLOWER spread and stays
+    plain — see engines/ledger.move_lines)."""
+    return gl_sums(move_lines(spark, sf_dir, spread=True), HG_OPTS)
 
 
 @query(
