@@ -580,7 +580,11 @@ _ES_IN = "date >= TIMESTAMP '1997-01-01'"
 def es_report(spark, sf_dir):
     from ..reports.executive_summary import executive_summary
 
-    led = move_lines(spark, sf_dir)
+    # spread=True: cross_report fuses every line x scope into ONE
+    # conditional aggregate (~20 decimal sums per row) — the single-job
+    # heavy-map shape the keyed spread wins on (interleaved A/B −5 to
+    # −7.5% across three sessions; see engines/ledger.move_lines)
+    led = move_lines(spark, sf_dir, spread=True)
     return executive_summary(spark, led, make_options("1997-01-01", "1997-12-31"))
 
 
