@@ -301,16 +301,25 @@ def publish_line(
     def _line(drop: int = 0) -> str:
         if drop >= len(timings):
             kept: dict[str, float] = {}
+            shed: list[str] = []
         elif drop:
             kept = dict(by_size_desc[: len(timings) - drop])
+            shed = sorted(n for n, _ in by_size_desc[len(timings) - drop:])
         else:
             kept = timings
+            shed = []
         return json.dumps({
             "metric": "headline_queries_total_time",
             "value": round(total, 2),
             "unit": "sec",
             "queries": {n: round(s, 2) for n, s in kept.items()},
             "queries_dropped": drop,
+            # r17 (VERDICT r16): name what was shed so the driver's
+            # round-over-round diff can tell "shed sub-floor query"
+            # from "query dropped from the bench" — 6 false positives
+            # in PERF_r16. Capped at 15 names (sub-floor names are
+            # short; the cap bounds the field if the shed ever grows).
+            "shed": shed[:15],
             "queries_omitted": drop >= len(timings),
             "core_r1_subset_time": round(core_total, 2),
             "n_queries": len(timings),
@@ -384,12 +393,22 @@ def main() -> None:
     # that survived SIX runs.
     prior = _prior_timings(os.path.dirname(os.path.abspath(__file__)), sf)
 
+    # forensics (r17, VERDICT r16): every raw timed run per query, so
+    # bench_last.json can publish the min/max spread — a contended run
+    # shows a wide spread, making "contention vs regression" machine-
+    # checkable instead of forensically inferred. Recording only; the
+    # timing methodology (best-of-3, guard, reruns) is unchanged.
+    raw_runs: dict[str, list[float]] = {}
+    loadavg_start = os.getloadavg()
+
     def best_of_3(name: str) -> float:
         best = float("inf")
         for _ in range(3):
             t0 = time.time()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
+            dt = time.time() - t0
+            raw_runs.setdefault(name, []).append(round(dt, 3))
+            best = min(best, dt)
         return best
 
     # Systemic-contention restart: one or two guard trips are a local
@@ -452,6 +471,13 @@ def main() -> None:
         "reruns": reruns,
         "attempts": attempts,
         "sf": sf,
+        # forensics (r17): per-query [min, max] over every raw timed
+        # run (including guard reruns and restarted attempts) plus the
+        # 1/5/15-min load averages bracketing the timed loop — so a
+        # future round can adjudicate contention from the record alone.
+        "spread": {n: [min(v), max(v)] for n, v in raw_runs.items()},
+        "loadavg_start": [round(x, 2) for x in loadavg_start],
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
     }
     # full-precision record for the repo's own ledger / guard analysis
     with open(os.path.join(here, "bench_last.json"), "w") as f:

@@ -125,12 +125,22 @@ def evaluate_formulas(
             expr = v if expr is None else expr + v
         cols.append(F.coalesce(expr, F.lit(0)).cast("double").alias(f"f{i}"))
     wide = per_acct.agg(*cols)
-    # unpivot to (formula, result) rows; formula text goes through F.lit
-    # (not a SQL string literal — backslashes in the DSL stay intact)
-    out = None
-    for i, formula in enumerate(formulas):
-        part = wide.select(
+    # unpivot to (formula, result) rows via ONE explode over the single
+    # aggregate row (r17): the previous per-formula unionByName re-ran
+    # the final-aggregate subtree once per formula — ReusedExchange kept
+    # the scan shared, but each branch still paid its own reduce stage
+    # and single-partition exchange. Formula text goes through F.lit
+    # (not a SQL string literal — backslashes in the DSL stay intact);
+    # explode preserves array order, so rows come out in formula order
+    # exactly like the union did.
+    if not formulas:
+        return None
+    pairs = F.array(*[
+        F.struct(
             F.lit(formula).alias("formula"), F.col(f"f{i}").alias("result")
         )
-        out = part if out is None else out.unionByName(part)
-    return out
+        for i, formula in enumerate(formulas)
+    ])
+    return wide.select(F.explode(pairs).alias("fr")).select(
+        "fr.formula", "fr.result"
+    )

@@ -83,7 +83,11 @@ def move_lines(
     nothing; no-op at real scale (respread_narrow's split guard). Only
     for SINGLE-JOB heavy-map consumers — multi-collect engines re-pay
     the exchange per job and measured slower (tools/ab_respread.py)."""
-    key = (spark, sf_dir, spread)
+    # The built plan depends on the EFFECTIVE spread (spread and
+    # SPREAD_FACT), not the argument alone — keying on the argument let a
+    # cached spread frame be returned after SPREAD_FACT was flipped off
+    # (tools/ab_respread.py's arms timed the same plan; ADVICE r16).
+    key = (spark, sf_dir, spread and SPREAD_FACT)
     cached = _LEDGER_CACHE.get(key)
     if cached is not None:
         return cached

@@ -215,36 +215,50 @@ def semantic_contamination(
     candidate pairs by keyed joins and runs the shared two-stage
     double-prefilter + exact-decimal cosine (`simsearch._verify_pairs`
     with the eval frame on the right side, so the corpus is never
-    unioned into both branches). The narrow (id, vector) corpus
-    projection feeds THREE branches — LSH keying, the verify-side
-    normed vectors, and the output id left join — so it is persisted
-    once (the dup-pair operators' pattern) and pinned on the output's
-    ``_pinned_persisted`` contract; without the cache the corpus scan
-    would re-execute per branch. Precondition: corpus and eval id
-    spaces must be disjoint (the `fuzzy_contamination` contract)."""
+    unioned into both branches). Each side's LSH keys and exact-decimal
+    norm are computed in ONE fused persisted projection (r17) feeding
+    all three consumers — LSH keying, the verify-side normed vectors,
+    and the output id left join — so each side is read once, not once
+    per branch; both pins ride the output's ``_pinned_persisted``
+    contract. Precondition: corpus and eval id spaces must be disjoint
+    (the `fuzzy_contamination` contract)."""
     from . import simsearch as ss
 
-    base = ss._respread_narrow(corpus_emb.select(id_col, vec_col)).persist()
-    keyed_c = ss._table_keys_frame(
-        base, F.lit(False), dim, id_col=id_col, vec_col=vec_col
+    # ONE fused projection per side (r17, guide §2.4): the LSH keys and
+    # the exact-decimal norm are computed in the SAME persisted pass, so
+    # the discovery branch and the verify branch share one corpus read
+    # instead of the r16 shape's two cached passes per side (keys pass +
+    # with_norm pass). Buckets, norms, pairs and verify are expression-
+    # identical — only the pass count changes.
+    keys_k = ss._mt_keys_udf(dim)
+    base = (
+        ss.with_norm(
+            ss._respread_narrow(corpus_emb.select(id_col, vec_col)), vec_col
+        )
+        .withColumn("__keys", keys_k(F.col(vec_col)))
+        .persist()
     )
-    keyed_e = ss._table_keys_frame(
-        eval_emb, F.lit(True), dim, id_col=id_col, vec_col=vec_col
+    ebase = (
+        ss.with_norm(eval_emb.select(id_col, vec_col), vec_col)
+        .withColumn("__keys", keys_k(F.col(vec_col)))
+        .persist()
     )
     cand = (
-        keyed_c.select(F.col(id_col).alias("d1"), "bkt")
+        base.select(F.col(id_col).alias("d1"), F.explode("__keys").alias("bkt"))
         .join(
-            F.broadcast(keyed_e.select(F.col(id_col).alias("d2"), "bkt")),
+            F.broadcast(
+                ebase.select(
+                    F.col(id_col).alias("d2"), F.explode("__keys").alias("bkt")
+                )
+            ),
             "bkt",
         )
         .where(F.col("d1") != F.col("d2"))  # disjoint-id contract guard
         .select("d1", "d2")
         .distinct()
     )
-    normed_c = ss.with_norm(base, vec_col)
-    normed_e = ss.with_norm(eval_emb, vec_col)
     matches = ss._verify_pairs(
-        cand, normed_c, threshold, id_col, vec_col, normed_right=normed_e
+        cand, base, threshold, id_col, vec_col, normed_right=ebase
     )
     from ..numeric import pround
 
@@ -262,7 +276,7 @@ def semantic_contamination(
             (F.coalesce("n_matches", F.lit(0)) >= 1).alias("contaminated"),
         )
     )
-    out._pinned_persisted = (base,)
+    out._pinned_persisted = (base, ebase)
     return out
 
 

@@ -1140,6 +1140,7 @@ def semantic_dup_pairs(
     cand_filter: Column | None = None,
     d1_pred: Column | None = None,
     candidates_only: bool = False,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs: coarse-quantize every
     vector to its nearest centroid (the IVF assignment, ties to the
@@ -1179,7 +1180,14 @@ def semantic_dup_pairs(
     and restricts the smaller-id side BEFORE the cell join, cutting
     the join volume itself by the panel fraction. ``candidates_only``
     returns the distinct DISCOVERY pairs unverified (with ``same_cell``
-    when tagged) — the recall-card path."""
+    when tagged) — the recall-card path.
+
+    ``assigned`` (candidates_only mode): an already-persisted,
+    NULL-vector-free corpus frame carrying ``cells``/``cell`` from the
+    same Arrow kernel (r17's shared-pass contract — the recall card
+    assigns cells, norms and LSH keys in ONE corpus projection and
+    hands it to every leg, so this function adds no corpus pass of its
+    own). The caller owns the pin."""
     # NULL-vector rows are excluded before ANYTHING reads the frame:
     # they can never verify (NULL cosine fails any threshold), emitting
     # them as unverified "candidates" would be noise, the Arrow kernel
@@ -1189,10 +1197,15 @@ def semantic_dup_pairs(
     # twin assumes no NULL vectors among the first K, true of the
     # driver testdata)
     emb = emb.where(F.col(vec_col).isNotNull())
-    cent_arrs, cent_norms = _resolve_centroids(
-        emb, centroids, n_centroids, id_col, vec_col
-    )
-    if candidates_only:
+    own_frame = not (candidates_only and assigned is not None)
+    if not own_frame:
+        # shared-pass path (r17): the caller already assigned cells in
+        # its own fused corpus projection — add no pass and no pin here
+        normed = assigned
+    elif candidates_only:
+        cent_arrs, cent_norms = _resolve_centroids(
+            emb, centroids, n_centroids, id_col, vec_col
+        )
         # discovery-only path: the exact-decimal norm fold exists solely
         # for the verify stage, so skip it and assign cells with the
         # Arrow-batched kernel (bit-identical to the expression path for
@@ -1207,6 +1220,9 @@ def semantic_dup_pairs(
             .persist()
         )
     else:
+        cent_arrs, cent_norms = _resolve_centroids(
+            emb, centroids, n_centroids, id_col, vec_col
+        )
         normed = with_norm(_respread_narrow(emb), vec_col).withColumn(
             "cells",
             _probe_cells_expr(
@@ -1262,7 +1278,7 @@ def semantic_dup_pairs(
         # a pair sharing several probed cells would verify repeatedly
         cand = cand.distinct()
     if candidates_only:
-        cand._pinned_persisted = (normed,)
+        cand._pinned_persisted = (normed,) if own_frame else ()
         return cand
     verified = _verify_pairs(
         cand, normed, threshold, id_col, vec_col, carry_left=("cell",)
@@ -1292,6 +1308,7 @@ def exact_dup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    normed: DataFrame | None = None,
 ) -> DataFrame:
     """Exact near-dup ground truth over a BOUNDED panel: every pair
     (d1, d2) with d1 matching ``panel_pred``, d2 > d1 and exact-decimal
@@ -1301,15 +1318,24 @@ def exact_dup_pairs(
     and the shared two-stage verify (:func:`_verify_pairs`: double
     prefilter with slack, decimal on the survivors) keeps the exact
     fold off the non-dup mass — same cost shape as the exact ANN
-    baseline `cosine_topk`."""
-    normed = with_norm(_respread_narrow(emb), vec_col).persist()
+    baseline `cosine_topk`.
+
+    ``normed``: an already-persisted corpus frame carrying ``nrm``
+    (r17's shared-pass contract — the recall card computes norms,
+    probe cells and LSH keys in ONE corpus projection and hands it to
+    every leg). Rows with NULL vectors may be pre-dropped: a NULL
+    cosine can never reach the threshold, so the pair set is
+    unchanged. The caller owns the pin."""
+    own = normed is None
+    if own:
+        normed = with_norm(_respread_narrow(emb), vec_col).persist()
     p = normed.where(panel_pred).select(F.col(id_col).alias("d1"))
     c = normed.select(F.col(id_col).alias("d2"))
     cand = c.join(F.broadcast(p), F.col("d2") > F.col("d1"))
     out = _verify_pairs(cand, normed, threshold, id_col, vec_col).select(
         "d1", "d2", pround(F.col("cos_raw"), 6).alias("cosine")
     )
-    out._pinned_persisted = (normed,)
+    out._pinned_persisted = (normed,) if own else ()
     return out
 
 

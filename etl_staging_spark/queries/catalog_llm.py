@@ -2054,11 +2054,35 @@ def dedup_semantic_recall(spark, sf_dir):
     re-verifying per method would be pure waste). n_found == n_hit ==
     that intersection on both sides."""
     emb = load(spark, sf_dir, "embeddings")
+    panel_vec = F.pmod(F.col("vec_id"), F.lit(20)) == 0
+    # ONE fused corpus pass for ALL FOUR legs (r17, guide §2.4): the
+    # exact-decimal norm (exact leg), the probe-3 cell assignment (IVF
+    # legs) and the 16-table LSH keys (mtlsh/band2 legs) are computed
+    # in a single persisted projection — the r16 shape ran three
+    # separate cached corpus passes (with_norm, the assignment scan,
+    # the key pass). NULL-vector rows are dropped up front: the Arrow
+    # kernels require it and a NULL cosine can never reach the exact
+    # threshold, so every leg's output is unchanged.
+    emb_nn = emb.where(F.col("embedding").isNotNull())
+    cent_arrs, cent_norms = simsearch._resolve_centroids(
+        emb_nn, None, 8, "vec_id", "embedding"
+    )
+    cells_k = simsearch._ivf_cells_udf(cent_arrs, cent_norms, 3)
+    keys_k = simsearch._mt_keys_udf(64)
+    base = (
+        simsearch.with_norm(
+            simsearch._respread_narrow(emb_nn.select("vec_id", "embedding")),
+            "embedding",
+        )
+        .withColumn("cells", cells_k(F.col("embedding")))
+        .withColumn("cell", F.col("cells")[0])
+        .withColumn("__keys", keys_k(F.col("embedding")))
+        .persist()
+    )
     exact_raw = simsearch.exact_dup_pairs(
-        emb, F.pmod(F.col("vec_id"), F.lit(20)) == 0, _SEMR_T
+        emb, panel_vec, _SEMR_T, normed=base
     )
     exact = exact_raw.select("d1", "d2").withColumn("hit", F.lit(1)).persist()
-    panel_vec = F.pmod(F.col("vec_id"), F.lit(20)) == 0
     # DISCOVERY candidates only, per method — the exact panel frame
     # already scores every panel pair >= T, so a method's found-pairs
     # are exactly its candidates ∩ exact: one shared exact leg, zero
@@ -2066,14 +2090,14 @@ def dedup_semantic_recall(spark, sf_dir):
     # applied to dup discovery)
     pairs = simsearch.semantic_dup_pairs(
         emb, threshold=_SEMR_T, dim=64, n_probe=3, tag_same_cell=True,
-        d1_pred=panel_vec, candidates_only=True,
+        d1_pred=panel_vec, candidates_only=True, assigned=base,
     )
     # both LSH legs from ONE Arrow key pass: hyperplanes(n) is a PREFIX
     # of hyperplanes(m>n) (per-index md5 derivation), so tables 0-1 of
     # the 16x4-bit keying carry exactly the 2-band buckets of the
     # 8-plane split `cosine_dup_pairs` ships with — same "band|bits"
     # strings, same decimal sign rule (equivalence pytest-pinned)
-    keyed = simsearch._table_keys_frame(emb, F.lit(False), dim=64).persist()
+    keyed = base.select("vec_id", F.explode("__keys").alias("bkt"))
     ka = keyed.where(panel_vec).select(F.col("vec_id").alias("d1"), "bkt")
     kb = keyed.select(F.col("vec_id").alias("d2"), "bkt")
     # ONE bucket self-join serves both LSH legs: each candidate pair
@@ -2136,7 +2160,7 @@ def dedup_semantic_recall(spark, sf_dir):
     )
     out._pinned_persisted = (
         exact,
-        keyed,
+        base,
         *getattr(exact_raw, "_pinned_persisted", ()),
         *getattr(pairs, "_pinned_persisted", ()),
     )

@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from ..domain import and_join
 from ..engines.ledger import O_LEDGER
-from ..tables import load
+from ..tables import load, respread_narrow
 from .registry import dsum, o_dsum, query
 
 
@@ -147,9 +147,7 @@ def m4_serial_rebuild(spark, sf_dir):
     # best-of-7, two sessions: −10.0% / −6.4%). At real scale the guard
     # never fires and the standard partial-agg shape is kept.
     _keys = ("l_partkey", "l_suppkey", "location_id", "l_shipdate", "l_returnflag")
-    p = spark.sparkContext.defaultParallelism
-    if li.rdd.getNumPartitions() < p:
-        lim = lim.repartition(p, *[F.col(k) for k in _keys])
+    lim = respread_narrow(lim, _keys, exact_keys=True)
     per_move = lim.groupBy(*_keys).agg(
         F.count("*").alias("c"),
         F.sum("l_quantity").alias("qty"),

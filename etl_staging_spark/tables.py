@@ -69,7 +69,9 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def respread_narrow(df: DataFrame, key_cols: tuple[str, ...] = ()) -> DataFrame:
+def respread_narrow(
+    df: DataFrame, key_cols: tuple[str, ...] = (), exact_keys: bool = False
+) -> DataFrame:
     """Parallelism guard for compute-heavy projections/joins: a small
     table arrives as 1-2 file splits, and narrow transformations (and
     broadcast-join outputs, which inherit the stream side's
@@ -88,11 +90,22 @@ def respread_narrow(df: DataFrame, key_cols: tuple[str, ...] = ()) -> DataFrame:
     determinism (SPARK-23207) — measured −25% on a1's 600k-row spread
     — so prefer it when high-cardinality columns are already in the
     projection (keys OUTSIDE it would widen the scan and the
-    exchange)."""
+    exchange).
+
+    ``exact_keys=True``: repartition on the key COLUMNS themselves
+    (hashpartitioning on exactly those expressions) instead of the
+    synthetic pmod key. Use when a downstream groupBy/window uses the
+    same keys: its clustering requirement is then already satisfied and
+    Catalyst elides that operator's own exchange, so the shuffle count
+    does not grow — the one shuffle just moves below the aggregate
+    (m4_serial_rebuild, −6/−10%). Requires enough distinct key tuples
+    to spread evenly (near-distinct grouping keys qualify)."""
     from pyspark.sql import functions as F
 
     p = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < p:
+        if key_cols and exact_keys:
+            return df.repartition(p, *[F.col(k) for k in key_cols])
         if key_cols:
             return df.repartition(
                 p, F.pmod(F.xxhash64(*key_cols), F.lit(50 * p))

@@ -127,6 +127,11 @@ def test_publish_line_sheds_smallest_subfloor_queries_first():
     assert all(f"h{i}" in d["queries"] for i in range(10))
     assert "q000" not in d["queries"] and "q089" in d["queries"]
     assert d["n_queries"] == 100  # the true count survives the drop
+    # r17: the shed names are published (count-capped) so the driver's
+    # round diff can tell shed-sub-floor from dropped-from-bench — the
+    # PERF_r16 "dropped_from_bench" false positives
+    assert "q000" in d["shed"] and len(d["shed"]) <= 15
+    assert all(n not in d["queries"] for n in d["shed"])
 
     full = json.loads(publish_line(t, 50.0, 3.0, [], 1, 0.1, budget=10_000))
     assert full["queries_dropped"] == 0 and len(full["queries"]) == 100
@@ -218,7 +223,8 @@ def test_publish_line_sheddability_agrees_with_published_rounding():
     line = publish_line(t, 6.0, 5.0, [], 1, 0.1, budget=len(
         json.dumps({"metric": "headline_queries_total_time", "value": 6.0,
                     "unit": "sec", "queries": {"heavy": 5.0, "edge": 0.4},
-                    "queries_dropped": 1, "queries_omitted": False,
+                    "queries_dropped": 1, "shed": ["small"],
+                    "queries_omitted": False,
                     "core_r1_subset_time": 5.0, "n_queries": 3,
                     "reruns": [], "n_reruns": 0, "attempts": 1, "sf": 0.1},
                    separators=(",", ":"))))

@@ -64,26 +64,38 @@ def main() -> None:
     spark = get_spark("ab-respread")
     qs = entry.queries()
 
+    # move_lines memoizes on the EFFECTIVE spread (ledger.py keys on
+    # `spread and SPREAD_FACT` since r17), so flipping the flag selects
+    # the right cached plan per arm. Belt-and-braces: clear the memo on
+    # every flip anyway so a stale entry can never time the wrong arm
+    # again (the r16 ADVICE bug), and restore the flag on ANY exit so an
+    # exception can't leave the module in the last arm's state.
+    def _arm(on: bool) -> None:
+        ledger.SPREAD_FACT = on
+        ledger._LEDGER_CACHE.clear()
+
     results: dict[str, dict] = {}
-    for name in names:
-        fn = qs[name]
-        for on in (True, False):
-            ledger.SPREAD_FACT = on
-            _run(spark, fn, sf_dir)
-        a, b = [], []
-        for _ in range(rounds):
-            ledger.SPREAD_FACT = True
-            a.append(_run(spark, fn, sf_dir))
-            ledger.SPREAD_FACT = False
-            b.append(_run(spark, fn, sf_dir))
-        results[name] = {"spread_best": round(min(a), 3), "plain_best": round(min(b), 3)}
-        print(
-            f"{name}: spread={min(a):.3f} plain={min(b):.3f} "
-            f"delta={(min(a) - min(b)) / min(b) * 100:+.1f}%",
-            flush=True,
-        )
-        spark.catalog.clearCache()
-    ledger.SPREAD_FACT = True
+    try:
+        for name in names:
+            fn = qs[name]
+            for on in (True, False):
+                _arm(on)
+                _run(spark, fn, sf_dir)
+            a, b = [], []
+            for _ in range(rounds):
+                _arm(True)
+                a.append(_run(spark, fn, sf_dir))
+                _arm(False)
+                b.append(_run(spark, fn, sf_dir))
+            results[name] = {"spread_best": round(min(a), 3), "plain_best": round(min(b), 3)}
+            print(
+                f"{name}: spread={min(a):.3f} plain={min(b):.3f} "
+                f"delta={(min(a) - min(b)) / min(b) * 100:+.1f}%",
+                flush=True,
+            )
+            spark.catalog.clearCache()
+    finally:
+        _arm(True)
     on_sum = sum(r["spread_best"] for r in results.values())
     off_sum = sum(r["plain_best"] for r in results.values())
     print(json.dumps({"spread_sum": round(on_sum, 3), "plain_sum": round(off_sum, 3)}))

@@ -1,8 +1,8 @@
-"""Snapshot .explain("formatted") for headline queries into plans/r16/.
+"""Snapshot .explain("formatted") for headline queries into plans/$SPARK_GRAFT_PLANS_ROUND/ (default r17).
 
 Usage: python tools/snap_plans.py before|after [query ...]
 
-Writes plans/r16/<query>_<tag>.txt for every bench HEADLINE query (or
+Writes plans/<round>/<query>_<tag>.txt for every bench HEADLINE query (or
 the listed subset). Pure driver-side: no job runs, so it is safe to
 run while other Spark work is active.
 """
@@ -26,7 +26,8 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("snap-plans")
     qs = entrymod.queries()
-    out_dir = os.path.join("/root/repo", "plans", "r16")
+    rnd = os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r17")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", rnd)
     os.makedirs(out_dir, exist_ok=True)
     names = [n for n in bench.HEADLINE if not only or n in only]
     for name in names:
