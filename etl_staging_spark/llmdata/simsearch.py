@@ -170,14 +170,21 @@ def cosine_scored(
     query_pred: Column,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    normed: DataFrame | None = None,
 ) -> DataFrame:
     """The exact (qid, cid, cos_raw) frame — EVERY query x candidate
     pair scored by decimal-exact cosine. The shared base of the exact
     family: :func:`cosine_topk` is its two-phase top-k, and the ANN
     recall card persists ONE instance and derives the baseline top-k
     AND each ANN leg's top-k from it by candidate-pair semi-join, so
-    the O(|Q| * N) scoring pass runs once instead of once per leg."""
-    normed = with_norm(_respread_narrow(emb), vec_col)
+    the O(|Q| * N) scoring pass runs once instead of once per leg.
+
+    ``normed``: an already-built (usually persisted) frame carrying
+    ``nrm`` — r17's shared-pass contract, so a card that also needs
+    LSH keys / IVF cells computes everything in one corpus
+    projection."""
+    if normed is None:
+        normed = with_norm(_respread_narrow(emb), vec_col)
     q = normed.where(query_pred).select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("qv"),
@@ -409,6 +416,7 @@ def lsh_multitable_candidates(
     bits: int = BITS_PER_TABLE,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keyed: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct (qid, cid) candidate pairs: a corpus vector is a
     candidate for a query iff they share ANY of the ``n_tables`` bucket
@@ -417,10 +425,17 @@ def lsh_multitable_candidates(
     on the key runs with the bounded query side broadcast — shuffles
     touch only skinny id/key rows, never vectors, and there is no
     all-pairs stage. Returns the pair frame with the keyed scan pinned
-    in ``_pinned_persisted`` (release after the downstream action)."""
-    keyed = _table_keys_frame(
-        emb, query_pred, dim, n_tables, bits, id_col, vec_col
-    ).persist()
+    in ``_pinned_persisted`` (release after the downstream action).
+
+    ``keyed``: a caller-supplied (id, __is_q, bkt) frame — usually an
+    explode over a persisted fused projection that also carries norms
+    (r17's shared-pass contract) — in which case no pass is added and
+    no pin is taken here; the caller owns the cache."""
+    own = keyed is None
+    if own:
+        keyed = _table_keys_frame(
+            emb, query_pred, dim, n_tables, bits, id_col, vec_col
+        ).persist()
     q = keyed.where("__is_q").select(F.col(id_col).alias("qid"), "bkt")
     c = keyed.select(F.col(id_col).alias("cid"), "bkt")
     out = (
@@ -429,7 +444,7 @@ def lsh_multitable_candidates(
         .select("qid", "cid")
         .distinct()
     )
-    out._pinned_persisted = (keyed,)
+    out._pinned_persisted = (keyed,) if own else ()
     return out
 
 
@@ -448,12 +463,28 @@ def lsh_multitable_topk(
     lever single-bucket LSH lacks, see the parameter note above), then
     exact-decimal cosine on the candidate pairs only and the two-phase
     per-query top-k. All joins are keyed equi-joins; the candidate
-    frame stays skinny until the vectors attach at full parallelism."""
+    frame stays skinny until the vectors attach at full parallelism.
+
+    ONE fused corpus pass (r17, guide §2.4): the LSH keys and the
+    exact-decimal norm are computed in the same persisted projection,
+    so candidate discovery and the verify-side vectors share one
+    corpus read — the r16 shape persisted a keys frame and a norms
+    frame separately. Buckets, pairs and scores are expression-
+    identical; only the pass count changes."""
     spark = emb.sparkSession
-    cand = lsh_multitable_candidates(
-        emb, query_pred, dim, n_tables, bits, id_col, vec_col
+    keys_k = _mt_keys_udf(dim, n_tables, bits)
+    normed = (
+        with_norm(_respread_narrow(emb), vec_col)
+        .withColumn("__is_q", query_pred)
+        .withColumn("__keys", keys_k(F.col(vec_col)))
+        .persist()
     )
-    normed = with_norm(_respread_narrow(emb), vec_col).persist()
+    cand = lsh_multitable_candidates(
+        emb, query_pred, dim, n_tables, bits, id_col, vec_col,
+        keyed=normed.select(
+            F.col(id_col), "__is_q", F.explode("__keys").alias("bkt")
+        ),
+    )
     q = normed.where(query_pred).select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("qv"),
@@ -553,6 +584,7 @@ def ivf_candidates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """(qid, cid) candidate pairs of the IVF path: corpus vectors whose
     assigned cell is among the query's ``n_probe`` closest cells — the
@@ -561,20 +593,30 @@ def ivf_candidates(
     has exactly one cell, so pairs are distinct by construction. One
     Arrow-batched kernel (:func:`_ivf_cells_udf`) computes each
     vector's ``n_probe`` probe cells; the corpus side keeps only the
-    first (its assignment)."""
-    cent_arrs, cent_norms = _resolve_centroids(
-        emb, centroids, n_centroids, id_col, vec_col
-    )
-    cells = _ivf_cells_udf(cent_arrs, cent_norms, n_probe)
-    base = (
-        _respread_narrow(emb)
-        .select(
-            F.col(id_col),
-            query_pred.alias("__is_q"),
-            cells(F.col(vec_col)).alias("__cells"),
+    first (its assignment).
+
+    ``assigned``: a caller-supplied frame carrying ``__is_q`` and the
+    ``__cells`` probe array from the same Arrow kernel — usually a
+    persisted fused projection shared with other legs (r17's
+    shared-pass contract). No pass is added and no pin taken here; the
+    caller owns the cache."""
+    own = assigned is None
+    if own:
+        cent_arrs, cent_norms = _resolve_centroids(
+            emb, centroids, n_centroids, id_col, vec_col
         )
-        .persist()
-    )
+        cells = _ivf_cells_udf(cent_arrs, cent_norms, n_probe)
+        base = (
+            _respread_narrow(emb)
+            .select(
+                F.col(id_col),
+                query_pred.alias("__is_q"),
+                cells(F.col(vec_col)).alias("__cells"),
+            )
+            .persist()
+        )
+    else:
+        base = assigned
     q = base.where("__is_q").select(
         F.col(id_col).alias("qid"), F.explode("__cells").alias("cell")
     )
@@ -584,7 +626,7 @@ def ivf_candidates(
         .where(F.col("cid") != F.col("qid"))
         .select("qid", "cid")
     )
-    out._pinned_persisted = (base,)
+    out._pinned_persisted = (base,) if own else ()
     return out
 
 

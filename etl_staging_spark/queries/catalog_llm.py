@@ -897,15 +897,42 @@ def sim_ann_recall(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     pred = F.col("vec_id") < 10
     k = 5
-    scored = simsearch.cosine_scored(emb, pred).persist()
+    # ONE fused corpus pass for the exact baseline AND both ANN legs
+    # (r17, guide §2.4): norms, the 16-table LSH keys and the IVF probe
+    # cells are computed in a single persisted projection — the r16
+    # shape ran three separate cached corpus passes (cosine_scored's
+    # with_norm, the LSH key pass, the IVF assignment scan). The
+    # NULL-vector filter is a no-op on real data (the Arrow kernels
+    # already require non-null vectors corpus-wide) and a NULL cosine
+    # could never enter a top-k with >= k real candidates.
+    emb_nn = emb.where(F.col("embedding").isNotNull())
+    cent_arrs, cent_norms = simsearch._resolve_centroids(
+        emb_nn, None, 8, "vec_id", "embedding"
+    )
+    cells_k = simsearch._ivf_cells_udf(cent_arrs, cent_norms, 2)
+    keys_k = simsearch._mt_keys_udf(64)
+    base = (
+        simsearch.with_norm(
+            simsearch._respread_narrow(emb_nn.select("vec_id", "embedding")),
+            "embedding",
+        )
+        .withColumn("__is_q", pred)
+        .withColumn("__keys", keys_k(F.col("embedding")))
+        .withColumn("__cells", cells_k(F.col("embedding")))
+        .persist()
+    )
+    scored = simsearch.cosine_scored(emb, pred, normed=base).persist()
     exact = (
         simsearch.topk_from_scored(scored, k)
         .select("qid", "cid")
         .withColumn("hit", F.lit(1))
         .persist()
     )
-    lsh_cand = simsearch.lsh_multitable_candidates(emb, pred, dim=64)
-    ivf_cand = simsearch.ivf_candidates(emb, pred)
+    lsh_cand = simsearch.lsh_multitable_candidates(
+        emb, pred, dim=64,
+        keyed=base.select("vec_id", "__is_q", F.explode("__keys").alias("bkt")),
+    )
+    ivf_cand = simsearch.ivf_candidates(emb, pred, assigned=base)
     # both legs in ONE pipeline: tag candidate pairs with their method,
     # attach the shared exact score by a single (qid, cid) join, cut
     # per-(method, qid) top-k once, and one overlap aggregate — halves
@@ -939,6 +966,7 @@ def sim_ann_recall(spark, sf_dir):
     out._pinned_persisted = (
         scored,
         exact,
+        base,
         *getattr(lsh_cand, "_pinned_persisted", ()),
         *getattr(ivf_cand, "_pinned_persisted", ()),
     )

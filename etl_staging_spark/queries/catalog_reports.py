@@ -580,11 +580,14 @@ _ES_IN = "date >= TIMESTAMP '1997-01-01'"
 def es_report(spark, sf_dir):
     from ..reports.executive_summary import executive_summary
 
-    # spread=True: cross_report fuses every line x scope into ONE
-    # conditional aggregate (~20 decimal sums per row) — the single-job
-    # heavy-map shape the keyed spread wins on (interleaved A/B −5 to
-    # −7.5% across three sessions; see engines/ledger.move_lines)
-    led = move_lines(spark, sf_dir, spread=True)
+    # plain (r17): the r16 spread=True here rested on an A/B whose
+    # plain arm was poisoned by the move_lines memo keying bug (ADVICE
+    # r16) — with the fixed tool the spread measures ±1% twice
+    # (1.40 vs 1.38 / 1.40 vs 1.42), so the added exchange buys
+    # nothing and es_report returns to the plain ledger.
+    # hg_column_groups re-measured −11/−12% with the same fixed tool
+    # and keeps its spread.
+    led = move_lines(spark, sf_dir)
     return executive_summary(spark, led, make_options("1997-01-01", "1997-12-31"))
 
 
