@@ -317,9 +317,14 @@ def publish_line(
             # r17 (VERDICT r16): name what was shed so the driver's
             # round-over-round diff can tell "shed sub-floor query"
             # from "query dropped from the bench" — 6 false positives
-            # in PERF_r16. Capped at 15 names (sub-floor names are
-            # short; the cap bounds the field if the shed ever grows).
-            "shed": shed[:15],
+            # in PERF_r16. HARD-capped at 3 names (the reruns-field
+            # convention): naming every shed query costs nearly the
+            # chars publishing it would, so an uncapped list defeats
+            # the budget degrade (the first r17 run omitted the whole
+            # dict). The FULL timing record — from which the complete
+            # shed set is derivable as full-set minus published — is
+            # always in bench_last.json.
+            "shed": shed[:3],
             "queries_omitted": drop >= len(timings),
             "core_r1_subset_time": round(core_total, 2),
             "n_queries": len(timings),

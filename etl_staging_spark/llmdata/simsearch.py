@@ -771,9 +771,25 @@ def mt_dup_pairs(
     restricts the smaller-id side before the bucket join, cutting join
     volume by the panel fraction). Same bucketed equi-join + shared
     exact-decimal verify as every dup path; never all-pairs."""
-    keyed = _table_keys_frame(
-        emb, F.lit(False), dim, n_tables, bits, id_col, vec_col
-    ).persist()
+    # ONE fused corpus pass (r17, guide §2.4): discovery-only callers
+    # need just the keys, but the verify path needs norms too — compute
+    # both in the same persisted projection so the verify branch does
+    # not re-read the corpus (the r16 shape persisted a keys frame AND
+    # a norms frame). Buckets, pairs and verify are expression-
+    # identical; only the pass count changes.
+    if candidates_only:
+        keyed = _table_keys_frame(
+            emb, F.lit(False), dim, n_tables, bits, id_col, vec_col
+        ).persist()
+        base = None
+    else:
+        keys_k = _mt_keys_udf(dim, n_tables, bits)
+        base = (
+            with_norm(_respread_narrow(emb), vec_col)
+            .withColumn("__keys", keys_k(F.col(vec_col)))
+            .persist()
+        )
+        keyed = base.select(F.col(id_col), F.explode("__keys").alias("bkt"))
     a_src = keyed.where(d1_pred) if d1_pred is not None else keyed
     a = a_src.select(F.col(id_col).alias("d1"), "bkt")
     b = keyed.select(F.col(id_col).alias("d2"), "bkt")
@@ -784,11 +800,10 @@ def mt_dup_pairs(
     if candidates_only:
         cand._pinned_persisted = (keyed,)
         return cand
-    normed = with_norm(_respread_narrow(emb), vec_col).persist()
-    out = _verify_pairs(cand, normed, threshold, id_col, vec_col).select(
+    out = _verify_pairs(cand, base, threshold, id_col, vec_col).select(
         "d1", "d2", pround(F.col("cos_raw"), 6).alias("cosine")
     )
-    out._pinned_persisted = (keyed, normed)
+    out._pinned_persisted = (base,)
     return out
 
 

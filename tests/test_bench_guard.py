@@ -127,10 +127,14 @@ def test_publish_line_sheds_smallest_subfloor_queries_first():
     assert all(f"h{i}" in d["queries"] for i in range(10))
     assert "q000" not in d["queries"] and "q089" in d["queries"]
     assert d["n_queries"] == 100  # the true count survives the drop
-    # r17: the shed names are published (count-capped) so the driver's
-    # round diff can tell shed-sub-floor from dropped-from-bench — the
-    # PERF_r16 "dropped_from_bench" false positives
-    assert "q000" in d["shed"] and len(d["shed"]) <= 15
+    # r17: the first shed names are published (hard cap 3, the reruns
+    # convention) so the driver's round diff can tell shed-sub-floor
+    # from dropped-from-bench — the PERF_r16 "dropped_from_bench"
+    # false positives. An uncapped list would defeat the budget
+    # degrade: naming a shed query costs nearly what publishing it
+    # does, so the loop could never converge and the whole dict
+    # was omitted (observed on the first r17 run).
+    assert "q000" in d["shed"] and len(d["shed"]) <= 3
     assert all(n not in d["queries"] for n in d["shed"])
 
     full = json.loads(publish_line(t, 50.0, 3.0, [], 1, 0.1, budget=10_000))
